@@ -1,0 +1,43 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical access to the driver-generated test tables.
+  *
+  * All engine code loads inputs through here so schema quirks are fixed in
+  * exactly one place. The only quirk today: `events.ts` is written as parquet
+  * INT64 TIMESTAMP(NANOS) which Spark cannot read natively; with
+  * `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a long of epoch
+  * nanoseconds, which we floor-divide to microseconds — the same truncation
+  * DuckDB applies when it reads TIMESTAMP_NS parquet into its µs TIMESTAMP,
+  * so Spark results and the DuckDB oracle see identical instants.
+  *
+  * At 100 TB scale this loader is where partition discovery / bucketing
+  * metadata would attach; the tables here are plain single parquet files, so
+  * Spark's own file-source splitting (maxPartitionBytes) governs parallelism.
+  */
+object Tables {
+
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Session settings every entry point must apply. */
+  def configure(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark
+  }
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark)
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    name match {
+      case "events" =>
+        // ns → µs, floor division in *integer* space (ns values exceed 2^53,
+        // double math would corrupt them).
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+}

@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components over an edge table — the primitive behind marEx
+  * object labeling and event stitching (`marEx/track.py:1912–2048` per-slice
+  * CCL, `track.py:2809–3331` cross-time event graph).
+  *
+  * Two implementations, chosen by graph size:
+  *
+  *  - [[labelProp]]: distributed min-label propagation. Each round is one
+  *    shuffle (`join` edge→label + `groupBy(node).min`), converging in
+  *    O(graph diameter) rounds. `localCheckpoint` every round truncates the
+  *    lineage so the plan stays O(1) per iteration — without it the logical
+  *    plan doubles each round and the driver dies long before the data does.
+  *    This is the 100 TB path (the marEx pixel graph is huge but its diameter
+  *    — the longest object's extent in cells — is modest).
+  *
+  *  - [[unionFindLocal]]: driver-side weighted union-find for *small* graphs
+  *    (the reference does exactly this: overlap-pair graphs have ~10³–10⁴
+  *    nodes and are solved with scipy on the driver, track.py:2883). Collect
+  *    + union-find beats any distributed CC at that size.
+  */
+object ConnectedComponents {
+
+  /** Distributed min-label propagation.
+    * @param edges DataFrame with long columns `src`, `dst` (undirected; both
+    *              orientations are generated internally).
+    * @return (node LONG, component LONG) where component = min node id reachable.
+    */
+  def labelProp(edges: DataFrame, maxIter: Int = 100): DataFrame = {
+    val und = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .union(edges.select(col("dst").cast("long").as("src"), col("src").cast("long").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = und.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val prop = und.join(labels, und("dst") === labels("node"))
+        .select(und("src").as("node"), col("label"))
+      val next = labels.union(prop)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint()
+      val changed = next.alias("n")
+        .join(labels.withColumnRenamed("label", "old").alias("o"), "node")
+        .filter(col("label") =!= col("old"))
+        .limit(1).count()
+      converged = changed == 0
+      labels = next
+      i += 1
+    }
+    labels.select(col("node"), col("label").as("component"))
+  }
+
+  /** Driver-side union-find for small graphs (collect first; caller asserts
+    * smallness). Returns node -> component representative (min node id). */
+  def unionFindLocal(edges: Iterator[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+      // path compression
+      var c = x
+      while (parent.getOrElse(c, c) != r) { val nxt = parent(c); parent(c) = r; c = nxt }
+      r
+    }
+    def union(a: Long, b: Long): Unit = {
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    edges.foreach { case (a, b) => union(a, b) }
+    // second pass: min-id representative (union by min above keeps roots minimal)
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+}
