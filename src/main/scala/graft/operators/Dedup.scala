@@ -1,0 +1,148 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines.
+  *
+  * Exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, and SimHash. All hash
+  * primitives are built on `md5` hex strings so results are portable across
+  * engines (the DuckDB correctness oracle evaluates the same algorithm) and
+  * deterministic across runs/partitionings — a requirement the usual
+  * `xxhash64`-style seeds wouldn't violate, but engine-specific hash
+  * functions would.
+  *
+  * Scale design:
+  *  - Everything is expressed as joins/groupBys over a (doc_id, shingle)
+  *    long table: one shuffle per stage, map-side combinable.
+  *  - The pair-generating self-join on shingles is the classic skew trap at
+  *    100 TB: a stop-shingle appearing in k docs contributes k² pairs.
+  *    [[shingles]] therefore supports `maxDf` document-frequency filtering
+  *    (standard in MinHash dedup pipelines); LSH banding bounds candidate
+  *    pairs to docs agreeing on a full band, which is the intended scale
+  *    path — the exact Jaccard join is the small-corpus/verification path.
+  */
+object Dedup {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => t =!= "")
+
+  /** (doc_id, shingle) distinct word n-grams.
+    * @param maxDf drop shingles appearing in more than this many documents
+    *              (skew guard); None keeps all. */
+  def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text", maxDf: Option[Long] = None): DataFrame = {
+    val ts = docs
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(col(idCol), col("ts"),
+        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(0)))).as("i"))
+      .select(col(idCol), concat_ws(" ", slice(col("ts"), col("i"), lit(n))).as("shingle"))
+      .distinct()
+    maxDf match {
+      case None => ts
+      case Some(df) =>
+        // document-frequency filter via a window over shingle (one extra shuffle)
+        val freq = ts.groupBy("shingle").agg(count(lit(1)).as("df"))
+        ts.join(freq.filter(col("df") <= df).select("shingle"), "shingle")
+          .select(col(idCol), col("shingle"))
+    }
+  }
+
+  /** All-pairs n-gram Jaccard via shingle self-join. O(Σ df²) — use only
+    * post-LSH or on bounded corpora; [[minhashLsh]] is the scale path. */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        col("common").cast("long"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** MinHash signatures: for seed s, mh_s(doc) = min over shingles of
+    * md5(s || '|' || shingle). String-min over lowercase hex is a valid
+    * uniform min-hash and is engine-portable. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val seeds = array((0 until numHashes).map(lit): _*)
+    sh.select(col("doc_id"), explode(seeds).as("seed"), col("shingle"))
+      .groupBy("doc_id", "seed")
+      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")))).as("mh"))
+  }
+
+  /** Band signatures for LSH: rows-per-band consecutive minhashes concatenated.
+    * Docs sharing any full band become candidate pairs. */
+  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+    sigs
+      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
+        "|").as("sig"))
+
+  /** Candidate pairs from banded signatures (equi-join on (band, sig) — the
+    * shuffle key is the band hash, so pair generation never touches the
+    * full cross product). */
+  def lshCandidates(bands: DataFrame): DataFrame = {
+    val a = bands.select(col("band"), col("sig"), col("doc_id").as("doc_a"))
+    val b = bands.select(col("band"), col("sig"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+  }
+
+  /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate →
+    * exact-Jaccard verification of candidates only. */
+  def minhashLsh(docs: DataFrame, n: Int, numHashes: Int, rowsPerBand: Int,
+      minJaccard: Double): DataFrame = {
+    val sh = shingles(docs, n)
+    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** 16-bit SimHash over token counts. Bits derive from the first 4 hex chars
+    * of md5(token); v_b = Σ count·(2·bit_b − 1); fingerprint bit b set iff
+    * v_b > 0. Integer arithmetic end-to-end → engine-portable. */
+  def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val tokCounts = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+      .groupBy(idCol, "tok").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", substring(md5(col("tok")), 1, 4))
+    val bits = tokCounts
+      .select(col(idCol), col("cnt"), col("h"),
+        explode(sequence(lit(0), lit(15))).as("b"))
+      .withColumn("hexd",
+        instr(lit("0123456789abcdef"),
+          substring(col("h"), (col("b") / 4).cast("int") + 1, lit(1))) - 1)
+      .withColumn("bit",
+        floor(col("hexd") / pow(lit(2.0), lit(3) - col("b") % 4)).cast("long") % 2)
+    bits
+      .groupBy(col(idCol), col("b"))
+      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("v"))
+      .withColumn("fbit", when(col("v") > 0, 1L).otherwise(0L))
+      .groupBy(idCol)
+      .agg(sum(col("fbit") * pow(lit(2.0), col("b")).cast("long")).as("simhash"))
+      .select(col(idCol).cast("long"), col("simhash").cast("long"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`Array[Float]`).
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query set is broadcast, so
+  *    the plan is one scan of the corpus with no shuffle of the embeddings —
+  *    this is the correct baseline even at scale when |queries| is small.
+  *  - [[signLsh]] buckets: random-hyperplane (sign) projections, hashed to a
+  *    bucket id; search touches only the query's bucket. Hyperplane signs
+  *    derive from md5(plane || dim) so buckets are deterministic and
+  *    reproducible across engines. At 100 TB the bucket table would be
+  *    written bucketed-by(bucket) so probes are partition-pruned scans.
+  *
+  * All vector math runs in double precision via codegen'd higher-order
+  * functions (`zip_with` + `aggregate`) — no UDFs, stays inside whole-stage
+  * codegen.
+  */
+object Similarity {
+
+  /** Sequential left-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k by cosine for a (small, broadcast) query set.
+    * @return (qid, vec_id, sim, rank) */
+  def bruteForceTopK(embeddings: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = embeddings.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val c = embeddings.select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    broadcast(q).join(c, col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").cast("long"), col("vec_id").cast("long"),
+        round(col("sim"), 4).as("sim"), col("rank").cast("long"))
+  }
+
+  /** Deterministic ±1 hyperplane weight for (plane, dim): +1 iff the first
+    * hex digit of md5("p|d") is >= 8. */
+  private def signWeight(plane: Column, dim: Column): Column = {
+    val hexd = instr(lit("0123456789abcdef"),
+      substring(md5(concat(plane.cast("string"), lit("|"), dim.cast("string"))), 1, 1)) - 1
+    when(hexd >= 8, 1.0).otherwise(-1.0)
+  }
+
+  /** Sign-projection LSH bucket id in [0, 2^planes). One row per vector. */
+  def signLshBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame = {
+    val dims = embeddings
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(1), lit(dim))).as("d"))
+      .select(col("vec_id"), col("d"),
+        element_at(col("embedding"), col("d")).cast("double").as("v"))
+    val projs = dims
+      .select(col("vec_id"), col("v"), col("d"), explode(sequence(lit(0), lit(planes - 1))).as("p"))
+      .withColumn("w", signWeight(col("p"), col("d")))
+      .groupBy("vec_id", "p")
+      .agg(sum(col("w") * col("v")).as("proj"))
+    projs
+      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
+      .groupBy("vec_id")
+      .agg(sum(col("bit") * pow(lit(2.0), col("p")).cast("long")).as("bucket"))
+      .select(col("vec_id").cast("long"), col("bucket").cast("long"))
+  }
+
+  /** LSH-bucketed ANN: per query, candidates = same-bucket vectors; returns
+    * bucket, candidate count and the top-1 exact-cosine match among them. */
+  def lshTopMatch(embeddings: DataFrame, queryPred: Column, planes: Int, dim: Int): DataFrame = {
+    val buckets = signLshBuckets(embeddings, planes, dim)
+    val emb = embeddings.join(buckets, "vec_id")
+    val q = emb.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+    val c = emb.select(col("vec_id"), col("embedding"), col("bucket"))
+    val cands = broadcast(q).join(c, Seq("bucket")).filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+    val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    cands
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("qid"), col("bucket"))
+      .agg(count(lit(1)).as("n_candidates"),
+        min(when(col("rn") === 1, col("vec_id"))).as("best_id"),
+        min(when(col("rn") === 1, round(col("sim"), 4))).as("best_sim"))
+      .select(col("qid").cast("long"), col("bucket").cast("long"),
+        col("n_candidates").cast("long"), col("best_id").cast("long"), col("best_sim"))
+  }
+}

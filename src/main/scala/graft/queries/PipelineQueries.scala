@@ -1,0 +1,247 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** LLM-training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
+  * (brute-force + sign-LSH ANN), text analysis (langid, quality, tokens,
+  * fingerprints) and multimodal binary-column plumbing. Each query has a
+  * DuckDB oracle implementing the identical algorithm (md5-based hashing is
+  * the portability anchor) except the mapPartitions decode stub, which gets
+  * the weaker rows-only check.
+  */
+object PipelineQueries extends QueryRegistry {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "documents")
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.load(s, d, "embeddings")
+
+  // DuckDB fragment: lower-cased whitespace tokens, empties dropped.
+  private val sqlToks =
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x != '')"
+  // DuckDB fragment: distinct 3-word shingles per doc.
+  private val sqlShingles =
+    s"""toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+        idx AS (SELECT doc_id, ts, unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i FROM toks),
+        sh AS (SELECT DISTINCT doc_id, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS shingle FROM idx)"""
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── exact dedup ────────────────────────────────────────────────────────
+    QueryDef("q30_dedup_exact",
+      (s, d) => docs(s, d).agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dup_docs")),
+      Some("""SELECT count(*) AS n_docs,
+                     count(DISTINCT md5(text)) AS n_unique,
+                     count(*) - count(DISTINCT md5(text)) AS n_dup_docs
+              FROM documents"""),
+      "Exact dedup via content-hash groupBy"),
+
+    // ── n-gram Jaccard near-dup ────────────────────────────────────────────
+    QueryDef("q31_dedup_jaccard",
+      (s, d) => Dedup.jaccardPairs(Dedup.shingles(docs(s, d), 3), 0.3),
+      Some(s"""WITH $sqlShingles,
+                   sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+                   pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                             FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                             GROUP BY 1, 2)
+              SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+                     CAST(c AS BIGINT) AS common,
+                     round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+              FROM pairs JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.3"""),
+      "3-shingle Jaccard pairs ≥ 0.3 via shingle self-join"),
+
+    // ── MinHash + LSH near-dup ─────────────────────────────────────────────
+    QueryDef("q32_dedup_minhash",
+      (s, d) => Dedup.minhashLsh(docs(s, d), n = 3, numHashes = 8, rowsPerBand = 2,
+        minJaccard = 0.3),
+      Some(s"""WITH $sqlShingles,
+                   seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+                   mh AS (SELECT doc_id, seed,
+                                 min(md5(CAST(seed AS VARCHAR) || '|' || shingle)) AS mh
+                          FROM sh CROSS JOIN seeds GROUP BY doc_id, seed),
+                   bands AS (SELECT doc_id, CAST(seed // 2 AS INT) AS band,
+                                    string_agg(mh, '|' ORDER BY seed) AS sig
+                             FROM mh GROUP BY 1, 2),
+                   cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+                            FROM bands a JOIN bands b
+                              ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+                   sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+                   common AS (SELECT s1.doc_id AS doc_a, s2.doc_id AS doc_b, count(*) AS c
+                              FROM sh s1
+                              JOIN sh s2 ON s1.shingle = s2.shingle AND s1.doc_id < s2.doc_id
+                              JOIN cand ON cand.doc_a = s1.doc_id AND cand.doc_b = s2.doc_id
+                              GROUP BY 1, 2)
+              SELECT CAST(doc_a AS BIGINT) AS doc_a, CAST(doc_b AS BIGINT) AS doc_b,
+                     round(CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE), 6) AS jaccard
+              FROM common JOIN sizes sa ON sa.doc_id = doc_a JOIN sizes sb ON sb.doc_id = doc_b
+              WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.3"""),
+      "MinHash(8) + LSH(4 bands × 2) candidates, exact-Jaccard verified"),
+
+    // ── SimHash ────────────────────────────────────────────────────────────
+    QueryDef("q33_dedup_simhash",
+      (s, d) => Dedup.simhash16(docs(s, d)),
+      Some(s"""WITH toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+                   tc AS (SELECT doc_id, tok, count(*) AS cnt, substr(md5(tok), 1, 4) AS h
+                          FROM toks GROUP BY doc_id, tok),
+                   bits AS (SELECT doc_id, cnt, h, unnest(generate_series(0, 15)) AS b FROM tc),
+                   bv AS (SELECT doc_id, b,
+                                 sum(cnt * (2 * (CAST(floor(
+                                   (instr('0123456789abcdef', substr(h, CAST(b // 4 AS INT) + 1, 1)) - 1)
+                                   / power(2, 3 - b % 4)) AS BIGINT) % 2) - 1)) AS v
+                          FROM bits GROUP BY doc_id, b)
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(sum(CASE WHEN v > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+              FROM bv GROUP BY doc_id"""),
+      "16-bit count-weighted SimHash fingerprints"),
+
+    // ── similarity: brute-force cosine top-k ───────────────────────────────
+    QueryDef("q34_sim_topk",
+      (s, d) => Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 5, 10),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                   q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id < 5),
+                   sims AS (SELECT qid, vec_id,
+                                   list_dot_product(qe, emb)
+                                     / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(emb, emb))) AS sim
+                            FROM q CROSS JOIN e WHERE vec_id != qid),
+                   rk AS (SELECT qid, vec_id, sim,
+                                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                          FROM sims)
+              SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+                     round(sim, 4) AS sim, CAST(rn AS BIGINT) AS rank
+              FROM rk WHERE rn <= 10"""),
+      "Exact cosine top-10 for 5 broadcast queries (ANN baseline)"),
+
+    // ── similarity: sign-LSH bucketed ANN ──────────────────────────────────
+    QueryDef("q35_sim_lsh",
+      (s, d) => Similarity.lshTopMatch(emb(s, d), col("vec_id") < 5, planes = 8, dim = 64),
+      Some("""WITH dims AS (SELECT unnest(generate_series(1, 64)) AS dd),
+                   planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+                   vals AS (SELECT vec_id, dd, CAST(embedding[dd] AS DOUBLE) AS v
+                            FROM embeddings CROSS JOIN dims),
+                   proj AS (SELECT vec_id, p,
+                                   sum((CASE WHEN instr('0123456789abcdef',
+                                          substr(md5(CAST(p AS VARCHAR) || '|' || CAST(dd AS VARCHAR)), 1, 1)) - 1 >= 8
+                                        THEN 1.0 ELSE -1.0 END) * v) AS pr
+                            FROM vals CROSS JOIN planes GROUP BY vec_id, p),
+                   buck AS (SELECT vec_id,
+                                   CAST(sum(CASE WHEN pr > 0 THEN CAST(power(2, p) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                            FROM proj GROUP BY vec_id),
+                   e AS (SELECT b.vec_id, b.bucket, CAST(embedding AS DOUBLE[]) AS emb
+                         FROM buck b JOIN embeddings USING (vec_id)),
+                   q AS (SELECT vec_id AS qid, emb AS qe, bucket FROM e WHERE vec_id < 5),
+                   cand AS (SELECT qid, q.bucket AS bucket, c.vec_id,
+                                   list_dot_product(qe, c.emb)
+                                     / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(c.emb, c.emb))) AS sim
+                            FROM q JOIN e c ON c.bucket = q.bucket AND c.vec_id != q.qid),
+                   rk AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                          FROM cand)
+              SELECT CAST(qid AS BIGINT) AS qid,
+                     CAST(bucket AS BIGINT) AS bucket,
+                     count(*) AS n_candidates,
+                     CAST(min(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT) AS best_id,
+                     min(CASE WHEN rn = 1 THEN round(sim, 4) END) AS best_sim
+              FROM rk GROUP BY qid, bucket"""),
+      "Sign-hyperplane LSH buckets; per-query candidate count + top-1 match"),
+
+    // ── text: language id ──────────────────────────────────────────────────
+    QueryDef("q36_langid",
+      (s, d) => TextAnalysis.langId(docs(s, d)),
+      Some(s"""WITH profile(cand_lang, stopword) AS (VALUES
+                   ('en','the'),('en','a'),('en','of'),('en','and'),('en','is'),
+                   ('de','der'),('de','die'),('de','und'),('de','das'),('de','ist'),
+                   ('es','el'),('es','la'),('es','y'),('es','de'),('es','es'),
+                   ('fr','le'),('fr','la'),('fr','et'),('fr','de'),('fr','est')),
+                   toks AS (SELECT doc_id, unnest($sqlToks) AS tok FROM documents),
+                   scores AS (SELECT doc_id, cand_lang, count(*) AS score
+                              FROM toks JOIN profile ON tok = stopword
+                              GROUP BY 1, 2),
+                   best AS (SELECT doc_id, cand_lang, score,
+                                   row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand_lang) AS rn
+                            FROM scores)
+              SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                     coalesce(b.cand_lang, 'und') AS pred_lang,
+                     CAST(coalesce(b.score, 0) AS BIGINT) AS score,
+                     coalesce(b.cand_lang, 'und') = d.lang AS is_correct
+              FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1"""),
+      "Stopword-profile language ID with deterministic argmax"),
+
+    // ── text: quality scoring ──────────────────────────────────────────────
+    QueryDef("q37_quality",
+      (s, d) => TextAnalysis.qualityScore(docs(s, d)),
+      Some(s"""WITH f AS (SELECT doc_id,
+                     $sqlToks AS ts,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
+                   FROM documents),
+                   g AS (SELECT doc_id, n_chars, n_punct,
+                     CAST(len(ts) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(ts, x -> list_contains(
+                       ['the','a','of','and','is','der','die','und','das','ist',
+                        'el','la','y','de','es','le','et','est'], x))) AS BIGINT) AS n_stop
+                   FROM f)
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, n_tokens, n_chars, n_punct, n_stop,
+                     round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS stop_ratio,
+                     round(CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE), 6) AS punct_ratio,
+                     round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+                           + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+                           + least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 10.0, 1.0) * 0.2,
+                         6) AS quality
+              FROM g"""),
+      "Length/punct/stopword quality features + composite score"),
+
+    // ── text: token counting ───────────────────────────────────────────────
+    QueryDef("q38_tokens",
+      (s, d) => TextAnalysis.tokenStats(docs(s, d)),
+      Some(s"""SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(len($sqlToks) AS BIGINT) AS n_ws_tokens,
+                     CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS n_re_tokens,
+                     CAST(len(list_distinct($sqlToks)) AS BIGINT) AS n_distinct
+              FROM documents"""),
+      "Whitespace + BPE-ish regex token counts"),
+
+    // ── text: fingerprinting ───────────────────────────────────────────────
+    QueryDef("q39_fingerprint",
+      (s, d) => TextAnalysis.fingerprint(docs(s, d)),
+      Some("""WITH fp AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     substr(md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))), 1, 16) AS fp
+              FROM documents)
+              SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS n_same
+              FROM fp"""),
+      "Normalized content fingerprint + dup-group size"),
+
+    // ── multimodal: binary column metadata (oracle-checkable slice) ────────
+    QueryDef("q40_multimodal_bytes",
+      (s, d) => Multimodal.synthesize(docs(s, d)).toDF()
+        .select(col("media_id").cast("long"), col("modality"),
+          length(col("payload")).cast("long").as("byte_len"),
+          col("width").cast("long"), col("height").cast("long")),
+      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                          WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                     octet_length(encode(text)) AS byte_len,
+                     CAST(doc_id % 64 + 16 AS BIGINT) AS width,
+                     CAST(doc_id % 48 + 16 AS BIGINT) AS height
+              FROM documents"""),
+      "Opaque binary payload + typed metadata (schema/plumbing witness)"),
+
+    // ── multimodal: batch decode + features (STUB decode; rows-only check) ─
+    QueryDef("q41_multimodal_features",
+      (s, d) => {
+        val feats = Multimodal.extractFeatures(Multimodal.synthesize(docs(s, d))).toDF()
+        feats.select(col("media_id"), col("modality"), col("byte_len"),
+          round(col("mean_byte"), 6).as("mean_byte"),
+          col("hist8"))
+      },
+      None, // mapPartitions decode stub — not SQL-expressible; rows-only check
+      "mapPartitions batched decode STUB → fixed-width feature rows")
+  )
+}

@@ -1,0 +1,64 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("shingles: count and content for a known doc") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, 3).orderBy("shingle").collect().map(_.getString(1))
+    assert(sh.toSeq == Seq("a b c", "b c d"))
+  }
+
+  test("jaccard pairs are symmetric-free, bounded, and ordered") {
+    val pairs = Dedup.jaccardPairs(Dedup.shingles(docs, 3), 0.1).collect()
+    pairs.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1))
+      val j = r.getDouble(3)
+      assert(j >= 0.1 && j <= 1.0)
+    }
+  }
+
+  test("identical docs have jaccard 1.0 via minhash LSH") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"),
+      (2L, "the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely different words appear in this other document here now")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashLsh(df, 3, 8, 2, 0.5).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+
+  test("minhash LSH recall vs exact jaccard at high threshold") {
+    // At J >= 0.5, 8 hashes / 4 bands x 2 rows: P(candidate) = 1-(1-J^2)^4
+    // >= 93% per pair; on this corpus recall should be total.
+    val sh = Dedup.shingles(docs, 3)
+    val exact = Dedup.jaccardPairs(sh, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLsh(docs, 3, 8, 2, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "LSH-verified pairs must be a subset of exact pairs")
+    val recall = if (exact.isEmpty) 1.0 else lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall too low (${lsh.size}/${exact.size})")
+  }
+
+  test("simhash: identical docs get identical fingerprints, disjoint docs differ") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "alpha beta gamma delta"),
+      (3L, "zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+    val m = Dedup.simhash16(df).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    assert(m(1L) != m(3L))
+    m.values.foreach(v => assert(v >= 0 && v < 65536))
+  }
+}
