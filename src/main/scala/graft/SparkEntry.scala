@@ -1,7 +1,7 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{PipelineQueries, QueryDef, RelationalQueries}
+import graft.queries.{MarexQueries, PipelineQueries, QueryDef, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -11,7 +11,7 @@ import graft.queries.{PipelineQueries, QueryDef, RelationalQueries}
 object SparkEntry {
 
   private def registries: Seq[graft.queries.QueryRegistry] = Seq(
-    RelationalQueries, PipelineQueries)
+    RelationalQueries, PipelineQueries, MarexQueries)
 
   private lazy val allDefs: Seq[QueryDef] = registries.flatMap(_.all)
 

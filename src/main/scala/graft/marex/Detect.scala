@@ -1,0 +1,291 @@
+package graft.marex
+
+import breeze.linalg.{pinv, DenseMatrix}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.HistogramQuantile
+
+/** Detection stage: standardized anomalies → percentile thresholds → boolean
+  * extreme-event field. Re-expresses marEx `detect.py` (D2–D17 in SURVEY.md
+  * §2.1) over a long-format field `(time, y, x, value)`.
+  *
+  * Every operator is a declarative DataFrame program:
+  *  - climatologies are `groupBy(y, x, doy)` aggregations — partial
+  *    aggregation collapses the time dimension map-side, so the shuffle
+  *    carries |pixels|·366 rows regardless of how many years of data;
+  *  - anomaly subtraction is an equi-join of the field against a climatology
+  *    table that is smaller by a factor of n_years — AQE broadcasts it when
+  *    it fits;
+  *  - the detrend fit computes the pseudo-inverse of the (tiny, T×k) design
+  *    matrix on the driver with Breeze, exactly like the reference does with
+  *    numpy (detect.py:2169), then reduces per-pixel coefficients with one
+  *    grouped sum — the 100 TB path is one shuffle on (y, x).
+  *
+  * Day-of-year is 1–366 with circular arithmetic throughout (reference
+  * detect.py:1930–1933).
+  */
+object Detect {
+
+  /** D4: decimal year = year + (dayofyear−1)/days_in_year
+    * (detect.py:2031–2058). */
+  def decimalYear(time: Column): Column = {
+    val y = year(time)
+    val leap = (y % 4 === 0 && y % 100 =!= 0) || (y % 400 === 0)
+    val days = when(leap, 366.0).otherwise(365.0)
+    y.cast("double") + (dayofyear(time).cast("double") - 1.0) / days
+  }
+
+  /** Circular day-of-year shift: ((doy − 1 + d) mod 366) + 1. */
+  def circDoy(doy: Column, d: Column): Column =
+    pmod(doy - 1 + d, lit(366)) + 1
+
+  /** D3: validation — non-finite values inside the valid mask are an error
+    * (detect.py:205–279). `mask`: (y, x, valid). */
+  def validate(field: DataFrame, mask: DataFrame): Unit = {
+    val bad = field.join(mask.filter(col("valid")), Seq("y", "x"))
+      .filter(isnan(col("value")) || col("value").isNull)
+      .limit(1).count()
+    if (bad > 0)
+      throw new DataValidationError(
+        "non-finite values inside ocean mask",
+        "fill or mask NaN/Inf cells before detection",
+        Map("first_bad_rows" -> bad.toString))
+  }
+
+  /** Ocean/land mask from finiteness of the first timestep
+    * (detect.py:1847, 2232). */
+  def maskFromFirstTimestep(field: DataFrame): DataFrame = {
+    val t0 = field.agg(min("time")).head().getTimestamp(0)
+    field.filter(col("time") === lit(t0))
+      .select(col("y"), col("x"),
+        (!isnan(col("value")) && col("value").isNotNull).as("valid"))
+  }
+
+  // ─── anomaly methods ──────────────────────────────────────────────────────
+
+  /** D10: fixed-baseline anomaly — day-of-year climatology over all years
+    * (optionally a reference period), subtracted (detect.py:2299–2397). */
+  def fixedBaselineAnomaly(field: DataFrame,
+      referencePeriod: Option[(Int, Int)] = None): DataFrame = {
+    val base = referencePeriod match {
+      case Some((y0, y1)) => field.filter(year(col("time")).between(y0, y1))
+      case None => field
+    }
+    val clim = base
+      .groupBy(col("y"), col("x"), dayofyear(col("time")).as("doy"))
+      .agg(avg("value").as("clim"))
+    field
+      .withColumn("doy", dayofyear(col("time")))
+      .join(clim, Seq("y", "x", "doy"))
+      .withColumn("anomaly", col("value") - col("clim"))
+      .drop("doy", "clim")
+  }
+
+  /** D7: shifting-baseline rolling climatology — for each (pixel, target
+    * year Y, doy), the mean over the same doy across the previous `window`
+    * years; each observation fans out to every target year it feeds
+    * (detect.py:1511–1688). Returns the climatology table
+    * (y, x, target_year, doy, clim). */
+  def rollingClimatology(field: DataFrame, window: Int): DataFrame = {
+    val minYear = field.agg(min(year(col("time")))).head().getInt(0)
+    field
+      .select(col("y"), col("x"), year(col("time")).as("yr"),
+        dayofyear(col("time")).as("doy"), col("value"))
+      .withColumn("target_year",
+        explode(sequence(col("yr") + 1, col("yr") + window)))
+      .filter(col("target_year") >= minYear + window)
+      .groupBy("y", "x", "target_year", "doy")
+      .agg(avg("value").as("clim"))
+  }
+
+  /** D8+D9: shifting-baseline anomaly — optional 21-day centered smoothing of
+    * the raw data first (chunk-friendly order, detect.py:1809–1811), rolling
+    * climatology, subtract, and trim the first `window` years. */
+  def shiftingBaselineAnomaly(field: DataFrame, window: Int = 15,
+      smoothDays: Int = 21): DataFrame = {
+    val half = smoothDays / 2
+    val w = Window.partitionBy("y", "x").orderBy("time").rowsBetween(-half, half)
+    val smoothed = field.withColumn("sval", avg("value").over(w))
+      .select(col("time"), col("y"), col("x"), col("sval").as("value"))
+    val clim = rollingClimatology(smoothed, window)
+      .select(col("y"), col("x"), col("target_year").as("yr"), col("doy"), col("clim"))
+    val minYear = field.agg(min(year(col("time")))).head().getInt(0)
+    field
+      .withColumn("yr", year(col("time")))
+      .withColumn("doy", dayofyear(col("time")))
+      .filter(col("yr") >= minYear + window)
+      .join(clim, Seq("y", "x", "yr", "doy"))
+      .select(col("time"), col("y"), col("x"), col("value"),
+        (col("value") - col("clim")).as("anomaly"))
+  }
+
+  /** D5: detrend-harmonic anomaly — per-pixel OLS removal of polynomial trend
+    * + annual/semi-annual harmonics. The T×k design matrix and its
+    * pseudo-inverse are built once on the driver (k ≤ 7); per-pixel
+    * coefficients are a single grouped sum; the fitted value joins back by
+    * time (detect.py:2061–2296). */
+  def detrendHarmonicAnomaly(field: DataFrame, orders: Seq[Int] = Seq(1),
+      harmonics: Int = 2, zeroMean: Boolean = true): DataFrame = {
+    val spark = field.sparkSession
+    import spark.implicits._
+
+    val times = field.select(col("time")).distinct().orderBy("time")
+      .collect().map(_.getTimestamp(0))
+    require(times.nonEmpty, "empty field")
+    val dy = times.map { t =>
+      val c = java.util.Calendar.getInstance(java.util.TimeZone.getTimeZone("UTC"))
+      c.setTime(t)
+      val yr = c.get(java.util.Calendar.YEAR)
+      val doy = c.get(java.util.Calendar.DAY_OF_YEAR)
+      val leap = (yr % 4 == 0 && yr % 100 != 0) || yr % 400 == 0
+      yr + (doy - 1.0) / (if (leap) 366.0 else 365.0)
+    }
+    val t0 = dy.head
+    // columns: 1, (t-t0)^p ..., sin/cos(2π f (t-t0)) for f = 1..harmonics
+    val k = 1 + orders.size + 2 * harmonics
+    val x = DenseMatrix.zeros[Double](times.length, k)
+    for (i <- times.indices) {
+      val t = dy(i) - t0
+      x(i, 0) = 1.0
+      orders.zipWithIndex.foreach { case (p, j) => x(i, 1 + j) = math.pow(t, p) }
+      (1 to harmonics).foreach { f =>
+        x(i, 1 + orders.size + 2 * (f - 1)) = math.sin(2 * math.Pi * f * t)
+        x(i, 1 + orders.size + 2 * (f - 1) + 1) = math.cos(2 * math.Pi * f * t)
+      }
+    }
+    val pinvX = pinv(x) // k × T
+
+    // (time, pinv_0..pinv_{k-1}, x_0..x_{k-1}) lookup — T rows, broadcastable.
+    val lookup = times.indices.map { i =>
+      (times(i), (0 until k).map(j => pinvX(j, i)).toArray,
+        (0 until k).map(j => x(i, j)).toArray)
+    }.toDF("time", "pv", "xv")
+
+    val joined = field.join(broadcast(lookup), Seq("time"))
+    val coefAggs = (0 until k).map(j =>
+      sum(col("value") * element_at(col("pv"), j + 1)).as(s"c$j"))
+    val coefs = joined.groupBy("y", "x").agg(coefAggs.head, coefAggs.tail: _*)
+
+    val fitted = (0 until k).map(j =>
+      element_at(col("xv"), j + 1) * col(s"c$j")).reduce(_ + _)
+    val withAnom = joined.join(coefs, Seq("y", "x"))
+      .withColumn("anomaly_raw", col("value") - fitted)
+      .select(col("time"), col("y"), col("x"), col("value"), col("anomaly_raw"))
+    if (!zeroMean) withAnom.withColumnRenamed("anomaly_raw", "anomaly")
+    else {
+      val m = Window.partitionBy("y", "x")
+      withAnom
+        .withColumn("anomaly", col("anomaly_raw") - avg("anomaly_raw").over(m))
+        .drop("anomaly_raw")
+    }
+  }
+
+  /** D11: detrend (polynomial only) then fixed-baseline on the residual
+    * (detect.py:2400–2462). */
+  def detrendFixedBaselineAnomaly(field: DataFrame, orders: Seq[Int] = Seq(1)): DataFrame = {
+    val detrended = detrendHarmonicAnomaly(field, orders, harmonics = 0, zeroMean = true)
+      .select(col("time"), col("y"), col("x"), col("anomaly").as("value"))
+    fixedBaselineAnomaly(detrended)
+      .select(col("time"), col("y"), col("x"), col("value"), col("anomaly"))
+  }
+
+  /** D6: STD normalisation — per-(pixel, doy) std, 30-day circular rolling
+    * RMS, divide (detect.py:2257–2293). */
+  def stdNormalise(anom: DataFrame, rollDays: Int = 30): DataFrame = {
+    val stdDoy = anom
+      .groupBy(col("y"), col("x"), dayofyear(col("time")).as("doy"))
+      .agg(stddev_pop("anomaly").as("sd"))
+    // circular rolling RMS via offset fan-out (union of shifted copies ≙
+    // wrap-padded rolling, detect.py:2271): offsets −15..14 for a 30-day
+    // window, matching the reference's even-window alignment.
+    val half = rollDays / 2
+    val offsets = sequence(lit(-half), lit(half - 1))
+    val pooled = stdDoy
+      .withColumn("d", explode(offsets))
+      .withColumn("target_doy", circDoy(col("doy"), col("d")))
+      .groupBy(col("y"), col("x"), col("target_doy").as("doy"))
+      .agg(sqrt(avg(col("sd") * col("sd"))).as("rms"))
+    anom
+      .withColumn("doy", dayofyear(col("time")))
+      .join(pooled, Seq("y", "x", "doy"))
+      .withColumn("anomaly_stn", col("anomaly") / col("rms"))
+      .drop("doy", "rms")
+  }
+
+  // ─── extreme-event thresholds ─────────────────────────────────────────────
+
+  /** D12: one threshold per pixel over all time — exact percentile or the
+    * histogram approximation (detect.py:2873–2923).
+    * @return (y, x, threshold) */
+  def globalThreshold(anom: DataFrame, q: Double, exact: Boolean = true,
+      precision: Double = 0.01, maxAnomaly: Double = 5.0): DataFrame =
+    if (exact)
+      anom.groupBy("y", "x")
+        .agg(expr(s"percentile(anomaly, $q)").as("threshold"))
+    else {
+      val nBins = math.ceil(maxAnomaly / precision).toInt
+      HistogramQuantile.quantile(anom, Seq("y", "x"), "anomaly", q,
+        lo = 0.0, width = precision, nBins = nBins, out = "threshold")
+    }
+
+  /** D14: Hobday thresholds per (pixel, doy): percentile of the values within
+    * ±(w−1)/2 days of that doy across all years; each observation fans out to
+    * the target doys it feeds (detect.py:1858–2023).
+    * @return (y, x, doy, threshold) */
+  def hobdayThreshold(anom: DataFrame, q: Double, windowDays: Int = 11,
+      exact: Boolean = true, precision: Double = 0.01, maxAnomaly: Double = 5.0): DataFrame = {
+    val h = (windowDays - 1) / 2
+    val fanned = anom
+      .withColumn("d", explode(sequence(lit(-h), lit(h))))
+      .withColumn("doy", circDoy(dayofyear(col("time")), col("d")))
+    if (exact)
+      fanned.groupBy("y", "x", "doy")
+        .agg(expr(s"percentile(anomaly, $q)").as("threshold"))
+    else {
+      // D15 (2-D histogram path): per-(pixel, doy, bin) counts pooled over
+      // the circular doy window, then count-interpolated quantile — the
+      // fan-out above *is* the circular pooling (detect.py:2494–2500).
+      val nBins = math.ceil(maxAnomaly / precision).toInt
+      HistogramQuantile.quantile(fanned, Seq("y", "x", "doy"), "anomaly", q,
+        lo = 0.0, width = precision, nBins = nBins, out = "threshold")
+    }
+  }
+
+  /** Threshold comparison: extremes = anomaly ≥ threshold. `thr` is keyed
+    * (y, x) or (y, x, doy) (detect.py:2001–2004, 2915). */
+  def applyThreshold(anom: DataFrame, thr: DataFrame): DataFrame = {
+    val keys = thr.columns.filter(_ != "threshold").toSeq
+    val a = if (keys.contains("doy")) anom.withColumn("doy", dayofyear(col("time"))) else anom
+    a.join(thr, keys)
+      .withColumn("extreme", col("anomaly") >= col("threshold"))
+      .drop("doy")
+  }
+
+  /** D1: full preprocessing pipeline — anomaly method → threshold method →
+    * boolean extremes (+ mask). Returns (anomaly, thresholds, extremes). */
+  def preprocess(field: DataFrame, cfg: DetectConfig): (DataFrame, DataFrame, DataFrame) = {
+    val anom = cfg.methodAnomaly match {
+      case "fixed_baseline" => fixedBaselineAnomaly(field)
+      case "shifting_baseline" =>
+        shiftingBaselineAnomaly(field, cfg.windowYearBaseline, cfg.smoothDaysBaseline)
+      case "detrend_harmonic" =>
+        detrendHarmonicAnomaly(field, cfg.detrendOrders, cfg.harmonics)
+      case "detrend_fixed_baseline" =>
+        detrendFixedBaselineAnomaly(field, cfg.detrendOrders)
+    }
+    val anom2 = if (cfg.stdNormalise)
+      stdNormalise(anom).drop("anomaly").withColumnRenamed("anomaly_stn", "anomaly")
+    else anom
+    val q = cfg.thresholdPercentile / 100.0
+    val exact = cfg.methodPercentile == "exact"
+    val thr = cfg.methodExtreme match {
+      case "global_extreme" =>
+        globalThreshold(anom2, q, exact, cfg.precision, cfg.maxAnomaly)
+      case "hobday_extreme" =>
+        hobdayThreshold(anom2, q, cfg.windowDaysHobday, exact, cfg.precision, cfg.maxAnomaly)
+    }
+    (anom2, thr, applyThreshold(anom2, thr))
+  }
+}

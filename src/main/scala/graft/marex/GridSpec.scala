@@ -1,0 +1,76 @@
+package graft.marex
+
+/** Engine configuration, mirroring the reference's dimension/coordinate
+  * resolution and tracker parameter surface (marEx detect.py:161–202,
+  * track.py:323–748) as plain case classes with eager validation.
+  */
+
+/** Column-name mapping for gridded long-format fields
+  * (time, y, x, value) + the static geometry table (y, x, lat, lon, area). */
+final case class GridSpec(
+    timeCol: String = "time",
+    yCol: String = "y",
+    xCol: String = "x",
+    cellCol: String = "cell", // unstructured grids
+    valueCol: String = "value",
+    nx: Int = 0, // raster width (needed for periodic-lon kernels)
+    ny: Int = 0,
+    periodicX: Boolean = true) {
+  def requireRaster(): Unit =
+    require(nx > 0 && ny > 0, s"raster kernels need nx/ny > 0 (got $nx×$ny)")
+}
+
+/** Detection parameters (marEx preprocess_data, detect.py:287–413). */
+final case class DetectConfig(
+    methodAnomaly: String = "fixed_baseline", // detrend_harmonic | shifting_baseline | detrend_fixed_baseline
+    methodExtreme: String = "global_extreme", // hobday_extreme
+    thresholdPercentile: Double = 95,
+    windowYearBaseline: Int = 15, // shifting baseline
+    smoothDaysBaseline: Int = 21, // smoothed rolling clim
+    windowDaysHobday: Int = 11,
+    methodPercentile: String = "exact", // approximate
+    precision: Double = 0.01, // histogram bin width
+    maxAnomaly: Double = 5.0, // histogram range
+    stdNormalise: Boolean = false,
+    detrendOrders: Seq[Int] = Seq(1), // polynomial orders beyond intercept
+    harmonics: Int = 2) { // annual + semi-annual
+  require(Seq("detrend_harmonic", "shifting_baseline", "fixed_baseline",
+    "detrend_fixed_baseline").contains(methodAnomaly), s"bad methodAnomaly $methodAnomaly")
+  require(Seq("global_extreme", "hobday_extreme").contains(methodExtreme))
+  require(thresholdPercentile > 0 && thresholdPercentile < 100)
+  require(windowDaysHobday % 2 == 1, "hobday window must be odd")
+}
+
+/** Tracking parameters (marEx tracker, track.py:323–474). */
+final case class TrackConfig(
+    rFill: Int = 8, // morphology disk radius (cells)
+    tFill: Int = 2, // max temporal gap to fill (days); must be even
+    areaFilterQuartile: Double = 0.5, // or absolute:
+    areaFilterAbsolute: Option[Double] = None,
+    overlapThreshold: Double = 0.5,
+    allowMerging: Boolean = true,
+    nnPartitioning: Boolean = false, // false → centroid partitioning
+    maxInnerIter: Int = 10,
+    maxOuterIter: Int = 40) {
+  require(tFill % 2 == 0, "T_fill must be even (matches reference track.py:714)")
+  require(overlapThreshold > 0 && overlapThreshold <= 1)
+  require(areaFilterQuartile >= 0 && areaFilterQuartile < 1)
+}
+
+/** Exception hierarchy mirroring the reference's (exceptions.py:11–494):
+  * message + suggestion + context, so callers get actionable errors. */
+class MarexSparkException(
+    message: String,
+    val suggestion: String = "",
+    val context: Map[String, String] = Map.empty)
+  extends RuntimeException(
+    message +
+      (if (suggestion.nonEmpty) s"\n  suggestion: $suggestion" else "") +
+      (if (context.nonEmpty) s"\n  context: $context" else ""))
+
+class DataValidationError(msg: String, suggestion: String = "",
+    context: Map[String, String] = Map.empty)
+  extends MarexSparkException(msg, suggestion, context)
+
+class ConfigurationError(msg: String, suggestion: String = "")
+  extends MarexSparkException(msg, suggestion)

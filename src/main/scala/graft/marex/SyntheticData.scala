@@ -1,0 +1,83 @@
+package graft.marex
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Seeded synthetic SST fixtures mirroring the reference's test data shapes
+  * (tests/make_test_data.ipynb; FIXTURES.md §1.1): seasonal cycle + warming
+  * trend + deterministic pseudo-noise on a (time, y, x) raster. Generated
+  * distributed (one task per time chunk) so fixtures scale with the cluster.
+  */
+object SyntheticData {
+
+  /** xorshift-style mix for deterministic per-(t,y,x) noise in [−0.5, 0.5). */
+  private def noise(t: Long, y: Int, x: Int, seed: Long): Double = {
+    var h = seed ^ (t * 0x9e3779b97f4a7c15L) ^ (y * 0xbf58476d1ce4e5b9L) ^ (x * 0x94d049bb133111ebL)
+    h ^= h >>> 30; h *= 0xbf58476d1ce4e5b9L
+    h ^= h >>> 27; h *= 0x94d049bb133111ebL
+    h ^= h >>> 31
+    (h >>> 11).toDouble / (1L << 53).toDouble - 0.5
+  }
+
+  /** Long-format gridded SST field: (time TIMESTAMP, y INT, x INT, value DOUBLE).
+    * Daily steps from 2000-01-01. */
+  def sstGridded(spark: SparkSession, nDays: Int, ny: Int, nx: Int,
+      seed: Long = 42L, trendPerYear: Double = 0.02, noiseAmp: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    val epoch0 = Timestamp.valueOf("2000-01-01 00:00:00").getTime
+    spark.range(0, nDays.toLong).flatMap { t =>
+      val ts = new Timestamp(epoch0 + t * 86400000L)
+      val seasonal = math.sin(2 * math.Pi * (t % 365).toDouble / 365.0)
+      for (y <- 0 until ny; x <- 0 until nx) yield {
+        val latAmp = 1.0 + 0.5 * math.cos(2 * math.Pi * y.toDouble / ny)
+        val v = 15.0 + 3.0 * seasonal * latAmp +
+          trendPerYear * t / 365.0 +
+          noiseAmp * noise(t, y, x, seed)
+        (ts, y, x, v)
+      }
+    }.toDF("time", "y", "x", "value")
+  }
+
+  /** Geometry table for a regular grid: (y, x, lat, lon, area, valid).
+    * Spherical cell areas R²·|sin(φ+dφ/2)−sin(φ−dφ/2)|·dλ
+    * (reference track.py:452–458). */
+  def geometry(spark: SparkSession, ny: Int, nx: Int,
+      latMin: Double = -60, latMax: Double = 60): DataFrame = {
+    import spark.implicits._
+    val r = 6371.0
+    val dPhi = math.toRadians((latMax - latMin) / ny)
+    val dLam = math.toRadians(360.0 / nx)
+    (for (y <- 0 until ny; x <- 0 until nx) yield {
+      val lat = latMin + (y + 0.5) * (latMax - latMin) / ny
+      val lon = -180.0 + (x + 0.5) * 360.0 / nx
+      val phi = math.toRadians(lat)
+      val area = r * r * math.abs(math.sin(phi + dPhi / 2) - math.sin(phi - dPhi / 2)) * dLam
+      (y, x, lat, lon, area, true)
+    }).toDF("y", "x", "lat", "lon", "area", "valid")
+  }
+
+  /** Boolean blob field for tracking tests: a disk of radius `r0` moving
+    * east (wrapping in x) at `speed` cells/day, plus a stationary disk —
+    * the structured analogue of the reference's `extremes_gridded_blob`
+    * fixture. */
+  def movingBlobs(spark: SparkSession, nDays: Int, ny: Int, nx: Int,
+      r0: Int = 3, speed: Int = 2): DataFrame = {
+    import spark.implicits._
+    val epoch0 = Timestamp.valueOf("2000-01-01 00:00:00").getTime
+    spark.range(0, nDays.toLong).flatMap { t =>
+      val ts = new Timestamp(epoch0 + t * 86400000L)
+      val cx = (5 + speed * t).toInt % nx
+      val cy = ny / 2
+      val cx2 = nx / 4
+      val cy2 = ny / 4
+      for (y <- 0 until ny; x <- 0 until nx) yield {
+        val dx1 = math.min(math.abs(x - cx), nx - math.abs(x - cx))
+        val in1 = dx1 * dx1 + (y - cy) * (y - cy) <= r0 * r0
+        val dx2 = math.min(math.abs(x - cx2), nx - math.abs(x - cx2))
+        val in2 = dx2 * dx2 + (y - cy2) * (y - cy2) <= (r0 - 1) * (r0 - 1)
+        (ts, y, x, in1 || in2)
+      }
+    }.toDF("time", "y", "x", "flag")
+  }
+}

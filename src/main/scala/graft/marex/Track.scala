@@ -1,0 +1,255 @@
+package graft.marex
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.ConnectedComponents
+
+/** Tracking stage: boolean extreme field → morphological cleanup → per-slice
+  * objects → temporally-stitched events with optional split/merge genealogy
+  * (marEx track.py, T1–T23 in SURVEY.md §2.2).
+  *
+  * Execution shape mirrors the reference deliberately:
+  *  - raster work (morphology, per-slice CCL) runs in per-timestep kernels
+  *    ([[Raster]]), everything else is relational;
+  *  - the object-pair graph is tiny relative to the field (≈#objects rows),
+  *    so event stitching collects pairs and runs a driver union-find —
+  *    exactly the reference's scipy-on-driver choice (track.py:2883), which
+  *    beats distributed CC at this graph size by orders of magnitude;
+  *  - split/merge runs as the batch-parallel iteration (track.py:3804–4814):
+  *    each round is one Spark job over all timesteps — overlap pairs →
+  *    multi-parent children → centroid partitioning of child cells —
+  *    with `localCheckpoint` truncating lineage per round.
+  */
+object Track {
+
+  final case class TrackResult(
+      idField: DataFrame, // (time, y, x, event_id)
+      eventProps: DataFrame, // (time, event_id, area, cen_lat, cen_lon, n_cells)
+      events: DataFrame, // (event_id, time_start, time_end, n_timesteps, max_area)
+      merges: DataFrame, // (time, child_id, parent_ids ARRAY, n_parents)
+      stats: Map[String, Long])
+
+  /** T4: total flagged area per timestep (track.py:1499–1518). */
+  def computeArea(flags: DataFrame, geom: DataFrame): DataFrame =
+    flags.join(geom.select("y", "x", "area"), Seq("y", "x"))
+      .groupBy("time").agg(sum("area").as("total_area"))
+
+  /** T7: fill temporal gaps ≤ tFill days per pixel (binary closing along
+    * time, track.py:1675–1726) — lag/lead window logic, no raster needed. */
+  def fillTimeGaps(flags: DataFrame, tFill: Int): DataFrame = {
+    if (tFill <= 0) return flags.select("time", "y", "x")
+    val w = Window.partitionBy("y", "x").orderBy("time")
+    val withNext = flags.select("time", "y", "x")
+      .withColumn("next_t", lead("time", 1).over(w))
+      .withColumn("gap", datediff(col("next_t"), col("time")))
+    val filler = withNext
+      .filter(col("gap").between(2, tFill + 1))
+      .select(explode(sequence(
+        date_add(to_date(col("time")), 1),
+        date_sub(to_date(col("next_t")), 1))).as("d"), col("y"), col("x"))
+      .select(col("d").cast("timestamp").as("time"), col("y"), col("x"))
+    flags.select("time", "y", "x").union(filler).distinct()
+  }
+
+  /** T10: per-slice labels → globally unique ids via cumulative offset of
+    * per-slice max label (track.py:2762–2766). The window runs over one row
+    * per timestep, not over the field. */
+  def globalIds(labeled: DataFrame): DataFrame = {
+    val maxPerT = labeled.groupBy("time").agg(max("label").as("m"))
+    val w = Window.orderBy("time").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = maxPerT
+      .withColumn("off", coalesce(sum("m").over(w), lit(0L)))
+      .select(col("time"), col("off"))
+    labeled.join(offsets, Seq("time"))
+      .withColumn("gid", (col("label") + col("off")).cast("long"))
+      .select("time", "y", "x", "gid")
+  }
+
+  /** T11: drop objects below the area threshold — `quartile` of the object
+    * area distribution (exact, computed on the driver from the per-object
+    * area list, which has #objects rows — the reference does the same,
+    * track.py:1310) or an absolute threshold (track.py:1755–1906). */
+  def filterSmallObjects(ids: DataFrame, geom: DataFrame, cfg: TrackConfig): DataFrame = {
+    val areas = ids.join(geom.select("y", "x", "area"), Seq("y", "x"))
+      .groupBy("time", "gid").agg(sum("area").as("obj_area"))
+    val threshold: Double = cfg.areaFilterAbsolute.getOrElse {
+      val arr = areas.select("obj_area").collect().map(_.getDouble(0)).sorted
+      if (arr.isEmpty) 0.0
+      else {
+        // numpy-style linear interpolation percentile
+        val pos = cfg.areaFilterQuartile * (arr.length - 1)
+        val lo = pos.toInt
+        val hi = math.min(lo + 1, arr.length - 1)
+        arr(lo) + (pos - lo) * (arr(hi) - arr(lo))
+      }
+    }
+    val keep = areas.filter(col("obj_area") >= threshold).select("time", "gid")
+    ids.join(keep, Seq("time", "gid"), "left_semi")
+  }
+
+  /** T12/T16: per-(time, id) area + area-weighted spherical centroid
+    * (reference's unstructured formula for both grid types — Cartesian mean
+    * then atan2 back, track.py:2195–2230, which also fixes the acknowledged
+    * polar bias of the pixel-index path). */
+  def objectProps(ids: DataFrame, geom: DataFrame, idCol: String = "gid"): DataFrame = {
+    val g = ids.join(geom.select("y", "x", "lat", "lon", "area"), Seq("y", "x"))
+      .withColumn("phi", radians(col("lat")))
+      .withColumn("lam", radians(col("lon")))
+    g.groupBy("time", idCol)
+      .agg(
+        sum("area").as("area"),
+        count(lit(1)).as("n_cells"),
+        sum(col("area") * cos(col("phi")) * cos(col("lam"))).as("cx"),
+        sum(col("area") * cos(col("phi")) * sin(col("lam"))).as("cy"),
+        sum(col("area") * sin(col("phi"))).as("cz"))
+      .withColumn("cen_lat", degrees(atan2(col("cz"), hypot(col("cx"), col("cy")))))
+      .withColumn("cen_lon", degrees(atan2(col("cy"), col("cx"))))
+      .drop("cx", "cy", "cz")
+  }
+
+  /** T13+T14: overlapping (t, t+1) object pairs with overlap fraction ≥
+    * threshold; fraction = overlap_cells / min(parent_cells, child_cells)
+    * (track.py:2396–2552). One equi-join shuffled on (time, y, x). */
+  def overlapPairs(ids: DataFrame, overlapThreshold: Double): DataFrame = {
+    val a = ids.select(col("time"), col("y"), col("x"), col("gid").as("id_p"))
+    val b = ids.select(date_sub(to_date(col("time")), 1).cast("timestamp").as("time"),
+      col("y"), col("x"), col("gid").as("id_c"))
+    val overlap = a.join(b, Seq("time", "y", "x"))
+      .groupBy("id_p", "id_c").agg(count(lit(1)).as("overlap_cells"))
+    val counts = ids.groupBy("gid").agg(count(lit(1)).as("n")) // per-(time,gid) ids are globally unique
+    overlap
+      .join(counts.select(col("gid").as("id_p"), col("n").as("n_p")), "id_p")
+      .join(counts.select(col("gid").as("id_c"), col("n").as("n_c")), "id_c")
+      .withColumn("frac", col("overlap_cells").cast("double") / least(col("n_p"), col("n_c")).cast("double"))
+      .filter(col("frac") >= overlapThreshold)
+      .select("id_p", "id_c", "overlap_cells", "frac")
+  }
+
+  private def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val h = pow(sin(dLat / 2), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * 6371.0) * asin(sqrt(h))
+  }
+
+  /** T17–T20 (batch-parallel form): resolve children overlapping multiple
+    * parents by partitioning the child's cells to the nearest parent
+    * centroid (haversine, T20); repeat until no multi-parent child remains.
+    * Returns the updated id field and the merge ledger. */
+  def splitAndMerge(ids0: DataFrame, geom: DataFrame, cfg: TrackConfig): (DataFrame, DataFrame) = {
+    val spark = ids0.sparkSession
+    import spark.implicits._
+    var ids = ids0.localCheckpoint()
+    var mergesAcc: DataFrame = Seq.empty[(java.sql.Timestamp, Long, Seq[Long])]
+      .toDF("time", "child_id", "parent_ids")
+    var iter = 0
+    var done = false
+    while (!done && iter < cfg.maxOuterIter) {
+      val pairs = overlapPairs(ids, cfg.overlapThreshold)
+      // children (at t+1) claimed by >1 parent
+      val multi = pairs.groupBy("id_c")
+        .agg(collect_list("id_p").as("parents"), count(lit(1)).as("np"))
+        .filter(col("np") > 1)
+        .localCheckpoint()
+      if (multi.isEmpty) done = true
+      else {
+        val props = objectProps(ids, geom)
+        // parent centroids for each contested child
+        val contested = pairs.join(multi.select("id_c"), Seq("id_c"), "left_semi")
+        val parentCen = contested
+          .join(props.select(col("gid").as("id_p"), col("cen_lat").as("p_lat"),
+            col("cen_lon").as("p_lon")), "id_p")
+        // child cells with their coordinates
+        val childCells = ids
+          .join(multi.select(col("id_c").as("gid")), Seq("gid"), "left_semi")
+          .join(geom.select("y", "x", "lat", "lon"), Seq("y", "x"))
+        // nearest-parent assignment per cell (≤ handful of parents per child →
+        // the join fan-out is bounded by n_parents, not corpus size)
+        val assigned = childCells
+          .join(parentCen.withColumnRenamed("id_c", "gid"), Seq("gid"))
+          .withColumn("dist", haversineKm(col("lat"), col("lon"), col("p_lat"), col("p_lon")))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("time", "y", "x", "gid").orderBy(col("dist"), col("id_p"))))
+          .filter(col("rn") === 1)
+          .select(col("time"), col("y"), col("x"), col("id_p").as("gid"))
+        val untouched = ids.join(multi.select(col("id_c").as("gid")), Seq("gid"), "left_anti")
+        val newMerges = multi.join(
+          ids.groupBy(col("gid").as("id_c")).agg(min("time").as("time")), Seq("id_c"))
+          .select(col("time"), col("id_c").cast("long").as("child_id"),
+            col("parents").as("parent_ids"))
+        mergesAcc = mergesAcc.unionByName(
+          newMerges.select(col("time"), col("child_id"),
+            col("parent_ids").cast("array<long>"))).localCheckpoint()
+        ids = untouched.select("time", "y", "x", "gid")
+          .union(assigned.select("time", "y", "x", "gid"))
+          .localCheckpoint()
+      }
+      iter += 1
+    }
+    (ids, mergesAcc.withColumn("n_parents", size(col("parent_ids")).cast("long")))
+  }
+
+  /** T16: stitch objects into events — union-find over the thresholded
+    * overlap-pair graph on the driver, dense event ids 1..N ordered by first
+    * appearance (tiebreak min gid). */
+  def stitchEvents(ids: DataFrame, overlapThreshold: Double): DataFrame = {
+    val spark = ids.sparkSession
+    import spark.implicits._
+    val pairs = overlapPairs(ids, overlapThreshold)
+      .select("id_p", "id_c").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val comp = ConnectedComponents.unionFindLocal(pairs.iterator)
+    val compB = spark.sparkContext.broadcast(comp)
+    val mapUdfFree = ids
+      .select(col("gid")).distinct()
+      .as[Long]
+      .map(g => (g, compB.value.getOrElse(g, g)))
+      .toDF("gid", "root")
+    // dense event ids ordered by (first time of component, root)
+    val firstT = ids.join(mapUdfFree, "gid")
+      .groupBy("root").agg(min("time").as("t0"))
+    val wr = Window.orderBy(col("t0"), col("root"))
+    val eventIds = firstT.withColumn("event_id", row_number().over(wr).cast("long"))
+      .select("root", "event_id")
+    ids.join(mapUdfFree, "gid").join(broadcast(eventIds), "root")
+      .select("time", "y", "x", "event_id")
+  }
+
+  /** Full tracker (T1/T23): morphology → gap fill → label → area filter →
+    * (optional) split/merge → event stitching → property tables. */
+  def track(flags: DataFrame, geom: DataFrame, spec: GridSpec, cfg: TrackConfig): TrackResult = {
+    val land = geom.filter(!col("valid")).select("y", "x")
+    val landOpt = if (land.isEmpty) None else Some(land)
+    val f1 = Raster.fillHoles(flags, cfg.rFill, spec, landOpt)
+    val f2 = fillTimeGaps(f1, cfg.tFill)
+    val f3 = if (cfg.rFill / 2 > 0) Raster.fillHoles(f2, cfg.rFill / 2, spec, landOpt) else f2
+    val labeled = Raster.labelPerSlice(f3.localCheckpoint(), spec)
+    val gids = globalIds(labeled)
+    val nPre = gids.select("gid").distinct().count()
+    val filtered = filterSmallObjects(gids, geom, cfg).localCheckpoint()
+    val nPost = filtered.select("gid").distinct().count()
+
+    val (resolved, merges) =
+      if (cfg.allowMerging) splitAndMerge(filtered, geom, cfg)
+      else (filtered, {
+        val spark = flags.sparkSession
+        import spark.implicits._
+        Seq.empty[(java.sql.Timestamp, Long, Seq[Long], Long)]
+          .toDF("time", "child_id", "parent_ids", "n_parents")
+      })
+
+    val idField = stitchEvents(resolved, cfg.overlapThreshold).localCheckpoint()
+    val props = objectProps(idField, geom, idCol = "event_id")
+    val events = props.groupBy("event_id").agg(
+      min("time").as("time_start"),
+      max("time").as("time_end"),
+      count(lit(1)).as("n_timesteps"),
+      max("area").as("max_area"))
+    TrackResult(idField, props, events, merges,
+      Map("n_objects_prefiltered" -> nPre, "n_objects_filtered" -> nPost,
+        "n_events_final" -> events.count(),
+        "total_merges" -> merges.count()))
+  }
+}

@@ -1,0 +1,114 @@
+package graft.marex
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Unstructured-mesh (ICON-style) variants: the raster is replaced by a
+  * static edge table `(cell, nbr)` derived from the mesh's triangular
+  * connectivity (reference neighbours(3, ncells), track.py:1060–1089).
+  *
+  * Morphological dilation of radius R is R rounds of a frontier join over
+  * the edge table (≙ the reference's boolean sparse-matrix power with a
+  * numba kernel, track.py:5422–5468); per-timestep CCL runs as a driver-free
+  * per-slice union-find with the adjacency broadcast (the mesh is static and
+  * small relative to the field — an ICON R2B8 mesh is ~84 MB of int pairs,
+  * broadcastable; the *field* over time is the 100 TB part and is only ever
+  * touched by joins/groupBys).
+  */
+object Unstructured {
+
+  /** T6: boolean dilation — `rounds` hops over the mesh. Each round is one
+    * shuffle (join on cell + groupBy nbr). */
+  def dilate(flags: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    var cur = flags.select("time", "cell").distinct()
+    for (_ <- 1 to rounds) {
+      val grown = cur.join(edges, Seq("cell"))
+        .select(col("time"), col("nbr").as("cell"))
+      cur = cur.union(grown).distinct().localCheckpoint()
+    }
+    cur
+  }
+
+  /** Erosion dual: a flagged cell survives iff all mesh neighbors are
+    * flagged (one round); R rounds for radius R. */
+  def erode(flags: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
+    var cur = flags.select("time", "cell").distinct()
+    for (_ <- 1 to rounds) {
+      val degree = edges.groupBy("cell").agg(count(lit(1)).as("deg"))
+      val flaggedNbrs = cur.join(edges, Seq("cell"))
+        .select(col("time"), col("nbr"), col("cell").as("src"))
+        .join(cur.select(col("time"), col("cell").as("nbr")), Seq("time", "nbr"), "left_semi")
+        .groupBy(col("time"), col("src").as("cell")).agg(count(lit(1)).as("nflag"))
+      cur = cur.join(flaggedNbrs, Seq("time", "cell"))
+        .join(degree, Seq("cell"))
+        .filter(col("nflag") === col("deg"))
+        .select("time", "cell").localCheckpoint()
+    }
+    cur
+  }
+
+  /** T5 (unstructured): closing then opening via hop-based dilate/erode. */
+  def fillHoles(flags: DataFrame, edges: DataFrame, r: Int): DataFrame = {
+    if (r <= 0) return flags.select("time", "cell")
+    val closed = erode(dilate(flags, edges, r), edges, r)
+    dilate(erode(closed, edges, r), edges, r)
+  }
+
+  /** T9: per-timestep connected components over the mesh; labels restart at 1
+    * per slice. Adjacency is broadcast; each timestep is one task. */
+  def labelPerSlice(flags: DataFrame, edges: DataFrame): DataFrame = {
+    val spark = flags.sparkSession
+    import spark.implicits._
+    val adj: Map[Int, Array[Int]] = edges
+      .select(col("cell").cast("int"), col("nbr").cast("int"))
+      .collect().map(r => (r.getInt(0), r.getInt(1)))
+      .groupBy(_._1).map { case (c, a) => c -> a.map(_._2) }
+    val adjB = spark.sparkContext.broadcast(adj)
+
+    flags.select(col("time").cast("timestamp"), col("cell").cast("int"))
+      .as[(Timestamp, Int)]
+      .map(r => (r._1.getTime, r._2))
+      .groupByKey(_._1)
+      .flatMapGroups { (t, it) =>
+        val cells = it.map(_._2).toArray
+        val inSet = cells.toSet
+        val parent = scala.collection.mutable.Map[Int, Int]()
+        cells.foreach(c => parent(c) = c)
+        def find(a: Int): Int = {
+          var r = a
+          while (parent(r) != r) r = parent(r)
+          var c = a
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        val a = adjB.value
+        cells.foreach { c =>
+          a.getOrElse(c, Array.empty).foreach { n =>
+            if (inSet(n)) {
+              val rc = find(c); val rn = find(n)
+              if (rc != rn) { if (rc < rn) parent(rn) = rc else parent(rc) = rn }
+            }
+          }
+        }
+        val roots = scala.collection.mutable.TreeMap[Int, Int]()
+        cells.foreach(c => roots.getOrElseUpdate(find(c), 0))
+        var lbl = 0
+        roots.keys.toSeq.foreach { r => lbl += 1; roots(r) = lbl }
+        cells.sorted.iterator.map(c => (t, c, roots(find(c))))
+      }
+      .map(r => (new Timestamp(r._1), r._2, r._3))
+      .toDF("time", "cell", "label")
+  }
+
+  /** T2: unit auto-detection — lon spanning ≈360 means degrees, ≈2π means
+    * radians (track.py:919–976). Returns geometry in degrees. */
+  def unifyCoordinates(geom: DataFrame): DataFrame = {
+    val span = geom.agg(max("lon") - min("lon")).head().getDouble(0)
+    if (span > 20) geom // already degrees
+    else geom
+      .withColumn("lat", degrees(col("lat")))
+      .withColumn("lon", degrees(col("lon")))
+  }
+}

@@ -1,0 +1,200 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.Tables
+import graft.marex.{GridSpec, SyntheticData, Track, TrackConfig}
+
+/** The marEx pipeline operators run against driver testdata: the `events`
+  * table becomes a long-format field (time, y=user_id, x=0, value), so the
+  * *actual* Detect/Track operators are exercised by the DuckDB oracle gate —
+  * the oracle re-implements the declared algorithm in SQL. The full tracker
+  * (raster kernels + driver union-find) is not SQL-expressible and gets the
+  * rows-only check.
+  */
+object MarexQueries extends QueryRegistry {
+
+  val all: Seq[QueryDef] = Seq(
+
+    // ── D10: fixed-baseline anomaly ────────────────────────────────────────
+    // Oracle parity requires bit-identical doubles on both engines: the
+    // climatology uses the scaled-integer mean (exact) and the anomaly is
+    // emitted as a ×10⁶ scaled integer. The library operator
+    // (Detect.fixedBaselineAnomaly, plain avg) is covered by DetectSpec;
+    // this query runs the same D10 algorithm in its oracle-exact form.
+    QueryDef("q50_marex_anomaly",
+      (s, d) => {
+        val f = Tables.load(s, d, "events").select(
+          col("user_id").cast("long").as("y"),
+          dayofyear(col("ts")).as("doy0"),
+          unix_millis(col("ts")).as("t_ms"), col("value"))
+        val clim = f.groupBy("y", "doy0")
+          .agg(((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0)
+            / count(lit(1))).as("clim"))
+        f.join(clim, Seq("y", "doy0"))
+          .select(col("y"), col("t_ms"),
+            round((col("value") - col("clim")) * 1000000.0, 0).cast("long").as("anom_e6"))
+      },
+      Some("""WITH f AS (SELECT user_id AS y, dayofyear(ts) AS doy0,
+                                CAST(epoch_ms(ts) AS BIGINT) AS t_ms, value FROM events),
+                   clim AS (SELECT y, doy0,
+                                   (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                                     / count(*) AS clim
+                            FROM f GROUP BY 1, 2)
+              SELECT CAST(f.y AS BIGINT) AS y, f.t_ms,
+                     CAST(round((f.value - clim.clim) * 1000000.0) AS BIGINT) AS anom_e6
+              FROM f JOIN clim ON clim.y = f.y AND clim.doy0 = f.doy0"""),
+      "Fixed-baseline doy anomaly (marEx D10), oracle-exact form"),
+
+    // ── D12: global extreme threshold + flags ──────────────────────────────
+    QueryDef("q51_marex_global_extreme",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val f = Tables.load(s, d, "events").select(
+          col("user_id").cast("long").as("y"),
+          dayofyear(col("ts")).as("doy0"), col("value"))
+        val clim = f.groupBy("y", "doy0")
+          .agg(((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0)
+            / count(lit(1))).as("clim"))
+        val anom = f.join(clim, Seq("y", "doy0"))
+          .withColumn("anomaly", col("value") - col("clim"))
+        val wOrd = Window.partitionBy("y").orderBy("anomaly")
+        val wAll = Window.partitionBy("y")
+        val ranked = anom
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("pos", lit(0.9) * (col("n") - 1).cast("double") + 1)
+        val thr = ranked.groupBy("y")
+          .agg(
+            max(col("pos") - floor(col("pos"))).as("fr"),
+            min(when(col("rn") === floor(col("pos")), col("anomaly"))).as("ak"),
+            min(when(col("rn") === floor(col("pos")) + 1, col("anomaly"))).as("ak1"))
+          .withColumn("threshold",
+            col("ak") + col("fr") * (coalesce(col("ak1"), col("ak")) - col("ak")))
+          .select("y", "threshold")
+        anom.join(thr, Seq("y"))
+          .groupBy("y")
+          .agg(
+            round(max(col("threshold")) * 10000.0, 0).cast("long").as("thr_e4"),
+            count(when(col("anomaly") >= col("threshold"), 1)).as("n_extreme"),
+            count(lit(1)).as("n_total"))
+      },
+      Some("""WITH f AS (SELECT user_id AS y, dayofyear(ts) AS doy0, value FROM events),
+                   clim AS (SELECT y, doy0,
+                                   (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                                     / count(*) AS clim
+                            FROM f GROUP BY 1, 2),
+                   anom AS (SELECT f.y, f.value - clim.clim AS anomaly
+                            FROM f JOIN clim ON clim.y = f.y AND clim.doy0 = f.doy0),
+                   rk AS (SELECT y, anomaly,
+                                 row_number() OVER (PARTITION BY y ORDER BY anomaly) AS rn,
+                                 count(*) OVER (PARTITION BY y) AS n
+                          FROM anom),
+                   p AS (SELECT *, 0.9 * CAST(n - 1 AS DOUBLE) + 1 AS pos FROM rk),
+                   g AS (SELECT y,
+                                max(pos - floor(pos)) AS fr,
+                                min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN anomaly END) AS ak,
+                                min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) + 1 THEN anomaly END) AS ak1
+                         FROM p GROUP BY 1),
+                   thr AS (SELECT y, ak + fr * (coalesce(ak1, ak) - ak) AS threshold FROM g)
+              SELECT CAST(anom.y AS BIGINT) AS y,
+                     CAST(round(max(thr.threshold) * 10000.0) AS BIGINT) AS thr_e4,
+                     count(*) FILTER (WHERE anomaly >= thr.threshold) AS n_extreme,
+                     count(*) AS n_total
+              FROM anom JOIN thr ON thr.y = anom.y
+              GROUP BY anom.y"""),
+      "Global extreme threshold + flag counts (marEx D12), bit-identical percentile"),
+
+    // ── D14: Hobday day-of-year thresholds ─────────────────────────────────
+    // Bit-identical percentile: tiny (y, doy) groups make the interpolated
+    // quantile land on exact decimal boundaries (e.g. x.45625), where
+    // Spark's and DuckDB's different interpolation associativity rounds
+    // opposite ways. So both sides compute the same explicit formula:
+    // deterministic scaled-integer climatology, then a_k + f·(a_{k+1}−a_k)
+    // at 1-based pos = 0.9·(n−1)+1 over the ±5-day circular fan-out.
+    QueryDef("q52_marex_hobday",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val f = Tables.load(s, d, "events").select(
+          col("user_id").cast("long").as("y"),
+          dayofyear(col("ts")).as("doy0"), col("value"))
+        val clim = f.groupBy("y", "doy0")
+          .agg(((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0)
+            / count(lit(1))).as("clim"))
+        val anom = f.join(clim, Seq("y", "doy0"))
+          .withColumn("anomaly", col("value") - col("clim"))
+        val fan = anom
+          .withColumn("dd", explode(sequence(lit(-5), lit(5))))
+          .withColumn("doy", pmod(col("doy0") - 1 + col("dd"), lit(366)) + 1)
+        val wOrd = Window.partitionBy("y", "doy").orderBy("anomaly")
+        val wAll = Window.partitionBy("y", "doy")
+        val ranked = fan
+          .withColumn("rn", row_number().over(wOrd))
+          .withColumn("n", count(lit(1)).over(wAll))
+          .withColumn("pos", lit(0.9) * (col("n") - 1).cast("double") + 1)
+        ranked.groupBy("y", "doy")
+          .agg(
+            max(col("pos") - floor(col("pos"))).as("fr"),
+            min(when(col("rn") === floor(col("pos")), col("anomaly"))).as("ak"),
+            min(when(col("rn") === floor(col("pos")) + 1, col("anomaly"))).as("ak1"))
+          .select(col("y"), col("doy").cast("long").as("doy"),
+            // scaled-integer output: round(x·10⁴) to *integer* is
+            // engine-consistent even on exact .XXXX5 values, where
+            // round(x, 4) is not (DuckDB scales by 1e4 in double first,
+            // Spark rounds the exact binary expansion)
+            round((col("ak") + col("fr") * (coalesce(col("ak1"), col("ak")) - col("ak")))
+              * 10000.0, 0).cast("long").as("thr_e4"))
+      },
+      Some("""WITH f AS (SELECT user_id AS y, dayofyear(ts) AS doy0, value FROM events),
+                   clim AS (SELECT y, doy0,
+                                   (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                                     / count(*) AS clim
+                            FROM f GROUP BY 1, 2),
+                   anom AS (SELECT f.y, f.doy0, f.value - clim.clim AS anomaly
+                            FROM f JOIN clim ON clim.y = f.y AND clim.doy0 = f.doy0),
+                   fan AS (SELECT y, ((doy0 - 1 + d.dd) % 366 + 366) % 366 + 1 AS doy, anomaly
+                           FROM anom CROSS JOIN (SELECT unnest(generate_series(-5, 5)) AS dd) d),
+                   rk AS (SELECT y, doy, anomaly,
+                                 row_number() OVER (PARTITION BY y, doy ORDER BY anomaly) AS rn,
+                                 count(*) OVER (PARTITION BY y, doy) AS n
+                          FROM fan),
+                   p AS (SELECT *, 0.9 * CAST(n - 1 AS DOUBLE) + 1 AS pos FROM rk),
+                   g AS (SELECT y, doy,
+                                max(pos - floor(pos)) AS fr,
+                                min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) THEN anomaly END) AS ak,
+                                min(CASE WHEN rn = CAST(floor(pos) AS BIGINT) + 1 THEN anomaly END) AS ak1
+                         FROM p GROUP BY 1, 2)
+              SELECT CAST(y AS BIGINT) AS y, CAST(doy AS BIGINT) AS doy,
+                     CAST(round((ak + fr * (coalesce(ak1, ak) - ak)) * 10000.0) AS BIGINT) AS thr_e4
+              FROM g"""),
+      "Hobday thresholds (marEx D14): ±5-day circular fan-out, bit-identical interpolation"),
+
+    // ── T23: full tracker on a thresholded events raster (rows-only) ───────
+    QueryDef("q53_marex_track",
+      (s, d) => {
+        val s2 = s
+        // events → daily 10×15 raster: cell derived from user_id mod 150 so
+        // the mapping is stable across scale factors; flagged when the
+        // cell's daily max value exceeds 150 (≈10% fill at sf0.01)
+        val flags = Tables.load(s2, d, "events")
+          .groupBy(to_date(col("ts")).as("day"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg(max("value").as("mx"))
+          .filter(col("mx") > 150)
+          .select(col("day").cast("timestamp").as("time"), col("y"), col("x"))
+        val spec = GridSpec(ny = 10, nx = 15, periodicX = false)
+        val geom = SyntheticData.geometry(s2, 10, 15)
+        val res = Track.track(flags, geom, spec,
+          TrackConfig(rFill = 1, tFill = 2, areaFilterQuartile = 0.25,
+            overlapThreshold = 0.3, allowMerging = true))
+        res.eventProps
+          .select(col("event_id"), unix_millis(col("time")).as("t_ms"),
+            round(col("area"), 3).as("area"), col("n_cells"),
+            round(col("cen_lat"), 4).as("cen_lat"), round(col("cen_lon"), 4).as("cen_lon"))
+      },
+      None, // raster kernels + driver union-find: rows-only check
+      "Full marEx tracker (morphology→gap fill→CCL→stitch→props) on events raster")
+  )
+}

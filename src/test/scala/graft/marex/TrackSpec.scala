@@ -1,0 +1,115 @@
+package graft.marex
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TrackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ny = 16
+  private val nx = 32
+  private lazy val spec = GridSpec(ny = ny, nx = nx, periodicX = true)
+  private lazy val geom = SyntheticData.geometry(spark, ny, nx).cache()
+
+  private lazy val blobs = SyntheticData.movingBlobs(spark, nDays = 12, ny = ny, nx = nx)
+    .filter(col("flag")).select("time", "y", "x").cache()
+
+  test("per-slice labeling finds the two blobs each day") {
+    val labeled = Raster.labelPerSlice(blobs, spec)
+    val perT = labeled.groupBy("time").agg(countDistinct("label").as("n"))
+      .select("n").collect().map(_.getLong(0))
+    // blobs may overlap occasionally when the moving one passes the static one
+    assert(perT.forall(n => n == 1 || n == 2), s"labels per slice: ${perT.toSeq}")
+    assert(perT.count(_ == 2) >= 8)
+  }
+
+  test("periodic-x labeling joins objects across the seam") {
+    val wrapped = Seq((ts(0), 5, 0), (ts(0), 5, nx - 1), (ts(0), 5, 1), (ts(0), 5, nx - 2))
+      .toDF("time", "y", "x")
+    val labeled = Raster.labelPerSlice(wrapped, spec)
+    assert(labeled.select("label").distinct().count() == 1)
+    val nonPeriodic = Raster.labelPerSlice(wrapped, spec.copy(periodicX = false))
+    assert(nonPeriodic.select("label").distinct().count() == 2)
+  }
+
+  test("fillHoles closes a 1-cell hole and removes a 1-cell speck") {
+    // 5x5 solid square with center hole + isolated speck far away
+    val square = for (y <- 4 to 8; x <- 4 to 8; if !(y == 6 && x == 6)) yield (ts(0), y, x)
+    val speck = Seq((ts(0), 12, 20))
+    val in = (square ++ speck).toDF("time", "y", "x")
+    val out = Raster.fillHoles(in, 1, spec).collect().map(r => (r.getInt(1), r.getInt(2))).toSet
+    assert(out.contains((6, 6)), "closing must fill the interior hole")
+    assert(!out.contains((12, 20)), "opening must remove the isolated speck")
+    // mid-edges survive opening; corners are eroded by a disk SE — standard
+    // opening behavior, same as the reference's dask_image pipeline
+    assert(out.contains((4, 6)) && out.contains((6, 4)) && out.contains((6, 8)))
+    assert(!out.contains((4, 4)))
+  }
+
+  test("fillTimeGaps fills gaps within tFill only") {
+    val in = Seq((ts(0), 3, 3), (ts(3), 3, 3), (ts(10), 3, 3)).toDF("time", "y", "x")
+    val out = Track.fillTimeGaps(in, tFill = 2)
+      .select("time").collect().map(_.getTimestamp(0)).toSet
+    assert(out == Set(ts(0), ts(1), ts(2), ts(3), ts(10)),
+      s"got ${out.toSeq.sortBy(_.getTime).mkString(",")}")
+  }
+
+  test("global ids are unique across slices") {
+    val labeled = Raster.labelPerSlice(blobs, spec)
+    val gids = Track.globalIds(labeled)
+    val n = gids.select("gid", "time").distinct()
+      .groupBy("gid").agg(countDistinct("time").as("nt"))
+      .agg(max("nt")).head().getLong(0)
+    assert(n == 1, "a gid must belong to exactly one timestep")
+  }
+
+  test("non-merging tracker stitches the moving blob into one event") {
+    val res = Track.track(blobs, geom, spec,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+        overlapThreshold = 0.3, allowMerging = false))
+    // moving blob overlaps itself day-over-day; static blob likewise; when the
+    // mover passes through the static one they may fuse into one event.
+    val nEvents = res.stats("n_events_final")
+    assert(nEvents >= 1 && nEvents <= 3, s"expected 1–3 events, got $nEvents")
+    // every timestep must be covered by the stitched field
+    assert(res.idField.select("time").distinct().count() == 12)
+    // event props exist for every (time, event)
+    assert(res.eventProps.filter(col("area").isNull).count() == 0)
+  }
+
+  test("area filter drops the smaller object at high quartile") {
+    val labeled = Track.globalIds(Raster.labelPerSlice(blobs, spec))
+    val kept = Track.filterSmallObjects(labeled, geom,
+      TrackConfig(areaFilterQuartile = 0.9, tFill = 0))
+    val nAll = labeled.select("gid").distinct().count()
+    val nKept = kept.select("gid").distinct().count()
+    assert(nKept < nAll, s"filter kept all $nAll objects")
+    assert(nKept > 0)
+  }
+
+  test("centroid of a wrapped blob sits on the seam, not at lon 0") {
+    val cells = Seq((ts(0), 8, 0), (ts(0), 8, nx - 1)).toDF("time", "y", "x")
+      .withColumn("gid", lit(1L))
+    val props = Track.objectProps(cells, geom)
+    val lon = props.head().getAs[Double]("cen_lon")
+    // cells at lon ±(180−δ): spherical mean must land near ±180, not near 0
+    assert(math.abs(lon) > 170, s"wrapped centroid lon $lon should be near ±180")
+  }
+
+  test("merging tracker resolves a merge and records genealogy") {
+    // two blobs that collide: one moving east into a stationary one
+    val collide = SyntheticData.movingBlobs(spark, nDays = 10, ny = ny, nx = nx,
+      r0 = 3, speed = 1)
+      .filter(col("flag")).select("time", "y", "x").cache()
+    val res = Track.track(collide, geom, spec,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+        overlapThreshold = 0.2, allowMerging = true))
+    assert(res.stats("n_events_final") >= 1)
+    // field must stay fully labeled after split/merge rounds
+    assert(res.idField.count() == collide.count())
+  }
+
+  private def ts(day: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime + day * 86400000L)
+}
