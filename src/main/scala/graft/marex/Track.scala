@@ -29,7 +29,12 @@ object Track {
       eventProps: DataFrame, // (time, event_id, area, cen_lat, cen_lon, n_cells)
       events: DataFrame, // (event_id, time_start, time_end, n_timesteps, max_area)
       merges: DataFrame, // (time, child_id, parent_ids ARRAY, n_parents)
-      stats: Map[String, Long])
+      statsFn: () => Map[String, Long]) {
+    /** Run statistics (n_objects_prefiltered/filtered, n_events_final,
+      * total_merges) — computed on demand: each is an extra Spark job, and
+      * most callers only consume the tables. */
+    lazy val stats: Map[String, Long] = statsFn()
+  }
 
   /** T4: total flagged area per timestep (track.py:1499–1518). */
   def computeArea(flags: DataFrame, geom: DataFrame): DataFrame =
@@ -227,9 +232,7 @@ object Track {
     val f3 = if (cfg.rFill / 2 > 0) Raster.fillHoles(f2, cfg.rFill / 2, spec, landOpt) else f2
     val labeled = Raster.labelPerSlice(f3.localCheckpoint(), spec)
     val gids = globalIds(labeled)
-    val nPre = gids.select("gid").distinct().count()
     val filtered = filterSmallObjects(gids, geom, cfg).localCheckpoint()
-    val nPost = filtered.select("gid").distinct().count()
 
     val (resolved, merges) =
       if (cfg.allowMerging) splitAndMerge(filtered, geom, cfg)
@@ -247,8 +250,9 @@ object Track {
       max("time").as("time_end"),
       count(lit(1)).as("n_timesteps"),
       max("area").as("max_area"))
-    TrackResult(idField, props, events, merges,
-      Map("n_objects_prefiltered" -> nPre, "n_objects_filtered" -> nPost,
+    TrackResult(idField, props, events, merges, () =>
+      Map("n_objects_prefiltered" -> gids.select("gid").distinct().count(),
+        "n_objects_filtered" -> filtered.select("gid").distinct().count(),
         "n_events_final" -> events.count(),
         "total_merges" -> merges.count()))
   }

@@ -24,7 +24,19 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
-  /** Distributed min-label propagation.
+  /** Distributed min-label propagation with pointer jumping.
+    *
+    * Each round: (a) neighbor step — every node takes the min label over its
+    * neighborhood; (b) pointer-jump step — every node then takes its label's
+    * label (label = some node id, so labels form a pointer forest). The jump
+    * step contracts label chains exponentially, so convergence is
+    * O(log diameter) rounds instead of O(diameter) — the difference between
+    * 8 and 500 shuffle rounds on a long filament at 100 TB.
+    *
+    * Convergence test: labels only ever decrease, so sum(label) is strictly
+    * monotone until the fixpoint — one cheap agg on the freshly
+    * checkpointed frame, no extra join against the previous iteration.
+    *
     * @param edges DataFrame with long columns `src`, `dst` (undirected; both
     *              orientations are generated internally).
     * @return (node LONG, component LONG) where component = min node id reachable.
@@ -39,19 +51,24 @@ object ConnectedComponents {
       .withColumn("label", col("node"))
       .localCheckpoint()
 
+    var prevSum = labels.agg(sum("label")).head().getLong(0)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // (a) min over self + neighbors
       val prop = und.join(labels, und("dst") === labels("node"))
         .select(und("src").as("node"), col("label"))
-      val next = labels.union(prop)
+      val afterNbr = labels.union(prop)
         .groupBy("node").agg(min("label").as("label"))
+      // (b) pointer jump: label := label(label)
+      val lookup = labels.select(col("node").as("l_node"), col("label").as("l_label"))
+      val next = afterNbr
+        .join(lookup, afterNbr("label") === lookup("l_node"), "left")
+        .select(col("node"), least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
         .localCheckpoint()
-      val changed = next.alias("n")
-        .join(labels.withColumnRenamed("label", "old").alias("o"), "node")
-        .filter(col("label") =!= col("old"))
-        .limit(1).count()
-      converged = changed == 0
+      val s = next.agg(sum("label")).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
       labels = next
       i += 1
     }

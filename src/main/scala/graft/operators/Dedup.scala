@@ -100,22 +100,24 @@ object Dedup {
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → candidate →
-    * exact-Jaccard verification of candidates only. */
+    * exact-Jaccard verification of candidates only.
+    *
+    * Verification joins the candidate pairs (few) against per-doc shingle
+    * *sets* and intersects arrays — O(|candidates|·shingles_per_doc), never
+    * the all-pairs shingle fan-out the exact path pays. This is the piece
+    * that keeps the pipeline sub-quadratic at corpus scale. */
   def minhashLsh(docs: DataFrame, n: Int, numHashes: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
     val sh = shingles(docs, n)
     val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .join(cands, Seq("doc_a", "doc_b"), "left_semi")
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+    val sets = sh.groupBy("doc_id").agg(collect_set("shingle").as("set"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), "doc_b")
+      .withColumn("common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
-        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+        col("common").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
         round(col("jaccard"), 6).as("jaccard"))

@@ -446,13 +446,25 @@ object RelationalQueries extends QueryRegistry {
     // ── Q21: set operations ────────────────────────────────────────────────
     QueryDef("q21_setops",
       (s, d) => {
+        // intersect/except semantics in one scan: Catalyst itself rewrites
+        // INTERSECT→left-semi and EXCEPT→left-anti; pre-aggregating per-year
+        // membership flags gets all three counts from a single shuffle
+        // instead of six scans + three joins.
         val o = t(s, d, "orders")
-        def custs(y: Int) = o.filter(year(col("o_orderdate")) === y).select("o_custkey").distinct()
-        val a = custs(1995); val b = custs(1996)
-        val both = a.intersect(b).agg(count(lit(1)).as("n")).withColumn("kind", lit("both"))
-        val onlyA = a.except(b).agg(count(lit(1)).as("n")).withColumn("kind", lit("only_1995"))
-        val onlyB = b.except(a).agg(count(lit(1)).as("n")).withColumn("kind", lit("only_1996"))
-        both.unionByName(onlyA).unionByName(onlyB).select("kind", "n")
+        val flags = o
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .groupBy("o_custkey")
+          .agg(max(when(year(col("o_orderdate")) === 1995, 1).otherwise(0)).as("in95"),
+            max(when(year(col("o_orderdate")) === 1996, 1).otherwise(0)).as("in96"))
+        flags.agg(
+          count(when(col("in95") === 1 && col("in96") === 1, 1)).as("both"),
+          count(when(col("in95") === 1 && col("in96") === 0, 1)).as("only_1995"),
+          count(when(col("in95") === 0 && col("in96") === 1, 1)).as("only_1996"))
+          .select(explode(array(
+            struct(lit("both").as("kind"), col("both").as("n")),
+            struct(lit("only_1995").as("kind"), col("only_1995").as("n")),
+            struct(lit("only_1996").as("kind"), col("only_1996").as("n")))).as("r"))
+          .select(col("r.kind").as("kind"), col("r.n").as("n"))
       },
       Some("""WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
                    b AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
