@@ -132,12 +132,9 @@ object Track {
       .select("id_p", "id_c", "overlap_cells", "frac")
   }
 
-  private def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
-    val dLat = radians(lat2 - lat1)
-    val dLon = radians(lon2 - lon1)
-    val h = pow(sin(dLat / 2), 2) + cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
-    lit(2.0 * 6371.0) * asin(sqrt(h))
-  }
+  // native codegen'd Catalyst expression (graft.plans.HaversineKm)
+  private def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column =
+    graft.plans.HaversineKm.haversineKm(lat1, lon1, lat2, lon2)
 
   /** T17–T20 (batch-parallel form): resolve children overlapping multiple
     * parents by partitioning the child's cells to the nearest parent

@@ -195,6 +195,43 @@ object MarexQueries extends QueryRegistry {
             round(col("cen_lat"), 4).as("cen_lat"), round(col("cen_lon"), 4).as("cen_lon"))
       },
       None, // raster kernels + driver union-find: rows-only check
-      "Full marEx tracker (morphology→gap fill→CCL→stitch→props) on events raster")
+      "Full marEx tracker (morphology→gap fill→CCL→stitch→props) on events raster"),
+
+    // ── I3/Q01-dual: Zarr write → read round-trip, oracle-checked ──────────
+    QueryDef("q54_zarr_roundtrip",
+      (s, d) => {
+        import graft.sources.ZarrSource
+        // events → daily mean per 10×15 cell → zarr sink → zarr scan → agg.
+        // The oracle computes the same aggregate straight from events, so a
+        // byte-level defect in either the writer or the reader mismatches.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("value"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q54_zarr"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        ZarrSource.write3D(cells, dir, shape = (31, 10, 15), chunks = (8, 10, 15))
+        ZarrSource.read3D(s, dir, timeRange = Some((0, 30)))
+          .filter(!isnan(col("value")))
+          .groupBy(col("y").cast("long").as("y"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("value") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(y AS BIGINT) AS y,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells GROUP BY y"""),
+      "Zarr v2 sink + source round-trip (marEx to_zarr/open_zarr, I3)")
   )
 }
