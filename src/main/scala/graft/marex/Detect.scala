@@ -230,16 +230,46 @@ object Detect {
         lo = 0.0, width = precision, nBins = nBins, out = "threshold")
     }
 
+  /** D16: sample-sufficiency check — the reference warns when
+    * n_years·w_days·w_spatial²·(1−q) < 50 (detect.py:1904–1915).
+    * @return estimated tail-sample count (caller decides how to surface). */
+  def sampleSufficiency(nYears: Long, windowDays: Int, spatialWindow: Int, q: Double): Double =
+    nYears.toDouble * windowDays * math.pow(2 * spatialWindow + 1, 2) * (1 - q)
+
   /** D14: Hobday thresholds per (pixel, doy): percentile of the values within
     * ±(w−1)/2 days of that doy across all years; each observation fans out to
     * the target doys it feeds (detect.py:1858–2023).
+    *
+    * @param spatialWindow D15's spatial pooling half-width: each pixel's
+    *        sample additionally includes its (2w+1)² spatial neighbors'
+    *        values (5×5 in the reference, detect.py:2652–2668), with
+    *        periodic longitude when `nxWrap` is given. Implemented as a
+    *        second offset fan-out — counts pool exactly like the reference's
+    *        histogram pooling because the percentile runs on the pooled
+    *        sample.
     * @return (y, x, doy, threshold) */
   def hobdayThreshold(anom: DataFrame, q: Double, windowDays: Int = 11,
-      exact: Boolean = true, precision: Double = 0.01, maxAnomaly: Double = 5.0): DataFrame = {
+      exact: Boolean = true, precision: Double = 0.01, maxAnomaly: Double = 5.0,
+      spatialWindow: Int = 0, nxWrap: Option[Int] = None): DataFrame = {
     val h = (windowDays - 1) / 2
-    val fanned = anom
+    val fannedDoy = anom
       .withColumn("d", explode(sequence(lit(-h), lit(h))))
       .withColumn("doy", circDoy(dayofyear(col("time")), col("d")))
+    val fanned = if (spatialWindow <= 0) fannedDoy else {
+      val w = spatialWindow
+      val shifted = fannedDoy
+        .withColumn("dy", explode(sequence(lit(-w), lit(w))))
+        .withColumn("dx", explode(sequence(lit(-w), lit(w))))
+        .withColumn("ty", col("y") + col("dy"))
+        .withColumn("tx", nxWrap match {
+          case Some(nx) => pmod(col("x") + col("dx"), lit(nx))
+          case None => col("x") + col("dx")
+        })
+      shifted
+        .drop("y", "x")
+        .withColumnRenamed("ty", "y")
+        .withColumnRenamed("tx", "x")
+    }
     if (exact)
       fanned.groupBy("y", "x", "doy")
         .agg(expr(s"percentile(anomaly, $q)").as("threshold"))

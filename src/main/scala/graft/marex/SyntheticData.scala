@@ -62,15 +62,15 @@ object SyntheticData {
     * the structured analogue of the reference's `extremes_gridded_blob`
     * fixture. */
   def movingBlobs(spark: SparkSession, nDays: Int, ny: Int, nx: Int,
-      r0: Int = 3, speed: Int = 2): DataFrame = {
+      r0: Int = 3, speed: Int = 2, staticCx: Int = -1, staticCy: Int = -1): DataFrame = {
     import spark.implicits._
     val epoch0 = Timestamp.valueOf("2000-01-01 00:00:00").getTime
     spark.range(0, nDays.toLong).flatMap { t =>
       val ts = new Timestamp(epoch0 + t * 86400000L)
       val cx = (5 + speed * t).toInt % nx
       val cy = ny / 2
-      val cx2 = nx / 4
-      val cy2 = ny / 4
+      val cx2 = if (staticCx >= 0) staticCx else nx / 4
+      val cy2 = if (staticCy >= 0) staticCy else ny / 4
       for (y <- 0 until ny; x <- 0 until nx) yield {
         val dx1 = math.min(math.abs(x - cx), nx - math.abs(x - cx))
         val in1 = dx1 * dx1 + (y - cy) * (y - cy) <= r0 * r0

@@ -36,6 +36,27 @@ object Track {
     lazy val stats: Map[String, Long] = statsFn()
   }
 
+  /** T22: regional-mode preset — no periodic longitude (track.py:5471–5558). */
+  def regionalSpec(ny: Int, nx: Int): GridSpec =
+    GridSpec(ny = ny, nx = nx, periodicX = false)
+
+  /** T21: run metadata persisted as JSON next to outputs — the Spark
+    * equivalent of the reference's dataset attrs (track.py:1451–1484). */
+  def writeRunMetadata(res: TrackResult, cfg: TrackConfig, path: String): Unit = {
+    val stats = res.stats
+    val json =
+      s"""{"r_fill": ${cfg.rFill}, "t_fill": ${cfg.tFill},
+          "area_filter_quartile": ${cfg.areaFilterQuartile},
+          "overlap_threshold": ${cfg.overlapThreshold},
+          "allow_merging": ${cfg.allowMerging},
+          "nn_partitioning": ${cfg.nnPartitioning},
+          "n_objects_prefiltered": ${stats("n_objects_prefiltered")},
+          "n_objects_filtered": ${stats("n_objects_filtered")},
+          "n_events_final": ${stats("n_events_final")},
+          "total_merges": ${stats("total_merges")}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), json.getBytes)
+  }
+
   /** T4: total flagged area per timestep (track.py:1499–1518). */
   def computeArea(flags: DataFrame, geom: DataFrame): DataFrame =
     flags.join(geom.select("y", "x", "area"), Seq("y", "x"))
@@ -116,20 +137,30 @@ object Track {
 
   /** T13+T14: overlapping (t, t+1) object pairs with overlap fraction ≥
     * threshold; fraction = overlap_cells / min(parent_cells, child_cells)
-    * (track.py:2396–2552). One equi-join shuffled on (time, y, x). */
+    * (track.py:2396–2552). One equi-join shuffled on (time, y, x).
+    *
+    * Keys are (time, gid): after split/merge reassignment a child's cells
+    * carry its *parent's* gid forward, so the same gid legitimately exists
+    * at many timesteps — per-gid-only counts would silently mix timesteps
+    * and corrupt the fractions (found as a convergence hang).
+    * @return (time = parent timestep, id_p, id_c, overlap_cells, frac) */
   def overlapPairs(ids: DataFrame, overlapThreshold: Double): DataFrame = {
     val a = ids.select(col("time"), col("y"), col("x"), col("gid").as("id_p"))
     val b = ids.select(date_sub(to_date(col("time")), 1).cast("timestamp").as("time"),
       col("y"), col("x"), col("gid").as("id_c"))
     val overlap = a.join(b, Seq("time", "y", "x"))
-      .groupBy("id_p", "id_c").agg(count(lit(1)).as("overlap_cells"))
-    val counts = ids.groupBy("gid").agg(count(lit(1)).as("n")) // per-(time,gid) ids are globally unique
+      .groupBy("time", "id_p", "id_c").agg(count(lit(1)).as("overlap_cells"))
+    val counts = ids.groupBy("time", "gid").agg(count(lit(1)).as("n"))
+    val pCounts = counts.select(col("time"), col("gid").as("id_p"), col("n").as("n_p"))
+    val cCounts = counts.select(
+      date_sub(to_date(col("time")), 1).cast("timestamp").as("time"),
+      col("gid").as("id_c"), col("n").as("n_c"))
     overlap
-      .join(counts.select(col("gid").as("id_p"), col("n").as("n_p")), "id_p")
-      .join(counts.select(col("gid").as("id_c"), col("n").as("n_c")), "id_c")
+      .join(pCounts, Seq("time", "id_p"))
+      .join(cCounts, Seq("time", "id_c"))
       .withColumn("frac", col("overlap_cells").cast("double") / least(col("n_p"), col("n_c")).cast("double"))
       .filter(col("frac") >= overlapThreshold)
-      .select("id_p", "id_c", "overlap_cells", "frac")
+      .select("time", "id_p", "id_c", "overlap_cells", "frac")
   }
 
   // native codegen'd Catalyst expression (graft.plans.HaversineKm)
@@ -149,41 +180,65 @@ object Track {
     var iter = 0
     var done = false
     while (!done && iter < cfg.maxOuterIter) {
+      // pairs.time = parent timestep; the child lives at ctime = time + 1 day.
       val pairs = overlapPairs(ids, cfg.overlapThreshold)
-      // children (at t+1) claimed by >1 parent
-      val multi = pairs.groupBy("id_c")
+        .withColumn("ctime", date_add(to_date(col("time")), 1).cast("timestamp"))
+      // children (time, gid) claimed by >1 parent — keys MUST include the
+      // timestep: after a reassignment round the same gid exists at many
+      // timesteps (cells inherit the parent's gid going forward).
+      val multi = pairs.groupBy("ctime", "id_c")
         .agg(collect_list("id_p").as("parents"), count(lit(1)).as("np"))
         .filter(col("np") > 1)
         .localCheckpoint()
       if (multi.isEmpty) done = true
       else {
-        val props = objectProps(ids, geom)
-        // parent centroids for each contested child
-        val contested = pairs.join(multi.select("id_c"), Seq("id_c"), "left_semi")
-        val parentCen = contested
-          .join(props.select(col("gid").as("id_p"), col("cen_lat").as("p_lat"),
-            col("cen_lon").as("p_lon")), "id_p")
-        // child cells with their coordinates
+        val contested = pairs.join(multi.select("ctime", "id_c"), Seq("ctime", "id_c"), "left_semi")
+        // contested child cells with their coordinates
         val childCells = ids
-          .join(multi.select(col("id_c").as("gid")), Seq("gid"), "left_semi")
+          .join(multi.select(col("ctime").as("time"), col("id_c").as("gid")),
+            Seq("time", "gid"), "left_semi")
           .join(geom.select("y", "x", "lat", "lon"), Seq("y", "x"))
-        // nearest-parent assignment per cell (≤ handful of parents per child →
-        // the join fan-out is bounded by n_parents, not corpus size)
-        val assigned = childCells
-          .join(parentCen.withColumnRenamed("id_c", "gid"), Seq("gid"))
-          .withColumn("dist", haversineKm(col("lat"), col("lon"), col("p_lat"), col("p_lon")))
+        // Nearest-parent assignment per contested cell. Two kernels, matching
+        // the reference's pair (track.py:4826–5353):
+        //  - centroid partitioning (T20): distance to each parent's centroid;
+        //  - NN partitioning (T19): distance to the *nearest cell* of each
+        //    parent — resolves interleaved shapes better; fan-out is
+        //    |child cells| × |cells of its parents|, bounded by object size,
+        //    not corpus size (both sides are semi-joined down first).
+        val contestedK = contested.select(
+          col("ctime").as("time"), col("id_c").as("gid"),
+          col("time").as("ptime"), col("id_p"))
+        val assigned = (if (!cfg.nnPartitioning) {
+          val props = objectProps(ids, geom)
+          val parentCen = contestedK
+            .join(props.select(col("time").as("ptime"), col("gid").as("id_p"),
+              col("cen_lat").as("p_lat"), col("cen_lon").as("p_lon")), Seq("ptime", "id_p"))
+          childCells
+            .join(parentCen, Seq("time", "gid"))
+            .withColumn("dist", haversineKm(col("lat"), col("lon"), col("p_lat"), col("p_lon")))
+        } else {
+          val parentCells = ids
+            .join(contestedK.select(col("ptime").as("time"), col("id_p").as("gid")).distinct(),
+              Seq("time", "gid"), "left_semi")
+            .join(geom.select("y", "x", "lat", "lon"), Seq("y", "x"))
+            .select(col("time").as("ptime"), col("gid").as("id_p"),
+              col("lat").as("p_lat"), col("lon").as("p_lon"))
+          childCells
+            .join(contestedK, Seq("time", "gid"))
+            .join(parentCells, Seq("ptime", "id_p"))
+            .withColumn("dist", haversineKm(col("lat"), col("lon"), col("p_lat"), col("p_lon")))
+        })
           .withColumn("rn", row_number().over(
             Window.partitionBy("time", "y", "x", "gid").orderBy(col("dist"), col("id_p"))))
           .filter(col("rn") === 1)
           .select(col("time"), col("y"), col("x"), col("id_p").as("gid"))
-        val untouched = ids.join(multi.select(col("id_c").as("gid")), Seq("gid"), "left_anti")
-        val newMerges = multi.join(
-          ids.groupBy(col("gid").as("id_c")).agg(min("time").as("time")), Seq("id_c"))
-          .select(col("time"), col("id_c").cast("long").as("child_id"),
-            col("parents").as("parent_ids"))
-        mergesAcc = mergesAcc.unionByName(
-          newMerges.select(col("time"), col("child_id"),
-            col("parent_ids").cast("array<long>"))).localCheckpoint()
+        val untouched = ids.join(
+          multi.select(col("ctime").as("time"), col("id_c").as("gid")),
+          Seq("time", "gid"), "left_anti")
+        val newMerges = multi
+          .select(col("ctime").as("time"), col("id_c").cast("long").as("child_id"),
+            col("parents").cast("array<long>").as("parent_ids"))
+        mergesAcc = mergesAcc.unionByName(newMerges).localCheckpoint()
         ids = untouched.select("time", "y", "x", "gid")
           .union(assigned.select("time", "y", "x", "gid"))
           .localCheckpoint()

@@ -48,6 +48,27 @@ class DetectSpec extends SparkSpec {
     assert(frac > 0.03 && frac < 0.08, s"hobday flagged fraction $frac")
   }
 
+  test("hobday spatial pooling smooths thresholds toward neighbors") {
+    val anom = Detect.fixedBaselineAnomaly(sst)
+    val plain = Detect.hobdayThreshold(anom, 0.95, windowDays = 11)
+      .withColumnRenamed("threshold", "t0")
+    val pooled = Detect.hobdayThreshold(anom, 0.95, windowDays = 11,
+      spatialWindow = 2, nxWrap = Some(16))
+      .withColumnRenamed("threshold", "t1")
+    // pooled thresholds exist for the same keys and have smaller spatial
+    // variance (they mix 25 pixels' samples)
+    val j = plain.join(pooled, Seq("y", "x", "doy"))
+    assert(j.count() == plain.count())
+    val v0 = j.agg(variance("t0")).head().getDouble(0)
+    val v1 = j.agg(variance("t1")).head().getDouble(0)
+    assert(v1 < v0, s"pooled variance $v1 should be < unpooled $v0")
+  }
+
+  test("sample sufficiency formula matches the reference rule") {
+    assert(math.abs(Detect.sampleSufficiency(40, 11, 2, 0.95) - 40.0 * 11 * 25 * 0.05) < 1e-9)
+    assert(Detect.sampleSufficiency(2, 11, 0, 0.95) < 50) // would warn
+  }
+
   test("detrend_harmonic removes an injected linear trend") {
     val trended = SyntheticData.sstGridded(spark, nDays = 365 * 4, ny = 4, nx = 8,
       trendPerYear = 2.0) // strong trend

@@ -97,17 +97,52 @@ class TrackSpec extends SparkSpec {
     assert(math.abs(lon) > 170, s"wrapped centroid lon $lon should be near ±180")
   }
 
-  test("merging tracker resolves a merge and records genealogy") {
-    // two blobs that collide: one moving east into a stationary one
-    val collide = SyntheticData.movingBlobs(spark, nDays = 10, ny = ny, nx = nx,
-      r0 = 3, speed = 1)
-      .filter(col("flag")).select("time", "y", "x").cache()
-    val res = Track.track(collide, geom, spec,
+  // blobs start SEPARATED and the mover collides with the static one around
+  // day 5 — the default fixture starts fused and only ever splits, which
+  // never exercises the multi-parent path
+  private lazy val collideLate = SyntheticData.movingBlobs(spark, nDays = 12,
+    ny = ny, nx = nx, r0 = 3, speed = 2, staticCx = 20, staticCy = 4)
+    .filter(col("flag")).select("time", "y", "x").cache()
+
+  test("merging tracker resolves a genuine merge and records genealogy") {
+    val res = Track.track(collideLate, geom, spec,
       TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
         overlapThreshold = 0.2, allowMerging = true))
+    // the collision must be detected and ledgered
+    assert(res.stats("total_merges") >= 1, "no merge recorded for a real collision")
+    val m = res.merges.head()
+    assert(m.getAs[Seq[Long]]("parent_ids").length >= 2)
     assert(res.stats("n_events_final") >= 1)
     // field must stay fully labeled after split/merge rounds
-    assert(res.idField.count() == collide.count())
+    assert(res.idField.count() == collideLate.count())
+  }
+
+  test("non-merging tracker on the same collision fuses into fewer events") {
+    val res = Track.track(collideLate, geom, spec,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+        overlapThreshold = 0.2, allowMerging = false))
+    assert(res.stats("n_events_final") >= 1)
+  }
+
+  test("NN partitioning resolves merges like centroid partitioning") {
+    val res = Track.track(collideLate, geom, spec,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+        overlapThreshold = 0.2, allowMerging = true, nnPartitioning = true))
+    assert(res.idField.count() == collideLate.count())
+    assert(res.stats("total_merges") >= 1, "NN path must also ledger the collision")
+    assert(res.stats("n_events_final") >= 1)
+  }
+
+  test("run metadata JSON round-trips the config and stats") {
+    val res = Track.track(blobs, geom, spec,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+        overlapThreshold = 0.3, allowMerging = false))
+    val p = java.nio.file.Files.createTempFile("graft_meta", ".json").toString
+    Track.writeRunMetadata(res, TrackConfig(rFill = 0, tFill = 0,
+      areaFilterQuartile = 0.0, overlapThreshold = 0.3, allowMerging = false), p)
+    val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    assert(s.contains("\"n_events_final\""))
+    assert(s.contains("\"overlap_threshold\": 0.3"))
   }
 
   private def ts(day: Int): java.sql.Timestamp =
