@@ -305,9 +305,12 @@ object Detect {
       case "detrend_fixed_baseline" =>
         detrendFixedBaselineAnomaly(field, cfg.detrendOrders)
     }
-    val anom2 = if (cfg.stdNormalise)
+    // Persist the anomaly: it feeds both the threshold aggregation and the
+    // comparison join — without this the whole anomaly plan executes twice
+    // (the reference persists at exactly this point, detect.py:2220).
+    val anom2 = (if (cfg.stdNormalise)
       stdNormalise(anom).drop("anomaly").withColumnRenamed("anomaly_stn", "anomaly")
-    else anom
+    else anom).localCheckpoint()
     val q = cfg.thresholdPercentile / 100.0
     val exact = cfg.methodPercentile == "exact"
     val thr = cfg.methodExtreme match {

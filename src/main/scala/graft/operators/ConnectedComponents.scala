@@ -75,6 +75,26 @@ object ConnectedComponents {
     labels.select(col("node"), col("label").as("component"))
   }
 
+  /** Size-adaptive entry point: below `driverThreshold` edges the graph is
+    * collected and solved with union-find on the driver — for a graph that
+    * fits in driver memory this beats any distributed fixpoint by an order
+    * of magnitude (the reference makes the identical call with scipy,
+    * track.py:2883). Larger graphs run [[labelProp]]. The count itself is
+    * cheap (one partial-agg job over the edge list). */
+  def auto(edges: DataFrame, driverThreshold: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val n = edges.limit((driverThreshold + 1).toInt).count()
+    if (n > driverThreshold) labelProp(edges)
+    else {
+      val pairs = edges
+        .select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val comp = unionFindLocal(pairs.iterator)
+      comp.toSeq.toDF("node", "component")
+    }
+  }
+
   /** Driver-side union-find for small graphs (collect first; caller asserts
     * smallness). Returns node -> component representative (min node id). */
   def unionFindLocal(edges: Iterator[(Long, Long)]): Map[Long, Long] = {

@@ -609,7 +609,7 @@ object RelationalQueries extends QueryRegistry {
         val edges = t(s, d, "supplier").select(
           col("s_suppkey").cast("long").as("src"),
           ((col("s_suppkey") * 3 + 7) % 100).cast("long").as("dst"))
-        ConnectedComponents.labelProp(edges)
+        ConnectedComponents.auto(edges)
           .select(col("node").cast("long").as("node"), col("component").cast("long").as("component"))
       },
       Some("""WITH RECURSIVE

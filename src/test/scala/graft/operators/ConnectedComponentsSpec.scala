@@ -24,6 +24,14 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(dist.size == 64)
   }
 
+  test("auto picks driver path for small graphs and matches labelProp") {
+    val rnd = new scala.util.Random(3)
+    val edges = (1 to 150).map(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong))
+    val viaAuto = asMap(ConnectedComponents.auto(edges.toDF("src", "dst")))
+    val viaProp = asMap(ConnectedComponents.labelProp(edges.toDF("src", "dst")))
+    assert(viaAuto == viaProp)
+  }
+
   test("disjoint cliques stay separate") {
     val c1 = for (a <- 0L to 3L; b <- 0L to 3L if a < b) yield (a, b)
     val c2 = for (a <- 10L to 13L; b <- 10L to 13L if a < b) yield (a, b)
