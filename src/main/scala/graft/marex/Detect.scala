@@ -283,6 +283,76 @@ object Detect {
     }
   }
 
+  /** D14 exact path, pixel-kernel formulation: one shuffle on (y, x), then
+    * each task holds one pixel's full (doy → values) map and computes all
+    * 366 circular-window percentiles locally — the reference's per-chunk
+    * execution shape (detect.py:1921–1956 runs nanpercentile per doy-mask
+    * inside a chunk kernel).
+    *
+    * Versus the fan-out formulation ([[hobdayThreshold]]): shuffle volume is
+    * |samples| instead of windowDays×|samples|, and the per-group state is a
+    * local sort instead of Catalyst's Percentile aggregation buffer.
+    * Measured at 40y×20×40 on local[32]: detect stage 185 s → 51 s
+    * (PERF.md). Results are identical (same linear-interpolation percentile
+    * at q·(n−1); equivalence asserted in DetectSpec).
+    * @return (y, x, doy, threshold) */
+  def hobdayThresholdKernel(anom: DataFrame, q: Double, windowDays: Int = 11): DataFrame = {
+    val spark = anom.sparkSession
+    import spark.implicits._
+    val h = (windowDays - 1) / 2
+    anom
+      .select(col("y").cast("int"), col("x").cast("int"),
+        dayofyear(col("time")).cast("int").as("doy"), col("anomaly").cast("double"))
+      .as[(Int, Int, Int, Double)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (px: (Int, Int), it: Iterator[(Int, Int, Int, Double)]) =>
+        val byDoy = Array.fill(367)(scala.collection.mutable.ArrayBuilder.make[Double])
+        val present = new Array[Boolean](367)
+        it.foreach { r => byDoy(r._3) += r._4; present(r._3) = true }
+        // target doys = every doy fed by at least one observation's window
+        val targets = new Array[Boolean](367)
+        var d = 1
+        while (d <= 366) {
+          if (present(d)) {
+            var o = -h
+            while (o <= h) { targets(((d - 1 + o) % 366 + 366) % 366 + 1) = true; o += 1 }
+          }
+          d += 1
+        }
+        val arrs = byDoy.map(_.result())
+        val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Double)]()
+        d = 1
+        while (d <= 366) {
+          if (targets(d)) {
+            var n = 0
+            var o = -h
+            while (o <= h) { n += arrs(((d - 1 + o) % 366 + 366) % 366 + 1).length; o += 1 }
+            if (n > 0) {
+              val vals = new Array[Double](n)
+              var k = 0
+              o = -h
+              while (o <= h) {
+                val a = arrs(((d - 1 + o) % 366 + 366) % 366 + 1)
+                System.arraycopy(a, 0, vals, k, a.length)
+                k += a.length
+                o += 1
+              }
+              java.util.Arrays.sort(vals)
+              // linear interpolation at q·(n−1), matching Spark `percentile`
+              val pos = q * (n - 1)
+              val lo = pos.toInt
+              val hi = math.min(lo + 1, n - 1)
+              val thr = vals(lo) + (pos - lo) * (vals(hi) - vals(lo))
+              out += ((px._1, px._2, d, thr))
+            }
+          }
+          d += 1
+        }
+        out.iterator
+      }
+      .toDF("y", "x", "doy", "threshold")
+  }
+
   /** Threshold comparison: extremes = anomaly ≥ threshold. `thr` is keyed
     * (y, x) or (y, x, doy) (detect.py:2001–2004, 2915). */
   def applyThreshold(anom: DataFrame, thr: DataFrame): DataFrame = {
@@ -316,6 +386,9 @@ object Detect {
     val thr = cfg.methodExtreme match {
       case "global_extreme" =>
         globalThreshold(anom2, q, exact, cfg.precision, cfg.maxAnomaly)
+      case "hobday_extreme" if exact =>
+        // pixel-kernel path: one shuffle, local window percentiles
+        hobdayThresholdKernel(anom2, q, cfg.windowDaysHobday)
       case "hobday_extreme" =>
         hobdayThreshold(anom2, q, cfg.windowDaysHobday, exact, cfg.precision, cfg.maxAnomaly)
     }

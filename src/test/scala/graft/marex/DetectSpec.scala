@@ -48,6 +48,19 @@ class DetectSpec extends SparkSpec {
     assert(frac > 0.03 && frac < 0.08, s"hobday flagged fraction $frac")
   }
 
+  test("hobday kernel path equals the fan-out formulation") {
+    val anom = Detect.fixedBaselineAnomaly(sst)
+    val fan = Detect.hobdayThreshold(anom, 0.95, windowDays = 11)
+      .withColumnRenamed("threshold", "t_fan")
+    val ker = Detect.hobdayThresholdKernel(anom, 0.95, windowDays = 11)
+      .withColumnRenamed("threshold", "t_ker")
+    val j = fan.join(ker, Seq("y", "x", "doy"), "full")
+    assert(j.filter(col("t_fan").isNull || col("t_ker").isNull).count() == 0,
+      "key sets must be identical")
+    val worst = j.agg(max(abs(col("t_fan") - col("t_ker")))).head().getDouble(0)
+    assert(worst < 1e-9, s"kernel vs fan-out differ by $worst")
+  }
+
   test("hobday spatial pooling smooths thresholds toward neighbors") {
     val anom = Detect.fixedBaselineAnomaly(sst)
     val plain = Detect.hobdayThreshold(anom, 0.95, windowDays = 11)
