@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Proves the exchange elimination: a join of two tables co-bucketed on the
+  * join key must plan without any shuffle Exchange; the same join on plain
+  * parquet must have one. */
+class BucketingSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    // disable broadcast so the join strategy is sort-merge and the exchange
+    // question is meaningful
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+    .config("spark.sql.warehouse.dir",
+      java.nio.file.Files.createTempDirectory("graft_wh").toString)
+    .config("spark.sql.ui.enabled", "false")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("co-bucketed join plans with zero exchanges; plain join shuffles") {
+    import spark.implicits._
+    val field = (0 until 2000).map(i => (i % 50, i / 50, i.toDouble)).toDF("y", "x", "value")
+    val clim = (0 until 50 * 40).map(i => (i % 50, i / 50, 0.5)).toDF("y", "x", "clim")
+
+    Bucketing.writeBucketed(field, "field_b", 8, Seq("y", "x"))
+    Bucketing.writeBucketed(clim, "clim_b", 8, Seq("y", "x"))
+
+    val bucketed = Bucketing.bucketedJoin(spark, "field_b", "clim_b", Seq("y", "x"))
+      .withColumn("anomaly", col("value") - col("clim"))
+    assert(!Bucketing.hasExchange(bucketed),
+      s"bucketed join must not shuffle:\n${bucketed.queryExecution.executedPlan.toString.take(800)}")
+    assert(bucketed.count() == 2000)
+
+    val plain = field.join(clim, Seq("y", "x"))
+    assert(Bucketing.hasExchange(plain), "plain join should shuffle (sanity)")
+  }
+}
