@@ -145,6 +145,20 @@ class TrackSpec extends SparkSpec {
     assert(s.contains("\"overlap_threshold\": 0.3"))
   }
 
+  test("tracker is deterministic: two runs produce identical event fields") {
+    // same config as the merging test above (rFill=0 keeps the morphology out
+    // of the loop — with rFill=1 the bridged blobs trigger many more
+    // resolution rounds and the doubled run blows the suite budget)
+    val cfg = TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+      overlapThreshold = 0.2, allowMerging = true)
+    def run() = Track.track(collideLate, geom, spec, cfg)
+      .idField.orderBy("time", "y", "x")
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getInt(2), r.getLong(3)))
+    val a = run()
+    val b = run()
+    assert(a.sameElements(b), "tracker output must be run-deterministic")
+  }
+
   private def ts(day: Int): java.sql.Timestamp =
     new java.sql.Timestamp(java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime + day * 86400000L)
 }
