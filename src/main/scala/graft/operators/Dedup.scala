@@ -33,10 +33,17 @@ object Dedup {
     *              (skew guard); None keeps all. */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text", maxDf: Option[Long] = None): DataFrame = {
+    // Docs shorter than n tokens yield NO shingles: the `when` leaves the
+    // sequence NULL there and explode(NULL) emits zero rows. (An unguarded
+    // sequence(1, size-(n-1)) would step DOWN to [1, 0] when size < n and
+    // slice(ts, 0, n) then throws "array indices start at 1"; the DuckDB
+    // oracle's generate_series(1, 0) is empty, so the guard also restores
+    // semantic agreement.)
     val ts = docs
       .select(col(idCol), tokens(col(textCol)).as("ts"))
       .select(col(idCol), col("ts"),
-        explode(sequence(lit(1), greatest(size(col("ts")) - (n - 1), lit(0)))).as("i"))
+        explode(when(size(col("ts")) >= n,
+          sequence(lit(1), size(col("ts")) - (n - 1)))).as("i"))
       .select(col(idCol), concat_ws(" ", slice(col("ts"), col("i"), lit(n))).as("shingle"))
       .distinct()
     maxDf match {
@@ -68,25 +75,35 @@ object Dedup {
         col("common").cast("long"), round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signatures: for seed s, mh_s(doc) = min over shingles of
-    * md5(s || '|' || shingle). String-min over lowercase hex is a valid
-    * uniform min-hash and is engine-portable. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val seeds = array((0 until numHashes).map(lit): _*)
-    sh.select(col("doc_id"), explode(seeds).as("seed"), col("shingle"))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed").cast("string"), lit("|"), col("shingle")))).as("mh"))
-  }
+  /** MinHash signature ARRAY per doc from its (already distinct) shingle set:
+    * sig[s] = min over shingles of md5(s || '|' || shingle). String-min over
+    * lowercase hex is a valid uniform min-hash and is engine-portable.
+    *
+    * Computed as a single projection over the per-doc shingle set — the
+    * numHashes md5 calls per shingle are inherent to the algorithm, but
+    * nothing is exploded and nothing extra is shuffled: the only shuffle is
+    * the one collect_set the caller already pays for verification sets.
+    * (The previous design exploded ×numHashes rows per shingle before the
+    * partial aggregate; at 64 hashes that was a 64× row materialization.) */
+  def minhashSignatureArray(sets: DataFrame, numHashes: Int,
+      setCol: String = "set"): DataFrame =
+    sets.withColumn("sig",
+      transform(sequence(lit(0), lit(numHashes - 1)),
+        s => array_min(transform(col(setCol),
+          x => md5(concat(s.cast("string"), lit("|"), x))))))
 
-  /** Band signatures for LSH: rows-per-band consecutive minhashes concatenated.
-    * Docs sharing any full band become candidate pairs. */
-  def lshBands(sigs: DataFrame, rowsPerBand: Int): DataFrame =
+  /** Band signatures for LSH from the signature array: band b joins the
+    * rowsPerBand consecutive minhashes [b·r, (b+1)·r) with '|'. The only
+    * fan-out is numBands rows per doc (e.g. 4), not hashes × shingles. */
+  def lshBands(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    val numBands = numHashes / rowsPerBand
     sigs
-      .withColumn("band", (col("seed") / rowsPerBand).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("seed"), col("mh")))), x => x.getField("mh")),
-        "|").as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(sequence(lit(0), lit(numBands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        array_join(slice(col("sig"), col("band") * rowsPerBand + 1, lit(rowsPerBand)), "|")
+          .as("sig"))
+  }
 
   /** Candidate pairs from banded signatures (equi-join on (band, sig) — the
     * shuffle key is the band hash, so pair generation never touches the
@@ -109,8 +126,12 @@ object Dedup {
   def minhashLsh(docs: DataFrame, n: Int, numHashes: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
     val sh = shingles(docs, n)
-    val cands = lshCandidates(lshBands(minhashSignatures(sh, numHashes), rowsPerBand))
+    // ONE shuffle builds the per-doc shingle sets; both the signatures and
+    // the verification intersections derive from it with no further fan-out.
     val sets = sh.groupBy("doc_id").agg(collect_set("shingle").as("set"))
+      .localCheckpoint() // reused twice; avoids recomputing the shuffle
+    val cands = lshCandidates(
+      lshBands(minhashSignatureArray(sets, numHashes), numHashes, rowsPerBand))
     cands
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), "doc_b")

@@ -47,31 +47,31 @@ object Similarity {
         round(col("sim"), 4).as("sim"), col("rank").cast("long"))
   }
 
-  /** Deterministic ±1 hyperplane weight for (plane, dim): +1 iff the first
-    * hex digit of md5("p|d") is >= 8. */
-  private def signWeight(plane: Column, dim: Column): Column = {
-    val hexd = instr(lit("0123456789abcdef"),
-      substring(md5(concat(plane.cast("string"), lit("|"), dim.cast("string"))), 1, 1)) - 1
-    when(hexd >= 8, 1.0).otherwise(-1.0)
-  }
+  /** Deterministic ±1 hyperplane weight for (plane, 1-based dim): +1 iff the
+    * first hex digit of md5("p|d") is >= 8. Evaluated on the DRIVER — the
+    * planes×dim weight matrix is tiny (planes·dim doubles), so it is
+    * precomputed once and inlined as literals instead of spending
+    * |vectors|·dim·planes md5 calls (and as many exploded rows) per
+    * bucket build. Must stay bit-identical to the DuckDB oracle's
+    * instr('0123456789abcdef', substr(md5(p || '|' || d), 1, 1)) - 1 >= 8. */
+  private def signWeightMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim) { (p, d0) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val firstByte = md.digest(s"$p|${d0 + 1}".getBytes("UTF-8"))(0)
+      if (((firstByte >> 4) & 0xf) >= 8) 1.0 else -1.0
+    }
 
-  /** Sign-projection LSH bucket id in [0, 2^planes). One row per vector. */
+  /** Sign-projection LSH bucket id in [0, 2^planes). One row per vector,
+    * ZERO fan-out: all `planes` projections are computed in one projection
+    * over the embedding array against broadcast literal hyperplanes, inside
+    * codegen'd higher-order functions. */
   def signLshBuckets(embeddings: DataFrame, planes: Int, dim: Int): DataFrame = {
-    val dims = embeddings
-      .select(col("vec_id"), col("embedding"),
-        explode(sequence(lit(1), lit(dim))).as("d"))
-      .select(col("vec_id"), col("d"),
-        element_at(col("embedding"), col("d")).cast("double").as("v"))
-    val projs = dims
-      .select(col("vec_id"), col("v"), col("d"), explode(sequence(lit(0), lit(planes - 1))).as("p"))
-      .withColumn("w", signWeight(col("p"), col("d")))
-      .groupBy("vec_id", "p")
-      .agg(sum(col("w") * col("v")).as("proj"))
-    projs
-      .withColumn("bit", when(col("proj") > 0, 1L).otherwise(0L))
-      .groupBy("vec_id")
-      .agg(sum(col("bit") * pow(lit(2.0), col("p")).cast("long")).as("bucket"))
-      .select(col("vec_id").cast("long"), col("bucket").cast("long"))
+    val w = signWeightMatrix(planes, dim)
+    val bucket = (0 until planes).map { p =>
+      val plane = typedlit(w(p).toSeq)
+      when(dot(col("embedding"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    embeddings.select(col("vec_id").cast("long"), bucket.as("bucket"))
   }
 
   /** LSH-bucketed ANN: per query, candidates = same-bucket vectors; returns

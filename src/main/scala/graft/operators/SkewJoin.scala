@@ -19,10 +19,19 @@ import org.apache.spark.sql.functions._
 object SkewJoin {
 
   /** Equi-join `large ⋈ small` on `keys`, with the large side salted.
-    * `small` is replicated `salts`× — keep it dimension-sized. */
+    * `small` is replicated `salts`× — keep it dimension-sized.
+    *
+    * Restricted to join types where an unmatched SMALL-side row produces no
+    * output: under right/full_outer the `salts`-fold replication would emit
+    * one null-padded row per salt for every unmatched small row. */
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
       salts: Int, joinType: String = "inner"): DataFrame = {
     require(salts > 0)
+    require(Set("inner", "left", "leftouter", "left_outer", "leftsemi",
+      "left_semi", "leftanti", "left_anti", "cross")
+      .contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin does not support joinType='$joinType': replicated small-side " +
+        "rows that match nothing would appear once per salt under right/full joins")
     val rowHash: Column = xxhash64(large.columns.map(col).toSeq: _*)
     val saltedLarge = large.withColumn("__salt", pmod(rowHash, lit(salts.toLong)).cast("int"))
     val replicated = small.withColumn("__salt",

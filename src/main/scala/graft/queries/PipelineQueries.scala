@@ -219,29 +219,78 @@ object PipelineQueries extends QueryRegistry {
       "Normalized content fingerprint + dup-group size"),
 
     // ── multimodal: binary column metadata (oracle-checkable slice) ────────
+    // The oracle recomputes each container's size from its public layout:
+    // BMP = 14+40+1024 header/palette + 4-byte-padded rows; WAV = 44-byte
+    // canonical header + samples; video = 8-byte GFV0 header + n_frames BMPs.
     QueryDef("q40_multimodal_bytes",
       (s, d) => Multimodal.synthesize(docs(s, d)).toDF()
         .select(col("media_id").cast("long"), col("modality"),
           length(col("payload")).cast("long").as("byte_len"),
-          col("width").cast("long"), col("height").cast("long")),
-      Some("""SELECT CAST(doc_id AS BIGINT) AS media_id,
-                     CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
-                          WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-                     octet_length(encode(text)) AS byte_len,
-                     CAST(doc_id % 64 + 16 AS BIGINT) AS width,
-                     CAST(doc_id % 48 + 16 AS BIGINT) AS height
-              FROM documents"""),
-      "Opaque binary payload + typed metadata (schema/plumbing witness)"),
+          col("width").cast("long").as("width"), col("height").cast("long").as("height")),
+      Some("""WITH d AS (SELECT doc_id,
+                     CAST(doc_id % 3 AS INT) AS m3,
+                     CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+                     CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+                     CAST(doc_id % 8 + 1 AS BIGINT) AS nf,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS tl
+                   FROM documents),
+                   s AS (SELECT *, 1078 + ((w + 3) // 4) * 4 * h AS bmp FROM d)
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                     CAST(CASE m3 WHEN 0 THEN bmp WHEN 1 THEN 44 + tl
+                          ELSE 8 + nf * bmp END AS BIGINT) AS byte_len,
+                     w AS width, h AS height
+              FROM s"""),
+      "Opaque binary payload + typed metadata; container sizes oracle-checked"),
 
-    // ── multimodal: batch decode + features (STUB decode; rows-only check) ─
+    // ── multimodal: batch decode + features ────────────────────────────────
+    // Features are order-independent functions of the DECODED content bytes
+    // (image pixels / audio samples / video frame pixels), so the oracle can
+    // recompute them from the source text bytes + the documented fit rule
+    // (truncate to the raster size, zero-pad) without parsing containers.
+    // mean is emitted as floor(sum·10^6 / len) — integer division on both
+    // engines, no float-rounding divergence.
     QueryDef("q41_multimodal_features",
       (s, d) => {
         val feats = Multimodal.extractFeatures(Multimodal.synthesize(docs(s, d))).toDF()
-        feats.select(col("media_id"), col("modality"), col("byte_len"),
-          round(col("mean_byte"), 6).as("mean_byte"),
-          col("hist8"))
+        val hists = (0 until 8).map(i =>
+          element_at(col("hist8"), i + 1).cast("long").as(s"h$i"))
+        feats.select(Seq(col("media_id").cast("long").as("media_id"), col("modality"),
+          col("content_len").cast("long").as("content_len"),
+          col("sum_bytes").cast("long").as("sum_bytes"),
+          expr("(sum_bytes * 1000000L) DIV content_len").as("mean_q6")) ++ hists: _*)
       },
-      None, // mapPartitions decode stub — not SQL-expressible; rows-only check
-      "mapPartitions batched decode STUB → fixed-width feature rows")
+      Some("""WITH d AS (SELECT doc_id,
+                     CAST(doc_id % 3 AS INT) AS m3,
+                     CAST(doc_id % 64 + 16 AS BIGINT) AS w,
+                     CAST(doc_id % 48 + 16 AS BIGINT) AS h,
+                     CAST(doc_id % 8 + 1 AS BIGINT) AS nf,
+                     hex(encode(text)) AS hx,
+                     CAST(octet_length(encode(text)) AS BIGINT) AS tl
+                   FROM documents),
+                   sized AS (SELECT doc_id, m3, hx, tl,
+                     CASE m3 WHEN 0 THEN w * h WHEN 1 THEN tl ELSE nf * w * h END AS content_len
+                   FROM d),
+                   vals AS (SELECT doc_id, m3, content_len,
+                     CASE WHEN i <= tl THEN
+                       16 * (instr('0123456789ABCDEF', substr(hx, CAST(2*i - 1 AS INT), 1)) - 1)
+                         + instr('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1
+                     ELSE 0 END AS v
+                   FROM (SELECT *, unnest(generate_series(1, content_len)) AS i FROM sized))
+              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                     CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+                     CAST(content_len AS BIGINT) AS content_len,
+                     CAST(sum(v) AS BIGINT) AS sum_bytes,
+                     CAST((sum(v) * 1000000) // content_len AS BIGINT) AS mean_q6,
+                     CAST(sum(CASE WHEN v // 32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+                     CAST(sum(CASE WHEN v // 32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+                     CAST(sum(CASE WHEN v // 32 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
+                     CAST(sum(CASE WHEN v // 32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
+                     CAST(sum(CASE WHEN v // 32 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
+                     CAST(sum(CASE WHEN v // 32 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
+                     CAST(sum(CASE WHEN v // 32 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
+                     CAST(sum(CASE WHEN v // 32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
+              FROM vals GROUP BY 1, 2, 3"""),
+      "Real container decode (BMP/WAV/GFV0) → oracle-checked content features")
   )
 }

@@ -65,13 +65,90 @@ object ZarrSource {
         inf.setInput(data)
         val out = new Array[Byte](rawLen)
         var off = 0
-        while (!inf.finished() && off < rawLen) off += inf.inflate(out, off, rawLen - off)
+        while (!inf.finished() && off < rawLen) {
+          val n = inf.inflate(out, off, rawLen - off)
+          // inflate()==0 with finished()==false means the input is exhausted
+          // (truncated/corrupt chunk) — without this check the loop spins
+          // forever waiting for bytes that never come.
+          if (n == 0 && (inf.needsInput() || inf.needsDictionary()))
+            throw new java.io.IOException(
+              s"truncated/corrupt zlib chunk: decoded $off of $rawLen bytes")
+          off += n
+        }
         inf.end()
+        if (off != rawLen)
+          throw new java.io.IOException(
+            s"zlib chunk decoded to $off bytes, expected $rawLen")
+        out
+      case Some("blosc") =>
+        val out = Blosc.decompress(data)
+        if (out.length != rawLen)
+          throw new java.io.IOException(
+            s"blosc chunk decoded to ${out.length} bytes, expected $rawLen")
         out
       case Some(other) =>
         throw new IllegalArgumentException(
-          s"unsupported zarr compressor '$other' (supported: none, zlib)")
+          s"unsupported zarr compressor '$other' (supported: none, zlib, blosc-lz4)")
     }
+
+  /** Driver-side dense read of a small N-D zarr array (coordinate axes,
+    * masks — things that are broadcast anyway). Returns the shape and the
+    * C-order flat values; missing chunk files read as fill_value. */
+  def readLocalND(dir: String): (Seq[Int], Array[Double]) = {
+    val metaJson = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/.zarray")))
+    val meta = readMeta(metaJson)
+    require(meta.order == "C", "only C-order zarr supported")
+    val shape = meta.shape
+    val chunks = meta.chunks
+    val nd = shape.length
+    val bp = bytesPer(meta.dtype)
+    val out = Array.fill(shape.product)(meta.fillValue)
+    val nChunks = shape.indices.map(d => (shape(d) + chunks(d) - 1) / chunks(d))
+    // iterate the full chunk grid; absent files keep fill_value
+    def gridIndices(dims: Seq[Int]): Iterator[Seq[Int]] =
+      dims.foldLeft(Iterator(Seq.empty[Int])) { (acc, n) =>
+        acc.flatMap(prefix => (0 until n).iterator.map(prefix :+ _))
+      }
+    for (ci <- gridIndices(nChunks)) {
+      val f = new java.io.File(s"$dir/${ci.mkString(".")}")
+      if (f.exists()) {
+        val raw = decompress(java.nio.file.Files.readAllBytes(f.toPath),
+          meta.compressor, chunks.product * bp)
+        val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val chunkLen = chunks.product
+        val coords = new Array[Int](nd)
+        var i = 0
+        while (i < chunkLen) {
+          // decompose i (C-order within the chunk) → global flat index
+          var r = i
+          var d = nd - 1
+          while (d >= 0) { coords(d) = r % chunks(d); r /= chunks(d); d -= 1 }
+          var inBounds = true
+          var flat = 0L
+          d = 0
+          while (d < nd && inBounds) {
+            val g = ci(d) * chunks(d) + coords(d)
+            if (g >= shape(d)) inBounds = false
+            else flat = flat * shape(d) + g
+            d += 1
+          }
+          if (inBounds) {
+            val v = meta.dtype match {
+              case "<f4" => buf.getFloat(i * bp).toDouble
+              case "<f8" => buf.getDouble(i * bp)
+              case "<i4" => buf.getInt(i * bp).toDouble
+              case "<i8" => buf.getLong(i * bp).toDouble
+              case "|b1" | "|i1" | "|u1" => (raw(i) & 0xff).toDouble
+            }
+            out(flat.toInt) = v
+          }
+          i += 1
+        }
+      }
+    }
+    (shape, out)
+  }
 
   /** Read a 3-D (time, y, x) zarr array into a long DataFrame
     * `(t_idx INT, y INT, x INT, value DOUBLE)`.
@@ -102,6 +179,37 @@ object ZarrSource {
         name.matches("\\d+\\.\\d+\\.\\d+") && keepChunkT(name.split('.')(0).toInt)
       }
 
+    // Zarr v2: a chunk file that does not exist means the whole chunk equals
+    // fill_value (writers elide empty chunks, e.g. write_empty_chunks=False).
+    // Enumerate the expected chunk grid and synthesize fill_value rows for
+    // the absent ones — otherwise those cells silently vanish from the long
+    // format. (Directory listing is java.io like the .zarray read above;
+    // local/tests scope.)
+    val present: Set[(Int, Int, Int)] =
+      Option(new java.io.File(dir).list()).getOrElse(Array.empty[String]).toSeq
+        .filter(_.matches("\\d+\\.\\d+\\.\\d+"))
+        .map { n => val Array(a, b, c) = n.split('.').map(_.toInt); (a, b, c) }
+        .toSet
+    val missing = for {
+      ci <- 0 until (nt + ct - 1) / ct if keepChunkT(ci)
+      cj <- 0 until (ny + cy - 1) / cy
+      ck <- 0 until (nx + cx - 1) / cx
+      if !present((ci, cj, ck))
+    } yield (ci, cj, ck)
+    val fill = meta.fillValue
+    val missingRows = spark.sparkContext
+      .parallelize(missing, math.max(1, math.min(missing.size, 32)))
+      .flatMap { case (ci, cj, ck) =>
+        for {
+          dt <- 0 until ct
+          t = ci * ct + dt if t >= t0 && t <= t1 && t < nt
+          dy <- 0 until cy
+          y = cj * cy + dy if y < ny
+          dx <- 0 until cx
+          x = ck * cx + dx if x < nx
+        } yield (t, y, x, fill)
+      }
+
     val rows = files.flatMap { case (path, stream) =>
       val name = path.substring(path.lastIndexOf('/') + 1)
       val Array(ci, cj, ck) = name.split('.').map(_.toInt)
@@ -127,7 +235,7 @@ object ZarrSource {
       }
       out
     }
-    rows.toDF("t_idx", "y", "x", "value")
+    rows.union(missingRows).toDF("t_idx", "y", "x", "value")
   }
 
   /** Distributed Zarr v2 writer (sink dual of [[read3D]]; ≙ the reference's

@@ -21,21 +21,49 @@ class BucketingSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** Remove a managed table and its on-disk location. `getOrCreate` may hand
+    * back a session another suite built, ignoring our temp warehouse.dir — so
+    * a stale `spark-warehouse/<name>` from a previous run can shadow the
+    * catalog and fail `saveAsTable` with LOCATION_ALREADY_EXISTS. Dropping the
+    * table AND deleting the directory makes the suite idempotent from any
+    * starting state. */
+  private def purgeTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:")
+    val loc = java.nio.file.Paths.get(wh, name.toLowerCase)
+    if (java.nio.file.Files.exists(loc)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
   test("co-bucketed join plans with zero exchanges; plain join shuffles") {
     import spark.implicits._
     val field = (0 until 2000).map(i => (i % 50, i / 50, i.toDouble)).toDF("y", "x", "value")
     val clim = (0 until 50 * 40).map(i => (i % 50, i / 50, 0.5)).toDF("y", "x", "clim")
 
-    Bucketing.writeBucketed(field, "field_b", 8, Seq("y", "x"))
-    Bucketing.writeBucketed(clim, "clim_b", 8, Seq("y", "x"))
+    // unique-per-run names so concurrent/aborted runs can never collide
+    val run = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    val fieldTbl = s"field_b_$run"
+    val climTbl = s"clim_b_$run"
+    Seq(fieldTbl, climTbl).foreach(purgeTable)
 
-    val bucketed = Bucketing.bucketedJoin(spark, "field_b", "clim_b", Seq("y", "x"))
-      .withColumn("anomaly", col("value") - col("clim"))
-    assert(!Bucketing.hasExchange(bucketed),
-      s"bucketed join must not shuffle:\n${bucketed.queryExecution.executedPlan.toString.take(800)}")
-    assert(bucketed.count() == 2000)
+    try {
+      Bucketing.writeBucketed(field, fieldTbl, 8, Seq("y", "x"))
+      Bucketing.writeBucketed(clim, climTbl, 8, Seq("y", "x"))
 
-    val plain = field.join(clim, Seq("y", "x"))
-    assert(Bucketing.hasExchange(plain), "plain join should shuffle (sanity)")
+      val bucketed = Bucketing.bucketedJoin(spark, fieldTbl, climTbl, Seq("y", "x"))
+        .withColumn("anomaly", col("value") - col("clim"))
+      assert(!Bucketing.hasExchange(bucketed),
+        s"bucketed join must not shuffle:\n${bucketed.queryExecution.executedPlan.toString.take(800)}")
+      assert(bucketed.count() == 2000)
+
+      val plain = field.join(clim, Seq("y", "x"))
+      assert(Bucketing.hasExchange(plain), "plain join should shuffle (sanity)")
+    } finally {
+      Seq(fieldTbl, climTbl).foreach(purgeTable)
+    }
   }
 }

@@ -16,6 +16,15 @@ class DedupSpec extends SparkSpec {
     assert(sh.toSeq == Seq("a b c", "b c d"))
   }
 
+  test("shingles: docs shorter than n tokens yield no shingles, no crash") {
+    val df = Seq((1L, "a b"), (2L, ""), (3L, "one two three four")).toDF("doc_id", "text")
+    val sh = Dedup.shingles(df, 3).collect()
+    assert(sh.map(_.getLong(0)).toSet == Set(3L))
+    // and the full pipelines survive short docs
+    assert(Dedup.jaccardPairs(Dedup.shingles(df, 3), 0.1).collect().isEmpty)
+    assert(Dedup.minhashLsh(df, 3, 8, 2, 0.3).collect().isEmpty)
+  }
+
   test("jaccard pairs are symmetric-free, bounded, and ordered") {
     val pairs = Dedup.jaccardPairs(Dedup.shingles(docs, 3), 0.1).collect()
     pairs.foreach { r =>
