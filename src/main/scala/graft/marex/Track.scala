@@ -14,9 +14,11 @@ import graft.operators.ConnectedComponents
   *  - raster work (morphology, per-slice CCL) runs in per-timestep kernels
   *    ([[Raster]]), everything else is relational;
   *  - the object-pair graph is tiny relative to the field (≈#objects rows),
-  *    so event stitching collects pairs and runs a driver union-find —
-  *    exactly the reference's scipy-on-driver choice (track.py:2883), which
-  *    beats distributed CC at this graph size by orders of magnitude;
+  *    so event stitching usually collects pairs and runs a driver union-find
+  *    — the reference's scipy-on-driver choice (track.py:2883) — but routes
+  *    through [[graft.operators.ConnectedComponents.auto]] so oversized pair
+  *    graphs fall back to distributed label propagation instead of OOMing
+  *    the driver;
   *  - split/merge runs as the batch-parallel iteration (track.py:3804–4814):
   *    each round is one Spark job over all timesteps — overlap pairs →
   *    multi-parent children → centroid partitioning of child cells —
@@ -62,20 +64,42 @@ object Track {
     flags.join(geom.select("y", "x", "area"), Seq("y", "x"))
       .groupBy("time").agg(sum("area").as("total_area"))
 
-  /** T7: fill temporal gaps ≤ tFill days per pixel (binary closing along
-    * time, track.py:1675–1726) — lag/lead window logic, no raster needed. */
-  def fillTimeGaps(flags: DataFrame, tFill: Int): DataFrame = {
+  /** Dense timestep index (rank over distinct times). The reference pairs
+    * consecutive timesteps by INDEX into the time axis (track.py:2474), not
+    * by calendar arithmetic — a 6-hourly or monthly axis must still pair t
+    * with the next timestep. Calendar `date_sub(time, 1)` pairing silently
+    * yields ZERO overlaps on any non-daily axis (every object becomes its
+    * own event), so everything time-adjacent goes through this index.
+    *
+    * @param timeAxis full time axis of the source field, if known. Defaults
+    *   to the distinct times present in `df`; pass the real axis when whole
+    *   timesteps can be empty (an empty slice still separates its neighbors
+    *   by 2 index steps in the reference).
+    *
+    * The rank window runs over one row per timestep — bounded by #timesteps,
+    * never by field size. */
+  def timeIndex(df: DataFrame, timeAxis: Option[DataFrame] = None): DataFrame =
+    timeAxis.getOrElse(df).select("time").distinct()
+      .withColumn("t_idx", row_number().over(Window.orderBy("time")).cast("long"))
+
+  /** T7: fill temporal gaps ≤ tFill timesteps per pixel (binary closing
+    * along the time axis, track.py:1675–1726) — lag/lead window logic over
+    * the dense timestep index, no raster needed. */
+  def fillTimeGaps(flags: DataFrame, tFill: Int,
+      timeAxis: Option[DataFrame] = None): DataFrame = {
     if (tFill <= 0) return flags.select("time", "y", "x")
-    val w = Window.partitionBy("y", "x").orderBy("time")
-    val withNext = flags.select("time", "y", "x")
-      .withColumn("next_t", lead("time", 1).over(w))
-      .withColumn("gap", datediff(col("next_t"), col("time")))
+    val idx = timeIndex(flags, timeAxis)
+    val fIdx = flags.join(idx, "time")
+    val w = Window.partitionBy("y", "x").orderBy("t_idx")
+    val withNext = fIdx.select(col("t_idx"), col("y"), col("x"))
+      .withColumn("next_i", lead("t_idx", 1).over(w))
+      .withColumn("gap", col("next_i") - col("t_idx"))
     val filler = withNext
       .filter(col("gap").between(2, tFill + 1))
-      .select(explode(sequence(
-        date_add(to_date(col("time")), 1),
-        date_sub(to_date(col("next_t")), 1))).as("d"), col("y"), col("x"))
-      .select(col("d").cast("timestamp").as("time"), col("y"), col("x"))
+      .select(explode(sequence(col("t_idx") + 1, col("next_i") - 1)).as("t_idx"),
+        col("y"), col("x"))
+      .join(idx, "t_idx")
+      .select("time", "y", "x")
     flags.select("time", "y", "x").union(filler).distinct()
   }
 
@@ -93,22 +117,41 @@ object Track {
       .select("time", "y", "x", "gid")
   }
 
+  /** Above this many objects the quantile switches from a driver collect to
+    * the distributed sort path — ~32 MB of doubles is the comfortable driver
+    * bound; 10⁷-object runs never materialize the area list. */
+  private val QuantileCollectLimit = 4000000L
+
   /** T11: drop objects below the area threshold — `quartile` of the object
-    * area distribution (exact, computed on the driver from the per-object
-    * area list, which has #objects rows — the reference does the same,
-    * track.py:1310) or an absolute threshold (track.py:1755–1906). */
+    * area distribution (exact numpy-style linear interpolation, matching the
+    * reference track.py:1310) or an absolute threshold (track.py:1755–1906).
+    *
+    * Small runs (≤ [[QuantileCollectLimit]] objects) collect the per-object
+    * area list like the reference does; larger runs compute the SAME exact
+    * quantile distributedly — global sort + zipWithIndex, fetch only the two
+    * bracketing ranks — so no driver OOM at 10⁷+ objects. */
   def filterSmallObjects(ids: DataFrame, geom: DataFrame, cfg: TrackConfig): DataFrame = {
     val areas = ids.join(geom.select("y", "x", "area"), Seq("y", "x"))
       .groupBy("time", "gid").agg(sum("area").as("obj_area"))
     val threshold: Double = cfg.areaFilterAbsolute.getOrElse {
-      val arr = areas.select("obj_area").collect().map(_.getDouble(0)).sorted
-      if (arr.isEmpty) 0.0
+      val n = areas.count()
+      if (n == 0L) 0.0
       else {
-        // numpy-style linear interpolation percentile
-        val pos = cfg.areaFilterQuartile * (arr.length - 1)
-        val lo = pos.toInt
-        val hi = math.min(lo + 1, arr.length - 1)
-        arr(lo) + (pos - lo) * (arr(hi) - arr(lo))
+        val pos = cfg.areaFilterQuartile * (n - 1)
+        val lo = pos.toLong
+        val hi = math.min(lo + 1, n - 1)
+        if (n <= QuantileCollectLimit) {
+          val arr = areas.select("obj_area").collect().map(_.getDouble(0)).sorted
+          arr(lo.toInt) + (pos - lo) * (arr(hi.toInt) - arr(lo.toInt))
+        } else {
+          val two = areas.select("obj_area").orderBy("obj_area").rdd
+            .map(_.getDouble(0)).zipWithIndex()
+            .filter { case (_, i) => i == lo || i == hi }
+            .collect().sortBy(_._2).map(_._1)
+          val vLo = two(0)
+          val vHi = if (two.length > 1) two(1) else two(0)
+          vLo + (pos - lo) * (vHi - vLo)
+        }
       }
     }
     val keep = areas.filter(col("obj_area") >= threshold).select("time", "gid")
@@ -137,30 +180,37 @@ object Track {
 
   /** T13+T14: overlapping (t, t+1) object pairs with overlap fraction ≥
     * threshold; fraction = overlap_cells / min(parent_cells, child_cells)
-    * (track.py:2396–2552). One equi-join shuffled on (time, y, x).
+    * (track.py:2396–2552). One equi-join shuffled on (t_idx, y, x);
+    * consecutive timesteps are paired by dense index ([[timeIndex]]),
+    * matching the reference's index-space pairing (track.py:2474).
     *
-    * Keys are (time, gid): after split/merge reassignment a child's cells
+    * Keys are (t_idx, gid): after split/merge reassignment a child's cells
     * carry its *parent's* gid forward, so the same gid legitimately exists
     * at many timesteps — per-gid-only counts would silently mix timesteps
     * and corrupt the fractions (found as a convergence hang).
-    * @return (time = parent timestep, id_p, id_c, overlap_cells, frac) */
-  def overlapPairs(ids: DataFrame, overlapThreshold: Double): DataFrame = {
-    val a = ids.select(col("time"), col("y"), col("x"), col("gid").as("id_p"))
-    val b = ids.select(date_sub(to_date(col("time")), 1).cast("timestamp").as("time"),
-      col("y"), col("x"), col("gid").as("id_c"))
-    val overlap = a.join(b, Seq("time", "y", "x"))
-      .groupBy("time", "id_p", "id_c").agg(count(lit(1)).as("overlap_cells"))
-    val counts = ids.groupBy("time", "gid").agg(count(lit(1)).as("n"))
-    val pCounts = counts.select(col("time"), col("gid").as("id_p"), col("n").as("n_p"))
-    val cCounts = counts.select(
-      date_sub(to_date(col("time")), 1).cast("timestamp").as("time"),
+    * @return (time = parent timestep, ctime = child timestep, id_p, id_c,
+    *         overlap_cells, frac) */
+  def overlapPairs(ids: DataFrame, overlapThreshold: Double,
+      timeAxis: Option[DataFrame] = None): DataFrame = {
+    val idx = timeIndex(ids, timeAxis)
+    val withIdx = ids.join(idx, "time")
+    val a = withIdx.select(col("t_idx"), col("time"), col("y"), col("x"),
+      col("gid").as("id_p"))
+    val b = withIdx.select((col("t_idx") - 1).as("t_idx"),
+      col("time").as("ctime"), col("y"), col("x"), col("gid").as("id_c"))
+    val overlap = a.join(b, Seq("t_idx", "y", "x"))
+      .groupBy("t_idx", "time", "ctime", "id_p", "id_c")
+      .agg(count(lit(1)).as("overlap_cells"))
+    val counts = withIdx.groupBy("t_idx", "gid").agg(count(lit(1)).as("n"))
+    val pCounts = counts.select(col("t_idx"), col("gid").as("id_p"), col("n").as("n_p"))
+    val cCounts = counts.select((col("t_idx") - 1).as("t_idx"),
       col("gid").as("id_c"), col("n").as("n_c"))
     overlap
-      .join(pCounts, Seq("time", "id_p"))
-      .join(cCounts, Seq("time", "id_c"))
+      .join(pCounts, Seq("t_idx", "id_p"))
+      .join(cCounts, Seq("t_idx", "id_c"))
       .withColumn("frac", col("overlap_cells").cast("double") / least(col("n_p"), col("n_c")).cast("double"))
       .filter(col("frac") >= overlapThreshold)
-      .select("time", "id_p", "id_c", "overlap_cells", "frac")
+      .select("time", "ctime", "id_p", "id_c", "overlap_cells", "frac")
   }
 
   // native codegen'd Catalyst expression (graft.plans.HaversineKm)
@@ -171,7 +221,8 @@ object Track {
     * parents by partitioning the child's cells to the nearest parent
     * centroid (haversine, T20); repeat until no multi-parent child remains.
     * Returns the updated id field and the merge ledger. */
-  def splitAndMerge(ids0: DataFrame, geom: DataFrame, cfg: TrackConfig): (DataFrame, DataFrame) = {
+  def splitAndMerge(ids0: DataFrame, geom: DataFrame, cfg: TrackConfig,
+      timeAxis: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val spark = ids0.sparkSession
     import spark.implicits._
     var ids = ids0.localCheckpoint()
@@ -180,9 +231,9 @@ object Track {
     var iter = 0
     var done = false
     while (!done && iter < cfg.maxOuterIter) {
-      // pairs.time = parent timestep; the child lives at ctime = time + 1 day.
-      val pairs = overlapPairs(ids, cfg.overlapThreshold)
-        .withColumn("ctime", date_add(to_date(col("time")), 1).cast("timestamp"))
+      // pairs.time = parent timestep; the child lives at ctime = the NEXT
+      // timestep on the axis (index-paired, works for any time spacing).
+      val pairs = overlapPairs(ids, cfg.overlapThreshold, timeAxis)
       // children (time, gid) claimed by >1 parent — keys MUST include the
       // timestep: after a reassignment round the same gid exists at many
       // timesteps (cells inherit the parent's gid going forward).
@@ -248,46 +299,56 @@ object Track {
     (ids, mergesAcc.withColumn("n_parents", size(col("parent_ids")).cast("long")))
   }
 
-  /** T16: stitch objects into events — union-find over the thresholded
-    * overlap-pair graph on the driver, dense event ids 1..N ordered by first
-    * appearance (tiebreak min gid). */
-  def stitchEvents(ids: DataFrame, overlapThreshold: Double): DataFrame = {
-    val spark = ids.sparkSession
-    import spark.implicits._
-    val pairs = overlapPairs(ids, overlapThreshold)
-      .select("id_p", "id_c").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-    val comp = ConnectedComponents.unionFindLocal(pairs.iterator)
-    val compB = spark.sparkContext.broadcast(comp)
-    val mapUdfFree = ids
-      .select(col("gid")).distinct()
-      .as[Long]
-      .map(g => (g, compB.value.getOrElse(g, g)))
-      .toDF("gid", "root")
+  /** T16: stitch objects into events — connected components over the
+    * thresholded overlap-pair graph, dense event ids 1..N ordered by first
+    * appearance (tiebreak min gid).
+    *
+    * Routed through [[ConnectedComponents.auto]]: small pair graphs (the
+    * common case — ~#objects rows; the reference solves the same graph with
+    * scipy on the driver, track.py:2883) collect + union-find; graphs past
+    * the driver threshold run distributed min-label propagation, so a
+    * 10⁷-object run never funnels the pair list through the driver. */
+  def stitchEvents(ids: DataFrame, overlapThreshold: Double,
+      timeAxis: Option[DataFrame] = None): DataFrame = {
+    val pairs = overlapPairs(ids, overlapThreshold, timeAxis)
+      .select(col("id_p").as("src"), col("id_c").as("dst"))
+    val comp = ConnectedComponents.auto(pairs) // (node, component)
+    val mapping = ids.select(col("gid")).distinct()
+      .join(comp.withColumnRenamed("node", "gid"), Seq("gid"), "left")
+      .select(col("gid"), coalesce(col("component"), col("gid")).as("root"))
     // dense event ids ordered by (first time of component, root)
-    val firstT = ids.join(mapUdfFree, "gid")
+    val firstT = ids.join(mapping, "gid")
       .groupBy("root").agg(min("time").as("t0"))
     val wr = Window.orderBy(col("t0"), col("root"))
     val eventIds = firstT.withColumn("event_id", row_number().over(wr).cast("long"))
       .select("root", "event_id")
-    ids.join(mapUdfFree, "gid").join(broadcast(eventIds), "root")
+    ids.join(mapping, "gid").join(broadcast(eventIds), "root")
       .select("time", "y", "x", "event_id")
   }
 
   /** Full tracker (T1/T23): morphology → gap fill → label → area filter →
-    * (optional) split/merge → event stitching → property tables. */
-  def track(flags: DataFrame, geom: DataFrame, spec: GridSpec, cfg: TrackConfig): TrackResult = {
+    * (optional) split/merge → event stitching → property tables.
+    *
+    * @param timeAxis full time axis of the source field if whole timesteps
+    *   can be flag-free (defaults to the distinct times present in `flags`;
+    *   see [[timeIndex]]). */
+  def track(flags: DataFrame, geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
+      timeAxis: Option[DataFrame] = None): TrackResult = {
+    // resolve the axis ONCE from the raw flags — later stages (area filter,
+    // split/merge reassignment) can drop whole timesteps from the id field,
+    // which must not change which timesteps count as consecutive.
+    val axis = Some(timeIndex(flags, timeAxis).select("time").localCheckpoint())
     val land = geom.filter(!col("valid")).select("y", "x")
     val landOpt = if (land.isEmpty) None else Some(land)
     val f1 = Raster.fillHoles(flags, cfg.rFill, spec, landOpt)
-    val f2 = fillTimeGaps(f1, cfg.tFill)
+    val f2 = fillTimeGaps(f1, cfg.tFill, axis)
     val f3 = if (cfg.rFill / 2 > 0) Raster.fillHoles(f2, cfg.rFill / 2, spec, landOpt) else f2
     val labeled = Raster.labelPerSlice(f3.localCheckpoint(), spec)
     val gids = globalIds(labeled)
     val filtered = filterSmallObjects(gids, geom, cfg).localCheckpoint()
 
     val (resolved, merges) =
-      if (cfg.allowMerging) splitAndMerge(filtered, geom, cfg)
+      if (cfg.allowMerging) splitAndMerge(filtered, geom, cfg, axis)
       else (filtered, {
         val spark = flags.sparkSession
         import spark.implicits._
@@ -295,7 +356,7 @@ object Track {
           .toDF("time", "child_id", "parent_ids", "n_parents")
       })
 
-    val idField = stitchEvents(resolved, cfg.overlapThreshold).localCheckpoint()
+    val idField = stitchEvents(resolved, cfg.overlapThreshold, axis).localCheckpoint()
     val props = objectProps(idField, geom, idCol = "event_id")
     val events = props.groupBy("event_id").agg(
       min("time").as("time_start"),

@@ -96,6 +96,9 @@ object Dedup {
     * rowsPerBand consecutive minhashes [b·r, (b+1)·r) with '|'. The only
     * fan-out is numBands rows per doc (e.g. 4), not hashes × shingles. */
   def lshBands(sigs: DataFrame, numHashes: Int, rowsPerBand: Int): DataFrame = {
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
+        "a partial trailing band would silently change candidate recall")
     val numBands = numHashes / rowsPerBand
     sigs
       .select(col("doc_id"), col("sig"),
@@ -128,11 +131,14 @@ object Dedup {
     val sh = shingles(docs, n)
     // ONE shuffle builds the per-doc shingle sets; both the signatures and
     // the verification intersections derive from it with no further fan-out.
+    // persist (not localCheckpoint): lineage stays intact, so the blocks can
+    // be released as soon as the (small) verified-pair output is materialized
+    // — no cached state outlives the call in a long-lived session.
     val sets = sh.groupBy("doc_id").agg(collect_set("shingle").as("set"))
-      .localCheckpoint() // reused twice; avoids recomputing the shuffle
+      .persist() // reused twice; avoids recomputing the shuffle
     val cands = lshCandidates(
       lshBands(minhashSignatureArray(sets, numHashes), numHashes, rowsPerBand))
-    cands
+    val out = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), "doc_b")
       .withColumn("common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
@@ -142,6 +148,9 @@ object Dedup {
       .filter(col("jaccard") >= minJaccard)
       .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
         round(col("jaccard"), 6).as("jaccard"))
+      .localCheckpoint() // eager: materializes the few surviving pairs
+    sets.unpersist()
+    out
   }
 
   /** 16-bit SimHash over token counts. Bits derive from the first 4 hex chars

@@ -10,8 +10,9 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   * (brute-force + sign-LSH ANN), text analysis (langid, quality, tokens,
   * fingerprints) and multimodal binary-column plumbing. Each query has a
   * DuckDB oracle implementing the identical algorithm (md5-based hashing is
-  * the portability anchor) except the mapPartitions decode stub, which gets
-  * the weaker rows-only check.
+  * the portability anchor). The multimodal queries decode real containers
+  * (BMP/WAV/GFV0) and their oracles recompute sizes/features from the public
+  * container layouts.
   */
 object PipelineQueries extends QueryRegistry {
 
@@ -258,7 +259,7 @@ object PipelineQueries extends QueryRegistry {
         feats.select(Seq(col("media_id").cast("long").as("media_id"), col("modality"),
           col("content_len").cast("long").as("content_len"),
           col("sum_bytes").cast("long").as("sum_bytes"),
-          expr("(sum_bytes * 1000000L) DIV content_len").as("mean_q6")) ++ hists: _*)
+          expr("(sum_bytes * 1000000L) DIV nullif(content_len, 0)").as("mean_q6")) ++ hists: _*)
       },
       Some("""WITH d AS (SELECT doc_id,
                      CAST(doc_id % 3 AS INT) AS m3,
@@ -276,21 +277,33 @@ object PipelineQueries extends QueryRegistry {
                        16 * (instr('0123456789ABCDEF', substr(hx, CAST(2*i - 1 AS INT), 1)) - 1)
                          + instr('0123456789ABCDEF', substr(hx, CAST(2*i AS INT), 1)) - 1
                      ELSE 0 END AS v
-                   FROM (SELECT *, unnest(generate_series(1, content_len)) AS i FROM sized))
-              SELECT CAST(doc_id AS BIGINT) AS media_id,
+                   FROM (SELECT *, unnest(generate_series(1, content_len)) AS i FROM sized)),
+                   agg AS (SELECT doc_id,
+                     sum(v) AS s,
+                     sum(CASE WHEN v // 32 = 0 THEN 1 ELSE 0 END) AS a0,
+                     sum(CASE WHEN v // 32 = 1 THEN 1 ELSE 0 END) AS a1,
+                     sum(CASE WHEN v // 32 = 2 THEN 1 ELSE 0 END) AS a2,
+                     sum(CASE WHEN v // 32 = 3 THEN 1 ELSE 0 END) AS a3,
+                     sum(CASE WHEN v // 32 = 4 THEN 1 ELSE 0 END) AS a4,
+                     sum(CASE WHEN v // 32 = 5 THEN 1 ELSE 0 END) AS a5,
+                     sum(CASE WHEN v // 32 = 6 THEN 1 ELSE 0 END) AS a6,
+                     sum(CASE WHEN v // 32 = 7 THEN 1 ELSE 0 END) AS a7
+                   FROM vals GROUP BY doc_id)
+              SELECT CAST(sized.doc_id AS BIGINT) AS media_id,
                      CASE m3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
                      CAST(content_len AS BIGINT) AS content_len,
-                     CAST(sum(v) AS BIGINT) AS sum_bytes,
-                     CAST((sum(v) * 1000000) // content_len AS BIGINT) AS mean_q6,
-                     CAST(sum(CASE WHEN v // 32 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS h0,
-                     CAST(sum(CASE WHEN v // 32 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS h1,
-                     CAST(sum(CASE WHEN v // 32 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS h2,
-                     CAST(sum(CASE WHEN v // 32 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS h3,
-                     CAST(sum(CASE WHEN v // 32 = 4 THEN 1 ELSE 0 END) AS BIGINT) AS h4,
-                     CAST(sum(CASE WHEN v // 32 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS h5,
-                     CAST(sum(CASE WHEN v // 32 = 6 THEN 1 ELSE 0 END) AS BIGINT) AS h6,
-                     CAST(sum(CASE WHEN v // 32 = 7 THEN 1 ELSE 0 END) AS BIGINT) AS h7
-              FROM vals GROUP BY 1, 2, 3"""),
+                     CAST(coalesce(s, 0) AS BIGINT) AS sum_bytes,
+                     CAST(CASE WHEN content_len = 0 THEN NULL
+                          ELSE (coalesce(s, 0) * 1000000) // content_len END AS BIGINT) AS mean_q6,
+                     CAST(coalesce(a0, 0) AS BIGINT) AS h0,
+                     CAST(coalesce(a1, 0) AS BIGINT) AS h1,
+                     CAST(coalesce(a2, 0) AS BIGINT) AS h2,
+                     CAST(coalesce(a3, 0) AS BIGINT) AS h3,
+                     CAST(coalesce(a4, 0) AS BIGINT) AS h4,
+                     CAST(coalesce(a5, 0) AS BIGINT) AS h5,
+                     CAST(coalesce(a6, 0) AS BIGINT) AS h6,
+                     CAST(coalesce(a7, 0) AS BIGINT) AS h7
+              FROM sized LEFT JOIN agg ON agg.doc_id = sized.doc_id"""),
       "Real container decode (BMP/WAV/GFV0) → oracle-checked content features")
   )
 }

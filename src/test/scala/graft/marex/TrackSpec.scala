@@ -49,10 +49,36 @@ class TrackSpec extends SparkSpec {
 
   test("fillTimeGaps fills gaps within tFill only") {
     val in = Seq((ts(0), 3, 3), (ts(3), 3, 3), (ts(10), 3, 3)).toDF("time", "y", "x")
-    val out = Track.fillTimeGaps(in, tFill = 2)
+    // gaps are measured in timesteps of the axis — pass the full daily axis
+    // (only 3 of the 11 timesteps have any flagged cell here)
+    val axis = Some((0 to 10).map(ts).toDF("time"))
+    val out = Track.fillTimeGaps(in, tFill = 2, axis)
       .select("time").collect().map(_.getTimestamp(0)).toSet
     assert(out == Set(ts(0), ts(1), ts(2), ts(3), ts(10)),
       s"got ${out.toSeq.sortBy(_.getTime).mkString(",")}")
+  }
+
+  test("fillTimeGaps works identically on a sub-daily (6-hourly) axis") {
+    val in = Seq((ts6(0), 3, 3), (ts6(3), 3, 3), (ts6(10), 3, 3)).toDF("time", "y", "x")
+    val axis = Some((0 to 10).map(ts6).toDF("time"))
+    val out = Track.fillTimeGaps(in, tFill = 2, axis)
+      .select("time").collect().map(_.getTimestamp(0)).toSet
+    assert(out == Set(ts6(0), ts6(1), ts6(2), ts6(3), ts6(10)),
+      s"got ${out.toSeq.sortBy(_.getTime).mkString(",")}")
+  }
+
+  test("sub-daily axis: overlap pairing is index-based, one drifting event") {
+    // 6-hourly steps; a 3×3 blob drifting 1 cell/step overlaps itself heavily
+    // step-over-step. Calendar-day pairing would find ZERO overlaps here and
+    // shatter this into 8 events.
+    val cells = for (t <- 0 until 8; y <- 5 to 7; x <- (5 + t) to (7 + t))
+      yield (ts6(t), y, x)
+    val in = cells.toDF("time", "y", "x")
+    val res = Track.track(in, geom, spec,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+        overlapThreshold = 0.3, allowMerging = false))
+    assert(res.stats("n_events_final") == 1,
+      s"6-hourly axis must stitch into one event, got ${res.stats("n_events_final")}")
   }
 
   test("global ids are unique across slices") {
@@ -161,4 +187,7 @@ class TrackSpec extends SparkSpec {
 
   private def ts(day: Int): java.sql.Timestamp =
     new java.sql.Timestamp(java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime + day * 86400000L)
+
+  private def ts6(step: Int): java.sql.Timestamp =
+    new java.sql.Timestamp(ts(0).getTime + step * 21600000L)
 }
