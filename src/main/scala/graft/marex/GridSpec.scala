@@ -50,6 +50,17 @@ final case class TrackConfig(
     overlapThreshold: Double = 0.5,
     allowMerging: Boolean = true,
     nnPartitioning: Boolean = false, // false → centroid partitioning
+    // strict sequential-in-time split/merge (reference gridded semantics,
+    // track.py:3337–3802): decisions at t read updated t−1/t−2; driver-
+    // orchestrated. false → batch-parallel (the default scale path).
+    sequentialSplitMerge: Boolean = false,
+    // the reference's structured-grid filter_small_objects unconditionally
+    // drops the first object entry (`object_ids_keep[0] = -1`,
+    // track.py:1898) — positionally meant for background 0 but regionprops
+    // labels start at 1, so object ID 1 is ALWAYS removed. Kept (default)
+    // for golden-count parity; set false for the mathematically clean
+    // filter.
+    dropSmallestObject: Boolean = true,
     maxInnerIter: Int = 10,
     maxOuterIter: Int = 40) {
   require(tFill % 2 == 0, "T_fill must be even (matches reference track.py:714)")

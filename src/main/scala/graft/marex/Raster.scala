@@ -17,11 +17,13 @@ import org.apache.spark.sql.functions._
   * perfectly (one slice never spans tasks, so there is no halo exchange).
   * All purely-relational stages (gap fill, counts, joins) stay long-format.
   *
-  * Boundary semantics (reference track.py:1612–1671): x wraps when
-  * `periodicX`; y edges behave as 'edge' padding — out-of-range rows count
-  * as land for erosion (so coastal/edge cells are not eroded away, matching
-  * the reference's fill-land-before-erode trick at track.py:1566–1577) and
-  * as empty for dilation.
+  * Boundary semantics mirror the reference's gridded branch exactly
+  * (track.py:1612–1671): morphology runs on the raw field padded with mode
+  * 'wrap' in BOTH dims when global (`periodicX`) or 'edge' when regional —
+  * implemented as modulo/clamp index resolution, equivalent to scipy's
+  * 2·R_fill pad — land cells participate as ordinary False values, and the
+  * ocean mask is applied to the OUTPUT only (track.py:1668), even when
+  * rFill = 0.
   */
 object Raster {
 
@@ -39,8 +41,14 @@ object Raster {
       .map(r => (r._1.getTime, r._2, r._3))
   }
 
+  /** Resolve a (possibly out-of-range) index: modulo when wrapping (scipy
+    * pad mode 'wrap'), clamp when regional (pad mode 'edge'). */
+  @inline private def resolve(v: Int, n: Int, wrap: Boolean): Int =
+    if (wrap) ((v % n) + n) % n
+    else if (v < 0) 0 else if (v >= n) n - 1 else v
+
   private def dilate(in: Array[Boolean], ny: Int, nx: Int, offs: Array[(Int, Int)],
-      periodicX: Boolean): Array[Boolean] = {
+      wrap: Boolean): Array[Boolean] = {
     val out = new Array[Boolean](ny * nx)
     var i = 0
     while (i < in.length) {
@@ -49,12 +57,9 @@ object Raster {
         var k = 0
         while (k < offs.length) {
           val (dy, dx) = offs(k)
-          val yy = y + dy
-          var xx = x + dx
-          if (yy >= 0 && yy < ny) {
-            if (periodicX) xx = ((xx % nx) + nx) % nx
-            if (xx >= 0 && xx < nx) out(yy * nx + xx) = true
-          }
+          val yy = resolve(y + dy, ny, wrap)
+          val xx = resolve(x + dx, nx, wrap)
+          out(yy * nx + xx) = true
           k += 1
         }
       }
@@ -63,9 +68,8 @@ object Raster {
     out
   }
 
-  /** Erosion with land (invalid cells) and out-of-domain treated as filled. */
   private def erode(in: Array[Boolean], ny: Int, nx: Int, offs: Array[(Int, Int)],
-      periodicX: Boolean, land: Array[Boolean]): Array[Boolean] = {
+      wrap: Boolean): Array[Boolean] = {
     val out = new Array[Boolean](ny * nx)
     var i = 0
     while (i < in.length) {
@@ -75,17 +79,9 @@ object Raster {
         var k = 0
         while (keep && k < offs.length) {
           val (dy, dx) = offs(k)
-          val yy = y + dy
-          var xx = x + dx
-          if (yy < 0 || yy >= ny) () // edge: counts as filled
-          else {
-            if (periodicX) xx = ((xx % nx) + nx) % nx
-            if (xx < 0 || xx >= nx) () // non-periodic x edge: filled
-            else {
-              val j = yy * nx + xx
-              if (!in(j) && (land == null || !land(j))) keep = false
-            }
-          }
+          val yy = resolve(y + dy, ny, wrap)
+          val xx = resolve(x + dx, nx, wrap)
+          if (!in(yy * nx + xx)) keep = false
           k += 1
         }
         if (keep) out(i) = true
@@ -101,10 +97,20 @@ object Raster {
   def fillHoles(flags: DataFrame, rFill: Int, spec: GridSpec,
       landMask: Option[DataFrame] = None): DataFrame = {
     spec.requireRaster()
-    if (rFill <= 0) return flags.select("time", "y", "x")
     val spark = flags.sparkSession
     import spark.implicits._
-    val ny = spec.ny; val nx = spec.nx; val per = spec.periodicX
+    val ny = spec.ny; val nx = spec.nx; val wrap = spec.periodicX
+    if (rFill <= 0) {
+      // no morphology, but the mask IS still applied (track.py:1668 runs
+      // after the R_fill==0 short-circuit)
+      return landMask match {
+        case None => flags.select("time", "y", "x")
+        case Some(m) => flags.select("time", "y", "x")
+          .join(m.select(col("y").cast("int").as("y"), col("x").cast("int").as("x")),
+            Seq("y", "x"), "left_anti")
+          .select("time", "y", "x")
+      }
+    }
     val offs = diskOffsets(rFill)
     val land: Array[Boolean] = landMask match {
       case None => null
@@ -122,9 +128,11 @@ object Raster {
         val grid = new Array[Boolean](ny * nx)
         it.foreach { case (_, y, x) => grid(y * nx + x) = true }
         val lm = landB.value
-        // closing: dilate then erode; opening: erode then dilate
-        val closed = erode(dilate(grid, ny, nx, offs, per), ny, nx, offs, per, lm)
-        val opened = dilate(erode(closed, ny, nx, offs, per, lm), ny, nx, offs, per)
+        // closing: dilate then erode; opening: erode then dilate — on the
+        // raw field (land participates as False, exactly like the
+        // reference's gridded morphology); mask applied to the output only
+        val closed = erode(dilate(grid, ny, nx, offs, wrap), ny, nx, offs, wrap)
+        val opened = dilate(erode(closed, ny, nx, offs, wrap), ny, nx, offs, wrap)
         val out = scala.collection.mutable.ArrayBuffer[(Long, Int, Int)]()
         var i = 0
         while (i < opened.length) {

@@ -1,0 +1,56 @@
+package graft.marex
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.sources.ZarrSource
+
+/** Loaders for the reference's own zarr test fixtures
+  * (tests/data/extremes_gridded.zarr et al.) — the ground truth for tracker
+  * golden-count parity (tests/test_gridded_tracking.py:75–77, 142–145).
+  *
+  * The fixtures are plain Zarr v2 with the zarr-python default compressor
+  * (blosc/lz4, byte-shuffle) — [[ZarrSource]]/[[graft.sources.Blosc]] read
+  * them directly; nothing is approximated.
+  */
+object ReferenceFixtures {
+
+  /** Load a gridded extremes fixture: boolean `extreme_events(time,lat,lon)`,
+    * `mask(lat,lon)`, 1-D `lat`/`lon`, `time` (seconds since 1981-01-01).
+    *
+    * @param maxLat,minLat polar exclusion applied to the mask, mirroring the
+    *   reference tests' `mask.where((lat < 85) & (lat > -90), False)`.
+    * @return (flags (time,y,x), geom (y,x,lat,lon,area=1,valid), spec) —
+    *   unit cell areas because the reference tests pass no cell_areas
+    *   (track.py:466–470: "using unit areas (cell counts)"). */
+  def loadExtremesGridded(spark: SparkSession, dir: String,
+      maxLat: Double = 85.0, minLat: Double = -90.0): (DataFrame, DataFrame, GridSpec) = {
+    import spark.implicits._
+    val (latShape, lat) = ZarrSource.readLocalND(s"$dir/lat")
+    val (lonShape, lon) = ZarrSource.readLocalND(s"$dir/lon")
+    val (_, maskArr) = ZarrSource.readLocalND(s"$dir/mask")
+    val (_, timeArr) = ZarrSource.readLocalND(s"$dir/time")
+    val ny = latShape.head
+    val nx = lonShape.head
+
+    // time units: "seconds since 1981-01-01" (fixture .zattrs)
+    val epoch = Timestamp.valueOf("1981-01-01 00:00:00").getTime
+    val timeDf = timeArr.toSeq.zipWithIndex
+      .map { case (s, i) => (i, new Timestamp(epoch + s.toLong * 1000L)) }
+      .toDF("t_idx", "time")
+
+    val flags = ZarrSource.read3D(spark, s"$dir/extreme_events")
+      .filter(col("value") =!= 0.0)
+      .join(broadcast(timeDf), "t_idx")
+      .select("time", "y", "x")
+
+    val geom = (for (y <- 0 until ny; x <- 0 until nx) yield {
+      val valid = maskArr(y * nx + x) != 0.0 && lat(y) < maxLat && lat(y) > minLat
+      (y, x, lat(y).toFloat, lon(x).toFloat, 1.0f, valid)
+    }).toDF("y", "x", "lat", "lon", "area", "valid")
+
+    (flags, geom, GridSpec(ny = ny, nx = nx, periodicX = true))
+  }
+}

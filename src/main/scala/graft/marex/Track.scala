@@ -154,7 +154,14 @@ object Track {
         }
       }
     }
-    val keep = areas.filter(col("obj_area") >= threshold).select("time", "gid")
+    // reference parity: the structured branch force-drops the first object
+    // entry — i.e. the smallest gid — regardless of its area (track.py:1898,
+    // `object_ids_keep[0] = -1`; see TrackConfig.dropSmallestObject)
+    val keep0 = areas.filter(col("obj_area") >= threshold).select("time", "gid")
+    val keep =
+      if (cfg.dropSmallestObject)
+        keep0.join(ids.agg(min("gid").as("gid")), Seq("gid"), "left_anti")
+      else keep0
     ids.join(keep, Seq("time", "gid"), "left_semi")
   }
 
@@ -299,6 +306,60 @@ object Track {
     (ids, mergesAcc.withColumn("n_parents", size(col("parent_ids")).cast("long")))
   }
 
+  /** T23 (true form): 3-D space-time connected-component labeling with
+    * 26-connectivity — a cell at t links to any flagged cell at t±1 within
+    * Chebyshev distance 1 in (y, x), INCLUDING the 8 time-diagonals
+    * (track.py:2009–2030: structure = ones(3,3,3), wrap_axes=(2,) → x wraps,
+    * y does not). This is the reference's non-merging tracker: an object
+    * drifting one cell per timestep with zero overlap still chains into one
+    * event, which overlap-threshold stitching can never reproduce.
+    *
+    * Spark shape: per-slice 2-D labels (8-connectivity, x-wrap) handle the
+    * intra-slice connectivity; cross-slice edges come from ONE equi-join of
+    * the labeled field against its next-timestep copy fanned out over the 9
+    * spatial shifts (×9 on sparse flagged rows, not the dense raster);
+    * [[graft.operators.ConnectedComponents.auto]] stitches the label graph,
+    * whose size is #objects — tiny relative to the field.
+    *
+    * Event ids are dense 1..N ordered by (first timestep, min slice-object
+    * id): the reference's scipy raster-scan numbering differs label-for-
+    * label, but component count and per-event cell sets agree exactly.
+    *
+    * @return (time, y, x, event_id) */
+  def labelSpaceTime(flags: DataFrame, spec: GridSpec,
+      timeAxis: Option[DataFrame] = None): DataFrame = {
+    val gids = globalIds(Raster.labelPerSlice(flags, spec))
+    val idx = timeIndex(gids, timeAxis)
+    val withIdx = gids.join(idx, "time")
+    val nx = spec.nx; val ny = spec.ny
+    val offs = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    val shiftedX =
+      if (spec.periodicX) pmod(col("x") + col("o.dx"), lit(nx))
+      else col("x") + col("o.dx")
+    val b = withIdx
+      .select(col("t_idx"), col("y"), col("x"), col("gid").as("gid_c"),
+        explode(offs).as("o"))
+      .select((col("t_idx") - 1).as("t_idx"), (col("y") + col("o.dy")).as("y"),
+        shiftedX.as("x"), col("gid_c"))
+      .filter(col("y").between(0, ny - 1) && col("x").between(0, nx - 1))
+    val edges = withIdx.select(col("t_idx"), col("y"), col("x"), col("gid"))
+      .join(b, Seq("t_idx", "y", "x"))
+      .select(col("gid").as("src"), col("gid_c").as("dst"))
+      .distinct()
+    val comp = ConnectedComponents.auto(edges)
+    val mapping = gids.select(col("gid")).distinct()
+      .join(comp.withColumnRenamed("node", "gid"), Seq("gid"), "left")
+      .select(col("gid"), coalesce(col("component"), col("gid")).as("root"))
+    val firstT = gids.join(mapping, "gid")
+      .groupBy("root").agg(min("time").as("t0"), min("gid").as("g0"))
+    val wr = Window.orderBy(col("t0"), col("g0"))
+    val eventIds = firstT.withColumn("event_id", row_number().over(wr).cast("long"))
+      .select("root", "event_id")
+    gids.join(mapping, "gid").join(broadcast(eventIds), "root")
+      .select("time", "y", "x", "event_id")
+  }
+
   /** T16: stitch objects into events — connected components over the
     * thresholded overlap-pair graph, dense event ids 1..N ordered by first
     * appearance (tiebreak min gid).
@@ -341,14 +402,20 @@ object Track {
     val land = geom.filter(!col("valid")).select("y", "x")
     val landOpt = if (land.isEmpty) None else Some(land)
     val f1 = Raster.fillHoles(flags, cfg.rFill, spec, landOpt)
-    val f2 = fillTimeGaps(f1, cfg.tFill, axis)
-    val f3 = if (cfg.rFill / 2 > 0) Raster.fillHoles(f2, cfg.rFill / 2, spec, landOpt) else f2
+    // fill_time_gaps ends with a second fill_holes(R_fill/2) pass in the
+    // reference (track.py:1723–1726) — it runs ONLY when T_fill > 0
+    val f3 =
+      if (cfg.tFill > 0)
+        Raster.fillHoles(fillTimeGaps(f1, cfg.tFill, axis), cfg.rFill / 2, spec, landOpt)
+      else f1
     val labeled = Raster.labelPerSlice(f3.localCheckpoint(), spec)
     val gids = globalIds(labeled)
     val filtered = filterSmallObjects(gids, geom, cfg).localCheckpoint()
 
     val (resolved, merges) =
-      if (cfg.allowMerging) splitAndMerge(filtered, geom, cfg, axis)
+      if (cfg.allowMerging && cfg.sequentialSplitMerge)
+        SequentialSplitMerge.run(filtered, spec, cfg, axis)
+      else if (cfg.allowMerging) splitAndMerge(filtered, geom, cfg, axis)
       else (filtered, {
         val spark = flags.sparkSession
         import spark.implicits._
@@ -356,7 +423,14 @@ object Track {
           .toDF("time", "child_id", "parent_ids", "n_parents")
       })
 
-    val idField = stitchEvents(resolved, cfg.overlapThreshold, axis).localCheckpoint()
+    // Non-merging path = the reference's pure 3-D space-time CCL
+    // (identify_objects(time_connectivity=True), track.py:1388–1395);
+    // overlap-threshold stitching is the merging path's consolidation step
+    // (track_objects), NOT the non-merging semantics.
+    val idField =
+      (if (cfg.allowMerging) stitchEvents(resolved, cfg.overlapThreshold, axis)
+       else labelSpaceTime(resolved.select("time", "y", "x"), spec, axis))
+        .localCheckpoint()
     val props = objectProps(idField, geom, idCol = "event_id")
     val events = props.groupBy("event_id").agg(
       min("time").as("time_start"),

@@ -11,10 +11,11 @@ import org.json4s.jackson.JsonMethods
 /** Zarr v2 directory ingest — the reference's native storage format
   * (marEx reads/writes zarr throughout, e.g. detect.py:409, track.py:1748).
   *
-  * Scope: C-order little-endian arrays, dtypes <f4 <f8 <i4 <i8 |b1, raw or
-  * zlib-compressed chunks (blosc is rejected with a clear error — it is not
-  * on a stock JVM classpath). That covers the reference's test fixtures and
-  * anything written with `compressor=zlib/None`.
+  * Scope: C-order little-endian arrays, dtypes <f4 <f8 <i4 <i8 |b1, with
+  * raw, zlib, or blosc-lz4 (byte-shuffle, split/memcpy frames — [[Blosc]])
+  * chunk compression. That covers the reference's own test fixtures (written
+  * with the zarr default blosc/lz4/shuffle=1) and anything written with
+  * `compressor=zlib/None`.
   *
   * Execution shape: chunk files are the unit of parallelism — each becomes
   * one task decoding one chunk into long-format rows, so ingest scales with
@@ -183,13 +184,18 @@ object ZarrSource {
     // fill_value (writers elide empty chunks, e.g. write_empty_chunks=False).
     // Enumerate the expected chunk grid and synthesize fill_value rows for
     // the absent ones — otherwise those cells silently vanish from the long
-    // format. (Directory listing is java.io like the .zarray read above;
-    // local/tests scope.)
-    val present: Set[(Int, Int, Int)] =
-      Option(new java.io.File(dir).list()).getOrElse(Array.empty[String]).toSeq
+    // format. The listing goes through the SAME Hadoop FileSystem that
+    // binaryFiles reads from (local, HDFS, S3A …): a java.io listing would
+    // return null on non-local URIs and silently classify every chunk as
+    // missing, duplicating each cell as value + fill_value.
+    val present: Set[(Int, Int, Int)] = {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.listStatus(p).toSeq.map(_.getPath.getName)
         .filter(_.matches("\\d+\\.\\d+\\.\\d+"))
         .map { n => val Array(a, b, c) = n.split('.').map(_.toInt); (a, b, c) }
         .toSet
+    }
     val missing = for {
       ci <- 0 until (nt + ct - 1) / ct if keepChunkT(ci)
       cj <- 0 until (ny + cy - 1) / cy

@@ -1,0 +1,66 @@
+package graft.marex
+
+import graft.SparkSpec
+
+/** Tracker golden-count parity against the reference's OWN regression
+  * fixture and bands (tests/test_gridded_tracking.py): the fixture zarr is
+  * read directly (blosc-lz4) and the full detect-output → track pipeline
+  * must reproduce the reference's object/event counts within its published
+  * tolerances.
+  */
+class GoldenTrackingSpec extends SparkSpec {
+
+  private val fixtureDir = "/root/reference/tests/data/extremes_gridded.zarr"
+
+  private def haveFixture = new java.io.File(s"$fixtureDir/.zgroup").exists()
+
+  private lazy val loaded = ReferenceFixtures.loadExtremesGridded(spark, fixtureDir)
+
+  test("fixture loads with the expected shape and plausible extreme fraction") {
+    assume(haveFixture)
+    val (flags, geom, spec) = loaded
+    assert(spec.ny == 180 && spec.nx == 360)
+    assert(flags.select("time").distinct().count() == 32)
+    val nFlag = flags.count()
+    // 95th-percentile extremes: a few percent of 32×64800 samples
+    assert(nFlag > 20000 && nFlag < 400000, s"implausible flag count $nFlag")
+    assert(geom.filter("valid").count() > 30000)
+  }
+
+  test("basic tracking matches reference golden counts (549/274/24)") {
+    assume(haveFixture)
+    val (flags, geom, spec) = loaded
+    // test_gridded_tracking.py:25–77: R_fill=4, T_fill=0, quartile=0.5,
+    // allow_merging=False, poles masked out
+    val res = Track.track(flags, geom, spec,
+      TrackConfig(rFill = 4, tFill = 0, areaFilterQuartile = 0.5,
+        allowMerging = false))
+    val pre = res.stats("n_objects_prefiltered")
+    val post = res.stats("n_objects_filtered")
+    val events = res.stats("n_events_final")
+    info(s"prefiltered=$pre filtered=$post events=$events")
+    assert(math.abs(pre - 549L) <= 2, s"N_objects_prefiltered $pre !~ 549±2")
+    assert(math.abs(post - 274L) <= 2, s"N_objects_filtered $post !~ 274±2")
+    assert(math.abs(events - 24L) <= 1, s"N_events_final $events !~ 24±1")
+  }
+
+  test("merging tracking matches reference golden counts (516/258/20/13)") {
+    assume(haveFixture)
+    val (flags, geom, spec) = loaded
+    // test_gridded_tracking.py:82–145: R_fill=4, T_fill=2, quartile=0.5,
+    // allow_merging=True, overlap_threshold=0.5, nn_partitioning=True
+    val res = Track.track(flags, geom, spec,
+      TrackConfig(rFill = 4, tFill = 2, areaFilterQuartile = 0.5,
+        overlapThreshold = 0.5, allowMerging = true, nnPartitioning = true,
+        sequentialSplitMerge = true))
+    val pre = res.stats("n_objects_prefiltered")
+    val post = res.stats("n_objects_filtered")
+    val events = res.stats("n_events_final")
+    val merges = res.stats("total_merges")
+    info(s"prefiltered=$pre filtered=$post events=$events merges=$merges")
+    assert(math.abs(pre - 516L) <= 2, s"N_objects_prefiltered $pre !~ 516±2")
+    assert(math.abs(post - 258L) <= 2, s"N_objects_filtered $post !~ 258±2")
+    assert(math.abs(events - 20L) <= 1, s"N_events_final $events !~ 20±1")
+    assert(math.abs(merges - 13L) <= 2, s"total_merges $merges !~ 13±2")
+  }
+}

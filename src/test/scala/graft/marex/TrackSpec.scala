@@ -75,7 +75,7 @@ class TrackSpec extends SparkSpec {
       yield (ts6(t), y, x)
     val in = cells.toDF("time", "y", "x")
     val res = Track.track(in, geom, spec,
-      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0, dropSmallestObject = false,
         overlapThreshold = 0.3, allowMerging = false))
     assert(res.stats("n_events_final") == 1,
       s"6-hourly axis must stitch into one event, got ${res.stats("n_events_final")}")
@@ -92,7 +92,7 @@ class TrackSpec extends SparkSpec {
 
   test("non-merging tracker stitches the moving blob into one event") {
     val res = Track.track(blobs, geom, spec,
-      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0, dropSmallestObject = false,
         overlapThreshold = 0.3, allowMerging = false))
     // moving blob overlaps itself day-over-day; static blob likewise; when the
     // mover passes through the static one they may fuse into one event.
@@ -107,7 +107,7 @@ class TrackSpec extends SparkSpec {
   test("area filter drops the smaller object at high quartile") {
     val labeled = Track.globalIds(Raster.labelPerSlice(blobs, spec))
     val kept = Track.filterSmallObjects(labeled, geom,
-      TrackConfig(areaFilterQuartile = 0.9, tFill = 0))
+      TrackConfig(areaFilterQuartile = 0.9, tFill = 0, dropSmallestObject = false))
     val nAll = labeled.select("gid").distinct().count()
     val nKept = kept.select("gid").distinct().count()
     assert(nKept < nAll, s"filter kept all $nAll objects")
@@ -132,7 +132,7 @@ class TrackSpec extends SparkSpec {
 
   test("merging tracker resolves a genuine merge and records genealogy") {
     val res = Track.track(collideLate, geom, spec,
-      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0, dropSmallestObject = false,
         overlapThreshold = 0.2, allowMerging = true))
     // the collision must be detected and ledgered
     assert(res.stats("total_merges") >= 1, "no merge recorded for a real collision")
@@ -145,14 +145,14 @@ class TrackSpec extends SparkSpec {
 
   test("non-merging tracker on the same collision fuses into fewer events") {
     val res = Track.track(collideLate, geom, spec,
-      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0, dropSmallestObject = false,
         overlapThreshold = 0.2, allowMerging = false))
     assert(res.stats("n_events_final") >= 1)
   }
 
   test("NN partitioning resolves merges like centroid partitioning") {
     val res = Track.track(collideLate, geom, spec,
-      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0, dropSmallestObject = false,
         overlapThreshold = 0.2, allowMerging = true, nnPartitioning = true))
     assert(res.idField.count() == collideLate.count())
     assert(res.stats("total_merges") >= 1, "NN path must also ledger the collision")
@@ -161,7 +161,7 @@ class TrackSpec extends SparkSpec {
 
   test("run metadata JSON round-trips the config and stats") {
     val res = Track.track(blobs, geom, spec,
-      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0, dropSmallestObject = false,
         overlapThreshold = 0.3, allowMerging = false))
     val p = java.nio.file.Files.createTempFile("graft_meta", ".json").toString
     Track.writeRunMetadata(res, TrackConfig(rFill = 0, tFill = 0,
@@ -175,7 +175,7 @@ class TrackSpec extends SparkSpec {
     // same config as the merging test above (rFill=0 keeps the morphology out
     // of the loop — with rFill=1 the bridged blobs trigger many more
     // resolution rounds and the doubled run blows the suite budget)
-    val cfg = TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+    val cfg = TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0, dropSmallestObject = false,
       overlapThreshold = 0.2, allowMerging = true)
     def run() = Track.track(collideLate, geom, spec, cfg)
       .idField.orderBy("time", "y", "x")
