@@ -170,7 +170,12 @@ object MarexQueries extends QueryRegistry {
               FROM g"""),
       "Hobday thresholds (marEx D14): ±5-day circular fan-out, bit-identical interpolation"),
 
-    // ── T23: full tracker on a thresholded events raster (rows-only) ───────
+    // ── T23: 3-D space-time CCL tracker, recursive-CTE oracle ──────────────
+    // Event numbering parity: Spark orders events by (first time, min gid);
+    // per-slice labels are assigned in ascending min-flat-cell order and gid
+    // offsets are cumulative in time, so min gid over a component is reached
+    // at its first timestep and equals the component's min (y·nx+x) anchor
+    // there — which is exactly what the oracle ranks by.
     QueryDef("q53_marex_track",
       (s, d) => {
         val s2 = s
@@ -187,15 +192,79 @@ object MarexQueries extends QueryRegistry {
         val spec = GridSpec(ny = 10, nx = 15, periodicX = false)
         val geom = SyntheticData.geometry(s2, 10, 15)
         val res = Track.track(flags, geom, spec,
-          TrackConfig(rFill = 1, tFill = 2, areaFilterQuartile = 0.25,
-            overlapThreshold = 0.3, allowMerging = true))
-        res.eventProps
-          .select(col("event_id"), unix_millis(col("time")).as("t_ms"),
-            round(col("area"), 3).as("area"), col("n_cells"),
-            round(col("cen_lat"), 4).as("cen_lat"), round(col("cen_lon"), 4).as("cen_lon"))
+          TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+            allowMerging = false, dropSmallestObject = false))
+        res.idField.groupBy("event_id")
+          .agg(count(lit(1)).as("n_cells"),
+            unix_millis(min(col("time"))).as("first_ms"),
+            unix_millis(max(col("time"))).as("last_ms"))
+          .select(col("event_id").cast("long"), col("n_cells").cast("long"),
+            col("first_ms"), col("last_ms"))
       },
-      None, // raster kernels + driver union-find: rows-only check
-      "Full marEx tracker (morphology→gap fill→CCL→stitch→props) on events raster"),
+      Some("""WITH RECURSIVE
+                flags AS (SELECT CAST(ts AS DATE) AS day,
+                                 CAST(user_id % 150 // 15 AS BIGINT) AS y,
+                                 CAST(user_id % 15 AS BIGINT) AS x
+                          FROM events
+                          GROUP BY 1, 2, 3 HAVING max(value) > 150),
+                cells AS (SELECT day, y, x,
+                                 CAST(dense_rank() OVER (ORDER BY day) AS BIGINT) AS t
+                          FROM flags),
+                keyed AS (SELECT day, y, x, t, t * 150 + y * 15 + x AS k FROM cells),
+                ud AS (SELECT a.k AS src, b.k AS dst
+                       FROM keyed a JOIN keyed b
+                         ON abs(a.t - b.t) <= 1
+                        AND abs(a.y - b.y) <= 1 AND abs(a.x - b.x) <= 1
+                        AND a.k != b.k),
+                reach(a, b) AS (
+                  SELECT k, k FROM keyed
+                  UNION
+                  SELECT r.a, ud.dst FROM reach r JOIN ud ON ud.src = r.b),
+                comp AS (SELECT a AS k, min(b) AS c FROM reach GROUP BY a),
+                cc AS (SELECT comp.c, keyed.t, keyed.y, keyed.x, keyed.day
+                       FROM keyed JOIN comp ON comp.k = keyed.k),
+                ev AS (SELECT c, count(*) AS n_cells, min(t) AS t0,
+                              min(day) AS first_day, max(day) AS last_day
+                       FROM cc GROUP BY c),
+                anchor AS (SELECT cc.c, min(cc.y * 15 + cc.x) AS a0
+                           FROM cc JOIN ev ON ev.c = cc.c AND cc.t = ev.t0
+                           GROUP BY cc.c)
+              SELECT CAST(row_number() OVER (ORDER BY ev.t0, anchor.a0) AS BIGINT) AS event_id,
+                     CAST(ev.n_cells AS BIGINT) AS n_cells,
+                     CAST(epoch_ms(CAST(ev.first_day AS TIMESTAMP)) AS BIGINT) AS first_ms,
+                     CAST(epoch_ms(CAST(ev.last_day AS TIMESTAMP)) AS BIGINT) AS last_ms
+              FROM ev JOIN anchor ON anchor.c = ev.c"""),
+      "3-D space-time CCL tracker (marEx T23) vs recursive-CTE 26-connectivity oracle"),
+
+    // ── Golden-count regression lock vs the reference's own fixture ────────
+    // Runs the full merging tracker (morphology → gap fill → filter →
+    // sequential split/merge → stitch) on the reference repo's
+    // extremes_gridded.zarr and emits its run statistics. The oracle pins
+    // the deterministic outputs, which GoldenTrackingSpec asserts lie inside
+    // the reference's published tolerance bands
+    // (tests/test_gridded_tracking.py:142–145: 516±2 / 258±2 / 20±1 / 13±2).
+    QueryDef("q55_marex_golden",
+      (s, _) => {
+        import s.implicits._
+        val dir = "/root/reference/tests/data/extremes_gridded.zarr"
+        val (flags, geom, spec) = graft.marex.ReferenceFixtures.loadExtremesGridded(s, dir)
+        val res = Track.track(flags, geom, spec,
+          TrackConfig(rFill = 4, tFill = 2, areaFilterQuartile = 0.5,
+            overlapThreshold = 0.5, allowMerging = true, nnPartitioning = true,
+            sequentialSplitMerge = true))
+        val st = res.stats
+        Seq(
+          ("n_objects_prefiltered", st("n_objects_prefiltered")),
+          ("n_objects_filtered", st("n_objects_filtered")),
+          ("n_events_final", st("n_events_final")),
+          ("total_merges", st("total_merges")))
+          .toDF("metric", "value")
+      },
+      Some("""SELECT 'n_objects_prefiltered' AS metric, CAST(516 AS BIGINT) AS value
+              UNION ALL SELECT 'n_objects_filtered', CAST(258 AS BIGINT)
+              UNION ALL SELECT 'n_events_final', CAST(21 AS BIGINT)
+              UNION ALL SELECT 'total_merges', CAST(13 AS BIGINT)"""),
+      "Full merging tracker on the reference fixture; golden counts pinned"),
 
     // ── I3/Q01-dual: Zarr write → read round-trip, oracle-checked ──────────
     QueryDef("q54_zarr_roundtrip",
