@@ -170,6 +170,162 @@ object MarexQueries extends QueryRegistry {
               FROM g"""),
       "Hobday thresholds (marEx D14): ±5-day circular fan-out, bit-identical interpolation"),
 
+    // ── D7/D9: shifting-baseline rolling climatology + trim ────────────────
+    // Oracle-exact form (like q50): the synthetic multi-year field maps
+    // user_id → (pixel y, year) so one table yields 8 years per pixel; cell
+    // values are re-rounded to integer centi-units, so the climatology and
+    // anomaly are emitted as EXACT integers (numerator + window count) with
+    // zero float-ordering risk. The library operator
+    // (Detect.rollingClimatology / shiftingBaselineAnomaly) is covered by
+    // DetectSpec; anomaly = anom_num / (100 · n_base).
+    QueryDef("q56_marex_shifting",
+      (s, d) => {
+        val cells = Tables.load(s, d, "events").select(
+          (col("user_id") % 25).cast("long").as("y"),
+          (expr("user_id DIV 25") % 8 + 2000).cast("long").as("yr"),
+          dayofyear(col("ts")).cast("long").as("doy"),
+          col("value"))
+          .groupBy("y", "yr", "doy")
+          .agg(floor(sum(round(col("value") * 100.0, 0).cast("long")).cast("double")
+            / count(lit(1)) + 0.5).cast("long").as("v100"))
+        val src = cells
+          .withColumn("yr_t", explode(sequence(col("yr") + 1, col("yr") + 3)))
+        val clim = src.groupBy(col("y"), col("yr_t").as("yr"), col("doy"))
+          .agg(sum("v100").as("s"), count(lit(1)).as("n_base"))
+        cells.join(clim, Seq("y", "yr", "doy"))
+          .filter(col("yr") >= 2003) // D9 trim: first `window` years dropped
+          .select(col("y"), col("yr"), col("doy"),
+            (col("v100") * col("n_base") - col("s")).as("anom_num"),
+            col("n_base"))
+      },
+      Some("""WITH f AS (SELECT CAST(user_id % 25 AS BIGINT) AS y,
+                                CAST((user_id // 25) % 8 + 2000 AS BIGINT) AS yr,
+                                CAST(dayofyear(ts) AS BIGINT) AS doy, value
+                         FROM events),
+                   cells AS (SELECT y, yr, doy,
+                               CAST(floor(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE)
+                                 / count(*) + 0.5) AS BIGINT) AS v100
+                             FROM f GROUP BY 1, 2, 3),
+                   src AS (SELECT y, yr + s.dd AS yr, doy, v100 FROM cells
+                           CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS dd) s),
+                   clim AS (SELECT y, yr, doy, sum(v100) AS s, count(*) AS n_base
+                            FROM src GROUP BY 1, 2, 3)
+              SELECT c.y, c.yr, c.doy,
+                     CAST(c.v100 * cl.n_base - cl.s AS BIGINT) AS anom_num,
+                     CAST(cl.n_base AS BIGINT) AS n_base
+              FROM cells c JOIN clim cl USING (y, yr, doy)
+              WHERE c.yr >= 2003"""),
+      "Shifting-baseline rolling climatology + trim (marEx D7/D9), integer-exact"),
+
+    // ── D5/D11: per-pixel OLS detrend + fixed baseline on residuals ────────
+    // Linear fit per pixel in EXACT integer arithmetic: with τ the per-pixel
+    // dense time rank and v the centi-scaled cell value,
+    //   D = n·Στ² − (Στ)², Sxy = n·Στv − Στ·Σv,
+    //   resid·(n·D) = v·n·D − Σv·D − Sxy·(τ·n − Στ)
+    // — all BIGINT, so Spark and DuckDB agree bit-for-bit. D11 then removes
+    // the per-(pixel, doy) mean of the residuals across years:
+    //   d11_num = resid_num·m − Σ_years resid_num, anomaly =
+    //   d11_num / (100 · n·D · m). (OLS with intercept ⇒ the zero-mean
+    //   re-centering of D5 is an exact no-op.)
+    QueryDef("q57_marex_detrend",
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val cells = Tables.load(s, d, "events").select(
+          (col("user_id") % 25).cast("long").as("y"),
+          (expr("user_id DIV 25") % 8 + 2000).cast("long").as("yr"),
+          dayofyear(col("ts")).cast("long").as("doy"),
+          col("value"))
+          .groupBy("y", "yr", "doy")
+          .agg(floor(sum(round(col("value") * 100.0, 0).cast("long")).cast("double")
+            / count(lit(1)) + 0.5).cast("long").as("v100"))
+        val wTau = Window.partitionBy("y").orderBy("yr", "doy")
+        val wPx = Window.partitionBy("y")
+        val wDoy = Window.partitionBy("y", "doy")
+        cells
+          .withColumn("tau", row_number().over(wTau).cast("long"))
+          .withColumn("n", count(lit(1)).over(wPx))
+          .withColumn("st", sum("tau").over(wPx))
+          .withColumn("st2", sum(col("tau") * col("tau")).over(wPx))
+          .withColumn("sv", sum("v100").over(wPx))
+          .withColumn("stv", sum(col("tau") * col("v100")).over(wPx))
+          .withColumn("dd", col("n") * col("st2") - col("st") * col("st"))
+          .withColumn("sxy", col("n") * col("stv") - col("st") * col("sv"))
+          .withColumn("resid_num",
+            col("v100") * col("n") * col("dd") - col("sv") * col("dd")
+              - col("sxy") * (col("tau") * col("n") - col("st")))
+          .withColumn("m", count(lit(1)).over(wDoy))
+          .withColumn("sr", sum("resid_num").over(wDoy))
+          .select(col("y"), col("yr"), col("doy"),
+            (col("resid_num") * col("m") - col("sr")).as("d11_num"),
+            col("m"), (col("n") * col("dd")).as("denom"))
+      },
+      Some("""WITH f AS (SELECT CAST(user_id % 25 AS BIGINT) AS y,
+                                CAST((user_id // 25) % 8 + 2000 AS BIGINT) AS yr,
+                                CAST(dayofyear(ts) AS BIGINT) AS doy, value
+                         FROM events),
+                   cells AS (SELECT y, yr, doy,
+                               CAST(floor(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE)
+                                 / count(*) + 0.5) AS BIGINT) AS v100
+                             FROM f GROUP BY 1, 2, 3),
+                   t AS (SELECT y, yr, doy, v100,
+                                CAST(row_number() OVER (PARTITION BY y ORDER BY yr, doy) AS BIGINT) AS tau
+                         FROM cells),
+                   px AS (SELECT *,
+                                 count(*) OVER w AS n,
+                                 sum(tau) OVER w AS st,
+                                 sum(tau * tau) OVER w AS st2,
+                                 sum(v100) OVER w AS sv,
+                                 sum(tau * v100) OVER w AS stv
+                          FROM t WINDOW w AS (PARTITION BY y)),
+                   r AS (SELECT y, yr, doy,
+                                v100 * n * (n * st2 - st * st)
+                                  - sv * (n * st2 - st * st)
+                                  - (n * stv - st * sv) * (tau * n - st) AS resid_num,
+                                n * (n * st2 - st * st) AS denom
+                         FROM px)
+              SELECT y, yr, doy,
+                     CAST(resid_num * (count(*) OVER wd) - (sum(resid_num) OVER wd) AS BIGINT) AS d11_num,
+                     CAST(count(*) OVER wd AS BIGINT) AS m,
+                     CAST(denom AS BIGINT) AS denom
+              FROM r WINDOW wd AS (PARTITION BY y, doy)"""),
+      "Per-pixel OLS detrend + fixed baseline on residuals (marEx D5/D11), integer-exact"),
+
+    // ── D6: per-(pixel, doy) STD of the field across years ─────────────────
+    // σ² = sd2_num / (m² · 10⁴) with sd2_num = m·Σv² − (Σv)² — exact
+    // integers. The 30-day circular RMS pooling on top of this reuses the
+    // same circular-doy fan-out primitive that q52 hash-gates; the division
+    // by the pooled RMS is a scalar map.
+    QueryDef("q58_marex_stdnorm",
+      (s, d) => {
+        val cells = Tables.load(s, d, "events").select(
+          (col("user_id") % 25).cast("long").as("y"),
+          (expr("user_id DIV 25") % 8 + 2000).cast("long").as("yr"),
+          dayofyear(col("ts")).cast("long").as("doy"),
+          col("value"))
+          .groupBy("y", "yr", "doy")
+          .agg(floor(sum(round(col("value") * 100.0, 0).cast("long")).cast("double")
+            / count(lit(1)) + 0.5).cast("long").as("v100"))
+        cells.groupBy("y", "doy")
+          .agg(count(lit(1)).as("m"), sum("v100").as("sv"),
+            sum(col("v100") * col("v100")).as("sv2"))
+          .select(col("y"), col("doy"),
+            (col("m") * col("sv2") - col("sv") * col("sv")).as("sd2_num"),
+            col("m"))
+      },
+      Some("""WITH f AS (SELECT CAST(user_id % 25 AS BIGINT) AS y,
+                                CAST((user_id // 25) % 8 + 2000 AS BIGINT) AS yr,
+                                CAST(dayofyear(ts) AS BIGINT) AS doy, value
+                         FROM events),
+                   cells AS (SELECT y, yr, doy,
+                               CAST(floor(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE)
+                                 / count(*) + 0.5) AS BIGINT) AS v100
+                             FROM f GROUP BY 1, 2, 3)
+              SELECT y, doy,
+                     CAST(count(*) * sum(v100 * v100) - sum(v100) * sum(v100) AS BIGINT) AS sd2_num,
+                     CAST(count(*) AS BIGINT) AS m
+              FROM cells GROUP BY y, doy"""),
+      "Per-(pixel, doy) STD across years (marEx D6), integer-exact"),
+
     // ── T23: 3-D space-time CCL tracker, recursive-CTE oracle ──────────────
     // Event numbering parity: Spark orders events by (first time, min gid);
     // per-slice labels are assigned in ascending min-flat-cell order and gid
