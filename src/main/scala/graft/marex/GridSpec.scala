@@ -61,11 +61,22 @@ final case class TrackConfig(
     // for golden-count parity; set false for the mathematically clean
     // filter.
     dropSmallestObject: Boolean = true,
+    // preprocessing checkpoint (reference helper.py:642, run_preprocess
+    // checkpoint="save"/"load"): "save" writes the filtered id field +
+    // object stats to checkpointDir after preprocessing; "load" skips
+    // morphology/gap-fill/filtering entirely and resumes from the saved
+    // state. "" = no checkpointing.
+    checkpointMode: String = "",
+    checkpointDir: Option[String] = None,
     maxInnerIter: Int = 10,
     maxOuterIter: Int = 40) {
   require(tFill % 2 == 0, "T_fill must be even (matches reference track.py:714)")
   require(overlapThreshold > 0 && overlapThreshold <= 1)
   require(areaFilterQuartile >= 0 && areaFilterQuartile < 1)
+  require(Set("", "save", "load")(checkpointMode),
+    s"checkpointMode must be ''/'save'/'load', got '$checkpointMode'")
+  require(checkpointMode.isEmpty || checkpointDir.nonEmpty,
+    "checkpointMode requires checkpointDir")
 }
 
 /** Exception hierarchy mirroring the reference's (exceptions.py:11–494):

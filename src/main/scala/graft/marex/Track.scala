@@ -395,22 +395,54 @@ object Track {
     *   see [[timeIndex]]). */
   def track(flags: DataFrame, geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
       timeAxis: Option[DataFrame] = None): TrackResult = {
+    val spark0 = flags.sparkSession
     // resolve the axis ONCE from the raw flags — later stages (area filter,
     // split/merge reassignment) can drop whole timesteps from the id field,
     // which must not change which timesteps count as consecutive.
     val axis = Some(timeIndex(flags, timeAxis).select("time").localCheckpoint())
-    val land = geom.filter(!col("valid")).select("y", "x")
-    val landOpt = if (land.isEmpty) None else Some(land)
-    val f1 = Raster.fillHoles(flags, cfg.rFill, spec, landOpt)
-    // fill_time_gaps ends with a second fill_holes(R_fill/2) pass in the
-    // reference (track.py:1723–1726) — it runs ONLY when T_fill > 0
-    val f3 =
-      if (cfg.tFill > 0)
-        Raster.fillHoles(fillTimeGaps(f1, cfg.tFill, axis), cfg.rFill / 2, spec, landOpt)
-      else f1
-    val labeled = Raster.labelPerSlice(f3.localCheckpoint(), spec)
-    val gids = globalIds(labeled)
-    val filtered = filterSmallObjects(gids, geom, cfg).localCheckpoint()
+
+    // Preprocessing (morphology → gap fill → label → area filter), or a
+    // checkpoint resume skipping it (reference helper.py:642).
+    val (filtered, preStatsFn): (DataFrame, () => Map[String, Long]) =
+      if (cfg.checkpointMode == "load") {
+        val dir = cfg.checkpointDir.get
+        val f = spark0.read.parquet(s"$dir/preproc_ids.parquet").localCheckpoint()
+        val js = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(s"$dir/preproc_stats.json")))
+        def field(k: String): Long =
+          s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(js)
+            .map(_.group(1).toLong)
+            .getOrElse(throw new MarexSparkException(s"checkpoint stats missing $k",
+              "re-run with checkpointMode=save"))
+        val loaded = Map("n_objects_prefiltered" -> field("n_objects_prefiltered"),
+          "n_objects_filtered" -> field("n_objects_filtered"))
+        (f, () => loaded)
+      } else {
+        val land = geom.filter(!col("valid")).select("y", "x")
+        val landOpt = if (land.isEmpty) None else Some(land)
+        val f1 = Raster.fillHoles(flags, cfg.rFill, spec, landOpt)
+        // fill_time_gaps ends with a second fill_holes(R_fill/2) pass in the
+        // reference (track.py:1723–1726) — it runs ONLY when T_fill > 0
+        val f3 =
+          if (cfg.tFill > 0)
+            Raster.fillHoles(fillTimeGaps(f1, cfg.tFill, axis), cfg.rFill / 2, spec, landOpt)
+          else f1
+        val labeled = Raster.labelPerSlice(f3.localCheckpoint(), spec)
+        val gids = globalIds(labeled)
+        val f = filterSmallObjects(gids, geom, cfg).localCheckpoint()
+        if (cfg.checkpointMode == "save") {
+          val dir = cfg.checkpointDir.get
+          f.write.mode("overwrite").parquet(s"$dir/preproc_ids.parquet")
+          val pre = gids.select("gid").distinct().count()
+          val post = f.select("gid").distinct().count()
+          java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/preproc_stats.json"),
+            s"""{"n_objects_prefiltered": $pre, "n_objects_filtered": $post}""".getBytes)
+          (f, () => Map("n_objects_prefiltered" -> pre, "n_objects_filtered" -> post))
+        } else
+          (f, () => Map(
+            "n_objects_prefiltered" -> gids.select("gid").distinct().count(),
+            "n_objects_filtered" -> f.select("gid").distinct().count()))
+      }
 
     val (resolved, merges) =
       if (cfg.allowMerging && cfg.sequentialSplitMerge)
@@ -438,8 +470,7 @@ object Track {
       count(lit(1)).as("n_timesteps"),
       max("area").as("max_area"))
     TrackResult(idField, props, events, merges, () =>
-      Map("n_objects_prefiltered" -> gids.select("gid").distinct().count(),
-        "n_objects_filtered" -> filtered.select("gid").distinct().count(),
+      preStatsFn() ++ Map(
         "n_events_final" -> events.count(),
         "total_merges" -> merges.count()))
   }

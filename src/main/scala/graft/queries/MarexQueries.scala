@@ -457,6 +457,43 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells GROUP BY y"""),
-      "Zarr v2 sink + source round-trip (marEx to_zarr/open_zarr, I3)")
+      "Zarr v2 sink + source round-trip (marEx to_zarr/open_zarr, I3)"),
+
+    // ── NetCDF-3 ingest: sink + source round-trip, oracle-checked ──────────
+    QueryDef("q59_netcdf_roundtrip",
+      (s, d) => {
+        import graft.sources.NetCDF3Source
+        // same cell construction as q54 but through the classic-NetCDF path:
+        // the oracle recomputes the aggregate straight from events, so any
+        // byte-level defect in the CDF-1 writer or reader mismatches.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("value"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q59.nc"
+        new java.io.File(path).delete()
+        NetCDF3Source.write3D(cells, path, "sst", shape = (31, 10, 15))
+        NetCDF3Source.read3D(s, path, "sst", timeRange = Some((0, 30)))
+          .filter(!isnan(col("value")))
+          .groupBy(col("y").cast("long").as("y"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("value") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(y AS BIGINT) AS y,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells GROUP BY y"""),
+      "Classic NetCDF-3 sink + source round-trip (marEx open_dataset/to_netcdf ingest)")
   )
 }

@@ -1,0 +1,285 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** NetCDF-3 (classic format) ingest — the reference's primary entry format:
+  * every example opens `xr.open_dataset('*.nc')` (marEx detect.py:409,
+  * docs/examples). Implements the public CDF-1/CDF-2 file layout (the
+  * NetCDF classic format specification): big-endian header with dim/attr/
+  * var lists, fixed variables stored contiguously C-order at `begin`,
+  * record variables interleaved per record with a common record stride.
+  * HDF5-backed NetCDF-4 is out of scope by design (a full HDF5 reader is a
+  * library, not a format) — files are detected and rejected with a clear
+  * error.
+  *
+  * Execution shape: the header is parsed once on the driver (it is a few
+  * KB); bulk data is read with Hadoop FS positioned reads — each task seeks
+  * to its own record/byte range, so a multi-GB file fans out across the
+  * cluster like Parquet row-groups, on any Hadoop filesystem. A time-range
+  * predicate prunes whole records before any data byte is read.
+  */
+object NetCDF3Source {
+
+  final case class Dim(name: String, size: Int) // size 0 → record dim
+  final case class Var(name: String, dimIds: Seq[Int], ncType: Int,
+      vsize: Long, begin: Long) {
+    def isRecord(dims: Seq[Dim]): Boolean =
+      dimIds.nonEmpty && dims(dimIds.head).size == 0
+  }
+  final case class Header(version: Int, numRecs: Int, dims: Seq[Dim],
+      vars: Seq[Var], attrs: Map[String, Any]) {
+    /** Sum of record-variable vsizes = byte stride of one record. */
+    lazy val recSize: Long = vars.filter(_.isRecord(dims)).map(_.vsize).sum
+  }
+
+  private val NcByte = 1; private val NcChar = 2; private val NcShort = 3
+  private val NcInt = 4; private val NcFloat = 5; private val NcDouble = 6
+
+  private def typeBytes(t: Int): Int = t match {
+    case NcByte | NcChar => 1
+    case NcShort => 2
+    case NcInt | NcFloat => 4
+    case NcDouble => 8
+    case other => throw new IllegalArgumentException(s"unknown nc_type $other")
+  }
+
+  private final class Reader(buf: ByteBuffer) {
+    def int(): Int = buf.getInt()
+    def name(): String = {
+      val n = int()
+      val b = new Array[Byte](n)
+      buf.get(b)
+      // names are padded to a 4-byte boundary
+      val pad = (4 - n % 4) % 4
+      buf.position(buf.position() + pad)
+      new String(b, "UTF-8")
+    }
+    def attrValues(t: Int, n: Int): Any = {
+      val bp = typeBytes(t)
+      val out: Any = t match {
+        case NcChar =>
+          val b = new Array[Byte](n); buf.get(b); new String(b, "UTF-8")
+        case NcByte => (0 until n).map(_ => buf.get().toDouble)
+        case NcShort => (0 until n).map(_ => buf.getShort().toDouble)
+        case NcInt => (0 until n).map(_ => buf.getInt().toDouble)
+        case NcFloat => (0 until n).map(_ => buf.getFloat().toDouble)
+        case NcDouble => (0 until n).map(_ => buf.getDouble().toDouble)
+      }
+      val pad = (4 - (n * bp) % 4) % 4
+      buf.position(buf.position() + pad)
+      out
+    }
+    def attrList(): Map[String, Any] = {
+      val tag = int(); val n = int()
+      require(tag == 0x0C || (tag == 0 && n == 0), s"bad attr list tag $tag")
+      (0 until n).map { _ =>
+        val nm = name(); val t = int(); val cnt = int()
+        nm -> attrValues(t, cnt)
+      }.toMap
+    }
+  }
+
+  /** Parse the header (driver-side; reads the first bytes of the file via
+    * the Hadoop FS, so s3a://…/file.nc works like a local path). */
+  def readHeader(spark: SparkSession, path: String): Header = {
+    val bytes = readRange(spark, path, 0L,
+      math.min(fileLen(spark, path), 1 << 20).toInt) // headers are small
+    val buf = ByteBuffer.wrap(bytes).order(ByteOrder.BIG_ENDIAN)
+    val magic = new Array[Byte](3); buf.get(magic)
+    if (!(magic.sameElements("CDF".getBytes))) {
+      if (magic.sameElements(Array(0x89.toByte, 'H'.toByte, 'D'.toByte)))
+        throw new IllegalArgumentException(
+          s"$path is NetCDF-4 (HDF5-backed) — only classic NetCDF-3 is supported; " +
+            "convert with `nccopy -k classic`")
+      throw new IllegalArgumentException(s"$path is not a NetCDF file")
+    }
+    val version = buf.get().toInt // 1 = CDF-1 (32-bit offsets), 2 = CDF-2
+    require(version == 1 || version == 2, s"unsupported CDF version $version")
+    val numRecs = buf.getInt()
+    val r = new Reader(buf)
+    // dim_list
+    val dtag = r.int(); val ndims = r.int()
+    require(dtag == 0x0A || (dtag == 0 && ndims == 0), s"bad dim list tag $dtag")
+    val dims = (0 until ndims).map(_ => Dim(r.name(), r.int()))
+    val gatts = r.attrList()
+    // var_list
+    val vtag = r.int(); val nvars = r.int()
+    require(vtag == 0x0B || (vtag == 0 && nvars == 0), s"bad var list tag $vtag")
+    val vars = (0 until nvars).map { _ =>
+      val nm = r.name()
+      val nd = r.int()
+      val ids = (0 until nd).map(_ => r.int())
+      r.attrList() // per-var attrs (units etc.) — parsed, not yet surfaced
+      val t = r.int()
+      val vsize = r.int().toLong & 0xffffffffL
+      val begin = if (version == 1) r.int().toLong & 0xffffffffL else buf.getLong()
+      Var(nm, ids, t, vsize, begin)
+    }
+    Header(version, numRecs, dims, vars, gatts)
+  }
+
+  private def fileLen(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).getFileStatus(p).getLen
+  }
+
+  private def readRange(spark: SparkSession, path: String, off: Long, len: Int): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new Array[Byte](len)
+      in.readFully(off, out, 0, len)
+      out
+    } finally in.close()
+  }
+
+  private def decode(raw: Array[Byte], t: Int, n: Int): Array[Double] = {
+    val buf = ByteBuffer.wrap(raw).order(ByteOrder.BIG_ENDIAN)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = t match {
+        case NcByte => buf.get(i).toDouble
+        case NcShort => buf.getShort(i * 2).toDouble
+        case NcInt => buf.getInt(i * 4).toDouble
+        case NcFloat => buf.getFloat(i * 4).toDouble
+        case NcDouble => buf.getDouble(i * 8)
+        case NcChar => (raw(i) & 0xff).toDouble
+      }
+      i += 1
+    }
+    out
+  }
+
+  /** Driver-side dense read of a small variable (coordinate axes, masks). */
+  def readLocal(spark: SparkSession, path: String, varName: String): (Seq[Int], Array[Double]) = {
+    val h = readHeader(spark, path)
+    val v = h.vars.find(_.name == varName)
+      .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))
+    val shape = v.dimIds.map(i => if (h.dims(i).size == 0) h.numRecs else h.dims(i).size)
+    val perRec = v.dimIds.drop(if (v.isRecord(h.dims)) 1 else 0)
+      .map(h.dims(_).size.toLong).product.toInt
+    val bp = typeBytes(v.ncType)
+    if (!v.isRecord(h.dims)) {
+      val n = shape.map(_.toLong).product.toInt
+      (shape, decode(readRange(spark, path, v.begin, n * bp), v.ncType, n))
+    } else {
+      val out = new Array[Double](h.numRecs * perRec)
+      for (rec <- 0 until h.numRecs) {
+        val raw = readRange(spark, path, v.begin + rec * h.recSize, perRec * bp)
+        System.arraycopy(decode(raw, v.ncType, perRec), 0, out, rec * perRec, perRec)
+      }
+      (shape, out)
+    }
+  }
+
+  /** Distributed read of a 3-D (time, y, x) variable into a long DataFrame
+    * `(t_idx INT, y INT, x INT, value DOUBLE)` — one task per batch of
+    * records/time-slices, each doing its own positioned read.
+    *
+    * @param timeRange optional inclusive [t0, t1] record range; records
+    *                  outside it are never read (record-level pruning). */
+  def read3D(spark: SparkSession, path: String, varName: String,
+      timeRange: Option[(Int, Int)] = None): DataFrame = {
+    import spark.implicits._
+    val h = readHeader(spark, path)
+    val v = h.vars.find(_.name == varName)
+      .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))
+    require(v.dimIds.length == 3, s"$varName is not 3-D")
+    val nt = if (v.isRecord(h.dims)) h.numRecs else h.dims(v.dimIds.head).size
+    val ny = h.dims(v.dimIds(1)).size
+    val nx = h.dims(v.dimIds(2)).size
+    val bp = typeBytes(v.ncType)
+    val sliceBytes = ny.toLong * nx * bp
+    val stride = if (v.isRecord(h.dims)) h.recSize else sliceBytes
+    val begin = v.begin
+    val ncType = v.ncType
+    val (t0, t1) = timeRange.getOrElse((0, nt - 1))
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+
+    spark.sparkContext
+      .parallelize(t0 to math.min(t1, nt - 1), math.min(32, math.max(1, t1 - t0 + 1)))
+      .mapPartitions { ts =>
+        val p = new org.apache.hadoop.fs.Path(path)
+        val fs = p.getFileSystem(conf.value)
+        val in = fs.open(p)
+        val rows = ts.flatMap { t =>
+          val raw = new Array[Byte](sliceBytes.toInt)
+          in.readFully(begin + t * stride, raw, 0, raw.length)
+          val vals = decode(raw, ncType, ny * nx)
+          (0 until ny * nx).iterator.map(i => (t, i / nx, i % nx, vals(i)))
+        }
+        new Iterator[(Int, Int, Int, Double)] {
+          def hasNext: Boolean = { val h2 = rows.hasNext; if (!h2) in.close(); h2 }
+          def next(): (Int, Int, Int, Double) = rows.next()
+        }
+      }
+      .toDF("t_idx", "y", "x", "value")
+  }
+
+  /** Classic NetCDF-3 (CDF-1) writer for a single 3-D double variable with
+    * a record time dimension — the sink dual of [[read3D]] (≙ the
+    * reference's `to_netcdf`). Cells are gathered per record; missing cells
+    * become NaN. Driver-side file assembly (one header + sequential
+    * records): classic NetCDF is a single contiguous file, so the write
+    * itself is inherently serial — the per-record cell gathering is the
+    * distributed part. */
+  def write3D(df: DataFrame, path: String, varName: String,
+      shape: (Int, Int, Int)): Unit = {
+    val (nt, ny, nx) = shape
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val recs = df.select(col("t_idx").cast("int"), col("y").cast("int"),
+      col("x").cast("int"), col("value").cast("double"))
+      .as[(Int, Int, Int, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (t, it) =>
+        val arr = Array.fill(ny * nx)(Double.NaN)
+        it.foreach { case (_, y, x, v) => arr(y * nx + x) = v }
+        (t, arr)
+      }
+      .collect().toMap
+
+    def nameBytes(s: String): Array[Byte] = {
+      val b = s.getBytes("UTF-8")
+      val pad = (4 - b.length % 4) % 4
+      ByteBuffer.allocate(4 + b.length + pad).putInt(b.length).put(b).array()
+    }
+    val head = ByteBuffer.allocate(4096).order(ByteOrder.BIG_ENDIAN)
+    head.put("CDF".getBytes).put(1.toByte)
+    head.putInt(nt) // numrecs
+    head.putInt(0x0A).putInt(3) // dim_list
+    head.put(nameBytes("time")).putInt(0) // record dim
+    head.put(nameBytes("y")).putInt(ny)
+    head.put(nameBytes("x")).putInt(nx)
+    head.putInt(0).putInt(0) // no global attrs (ABSENT)
+    head.putInt(0x0B).putInt(1) // var_list
+    head.put(nameBytes(varName))
+    head.putInt(3).putInt(0).putInt(1).putInt(2) // 3 dims: time, y, x
+    head.putInt(0).putInt(0) // no var attrs
+    head.putInt(NcDouble)
+    val vsize = ny * nx * 8
+    head.putInt(vsize)
+    val begin = head.position() + 4
+    head.putInt(begin)
+    val headerBytes = java.util.Arrays.copyOf(head.array(), head.position())
+
+    val out = new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path))
+    try {
+      out.write(headerBytes)
+      val empty = Array.fill(ny * nx)(Double.NaN)
+      for (t <- 0 until nt) {
+        val arr = recs.getOrElse(t, empty)
+        val bb = ByteBuffer.allocate(vsize).order(ByteOrder.BIG_ENDIAN)
+        arr.foreach(bb.putDouble)
+        out.write(bb.array())
+      }
+    } finally out.close()
+  }
+}

@@ -185,6 +185,24 @@ class TrackSpec extends SparkSpec {
     assert(a.sameElements(b), "tracker output must be run-deterministic")
   }
 
+  test("checkpoint save/resume reproduces the run and skips preprocessing") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val base = TrackConfig(rFill = 1, tFill = 0, areaFilterQuartile = 0.0,
+      dropSmallestObject = false, overlapThreshold = 0.2, allowMerging = false)
+    def dump(r: Track.TrackResult) = r.idField.orderBy("time", "y", "x")
+      .collect().map(x => (x.getTimestamp(0).getTime, x.getInt(1), x.getInt(2), x.getLong(3)))
+    val saved = Track.track(collideLate, geom, spec,
+      base.copy(checkpointMode = "save", checkpointDir = Some(dir)))
+    val savedField = dump(saved)
+    val savedStats = saved.stats
+    assert(new java.io.File(s"$dir/preproc_stats.json").exists())
+    val resumed = Track.track(collideLate, geom, spec,
+      base.copy(checkpointMode = "load", checkpointDir = Some(dir)))
+    assert(dump(resumed).sameElements(savedField),
+      "resumed run must reproduce the saved run's event field")
+    assert(resumed.stats == savedStats)
+  }
+
   private def ts(day: Int): java.sql.Timestamp =
     new java.sql.Timestamp(java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime + day * 86400000L)
 
