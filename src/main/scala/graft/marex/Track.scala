@@ -131,6 +131,11 @@ object Track {
     * quantile distributedly — global sort + zipWithIndex, fetch only the two
     * bracketing ranks — so no driver OOM at 10⁷+ objects. */
   def filterSmallObjects(ids: DataFrame, geom: DataFrame, cfg: TrackConfig): DataFrame = {
+    // quartile 0 = threshold at the minimum area = keep everything: skip
+    // the area aggregation + quantile jobs outright (exact, not a shortcut)
+    if (cfg.areaFilterAbsolute.isEmpty && cfg.areaFilterQuartile == 0.0
+        && !cfg.dropSmallestObject)
+      return ids
     val areas = ids.join(geom.select("y", "x", "area"), Seq("y", "x"))
       .groupBy("time", "gid").agg(sum("area").as("obj_area"))
     val threshold: Double = cfg.areaFilterAbsolute.getOrElse {
@@ -328,7 +333,10 @@ object Track {
     * @return (time, y, x, event_id) */
   def labelSpaceTime(flags: DataFrame, spec: GridSpec,
       timeAxis: Option[DataFrame] = None): DataFrame = {
-    val gids = globalIds(Raster.labelPerSlice(flags, spec))
+    // the labeled field feeds the edge build, the component mapping, the
+    // event ordering AND the final join — without truncation the per-slice
+    // labeling kernel re-executes for each of them
+    val gids = globalIds(Raster.labelPerSlice(flags, spec)).localCheckpoint()
     val idx = timeIndex(gids, timeAxis)
     val withIdx = gids.join(idx, "time")
     val nx = spec.nx; val ny = spec.ny
