@@ -51,14 +51,14 @@ object ZarrSource {
     ZarrMeta(shape, chunks, dtype, comp, fill, order)
   }
 
-  private def bytesPer(dtype: String): Int = dtype match {
+  private[sources] def bytesPer(dtype: String): Int = dtype match {
     case "<f4" | "<i4" => 4
     case "<f8" | "<i8" => 8
     case "|b1" | "|i1" | "|u1" => 1
     case other => throw new IllegalArgumentException(s"unsupported zarr dtype $other")
   }
 
-  private def decompress(data: Array[Byte], compressor: Option[String], rawLen: Int): Array[Byte] =
+  private[sources] def decompress(data: Array[Byte], compressor: Option[String], rawLen: Int): Array[Byte] =
     compressor match {
       case None => data
       case Some("zlib") =>

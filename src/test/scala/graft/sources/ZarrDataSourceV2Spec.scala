@@ -1,0 +1,50 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ZarrDataSourceV2Spec extends SparkSpec {
+
+  private val fixture = "/root/reference/tests/data/extremes_gridded.zarr/extreme_events"
+  private def haveFixture = new java.io.File(s"$fixture/.zarray").exists()
+
+  test("format(\"zarr\") reads the same cells as the utility reader") {
+    assume(haveFixture)
+    val v2 = spark.read.format("zarr").load(fixture)
+    val util = ZarrSource.read3D(spark, fixture)
+    assert(v2.count() == util.count())
+    val diff = v2.join(util.withColumnRenamed("value", "expected"),
+      Seq("t_idx", "y", "x"))
+      .filter(col("value") =!= col("expected")).count()
+    assert(diff == 0)
+  }
+
+  test("t_idx range predicates prune chunks and appear in the plan") {
+    assume(haveFixture)
+    val df = spark.read.format("zarr").load(fixture)
+      .filter(col("t_idx").between(2, 3))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("t_idx in [2, 3]"), s"pushed range missing from plan:\n$plan")
+    assert(df.select("t_idx").distinct().collect().map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+    // fixture chunks are 2 timesteps: [2,3] = exactly one time-chunk of 16
+    val all = spark.read.format("zarr").load(fixture)
+    assert(df.count() * 16 == all.count())
+  }
+
+  test("column pruning reaches the reader") {
+    assume(haveFixture)
+    val df = spark.read.format("zarr").load(fixture).select("t_idx")
+    assert(df.schema.fieldNames.toSeq == Seq("t_idx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=t_idx"), s"pruned column set missing:\n$plan")
+    assert(df.distinct().count() == 32)
+  }
+
+  test("flag count matches the boolean fixture semantics") {
+    assume(haveFixture)
+    val v2 = spark.read.format("zarr").load(fixture).filter(col("value") =!= 0.0)
+    val util = ZarrSource.read3D(spark, fixture).filter(col("value") =!= 0.0)
+    assert(v2.count() == util.count())
+  }
+}
