@@ -18,11 +18,12 @@ object Bench {
     // whichever query happens to run first.
     try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
     catch { case _: Throwable => }
-    // q55 replays the reference's FIXED-SIZE golden fixture (32×180×360
-    // regardless of SF) — a correctness regression lock, not a scale
-    // benchmark; including it would add a constant ~40 s to every SF's
-    // total and distort the scaling signal.
-    val benched = SparkEntry.queries.filterNot(_._1 == "q55_marex_golden")
+    // q55/q60 replay the reference's FIXED-SIZE golden fixtures regardless
+    // of SF — correctness regression locks, not scale benchmarks; including
+    // them would add a constant ~40 s to every SF's total and distort the
+    // scaling signal.
+    val benched = SparkEntry.queries
+      .filterNot(q => q._1 == "q55_marex_golden" || q._1 == "q60_marex_unstructured")
     val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

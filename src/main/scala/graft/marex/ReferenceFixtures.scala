@@ -53,4 +53,32 @@ object ReferenceFixtures {
 
     (flags, geom, GridSpec(ny = ny, nx = nx, periodicX = true))
   }
+
+  /** Load an unstructured extremes fixture (extremes_unstructured*.zarr):
+    * boolean `extreme_events(time, ncells)`, `mask(ncells)`, 1-D `lat`/
+    * `lon`/`cell_areas`, triangular `neighbours(nv=3, ncells)` (1-based in
+    * the file, converted to 0-based with −1 invalid, track.py:1061).
+    * Timestamps are synthesized daily (only ordering matters to the
+    * tracker). */
+  def loadExtremesUnstructured(spark: SparkSession, dir: String):
+      (DataFrame, UnstructuredTracker.Mesh) = {
+    import spark.implicits._
+    val (Seq(nt, nCells), ev) = ZarrSource.readLocalND(s"$dir/extreme_events")
+    val (_, nbrFlat) = ZarrSource.readLocalND(s"$dir/neighbours")
+    val (_, maskArr) = ZarrSource.readLocalND(s"$dir/mask")
+    val (_, lat) = ZarrSource.readLocalND(s"$dir/lat")
+    val (_, lon) = ZarrSource.readLocalND(s"$dir/lon")
+    val (_, areas) = ZarrSource.readLocalND(s"$dir/cell_areas")
+
+    val nbr = Array.tabulate(3, nCells)((k, i) => nbrFlat(k * nCells + i).toInt - 1)
+    val mesh = UnstructuredTracker.Mesh(nbr, lat, lon, areas,
+      maskArr.map(_ != 0.0))
+
+    val epoch = Timestamp.valueOf("2000-01-01 00:00:00").getTime
+    val flags = (for {
+      t <- 0 until nt
+      c <- 0 until nCells if ev(t * nCells + c) != 0.0
+    } yield (new Timestamp(epoch + t * 86400000L), c)).toDF("time", "cell")
+    (flags, mesh)
+  }
 }

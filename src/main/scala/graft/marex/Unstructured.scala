@@ -31,8 +31,12 @@ object Unstructured {
     cur
   }
 
-  /** Erosion dual: a flagged cell survives iff all mesh neighbors are
-    * flagged (one round); R rounds for radius R. */
+  /** Erosion dual: a flagged cell survives iff itself and all mesh
+    * neighbors are flagged (one round); R rounds for radius R — identical
+    * to the reference's `~dilate^R(~x)` because single-hop erosion composes
+    * (erode₁^R = ~dilate₁^R(~·)). Cells with no outgoing edges survive on
+    * their own flag (empty neighborhood), matching the sparse matrix's
+    * identity diagonal. */
   def erode(flags: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     var cur = flags.select("time", "cell").distinct()
     for (_ <- 1 to rounds) {
@@ -41,19 +45,32 @@ object Unstructured {
         .select(col("time"), col("nbr"), col("cell").as("src"))
         .join(cur.select(col("time"), col("cell").as("nbr")), Seq("time", "nbr"), "left_semi")
         .groupBy(col("time"), col("src").as("cell")).agg(count(lit(1)).as("nflag"))
-      cur = cur.join(flaggedNbrs, Seq("time", "cell"))
-        .join(degree, Seq("cell"))
-        .filter(col("nflag") === col("deg"))
+      cur = cur
+        .join(flaggedNbrs, Seq("time", "cell"), "left")
+        .join(degree, Seq("cell"), "left")
+        .filter(coalesce(col("nflag"), lit(0L)) === coalesce(col("deg"), lit(0L)))
         .select("time", "cell").localCheckpoint()
     }
     cur
   }
 
-  /** T5 (unstructured): closing then opening via hop-based dilate/erode. */
-  def fillHoles(flags: DataFrame, edges: DataFrame, r: Int): DataFrame = {
+  /** T5 (unstructured): closing then opening via hop-based dilate/erode,
+    * with the reference's land-fill trick (track.py:1566–1577): land cells
+    * are set True before each erosion so shores are not artificially
+    * eroded. Output may contain land cells (exactly like the reference —
+    * the mask is applied at labeling time, not here).
+    * @param land invalid (land) cell set, as a (cell) DataFrame. */
+  def fillHoles(flags: DataFrame, edges: DataFrame, r: Int,
+      land: Option[DataFrame] = None): DataFrame = {
     if (r <= 0) return flags.select("time", "cell")
-    val closed = erode(dilate(flags, edges, r), edges, r)
-    dilate(erode(closed, edges, r), edges, r)
+    val withLand: DataFrame => DataFrame = land match {
+      case None => identity
+      case Some(l) =>
+        val times = flags.select("time").distinct()
+        df => df.union(times.crossJoin(l.select("cell"))).distinct()
+    }
+    val closed = erode(withLand(dilate(flags, edges, r)), edges, r)
+    dilate(erode(withLand(closed), edges, r), edges, r)
   }
 
   /** T9: per-timestep connected components over the mesh; labels restart at 1

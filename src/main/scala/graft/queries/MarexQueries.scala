@@ -422,6 +422,35 @@ object MarexQueries extends QueryRegistry {
               UNION ALL SELECT 'total_merges', CAST(13 AS BIGINT)"""),
       "Full merging tracker on the reference fixture; golden counts pinned"),
 
+    // ── Unstructured-mesh golden-count lock ────────────────────────────────
+    // Runs the unstructured tracker (mesh morphology → gap fill → graph CCL
+    // → queue-driven split/merge) on the reference's
+    // extremes_unstructured_merging.zarr. Oracle pins the deterministic
+    // outputs, which GoldenTrackingSpec asserts lie inside the reference's
+    // bands (test_unstructured_tracking.py:257–260: 98±2 / 97±2 / 12±2 /
+    // 9±1).
+    QueryDef("q60_marex_unstructured",
+      (s, _) => {
+        import s.implicits._
+        val dir = "/root/reference/tests/data/extremes_unstructured_merging.zarr"
+        val (flags, mesh) = graft.marex.ReferenceFixtures.loadExtremesUnstructured(s, dir)
+        val res = graft.marex.UnstructuredTracker.track(flags, mesh,
+          TrackConfig(rFill = 1, tFill = 2, areaFilterAbsolute = Some(5.0),
+            overlapThreshold = 0.8, allowMerging = true, nnPartitioning = true))
+        val st = res.stats
+        Seq(
+          ("n_objects_prefiltered", st("n_objects_prefiltered")),
+          ("n_objects_filtered", st("n_objects_filtered")),
+          ("n_events_final", st("n_events_final")),
+          ("total_merges", st("total_merges")))
+          .toDF("metric", "value")
+      },
+      Some("""SELECT 'n_objects_prefiltered' AS metric, CAST(99 AS BIGINT) AS value
+              UNION ALL SELECT 'n_objects_filtered', CAST(99 AS BIGINT)
+              UNION ALL SELECT 'n_events_final', CAST(10 AS BIGINT)
+              UNION ALL SELECT 'total_merges', CAST(9 AS BIGINT)"""),
+      "Unstructured tracker on the reference mesh fixture; golden counts pinned"),
+
     // ── I3/Q01-dual: Zarr write → read round-trip, oracle-checked ──────────
     QueryDef("q54_zarr_roundtrip",
       (s, d) => {

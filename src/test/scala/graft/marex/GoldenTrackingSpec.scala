@@ -63,4 +63,28 @@ class GoldenTrackingSpec extends SparkSpec {
     assert(math.abs(events - 20L) <= 1, s"N_events_final $events !~ 20±1")
     assert(math.abs(merges - 13L) <= 2, s"total_merges $merges !~ 13±2")
   }
+
+  private val unstructuredDir =
+    "/root/reference/tests/data/extremes_unstructured_merging.zarr"
+
+  test("unstructured merging tracking matches reference golden counts (98/97/12/9)") {
+    assume(new java.io.File(s"$unstructuredDir/.zgroup").exists())
+    val (flags, mesh) = ReferenceFixtures.loadExtremesUnstructured(spark, unstructuredDir)
+    // test_unstructured_tracking.py:169–191: R_fill=1, area_filter_absolute=5,
+    // T_fill=2, allow_merging=True, overlap_threshold=0.8, nn_partitioning=True
+    val res = UnstructuredTracker.track(flags, mesh,
+      TrackConfig(rFill = 1, tFill = 2, areaFilterAbsolute = Some(5.0),
+        overlapThreshold = 0.8, allowMerging = true, nnPartitioning = true))
+    val st = res.stats
+    info(s"prefiltered=${st("n_objects_prefiltered")} filtered=${st("n_objects_filtered")} " +
+      s"events=${st("n_events_final")} merges=${st("total_merges")}")
+    assert(math.abs(st("n_objects_prefiltered") - 98L) <= 2,
+      s"N_objects_prefiltered ${st("n_objects_prefiltered")} !~ 98±2")
+    assert(math.abs(st("n_objects_filtered") - 97L) <= 2,
+      s"N_objects_filtered ${st("n_objects_filtered")} !~ 97±2")
+    assert(math.abs(st("n_events_final") - 12L) <= 2,
+      s"N_events_final ${st("n_events_final")} !~ 12±2")
+    assert(math.abs(st("total_merges") - 9L) <= 1,
+      s"total_merges ${st("total_merges")} !~ 9±1")
+  }
 }
