@@ -252,34 +252,55 @@ object Detect {
       exact: Boolean = true, precision: Double = 0.01, maxAnomaly: Double = 5.0,
       spatialWindow: Int = 0, nxWrap: Option[Int] = None): DataFrame = {
     val h = (windowDays - 1) / 2
-    val fannedDoy = anom
-      .withColumn("d", explode(sequence(lit(-h), lit(h))))
-      .withColumn("doy", circDoy(dayofyear(col("time")), col("d")))
-    val fanned = if (spatialWindow <= 0) fannedDoy else {
+    def spatialFan(df: DataFrame): DataFrame = {
       val w = spatialWindow
-      val shifted = fannedDoy
-        .withColumn("dy", explode(sequence(lit(-w), lit(w))))
+      df.withColumn("dy", explode(sequence(lit(-w), lit(w))))
         .withColumn("dx", explode(sequence(lit(-w), lit(w))))
         .withColumn("ty", col("y") + col("dy"))
         .withColumn("tx", nxWrap match {
           case Some(nx) => pmod(col("x") + col("dx"), lit(nx))
           case None => col("x") + col("dx")
         })
-      shifted
         .drop("y", "x")
         .withColumnRenamed("ty", "y")
         .withColumnRenamed("tx", "x")
     }
-    if (exact)
+    if (exact) {
+      val fannedDoy = anom
+        .withColumn("d", explode(sequence(lit(-h), lit(h))))
+        .withColumn("doy", circDoy(dayofyear(col("time")), col("d")))
+      val fanned = if (spatialWindow <= 0) fannedDoy else spatialFan(fannedDoy)
       fanned.groupBy("y", "x", "doy")
         .agg(expr(s"percentile(anomaly, $q)").as("threshold"))
-    else {
-      // D15 (2-D histogram path): per-(pixel, doy, bin) counts pooled over
-      // the circular doy window, then count-interpolated quantile — the
-      // fan-out above *is* the circular pooling (detect.py:2494–2500).
+    } else {
+      // D15 (2-D histogram path): bin and aggregate the raw rows FIRST —
+      // one partial-agg shuffle collapses |samples| rows to at most
+      // |pixels|×366×(nBins+1) counts — then pool those histograms over the
+      // circular doy window and spatial neighborhood (counts add linearly,
+      // so this is bit-identical to fanning raw rows, detect.py:2494–2500
+      // pools per-chunk histograms the same way). The windowDays×(2w+1)²
+      // fan-out thus runs on the bounded-size aggregate, not the data.
       val nBins = math.ceil(maxAnomaly / precision).toInt
-      HistogramQuantile.quantile(fanned, Seq("y", "x", "doy"), "anomaly", q,
-        lo = 0.0, width = precision, nBins = nBins, out = "threshold")
+      val binned0 = anom
+        .withColumn("doy0", dayofyear(col("time")))
+        .withColumn("bin",
+          HistogramQuantile.binCol(col("anomaly"), 0.0, precision, nBins))
+        .groupBy("y", "x", "doy0", "bin")
+        .agg(count(lit(1)).as("cnt"))
+      // Pool in two separable stages (window sums over a product index set
+      // commute): doy window first with a re-aggregation between, so the
+      // spatial fan multiplies the doy-pooled aggregate, not the 11× fanned
+      // rows — 11×B + (2w+1)²×B′ rows instead of 11×(2w+1)²×B.
+      val doyPooled = binned0
+        .withColumn("d", explode(sequence(lit(-h), lit(h))))
+        .withColumn("doy", circDoy(col("doy0"), col("d")))
+        .groupBy("y", "x", "doy", "bin")
+        .agg(sum("cnt").as("cnt"))
+      val pooled = if (spatialWindow <= 0) doyPooled
+        else spatialFan(doyPooled).groupBy("y", "x", "doy", "bin")
+          .agg(sum("cnt").as("cnt"))
+      HistogramQuantile.quantileFromCounts(pooled, Seq("y", "x", "doy"), q,
+        lo = 0.0, width = precision, out = "threshold")
     }
   }
 

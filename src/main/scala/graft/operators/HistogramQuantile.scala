@@ -53,12 +53,27 @@ object HistogramQuantile {
       width: Double,
       nBins: Int,
       out: String = "approx_quantile"): DataFrame = {
-    val gc = groupCols.map(col)
     val binned = df
       .withColumn("bin", binCol(col(valueCol), lo, width, nBins))
-      .groupBy(gc :+ col("bin"): _*)
+      .groupBy(groupCols.map(col) :+ col("bin"): _*)
       .agg(count(lit(1)).as("cnt"))
+    quantileFromCounts(binned, groupCols, q, lo, width, out)
+  }
 
+  /** Quantile from pre-aggregated per-(group, bin) counts in columns
+    * `bin`/`cnt`. Entry point for callers that pool histograms (sum counts
+    * across windows or neighborhoods) before interpolating — pooling
+    * aggregated counts instead of fanned-out raw rows is the histogram
+    * method's whole scale advantage (detect.py:2494–2500 pools per-chunk
+    * histograms the same way). */
+  def quantileFromCounts(
+      binned: DataFrame,
+      groupCols: Seq[String],
+      q: Double,
+      lo: Double,
+      width: Double,
+      out: String = "approx_quantile"): DataFrame = {
+    val gc = groupCols.map(col)
     val wOrd = Window.partitionBy(gc: _*).orderBy(col("bin"))
     val wAll = Window.partitionBy(gc: _*)
     val withCdf = binned

@@ -170,6 +170,74 @@ object MarexQueries extends QueryRegistry {
               FROM g"""),
       "Hobday thresholds (marEx D14): ±5-day circular fan-out, bit-identical interpolation"),
 
+    // ── D15: hobday HISTOGRAM path + 5-point spatial pooling ───────────────
+    // Runs the real operator (Detect.hobdayThreshold exact=false,
+    // spatialWindow=1): ±5-day circular doy fan-out × 3×3 spatial offset
+    // fan-out → per-(y,x,doy) histogram (bin 0 below lo, 500 bins of 0.05)
+    // → count-interpolated quantile. The oracle mirrors the identical
+    // binned-CDF interpolation (q13's gated D13 algorithm, two more keys).
+    QueryDef("q61_marex_hobday_hist",
+      (s, d) => {
+        val f = Tables.load(s, d, "events").select(
+          col("user_id").cast("long").as("y"),
+          col("ts"), dayofyear(col("ts")).as("doy0"), col("value"))
+        val clim = f.groupBy("y", "doy0")
+          .agg(((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0)
+            / count(lit(1))).as("clim"))
+        val anom = f.join(clim, Seq("y", "doy0"))
+          .select(col("ts").as("time"), col("y"), lit(0L).as("x"),
+            (col("value") - col("clim")).as("anomaly"))
+        graft.marex.Detect.hobdayThreshold(anom, q = 0.9, windowDays = 11,
+          exact = false, precision = 0.05, maxAnomaly = 25.0,
+          spatialWindow = 1, nxWrap = None)
+          .select(col("y").cast("long"), col("x").cast("long"),
+            col("doy").cast("long"),
+            round(col("threshold") * 10000.0, 0).cast("long").as("thr_e4"))
+      },
+      Some("""WITH f AS (SELECT user_id AS y, dayofyear(ts) AS doy0, value FROM events),
+                   clim AS (SELECT y, doy0,
+                                   (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                                     / count(*) AS clim
+                            FROM f GROUP BY 1, 2),
+                   anom AS (SELECT f.y, f.doy0, f.value - clim.clim AS anomaly
+                            FROM f JOIN clim ON clim.y = f.y AND clim.doy0 = f.doy0),
+                   fan AS (SELECT y + dy.d AS y, CAST(dx.d AS BIGINT) AS x,
+                                  ((doy0 - 1 + dd.d) % 366 + 366) % 366 + 1 AS doy,
+                                  anomaly
+                           FROM anom
+                           CROSS JOIN (SELECT unnest(generate_series(-5, 5)) AS d) dd
+                           CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS d) dy
+                           CROSS JOIN (SELECT unnest(generate_series(-1, 1)) AS d) dx),
+                   binned AS (SELECT y, x, doy,
+                                CASE WHEN anomaly < 0.0 THEN 0
+                                     ELSE least(CAST(floor(anomaly / 0.05) AS INT) + 1, 500)
+                                END AS bin,
+                                count(*) AS cnt
+                              FROM fan GROUP BY 1, 2, 3, 4),
+                   cdf AS (SELECT y, x, doy, bin, cnt,
+                                  CAST(sum(cnt) OVER (PARTITION BY y, x, doy ORDER BY bin
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                                    / CAST(sum(cnt) OVER (PARTITION BY y, x, doy) AS DOUBLE) AS cdf,
+                                  lag(bin) OVER (PARTITION BY y, x, doy ORDER BY bin) AS prev_bin,
+                                  CAST(sum(cnt) OVER (PARTITION BY y, x, doy ORDER BY bin
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                                    / CAST(sum(cnt) OVER (PARTITION BY y, x, doy) AS DOUBLE) AS prev_cdf
+                           FROM binned),
+                   hit AS (SELECT *,
+                                  coalesce(prev_cdf, 0.0) AS cdf_prev,
+                                  CASE WHEN prev_bin IS NULL OR prev_bin < 1 THEN 0.0
+                                       ELSE (CAST(prev_bin AS DOUBLE) - 0.5) * 0.05 END AS c_prev,
+                                  CASE WHEN bin >= 1 THEN (CAST(bin AS DOUBLE) - 0.5) * 0.05
+                                       ELSE 0.0 END AS c_cur
+                           FROM cdf
+                           WHERE cdf >= 0.9 AND (prev_cdf IS NULL OR prev_cdf < 0.9))
+              SELECT CAST(y AS BIGINT) AS y, CAST(x AS BIGINT) AS x, CAST(doy AS BIGINT) AS doy,
+                     CAST(round(CASE WHEN bin = 0 THEN 0.0
+                           ELSE c_prev + (0.9 - cdf_prev) / (cdf - cdf_prev) * (c_cur - c_prev)
+                           END * 10000.0) AS BIGINT) AS thr_e4
+              FROM hit"""),
+      "Hobday histogram-quantile path + 3×3 spatial pooling (marEx D15)"),
+
     // ── D7/D9: shifting-baseline rolling climatology + trim ────────────────
     // Oracle-exact form (like q50): the synthetic multi-year field maps
     // user_id → (pixel y, year) so one table yields 8 years per pixel; cell
