@@ -59,6 +59,87 @@ class StreamingOpsSpec extends SparkSpec {
     assert(joined.count() == 0, "streaming session counts diverge from batch")
   }
 
+  test("streaming extreme runs match the batch run detector") {
+    import spark.implicits._
+    // 3 pixels × 60 days of deterministic anomalies; last two days are
+    // forced non-extreme so every qualifying run closes in-stream.
+    val t0 = java.time.LocalDate.of(2020, 1, 1)
+    val rows = for (y <- 0L to 2L; d <- 0 until 60) yield {
+      val hot = d < 58 && math.sin(d / 3.0 + y) > 0.2
+      (y, 0L,
+        java.sql.Timestamp.valueOf(t0.plusDays(d).atStartOfDay()),
+        if (hot) 2.0 + y + (d % 3) else -1.0)
+    }
+    val dir = Files.createTempDirectory("graft_stream_anom").toString
+    rows.toDF("y", "x", "time", "anomaly").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val thresholds = (for (y <- 0L to 2L; doy <- 1 to 366)
+      yield (y, 0L, doy, 1.0)).toDF("y", "x", "doy", "threshold")
+
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("time", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("anomaly", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingOps.extremeRuns(
+        StreamingOps.extremeFlags(stream, thresholds), minDuration = 5)
+      .writeStream.outputMode("append").format("memory").queryName("runs_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("runs_out")
+      .select("y", "x", "run_start", "run_end", "n_days", "max_anomaly")
+      .collect().map(_.toSeq).toSet
+
+    // batch run detector: run-id via date − row_number (consecutive-day trick)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("y", "x").orderBy("time")
+    val batch = spark.read.parquet(dir)
+      .withColumn("extreme", col("anomaly") >= lit(1.0))
+      .filter(col("extreme"))
+      .withColumn("rid", datediff(col("time"), lit("2020-01-01"))
+        - row_number().over(w))
+      .groupBy("y", "x", "rid")
+      .agg(min("time").as("run_start"), max("time").as("run_end"),
+        count(lit(1)).as("n_days"), max("anomaly").as("max_anomaly"))
+      .filter(col("n_days") >= 5)
+      .select("y", "x", "run_start", "run_end", "n_days", "max_anomaly")
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty, "test pattern produced no runs — fixture bug")
+    assert(streamed == batch,
+      s"streamed runs diverge: only-streamed=${streamed -- batch}, only-batch=${batch -- streamed}")
+  }
+
+  test("streaming extreme fraction sums to the batch extreme count") {
+    import spark.implicits._
+    val t0 = java.time.LocalDate.of(2021, 6, 1)
+    val rows = for (y <- 0L to 4L; d <- 0 until 30) yield
+      (y, 0L, java.sql.Timestamp.valueOf(t0.plusDays(d).atStartOfDay()),
+        if ((d + y) % 3 == 0) 5.0 else 0.5)
+    val dir = Files.createTempDirectory("graft_stream_frac").toString
+    rows.toDF("y", "x", "time", "anomaly").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val thresholds = (for (y <- 0L to 4L; doy <- 1 to 366)
+      yield (y, 0L, doy, 1.0)).toDF("y", "x", "doy", "threshold")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("y", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("x", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("time", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("anomaly", org.apache.spark.sql.types.DoubleType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingOps.extremeFraction(
+        StreamingOps.extremeFlags(stream, thresholds))
+      .writeStream.outputMode("complete").format("memory").queryName("frac_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamedExtreme = spark.table("frac_out").agg(sum("n_extreme")).head().getLong(0)
+    val streamedCells = spark.table("frac_out").agg(sum("n_cells")).head().getLong(0)
+    val batchExtreme = spark.read.parquet(dir).filter(col("anomaly") >= 1.0).count()
+    assert(streamedCells == 150L)
+    assert(streamedExtreme == batchExtreme,
+      s"extreme counts diverge: $streamedExtreme vs $batchExtreme")
+  }
+
   test("stateful user totals accumulate exactly once per event") {
     val dir = eventsDir
     val stream = spark.readStream.schema(StreamingOps.eventSchema).parquet(dir)
