@@ -74,6 +74,67 @@ object Similarity {
     embeddings.select(col("vec_id").cast("long"), bucket.as("bucket"))
   }
 
+  /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path.
+    *
+    * The quantizer is deterministic: the `kCells` vectors with the smallest
+    * `vec_id` are the cell centroids (reproducible across engines, unlike
+    * k-means iterations). Every corpus vector is assigned to its nearest
+    * centroid by squared L2 (ties → smaller cell id); a query probes its
+    * `nprobe` nearest cells and exact-cosine ranks only those candidates.
+    *
+    * Scale shape: the centroid table is collected ONCE on the driver
+    * (kCells rows — a tiny dimension, same pattern as the LSH hyperplane
+    * literals) and inlined, so cell assignment is a zero-shuffle projection
+    * over the corpus — `array_position(d2s, array_min(d2s))` over a literal
+    * centroid array, all codegen'd. At 100 TB the assigned corpus would be
+    * written `bucketBy(cell)` so probes are partition-pruned scans touching
+    * nprobe/kCells of the data; here the probe is a broadcast join of the
+    * (small) query set against the assignment on `cell`.
+    *
+    * Distances use the dot-product identity |e−c|² = e·e − 2·e·c + c·c so
+    * the float arithmetic is reproducible verbatim in the DuckDB oracle.
+    *
+    * @return (qid, vec_id, sim, rank) — exact cosine rank within probed cells. */
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, kCells: Int = 16,
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val cents: Array[Seq[Double]] = embeddings
+      .filter(col("vec_id") < kCells)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    require(cents.length == kCells, s"corpus has fewer than $kCells centroid rows")
+
+    def d2Arr(e: Column): Column = {
+      val selfDot = dot(e, e)
+      array(cents.indices.map { i =>
+        val c = typedlit(cents(i))
+        selfDot - lit(2.0) * dot(e, c) + dot(c, c)
+      }: _*)
+    }
+
+    val assigned = embeddings.select(col("vec_id"), col("embedding"),
+      (array_position(d2Arr(col("embedding")), array_min(d2Arr(col("embedding")))) - 1)
+        .cast("int").as("cell"))
+
+    val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
+    val probes = embeddings.filter(queryPred)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        posexplode(d2Arr(col("embedding"))).as(Seq("cell", "d2")))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= nprobe)
+      .select(col("qid"), col("qe"), col("cell"))
+
+    val wRank = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("sim", cosine(col("qe"), col("embedding")))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid").cast("long"), col("vec_id").cast("long"),
+        round(col("sim"), 4).as("sim"), col("rank").cast("long"))
+  }
+
   /** LSH-bucketed ANN: per query, candidates = same-bucket vectors; returns
     * bucket, candidate count and the top-1 exact-cosine match among them. */
   def lshTopMatch(embeddings: DataFrame, queryPred: Column, planes: Int, dim: Int): DataFrame = {

@@ -152,6 +152,47 @@ object PipelineQueries extends QueryRegistry {
               FROM rk GROUP BY qid, bucket"""),
       "Sign-hyperplane LSH buckets; per-query candidate count + top-1 match"),
 
+    // ── similarity: IVF coarse-quantizer ANN ───────────────────────────────
+    // Deterministic quantizer (centroids = 16 lowest vec_ids), nearest-cell
+    // assignment by squared L2 via the dot identity (bit-reproducible in
+    // SQL), 2-cell probe, exact cosine rank inside the probed cells.
+    QueryDef("q62_sim_ivf",
+      (s, d) => Similarity.ivfTopK(emb(s, d), col("vec_id") % 100 === 7,
+        kCells = 16, nprobe = 2, k = 10),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                   sd AS (SELECT vec_id, emb, list_dot_product(emb, emb) AS self_dot FROM e),
+                   cent AS (SELECT vec_id AS cid, emb AS ce,
+                                   list_dot_product(emb, emb) AS cdot
+                            FROM e WHERE vec_id < 16),
+                   dist AS (SELECT s.vec_id, c.cid,
+                                   s.self_dot - 2.0 * list_dot_product(s.emb, c.ce) + c.cdot AS d2
+                            FROM sd s CROSS JOIN cent c),
+                   assign AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                       FROM dist) WHERE rn = 1),
+                   q AS (SELECT vec_id AS qid, emb AS qe FROM e WHERE vec_id % 100 = 7),
+                   qc AS (SELECT qid, cid FROM (
+                       SELECT d.vec_id AS qid, d.cid,
+                              row_number() OVER (PARTITION BY d.vec_id ORDER BY d.d2, d.cid) AS rn
+                       FROM dist d JOIN q ON q.qid = d.vec_id) WHERE rn <= 2),
+                   cand AS (SELECT q.qid, q.qe, e2.vec_id, e2.emb
+                            FROM q JOIN qc ON qc.qid = q.qid
+                                   JOIN assign a ON a.cid = qc.cid
+                                   JOIN e e2 ON e2.vec_id = a.vec_id
+                            WHERE e2.vec_id != q.qid),
+                   sims AS (SELECT qid, vec_id,
+                                   list_dot_product(qe, emb)
+                                     / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(emb, emb))) AS sim
+                            FROM cand),
+                   rk AS (SELECT qid, vec_id, sim,
+                                 row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS rn
+                          FROM sims)
+              SELECT CAST(qid AS BIGINT) AS qid, CAST(vec_id AS BIGINT) AS vec_id,
+                     round(sim, 4) AS sim, CAST(rn AS BIGINT) AS rank
+              FROM rk WHERE rn <= 10"""),
+      "IVF ANN: deterministic 16-cell quantizer, 2-cell probe, exact in-cell rank"),
+
     // ── text: language id ──────────────────────────────────────────────────
     QueryDef("q36_langid",
       (s, d) => TextAnalysis.langId(docs(s, d)),

@@ -49,6 +49,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got == expected, s"operator top-5 $got != local top-5 $expected")
   }
 
+  test("IVF with full probe (nprobe = kCells) equals brute force exactly") {
+    val ivf = Similarity.ivfTopK(emb, col("vec_id") < 3, kCells = 4, nprobe = 4, k = 5)
+      .collect().map(_.toSeq).toSet
+    val bf = Similarity.bruteForceTopK(emb, col("vec_id") < 3, 5)
+      .collect().map(_.toSeq).toSet
+    assert(ivf == bf, s"full-probe IVF diverges from brute force: ${ivf -- bf} / ${bf -- ivf}")
+  }
+
+  test("IVF partial probe returns ranked rows from probed cells only") {
+    val out = Similarity.ivfTopK(emb, col("vec_id") % 100 === 7,
+        kCells = 16, nprobe = 2, k = 10)
+      .orderBy("qid", "rank").collect()
+    assert(out.nonEmpty)
+    out.groupBy(_.getLong(0)).foreach { case (_, rows) =>
+      assert(rows.map(_.getLong(3)).toSeq == (1L to rows.length))
+      val sims = rows.sortBy(_.getLong(3)).map(_.getDouble(2))
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("sign-LSH buckets are deterministic and bounded") {
     val b1 = Similarity.signLshBuckets(emb, 8, 64).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
