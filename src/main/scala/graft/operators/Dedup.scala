@@ -177,4 +177,46 @@ object Dedup {
       .agg(sum(col("fbit") * pow(lit(2.0), col("b")).cast("long")).as("simhash"))
       .select(col(idCol).cast("long"), col("simhash").cast("long"))
   }
+
+  /** Embedding-cosine near-duplicate pairs via banded sign-LSH — the
+    * semantic-dedup modality (exact / Jaccard / MinHash / SimHash cover the
+    * lexical ones). Same banding idea as [[minhashLsh]], in cosine space:
+    * `bands` independent hash tables of `planesPerBand` deterministic
+    * md5-derived hyperplanes each ([[Similarity.signWeightMatrix]]); vectors
+    * colliding in ANY band become candidates; candidates are verified with
+    * exact cosine ≥ `minCos`. Collision probability per band is
+    * (1 − θ/π)^planesPerBand, so recall tunes by (bands, planesPerBand)
+    * without ever forming the all-pairs product.
+    *
+    * Scale shape: bucket ids are one zero-shuffle projection (ids only are
+    * fanned ×bands, never the vectors); the candidate self-join shuffles on
+    * (band, bucket); verification re-joins the few candidates back to the
+    * embedding table on vec_id. No step is quadratic in the corpus.
+    *
+    * @return (i, j, sim) with i < j, exact cosine, sim ≥ minCos. */
+  def embeddingNearDup(embeddings: DataFrame, bands: Int = 4,
+      planesPerBand: Int = 2, dim: Int = 64, minCos: Double = 0.4): DataFrame = {
+    val w = Similarity.signWeightMatrix(bands * planesPerBand, dim)
+    val bandBuckets = array((0 until bands).map { b =>
+      (0 until planesPerBand).map { i =>
+        val plane = typedlit(w(b * planesPerBand + i).toSeq)
+        when(Similarity.dot(col("embedding"), plane) > 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+    val ids = embeddings
+      .select(col("vec_id").cast("long").as("vec_id"),
+        posexplode(bandBuckets).as(Seq("band", "bucket")))
+    val cands = ids.as("a").join(ids.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    val e = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+    cands
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
+      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= minCos)
+      .select(col("i"), col("j"), round(col("sim"), 4).as("sim"))
+  }
 }

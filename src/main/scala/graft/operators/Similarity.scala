@@ -54,7 +54,7 @@ object Similarity {
     * |vectors|·dim·planes md5 calls (and as many exploded rows) per
     * bucket build. Must stay bit-identical to the DuckDB oracle's
     * instr('0123456789abcdef', substr(md5(p || '|' || d), 1, 1)) - 1 >= 8. */
-  private def signWeightMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+  private[operators] def signWeightMatrix(planes: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(planes, dim) { (p, d0) =>
       val md = java.security.MessageDigest.getInstance("MD5")
       val firstByte = md.digest(s"$p|${d0 + 1}".getBytes("UTF-8"))(0)

@@ -103,6 +103,37 @@ object PipelineQueries extends QueryRegistry {
               FROM bv GROUP BY doc_id"""),
       "16-bit count-weighted SimHash fingerprints"),
 
+    // ── dedup: embedding-cosine near-dup (banded sign-LSH) ─────────────────
+    // 4 bands × 2 md5-derived hyperplanes (the q35 mechanism, banded);
+    // candidates = any-band bucket collision; verified exact cosine ≥ 0.4.
+    QueryDef("q63_dedup_embedding",
+      (s, d) => Dedup.embeddingNearDup(emb(s, d),
+        bands = 4, planesPerBand = 2, dim = 64, minCos = 0.4),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                   dims AS (SELECT unnest(generate_series(1, 64)) AS dd),
+                   planes AS (SELECT unnest(generate_series(0, 7)) AS p),
+                   vals AS (SELECT vec_id, dd, emb[dd] AS v FROM e CROSS JOIN dims),
+                   proj AS (SELECT vec_id, p,
+                                   sum((CASE WHEN instr('0123456789abcdef',
+                                          substr(md5(CAST(p AS VARCHAR) || '|' || CAST(dd AS VARCHAR)), 1, 1)) - 1 >= 8
+                                        THEN 1.0 ELSE -1.0 END) * v) AS pr
+                            FROM vals CROSS JOIN planes GROUP BY vec_id, p),
+                   buck AS (SELECT vec_id, CAST(p // 2 AS BIGINT) AS band,
+                                   CAST(sum(CASE WHEN pr > 0 THEN CAST(power(2, p % 2) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+                            FROM proj GROUP BY 1, 2),
+                   cand AS (SELECT DISTINCT a.vec_id AS i, b.vec_id AS j
+                            FROM buck a JOIN buck b
+                              ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id),
+                   sims AS (SELECT i, j,
+                                   list_dot_product(ea.emb, eb.emb)
+                                     / (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))) AS sim
+                            FROM cand
+                            JOIN e ea ON ea.vec_id = cand.i
+                            JOIN e eb ON eb.vec_id = cand.j)
+              SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, round(sim, 4) AS sim
+              FROM sims WHERE sim >= 0.4"""),
+      "Embedding-cosine near-dup pairs: banded sign-LSH candidates, exact verify"),
+
     // ── similarity: brute-force cosine top-k ───────────────────────────────
     QueryDef("q34_sim_topk",
       (s, d) => Similarity.bruteForceTopK(emb(s, d), col("vec_id") < 5, 10),

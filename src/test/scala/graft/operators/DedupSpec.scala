@@ -70,4 +70,34 @@ class DedupSpec extends SparkSpec {
     assert(m(1L) != m(3L))
     m.values.foreach(v => assert(v >= 0 && v < 65536))
   }
+
+  test("embedding near-dup: identical vectors always collide; sims verified exact") {
+    // two identical vectors plus noise vectors: the identical pair MUST be
+    // found (equal vectors share every band bucket) with sim = 1.0
+    val rnd = new scala.util.Random(5)
+    val base = Array.fill(64)(rnd.nextFloat() * 2f - 1f)
+    val rows = Seq(0L -> base, 1L -> base) ++
+      (2L to 20L).map(i => i -> Array.fill(64)(rnd.nextFloat() * 2f - 1f))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.embeddingNearDup(df, bands = 4, planesPerBand = 2,
+        dim = 64, minCos = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.contains((0L, 1L, 1.0)), s"identical pair missing from $out")
+    out.foreach { case (i, j, s) => assert(i < j && s >= 0.99) }
+  }
+
+  test("embedding near-dup candidates are a subset of all-pairs at threshold") {
+    val e = graft.core.Tables.load(spark, sfDir, "embeddings")
+    val lsh = Dedup.embeddingNearDup(e, minCos = 0.35)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val all = e.select(col("vec_id").as("i"), col("embedding").as("ea"))
+      .crossJoin(e.select(col("vec_id").as("j"), col("embedding").as("eb")))
+      .filter(col("i") < col("j"))
+      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .filter(col("sim") >= 0.35)
+      .select("i", "j")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(all), s"LSH emitted non-dup pairs: ${lsh -- all}")
+    assert(lsh.nonEmpty, "banded LSH found zero of the near-dup pairs")
+  }
 }
