@@ -223,6 +223,36 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbor resize for "image" payloads: decode the BMP, resample
+    * `pixels[y·h/outH][x·w/outW]`, re-encode. Non-image rows pass through
+    * untouched. Runs as a per-row map (O(item) memory, no shuffle) — the
+    * standard preprocessing step before feature extraction in a training
+    * pipeline; nearest-neighbor keeps it integer-exact and deterministic,
+    * so the resized container round-trips bit-identically on every engine. */
+  def resizeImages(media: Dataset[MediaItem], outW: Int, outH: Int): Dataset[MediaItem] = {
+    require(outW > 0 && outH > 0, s"bad target size ${outW}x$outH")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.map { m =>
+      if (m.modality != "image") m
+      else {
+        val (px, w, h, _) = decodeBmp8(m.payload, 0)
+        val dst = Array.ofDim[Byte](outW * outH)
+        var y = 0
+        while (y < outH) {
+          val sy = y.toLong * h / outH
+          var x = 0
+          while (x < outW) {
+            dst(y * outW + x) = px((sy * w + x.toLong * w / outW).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        m.copy(payload = encodeBmp8(dst, outW, outH), width = outW, height = outH)
+      }
+    }
+  }
+
   /** Frame sampling for "video" payloads: every `stride`-th frame of the
     * container, decoded to its top-down pixel array. */
   def sampleFrames(media: Dataset[MediaItem], stride: Int): Dataset[Frame] = {

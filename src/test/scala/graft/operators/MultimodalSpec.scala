@@ -69,4 +69,25 @@ class MultimodalSpec extends SparkSpec {
       assert(fr.frame_idx % 2 == 0)
     }
   }
+
+  test("resize: identity size is bit-identical; downscale picks expected pixels") {
+    import spark.implicits._
+    // 4x2 image with a known gradient; downscale to 2x1 must pick
+    // nearest-neighbor sources (0,0) and (0,2): values 0 and 2
+    val px = Array[Byte](0, 1, 2, 3, 10, 11, 12, 13)
+    val item = Multimodal.MediaItem(1L, "image",
+      Multimodal.encodeBmp8(px, 4, 2), 4, 2, 1)
+    val ds = Seq(item).toDS()
+    val same = Multimodal.resizeImages(ds, 4, 2).collect().head
+    assert(java.util.Arrays.equals(same.payload, item.payload))
+    val small = Multimodal.resizeImages(ds, 2, 1).collect().head
+    val (spx, sw, sh, _) = Multimodal.decodeBmp8(small.payload, 0)
+    assert((sw, sh) == (2, 1) && small.width == 2 && small.height == 1)
+    assert(spx.toSeq == Seq[Byte](0, 2).toSeq)
+    // non-image rows pass through untouched
+    val wav = Multimodal.MediaItem(2L, "audio",
+      Multimodal.encodeWavU8(Array[Byte](1, 2, 3)), 0, 0, 0)
+    val out = Multimodal.resizeImages(Seq(wav).toDS(), 2, 1).collect().head
+    assert(java.util.Arrays.equals(out.payload, wav.payload))
+  }
 }
