@@ -70,18 +70,50 @@ object HaversineKm {
       HaversineKm(toDouble(lat1), toDouble(lon1), toDouble(lat2), toDouble(lon2)))
 }
 
-/** Session extensions: registers `haversine_km` as a SQL function.
-  * Usage: `SparkSession.builder().withExtensions(new GraftExtensions)` or
-  * `spark.sql.extensions=graft.plans.GraftExtensions`. */
+/** Session extensions: registers `haversine_km` (scalar) and
+  * `hist_quantile` (aggregate, single-pass histogram sketch) as SQL
+  * functions. Usage: `SparkSession.builder().withExtensions(new
+  * GraftExtensions)` or `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("haversine_km"),
       new ExpressionInfo(classOf[HaversineKm].getName, "haversine_km"),
-      (exprs: Seq[Expression]) => {
-        require(exprs.length == 4, "haversine_km(lat1, lon1, lat2, lon2)")
-        def d(e: Expression) = if (e.dataType == DoubleType) e else Cast(e, DoubleType)
-        HaversineKm(d(exprs(0)), d(exprs(1)), d(exprs(2)), d(exprs(3)))
-      }))
+      GraftExtensions.haversineBuilder))
+    e.injectFunction((
+      FunctionIdentifier("hist_quantile"),
+      new ExpressionInfo(classOf[HistogramQuantileAgg].getName, "hist_quantile"),
+      GraftExtensions.histQuantileBuilder))
+  }
+}
+
+object GraftExtensions {
+  /** Builders shared by `injectFunction` and temp-function registration. */
+  val haversineBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 4, "haversine_km(lat1, lon1, lat2, lon2)")
+    def d(e: Expression) = if (e.dataType == DoubleType) e else Cast(e, DoubleType)
+    HaversineKm(d(exprs(0)), d(exprs(1)), d(exprs(2)), d(exprs(3)))
+  }
+
+  /** `hist_quantile(value, q, lo, width, nBins)` — the sketch parameters
+    * must be literals (they shape the aggregation buffer, so they cannot
+    * vary per row). SQL numeric literals arrive as Decimal/Int; normalize. */
+  val histQuantileBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 5, "hist_quantile(value, q, lo, width, nBins)")
+    def litNum(e: Expression, name: String): Double = {
+      require(e.foldable, s"hist_quantile: $name must be a literal")
+      e.eval() match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case i: Int => i.toDouble
+        case l: Long => l.toDouble
+        case dec: org.apache.spark.sql.types.Decimal => dec.toDouble
+        case other =>
+          throw new IllegalArgumentException(s"hist_quantile: $name must be numeric, got $other")
+      }
+    }
+    val v = if (exprs.head.dataType == DoubleType) exprs.head else Cast(exprs.head, DoubleType)
+    HistogramQuantileAgg(v, litNum(exprs(1), "q"), litNum(exprs(2), "lo"),
+      litNum(exprs(3), "width"), litNum(exprs(4), "nBins").toInt)
   }
 }

@@ -55,17 +55,31 @@ class HaversineSpec extends AnyFunSuite {
     val exts = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(exts) // must not throw
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "haversine_km",
-      exprs => {
-        def d(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-          if (e.dataType == org.apache.spark.sql.types.DoubleType) e
-          else org.apache.spark.sql.catalyst.expressions.Cast(e,
-            org.apache.spark.sql.types.DoubleType)
-        HaversineKm(d(exprs(0)), d(exprs(1)), d(exprs(2)), d(exprs(3)))
-      },
-      "scala_udf")
+      "haversine_km", GraftExtensions.haversineBuilder, "scala_udf")
     val r = spark.sql("SELECT haversine_km(0, 0, 0, 180) AS d").head().getDouble(0)
     assert(math.abs(r - math.Pi * 6371.0) < 1.0)
+  }
+
+  test("hist_quantile SQL aggregate matches the Column-API UDAF") {
+    import spark.implicits._
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hist_quantile", GraftExtensions.histQuantileBuilder, "scala_udf")
+    val rnd = new scala.util.Random(23)
+    val df = (1 to 2000).map(_ => (rnd.nextInt(4), rnd.nextDouble() * 20.0))
+      .toDF("k", "v")
+    df.createOrReplaceTempView("hq_t")
+    val viaSql = spark.sql(
+      "SELECT k, hist_quantile(v, 0.9, 0.0, 0.1, 200) AS q FROM hq_t GROUP BY k")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val viaCol = df.groupBy("k")
+      .agg(HistogramQuantileAgg.histogramQuantile(col("v"), 0.9, 0.0, 0.1, 200).as("q"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(viaSql == viaCol, s"$viaSql != $viaCol")
+    // non-literal sketch parameter must be rejected at analysis, not runtime
+    val err = intercept[Exception] {
+      spark.sql("SELECT hist_quantile(v, v, 0.0, 0.1, 200) FROM hq_t").collect()
+    }
+    assert(err.getMessage.contains("literal") || err.getMessage.contains("foldable"))
   }
 
   test("null input yields null") {
