@@ -211,11 +211,14 @@ object Dedup {
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
       .distinct()
-    val e = embeddings.select(col("vec_id").cast("long"), col("embedding"))
+    // Norms are precomputed per VECTOR, not per pair — identical float values
+    // (same dot over the same array), a third of the per-pair flops.
+    val e = embeddings.select(col("vec_id").cast("long"), col("embedding"),
+      Similarity.norm(col("embedding")).as("nrm"))
     cands
-      .join(e.select(col("vec_id").as("i"), col("embedding").as("ea")), "i")
-      .join(e.select(col("vec_id").as("j"), col("embedding").as("eb")), "j")
-      .withColumn("sim", Similarity.cosine(col("ea"), col("eb")))
+      .join(e.select(col("vec_id").as("i"), col("embedding").as("ea"), col("nrm").as("na")), "i")
+      .join(e.select(col("vec_id").as("j"), col("embedding").as("eb"), col("nrm").as("nb")), "j")
+      .withColumn("sim", Similarity.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("sim") >= minCos)
       .select(col("i"), col("j"), round(col("sim"), 4).as("sim"))
   }

@@ -23,10 +23,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Sequential left-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential left-fold dot product in double precision — a native
+    * codegen'd Catalyst expression ([[graft.plans.DotProduct]]); bit-equal
+    * to the `aggregate(zip_with(...))` higher-order form it replaced, but
+    * compiled to a plain loop instead of an interpreted per-element lambda. */
+  def dot(a: Column, b: Column): Column = graft.plans.DotProduct.dotProduct(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

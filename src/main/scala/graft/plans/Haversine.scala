@@ -84,6 +84,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("hist_quantile"),
       new ExpressionInfo(classOf[HistogramQuantileAgg].getName, "hist_quantile"),
       GraftExtensions.histQuantileBuilder))
+    e.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      GraftExtensions.dotProductBuilder))
   }
 }
 
@@ -93,6 +97,11 @@ object GraftExtensions {
     require(exprs.length == 4, "haversine_km(lat1, lon1, lat2, lon2)")
     def d(e: Expression) = if (e.dataType == DoubleType) e else Cast(e, DoubleType)
     HaversineKm(d(exprs(0)), d(exprs(1)), d(exprs(2)), d(exprs(3)))
+  }
+
+  val dotProductBuilder: Seq[Expression] => Expression = { exprs =>
+    require(exprs.length == 2, "dot_product(array<float|double>, array<float|double>)")
+    DotProduct(exprs(0), exprs(1))
   }
 
   /** `hist_quantile(value, q, lo, width, nBins)` — the sketch parameters
