@@ -24,8 +24,9 @@ import graft.operators.ConnectedComponents
   *    gridded sequential algorithm's trick, not this one's);
   *  - overlap fractions use CELL-AREA sums (not pixel counts) throughout —
   *    the unstructured branch is area-weighted end-to-end;
-  *  - filtering is the unstructured branch's: object CELL COUNTS with the
-  *    hard-coded >5 prefilter and a STRICT > threshold (track.py:1812–1906).
+  *  - filtering is the unstructured branch's: object CELL COUNTS with a
+  *    mode-dependent prefilter (>5 cells absolute / >50 cells quartile) and
+  *    a STRICT > threshold (track.py:1812–1906).
   *
   * The queue algorithm is inherently order-dependent within a time chunk, so
   * it runs driver-orchestrated over per-timestep slices (the reference's own
@@ -85,9 +86,13 @@ object UnstructuredTracker {
       .select(col("time"), col("y").as("cell"), col("gid"))
       .localCheckpoint()
 
-    // unstructured filter: CELL COUNTS, hard-coded >5 prefilter, strict >
+    // unstructured filter: CELL COUNTS, strict > threshold; the prefilter
+    // cut depends on the filter mode (track.py:1812–1815): >5 cells under
+    // absolute filtering, >50 cells under quartile filtering (the reference
+    // prunes harder before its percentile computation).
     val counts = gids.groupBy("gid").agg(count(lit(1)).as("n")).localCheckpoint()
-    val preList = counts.filter(col("n") > 5)
+    val preCut = if (cfg.areaFilterAbsolute.isDefined) 5 else 50
+    val preList = counts.filter(col("n") > preCut)
     val nPre = preList.count()
     val threshold: Double = cfg.areaFilterAbsolute.getOrElse {
       val arr = preList.select(col("n").cast("double")).collect().map(_.getDouble(0)).sorted

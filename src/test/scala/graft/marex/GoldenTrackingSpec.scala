@@ -87,4 +87,45 @@ class GoldenTrackingSpec extends SparkSpec {
     assert(math.abs(st("total_merges") - 9L) <= 1,
       s"total_merges ${st("total_merges")} !~ 9±1")
   }
+
+  private val unstructuredBasicDir =
+    "/root/reference/tests/data/extremes_unstructured.zarr"
+
+  test("unstructured QUARTILE-path merging matches reference bands (15/8/3)") {
+    assume(new java.io.File(s"$unstructuredBasicDir/.zgroup").exists())
+    val (flags, mesh) = ReferenceFixtures.loadExtremesUnstructured(spark, unstructuredBasicDir)
+    // test_unstructured_tracking.py:266–290 (data-consistency run): R_fill=3,
+    // area_filter_quartile=0.5, T_fill=2, allow_merging=True; bands at
+    // :351–353 — N_objects_prefiltered 15±5, filtered 8±2, events 3±1.
+    // Exercises the quartile (not absolute) area filter on the mesh path.
+    val res = UnstructuredTracker.track(flags, mesh,
+      TrackConfig(rFill = 3, tFill = 2, areaFilterQuartile = 0.5,
+        allowMerging = true))
+    val st = res.stats
+    info(s"prefiltered=${st("n_objects_prefiltered")} filtered=${st("n_objects_filtered")} " +
+      s"events=${st("n_events_final")}")
+    assert(math.abs(st("n_objects_prefiltered") - 15L) <= 5,
+      s"N_objects_prefiltered ${st("n_objects_prefiltered")} !~ 15±5")
+    assert(math.abs(st("n_objects_filtered") - 8L) <= 2,
+      s"N_objects_filtered ${st("n_objects_filtered")} !~ 8±2")
+    assert(math.abs(st("n_events_final") - 3L) <= 1,
+      s"N_events_final ${st("n_events_final")} !~ 3±1")
+  }
+
+  test("unstructured quartile sweep: aggressive filtering yields fewer events") {
+    assume(new java.io.File(s"$unstructuredBasicDir/.zgroup").exists())
+    val (flags, mesh) = ReferenceFixtures.loadExtremesUnstructured(spark, unstructuredBasicDir)
+    // test_unstructured_tracking.py:356–434: same fixture, R_fill=2,
+    // T_fill=0, non-merging, quartile 0.1 vs 0.9 — higher filtering must
+    // produce fewer or equal events, and the low-filter run must find some.
+    def run(q: Double) = UnstructuredTracker.track(flags, mesh,
+      TrackConfig(rFill = 2, tFill = 0, areaFilterQuartile = q,
+        allowMerging = false)).stats
+    val lo = run(0.1)
+    val hi = run(0.9)
+    info(s"events@0.1=${lo("n_events_final")} events@0.9=${hi("n_events_final")}")
+    assert(hi("n_events_final") <= lo("n_events_final"),
+      "aggressive filtering produced MORE events than minimal filtering")
+    assert(lo("n_events_final") > 0, "low-filter run found no events")
+  }
 }
