@@ -64,6 +64,72 @@ class GoldenTrackingSpec extends SparkSpec {
     assert(math.abs(merges - 13L) <= 2, s"total_merges $merges !~ 13±2")
   }
 
+  test("centroid-partitioned merging matches reference golden counts (516/258/21/15)") {
+    assume(haveFixture)
+    val (flags, geom, spec) = loaded
+    // test_gridded_tracking.py:148–203 (data-consistency run): R_fill=4,
+    // T_fill=2, quartile=0.5, allow_merging=True with DEFAULT partitioning
+    // (nn_partitioning=False → centroid) — the partitioning choice shifts
+    // the merge ledger (15±2 vs 13±2 under NN) and events (21±1).
+    val res = Track.track(flags, geom, spec,
+      TrackConfig(rFill = 4, tFill = 2, areaFilterQuartile = 0.5,
+        overlapThreshold = 0.5, allowMerging = true, nnPartitioning = false,
+        sequentialSplitMerge = true))
+    val st = res.stats
+    info(s"prefiltered=${st("n_objects_prefiltered")} filtered=${st("n_objects_filtered")} " +
+      s"events=${st("n_events_final")} merges=${st("total_merges")}")
+    assert(math.abs(st("n_objects_prefiltered") - 516L) <= 2)
+    assert(math.abs(st("n_objects_filtered") - 258L) <= 2)
+    assert(math.abs(st("n_events_final") - 21L) <= 1)
+    assert(math.abs(st("total_merges") - 15L) <= 2)
+  }
+
+  test("quartile sweep matches reference golden counts (q=0: 152 events; q=0.8: 21)") {
+    assume(haveFixture)
+    val (flags, geom, spec) = loaded
+    // test_gridded_tracking.py:206–260: R_fill=2, T_fill=0, non-merging.
+    // q=0.0 keeps everything except the drop-first-object quirk
+    // (1046 → 1045); q=0.8 keeps the top quintile (209).
+    def run(q: Double) = Track.track(flags, geom, spec,
+      TrackConfig(rFill = 2, tFill = 0, areaFilterQuartile = q,
+        allowMerging = false)).stats
+    val none = run(0.0)
+    info(s"q=0.0: pre=${none("n_objects_prefiltered")} post=${none("n_objects_filtered")} " +
+      s"events=${none("n_events_final")}")
+    assert(math.abs(none("n_objects_prefiltered") - 1046L) <= 2)
+    assert(math.abs(none("n_objects_filtered") - 1045L) <= 2)
+    assert(math.abs(none("n_events_final") - 152L) <= 1)
+    val high = run(0.8)
+    info(s"q=0.8: pre=${high("n_objects_prefiltered")} post=${high("n_objects_filtered")} " +
+      s"events=${high("n_events_final")}")
+    assert(math.abs(high("n_objects_prefiltered") - 1046L) <= 2)
+    assert(math.abs(high("n_objects_filtered") - 209L) <= 2)
+    assert(math.abs(high("n_events_final") - 21L) <= 1)
+  }
+
+  test("temporal gap filling matches reference golden counts (T_fill 0: 54; 4: 38)") {
+    assume(haveFixture)
+    val (flags, geom, spec) = loaded
+    // test_gridded_tracking.py:263–320: R_fill=2, quartile=0.5, non-merging.
+    // T_fill=4 bridges 4-day gaps: fewer, longer events (54 → 38) and a
+    // slightly different prefiltered count (1041, gap-filled objects merge).
+    def run(tFill: Int) = Track.track(flags, geom, spec,
+      TrackConfig(rFill = 2, tFill = tFill, areaFilterQuartile = 0.5,
+        allowMerging = false)).stats
+    val noGaps = run(0)
+    info(s"T_fill=0: pre=${noGaps("n_objects_prefiltered")} post=${noGaps("n_objects_filtered")} " +
+      s"events=${noGaps("n_events_final")}")
+    assert(math.abs(noGaps("n_objects_prefiltered") - 1046L) <= 2)
+    assert(math.abs(noGaps("n_objects_filtered") - 522L) <= 2)
+    assert(math.abs(noGaps("n_events_final") - 54L) <= 1)
+    val withGaps = run(4)
+    info(s"T_fill=4: pre=${withGaps("n_objects_prefiltered")} post=${withGaps("n_objects_filtered")} " +
+      s"events=${withGaps("n_events_final")}")
+    assert(math.abs(withGaps("n_objects_prefiltered") - 1041L) <= 2)
+    assert(math.abs(withGaps("n_objects_filtered") - 522L) <= 2)
+    assert(math.abs(withGaps("n_events_final") - 38L) <= 1)
+  }
+
   private val unstructuredDir =
     "/root/reference/tests/data/extremes_unstructured_merging.zarr"
 
