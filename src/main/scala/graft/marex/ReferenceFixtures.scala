@@ -81,4 +81,23 @@ object ReferenceFixtures {
     } yield (new Timestamp(epoch + t * 86400000L), c)).toDF("time", "cell")
     (flags, mesh)
   }
+
+  /** Load the raw SST fixture (sst_gridded.zarr: `to(time, lat, lon)`,
+    * NaN-filled land, time = seconds since 1981-01-01) as a detect-input
+    * field `(time, y, x, value)`. `maxDays` bounds the time axis (the full
+    * fixture is 40 years; the reference integration tests subset the same
+    * way, test_integration.py:103). Chunk pruning via read3D's timeRange
+    * keeps the scan to the requested prefix. */
+  def loadSstGridded(spark: SparkSession, dir: String, maxDays: Int): DataFrame = {
+    import spark.implicits._
+    val (_, timeArr) = ZarrSource.readLocalND(s"$dir/time")
+    val epoch = Timestamp.valueOf("1981-01-01 00:00:00").getTime
+    val timeDf = timeArr.toSeq.take(maxDays).zipWithIndex
+      .map { case (s, i) => (i, new Timestamp(epoch + s.toLong * 1000L)) }
+      .toDF("t_idx", "time")
+    ZarrSource.read3D(spark, s"$dir/to", timeRange = Some((0, maxDays)))
+      .filter(col("t_idx") < maxDays && !isnan(col("value")))
+      .join(broadcast(timeDf), "t_idx")
+      .select(col("time"), col("y"), col("x"), col("value"))
+  }
 }
