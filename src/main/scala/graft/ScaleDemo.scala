@@ -43,17 +43,22 @@ object ScaleDemo {
       df
     }
 
-    // Exact hobday path. Measured head-to-head at this 40y×20×40 shape
-    // (local[32]): exact 185 s vs histogram-approximate 215 s — the approx
-    // path's (pixel, doy, bin) group count (~58 M) exceeds the exact path's
-    // shuffle at this modest pixel count, and coarse bins over-flag
-    // (5.8% vs 5.0%). The histogram path wins when per-group sample counts
-    // dwarf the bin count (more years / std-normalised units); both stay
-    // available via DetectConfig.methodPercentile.
-    val (anom, thr, extremes) = timed("detect (fixed+hobday exact)") {
+    // Exact (pixel-kernel) vs histogram-approximate hobday, selectable via
+    // args(1). Head-to-head at this 40y×20×40 shape (local[32], end of
+    // round 3): exact 31.5 s / 5.01% flagged vs approximate 39.3 s / 5.76%.
+    // The bin-first pooled-histogram rework (one partial-agg shuffle to
+    // (pixel, doy, bin) counts, then the 11× doy window pooled on the
+    // bounded aggregate) cut the approx path 5.5× (215 s round 1); the
+    // exact pixel-kernel still wins at this modest pixel count, and coarse
+    // 0.05-unit bins over-flag — the histogram path pays off when
+    // per-group sample counts dwarf the bin count (century archives,
+    // std-normalised units).
+    val method = if (args.length > 1) args(1) else "exact"
+    val (anom, thr, extremes) = timed(s"detect (fixed+hobday $method)") {
       val r = Detect.preprocess(sst, DetectConfig(
         methodAnomaly = "fixed_baseline", methodExtreme = "hobday_extreme",
-        thresholdPercentile = 95))
+        thresholdPercentile = 95, methodPercentile = method,
+        precision = 0.05, maxAnomaly = 25.0))
       (r._1, r._2, r._3.localCheckpoint())
     }
     timed("extreme fraction") {
