@@ -404,7 +404,7 @@ object Detect {
     else anom).localCheckpoint()
     val q = cfg.thresholdPercentile / 100.0
     val exact = cfg.methodPercentile == "exact"
-    val thr = cfg.methodExtreme match {
+    val thr = (cfg.methodExtreme match {
       case "global_extreme" =>
         globalThreshold(anom2, q, exact, cfg.precision, cfg.maxAnomaly)
       case "hobday_extreme" if exact =>
@@ -412,7 +412,12 @@ object Detect {
         hobdayThresholdKernel(anom2, q, cfg.windowDaysHobday)
       case "hobday_extreme" =>
         hobdayThreshold(anom2, q, cfg.windowDaysHobday, exact, cfg.precision, cfg.maxAnomaly)
-    }
+      // Persist the threshold table too (bounded: |pixels|×366 rows): it is
+      // consumed by the comparison join AND returned to the caller — the
+      // reference persists both at the same point (detect.py:679
+      // persist(extremes, thresholds)); without this the histogram path's
+      // window-heavy threshold plan re-executes per consumer.
+    }).localCheckpoint()
     (anom2, thr, applyThreshold(anom2, thr))
   }
 }
