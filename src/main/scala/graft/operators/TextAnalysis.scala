@@ -78,6 +78,54 @@ object TextAnalysis {
       size(array_distinct(toks)).cast("long").as("n_distinct"))
   }
 
+  /** Repetition signals in the style of the public Gopher quality filters
+    * (Rae et al. 2021, "Scaling Language Models: Methods, Analysis &
+    * Insights from Training Gopher", App. A): per document, the share of
+    * word-2-gram occurrences captured by the single most frequent 2-gram
+    * (top-n-gram fraction) and the share of word-3-gram occurrences whose
+    * gram occurs more than once (duplicate-n-gram fraction). High values
+    * flag boilerplate and degenerate repetition.
+    *
+    * Fractions are emitted as integer parts-per-million (`x * 1e6 DIV n`)
+    * so the oracle compare is bit-exact with no float rounding contract.
+    *
+    * Shape: the two gram streams are built as per-row array projections
+    * (no join), exploded into one tagged stream, then counted with a
+    * single (doc_id, n, gram) hash aggregate and folded per doc — two
+    * shuffles, both partial-aggregated map-side, embarrassingly parallel
+    * over documents at corpus scale.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val toks = Dedup.tokens(col("text"))
+    def grams(n: Int): Column =
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - n),
+          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
+        .otherwise(array().cast("array<string>"))
+    val stream = Seq(2, 3).map(n =>
+        docs.select(col("doc_id"), lit(n).as("n"), explode(grams(n)).as("g")))
+      .reduce(_ unionByName _)
+    val counts = stream.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+    val per = counts.groupBy("doc_id", "n").agg(
+      sum("c").as("tot"), max("c").as("top"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+    def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
+    val folded = per.groupBy("doc_id").agg(
+      pick(2, "tot").as("tot2"), pick(2, "top").as("top2"),
+      pick(3, "tot").as("tot3"), pick(3, "dup").as("dup3"))
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .join(folded, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("tot2"), lit(0L)).cast("long").as("n_2grams"),
+        coalesce(col("top2"), lit(0L)).cast("long").as("top_2gram_cnt"),
+        expr("(coalesce(top2, 0L) * 1000000L) DIV nullif(coalesce(tot2, 0L), 0L)")
+          .cast("long").as("top_2gram_ppm"),
+        coalesce(col("tot3"), lit(0L)).cast("long").as("n_3grams"),
+        coalesce(col("dup3"), lit(0L)).cast("long").as("dup_3gram_cnt"),
+        expr("(coalesce(dup3, 0L) * 1000000L) DIV nullif(coalesce(tot3, 0L), 0L)")
+          .cast("long").as("dup_3gram_ppm"))
+  }
+
   /** Content fingerprint: md5 prefix of whitespace-normalized lowercase text,
     * plus the fingerprint's corpus frequency (dup-group size). */
   def fingerprint(docs: DataFrame): DataFrame = {

@@ -291,6 +291,42 @@ object PipelineQueries extends QueryRegistry {
               FROM fp"""),
       "Normalized content fingerprint + dup-group size"),
 
+    QueryDef("q64_repetition",
+      (s, d) => TextAnalysis.repetitionStats(docs(s, d)),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+                    g AS (
+                      SELECT doc_id, 2 AS n, ts[i] || ' ' || ts[i+1] AS g
+                      FROM (SELECT doc_id, ts,
+                                   unnest(generate_series(1, greatest(len(ts) - 1, 0))) AS i
+                            FROM toks)
+                      UNION ALL
+                      SELECT doc_id, 3 AS n, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+                      FROM (SELECT doc_id, ts,
+                                   unnest(generate_series(1, greatest(len(ts) - 2, 0))) AS i
+                            FROM toks)),
+                    counts AS (SELECT doc_id, n, g, count(*) AS c
+                               FROM g GROUP BY doc_id, n, g),
+                    per AS (SELECT doc_id, n, sum(c) AS tot, max(c) AS top,
+                                   sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+                            FROM counts GROUP BY doc_id, n),
+                    folded AS (SELECT doc_id,
+                                      max(CASE WHEN n = 2 THEN tot END) AS tot2,
+                                      max(CASE WHEN n = 2 THEN top END) AS top2,
+                                      max(CASE WHEN n = 3 THEN tot END) AS tot3,
+                                      max(CASE WHEN n = 3 THEN dup END) AS dup3
+                               FROM per GROUP BY doc_id)
+               SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                      CAST(coalesce(tot2, 0) AS BIGINT) AS n_2grams,
+                      CAST(coalesce(top2, 0) AS BIGINT) AS top_2gram_cnt,
+                      CAST((coalesce(top2, 0) * 1000000) // nullif(coalesce(tot2, 0), 0) AS BIGINT)
+                        AS top_2gram_ppm,
+                      CAST(coalesce(tot3, 0) AS BIGINT) AS n_3grams,
+                      CAST(coalesce(dup3, 0) AS BIGINT) AS dup_3gram_cnt,
+                      CAST((coalesce(dup3, 0) * 1000000) // nullif(coalesce(tot3, 0), 0) AS BIGINT)
+                        AS dup_3gram_ppm
+               FROM documents d LEFT JOIN folded ON d.doc_id = folded.doc_id"""),
+      "Gopher-style repetition signals: top-2-gram + duplicate-3-gram fractions (ppm)"),
+
     // ── multimodal: binary column metadata (oracle-checkable slice) ────────
     // The oracle recomputes each container's size from its public layout:
     // BMP = 14+40+1024 header/palette + 4-byte-padded rows; WAV = 44-byte
