@@ -56,18 +56,51 @@ object Dedup {
     }
   }
 
-  /** All-pairs n-gram Jaccard via shingle self-join. O(Σ df²) — use only
-    * post-LSH or on bounded corpora; [[minhashLsh]] is the scale path. */
+  /** EXACT n-gram Jaccard pairs ≥ `minJaccard` via a prefix-filtered
+    * similarity join (the AllPairs/PPJoin family, Bayardo et al. WWW'07;
+    * Xiao et al. WWW'08) — same result set as the naive shingle self-join,
+    * far from its O(Σ df²) cost.
+    *
+    * Filters (both lossless for Jaccard ≥ t):
+    *  - LENGTH: J(A,B) ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, applied inside the join.
+    *  - PREFIX: order every doc's shingles by a global total order
+    *    (md5(shingle) — uniform, engine-portable) and keep only the first
+    *    |d| − ⌈t·|d|⌉ + 1 as join keys. If J(A,B) ≥ t then the overlap
+    *    c ≥ t·max(|A|,|B|), so the smallest common shingle in the order
+    *    must land in BOTH prefixes — no qualifying pair is missed.
+    *
+    * Candidates (deduped pairs, not per-shared-shingle rows) are then
+    * verified with one `array_intersect` against the per-doc sorted shingle
+    * arrays, which also yields the exact `common` count. Two shuffles
+    * (set-build groupBy, candidate equi-join) plus two slim hash joins of
+    * the small candidate table back to the sets. */
   def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-    val common = a.join(b, Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+    val t = minJaccard
+    // per-doc shingle array sorted by the md5 global order (ties impossible
+    // in practice; sort key includes the shingle for total determinism)
+    val sets = sh
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(md5(col("shingle")).as("h"), col("shingle").as("s"))))
+        .as("hs"))
+      .select(col("doc_id"), transform(col("hs"), x => x.getField("s")).as("set"),
+        size(col("hs")).as("n_sh"))
+    val prefLen = (col("n_sh").cast("double") - ceil(lit(t) * col("n_sh")) + 1).cast("int")
+    val pref = sets.select(col("doc_id"), col("n_sh"),
+      explode(slice(col("set"), lit(1), prefLen)).as("shingle"))
+    val cands = pref.as("a").join(pref.as("b"),
+        col("a.shingle") === col("b.shingle") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          // length filter: |B| in [t·|A|, |A|/t] (symmetric under a<b order)
+          col("b.n_sh").cast("double") >= lit(t) * col("a.n_sh") &&
+          col("a.n_sh").cast("double") >= lit(t) * col("b.n_sh"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a"), col("n_sh").as("na")),
+        "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b"), col("n_sh").as("nb")),
+        "doc_b")
+      .withColumn("common", size(array_intersect(col("set_a"), col("set_b"))).cast("long"))
       .withColumn("jaccard",
         col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
       .filter(col("jaccard") >= minJaccard)
@@ -155,27 +188,28 @@ object Dedup {
 
   /** 16-bit SimHash over token counts. Bits derive from the first 4 hex chars
     * of md5(token); v_b = Σ count·(2·bit_b − 1); fingerprint bit b set iff
-    * v_b > 0. Integer arithmetic end-to-end → engine-portable. */
+    * v_b > 0. Integer arithmetic end-to-end → engine-portable.
+    *
+    * Shape: the 16 per-bit contributions are plain projections over the
+    * (doc, token, count) aggregate — 16 aggregate columns in ONE
+    * groupBy(doc_id), not a 16× row explode feeding two more shuffles. Two
+    * shuffles total, both map-side combined. */
   def simhash16(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val tokCounts = docs
       .select(col(idCol), explode(tokens(col(textCol))).as("tok"))
       .groupBy(idCol, "tok").agg(count(lit(1)).as("cnt"))
       .withColumn("h", substring(md5(col("tok")), 1, 4))
-    val bits = tokCounts
-      .select(col(idCol), col("cnt"), col("h"),
-        explode(sequence(lit(0), lit(15))).as("b"))
-      .withColumn("hexd",
-        instr(lit("0123456789abcdef"),
-          substring(col("h"), (col("b") / 4).cast("int") + 1, lit(1))) - 1)
-      .withColumn("bit",
-        floor(col("hexd") / pow(lit(2.0), lit(3) - col("b") % 4)).cast("long") % 2)
-    bits
-      .groupBy(col(idCol), col("b"))
-      .agg(sum(col("cnt") * (col("bit") * 2 - 1)).as("v"))
-      .withColumn("fbit", when(col("v") > 0, 1L).otherwise(0L))
-      .groupBy(idCol)
-      .agg(sum(col("fbit") * pow(lit(2.0), col("b")).cast("long")).as("simhash"))
-      .select(col(idCol).cast("long"), col("simhash").cast("long"))
+    val vCols = (0 until 16).map { b =>
+      val hexd = instr(lit("0123456789abcdef"), substring(col("h"), b / 4 + 1, 1)) - 1
+      val bit = floor(hexd / pow(lit(2.0), lit(3 - b % 4))).cast("long") % 2
+      sum(col("cnt") * (bit * 2 - 1)).as(s"v$b")
+    }
+    tokCounts
+      .groupBy(col(idCol))
+      .agg(vCols.head, vCols.tail: _*)
+      .select(col(idCol).cast("long"),
+        (0 until 16).map(b => when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** Embedding-cosine near-duplicate pairs via banded sign-LSH — the

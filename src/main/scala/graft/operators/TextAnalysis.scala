@@ -19,25 +19,28 @@ object TextAnalysis {
 
   /** Language ID: count stopword hits per profile, argmax with deterministic
     * tiebreak (score desc, lang asc); 'und' when no profile scores > 0.
-    * Shape: explode tokens once, broadcast-join the (lang, stopword) table,
-    * two groupBys — scales as one pass over the token stream. */
+    *
+    * Shape: a PURE PROJECTION — the profile table is tiny and static, so each
+    * language's occurrence count is a codegen'd `size(filter(...))` over the
+    * token array and the argmax is an `array_max` over per-language structs
+    * ordered (score, −rank-in-lang-asc). Zero shuffles, zero joins, zero
+    * window exchanges; scales as one embarrassing-parallel pass over docs. */
   def langId(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val profile = langProfiles.flatMap { case (l, ws) => ws.map(w => (l, w)) }
-      .toDF("cand_lang", "stopword")
-    val toks = docs.select(col("doc_id"), explode(Dedup.tokens(col("text"))).as("tok"))
-    val scores = toks.join(broadcast(profile), col("tok") === col("stopword"))
-      .groupBy("doc_id", "cand_lang").agg(count(lit(1)).as("score"))
-    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("cand_lang"))
-    val best = scores.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col("doc_id"), col("cand_lang").as("pred_lang"), col("score"))
-    docs.select(col("doc_id"), col("lang"))
-      .join(best, Seq("doc_id"), "left")
-      .select(col("doc_id").cast("long"),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"),
-        coalesce(col("score"), lit(0L)).cast("long").as("score"),
-        (coalesce(col("pred_lang"), lit("und")) === col("lang")).as("is_correct"))
+    val toks = Dedup.tokens(col("text"))
+    // struct comparison is lexicographic: max score wins; ties fall to the
+    // alphabetically-first language via the negated rank.
+    val scored = langProfiles.sortBy(_._1).zipWithIndex.map { case ((l, ws), r) =>
+      struct(
+        size(filter(toks, t => array_contains(lit(ws.toArray), t))).cast("long").as("score"),
+        lit(-r).as("neg_rank"),
+        lit(l).as("lang"))
+    }
+    val best = array_max(array(scored: _*))
+    val pred = when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+    docs.select(col("doc_id").cast("long"),
+      pred.as("pred_lang"),
+      best.getField("score").as("score"),
+      (pred === col("lang")).as("is_correct"))
   }
 
   /** Quality features + composite score. All ratios are exact integer
@@ -89,41 +92,49 @@ object TextAnalysis {
     * Fractions are emitted as integer parts-per-million (`x * 1e6 DIV n`)
     * so the oracle compare is bit-exact with no float rounding contract.
     *
-    * Shape: the two gram streams are built as per-row array projections
-    * (no join), exploded into one tagged stream, then counted with a
-    * single (doc_id, n, gram) hash aggregate and folded per doc — two
-    * shuffles, both partial-aggregated map-side, embarrassingly parallel
-    * over documents at corpus scale.
+    * Note on thresholds: the Gopher paper's published cutoffs are CHARACTER
+    * fractions (duplicate share over 5–10-grams, top-gram share over
+    * 2–4-grams); these columns are OCCURRENCE fractions over 2-/3-grams
+    * only, so paper threshold values (e.g. top-2-gram 0.20) do NOT transfer
+    * to the `*_ppm` columns directly — calibrate cutoffs on this metric.
+    *
+    * Shape: exactly two shuffles. Gram START POSITIONS are exploded and each
+    * gram is assembled from `element_at` on the token array — the full gram
+    * arrays are never materialized, so per-row memory stays O(tokens) even
+    * for pathological multi-million-token documents. `explode_outer` keeps
+    * gram-less docs (fewer than n tokens) as a single null-gram row, so every
+    * doc_id reaches the final aggregate with zero counts and no re-join
+    * against the source table. Both aggregates partial-combine map-side;
+    * the second reuses nothing wider than (doc_id).
     */
   def repetitionStats(docs: DataFrame): DataFrame = {
     val toks = Dedup.tokens(col("text"))
-    def grams(n: Int): Column =
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - n),
-          i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + j + 1)): _*)))
-        .otherwise(array().cast("array<string>"))
-    val stream = Seq(2, 3).map(n =>
-        docs.select(col("doc_id"), lit(n).as("n"), explode(grams(n)).as("g")))
-      .reduce(_ unionByName _)
-    val counts = stream.groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
-    val per = counts.groupBy("doc_id", "n").agg(
-      sum("c").as("tot"), max("c").as("top"),
-      sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
-    def pick(n: Int, c: String) = max(when(col("n") === n, col(c)))
-    val folded = per.groupBy("doc_id").agg(
-      pick(2, "tot").as("tot2"), pick(2, "top").as("top2"),
-      pick(3, "tot").as("tot3"), pick(3, "dup").as("dup3"))
-    docs.select(col("doc_id").cast("long").as("doc_id"))
-      .join(folded, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("tot2"), lit(0L)).cast("long").as("n_2grams"),
-        coalesce(col("top2"), lit(0L)).cast("long").as("top_2gram_cnt"),
-        expr("(coalesce(top2, 0L) * 1000000L) DIV nullif(coalesce(tot2, 0L), 0L)")
-          .cast("long").as("top_2gram_ppm"),
-        coalesce(col("tot3"), lit(0L)).cast("long").as("n_3grams"),
-        coalesce(col("dup3"), lit(0L)).cast("long").as("dup_3gram_cnt"),
-        expr("(coalesce(dup3, 0L) * 1000000L) DIV nullif(coalesce(tot3, 0L), 0L)")
-          .cast("long").as("dup_3gram_ppm"))
+    def stream(n: Int): DataFrame = docs
+      .select(col("doc_id"), toks.as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode_outer(when(size(col("ts")) >= n,
+          sequence(lit(1), size(col("ts")) - (n - 1)))).as("i"))
+      .select(col("doc_id"), lit(n).as("n"),
+        when(col("i").isNotNull,
+          concat_ws(" ", (0 until n).map(j => element_at(col("ts"), col("i") + j)): _*))
+          .as("g"))
+    val counts = stream(2).unionByName(stream(3))
+      .groupBy("doc_id", "n", "g").agg(count(lit(1)).as("c"))
+    val valid = col("g").isNotNull
+    val folded = counts.groupBy("doc_id").agg(
+      sum(when(col("n") === 2 && valid, col("c")).otherwise(0L)).as("tot2"),
+      max(when(col("n") === 2 && valid, col("c"))).as("top2"),
+      sum(when(col("n") === 3 && valid, col("c")).otherwise(0L)).as("tot3"),
+      sum(when(col("n") === 3 && valid && col("c") > 1, col("c")).otherwise(0L)).as("dup3"))
+    folded.select(col("doc_id").cast("long").as("doc_id"),
+      col("tot2").cast("long").as("n_2grams"),
+      coalesce(col("top2"), lit(0L)).cast("long").as("top_2gram_cnt"),
+      expr("(coalesce(top2, 0L) * 1000000L) DIV nullif(tot2, 0L)")
+        .cast("long").as("top_2gram_ppm"),
+      col("tot3").cast("long").as("n_3grams"),
+      col("dup3").cast("long").as("dup_3gram_cnt"),
+      expr("(dup3 * 1000000L) DIV nullif(tot3, 0L)")
+        .cast("long").as("dup_3gram_ppm"))
   }
 
   /** Content fingerprint: md5 prefix of whitespace-normalized lowercase text,
