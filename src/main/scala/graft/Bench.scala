@@ -27,7 +27,13 @@ object Bench {
     val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Untimed inter-query GC (JMH-style hygiene): releases the previous
+      // query's shuffle/checkpoint blocks so each measurement reflects the
+      // query, not its predecessors' accumulated heap pressure — observed
+      // spread without this was 49-99 s for an identical registry.
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -56,10 +56,54 @@ object Dedup {
     }
   }
 
-  /** EXACT n-gram Jaccard pairs ≥ `minJaccard` via a prefix-filtered
-    * similarity join (the AllPairs/PPJoin family, Bayardo et al. WWW'07;
-    * Xiao et al. WWW'08) — same result set as the naive shingle self-join,
-    * far from its O(Σ df²) cost.
+  /** EXACT n-gram Jaccard pairs ≥ `minJaccard`, dispatched on the threshold
+    * like an optimizer rule — both paths return the identical result set
+    * (asserted against each other in DedupSpec at 0.1/0.3/0.6):
+    *
+    *  - t ≥ [[PrefixDispatchThreshold]] → [[jaccardPairsPrefix]], the
+    *    AllPairs/PPJoin-family prefix-filtered join. Its candidate count
+    *    scales ~(1−t)²·Σdf², so pruning power grows quadratically with t.
+    *  - lower t → [[jaccardPairsDirect]], the shingle self-join with
+    *    map-side-combined pair counting. At t=0.3 the prefix keeps 70% of
+    *    every doc (measured on the sf0.1 corpus: 727k of 1.13M co-occurring
+    *    pairs survive) and the per-candidate array verification costs more
+    *    than the direct count it avoids.
+    *
+    * Skewed corpora (stop-shingles) should combine either path with
+    * [[shingles]]' `maxDf` guard; [[minhashLsh]] remains the approximate
+    * sub-quadratic scale path. */
+  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame =
+    if (minJaccard >= PrefixDispatchThreshold) jaccardPairsPrefix(sh, minJaccard)
+    else jaccardPairsDirect(sh, minJaccard)
+
+  /** Crossover for [[jaccardPairs]]: at t=0.5 the prefix drops half of each
+    * doc and candidate rows fall ~4×, which on measured corpora is where
+    * candidate-verify overtakes the direct pair count. */
+  val PrefixDispatchThreshold = 0.5
+
+  /** Direct exact path: shingle self-join → per-pair count with map-side
+    * partial aggregation → size join → threshold filter. O(Σ df²) joined
+    * rows — the right shape when the threshold is too low for prefix
+    * pruning to bite (see [[jaccardPairs]]). */
+  def jaccardPairsDirect(sh: DataFrame, minJaccard: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    val common = a.join(b, Seq("shingle"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
+        col("common").cast("long"), round(col("jaccard"), 6).as("jaccard"))
+  }
+
+  /** Prefix-filtered exact path (AllPairs/PPJoin family, Bayardo et al.
+    * WWW'07; Xiao et al. WWW'08).
     *
     * Filters (both lossless for Jaccard ≥ t):
     *  - LENGTH: J(A,B) ≥ t ⟹ t·|A| ≤ |B| ≤ |A|/t, applied inside the join.
@@ -74,7 +118,7 @@ object Dedup {
     * arrays, which also yields the exact `common` count. Two shuffles
     * (set-build groupBy, candidate equi-join) plus two slim hash joins of
     * the small candidate table back to the sets. */
-  def jaccardPairs(sh: DataFrame, minJaccard: Double): DataFrame = {
+  def jaccardPairsPrefix(sh: DataFrame, minJaccard: Double): DataFrame = {
     val t = minJaccard
     // per-doc shingle array sorted by the md5 global order (ties impossible
     // in practice; sort key includes the shingle for total determinism)

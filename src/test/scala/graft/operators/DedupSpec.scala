@@ -34,29 +34,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
-  test("prefix-filtered jaccard pairs equal the naive all-pairs join exactly") {
+  test("prefix-filtered jaccard pairs equal the direct self-join exactly") {
     // the lossless-filter claim: the PPJoin-style path must produce the
     // IDENTICAL result set (pairs, common counts, jaccard values) as the
-    // naive O(Σ df²) shingle self-join it replaced
+    // direct O(Σ df²) shingle self-join, on BOTH sides of the dispatch
+    // threshold
     for (t <- Seq(0.1, 0.3, 0.6)) {
       val sh = Dedup.shingles(docs, 3)
-      val fast = Dedup.jaccardPairs(sh, t).collect()
+      val prefix = Dedup.jaccardPairsPrefix(sh, t).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-      val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
-      val naive = a.join(b, Seq("shingle")).filter(col("doc_a") < col("doc_b"))
-        .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-        .withColumn("jaccard",
-          col("common").cast("double") / (col("na") + col("nb") - col("common")).cast("double"))
-        .filter(col("jaccard") >= t)
-        .select(col("doc_a").cast("long"), col("doc_b").cast("long"),
-          col("common").cast("long"), round(col("jaccard"), 6))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
-      assert(fast == naive,
-        s"t=$t: prefix path diverged (missing=${naive -- fast}, extra=${fast -- naive})")
+      val direct = Dedup.jaccardPairsDirect(sh, t).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(prefix == direct,
+        s"t=$t: prefix path diverged (missing=${direct -- prefix}, extra=${prefix -- direct})")
+      assert(t >= 0.3 || direct.nonEmpty, s"t=$t produced no pairs — test corpus too clean")
     }
   }
 
