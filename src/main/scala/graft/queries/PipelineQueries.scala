@@ -3,16 +3,17 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
   * (brute-force + sign-LSH ANN), text analysis (langid, quality, tokens,
-  * fingerprints) and multimodal binary-column plumbing. Each query has a
-  * DuckDB oracle implementing the identical algorithm (md5-based hashing is
-  * the portability anchor). The multimodal queries decode real containers
-  * (BMP/WAV/GFV0) and their oracles recompute sizes/features from the public
-  * container layouts.
+  * fingerprints), corpus curation (cluster consolidation, reproducible
+  * sampling, token-budget selection, PII scrubbing) and multimodal
+  * binary-column plumbing. Each query has a DuckDB oracle implementing the
+  * identical algorithm (md5-based hashing is the portability anchor). The
+  * multimodal queries decode real containers (BMP/WAV/GFV0) and their
+  * oracles recompute sizes/features from the public container layouts.
   */
 object PipelineQueries extends QueryRegistry {
 
@@ -326,6 +327,128 @@ object PipelineQueries extends QueryRegistry {
                         AS dup_3gram_ppm
                FROM documents d LEFT JOIN folded ON d.doc_id = folded.doc_id"""),
       "Gopher-style repetition signals: top-2-gram + duplicate-3-gram fractions (ppm)"),
+
+    // ── curation: near-dup clusters → canonical survivor ──────────────────
+    // Pairs come from the exact-Jaccard path (q31's semantics); clusters are
+    // their transitive closure; the survivor is the min doc_id. The oracle
+    // re-derives the closure with a recursive CTE (q28's pattern).
+    QueryDef("q65_dedup_clusters",
+      (s, d) => Curation.dedupClusters(docs(s, d),
+        Dedup.jaccardPairs(Dedup.shingles(docs(s, d), 3), 0.3)),
+      Some(s"""WITH RECURSIVE $sqlShingles,
+                   sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+                   pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS c
+                          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+                          GROUP BY 1, 2),
+                   jp AS (SELECT doc_a, doc_b
+                          FROM pr JOIN sizes sa ON sa.doc_id = doc_a
+                                  JOIN sizes sb ON sb.doc_id = doc_b
+                          WHERE CAST(c AS DOUBLE) / CAST(sa.n + sb.n - c AS DOUBLE) >= 0.3),
+                   ud AS (SELECT doc_a AS src, doc_b AS dst FROM jp
+                          UNION SELECT doc_b, doc_a FROM jp),
+                   reach(a, b) AS (
+                     SELECT src, src FROM ud
+                     UNION
+                     SELECT r.a, ud.dst FROM reach r JOIN ud ON ud.src = r.b),
+                   comp AS (SELECT a AS doc_id, min(b) AS component FROM reach GROUP BY a),
+                   lab AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+                                  CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS canon_id
+                           FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id),
+                   sz AS (SELECT canon_id, count(*) AS n FROM lab GROUP BY 1)
+              SELECT lab.doc_id, lab.canon_id, CAST(sz.n AS BIGINT) AS cluster_size,
+                     lab.doc_id = lab.canon_id AS is_canonical
+              FROM lab JOIN sz USING (canon_id)"""),
+      "Near-dup pair closure → clusters with min-doc_id canonical survivor"),
+
+    // ── curation: reproducible stratified sampling ─────────────────────────
+    QueryDef("q66_stratified_sample",
+      (s, d) => Curation.stratifiedSample(docs(s, d), "lang", 20),
+      Some("""WITH p AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, lang AS stratum,
+                                substr(md5(CAST(doc_id AS VARCHAR) || '|sample'), 1, 16) AS priority
+                         FROM documents),
+                   rk AS (SELECT *, row_number() OVER (
+                            PARTITION BY stratum ORDER BY priority, doc_id) AS rk FROM p)
+              SELECT doc_id, stratum, priority, CAST(rk AS BIGINT) AS rk
+              FROM rk WHERE rk <= 20"""),
+      "md5-priority quota sample: 20 docs per language, engine-reproducible"),
+
+    // ── curation: greedy token-budget selection per stratum ────────────────
+    QueryDef("q67_token_budget",
+      (s, d) => Curation.tokenBudgetSelect(docs(s, d), "lang", "n_chars", 20000L),
+      Some(s"""WITH f AS (SELECT doc_id,
+                     $sqlToks AS ts,
+                     CAST(length(text) AS BIGINT) AS n_chars,
+                     CAST(length(regexp_replace(text, '[a-z0-9\\s]', '', 'g')) AS BIGINT) AS n_punct
+                   FROM documents),
+                   g AS (SELECT doc_id, n_chars, n_punct,
+                     CAST(len(ts) AS BIGINT) AS n_tokens,
+                     CAST(len(list_filter(ts, x -> list_contains(
+                       ['the','a','of','and','is','der','die','und','das','ist',
+                        'el','la','y','de','es','le','et','est'], x))) AS BIGINT) AS n_stop
+                   FROM f),
+                   q AS (SELECT doc_id,
+                     round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+                           + (1.0 - CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.3
+                           + least((CAST(n_chars - (n_tokens - 1) AS DOUBLE) / CAST(n_tokens AS DOUBLE)) / 10.0, 1.0) * 0.2,
+                         6) AS quality
+                   FROM g),
+                   j AS (SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.lang AS stratum,
+                                CAST(d.n_chars AS BIGINT) AS cost, q.quality
+                         FROM documents d JOIN q ON q.doc_id = d.doc_id),
+                   w AS (SELECT *, sum(cost) OVER (
+                           PARTITION BY stratum ORDER BY quality DESC, doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cost
+                         FROM j)
+              SELECT doc_id, stratum, quality, cost,
+                     CAST(cum_cost AS BIGINT) AS cum_cost,
+                     cum_cost <= 20000 AS selected
+              FROM w"""),
+      "Per-language greedy selection by quality under a 20k-char budget"),
+
+    // ── curation: PII detect + redact ──────────────────────────────────────
+    // The synthetic corpus contains no PII, so the query injects a
+    // deterministic doc_id-derived email/URL/IPv4 suffix on BOTH engines;
+    // the oracle then replays the identical ordered redaction.
+    QueryDef("q68_pii_scrub",
+      (s, d) => {
+        val injected = docs(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact u"), col("doc_id").cast("string"),
+            lit("@mail"), (col("doc_id") % 7).cast("string"), lit(".example.com"),
+            lit(" via https://h"), (col("doc_id") % 5).cast("string"),
+            lit(".example.org/p/"), col("doc_id").cast("string"),
+            lit(" from 10."), (col("doc_id") % 256).cast("string"),
+            lit("."), (col("doc_id") % 100).cast("string"), lit(".1")).as("text"))
+        Curation.piiScrub(injected)
+          .select(col("doc_id").cast("long").as("doc_id"),
+            col("n_urls"), col("n_emails"), col("n_ipv4"),
+            substring(md5(col("redacted")), 1, 16).as("red_fp"))
+      },
+      Some("""WITH inj AS (SELECT doc_id,
+                     text || ' contact u' || CAST(doc_id AS VARCHAR)
+                          || '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+                          || ' via https://h' || CAST(doc_id % 5 AS VARCHAR)
+                          || '.example.org/p/' || CAST(doc_id AS VARCHAR)
+                          || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
+                          || '.' || CAST(doc_id % 100 AS VARCHAR) || '.1' AS text
+                   FROM documents),
+                   t AS (SELECT doc_id, lower(text) AS t FROM inj),
+                   s1 AS (SELECT doc_id, t,
+                            regexp_replace(t, 'https?://[a-z0-9._/-]+', '<URL>', 'g') AS r1
+                          FROM t),
+                   s2 AS (SELECT doc_id, t, r1,
+                            regexp_replace(r1, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS r2
+                          FROM s1),
+                   s3 AS (SELECT doc_id, t, r1, r2,
+                            regexp_replace(r2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS r3
+                          FROM s2)
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(len(regexp_extract_all(t, 'https?://[a-z0-9._/-]+')) AS BIGINT) AS n_urls,
+                     CAST(len(regexp_extract_all(r1, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                     CAST(len(regexp_extract_all(r2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
+                     substr(md5(r3), 1, 16) AS red_fp
+              FROM s3"""),
+      "Ordered URL→email→IPv4 redaction; counts + redacted-text fingerprint"),
 
     // ── multimodal: binary column metadata (oracle-checkable slice) ────────
     // The oracle recomputes each container's size from its public layout:

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.core.Tables
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Tables.load(spark, sfDir, "documents")
+
+  test("dedupClusters: pairs become clusters, min doc_id is canonical") {
+    val d = (1L to 8L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // two clusters {1,2,3} (chain) and {5,7}; 4,6,8 singletons
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 7L)).toDF("doc_a", "doc_b")
+    val out = Curation.dedupClusters(d, pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(out(1L) == ((1L, 3L, true)))
+    assert(out(2L) == ((1L, 3L, false)))
+    assert(out(3L) == ((1L, 3L, false)))
+    assert(out(5L) == ((5L, 2L, true)))
+    assert(out(7L) == ((5L, 2L, false)))
+    for (s <- Seq(4L, 6L, 8L)) assert(out(s) == ((s, 1L, true)))
+    // every doc appears exactly once
+    assert(out.size == 8)
+  }
+
+  test("dedupClusters: no pairs → all singletons, all canonical") {
+    val d = (1L to 5L).map(i => (i, "x")).toDF("doc_id", "text")
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    val out = Curation.dedupClusters(d, empty).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => r.getLong(0) == r.getLong(1) && r.getLong(2) == 1L && r.getBoolean(3)))
+  }
+
+  test("stratifiedSample: exactly k per stratum (when stratum has >= k), reproducible") {
+    val s1 = Curation.stratifiedSample(docs, "lang", 5)
+    val s2 = Curation.stratifiedSample(docs, "lang", 5)
+    val a = s1.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = s2.collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, "sample must be reproducible run-to-run")
+    val perStratum = s1.groupBy("stratum").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val strataSizes = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    perStratum.foreach { case (s, n) => assert(n == math.min(5L, strataSizes(s))) }
+    assert(perStratum.keySet == strataSizes.keySet)
+  }
+
+  test("stratifiedSample: priority is a pure function of doc_id+salt, not position") {
+    // same ids in a different row order / partitioning → identical sample
+    val shuffled = docs.repartition(7, col("text"))
+    val a = Curation.stratifiedSample(docs, "lang", 3).select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Curation.stratifiedSample(shuffled, "lang", 3).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b)
+    // different salt → (almost surely) different sample
+    val c = Curation.stratifiedSample(docs, "lang", 3, salt = "other")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a != c)
+  }
+
+  test("tokenBudgetSelect: greedy prefix by quality within budget, monotone cum_cost") {
+    val out = Curation.tokenBudgetSelect(docs, "lang", "n_chars", budget = 20000L)
+    val rows = out.collect().map(r => (r.getString(1), r.getDouble(2), r.getLong(0),
+      r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    assert(rows.length == docs.count())
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      // within a stratum, walking in (quality desc, doc_id) order the cum_cost
+      // is the running sum of cost and `selected` is a prefix property
+      val sorted = g.sortBy(t => (-t._2, t._3))
+      var run = 0L
+      var stillIn = true
+      sorted.foreach { case (_, _, _, cost, cum, sel) =>
+        run += cost
+        assert(cum == run, "cum_cost must be the running total in rank order")
+        assert(sel == (cum <= 20000L))
+        if (!sel) stillIn = false else assert(stillIn || !sel)
+      }
+    }
+  }
+
+  test("piiScrub: urls, emails, ipv4 redacted in fixed order with correct counts") {
+    val d = Seq(
+      (1L, "Mail me at Bob.Smith+x@Example.COM or see https://a.b/c?x now"),
+      (2L, "server at 10.0.0.1 and 192.168.1.255 no mail"),
+      (3L, "nested http://host/u@v stays one url"),
+      (4L, "plain words only")
+    ).toDF("doc_id", "text")
+    val out = Curation.piiScrub(d).orderBy("doc_id").collect()
+    // doc 1: one email, one url (query part '?x' stops the url at '?', fine)
+    assert(out(0).getLong(out(0).fieldIndex("n_emails")) == 1L)
+    assert(out(0).getLong(out(0).fieldIndex("n_urls")) == 1L)
+    val r1 = out(0).getString(out(0).fieldIndex("redacted"))
+    assert(r1.contains("<EMAIL>") && r1.contains("<URL>"))
+    assert(!r1.contains("@"))
+    // doc 2: two IPs
+    assert(out(1).getLong(out(1).fieldIndex("n_ipv4")) == 2L)
+    assert(out(1).getString(out(1).fieldIndex("redacted")).contains("<IP>"))
+    // doc 3: the URL swallows the @-shaped path — counted as url, not email
+    assert(out(2).getLong(out(2).fieldIndex("n_urls")) == 1L)
+    assert(out(2).getLong(out(2).fieldIndex("n_emails")) == 0L)
+    // doc 4: untouched (lowercased only)
+    assert(out(3).getString(out(3).fieldIndex("redacted")) == "plain words only")
+    assert(out(3).getLong(out(3).fieldIndex("n_urls")) == 0L)
+  }
+
+  test("piiScrub: zero shuffles (pure projection)") {
+    val plan = Curation.piiScrub(docs).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"piiScrub must not shuffle:\n$plan")
+  }
+
+  test("hashPriority: uniform-ish and stable") {
+    val pr = docs.select(Curation.hashPriority(col("doc_id"), "s").as("p"))
+      .agg(min("p"), max("p"), avg("p")).head()
+    assert(pr.getDouble(0) >= 0.0 && pr.getDouble(1) < 1.0)
+    assert(math.abs(pr.getDouble(2) - 0.5) < 0.1, s"mean=${pr.getDouble(2)} not ~0.5")
+  }
+}
