@@ -1,5 +1,9 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Plan-audit helper: `runMain graft.Explain q65_dedup_clusters ...` prints
+  * the formatted physical plan of each named registry query (default: a
+  * join-heavy and an agg-heavy representative) against sf0.01. */
 object Explain {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
@@ -9,10 +13,11 @@ object Explain {
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val d = "/root/testdata/sf0.01"
-    println("=== q05 ===")
-    SparkEntry.queries("q05_join5")(spark, d).explain("formatted")
-    println("=== q09 ===")
-    SparkEntry.queries("q09_agg_q1")(spark, d).explain("formatted")
+    val names = if (args.nonEmpty) args.toSeq else Seq("q05_join5", "q09_agg_q1")
+    names.foreach { n =>
+      println(s"=== $n ===")
+      SparkEntry.queries(n)(spark, d).explain("formatted")
+    }
     spark.stop()
   }
 }

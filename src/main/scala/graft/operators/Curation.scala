@@ -24,9 +24,10 @@ object Curation {
     * Scale shape: the cluster labels come from
     * [[ConnectedComponents.auto]] (driver union-find below 2 M edges — the
     * pair table after LSH verification is tiny relative to the corpus —
-    * label-prop above); the label join and the cluster-size aggregation are
-    * one shuffle each on doc_id/canon_id. Nothing is quadratic: the pair
-    * table is whatever the upstream dedup emitted, never all-pairs.
+    * label-prop above); the label join shuffles on doc_id and cluster_size
+    * is a count window on the canon_id partition — two shuffles total, no
+    * aggregate-then-join-back. Nothing is quadratic: the pair table is
+    * whatever the upstream dedup emitted, never all-pairs.
     *
     * @param docs  corpus with `doc_id`
     * @param pairs near-dup pairs `(doc_a, doc_b)` (e.g. [[Dedup.minhashLsh]])
@@ -34,17 +35,23 @@ object Curation {
     *         marks the survivor a dedup pipeline would keep.
     */
   def dedupClusters(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    // The pair table is usually the output of an expensive join (shingle
+    // self-join, LSH verify); materialize it once — auto() walks it twice
+    // (size probe + solve) and recomputing a multi-second join per walk
+    // would dominate the whole operator.
     val edges = pairs.select(col("doc_a").cast("long").as("src"),
-      col("doc_b").cast("long").as("dst"))
+      col("doc_b").cast("long").as("dst")).localCheckpoint()
     val comps = ConnectedComponents.auto(edges)
       .select(col("node").as("doc_id"), col("component"))
     val labeled = docs.select(col("doc_id").cast("long").as("doc_id"))
       .join(comps, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("canon_id"))
-    val sizes = labeled.groupBy("canon_id").agg(count(lit(1)).as("cluster_size"))
-    labeled.join(sizes, "canon_id")
-      .select(col("doc_id"), col("canon_id"),
-        col("cluster_size").cast("long").as("cluster_size"),
+    // cluster_size via a count window on the canon_id partition — one
+    // shuffle total, vs groupBy + join-back's two.
+    val w = Window.partitionBy("canon_id")
+    labeled
+      .withColumn("cluster_size", count(lit(1)).over(w).cast("long"))
+      .select(col("doc_id"), col("canon_id"), col("cluster_size"),
         (col("doc_id") === col("canon_id")).as("is_canonical"))
   }
 
@@ -92,26 +99,98 @@ object Curation {
     * exact value both engines agree on bit-for-bit (same contract q37's
     * oracle already proves) — so the cumulative sums are reproducible.
     *
-    * Scale shape: one shuffle on the stratum key (the window partition);
-    * quality is a pure projection ([[TextAnalysis.qualityScore]]). The
-    * cumulative sum is a running frame, not a whole-partition materialization.
+    * Scale shape: ONE shuffle total (the stratum window partition). Quality
+    * is [[TextAnalysis.qualityExpr]] computed inline on the same scan — no
+    * join against a separate quality frame. The cumulative sum is a running
+    * frame, not a whole-partition materialization.
     *
     * @param costCol per-document cost column (token or char count)
     * @return every doc with (stratum, quality, cost, cum_cost, selected).
     */
   def tokenBudgetSelect(docs: DataFrame, strataCol: String, costCol: String,
       budget: Long): DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs)
-      .select(col("doc_id"), col("quality"))
     val w = Window.partitionBy(col("stratum"))
       .orderBy(col("quality").desc, col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.select(col("doc_id").cast("long").as("doc_id"),
-        col(strataCol).as("stratum"), col(costCol).cast("long").as("cost"))
-      .join(quality, "doc_id")
+        col(strataCol).as("stratum"), col(costCol).cast("long").as("cost"),
+        TextAnalysis.qualityExpr(col("text")).as("quality"))
       .withColumn("cum_cost", sum(col("cost")).over(w).cast("long"))
       .withColumn("selected", col("cum_cost") <= budget)
       .select("doc_id", "stratum", "quality", "cost", "cum_cost", "selected")
+  }
+
+  /** Weight-proportional sample WITHOUT replacement (Efraimidis–Spirakis,
+    * "Weighted random sampling with a reservoir", IPL 2006): each document
+    * draws key = u^(1/w) with u uniform; the k largest keys are exactly a
+    * weight-proportional sample. u is md5-derived ([[hashPriority]]), so the
+    * draw is reproducible across runs, partitionings and engines.
+    *
+    * Scale shape: the key is a pure projection; the global top-k compiles to
+    * TakeOrderedAndProject (per-partition heaps + driver merge of k rows) —
+    * NO full sort, no shuffle of the corpus. This is the "sample 10k docs
+    * length-proportionally from 100 TB" primitive.
+    *
+    * The emitted key is rounded to 6; ordering uses the full double. Java and
+    * libm `pow` can differ in the last ulp, but a rank flip needs two keys
+    * within ~1e-16 — not reachable with md5-spread uniforms at any real k.
+    *
+    * @param weightCol positive weight column (e.g. char or token count)
+    * @return (doc_id, weight, key, rank) for the k sampled docs.
+    */
+  def weightedSample(docs: DataFrame, weightCol: String, k: Int,
+      salt: String = "wsample"): DataFrame = {
+    val u = hashPriority(col("doc_id"), salt)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+        col(weightCol).cast("long").as("weight"), key.as("key_full"))
+      .orderBy(col("key_full").desc, col("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("weight"), round(col("key_full"), 6).as("key"),
+        (row_number().over(Window.orderBy(col("key_full").desc, col("doc_id"))))
+          .cast("long").as("rank"))
+  }
+
+  /** Concat-and-chunk sequence packing — the standard LLM pretraining layout:
+    * documents are concatenated in doc_id order into one token stream and cut
+    * into fixed `seqLen` windows; a document spans packs `pack_first` to
+    * `pack_last` starting at `off_in_pack`.
+    *
+    * Scale shape: the global running offset is a TWO-LEVEL prefix sum — a
+    * within-bucket running frame (shuffle on `bucket = doc_id / bucketSize`)
+    * plus a bucket-totals prefix (second window over ≤ n/bucketSize rows,
+    * broadcast-joined back). No single-partition window ever sees the full
+    * corpus; the only whole-dataset ordering is the bucket key itself, which
+    * is derived from doc_id, not data. The textbook distributed scan.
+    *
+    * All outputs are integer-exact — no float in the contract.
+    *
+    * @param costCol per-document length column (token or char count)
+    * @return (doc_id, cost, start_off, pack_first, pack_last, off_in_pack)
+    */
+  def packSequences(docs: DataFrame, costCol: String, seqLen: Long,
+      bucketSize: Long = 4096L): DataFrame = {
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+      col(costCol).cast("long").as("cost"),
+      (col("doc_id").cast("long") / bucketSize).cast("long").as("bucket"))
+    val wIn = Window.partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val within = base.withColumn("cum_in", sum(col("cost")).over(wIn))
+    val wB = Window.orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    val offsets = base.groupBy("bucket").agg(sum(col("cost")).as("btot"))
+      .withColumn("boff", coalesce(sum(col("btot")).over(wB), lit(0L)))
+      .select(col("bucket"), col("boff"))
+    within.join(broadcast(offsets), "bucket")
+      .select(col("doc_id"), col("cost"),
+        (col("boff") + col("cum_in") - col("cost")).as("start_off"),
+        (col("boff") + col("cum_in")).as("end_off"))
+      .select(col("doc_id"), col("cost"), col("start_off"),
+        floor(col("start_off") / seqLen).cast("long").as("pack_first"),
+        // last pack touched = floor((end-1)/L); empty docs stay in pack_first
+        greatest(floor((col("end_off") - 1) / seqLen),
+          floor(col("start_off") / seqLen)).cast("long").as("pack_last"),
+        (col("start_off") % seqLen).cast("long").as("off_in_pack"))
   }
 
   /** PII patterns — deliberately restricted to a regex dialect Java and RE2

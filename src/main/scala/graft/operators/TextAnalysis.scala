@@ -43,6 +43,25 @@ object TextAnalysis {
       (pred === col("lang")).as("is_correct"))
   }
 
+  /** The composite quality score as a single column expression over a text
+    * column — `round(score, 6)`, the exact value the q37 oracle locks.
+    * Factored out so downstream consumers (e.g. Curation.tokenBudgetSelect)
+    * can rank by quality inline instead of joining against [[qualityScore]]'s
+    * output — same scan, zero extra shuffles. */
+  def qualityExpr(text: Column): Column = {
+    val toks = Dedup.tokens(text)
+    val nTok = size(toks).cast("long")
+    val nChar = length(text).cast("long")
+    val stops = lit(langProfiles.flatMap(_._2).distinct.toArray)
+    val nStop = size(filter(toks, t => array_contains(stops, t))).cast("long")
+    val avgTokLen = (nChar - (nTok - 1)).cast("double") / nTok.cast("double")
+    val stopRatio = nStop.cast("double") / nTok.cast("double")
+    round(
+      least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
+        (lit(1.0) - stopRatio) * 0.3 +
+        least(avgTokLen / 10.0, lit(1.0)) * 0.2, 6)
+  }
+
   /** Quality features + composite score. All ratios are exact integer
     * divisions in double — deterministic and oracle-portable. */
   def qualityScore(docs: DataFrame): DataFrame = {
@@ -52,13 +71,8 @@ object TextAnalysis {
     val punct = length(regexp_replace(col("text"), "[a-z0-9\\s]", "")).cast("long")
     val stops = lit(TextAnalysis.langProfiles.flatMap(_._2).distinct.toArray)
     val nStop = size(filter(toks, t => array_contains(stops, t))).cast("long")
-    val avgTokLen = (nChar - (nTok - 1)).cast("double") / nTok.cast("double")
     val stopRatio = nStop.cast("double") / nTok.cast("double")
     val punctRatio = punct.cast("double") / nChar.cast("double")
-    val score =
-      least(nTok.cast("double") / 100.0, lit(1.0)) * 0.5 +
-        (lit(1.0) - stopRatio) * 0.3 +
-        least(avgTokLen / 10.0, lit(1.0)) * 0.2
     docs.select(
       col("doc_id").cast("long"),
       nTok.as("n_tokens"),
@@ -67,7 +81,7 @@ object TextAnalysis {
       nStop.as("n_stop"),
       round(stopRatio, 6).as("stop_ratio"),
       round(punctRatio, 6).as("punct_ratio"),
-      round(score, 6).as("quality"))
+      qualityExpr(col("text")).as("quality"))
   }
 
   /** Token counting: whitespace tokens, BPE-ish regex tokens, distinct. */

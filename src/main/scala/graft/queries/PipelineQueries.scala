@@ -405,6 +405,48 @@ object PipelineQueries extends QueryRegistry {
               FROM w"""),
       "Per-language greedy selection by quality under a 20k-char budget"),
 
+    // ── curation: weight-proportional sample (Efraimidis–Spirakis) ────────
+    // The oracle reconstructs the md5-derived uniform u by summing the first
+    // 12 hex nibbles (exact in double: integers < 2^48), then replays the
+    // identical u^(1/w) race. Key rounded to 6; rank uses full precision.
+    QueryDef("q69_weighted_sample",
+      (s, d) => Curation.weightedSample(docs(s, d), "n_chars", 50),
+      Some("""WITH nib AS (SELECT doc_id, unnest(generate_series(1, 12)) AS i
+                           FROM documents),
+                   v AS (SELECT doc_id, i,
+                           instr('0123456789abcdef',
+                             substr(md5(CAST(doc_id AS VARCHAR) || '|wsample'),
+                               CAST(i AS INT), 1)) - 1 AS nv
+                         FROM nib),
+                   u AS (SELECT doc_id,
+                           sum(nv * power(2.0, 4 * (12 - i))) / power(2.0, 48) AS u
+                         FROM v GROUP BY doc_id),
+                   keyed AS (SELECT d.doc_id, CAST(d.n_chars AS BIGINT) AS weight,
+                               power(u.u, 1.0 / CAST(d.n_chars AS DOUBLE)) AS key_full
+                             FROM documents d JOIN u ON u.doc_id = d.doc_id),
+                   rk AS (SELECT *, row_number() OVER (ORDER BY key_full DESC, doc_id) AS rn
+                          FROM keyed)
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, weight,
+                     round(key_full, 6) AS key, CAST(rn AS BIGINT) AS rank
+              FROM rk WHERE rn <= 50"""),
+      "Length-proportional 50-doc sample via reproducible u^(1/w) keys"),
+
+    // ── curation: concat-and-chunk sequence packing ────────────────────────
+    QueryDef("q70_pack_sequences",
+      (s, d) => Curation.packSequences(docs(s, d), "n_chars", 512L),
+      Some("""WITH c AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                                CAST(n_chars AS BIGINT) AS cost FROM documents),
+                   w AS (SELECT doc_id, cost,
+                           coalesce(sum(cost) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+                         FROM c)
+              SELECT doc_id, cost, CAST(so AS BIGINT) AS start_off,
+                     CAST(so // 512 AS BIGINT) AS pack_first,
+                     CAST(greatest((so + cost - 1) // 512, so // 512) AS BIGINT) AS pack_last,
+                     CAST(so % 512 AS BIGINT) AS off_in_pack
+              FROM w"""),
+      "Fixed-512 training-sequence layout from the doc_id-ordered token stream"),
+
     // ── curation: PII detect + redact ──────────────────────────────────────
     // The synthetic corpus contains no PII, so the query injects a
     // deterministic doc_id-derived email/URL/IPv4 suffix on BOTH engines;

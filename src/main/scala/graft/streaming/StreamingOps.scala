@@ -51,6 +51,29 @@ object StreamingOps {
         col("session_window.end").as("s_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup — the streaming dual of the batch content-hash
+    * dedup (q30) and fingerprint grouping (q39), for continuous corpus
+    * ingestion. Each arriving document is fingerprinted with the SAME
+    * normalization + md5 prefix as `TextAnalysis.fingerprint` (so batch and
+    * stream agree on what "duplicate" means), and
+    * `dropDuplicatesWithinWatermark` keeps the first arrival per
+    * fingerprint. State is bounded: one state-store row per DISTINCT
+    * fingerprint inside the watermark horizon — not the corpus — so a
+    * 100 TB/day feed holds hours, not history. Exactly-once emission comes
+    * from the state store; cross-horizon dups (beyond the watermark) are the
+    * batch layer's job, same split as every production lambda dedup.
+    *
+    * @param docsStream streaming frame with (ts TIMESTAMP, text STRING, ...)
+    * @return input rows minus in-horizon duplicates, plus the `fp` column.
+    */
+  def streamingDedup(docsStream: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val norm = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
+    docsStream
+      .withColumn("fp", substring(md5(norm), 1, 16))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+  }
+
   // ── Streaming extreme detection (marEx detect, streamed) ────────────────
 
   /** Stream-static extreme flagging: a live anomaly stream joined against

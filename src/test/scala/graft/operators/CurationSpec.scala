@@ -110,6 +110,57 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"piiScrub must not shuffle:\n$plan")
   }
 
+  test("weightedSample: reproducible, k rows, heavier docs sampled more often") {
+    val a = Curation.weightedSample(docs, "n_chars", 50).collect()
+    val b = Curation.weightedSample(docs, "n_chars", 50).collect()
+    assert(a.map(_.getLong(0)).toSeq == b.map(_.getLong(0)).toSeq)
+    assert(a.length == 50)
+    // ranks are 1..k and keys non-increasing in rank order
+    assert(a.map(_.getLong(3)).sorted.toSeq == (1L to 50L))
+    // weight-proportionality (statistical, loose): mean weight of the sample
+    // should exceed the corpus mean — heavy docs win u^(1/w) races more often
+    val sampleMean = a.map(_.getLong(1)).sum.toDouble / a.length
+    val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(sampleMean > corpusMean,
+      s"sample mean weight $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("weightedSample: partitioning-invariant") {
+    val a = Curation.weightedSample(docs, "n_chars", 20).collect().map(_.getLong(0)).toSet
+    val b = Curation.weightedSample(docs.repartition(13, col("text")), "n_chars", 20)
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b)
+  }
+
+  test("packSequences: offsets are the exact serial concatenation, packs correct") {
+    val d = Seq((0L, 100L), (1L, 250L), (2L, 50L), (3L, 300L), (4L, 12L))
+      .toDF("doc_id", "n_tok")
+    val out = Curation.packSequences(d, "n_tok", seqLen = 128L, bucketSize = 2L)
+      .orderBy("doc_id").collect()
+    // serial offsets: 0, 100, 350, 400, 700
+    val expect = Seq(
+      (0L, 100L, 0L, 0L, 0L, 0L),     // [0,100) → pack 0
+      (1L, 250L, 100L, 0L, 2L, 100L), // [100,350) → packs 0..2
+      (2L, 50L, 350L, 2L, 3L, 94L),   // [350,400) → packs 2..3
+      (3L, 300L, 400L, 3L, 5L, 16L),  // [400,700) → packs 3..5
+      (4L, 12L, 700L, 5L, 5L, 60L))   // [700,712) → pack 5
+    val got = out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == expect)
+  }
+
+  test("packSequences: bucketed two-level scan equals a single global cumsum") {
+    val global = docs.select(col("doc_id").cast("long").as("doc_id"),
+        col("n_chars").cast("long").as("cost"))
+      .withColumn("start_off",
+        coalesce(sum("cost").over(org.apache.spark.sql.expressions.Window
+          .orderBy("doc_id").rowsBetween(Long.MinValue, -1)), lit(0L)))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val packed = Curation.packSequences(docs, "n_chars", 512L, bucketSize = 37L)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(packed == global)
+  }
+
   test("hashPriority: uniform-ish and stable") {
     val pr = docs.select(Curation.hashPriority(col("doc_id"), "s").as("p"))
       .agg(min("p"), max("p"), avg("p")).head()

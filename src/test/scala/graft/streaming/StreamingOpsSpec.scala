@@ -155,4 +155,35 @@ class StreamingOpsSpec extends SparkSpec {
       .filter(col("n") =!= col("count")).count()
     assert(bad == 0, "stateful totals diverge from batch counts")
   }
+
+  test("streaming dedup keeps one row per fingerprint, matching batch distinct") {
+    import spark.implicits._
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // 40 docs over 10 distinct normalized texts (case/punct variants collide)
+    val rows = (0 until 40).map { i =>
+      val base = s"shared text number ${i % 10}"
+      val variant = if (i % 3 == 0) base.toUpperCase else if (i % 3 == 1) base + "!!!" else base
+      (i.toLong, new java.sql.Timestamp(t0.getTime + i * 60000L), variant)
+    }
+    val dir = Files.createTempDirectory("graft_stream_docs").toString
+    rows.toDF("doc_id", "ts", "text").coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingOps.streamingDedup(stream)
+      .writeStream.outputMode("append").format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_out")
+    // exactly one survivor per distinct fingerprint; same count as batch
+    val batchDistinct = spark.read.parquet(dir)
+      .select(substring(md5(trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))), 1, 16))
+      .distinct().count()
+    assert(out.count() == batchDistinct,
+      s"streaming dedup kept ${out.count()} rows, batch distinct is $batchDistinct")
+    assert(out.groupBy("fp").count().filter(col("count") > 1).count() == 0)
+  }
 }
