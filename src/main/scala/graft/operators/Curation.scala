@@ -193,6 +193,38 @@ object Curation {
         (col("start_off") % seqLen).cast("long").as("off_in_pack"))
   }
 
+  /** Benchmark decontamination: flag corpus documents sharing any n-gram
+    * with a probe set (eval benchmarks) — the standard "did the training
+    * set memorize the test set" check, shingle-exact.
+    *
+    * Scale shape: probe shingles are DISTINCT and tiny next to the corpus
+    * (benchmarks are megabytes; the corpus is the 100 TB side), so they
+    * BROADCAST: the corpus-side shingle stream is marked with a broadcast
+    * left join — never shuffled — and the only exchange is the final
+    * per-document aggregation on doc_id. One shuffle total.
+    *
+    * @param docs   corpus (doc_id, text)
+    * @param probes probe set (doc_id, text) — e.g. eval benchmark docs
+    * @param n      shingle width in tokens
+    * @return per corpus doc (with ≥1 shingle): total/hit shingle counts,
+    *         integer hit_ppm, contamination flag, first matching shingle.
+    */
+  def contamination(docs: DataFrame, probes: DataFrame, n: Int = 3): DataFrame = {
+    val docSh = Dedup.shingles(docs, n)
+    val probeSh = Dedup.shingles(probes, n)
+      .select(col("shingle")).distinct().withColumn("hit", lit(1))
+    docSh.join(broadcast(probeSh), Seq("shingle"), "left")
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hits"),
+        min(when(col("hit").isNotNull, col("shingle"))).as("first_hit"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_shingles"), col("n_hits"),
+        expr("(n_hits * 1000000L) DIV n_shingles").cast("long").as("hit_ppm"),
+        (col("n_hits") > 0).as("is_contaminated"),
+        col("first_hit"))
+  }
+
   /** PII patterns — deliberately restricted to a regex dialect Java and RE2
     * share (char classes, bounded repetition; no lookaround, no backrefs), so
     * the scrub is reproducible across engines. Redaction order matters and is

@@ -447,6 +447,30 @@ object PipelineQueries extends QueryRegistry {
               FROM w"""),
       "Fixed-512 training-sequence layout from the doc_id-ordered token stream"),
 
+    // ── curation: benchmark decontamination ───────────────────────────────
+    // Probe set = every 97th document (a deterministic stand-in for an eval
+    // benchmark); the remaining corpus is checked for shared 3-shingles.
+    QueryDef("q71_contamination",
+      (s, d) => Curation.contamination(
+        docs(s, d).filter(col("doc_id") % 97 =!= 0),
+        docs(s, d).filter(col("doc_id") % 97 === 0), n = 3),
+      Some(s"""WITH $sqlShingles,
+                   probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0),
+                   corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 97 != 0),
+                   m AS (SELECT c.doc_id, c.shingle, p.shingle IS NOT NULL AS hit
+                         FROM corpus c LEFT JOIN probe p ON p.shingle = c.shingle),
+                   agg AS (SELECT doc_id, count(*) AS n_shingles,
+                                  sum(CASE WHEN hit THEN 1 ELSE 0 END) AS n_hits,
+                                  min(CASE WHEN hit THEN shingle END) AS first_hit
+                           FROM m GROUP BY doc_id)
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(n_shingles AS BIGINT) AS n_shingles,
+                     CAST(n_hits AS BIGINT) AS n_hits,
+                     CAST((n_hits * 1000000) // n_shingles AS BIGINT) AS hit_ppm,
+                     n_hits > 0 AS is_contaminated, first_hit
+              FROM agg"""),
+      "Shared-3-shingle contamination vs a broadcast probe set (one shuffle)"),
+
     // ── curation: PII detect + redact ──────────────────────────────────────
     // The synthetic corpus contains no PII, so the query injects a
     // deterministic doc_id-derived email/URL/IPv4 suffix on BOTH engines;

@@ -161,6 +161,27 @@ class CurationSpec extends SparkSpec {
     assert(packed == global)
   }
 
+  test("contamination: hits counted exactly, clean docs flagged clean") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon"),       // shares "alpha beta gamma"
+      (2L, "one two three four five six"),          // clean
+      (3L, "zz yy alpha beta gamma")                // shares, fewer shingles
+    ).toDF("doc_id", "text")
+    val probes = Seq((100L, "alpha beta gamma unrelated tail")).toDF("doc_id", "text")
+    val out = Curation.contamination(corpus, probes, 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(out(1L) == ((3L, 1L, true)))   // 3 shingles, 1 hit
+    assert(out(2L) == ((4L, 0L, false)))
+    assert(out(3L) == ((3L, 1L, true)))
+  }
+
+  test("contamination: plan broadcasts the probe side, single doc_id shuffle") {
+    val plan = Curation.contamination(docs, docs.limit(5), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"probe side must broadcast:\n$plan")
+  }
+
   test("hashPriority: uniform-ish and stable") {
     val pr = docs.select(Curation.hashPriority(col("doc_id"), "s").as("p"))
       .agg(min("p"), max("p"), avg("p")).head()
