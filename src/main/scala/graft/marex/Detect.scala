@@ -420,4 +420,62 @@ object Detect {
     }).localCheckpoint()
     (anom2, thr, applyThreshold(anom2, thr))
   }
+
+  /** Human-readable preprocessing-step descriptions — the reference's
+    * `_get_preprocessing_steps` (detect.py:844–890), stamped into the run
+    * metadata so a downstream reader can tell how a field was produced. */
+  def preprocessingSteps(cfg: DetectConfig): Seq[String] = {
+    val anomaly = cfg.methodAnomaly match {
+      case "detrend_harmonic" =>
+        Seq(s"Removed polynomial trend orders=${cfg.detrendOrders.mkString("[", ", ", "]")} & seasonal cycle") ++
+          (if (cfg.stdNormalise) Seq("Normalised by 30-day rolling STD") else Nil)
+      case "shifting_baseline" =>
+        Seq(s"Rolling climatology using ${cfg.windowYearBaseline} years",
+          s"Smoothed with ${cfg.smoothDaysBaseline}-day window")
+      case "fixed_baseline" =>
+        Seq("Daily climatology computed from full time series")
+      case "detrend_fixed_baseline" =>
+        Seq(s"Removed polynomial trend orders=${cfg.detrendOrders.mkString("[", ", ", "]")}",
+          "Daily climatology computed from detrended data")
+    }
+    val extreme = cfg.methodExtreme match {
+      case "global_extreme" => Seq("Global percentile threshold applied to all days")
+      case "hobday_extreme" =>
+        Seq(s"Day-of-year thresholds with ${cfg.windowDaysHobday} day window")
+    }
+    anomaly ++ extreme
+  }
+
+  /** D1 attrs: persist the preprocessing run's method/parameter metadata as
+    * JSON next to the outputs — the detect-side twin of
+    * [[Track.writeRunMetadata]], mirroring the reference's dataset attrs
+    * (detect.py:730–783: method/threshold keys, method-specific parameter
+    * block, percentile/precision trailer, preprocessing_steps). */
+  def writeRunMetadata(cfg: DetectConfig, path: String): Unit = {
+    def js(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val methodSpecific: Seq[(String, String)] = cfg.methodAnomaly match {
+      case "detrend_harmonic" | "detrend_fixed_baseline" =>
+        Seq("detrend_orders" -> cfg.detrendOrders.mkString("[", ", ", "]"),
+          "std_normalise" -> cfg.stdNormalise.toString)
+      case "shifting_baseline" =>
+        Seq("window_year_baseline" -> cfg.windowYearBaseline.toString,
+          "smooth_days_baseline" -> cfg.smoothDaysBaseline.toString)
+      case _ => Nil
+    }
+    val hobday =
+      if (cfg.methodExtreme == "hobday_extreme")
+        Seq("window_days_hobday" -> cfg.windowDaysHobday.toString)
+      else Nil
+    val fields: Seq[(String, String)] =
+      Seq("method_anomaly" -> js(cfg.methodAnomaly),
+        "method_extreme" -> js(cfg.methodExtreme),
+        "threshold_percentile" -> cfg.thresholdPercentile.toString) ++
+      methodSpecific ++ hobday ++
+      Seq("method_percentile" -> js(cfg.methodPercentile),
+        "precision" -> cfg.precision.toString,
+        "max_anomaly" -> cfg.maxAnomaly.toString,
+        "preprocessing_steps" -> preprocessingSteps(cfg).map(js).mkString("[", ", ", "]"))
+    val json = fields.map { case (k, v) => s"${js(k)}: $v" }.mkString("{", ", ", "}")
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), json.getBytes)
+  }
 }

@@ -43,7 +43,12 @@ private[marex] object SequentialSplitMerge {
       t: Int, childIds: Array[Int], parentIds: Array[Int], areas: Array[Long])
 
   /** @return (updated id field (time,y,x,gid), merges (time, child_id,
-    *         parent_ids, n_parents)) */
+    *         parent_ids, child_ids, overlap_areas, n_parents, n_children) —
+    *         the reference's full merge-events genealogy, track.py:3776–3793:
+    *         `child_ids` are the fragment ids the partitioning minted
+    *         (fragment 0 keeps the child id), `overlap_areas` is
+    *         parent-aligned (pixel counts in the structured branch), `time`
+    *         is the reference's `merge_time`) */
   def run(ids: DataFrame, spec: GridSpec, cfg: TrackConfig,
       timeAxis: Option[DataFrame]): (DataFrame, DataFrame) = {
     val spark = ids.sparkSession
@@ -321,9 +326,11 @@ private[marex] object SequentialSplitMerge {
 
     val mergeRows = ledger.map(m =>
       (times(m.t), m.childIds(0).toLong, m.parentIds.map(_.toLong).toSeq,
-        m.parentIds.length.toLong)).toSeq
+        m.childIds.map(_.toLong).toSeq, m.areas.map(_.toDouble).toSeq,
+        m.parentIds.length.toLong, m.childIds.length.toLong)).toSeq
     val mergesDf = spark.createDataset(mergeRows)
-      .toDF("time", "child_id", "parent_ids", "n_parents")
+      .toDF("time", "child_id", "parent_ids", "child_ids", "overlap_areas",
+        "n_parents", "n_children")
     (outDf, mergesDf)
   }
 }

@@ -30,7 +30,14 @@ object Track {
       idField: DataFrame, // (time, y, x, event_id)
       eventProps: DataFrame, // (time, event_id, area, cen_lat, cen_lon, n_cells)
       events: DataFrame, // (event_id, time_start, time_end, n_timesteps, max_area)
-      merges: DataFrame, // (time, child_id, parent_ids ARRAY, n_parents)
+      // full merge genealogy (track.py:3776–3793): (time = merge_time,
+      // child_id, parent_ids ARRAY, child_ids ARRAY, overlap_areas ARRAY
+      // parent-aligned, n_parents, n_children)
+      merges: DataFrame,
+      // the reference's per-(time, ID, sibling_ID) merge_ledger
+      // (track.py:3026–3106) in long form: (time, event_id,
+      // sibling_event_ids ARRAY) — FINAL event ids of all co-parents
+      mergeLedger: DataFrame,
       statsFn: () => Map[String, Long]) {
     /** Run statistics (n_objects_prefiltered/filtered, n_events_final,
       * total_merges) — computed on demand: each is an extra Spark job, and
@@ -120,7 +127,35 @@ object Track {
   /** Above this many objects the quantile switches from a driver collect to
     * the distributed sort path — ~32 MB of doubles is the comfortable driver
     * bound; 10⁷-object runs never materialize the area list. */
-  private val QuantileCollectLimit = 4000000L
+  private[marex] val QuantileCollectLimit = 4000000L
+
+  /** Exact numpy-style linear-interpolation quantile of a single-double-
+    * column DataFrame (matching the reference's np.percentile,
+    * track.py:1310). ≤ [[QuantileCollectLimit]] rows collect and sort on the
+    * driver (the reference's own shape); larger inputs compute the SAME
+    * value distributedly — global sort + zipWithIndex, fetch only the two
+    * bracketing ranks — so the list never materializes on the driver. */
+  private[marex] def exactQuantile(values: DataFrame, q: Double): Double = {
+    val colName = values.columns.head
+    val v = values.select(col(colName).cast("double"))
+    val n = v.count()
+    if (n == 0L) return 0.0
+    val pos = q * (n - 1)
+    val lo = pos.toLong
+    val hi = math.min(lo + 1, n - 1)
+    if (n <= QuantileCollectLimit) {
+      val arr = v.collect().map(_.getDouble(0)).sorted
+      arr(lo.toInt) + (pos - lo) * (arr(hi.toInt) - arr(lo.toInt))
+    } else {
+      val two = v.orderBy(colName).rdd
+        .map(_.getDouble(0)).zipWithIndex()
+        .filter { case (_, i) => i == lo || i == hi }
+        .collect().sortBy(_._2).map(_._1)
+      val vLo = two(0)
+      val vHi = if (two.length > 1) two(1) else two(0)
+      vLo + (pos - lo) * (vHi - vLo)
+    }
+  }
 
   /** T11: drop objects below the area threshold — `quartile` of the object
     * area distribution (exact numpy-style linear interpolation, matching the
@@ -138,27 +173,8 @@ object Track {
       return ids
     val areas = ids.join(geom.select("y", "x", "area"), Seq("y", "x"))
       .groupBy("time", "gid").agg(sum("area").as("obj_area"))
-    val threshold: Double = cfg.areaFilterAbsolute.getOrElse {
-      val n = areas.count()
-      if (n == 0L) 0.0
-      else {
-        val pos = cfg.areaFilterQuartile * (n - 1)
-        val lo = pos.toLong
-        val hi = math.min(lo + 1, n - 1)
-        if (n <= QuantileCollectLimit) {
-          val arr = areas.select("obj_area").collect().map(_.getDouble(0)).sorted
-          arr(lo.toInt) + (pos - lo) * (arr(hi.toInt) - arr(lo.toInt))
-        } else {
-          val two = areas.select("obj_area").orderBy("obj_area").rdd
-            .map(_.getDouble(0)).zipWithIndex()
-            .filter { case (_, i) => i == lo || i == hi }
-            .collect().sortBy(_._2).map(_._1)
-          val vLo = two(0)
-          val vHi = if (two.length > 1) two(1) else two(0)
-          vLo + (pos - lo) * (vHi - vLo)
-        }
-      }
-    }
+    val threshold: Double = cfg.areaFilterAbsolute.getOrElse(
+      exactQuantile(areas.select("obj_area"), cfg.areaFilterQuartile))
     // reference parity: the structured branch force-drops the first object
     // entry — i.e. the smallest gid — regardless of its area (track.py:1898,
     // `object_ids_keep[0] = -1`; see TrackConfig.dropSmallestObject)
@@ -238,8 +254,9 @@ object Track {
     val spark = ids0.sparkSession
     import spark.implicits._
     var ids = ids0.localCheckpoint()
-    var mergesAcc: DataFrame = Seq.empty[(java.sql.Timestamp, Long, Seq[Long])]
-      .toDF("time", "child_id", "parent_ids")
+    var mergesAcc: DataFrame =
+      Seq.empty[(java.sql.Timestamp, Long, Seq[Long], Seq[Long], Seq[Double])]
+        .toDF("time", "child_id", "parent_ids", "child_ids", "overlap_areas")
     var iter = 0
     var done = false
     while (!done && iter < cfg.maxOuterIter) {
@@ -249,8 +266,14 @@ object Track {
       // children (time, gid) claimed by >1 parent — keys MUST include the
       // timestep: after a reassignment round the same gid exists at many
       // timesteps (cells inherit the parent's gid going forward).
+      // Parents and their overlap areas are collected as ONE sorted struct
+      // list so parent_ids and overlap_areas stay index-aligned (the
+      // reference's parent_idx axis, track.py:3776–3793).
       val multi = pairs.groupBy("ctime", "id_c")
-        .agg(collect_list("id_p").as("parents"), count(lit(1)).as("np"))
+        .agg(sort_array(collect_list(struct(col("id_p"), col("overlap_cells")))).as("po"),
+          count(lit(1)).as("np"))
+        .withColumn("parents", expr("transform(po, p -> p.id_p)"))
+        .withColumn("areas", expr("transform(po, p -> cast(p.overlap_cells as double))"))
         .filter(col("np") > 1)
         .localCheckpoint()
       if (multi.isEmpty) done = true
@@ -298,9 +321,14 @@ object Track {
         val untouched = ids.join(
           multi.select(col("ctime").as("time"), col("id_c").as("gid")),
           Seq("time", "gid"), "left_anti")
+        // batch-parallel reassignment hands child cells the PARENT ids (no
+        // fresh fragment ids are minted), so child_ids is the singleton
+        // [child_id] — n_children = 1 in this path by construction.
         val newMerges = multi
           .select(col("ctime").as("time"), col("id_c").cast("long").as("child_id"),
-            col("parents").cast("array<long>").as("parent_ids"))
+            col("parents").cast("array<long>").as("parent_ids"),
+            array(col("id_c").cast("long")).as("child_ids"),
+            col("areas").as("overlap_areas"))
         mergesAcc = mergesAcc.unionByName(newMerges).localCheckpoint()
         ids = untouched.select("time", "y", "x", "gid")
           .union(assigned.select("time", "y", "x", "gid"))
@@ -308,7 +336,9 @@ object Track {
       }
       iter += 1
     }
-    (ids, mergesAcc.withColumn("n_parents", size(col("parent_ids")).cast("long")))
+    (ids, mergesAcc
+      .withColumn("n_parents", size(col("parent_ids")).cast("long"))
+      .withColumn("n_children", size(col("child_ids")).cast("long")))
   }
 
   /** T23 (true form): 3-D space-time connected-component labeling with
@@ -361,38 +391,87 @@ object Track {
       .select(col("gid"), coalesce(col("component"), col("gid")).as("root"))
     val firstT = gids.join(mapping, "gid")
       .groupBy("root").agg(min("time").as("t0"), min("gid").as("g0"))
-    val wr = Window.orderBy(col("t0"), col("g0"))
-    val eventIds = firstT.withColumn("event_id", row_number().over(wr).cast("long"))
+    val eventIds = denseNumber(firstT, Seq("t0", "g0"), "event_id")
       .select("root", "event_id")
     gids.join(mapping, "gid").join(broadcast(eventIds), "root")
       .select("time", "y", "x", "event_id")
   }
 
-  /** T16: stitch objects into events — connected components over the
-    * thresholded overlap-pair graph, dense event ids 1..N ordered by first
-    * appearance (tiebreak min gid).
+  /** Dense 1..N numbering of a table in `orderCols` order — a global sort +
+    * `zipWithIndex`, NOT a single-partition `row_number` window: the sort is
+    * range-partitioned (every partition does its share), and zipWithIndex
+    * adds one lightweight count job. The input here is always the bounded
+    * per-event/component table (#events rows, never field-sized), but at
+    * 10⁷ events a one-task WindowExec would still be the slowest stage. */
+  private def denseNumber(df: DataFrame, orderCols: Seq[String],
+      out: String): DataFrame = {
+    val spark = df.sparkSession
+    val sorted = df.orderBy(orderCols.map(col): _*)
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(out,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val rdd = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** T16: the gid → dense event id mapping — connected components over the
+    * thresholded overlap-pair graph, event ids 1..N ordered by (first time
+    * of component, root), numbered by [[denseNumber]] (no single-partition
+    * window).
     *
     * Routed through [[ConnectedComponents.auto]]: small pair graphs (the
     * common case — ~#objects rows; the reference solves the same graph with
     * scipy on the driver, track.py:2883) collect + union-find; graphs past
     * the driver threshold run distributed min-label propagation, so a
-    * 10⁷-object run never funnels the pair list through the driver. */
-  def stitchEvents(ids: DataFrame, overlapThreshold: Double,
-      timeAxis: Option[DataFrame] = None): DataFrame = {
-    val pairs = overlapPairs(ids, overlapThreshold, timeAxis)
-      .select(col("id_p").as("src"), col("id_c").as("dst"))
+    * 10⁷-object run never funnels the pair list through the driver.
+    * @return (gid, event_id) — one row per object. */
+  def eventMapping(ids: DataFrame, overlapThreshold: Double,
+      timeAxis: Option[DataFrame] = None): DataFrame =
+    eventMappingFromPairs(ids,
+      overlapPairs(ids, overlapThreshold, timeAxis)
+        .select(col("id_p").as("src"), col("id_c").as("dst")))
+
+  /** [[eventMapping]] with the overlap-pair graph supplied by the caller —
+    * shared by the gridded and unstructured (area-weighted pairs) paths.
+    * `ids` needs (time, gid); grid layout is irrelevant here. */
+  def eventMappingFromPairs(ids: DataFrame, pairs: DataFrame): DataFrame = {
     val comp = ConnectedComponents.auto(pairs) // (node, component)
     val mapping = ids.select(col("gid")).distinct()
       .join(comp.withColumnRenamed("node", "gid"), Seq("gid"), "left")
       .select(col("gid"), coalesce(col("component"), col("gid")).as("root"))
-    // dense event ids ordered by (first time of component, root)
     val firstT = ids.join(mapping, "gid")
       .groupBy("root").agg(min("time").as("t0"))
-    val wr = Window.orderBy(col("t0"), col("root"))
-    val eventIds = firstT.withColumn("event_id", row_number().over(wr).cast("long"))
+    val eventIds = denseNumber(firstT, Seq("t0", "root"), "event_id")
       .select("root", "event_id")
-    ids.join(mapping, "gid").join(broadcast(eventIds), "root")
+    mapping.join(broadcast(eventIds), "root").select("gid", "event_id")
+  }
+
+  /** T16: stitch objects into events by applying [[eventMapping]] to the
+    * resolved id field. */
+  def stitchEvents(ids: DataFrame, overlapThreshold: Double,
+      timeAxis: Option[DataFrame] = None): DataFrame =
+    ids.join(eventMapping(ids, overlapThreshold, timeAxis), "gid")
       .select("time", "y", "x", "event_id")
+
+  /** T17 genealogy detail: the reference's per-(time, ID, sibling_ID)
+    * `merge_ledger` (track.py:3026–3106) in long form. For each merge event,
+    * every parent's FINAL event id is listed with the final event ids of ALL
+    * its co-parents (self included, like the reference's broadcast row). A
+    * child double-merging at one timestep (rare) unions its sibling sets.
+    *
+    * Scale shape: merges is the bounded genealogy table (#merges rows); the
+    * only join against it is the gid → event map, itself #objects rows. */
+  def mergeLedger(merges: DataFrame, gidMap: DataFrame): DataFrame = {
+    val mapped = merges
+      .select(col("time"), col("child_id"), explode(col("parent_ids")).as("gid"))
+      .join(gidMap, Seq("gid"))
+    mapped.groupBy("time", "child_id")
+      .agg(sort_array(collect_set("event_id")).as("sibling_event_ids"))
+      .join(mapped, Seq("time", "child_id"))
+      .select(col("time"), col("event_id"), col("sibling_event_ids"))
+      .distinct()
   }
 
   /** Full tracker (T1/T23): morphology → gap fill → label → area filter →
@@ -400,9 +479,14 @@ object Track {
     *
     * @param timeAxis full time axis of the source field if whole timesteps
     *   can be flag-free (defaults to the distinct times present in `flags`;
-    *   see [[timeIndex]]). */
+    *   see [[timeIndex]]).
+    * @param coords the ORIGINAL input's coordinate system
+    *   ([[Unstructured.detectCoordSystem]]); when given, centroid outputs are
+    *   remapped back to its units/range (T21 `_remap_coordinates`,
+    *   track.py:978–1021). None = leave degrees [−180,180]. */
   def track(flags: DataFrame, geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
-      timeAxis: Option[DataFrame] = None): TrackResult = {
+      timeAxis: Option[DataFrame] = None,
+      coords: Option[Unstructured.CoordSystem] = None): TrackResult = {
     val spark0 = flags.sparkSession
     // resolve the axis ONCE from the raw flags — later stages (area filter,
     // split/merge reassignment) can drop whole timesteps from the id field,
@@ -459,25 +543,41 @@ object Track {
       else (filtered, {
         val spark = flags.sparkSession
         import spark.implicits._
-        Seq.empty[(java.sql.Timestamp, Long, Seq[Long], Long)]
-          .toDF("time", "child_id", "parent_ids", "n_parents")
+        Seq.empty[(java.sql.Timestamp, Long, Seq[Long], Seq[Long], Seq[Double], Long, Long)]
+          .toDF("time", "child_id", "parent_ids", "child_ids", "overlap_areas",
+            "n_parents", "n_children")
       })
 
     // Non-merging path = the reference's pure 3-D space-time CCL
     // (identify_objects(time_connectivity=True), track.py:1388–1395);
     // overlap-threshold stitching is the merging path's consolidation step
     // (track_objects), NOT the non-merging semantics.
-    val idField =
-      (if (cfg.allowMerging) stitchEvents(resolved, cfg.overlapThreshold, axis)
-       else labelSpaceTime(resolved.select("time", "y", "x"), spec, axis))
-        .localCheckpoint()
-    val props = objectProps(idField, geom, idCol = "event_id")
+    val (idField, ledger) =
+      if (cfg.allowMerging) {
+        // the gid → event map feeds BOTH the stitched field and the sibling
+        // ledger — truncate it once so the CC solve doesn't run twice
+        val gidMap = eventMapping(resolved, cfg.overlapThreshold, axis).localCheckpoint()
+        (resolved.join(gidMap, "gid").select("time", "y", "x", "event_id")
+           .localCheckpoint(),
+         mergeLedger(merges, gidMap))
+      } else {
+        val spark = flags.sparkSession
+        import spark.implicits._
+        (labelSpaceTime(resolved.select("time", "y", "x"), spec, axis)
+           .localCheckpoint(),
+         Seq.empty[(java.sql.Timestamp, Long, Seq[Long])]
+           .toDF("time", "event_id", "sibling_event_ids"))
+      }
+    val props0 = objectProps(idField, geom, idCol = "event_id")
+    // T21: remap centroids back to the input's units/range (a pure
+    // projection — area/count columns and the id field are untouched)
+    val props = coords.map(Unstructured.remapCentroids(props0, _)).getOrElse(props0)
     val events = props.groupBy("event_id").agg(
       min("time").as("time_start"),
       max("time").as("time_end"),
       count(lit(1)).as("n_timesteps"),
       max("area").as("max_area"))
-    TrackResult(idField, props, events, merges, () =>
+    TrackResult(idField, props, events, merges, ledger, () =>
       preStatsFn() ++ Map(
         "n_events_final" -> events.count(),
         "total_merges" -> merges.count()))

@@ -119,6 +119,38 @@ object Unstructured {
       .toDF("time", "cell", "label")
   }
 
+  /** T2/T21: the ORIGINAL input's coordinate system, remembered across the
+    * unify → process → remap round-trip (track.py:919–1021). `lonMin/lonMax`
+    * are the raw input bounds — they decide whether outputs go back to a
+    * [0,360) / [0,2π) longitude range. */
+  final case class CoordSystem(units: String, lonMin: Double, lonMax: Double) {
+    require(units == "degrees" || units == "radians",
+      s"coordinate_units must be 'degrees' or 'radians', got '$units'")
+    /** Original longitudes started non-negative and exceeded the signed
+      * half-range → outputs must shift back to [0, 360) / [0, 2π). */
+    def lonShifted: Boolean =
+      lonMin >= 0 && lonMax > (if (units == "radians") math.Pi else 180.0)
+  }
+
+  /** T2: unit auto-detection from the lon range (track.py:946–958): span
+    * within ±1 of 360 → degrees, within ±0.02 of 2π → radians; anything else
+    * needs `explicitUnits` (the reference's regional mode). ONE bounded agg
+    * over the static geometry — never the field. */
+  def detectCoordSystem(geom: DataFrame,
+      explicitUnits: Option[String] = None): CoordSystem = {
+    val r = geom.agg(min("lon"), max("lon")).head()
+    val (lo, hi) = (r.getDouble(0), r.getDouble(1))
+    val units = explicitUnits.getOrElse {
+      val span = hi - lo
+      if (math.abs(span - 360.0) <= 1.0) "degrees"
+      else if (math.abs(span - 2 * math.Pi) <= 0.02) "radians"
+      else throw new MarexSparkException(
+        f"cannot auto-detect coordinate units from lon range $span%.3f",
+        "expected ~360 (degrees) or ~6.283 (radians); pass explicitUnits for regional data")
+    }
+    CoordSystem(units, lo, hi)
+  }
+
   /** T2: unit auto-detection — lon spanning ≈360 means degrees, ≈2π means
     * radians (track.py:919–976). Returns geometry in degrees. */
   def unifyCoordinates(geom: DataFrame): DataFrame = {
@@ -127,5 +159,24 @@ object Unstructured {
     else geom
       .withColumn("lat", degrees(col("lat")))
       .withColumn("lon", degrees(col("lon")))
+  }
+
+  /** T21: `_remap_coordinates` (track.py:978–1021) — convert centroid
+    * columns (produced in degrees, lat [−90,90], lon [−180,180]) back to the
+    * ORIGINAL input's units and longitude range: radians inputs get radian
+    * centroids; inputs with lon in [0,360) / [0,2π) get non-negative
+    * longitudes back. Pure projection — zero shuffles, applies to any
+    * centroid-bearing table (eventProps, merges genealogy). */
+  def remapCentroids(df: DataFrame, cs: CoordSystem,
+      latCol: String = "cen_lat", lonCol: String = "cen_lon"): DataFrame = {
+    val (lat0, lon0) = (col(latCol), col(lonCol))
+    val (lat1, lon1) =
+      if (cs.units == "radians") (radians(lat0), radians(lon0))
+      else (lat0, lon0)
+    val fullTurn = if (cs.units == "radians") 2 * math.Pi else 360.0
+    val lon2 =
+      if (cs.lonShifted) when(lon1 < 0, lon1 + fullTurn).otherwise(lon1)
+      else lon1
+    df.withColumn(latCol, lat1).withColumn(lonCol, lon2)
   }
 }

@@ -50,7 +50,14 @@ object UnstructuredTracker {
     }
   }
 
-  final case class Result(idField: DataFrame, merges: DataFrame,
+  final case class Result(idField: DataFrame,
+      // (time, child_id, parent_ids, child_ids, overlap_areas, n_parents,
+      // n_children) — full genealogy (track.py:3776–3793); overlap_areas are
+      // CELL-AREA sums (the unstructured branch is area-weighted throughout)
+      merges: DataFrame,
+      // (time, event_id, sibling_event_ids) — the per-(time, ID, sibling_ID)
+      // merge_ledger (track.py:3026–3106) with parents mapped to FINAL ids
+      mergeLedger: DataFrame,
       stats: Map[String, Long])
 
   /** Run the full pipeline. `flags`: (time, cell) rows of raw extremes. */
@@ -138,11 +145,24 @@ object UnstructuredTracker {
 
     val mergeRows = ledger.map(m =>
       (times(m.t), m.childIds(0).toLong, m.parentIds.map(_.toLong).toSeq,
-        m.parentIds.length.toLong))
+        m.childIds.map(_.toLong).toSeq, m.areas.toSeq,
+        m.parentIds.length.toLong, m.childIds.length.toLong))
     val merges = spark.createDataset(mergeRows)
-      .toDF("time", "child_id", "parent_ids", "n_parents")
+      .toDF("time", "child_id", "parent_ids", "child_ids", "overlap_areas",
+        "n_parents", "n_children")
 
-    Result(idField, merges, Map(
+    // sibling ledger: each parent's FINAL event id with all co-parents'
+    // final ids (self included) — built driver-side from the same event map
+    val ledgerRows = ledger.flatMap { m =>
+      val sibs = m.parentIds
+        .map(p => eventOf(comp.getOrElse(p.toLong, p.toLong)))
+        .distinct.sorted.toSeq
+      sibs.map(e => (times(m.t), e, sibs))
+    }.distinct
+    val ledgerDf = spark.createDataset(ledgerRows)
+      .toDF("time", "event_id", "sibling_event_ids")
+
+    Result(idField, merges, ledgerDf, Map(
       "n_objects_prefiltered" -> nPre,
       "n_objects_filtered" -> nPost,
       "n_events_final" -> eventOf.size.toLong,

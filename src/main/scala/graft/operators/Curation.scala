@@ -135,7 +135,11 @@ object Curation {
     * libm `pow` can differ in the last ulp, but a rank flip needs two keys
     * within ~1e-16 — not reachable with md5-spread uniforms at any real k.
     *
-    * @param weightCol positive weight column (e.g. char or token count)
+    * Non-positive weights are FAILED, not silently mis-sampled: weight = 0
+    * would give pow(u, ∞) = 0 (doc never drawn) and weight < 0 keys > 1 that
+    * rank first — both corrupt the draw, so they raise instead.
+    *
+    * @param weightCol strictly positive weight column (char or token count)
     * @return (doc_id, weight, key, rank) for the k sampled docs.
     */
   def weightedSample(docs: DataFrame, weightCol: String, k: Int,
@@ -143,7 +147,10 @@ object Curation {
     val u = hashPriority(col("doc_id"), salt)
     val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
     docs.select(col("doc_id").cast("long").as("doc_id"),
-        col(weightCol).cast("long").as("weight"), key.as("key_full"))
+        col(weightCol).cast("long").as("weight"),
+        when(col(weightCol).cast("double") > 0.0, key)
+          .otherwise(raise_error(concat(lit(s"weightedSample: non-positive $weightCol for doc_id="),
+            col("doc_id").cast("string")))).as("key_full"))
       .orderBy(col("key_full").desc, col("doc_id"))
       .limit(k)
       .select(col("doc_id"), col("weight"), round(col("key_full"), 6).as("key"),
@@ -186,10 +193,12 @@ object Curation {
         (col("boff") + col("cum_in") - col("cost")).as("start_off"),
         (col("boff") + col("cum_in")).as("end_off"))
       .select(col("doc_id"), col("cost"), col("start_off"),
-        floor(col("start_off") / seqLen).cast("long").as("pack_first"),
-        // last pack touched = floor((end-1)/L); empty docs stay in pack_first
-        greatest(floor((col("end_off") - 1) / seqLen),
-          floor(col("start_off") / seqLen)).cast("long").as("pack_last"),
+        // integer `div`, not floor(a / b): long→double division loses exact
+        // integers past 2^53, and the contract is integer-exact at any offset
+        expr(s"start_off div ${seqLen}L").as("pack_first"),
+        // last pack touched = (end-1) div L; empty docs stay in pack_first
+        greatest(expr(s"(end_off - 1L) div ${seqLen}L"),
+          expr(s"start_off div ${seqLen}L")).as("pack_last"),
         (col("start_off") % seqLen).cast("long").as("off_in_pack"))
   }
 
@@ -226,22 +235,25 @@ object Curation {
   }
 
   /** PII patterns — deliberately restricted to a regex dialect Java and RE2
-    * share (char classes, bounded repetition; no lookaround, no backrefs), so
-    * the scrub is reproducible across engines. Redaction order matters and is
+    * share (char classes, bounded repetition, the `(?i)` inline flag; no
+    * lookaround, no backrefs), so the scrub is reproducible across engines.
+    * Matching is case-insensitive against the ORIGINAL text — a scrub pass
+    * must not destroy the corpus's casing. Redaction order matters and is
     * fixed: URL first (a URL may embed an email-shaped userinfo), then email,
     * then IPv4. */
-  val UrlRe = "https?://[a-z0-9._/-]+"
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val UrlRe = "(?i)https?://[a-z0-9._/-]+"
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val Ipv4Re = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
 
   /** Detect + redact PII spans (URLs, emails, IPv4) in a text column.
     * Pure projection — zero shuffles; counts are taken BEFORE redaction and
-    * in the same fixed order the redaction applies.
+    * in the same fixed order the redaction applies. Non-PII content is
+    * passed through byte-for-byte (case preserved).
     *
     * @return input plus (n_urls, n_emails, n_ipv4, redacted) columns.
     */
   def piiScrub(df: DataFrame, textCol: String = "text"): DataFrame = {
-    val t = lower(col(textCol))
+    val t = col(textCol)
     val redacted =
       regexp_replace(
         regexp_replace(

@@ -490,6 +490,79 @@ object MarexQueries extends QueryRegistry {
               UNION ALL SELECT 'total_merges', CAST(13 AS BIGINT)"""),
       "Full merging tracker on the reference fixture; golden counts pinned"),
 
+    // ── Golden merge-genealogy lock (extends q55 beyond the count 13) ──────
+    // Same sequential merging run as q55; emits the FULL merges genealogy
+    // (parent/child ids, parent-aligned overlap areas, track.py:3776–3793)
+    // and the per-(time, ID, sibling) merge ledger with final event ids
+    // (track.py:3026–3106). The oracle pins every row — the counts bands are
+    // covered by q55/GoldenTrackingSpec; this locks the CONTENTS.
+    QueryDef("q72_merge_genealogy",
+      (s, _) => {
+        val dir = "/root/reference/tests/data/extremes_gridded.zarr"
+        val (flags, geom, spec) = graft.marex.ReferenceFixtures.loadExtremesGridded(s, dir)
+        val res = Track.track(flags, geom, spec,
+          TrackConfig(rFill = 4, tFill = 2, areaFilterQuartile = 0.5,
+            overlapThreshold = 0.5, allowMerging = true, nnPartitioning = true,
+            sequentialSplitMerge = true))
+        val mergeRows = res.merges.select(
+          lit("merge").as("kind"),
+          unix_millis(col("time")).as("t_ms"), col("child_id").as("id"),
+          concat_ws("|", col("parent_ids")).as("ids_a"),
+          concat_ws("|", col("child_ids")).as("ids_b"),
+          concat_ws("|", expr("transform(overlap_areas, a -> cast(a as bigint))")).as("areas"),
+          col("n_parents").as("n_a"), col("n_children").as("n_b"))
+        val ledgerRows = res.mergeLedger.select(
+          lit("ledger").as("kind"),
+          unix_millis(col("time")).as("t_ms"), col("event_id").as("id"),
+          concat_ws("|", col("sibling_event_ids")).as("ids_a"),
+          lit("").as("ids_b"), lit("").as("areas"),
+          size(col("sibling_event_ids")).cast("long").as("n_a"),
+          lit(0L).as("n_b"))
+        mergeRows.unionByName(ledgerRows)
+      },
+      Some("""SELECT * FROM (VALUES
+                ('merge', CAST(1264507200000 AS BIGINT), CAST(397 AS BIGINT), '377|382', '397|517', '971|351', CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+                ('merge', 1264507200000, 399, '379|380', '399|518', '249|524', 2, 2),
+                ('merge', 1264593600000, 414, '397|517', '414|519', '886|371', 2, 2),
+                ('merge', 1264593600000, 416, '399|518', '416|520', '241|543', 2, 2),
+                ('merge', 1264680000000, 432, '414|519', '432|521', '806|485', 2, 2),
+                ('merge', 1264680000000, 434, '416|520', '434|522', '280|498', 2, 2),
+                ('merge', 1264766400000, 449, '432|521', '449|523', '763|431', 2, 2),
+                ('merge', 1264766400000, 450, '434|522', '450|524', '271|491', 2, 2),
+                ('merge', 1264852800000, 467, '449|523', '467|525', '759|649', 2, 2),
+                ('merge', 1264852800000, 468, '450|524', '468|526', '263|483', 2, 2),
+                ('merge', 1264939200000, 485, '467|525', '485|527', '727|696', 2, 2),
+                ('merge', 1264939200000, 491, '475|476', '491|528', '422|356', 2, 2),
+                ('merge', 1265025600000, 507, '491|528', '507|529', '466|507', 2, 2),
+                ('ledger', 1264507200000, 2, '2|15', '', '', 2, 0),
+                ('ledger', 1264507200000, 9, '9|11', '', '', 2, 0),
+                ('ledger', 1264507200000, 11, '9|11', '', '', 2, 0),
+                ('ledger', 1264507200000, 15, '2|15', '', '', 2, 0),
+                ('ledger', 1264593600000, 2, '2|15', '', '', 2, 0),
+                ('ledger', 1264593600000, 9, '9|11', '', '', 2, 0),
+                ('ledger', 1264593600000, 11, '9|11', '', '', 2, 0),
+                ('ledger', 1264593600000, 15, '2|15', '', '', 2, 0),
+                ('ledger', 1264680000000, 2, '2|15', '', '', 2, 0),
+                ('ledger', 1264680000000, 9, '9|11', '', '', 2, 0),
+                ('ledger', 1264680000000, 11, '9|11', '', '', 2, 0),
+                ('ledger', 1264680000000, 15, '2|15', '', '', 2, 0),
+                ('ledger', 1264766400000, 2, '2|15', '', '', 2, 0),
+                ('ledger', 1264766400000, 9, '9|11', '', '', 2, 0),
+                ('ledger', 1264766400000, 11, '9|11', '', '', 2, 0),
+                ('ledger', 1264766400000, 15, '2|15', '', '', 2, 0),
+                ('ledger', 1264852800000, 2, '2|15', '', '', 2, 0),
+                ('ledger', 1264852800000, 9, '9|11', '', '', 2, 0),
+                ('ledger', 1264852800000, 11, '9|11', '', '', 2, 0),
+                ('ledger', 1264852800000, 15, '2|15', '', '', 2, 0),
+                ('ledger', 1264939200000, 9, '9|11', '', '', 2, 0),
+                ('ledger', 1264939200000, 11, '9|11', '', '', 2, 0),
+                ('ledger', 1264939200000, 12, '12|20', '', '', 2, 0),
+                ('ledger', 1264939200000, 20, '12|20', '', '', 2, 0),
+                ('ledger', 1265025600000, 12, '12|20', '', '', 2, 0),
+                ('ledger', 1265025600000, 20, '12|20', '', '', 2, 0)
+              ) AS t(kind, t_ms, id, ids_a, ids_b, areas, n_a, n_b)"""),
+      "Full merge genealogy + sibling ledger on the golden fixture, every row pinned"),
+
     // ── Unstructured-mesh golden-count lock ────────────────────────────────
     // Runs the unstructured tracker (mesh morphology → gap fill → graph CCL
     // → queue-driven split/merge) on the reference's

@@ -498,23 +498,23 @@ object PipelineQueries extends QueryRegistry {
                           || ' from 10.' || CAST(doc_id % 256 AS VARCHAR)
                           || '.' || CAST(doc_id % 100 AS VARCHAR) || '.1' AS text
                    FROM documents),
-                   t AS (SELECT doc_id, lower(text) AS t FROM inj),
+                   t AS (SELECT doc_id, text AS t FROM inj),
                    s1 AS (SELECT doc_id, t,
-                            regexp_replace(t, 'https?://[a-z0-9._/-]+', '<URL>', 'g') AS r1
+                            regexp_replace(t, '(?i)https?://[a-z0-9._/-]+', '<URL>', 'g') AS r1
                           FROM t),
                    s2 AS (SELECT doc_id, t, r1,
-                            regexp_replace(r1, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS r2
+                            regexp_replace(r1, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g') AS r2
                           FROM s1),
                    s3 AS (SELECT doc_id, t, r1, r2,
                             regexp_replace(r2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS r3
                           FROM s2)
               SELECT CAST(doc_id AS BIGINT) AS doc_id,
-                     CAST(len(regexp_extract_all(t, 'https?://[a-z0-9._/-]+')) AS BIGINT) AS n_urls,
-                     CAST(len(regexp_extract_all(r1, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
+                     CAST(len(regexp_extract_all(t, '(?i)https?://[a-z0-9._/-]+')) AS BIGINT) AS n_urls,
+                     CAST(len(regexp_extract_all(r1, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_emails,
                      CAST(len(regexp_extract_all(r2, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT) AS n_ipv4,
                      substr(md5(r3), 1, 16) AS red_fp
               FROM s3"""),
-      "Ordered URL→email→IPv4 redaction; counts + redacted-text fingerprint"),
+      "Case-insensitive ordered URL→email→IPv4 redaction on the ORIGINAL casing"),
 
     // ── multimodal: binary column metadata (oracle-checkable slice) ────────
     // The oracle recomputes each container's size from its public layout:

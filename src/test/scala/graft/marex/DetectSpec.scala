@@ -120,6 +120,28 @@ class DetectSpec extends SparkSpec {
     }
   }
 
+  test("detect run metadata JSON carries method, params and steps (detect.py:730-783)") {
+    val p = java.nio.file.Files.createTempFile("graft_detect_meta", ".json").toString
+    Detect.writeRunMetadata(DetectConfig(methodAnomaly = "shifting_baseline",
+      methodExtreme = "hobday_extreme", thresholdPercentile = 90,
+      windowYearBaseline = 10, smoothDaysBaseline = 31, windowDaysHobday = 11), p)
+    val s = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
+    assert(s.contains("\"method_anomaly\": \"shifting_baseline\""))
+    assert(s.contains("\"window_year_baseline\": 10"))
+    assert(s.contains("\"window_days_hobday\": 11"))
+    assert(s.contains("Rolling climatology using 10 years"))
+    assert(s.contains("Day-of-year thresholds with 11 day window"))
+    // method-specific block switches with the method (detect.py:752-779)
+    val p2 = java.nio.file.Files.createTempFile("graft_detect_meta2", ".json").toString
+    Detect.writeRunMetadata(DetectConfig(methodAnomaly = "detrend_harmonic",
+      detrendOrders = Seq(1, 2)), p2)
+    val s2 = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p2)))
+    assert(s2.contains("\"detrend_orders\": [1, 2]"))
+    assert(!s2.contains("window_year_baseline"))
+    // both parse as JSON (driver-side readers use json.load)
+    assert(s.trim.startsWith("{") && s.trim.endsWith("}"))
+  }
+
   test("decimal year handles leap years (reference test_detect_helpers.py:46-72)") {
     import spark.implicits._
     val df = Seq(

@@ -104,6 +104,29 @@ class TrackSpec extends SparkSpec {
     assert(res.eventProps.filter(col("area").isNull).count() == 0)
   }
 
+  test("track(coords=...) remaps centroid outputs to the input's units (T21)") {
+    val cfg = TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+      dropSmallestObject = false, overlapThreshold = 0.3, allowMerging = false)
+    val plain = Track.track(blobs, geom, spec, cfg)
+    val remapped = Track.track(blobs, geom, spec, cfg,
+      coords = Some(Unstructured.CoordSystem("radians", 0.0, 2 * math.Pi)))
+    val a = plain.eventProps.orderBy("time", "event_id")
+      .select("cen_lat", "cen_lon").collect()
+    val b = remapped.eventProps.orderBy("time", "event_id")
+      .select("cen_lat", "cen_lon").collect()
+    assert(a.length == b.length && a.nonEmpty)
+    a.zip(b).foreach { case (p, r) =>
+      assert(math.abs(math.toRadians(p.getDouble(0)) - r.getDouble(0)) < 1e-12)
+      val expLon = {
+        val v = math.toRadians(p.getDouble(1))
+        if (v < 0) v + 2 * math.Pi else v
+      }
+      assert(math.abs(expLon - r.getDouble(1)) < 1e-12)
+    }
+    // id field and non-centroid columns are untouched by the remap
+    assert(remapped.idField.count() == plain.idField.count())
+  }
+
   test("area filter drops the smaller object at high quartile") {
     val labeled = Track.globalIds(Raster.labelPerSlice(blobs, spec))
     val kept = Track.filterSmallObjects(labeled, geom,
@@ -143,6 +166,43 @@ class TrackSpec extends SparkSpec {
     assert(res.idField.count() == collideLate.count())
   }
 
+  test("merges genealogy: parent-aligned overlap areas, child_ids, n_children (track.py:3776-3793)") {
+    val res = Track.track(collideLate, geom, spec,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0, dropSmallestObject = false,
+        overlapThreshold = 0.2, allowMerging = true))
+    res.merges.collect().foreach { r =>
+      val parents = r.getSeq[Long](r.fieldIndex("parent_ids"))
+      val children = r.getSeq[Long](r.fieldIndex("child_ids"))
+      val areas = r.getSeq[Double](r.fieldIndex("overlap_areas"))
+      assert(areas.length == parents.length, "overlap_areas must be parent-aligned")
+      assert(areas.forall(_ > 0), "every ledgered parent overlapped the child")
+      assert(r.getAs[Long]("n_parents") == parents.length)
+      assert(r.getAs[Long]("n_children") == children.length)
+      assert(children.contains(r.getAs[Long]("child_id")),
+        "fragment 0 keeps the child id")
+    }
+  }
+
+  test("merge ledger maps parents to final event ids with full sibling lists (track.py:3026-3106)") {
+    val res = Track.track(collideLate, geom, spec,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0, dropSmallestObject = false,
+        overlapThreshold = 0.2, allowMerging = true))
+    val ledger = res.mergeLedger.collect()
+    assert(ledger.nonEmpty, "a merging run must produce a sibling ledger")
+    val eventIds = res.idField.select("event_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    ledger.foreach { r =>
+      val e = r.getAs[Long]("event_id")
+      val sibs = r.getSeq[Long](r.fieldIndex("sibling_event_ids"))
+      assert(eventIds.contains(e), s"ledger event $e not a final event id")
+      assert(sibs.contains(e), "sibling list includes the parent itself")
+      assert(sibs == sibs.sorted && sibs.distinct == sibs)
+      sibs.foreach(s => assert(eventIds.contains(s)))
+    }
+    // every merge event contributes its parents: ledger rows per time ≥ 1
+    assert(ledger.map(_.getAs[java.sql.Timestamp]("time")).distinct.nonEmpty)
+  }
+
   test("non-merging tracker on the same collision fuses into fewer events") {
     val res = Track.track(collideLate, geom, spec,
       TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0, dropSmallestObject = false,
@@ -157,6 +217,20 @@ class TrackSpec extends SparkSpec {
     assert(res.idField.count() == collideLate.count())
     assert(res.stats("total_merges") >= 1, "NN path must also ledger the collision")
     assert(res.stats("n_events_final") >= 1)
+  }
+
+  test("event numbering is distributed: no WindowExec produces event_id") {
+    val gids = Track.globalIds(Raster.labelPerSlice(blobs, spec))
+    val mapping = Track.eventMapping(gids, 0.3)
+    val plan = mapping.queryExecution.executedPlan.toString
+    // the only windows left are the bounded one-row-per-timestep timeIndex
+    // rank; event numbering itself must be the zipWithIndex path
+    assert(!plan.split("\n").exists(l => l.contains("Window") && l.contains("event_id")),
+      s"event_id must come from denseNumber (sorted zipWithIndex), not a window:\n$plan")
+    // ids are still dense 1..N
+    val ids = mapping.select("event_id").distinct().orderBy("event_id")
+      .collect().map(_.getLong(0))
+    assert(ids.toSeq == (1L to ids.length).toSeq)
   }
 
   test("run metadata JSON round-trips the config and stats") {

@@ -52,4 +52,58 @@ class UnstructuredSpec extends SparkSpec {
     val degGeom = Seq((0, 0, 10.0, -170.0), (0, 1, 20.0, 170.0)).toDF("y", "x", "lat", "lon")
     assert(Unstructured.unifyCoordinates(degGeom).agg(max("lon")).head().getDouble(0) == 170.0)
   }
+
+  // ── T2/T21 coordinate system detection + centroid remap
+  //    (reference track.py:919–1021, tests/test_track_edge_cases.py:645,:671)
+
+  private def geomWithLon(lons: Seq[Double]) =
+    lons.zipWithIndex.map { case (lo, i) => (i, 0.0, lo) }.toDF("cell", "lat", "lon")
+
+  test("detectCoordSystem: [0,2π] auto-detects radians (edge_cases:645)") {
+    val lons = (0 until 40).map(i => i * 2 * math.Pi / 39)
+    val cs = Unstructured.detectCoordSystem(geomWithLon(lons))
+    assert(cs.units == "radians")
+    assert(cs.lonShifted, "lon in [0,2π] must remap outputs to [0,2π)")
+  }
+
+  test("detectCoordSystem: [-π,π] radians, no shift (edge_cases:671)") {
+    val lons = (0 until 40).map(i => -math.Pi + i * 2 * math.Pi / 39)
+    val cs = Unstructured.detectCoordSystem(geomWithLon(lons))
+    assert(cs.units == "radians" && !cs.lonShifted)
+  }
+
+  test("detectCoordSystem: degree ranges, explicit override, reject ambiguous") {
+    val deg360 = Unstructured.detectCoordSystem(
+      geomWithLon((0 to 72).map(_ * 5.0)))
+    assert(deg360.units == "degrees" && deg360.lonShifted)
+    val degSigned = Unstructured.detectCoordSystem(
+      geomWithLon((0 to 72).map(-180.0 + _ * 5.0)))
+    assert(degSigned.units == "degrees" && !degSigned.lonShifted)
+    // regional span neither ~360 nor ~2π: explicit units required
+    val regional = geomWithLon(Seq(10.0, 20.0, 30.0))
+    intercept[MarexSparkException] { Unstructured.detectCoordSystem(regional) }
+    assert(Unstructured.detectCoordSystem(regional, Some("degrees")).units == "degrees")
+  }
+
+  test("remapCentroids: radians round-trip and [0,2π) shift") {
+    val cs = Unstructured.CoordSystem("radians", 0.0, 2 * math.Pi)
+    val props = Seq((1L, 45.0, -90.0), (2L, -30.0, 120.0))
+      .toDF("event_id", "cen_lat", "cen_lon")
+    val out = Unstructured.remapCentroids(props, cs).orderBy("event_id").collect()
+    // lat → radians; lon −90° → 3π/2 (shifted into [0,2π))
+    assert(math.abs(out(0).getDouble(1) - math.Pi / 4) < 1e-12)
+    assert(math.abs(out(0).getDouble(2) - 3 * math.Pi / 2) < 1e-12)
+    assert(math.abs(out(1).getDouble(2) - 2 * math.Pi / 3) < 1e-12)
+  }
+
+  test("remapCentroids: [0,360) degree shift, signed range untouched") {
+    val props = Seq((1L, 10.0, -170.0), (2L, 20.0, 170.0))
+      .toDF("event_id", "cen_lat", "cen_lon")
+    val shifted = Unstructured.remapCentroids(props,
+      Unstructured.CoordSystem("degrees", 0.0, 360.0)).orderBy("event_id").collect()
+    assert(shifted(0).getDouble(2) == 190.0 && shifted(1).getDouble(2) == 170.0)
+    val signed = Unstructured.remapCentroids(props,
+      Unstructured.CoordSystem("degrees", -180.0, 180.0)).orderBy("event_id").collect()
+    assert(signed(0).getDouble(2) == -170.0)
+  }
 }

@@ -94,13 +94,15 @@ class CurationSpec extends SparkSpec {
     val r1 = out(0).getString(out(0).fieldIndex("redacted"))
     assert(r1.contains("<EMAIL>") && r1.contains("<URL>"))
     assert(!r1.contains("@"))
+    // casing of non-PII content is preserved — a scrub must not lowercase
+    assert(r1.startsWith("Mail me at "))
     // doc 2: two IPs
     assert(out(1).getLong(out(1).fieldIndex("n_ipv4")) == 2L)
     assert(out(1).getString(out(1).fieldIndex("redacted")).contains("<IP>"))
     // doc 3: the URL swallows the @-shaped path — counted as url, not email
     assert(out(2).getLong(out(2).fieldIndex("n_urls")) == 1L)
     assert(out(2).getLong(out(2).fieldIndex("n_emails")) == 0L)
-    // doc 4: untouched (lowercased only)
+    // doc 4: untouched byte-for-byte
     assert(out(3).getString(out(3).fieldIndex("redacted")) == "plain words only")
     assert(out(3).getLong(out(3).fieldIndex("n_urls")) == 0L)
   }
@@ -123,6 +125,15 @@ class CurationSpec extends SparkSpec {
     val corpusMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
     assert(sampleMean > corpusMean,
       s"sample mean weight $sampleMean should exceed corpus mean $corpusMean")
+  }
+
+  test("weightedSample: non-positive weights raise instead of silently biasing") {
+    val bad = Seq((1L, 10L), (2L, 0L), (3L, 25L)).toDF("doc_id", "w")
+    val ex = intercept[Exception] {
+      Curation.weightedSample(bad, "w", 3).collect()
+    }
+    assert(ex.getMessage.contains("non-positive") ||
+      Option(ex.getCause).exists(_.getMessage.contains("non-positive")))
   }
 
   test("weightedSample: partitioning-invariant") {
