@@ -10,7 +10,12 @@ import graft.marex._
   * tests/conftest.py:128–136). This main runs the full detect → track
   * pipeline at that scale on local[N] and prints stage timings — evidence
   * that the engine handles the reference's own working set interactively.
-  * Run: `sbt "runMain graft.ScaleDemo [nYears]"`.
+  * Run: `sbt "runMain graft.ScaleDemo [nYears] [method] [ny] [nx]`.
+  *
+  * The PRODUCTION shape probe is `ScaleDemo 2 exact 720 1440` — two years of
+  * daily 0.25°-global slices (720×1440 ≈ 757 M samples), the reference's
+  * stated target resolution: backs PERF.md's 100× extrapolations with a
+  * measured operating point.
   */
 object ScaleDemo {
   def main(args: Array[String]): Unit = {
@@ -32,7 +37,8 @@ object ScaleDemo {
       r
     }
 
-    val ny = 20; val nx = 40
+    val ny = if (args.length > 2) args(2).toInt else 20
+    val nx = if (args.length > 3) args(3).toInt else 40
     val spec = GridSpec(ny = ny, nx = nx)
     val geom = SyntheticData.geometry(spark, ny, nx).cache()
 

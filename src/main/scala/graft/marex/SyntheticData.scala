@@ -48,7 +48,8 @@ object SyntheticData {
     val r = 6371.0
     val dPhi = math.toRadians((latMax - latMin) / ny)
     val dLam = math.toRadians(360.0 / nx)
-    (for (y <- 0 until ny; x <- 0 until nx) yield {
+    spark.sparkContext.parallelize(
+      for (y <- 0 until ny; x <- 0 until nx) yield {
       val lat = latMin + (y + 0.5) * (latMax - latMin) / ny
       val lon = -180.0 + (x + 0.5) * 360.0 / nx
       val phi = math.toRadians(lat)

@@ -403,7 +403,7 @@ object Track {
     * adds one lightweight count job. The input here is always the bounded
     * per-event/component table (#events rows, never field-sized), but at
     * 10⁷ events a one-task WindowExec would still be the slowest stage. */
-  private def denseNumber(df: DataFrame, orderCols: Seq[String],
+  private[marex] def denseNumber(df: DataFrame, orderCols: Seq[String],
       out: String): DataFrame = {
     val spark = df.sparkSession
     val sorted = df.orderBy(orderCols.map(col): _*)

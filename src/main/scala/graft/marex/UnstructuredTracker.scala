@@ -13,25 +13,33 @@ import graft.operators.ConnectedComponents
   *
   *  - morphology / gap fill / labeling / filtering run as the distributed
   *    mesh operators ([[Unstructured]], [[Track]]);
-  *  - split/merge is the QUEUE-driven form: the initial multi-parent
-  *    children seed per-timestep queues; processing a child records ONE
-  *    ledger entry, partitions its cells by frontier-BFS to the nearest
-  *    parent CELL through the mesh (track.py:5246–5357, parent-order
-  *    rounds, nv-row cascade, great-circle centroid fallback) or to the
-  *    nearest parent centroid, and forward-checks the fragments against
-  *    t+1 (STRICT > threshold, track.py:4115) to queue newly-created
+  *  - split/merge semantics (shared by both execution paths below): the
+  *    initial multi-parent children seed the work list; processing a child
+  *    records ONE ledger entry, partitions its cells by frontier-BFS to the
+  *    nearest parent CELL through the mesh (track.py:5246–5357,
+  *    parent-order rounds, nv-row cascade, great-circle centroid fallback)
+  *    or to the nearest parent centroid, and forward-checks the fragments
+  *    against t+1 (STRICT > threshold, track.py:4115) to find newly-created
   *    multi-parent candidates — no backward consolidation (that is the
   *    gridded sequential algorithm's trick, not this one's);
   *  - overlap fractions use CELL-AREA sums (not pixel counts) throughout —
   *    the unstructured branch is area-weighted end-to-end;
   *  - filtering is the unstructured branch's: object CELL COUNTS with a
   *    mode-dependent prefilter (>5 cells absolute / >50 cells quartile) and
-  *    a STRICT > threshold (track.py:1812–1906).
+  *    a STRICT > threshold (track.py:1812–1906), quantile guarded through
+  *    [[Track.exactQuantile]] (driver collect only below the 4 M bound).
   *
-  * The queue algorithm is inherently order-dependent within a time chunk, so
-  * it runs driver-orchestrated over per-timestep slices (the reference's own
-  * shape: numba kernels over one chunk's numpy slices); an ICON R2B8 slice
-  * is ~3 MB as int32. Everything before and after it is distributed.
+  * Two execution paths, selected by `scalePath`:
+  *  - DEFAULT (scalePath = true): the distributed round-based iteration in
+  *    [[UnstructuredBatch]] — overlap pairs by cell equi-join, the exact
+  *    partitioning kernels running one-task-per-merge-event over the
+  *    broadcast mesh, stitch via [[Track.eventMappingFromPairs]]. Nothing
+  *    field-sized touches the driver; this is the 100 TB shape.
+  *  - PARITY (scalePath = false): the order-exact QUEUE form, driver-
+  *    orchestrated over per-timestep slices (the reference's own execution:
+  *    numba kernels over one chunk's numpy slices). Fixture-scale only.
+  * GoldenTrackingSpec asserts the two paths produce an identical id field
+  * and genealogy on the reference's golden fixture.
   */
 object UnstructuredTracker {
 
@@ -45,8 +53,20 @@ object UnstructuredTracker {
       * dilation matrix M[i, neighbours[:, i]] = 1. */
     def edgesDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
       import spark.implicits._
-      (for (i <- 0 until nCells; k <- 0 until 3; j = nbr(k)(i) if j >= 0)
-        yield (j, i)).toDF("cell", "nbr")
+      // parallelize, don't toDF: a LocalRelation would embed ~3·nCells rows
+      // in every task's serialized plan (an R2B8 mesh is millions of cells)
+      spark.sparkContext.parallelize(
+        for (i <- 0 until nCells; k <- 0 until 3; j = nbr(k)(i) if j >= 0)
+          yield (j, i), math.max(1, nCells / 500000))
+        .toDF("cell", "nbr")
+    }
+    /** Static per-cell geometry as a DataFrame (cell, lat, lon, area). */
+    def geomDf(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+      import spark.implicits._
+      spark.sparkContext.parallelize(
+        (0 until nCells).map(i => (i, lat(i), lon(i), area(i))),
+        math.max(1, nCells / 500000))
+        .toDF("cell", "lat", "lon", "area")
     }
   }
 
@@ -60,8 +80,14 @@ object UnstructuredTracker {
       mergeLedger: DataFrame,
       stats: Map[String, Long])
 
-  /** Run the full pipeline. `flags`: (time, cell) rows of raw extremes. */
-  def track(flags: DataFrame, mesh: Mesh, cfg: TrackConfig): Result = {
+  /** Run the full pipeline. `flags`: (time, cell) rows of raw extremes.
+    * @param scalePath true (default) routes split/merge + stitching through
+    *   the DISTRIBUTED iteration ([[UnstructuredBatch]], the reference's
+    *   `split_and_merge_objects_parallel`) — nothing field-sized touches the
+    *   driver; false runs the order-exact queue kernel (the parity tool —
+    *   collects per-timestep slices, fixture-scale only). */
+  def track(flags: DataFrame, mesh: Mesh, cfg: TrackConfig,
+      scalePath: Boolean = true): Result = {
     val spark = flags.sparkSession
     import spark.implicits._
     val edges = mesh.edgesDf(spark).localCheckpoint()
@@ -96,25 +122,22 @@ object UnstructuredTracker {
     // unstructured filter: CELL COUNTS, strict > threshold; the prefilter
     // cut depends on the filter mode (track.py:1812–1815): >5 cells under
     // absolute filtering, >50 cells under quartile filtering (the reference
-    // prunes harder before its percentile computation).
+    // prunes harder before its percentile computation). The quantile goes
+    // through [[Track.exactQuantile]] — driver collect only below the 4 M
+    // bound, the same distributed two-rank fetch above it.
     val counts = gids.groupBy("gid").agg(count(lit(1)).as("n")).localCheckpoint()
     val preCut = if (cfg.areaFilterAbsolute.isDefined) 5 else 50
     val preList = counts.filter(col("n") > preCut)
     val nPre = preList.count()
-    val threshold: Double = cfg.areaFilterAbsolute.getOrElse {
-      val arr = preList.select(col("n").cast("double")).collect().map(_.getDouble(0)).sorted
-      if (arr.isEmpty) 0.0
-      else {
-        val pos = cfg.areaFilterQuartile * (arr.length - 1)
-        val lo = pos.toInt
-        val hi = math.min(lo + 1, arr.length - 1)
-        arr(lo) + (pos - lo) * (arr(hi) - arr(lo))
-      }
-    }
+    val threshold: Double = cfg.areaFilterAbsolute.getOrElse(
+      Track.exactQuantile(preList.select(col("n").cast("double")), cfg.areaFilterQuartile))
     val keep = counts.filter(col("n") > threshold).select("gid")
     val nPost = keep.count()
     val filtered = gids.join(keep, Seq("gid"), "left_semi")
       .select("time", "cell", "gid").localCheckpoint()
+
+    if (scalePath)
+      return trackDistributed(filtered, mesh, cfg, axis, nPre, nPost)
 
     // queue-driven split/merge on the driver (single logical time chunk)
     val (slices, times, ledger) =
@@ -167,6 +190,41 @@ object UnstructuredTracker {
       "n_objects_filtered" -> nPost,
       "n_events_final" -> eventOf.size.toLong,
       "total_merges" -> ledger.length.toLong))
+  }
+
+  /** The scale path: distributed split/merge ([[UnstructuredBatch]]) →
+    * area-weighted overlap stitching via [[Track.eventMappingFromPairs]] →
+    * genealogy + sibling ledger. No per-timestep slice ever reaches the
+    * driver; stats are one-row aggregations. */
+  private def trackDistributed(filtered: DataFrame, mesh: Mesh,
+      cfg: TrackConfig, timeAxis: Option[DataFrame],
+      nPre: Long, nPost: Long): Result = {
+    val spark = filtered.sparkSession
+    import spark.implicits._
+    val geom = mesh.geomDf(spark).localCheckpoint()
+
+    val (resolved, merges) =
+      if (cfg.allowMerging)
+        UnstructuredBatch.splitAndMerge(filtered, mesh, cfg, timeAxis)
+      else
+        (filtered,
+          Seq.empty[(java.sql.Timestamp, Long, Seq[Long], Seq[Long], Seq[Double], Long, Long)]
+            .toDF("time", "child_id", "parent_ids", "child_ids", "overlap_areas",
+              "n_parents", "n_children"))
+
+    val finalPairs = UnstructuredBatch
+      .overlapPairs(resolved, geom, cfg.overlapThreshold, timeAxis)
+      .select(col("id_p").as("src"), col("id_c").as("dst"))
+    val gidMap = Track.eventMappingFromPairs(resolved, finalPairs).localCheckpoint()
+    val idField = resolved.join(gidMap, "gid")
+      .select("time", "cell", "event_id").localCheckpoint()
+    val ledger = Track.mergeLedger(merges, gidMap)
+
+    Result(idField, merges, ledger, Map(
+      "n_objects_prefiltered" -> nPre,
+      "n_objects_filtered" -> nPost,
+      "n_events_final" -> idField.select("event_id").distinct().count(),
+      "total_merges" -> merges.count()))
   }
 
   // ───────────────────────── driver-side pieces ──────────────────────────
@@ -322,7 +380,7 @@ object UnstructuredTracker {
     (slices, times, ledger.toSeq)
   }
 
-  private def greatCircle(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
+  private[marex] def greatCircle(lat1: Double, lon1: Double, lat2: Double, lon2: Double): Double = {
     val dLat = math.toRadians(lat2 - lat1)
     val dLon = math.toRadians(lon2 - lon1)
     val a = math.pow(math.sin(dLat / 2), 2) +
@@ -337,7 +395,7 @@ object UnstructuredTracker {
     * with the nv-row cascade (cells claimed via row i expand via row i+1 in
     * the same round), stopping when no CHILD cell was claimed in a round;
     * stragglers fall back to the great-circle-nearest parent centroid. */
-  private def partitionNN(childCells: Array[Int], prev: Array[Int],
+  private[marex] def partitionNN(childCells: Array[Int], prev: Array[Int],
       parentIds: Array[Int], centroids: Array[(Double, Double)], mesh: Mesh,
       maxDistance: Int): Array[Int] = {
     val frontier = Array.fill(mesh.nCells)(255)

@@ -154,6 +154,35 @@ class GoldenTrackingSpec extends SparkSpec {
       s"total_merges ${st("total_merges")} !~ 9±1")
   }
 
+  test("distributed split/merge path equals the queue tracker on the golden fixture") {
+    assume(new java.io.File(s"$unstructuredDir/.zgroup").exists())
+    val (flags, mesh) = ReferenceFixtures.loadExtremesUnstructured(spark, unstructuredDir)
+    val cfg = TrackConfig(rFill = 1, tFill = 2, areaFilterAbsolute = Some(5.0),
+      overlapThreshold = 0.8, allowMerging = true, nnPartitioning = true)
+    val dist = UnstructuredTracker.track(flags, mesh, cfg, scalePath = true)
+    val queue = UnstructuredTracker.track(flags, mesh, cfg, scalePath = false)
+    assert(dist.stats == queue.stats,
+      s"path divergence: distributed=${dist.stats} queue=${queue.stats}")
+    // full id-field equality: same (time, cell) → event id on every cell
+    val d = dist.idField.orderBy("time", "cell").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2)))
+    val q = queue.idField.orderBy("time", "cell").collect()
+      .map(r => (r.getTimestamp(0).getTime, r.getInt(1), r.getLong(2)))
+    assert(d.length == q.length, s"cell counts differ: ${d.length} vs ${q.length}")
+    assert(d.sameElements(q), {
+      val diffs = d.zip(q).filter { case (a, b) => a != b }.take(5)
+      s"${diffs.length}+ cells differ, first: ${diffs.mkString(", ")}"
+    })
+    // genealogy agrees: same (time, parents) multiset
+    def geneal(df: org.apache.spark.sql.DataFrame) =
+      df.select("time", "parent_ids", "n_parents", "n_children")
+        .collect()
+        .map(r => (r.getTimestamp(0).getTime,
+          r.getSeq[Long](1).sorted.mkString("|"), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2))
+    assert(geneal(dist.merges).sameElements(geneal(queue.merges)))
+  }
+
   private val unstructuredBasicDir =
     "/root/reference/tests/data/extremes_unstructured.zarr"
 
