@@ -664,6 +664,45 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells GROUP BY y"""),
-      "Classic NetCDF-3 sink + source round-trip (marEx open_dataset/to_netcdf ingest)")
+      "Classic NetCDF-3 sink + source round-trip (marEx open_dataset/to_netcdf ingest)"),
+
+    // ── NetCDF-4/HDF5 ingest: chunked+shuffle+deflate round-trip ───────────
+    QueryDef("q73_netcdf4_roundtrip",
+      (s, d) => {
+        import graft.sources.{NetCDF4Source, NetCDFSource}
+        // same cell construction as q54/q59 but through the HDF5 path —
+        // chunked + shuffle + deflate, read back via the format-dispatching
+        // facade, so a byte-level defect anywhere in the HDF5 writer, the
+        // superblock/object-header/B-tree parsers, or the filter pipeline
+        // mismatches the oracle, which recomputes straight from events.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("value"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q73.nc"
+        new java.io.File(path).delete()
+        NetCDF4Source.write3D(cells, path, "sst", shape = (31, 10, 15), timeChunk = 8)
+        NetCDFSource.read3D(s, path, "sst", timeRange = Some((0, 30)))
+          .filter(!isnan(col("value")))
+          .groupBy(col("y").cast("long").as("y"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("value") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(y AS BIGINT) AS y,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells GROUP BY y"""),
+      "NetCDF-4/HDF5 sink + source round-trip (chunked+shuffle+deflate, format-dispatch facade)")
   )
 }

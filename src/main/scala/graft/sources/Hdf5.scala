@@ -1,0 +1,699 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+import java.util.zip.{Deflater, Inflater}
+
+/** Minimal HDF5 file-format layer — just enough of the public "HDF5 File
+  * Format Specification Version 3.0" (support.hdfgroup.org) to ingest
+  * HDF5-backed NetCDF-4 archives, the format most modern `.nc` files use
+  * (the reference opens them via `xr.open_dataset`, marEx detect.py:409).
+  *
+  * Read side (the part that must accept files written by other tools):
+  *  - superblock v0/v1 (netcdf-c and h5py default) and v2/v3
+  *  - object headers v1 and v2 ("OHDR"), with continuation blocks
+  *  - old-style groups (symbol-table message → v1 B-tree + local heap +
+  *    SNOD nodes) and compact new-style groups (link messages); dense
+  *    (fractal-heap) groups are rejected with a clear error
+  *  - dataspace v1/v2, datatype classes 0 (fixed-point) and 1 (IEEE float)
+  *    in either endianness, fill-value, filter pipeline v1/v2
+  *  - data layouts: compact, contiguous, and chunked v3 (v1 B-tree chunk
+  *    index); the chunked v4 indexes of `libver='latest'` files are rejected
+  *  - filters: deflate (1), shuffle (2), fletcher32 (3, checksum stripped);
+  *    anything else → error naming the filter id
+  *
+  * Write side (fixture + sink dual): superblock v0, v1 object headers,
+  * one old-style root group, f64 datasets with contiguous or
+  * chunked+shuffle+deflate layout — the same structures the read side
+  * parses, so round-trips exercise both. Unknown header messages are
+  * skipped by size, so attribute-bearing files (netCDF-4 writes
+  * `DIMENSION_LIST`/`_Netcdf4Dimid` etc.) parse fine.
+  *
+  * All addresses/lengths are 8-byte (the library default); UNDEF = -1.
+  */
+private[sources] object Hdf5 {
+
+  val Undef: Long = -1L
+  val Signature: Array[Byte] =
+    Array(0x89.toByte, 'H', 'D', 'F', '\r', '\n', 0x1a.toByte, '\n')
+
+  /** Random-access byte source (local file, Hadoop FS stream, …). */
+  trait ByteSource { def read(off: Long, len: Int): Array[Byte] }
+
+  private def le(b: Array[Byte]): ByteBuffer =
+    ByteBuffer.wrap(b).order(ByteOrder.LITTLE_ENDIAN)
+
+  // ── parsed model ─────────────────────────────────────────────────────────
+
+  /** Numeric type: kind ∈ {int, uint, float}, size in bytes, littleEndian. */
+  final case class NumType(kind: String, size: Int, littleEndian: Boolean)
+
+  final case class Filter(id: Int, clientValues: Seq[Int])
+
+  sealed trait Layout
+  final case class Compact(data: Array[Byte]) extends Layout
+  final case class Contiguous(addr: Long, size: Long) extends Layout
+  /** chunkDims excludes the trailing element-size pseudo-dimension. */
+  final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends Layout
+
+  final case class Dataset(name: String, dims: Seq[Long], dtype: NumType,
+      layout: Layout, filters: Seq[Filter])
+
+  /** One stored chunk: logical element offsets + file location. */
+  final case class ChunkRef(offsets: Seq[Long], addr: Long, size: Int,
+      filterMask: Int)
+
+  // ── superblock ───────────────────────────────────────────────────────────
+
+  /** @return (root object header address, symbol-table scratch B-tree/heap
+    *         addresses if the root entry cached them — v0/v1 only) */
+  def readSuperblock(src: ByteSource): (Long, Option[(Long, Long)]) = {
+    val head = src.read(0L, 128)
+    require(head.take(8).sameElements(Signature), "not an HDF5 file")
+    val version = head(8) & 0xff
+    version match {
+      case 0 | 1 =>
+        require((head(13) & 0xff) == 8 && (head(14) & 0xff) == 8,
+          "only 8-byte offsets/lengths supported")
+        val fixed = 24 + (if (version == 1) 4 else 0)
+        val b = le(head)
+        // base, free-space, EOF, driver-info addresses, then the root
+        // group's 40-byte symbol table entry
+        val entryOff = fixed + 32
+        val ohAddr = b.getLong(entryOff + 8)
+        val cacheType = b.getInt(entryOff + 16)
+        val scratch =
+          if (cacheType == 1)
+            Some((b.getLong(entryOff + 24), b.getLong(entryOff + 32)))
+          else None
+        (ohAddr, scratch)
+      case 2 | 3 =>
+        require((head(9) & 0xff) == 8 && (head(10) & 0xff) == 8,
+          "only 8-byte offsets/lengths supported")
+        (le(head).getLong(36), None)
+      case v => throw new IllegalArgumentException(s"unsupported superblock version $v")
+    }
+  }
+
+  // ── object headers ───────────────────────────────────────────────────────
+
+  final case class Message(typ: Int, body: Array[Byte])
+
+  /** Parse all messages of the object header at `addr` (v1 or v2),
+    * following continuation blocks. */
+  def readMessages(src: ByteSource, addr: Long): Seq[Message] = {
+    val probe = src.read(addr, 16)
+    if (probe.take(4).sameElements("OHDR".getBytes)) readMessagesV2(src, addr)
+    else readMessagesV1(src, addr, probe)
+  }
+
+  private def readMessagesV1(src: ByteSource, addr: Long,
+      probe: Array[Byte]): Seq[Message] = {
+    val b = le(probe)
+    require((probe(0) & 0xff) == 1, s"unsupported object header version ${probe(0)} at $addr")
+    val nMsgs = b.getShort(2) & 0xffff
+    val headerSize = b.getInt(8)
+    val out = Seq.newBuilder[Message]
+    var remaining = nMsgs
+    // (block offset, block length); messages start 16 bytes in (the 12-byte
+    // prelude is padded to the 8-byte alignment the messages use)
+    var blocks = List((addr + 16, headerSize.toLong))
+    while (remaining > 0 && blocks.nonEmpty) {
+      val (off, len) = blocks.head
+      blocks = blocks.tail
+      val block = src.read(off, len.toInt)
+      val bb = le(block)
+      var p = 0
+      while (remaining > 0 && p + 8 <= len) {
+        val typ = bb.getShort(p) & 0xffff
+        val size = bb.getShort(p + 2) & 0xffff
+        val body = java.util.Arrays.copyOfRange(block, p + 8, p + 8 + size)
+        if (typ == 0x0010) { // continuation: offset + length
+          val cb = le(body)
+          blocks = blocks :+ ((cb.getLong(0), cb.getLong(8)))
+        } else out += Message(typ, body)
+        remaining -= 1
+        p += 8 + size
+      }
+    }
+    out.result()
+  }
+
+  private def readMessagesV2(src: ByteSource, addr: Long): Seq[Message] = {
+    val h = src.read(addr, 16)
+    val flags = h(5) & 0xff
+    var p = 6
+    if ((flags & 0x20) != 0) p += 16 // four timestamps
+    if ((flags & 0x10) != 0) p += 4  // compact/dense phase-change limits
+    val sizeWidth = 1 << (flags & 0x3)
+    val chunkBytes = src.read(addr + p, sizeWidth)
+    val chunk0 = le(java.util.Arrays.copyOf(chunkBytes, 8)).getLong(0)
+    val msgStart = addr + p + sizeWidth
+    val out = Seq.newBuilder[Message]
+    // (block start, length, skipSignature) — continuation blocks repeat a
+    // 4-byte "OCHK" signature; every block ends with a 4-byte checksum
+    var blocks = List((msgStart, chunk0, false))
+    while (blocks.nonEmpty) {
+      val (off, len, sig) = blocks.head
+      blocks = blocks.tail
+      val block = src.read(off, len.toInt)
+      val bb = le(block)
+      var q = if (sig) 4 else 0
+      val end = len.toInt - 4 // trailing checksum (not verified)
+      while (q + 4 <= end) {
+        val typ = block(q) & 0xff
+        val size = bb.getShort(q + 1) & 0xffff
+        var bodyOff = q + 4
+        if ((flags & 0x04) != 0) bodyOff += 2 // creation-order field
+        if (bodyOff + size > end) { q = end }
+        else {
+          val body = java.util.Arrays.copyOfRange(block, bodyOff, bodyOff + size)
+          if (typ == 0x10) {
+            val cb = le(body)
+            blocks = blocks :+ ((cb.getLong(0) + 0L, cb.getLong(8), true))
+          } else out += Message(typ, body)
+          q = bodyOff + size
+        }
+      }
+    }
+    out.result()
+  }
+
+  // ── message decoders ─────────────────────────────────────────────────────
+
+  def parseDataspace(body: Array[Byte]): Seq[Long] = {
+    val version = body(0) & 0xff
+    val rank = body(1) & 0xff
+    val off = version match {
+      case 1 => 8 // version, rank, flags, reserved(5)
+      case 2 => 4 // version, rank, flags, type
+      case v => throw new IllegalArgumentException(s"dataspace version $v")
+    }
+    val b = le(body)
+    (0 until rank).map(i => b.getLong(off + i * 8))
+  }
+
+  def parseDatatype(body: Array[Byte]): NumType = {
+    val cls = body(0) & 0x0f
+    val bits0 = body(1) & 0xff
+    val size = le(body).getInt(4)
+    val littleEndian = (bits0 & 0x01) == 0
+    cls match {
+      case 0 => NumType(if ((bits0 & 0x08) != 0) "int" else "uint", size, littleEndian)
+      case 1 => NumType("float", size, littleEndian)
+      case c => throw new IllegalArgumentException(
+        s"unsupported datatype class $c (only fixed-point and float)")
+    }
+  }
+
+  def parseLayout(src: ByteSource, body: Array[Byte]): Layout = {
+    val version = body(0) & 0xff
+    val b = le(body)
+    version match {
+      case 3 | 4 =>
+        val cls = body(1) & 0xff
+        cls match {
+          case 0 =>
+            val n = b.getShort(2) & 0xffff
+            Compact(java.util.Arrays.copyOfRange(body, 4, 4 + n))
+          case 1 => Contiguous(b.getLong(2), b.getLong(10))
+          case 2 if version == 3 =>
+            val dim = body(2) & 0xff // rank + 1 (element-size pseudo-dim)
+            val btree = b.getLong(3)
+            val dims = (0 until dim - 1).map(i => b.getInt(11 + i * 4))
+            Chunked(btree, dims)
+          case 2 => throw new IllegalArgumentException(
+            "chunked layout v4 (libver-latest chunk indexes) not supported; " +
+              "rewrite with default library settings")
+          case c => throw new IllegalArgumentException(s"layout class $c")
+        }
+      case 1 | 2 =>
+        // old layout: version, dimensionality, class, reserved(5)
+        val dim = body(1) & 0xff
+        val cls = body(2) & 0xff
+        cls match {
+          case 1 =>
+            val addr = b.getLong(8)
+            var size = 1L
+            (0 until dim).foreach(i => size *= b.getInt(16 + i * 4))
+            Contiguous(addr, size)
+          case 2 =>
+            val btree = b.getLong(8)
+            val dims = (0 until dim - 1).map(i => b.getInt(16 + i * 4))
+            Chunked(btree, dims)
+          case 0 =>
+            val n = b.getInt(8 + dim * 4)
+            Compact(java.util.Arrays.copyOfRange(body, 12 + dim * 4, 12 + dim * 4 + n))
+          case c => throw new IllegalArgumentException(s"layout class $c")
+        }
+      case v => throw new IllegalArgumentException(s"layout version $v")
+    }
+  }
+
+  def parseFilters(body: Array[Byte]): Seq[Filter] = {
+    val version = body(0) & 0xff
+    val n = body(1) & 0xff
+    val b = le(body)
+    val out = Seq.newBuilder[Filter]
+    var p = if (version == 1) 8 else 2
+    (0 until n).foreach { _ =>
+      val id = b.getShort(p) & 0xffff
+      val nameLen =
+        if (version == 1 || id >= 256) { val v = b.getShort(p + 2) & 0xffff; p += 2; v }
+        else 0
+      val nValues = b.getShort(p + 4) & 0xffff
+      p += 6
+      p += (if (version == 1) (nameLen + 7) / 8 * 8 else nameLen)
+      val values = (0 until nValues).map(i => b.getInt(p + i * 4))
+      p += nValues * 4
+      if (version == 1 && nValues % 2 == 1) p += 4
+      out += Filter(id, values)
+    }
+    out.result()
+  }
+
+  // ── groups ───────────────────────────────────────────────────────────────
+
+  /** Child links (name → object header address) of the group at `ohAddr`. */
+  def groupLinks(src: ByteSource, ohAddr: Long): Seq[(String, Long)] = {
+    val msgs = readMessages(src, ohAddr)
+    msgs.find(_.typ == 0x0011) match {
+      case Some(st) =>
+        val b = le(st.body)
+        symbolTableLinks(src, b.getLong(0), b.getLong(8))
+      case None =>
+        msgs.find(_.typ == 0x0002).foreach { li =>
+          val flags = li.body(1) & 0xff
+          val heapAddr = le(li.body).getLong(2 + (if ((flags & 1) != 0) 8 else 0))
+          require(heapAddr == Undef,
+            "dense (fractal-heap) group links not supported; " +
+              "rewrite with default library settings")
+        }
+        msgs.filter(_.typ == 0x0006).flatMap(m => parseLink(m.body))
+    }
+  }
+
+  private def parseLink(body: Array[Byte]): Option[(String, Long)] = {
+    val flags = body(1) & 0xff
+    var p = 2
+    val linkType = if ((flags & 0x08) != 0) { val t = body(p) & 0xff; p += 1; t } else 0
+    if ((flags & 0x04) != 0) p += 8 // creation order
+    if ((flags & 0x10) != 0) p += 1 // charset
+    val lenWidth = 1 << (flags & 0x3)
+    val lenBytes = java.util.Arrays.copyOfRange(body, p, p + lenWidth)
+    val nameLen = le(java.util.Arrays.copyOf(lenBytes, 8)).getLong(0).toInt
+    p += lenWidth
+    val name = new String(body, p, nameLen, "UTF-8")
+    p += nameLen
+    if (linkType == 0) Some(name -> le(body).getLong(p)) else None // hard links only
+  }
+
+  private def symbolTableLinks(src: ByteSource, btreeAddr: Long,
+      heapAddr: Long): Seq[(String, Long)] = {
+    val hh = src.read(heapAddr, 32)
+    require(hh.take(4).sameElements("HEAP".getBytes), s"bad local heap at $heapAddr")
+    val segSize = le(hh).getLong(8)
+    val heapData = le(hh).getLong(24)
+    val seg = src.read(heapData, segSize.toInt) // names live in one small segment
+    def name(off: Long): String = {
+      var end = off.toInt
+      while (end < seg.length && seg(end) != 0) end += 1
+      new String(seg, off.toInt, end - off.toInt, "UTF-8")
+    }
+    def walk(addr: Long): Seq[Long] = { // → SNOD addresses, left to right
+      val h = src.read(addr, 24)
+      require(h.take(4).sameElements("TREE".getBytes), s"bad B-tree node at $addr")
+      val level = h(5) & 0xff
+      val used = le(h).getShort(6) & 0xffff
+      // group keys are heap offsets (8 bytes); children interleave keys
+      val body = le(src.read(addr + 24, (2 * used + 1) * 8))
+      val children = (0 until used).map(i => body.getLong(8 + i * 16))
+      if (level == 0) children else children.flatMap(walk)
+    }
+    walk(btreeAddr).flatMap { snodAddr =>
+      val sh = src.read(snodAddr, 8)
+      require(sh.take(4).sameElements("SNOD".getBytes), s"bad SNOD at $snodAddr")
+      val n = le(sh).getShort(6) & 0xffff
+      val entries = le(src.read(snodAddr + 8, n * 40))
+      (0 until n).map { i =>
+        name(entries.getLong(i * 40)) -> entries.getLong(i * 40 + 8)
+      }
+    }
+  }
+
+  /** Recursively list all datasets under the root group as
+    * path → object header address ("/"-joined for nested groups). */
+  def listDatasets(src: ByteSource, rootOh: Long): Seq[(String, Long)] = {
+    def visit(prefix: String, oh: Long): Seq[(String, Long)] =
+      groupLinks(src, oh).flatMap { case (nm, child) =>
+        val msgs = readMessages(src, child)
+        val path = if (prefix.isEmpty) nm else s"$prefix/$nm"
+        if (msgs.exists(_.typ == 0x0008)) Seq(path -> child)
+        else if (msgs.exists(m => m.typ == 0x0011 || m.typ == 0x0002 || m.typ == 0x0006))
+          visit(path, child)
+        else Seq.empty
+      }
+    visit("", rootOh)
+  }
+
+  def readDataset(src: ByteSource, name: String, ohAddr: Long): Dataset = {
+    val msgs = readMessages(src, ohAddr)
+    def one(typ: Int, what: String): Array[Byte] =
+      msgs.find(_.typ == typ).getOrElse(
+        throw new IllegalArgumentException(s"$name: no $what message")).body
+    Dataset(name,
+      parseDataspace(one(0x0001, "dataspace")),
+      parseDatatype(one(0x0003, "datatype")),
+      parseLayout(src, one(0x0008, "layout")),
+      msgs.find(_.typ == 0x000B).map(m => parseFilters(m.body)).getOrElse(Seq.empty))
+  }
+
+  // ── chunk index ──────────────────────────────────────────────────────────
+
+  /** Walk the v1 chunk B-tree and list every stored chunk. */
+  def listChunks(src: ByteSource, ds: Dataset): Seq[ChunkRef] = {
+    val layout = ds.layout.asInstanceOf[Chunked]
+    val rank1 = layout.chunkDims.length + 1 // + element-size pseudo-dim
+    val keySize = 8 + rank1 * 8
+    def walk(addr: Long): Seq[ChunkRef] = {
+      val h = src.read(addr, 24)
+      require(h.take(4).sameElements("TREE".getBytes), s"bad chunk B-tree node at $addr")
+      require((h(4) & 0xff) == 1, "not a chunk B-tree")
+      val level = h(5) & 0xff
+      val used = le(h).getShort(6) & 0xffff
+      val body = le(src.read(addr + 24, used * (keySize + 8) + keySize))
+      (0 until used).flatMap { i =>
+        val k = i * (keySize + 8)
+        val size = body.getInt(k)
+        val mask = body.getInt(k + 4)
+        val offsets = (0 until rank1 - 1).map(j => body.getLong(k + 8 + j * 8))
+        val child = body.getLong(k + keySize)
+        if (level == 0) Seq(ChunkRef(offsets, child, size, mask))
+        else walk(child)
+      }
+    }
+    walk(layout.btreeAddr)
+  }
+
+  // ── filters + decode ─────────────────────────────────────────────────────
+
+  /** Reverse the filter pipeline on one raw chunk. */
+  def defilter(raw: Array[Byte], filters: Seq[Filter], filterMask: Int): Array[Byte] = {
+    var data = raw
+    filters.zipWithIndex.reverse.foreach { case (f, i) =>
+      if ((filterMask & (1 << i)) == 0) f.id match {
+        case 1 => // deflate
+          val inf = new Inflater()
+          inf.setInput(data)
+          val out = new java.io.ByteArrayOutputStream(data.length * 4)
+          val buf = new Array[Byte](65536)
+          while (!inf.finished()) {
+            val n = inf.inflate(buf)
+            if (n == 0 && inf.needsInput()) throw new IllegalArgumentException("truncated deflate chunk")
+            out.write(buf, 0, n)
+          }
+          inf.end()
+          data = out.toByteArray
+        case 2 => // shuffle: byte-plane transpose, element size in client[0]
+          val es = f.clientValues.head
+          if (es > 1 && data.length % es == 0) {
+            val n = data.length / es
+            val out = new Array[Byte](data.length)
+            var b = 0
+            while (b < es) {
+              var i = 0
+              while (i < n) { out(i * es + b) = data(b * n + i); i += 1 }
+              b += 1
+            }
+            data = out
+          }
+        case 3 => // fletcher32: 4-byte checksum trailer (not verified)
+          data = java.util.Arrays.copyOf(data, data.length - 4)
+        case id => throw new IllegalArgumentException(
+          s"unsupported HDF5 filter id $id (deflate/shuffle/fletcher32 only)")
+      }
+    }
+    data
+  }
+
+  def decode(data: Array[Byte], t: NumType, n: Int): Array[Double] = {
+    val buf = ByteBuffer.wrap(data)
+      .order(if (t.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+    val out = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      out(i) = (t.kind, t.size) match {
+        case ("float", 8) => buf.getDouble(i * 8)
+        case ("float", 4) => buf.getFloat(i * 4).toDouble
+        case ("int", 1) => buf.get(i).toDouble
+        case ("int", 2) => buf.getShort(i * 2).toDouble
+        case ("int", 4) => buf.getInt(i * 4).toDouble
+        case ("int", 8) => buf.getLong(i * 8).toDouble
+        case ("uint", 1) => (buf.get(i) & 0xff).toDouble
+        case ("uint", 2) => (buf.getShort(i * 2) & 0xffff).toDouble
+        case ("uint", 4) => (buf.getInt(i * 4) & 0xffffffffL).toDouble
+        case (k, s) => throw new IllegalArgumentException(s"unsupported type $k$s")
+      }
+      i += 1
+    }
+    out
+  }
+
+  // ── writer ───────────────────────────────────────────────────────────────
+
+  /** One dataset to write: row-major f64 values of the given shape. */
+  final case class WriteVar(name: String, dims: Seq[Int], values: Array[Double],
+      chunkDims: Option[Seq[Int]] = None, deflateLevel: Int = 4)
+
+  /** Assemble a complete HDF5 file (superblock v0, old-style root group,
+    * v1 object headers). Datasets with `chunkDims` are written
+    * shuffle+deflate chunked (v1 B-tree index, one leaf node); others
+    * contiguous. Returns the file bytes. */
+  def assemble(vars: Seq[WriteVar]): Array[Byte] = {
+    require(vars.nonEmpty && vars.map(_.name).distinct.size == vars.size)
+    val sorted = vars.sortBy(_.name) // symbol tables are name-ordered
+    val out = new java.io.ByteArrayOutputStream(1 << 20)
+    def pos: Long = out.size().toLong
+    def pad8(): Unit = while (out.size() % 8 != 0) out.write(0)
+    def u16(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    def u32(v: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def u64(v: Long): Array[Byte] =
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+
+    // ── plan the layout: fixed-size prefix, then per-var blocks ──
+    // 0    superblock (96)
+    // 96   root object header (16 prelude + symtab msg 8+16) = 40
+    // 136  local heap header (32) + data segment
+    // then B-tree node, SNOD, per-dataset headers + data
+    val heapNames = new java.io.ByteArrayOutputStream()
+    heapNames.write(new Array[Byte](8), 0, 8) // offset 0 reserved
+    val nameOffsets = sorted.map { v =>
+      val off = heapNames.size().toLong
+      val b = v.name.getBytes("UTF-8")
+      heapNames.write(b, 0, b.length)
+      heapNames.write(0)
+      off
+    }
+    while (heapNames.size() % 8 != 0) heapNames.write(0)
+    val heapSeg = heapNames.toByteArray
+
+    val sbAddr = 0L
+    val rootOhAddr = 96L
+    val heapHdrAddr = 136L
+    val heapDataAddr = heapHdrAddr + 32
+    val btreeAddr = heapDataAddr + heapSeg.length
+    val btreeSize = 24 + 8 * (2 * 4 + 1) + 8 * (2 * 4) // full k=4 group node
+    val snodAddr = btreeAddr + btreeSize
+    val snodSize = 8 + 40 * math.max(8, sorted.size) // 2×symLeafK slots min
+    var cursor = snodAddr + snodSize
+
+    // per-var: object header → [chunk B-tree] → data
+    final case class Plan(v: WriteVar, ohAddr: Long, dataAddr: Long,
+        btAddr: Long, chunks: Seq[(Seq[Long], Array[Byte])])
+    val plans = sorted.map { v =>
+      val n = v.dims.map(_.toLong).product
+      require(n == v.values.length, s"${v.name}: shape/data mismatch")
+      val ohAddr = cursor
+      val nMsgs = 4 + (if (v.chunkDims.isDefined) 1 else 0)
+      val layoutBody = if (v.chunkDims.isDefined) 32 else 24
+      val filterBody = if (v.chunkDims.isDefined) 8 + 16 + 16 else 0
+      val ohSize = 16 + (8 + 8 + v.dims.length * 8) + (8 + 24) + (8 + 8) +
+        (8 + layoutBody) + (if (filterBody > 0) 8 + filterBody else 0)
+      cursor += ohSize
+      v.chunkDims match {
+        case None =>
+          val dataAddr = cursor
+          cursor += n * 8
+          Plan(v, ohAddr, dataAddr, Undef, Seq.empty)
+        case Some(cd) =>
+          require(cd.length == v.dims.length)
+          // enumerate chunk origins (row-major), slice + shuffle + deflate
+          def origins(d: Int): Seq[Seq[Long]] =
+            if (d == v.dims.length) Seq(Seq.empty)
+            else (0L until v.dims(d).toLong by cd(d).toLong)
+              .flatMap(o => origins(d + 1).map(o +: _))
+          val chunkN = cd.map(_.toLong).product.toInt
+          val chunks = origins(0).map { org =>
+            val buf = new Array[Double](chunkN) // edge chunks stay padded
+            val idx = new Array[Int](v.dims.length)
+            var i = 0
+            while (i < chunkN) {
+              var rem = i; var d = cd.length - 1
+              while (d >= 0) { idx(d) = rem % cd(d); rem /= cd(d); d -= 1 }
+              val inRange = idx.indices.forall(d => org(d) + idx(d) < v.dims(d))
+              if (inRange) {
+                var flat = 0L
+                idx.indices.foreach(d => flat = flat * v.dims(d) + org(d) + idx(d))
+                buf(i) = v.values(flat.toInt)
+              } else buf(i) = Double.NaN
+              i += 1
+            }
+            val bytes = ByteBuffer.allocate(chunkN * 8).order(ByteOrder.LITTLE_ENDIAN)
+            buf.foreach(bytes.putDouble)
+            // shuffle (element size 8) then deflate — netCDF-4's default
+            val raw = bytes.array()
+            val shuffled = new Array[Byte](raw.length)
+            var b = 0
+            while (b < 8) {
+              var j = 0
+              while (j < chunkN) { shuffled(b * chunkN + j) = raw(j * 8 + b); j += 1 }
+              b += 1
+            }
+            val defl = new Deflater(v.deflateLevel)
+            defl.setInput(shuffled); defl.finish()
+            val cbuf = new java.io.ByteArrayOutputStream(raw.length)
+            val tmp = new Array[Byte](65536)
+            while (!defl.finished()) cbuf.write(tmp, 0, defl.deflate(tmp))
+            defl.end()
+            (org, cbuf.toByteArray)
+          }
+          val btAddr = cursor
+          val keySize = 8 + (v.dims.length + 1) * 8
+          cursor += 24 + chunks.size * (keySize + 8) + keySize
+          val withAddr = chunks.map { case (org, bytes) =>
+            val a = cursor; cursor += bytes.length; (org, bytes, a)
+          }
+          Plan(v, ohAddr, Undef, btAddr,
+            withAddr.map { case (org, bytes, a) => (org, bytes) }) // addresses recomputed on write
+      }
+    }
+
+    // ── emit ──
+    // superblock v0
+    out.write(Signature)
+    out.write(Array[Byte](0, 0, 0, 0, 0, 8, 8, 0)) // versions + sizes
+    out.write(u16(4)); out.write(u16(16)) // group leaf / internal k
+    out.write(u32(0)) // consistency flags
+    out.write(u64(0)); out.write(u64(Undef)) // base, free-space
+    val eofPatch = out.size() // EOF address patched at the end
+    out.write(u64(0))
+    out.write(u64(Undef)) // driver info
+    // root symbol table entry
+    out.write(u64(0)); out.write(u64(rootOhAddr)); out.write(u32(1)); out.write(u32(0))
+    out.write(u64(btreeAddr)); out.write(u64(heapDataAddr - 32)) // scratch: btree+heap
+    require(pos == rootOhAddr)
+    // root object header v1: 1 message (symbol table)
+    out.write(Array[Byte](1, 0)); out.write(u16(1)); out.write(u32(1))
+    out.write(u32(8 + 16)); out.write(u32(0)) // header size, alignment pad
+    out.write(u16(0x0011)); out.write(u16(16)); out.write(u32(0))
+    out.write(u64(btreeAddr)); out.write(u64(heapDataAddr - 32))
+    require(pos == heapHdrAddr)
+    // local heap
+    out.write("HEAP".getBytes); out.write(Array[Byte](0, 0, 0, 0))
+    out.write(u64(heapSeg.length.toLong)); out.write(u64(Undef)); out.write(u64(heapDataAddr))
+    out.write(heapSeg)
+    require(pos == btreeAddr)
+    // group B-tree: single leaf pointing at the one SNOD
+    out.write("TREE".getBytes); out.write(Array[Byte](0, 0)); out.write(u16(1))
+    out.write(u64(Undef)); out.write(u64(Undef))
+    out.write(u64(0)) // key 0: before first name
+    out.write(u64(snodAddr))
+    out.write(u64(nameOffsets.last)) // key 1: last name in the node
+    out.write(new Array[Byte](btreeSize - 24 - 24), 0, btreeSize - 24 - 24)
+    require(pos == snodAddr)
+    // SNOD
+    out.write("SNOD".getBytes); out.write(Array[Byte](1, 0)); out.write(u16(sorted.size))
+    plans.zip(nameOffsets).foreach { case (p, nameOff) =>
+      out.write(u64(nameOff)); out.write(u64(p.ohAddr))
+      out.write(u32(0)); out.write(u32(0)); out.write(new Array[Byte](16), 0, 16)
+    }
+    out.write(new Array[Byte]((snodAddr + snodSize - pos).toInt), 0,
+      (snodAddr + snodSize - pos).toInt)
+
+    plans.foreach { p =>
+      require(pos == p.ohAddr, s"layout drift at ${p.v.name}: $pos != ${p.ohAddr}")
+      val v = p.v
+      val chunked = v.chunkDims.isDefined
+      val msgs = Seq.newBuilder[(Int, Array[Byte])]
+      // dataspace v1
+      val ds = ByteBuffer.allocate(8 + v.dims.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      ds.put(1.toByte).put(v.dims.length.toByte).put(0.toByte).put(0.toByte).putInt(0)
+      v.dims.foreach(d => ds.putLong(d.toLong))
+      msgs += 0x0001 -> ds.array()
+      // datatype: IEEE f64 LE (class 1 v1; 12-byte properties, padded to 24)
+      val dt = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+      dt.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte).putInt(8)
+      dt.putShort(0).putShort(64) // bit offset / precision
+      dt.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+      msgs += 0x0003 -> dt.array()
+      // fill value v2, undefined
+      msgs += 0x0005 -> Array[Byte](2, 2, 0, 0, 0, 0, 0, 0)
+      // layout v3
+      if (!chunked) {
+        val lb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+        lb.put(3.toByte).put(1.toByte).putLong(p.dataAddr)
+        lb.putLong(v.values.length.toLong * 8)
+        msgs += 0x0008 -> lb.array()
+      } else {
+        val cd = v.chunkDims.get
+        val lb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+        lb.put(3.toByte).put(2.toByte).put((cd.length + 1).toByte).putLong(p.btAddr)
+        cd.foreach(lb.putInt); lb.putInt(8)
+        msgs += 0x0008 -> lb.array()
+        // filter pipeline v1: shuffle(2) then deflate(1)
+        val fp = ByteBuffer.allocate(8 + 16 + 16).order(ByteOrder.LITTLE_ENDIAN)
+        fp.put(1.toByte).put(2.toByte).putShort(0).putInt(0)
+        fp.putShort(2).putShort(0).putShort(0).putShort(1).putInt(8).putInt(0) // shuffle, es=8
+        fp.putShort(1).putShort(0).putShort(0).putShort(1).putInt(v.deflateLevel).putInt(0)
+        msgs += 0x000B -> fp.array()
+      }
+      val ms = msgs.result()
+      val bodyBytes = ms.map(m => 8 + m._2.length).sum
+      out.write(Array[Byte](1, 0)); out.write(u16(ms.size)); out.write(u32(1))
+      out.write(u32(bodyBytes)); out.write(u32(0))
+      ms.foreach { case (typ, body) =>
+        out.write(u16(typ)); out.write(u16(body.length)); out.write(u32(0))
+        out.write(body)
+      }
+      if (!chunked) {
+        require(pos == p.dataAddr)
+        val bb = ByteBuffer.allocate(v.values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+        v.values.foreach(bb.putDouble)
+        out.write(bb.array())
+      } else {
+        require(pos == p.btAddr)
+        val keySize = 8 + (v.dims.length + 1) * 8
+        var dataAddr = p.btAddr + 24 + p.chunks.size * (keySize + 8) + keySize
+        out.write("TREE".getBytes); out.write(Array[Byte](1, 0)); out.write(u16(p.chunks.size))
+        out.write(u64(Undef)); out.write(u64(Undef))
+        p.chunks.foreach { case (org, bytes) =>
+          out.write(u32(bytes.length)); out.write(u32(0))
+          org.foreach(o => out.write(u64(o))); out.write(u64(0))
+          out.write(u64(dataAddr))
+          dataAddr += bytes.length
+        }
+        // final key: one past the last chunk in every dimension
+        out.write(u32(0)); out.write(u32(0))
+        v.dims.indices.foreach(d => out.write(u64(v.dims(d).toLong)))
+        out.write(u64(8))
+        p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
+      }
+    }
+
+    val bytes = out.toByteArray
+    val eofBuf = ByteBuffer.wrap(bytes, eofPatch, 8).order(ByteOrder.LITTLE_ENDIAN)
+    eofBuf.putLong(bytes.length.toLong)
+    bytes
+  }
+}

@@ -10,9 +10,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * NetCDF classic format specification): big-endian header with dim/attr/
   * var lists, fixed variables stored contiguously C-order at `begin`,
   * record variables interleaved per record with a common record stride.
-  * HDF5-backed NetCDF-4 is out of scope by design (a full HDF5 reader is a
-  * library, not a format) — files are detected and rejected with a clear
-  * error.
+  * HDF5-backed NetCDF-4 files are detected and routed to [[NetCDF4Source]]
+  * by the [[NetCDFSource]] facade; calling this reader on one directly
+  * fails with a clear error.
   *
   * Execution shape: the header is parsed once on the driver (it is a few
   * KB); bulk data is read with Hadoop FS positioned reads — each task seeks
@@ -91,8 +91,8 @@ object NetCDF3Source {
     if (!(magic.sameElements("CDF".getBytes))) {
       if (magic.sameElements(Array(0x89.toByte, 'H'.toByte, 'D'.toByte)))
         throw new IllegalArgumentException(
-          s"$path is NetCDF-4 (HDF5-backed) — only classic NetCDF-3 is supported; " +
-            "convert with `nccopy -k classic`")
+          s"$path is NetCDF-4 (HDF5-backed) — use NetCDF4Source or the " +
+            "NetCDFSource facade, which dispatches on the file magic")
       throw new IllegalArgumentException(s"$path is not a NetCDF file")
     }
     val version = buf.get().toInt // 1 = CDF-1 (32-bit offsets), 2 = CDF-2

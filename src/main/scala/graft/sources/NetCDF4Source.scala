@@ -1,0 +1,217 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.util.SerializableConfiguration
+
+import Hdf5._
+
+/** NetCDF-4 (HDF5-backed) ingest — the format most modern `.nc` archives
+  * use, and what the reference actually opens in production
+  * (`xr.open_dataset`, marEx detect.py:409, is h5netcdf/netCDF4-backed
+  * whenever the file is not classic CDF). Built on [[Hdf5]], a minimal
+  * implementation of the public HDF5 file-format spec.
+  *
+  * Execution shape mirrors [[NetCDF3Source]]: the metadata (superblock,
+  * object headers, chunk B-tree) is parsed once on the driver — it is KBs
+  * even for TB-scale files — and bulk data fans out as one task per batch
+  * of CHUNKS, each doing its own Hadoop-FS positioned read + inflate, so a
+  * chunked file distributes exactly like Parquet row-groups. A time-range
+  * predicate prunes whole chunks from the B-tree listing before any data
+  * byte is read — at 100 TB the common "last N days" query reads only the
+  * matching chunk subset.
+  */
+object NetCDF4Source {
+
+  private final class HadoopSource(conf: org.apache.hadoop.conf.Configuration,
+      path: String) extends ByteSource {
+    private val p = new org.apache.hadoop.fs.Path(path)
+    private val fs = p.getFileSystem(conf)
+    def read(off: Long, len: Int): Array[Byte] = {
+      val in = fs.open(p)
+      try { val out = new Array[Byte](len); in.readFully(off, out, 0, len); out }
+      finally in.close()
+    }
+  }
+
+  private def source(spark: SparkSession, path: String): ByteSource =
+    new HadoopSource(spark.sparkContext.hadoopConfiguration, path)
+
+  /** Dataset names and shapes (driver-side metadata read). */
+  def describe(spark: SparkSession, path: String): Map[String, Seq[Long]] = {
+    val src = source(spark, path)
+    val (rootOh, _) = readSuperblock(src)
+    listDatasets(src, rootOh).map { case (name, oh) =>
+      name -> readDataset(src, name, oh).dims
+    }.toMap
+  }
+
+  private def findVar(src: ByteSource, path: String, varName: String): Dataset = {
+    val (rootOh, _) = readSuperblock(src)
+    val ds = listDatasets(src, rootOh).find(_._1 == varName)
+      .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))
+    readDataset(src, varName, ds._2)
+  }
+
+  /** Driver-side dense read of a small variable (coordinate axes, masks). */
+  def readLocal(spark: SparkSession, path: String,
+      varName: String): (Seq[Long], Array[Double]) = {
+    val src = source(spark, path)
+    val v = findVar(src, path, varName)
+    val n = v.dims.product.toInt
+    val out = v.layout match {
+      case Compact(data) => decode(data, v.dtype, n)
+      case Contiguous(addr, size) =>
+        decode(src.read(addr, size.toInt), v.dtype, n)
+      case Chunked(_, chunkDims) =>
+        val acc = new Array[Double](n)
+        java.util.Arrays.fill(acc, Double.NaN)
+        listChunks(src, v).foreach { c =>
+          val vals = decode(defilter(src.read(c.addr, c.size), v.filters, c.filterMask),
+            v.dtype, chunkDims.map(_.toLong).product.toInt)
+          foreachCell(c.offsets, chunkDims, v.dims) { (flat, ci) => acc(flat) = vals(ci) }
+        }
+        acc
+    }
+    (v.dims, out)
+  }
+
+  /** Row-major iteration over the in-range cells of one chunk:
+    * f(flat dataset index, chunk-local index). */
+  private def foreachCell(org: Seq[Long], chunkDims: Seq[Int], dims: Seq[Long])(
+      f: (Int, Int) => Unit): Unit = {
+    val rank = chunkDims.length
+    val n = chunkDims.map(_.toLong).product.toInt
+    val idx = new Array[Int](rank)
+    var ci = 0
+    while (ci < n) {
+      var rem = ci; var d = rank - 1
+      while (d >= 0) { idx(d) = rem % chunkDims(d); rem /= chunkDims(d); d -= 1 }
+      var ok = true; var flat = 0L
+      var e = 0
+      while (e < rank) {
+        val coord = org(e) + idx(e)
+        if (coord >= dims(e)) { ok = false; e = rank }
+        else { flat = flat * dims(e) + coord; e += 1 }
+      }
+      if (ok) f(flat.toInt, ci)
+      ci += 1
+    }
+  }
+
+  /** Distributed read of a 3-D (time, y, x) variable into a long DataFrame
+    * `(t_idx INT, y INT, x INT, value DOUBLE)`.
+    *
+    * @param timeRange optional inclusive [t0, t1] record range; chunks
+    *                  entirely outside it are pruned from the B-tree
+    *                  listing and never read. */
+  def read3D(spark: SparkSession, path: String, varName: String,
+      timeRange: Option[(Int, Int)] = None): DataFrame = {
+    import spark.implicits._
+    val src = source(spark, path)
+    val v = findVar(src, path, varName)
+    require(v.dims.length == 3, s"$varName is not 3-D")
+    val Seq(nt, nyL, nxL) = v.dims
+    val ny = nyL.toInt; val nx = nxL.toInt
+    val (t0, t1) = timeRange.getOrElse((0, nt.toInt - 1))
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val dtype = v.dtype
+    val filters = v.filters
+    val dims = v.dims
+
+    v.layout match {
+      case Chunked(_, chunkDims) =>
+        val cds = chunkDims
+        val kept = listChunks(src, v).filter { c =>
+          c.offsets.head <= t1 && c.offsets.head + cds.head > t0
+        }
+        spark.sparkContext
+          .parallelize(kept, math.min(128, math.max(1, kept.size)))
+          .mapPartitions { it =>
+            val s = new HadoopSource(conf.value, path)
+            it.flatMap { c =>
+              val vals = decode(defilter(s.read(c.addr, c.size), filters, c.filterMask),
+                dtype, cds.map(_.toLong).product.toInt)
+              val rows = Seq.newBuilder[(Int, Int, Int, Double)]
+              foreachCell(c.offsets, cds, dims) { (flat, ci) =>
+                val t = flat / (ny * nx)
+                if (t >= t0 && t <= t1)
+                  rows += ((t, flat / nx % ny, flat % nx, vals(ci)))
+              }
+              rows.result()
+            }
+          }
+          .toDF("t_idx", "y", "x", "value")
+      case Contiguous(addr, _) =>
+        val bp = dtype.size
+        val sliceBytes = ny.toLong * nx * bp
+        spark.sparkContext
+          .parallelize(t0 to math.min(t1, nt.toInt - 1),
+            math.min(32, math.max(1, t1 - t0 + 1)))
+          .mapPartitions { ts =>
+            val s = new HadoopSource(conf.value, path)
+            ts.flatMap { t =>
+              val vals = decode(s.read(addr + t * sliceBytes, sliceBytes.toInt),
+                dtype, ny * nx)
+              (0 until ny * nx).iterator.map(i => (t, i / nx, i % nx, vals(i)))
+            }
+          }
+          .toDF("t_idx", "y", "x", "value")
+      case Compact(data) =>
+        val vals = decode(data, dtype, (nt * ny * nx).toInt)
+        spark.sparkContext
+          .parallelize((t0 to t1).flatMap(t =>
+            (0 until ny * nx).map(i => (t, i / nx, i % nx, vals(t * ny * nx + i)))))
+          .toDF("t_idx", "y", "x", "value")
+    }
+  }
+
+  /** NetCDF-4 sink for a single 3-D double variable — the HDF5 dual of
+    * [[NetCDF3Source.write3D]] (≙ the reference's `to_netcdf`). Written
+    * chunked + shuffle + deflate (netCDF-4's default encoding) so the
+    * round-trip exercises the full filter pipeline. Like the NC3 sink,
+    * file assembly is driver-side — a single HDF5 file is an inherently
+    * serial sink, so this is for result exports that fit one machine;
+    * parquet/zarr are the distributed-output paths. Missing cells → NaN. */
+  def write3D(df: DataFrame, path: String, varName: String,
+      shape: (Int, Int, Int), timeChunk: Int = 8, deflateLevel: Int = 4): Unit = {
+    val (nt, ny, nx) = shape
+    import org.apache.spark.sql.functions._
+    val spark = df.sparkSession
+    import spark.implicits._
+    val values = Array.fill(nt * ny * nx)(Double.NaN)
+    df.select(col("t_idx").cast("int"), col("y").cast("int"),
+        col("x").cast("int"), col("value").cast("double"))
+      .as[(Int, Int, Int, Double)]
+      .collect()
+      .foreach { case (t, y, x, v) =>
+        if (t >= 0 && t < nt && y >= 0 && y < ny && x >= 0 && x < nx)
+          values(t * ny * nx + y * nx + x) = v
+      }
+    val bytes = Hdf5.assemble(Seq(WriteVar(varName, Seq(nt, ny, nx), values,
+      chunkDims = Some(Seq(math.min(timeChunk, nt), ny, nx)),
+      deflateLevel = deflateLevel)))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+}
+
+/** Format-dispatching facade — the engine's equivalent of the reference's
+  * `xr.open_dataset(path)` entry (marEx detect.py:409): classic CDF files
+  * route to [[NetCDF3Source]], HDF5-backed NetCDF-4 to [[NetCDF4Source]]. */
+object NetCDFSource {
+  def read3D(spark: SparkSession, path: String, varName: String,
+      timeRange: Option[(Int, Int)] = None): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val magic = try { val b = new Array[Byte](8); in.readFully(0, b, 0, 8); b }
+    finally in.close()
+    if (magic.take(3).sameElements("CDF".getBytes))
+      NetCDF3Source.read3D(spark, path, varName, timeRange)
+    else if (magic.sameElements(Hdf5.Signature))
+      NetCDF4Source.read3D(spark, path, varName, timeRange)
+    else throw new IllegalArgumentException(s"$path is not a NetCDF file")
+  }
+}

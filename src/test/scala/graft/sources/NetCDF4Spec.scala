@@ -1,0 +1,121 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NetCDF4Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpNc(): String = {
+    val f = java.io.File.createTempFile("graft_nc4", ".nc")
+    f.delete()
+    f.getAbsolutePath
+  }
+
+  private def grid(nt: Int, ny: Int, nx: Int) =
+    (for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx)
+      yield (t, y, x, t * 1.5 + y * 0.25 + x * 0.125)).toDF("t_idx", "y", "x", "value")
+
+  test("write3D → describe lists the variable and shape") {
+    val path = tmpNc()
+    NetCDF4Source.write3D(grid(4, 3, 5), path, "sst", shape = (4, 3, 5))
+    assert(NetCDF4Source.describe(spark, path) == Map("sst" -> Seq(4L, 3L, 5L)))
+  }
+
+  test("chunked+shuffle+deflate write3D → read3D round-trips every cell") {
+    val path = tmpNc()
+    val in = grid(10, 4, 6)
+    // timeChunk 3 → 4 chunks, the last one partial (edge-chunk padding path)
+    NetCDF4Source.write3D(in, path, "sst", shape = (10, 4, 6), timeChunk = 3)
+    val out = NetCDF4Source.read3D(spark, path, "sst")
+    assert(out.count() == 10 * 4 * 6)
+    val diff = out.join(in.toDF("t_idx", "y", "x", "expected"), Seq("t_idx", "y", "x"))
+      .filter(col("value") =!= col("expected")).count()
+    assert(diff == 0, "round-trip must be bit-exact for doubles")
+  }
+
+  test("contiguous layout round-trips via the Hdf5 writer") {
+    val vals = (0 until 24).map(_.toDouble * 0.5).toArray
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("v", Seq(2, 3, 4), vals)))
+    val path = tmpNc()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val (shape, got) = NetCDF4Source.readLocal(spark, path, "v")
+    assert(shape == Seq(2L, 3L, 4L))
+    assert(got.toSeq == vals.toSeq)
+    val df = NetCDF4Source.read3D(spark, path, "v")
+    assert(df.count() == 24)
+    assert(df.filter(col("t_idx") === 1 && col("y") === 2 && col("x") === 3)
+      .head().getDouble(3) == vals(23))
+  }
+
+  test("multiple datasets in one file resolve by name through the root group") {
+    val a = (0 until 6).map(_.toDouble).toArray
+    val b = (0 until 4).map(i => 100.0 + i).toArray
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("zeta", Seq(2, 3), a),
+      Hdf5.WriteVar("alpha", Seq(4), b)))
+    val path = tmpNc()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    assert(NetCDF4Source.describe(spark, path) ==
+      Map("zeta" -> Seq(2L, 3L), "alpha" -> Seq(4L)))
+    assert(NetCDF4Source.readLocal(spark, path, "alpha")._2.toSeq == b.toSeq)
+    assert(NetCDF4Source.readLocal(spark, path, "zeta")._2.toSeq == a.toSeq)
+  }
+
+  test("read3D timeRange prunes chunks before reading") {
+    val path = tmpNc()
+    NetCDF4Source.write3D(grid(12, 2, 2), path, "v", shape = (12, 2, 2), timeChunk = 4)
+    val out = NetCDF4Source.read3D(spark, path, "v", timeRange = Some((5, 9)))
+    assert(out.select("t_idx").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(5, 6, 7, 8, 9))
+    // the [5,9] range intersects chunks [4,8) and [8,12) only
+    val src = new Hdf5.ByteSource {
+      private val raf = new java.io.RandomAccessFile(path, "r")
+      def read(off: Long, len: Int): Array[Byte] = {
+        val b = new Array[Byte](len); raf.seek(off); raf.readFully(b); b
+      }
+    }
+    val (rootOh, _) = Hdf5.readSuperblock(src)
+    val ds = Hdf5.listDatasets(src, rootOh).head
+    val chunks = Hdf5.listChunks(src, Hdf5.readDataset(src, ds._1, ds._2))
+    assert(chunks.size == 3)
+    assert(chunks.count(c => c.offsets.head <= 9 && c.offsets.head + 4 > 5) == 2)
+  }
+
+  test("missing cells read back as NaN") {
+    val path = tmpNc()
+    val sparse = Seq((0, 0, 0, 1.0), (1, 1, 1, 2.0)).toDF("t_idx", "y", "x", "value")
+    NetCDF4Source.write3D(sparse, path, "v", shape = (2, 2, 2))
+    val out = NetCDF4Source.read3D(spark, path, "v")
+    assert(out.filter(isnan(col("value"))).count() == 6)
+    assert(out.filter(!isnan(col("value"))).count() == 2)
+  }
+
+  test("NetCDFSource facade dispatches on the file magic") {
+    val df = grid(3, 2, 2)
+    val p3 = tmpNc(); val p4 = tmpNc()
+    NetCDF3Source.write3D(df, p3, "v", shape = (3, 2, 2))
+    NetCDF4Source.write3D(df, p4, "v", shape = (3, 2, 2))
+    assert(NetCDFSource.read3D(spark, p3, "v").count() == 12)
+    assert(NetCDFSource.read3D(spark, p4, "v").count() == 12)
+    val junk = tmpNc()
+    java.nio.file.Files.write(java.nio.file.Paths.get(junk), new Array[Byte](64))
+    val e = intercept[IllegalArgumentException](NetCDFSource.read3D(spark, junk, "v"))
+    assert(e.getMessage.contains("not a NetCDF"))
+  }
+
+  test("unsupported filters fail with the filter id in the error") {
+    val e = intercept[IllegalArgumentException](
+      Hdf5.defilter(new Array[Byte](8), Seq(Hdf5.Filter(307, Seq.empty)), 0))
+    assert(e.getMessage.contains("307"))
+  }
+
+  test("defilter reverses shuffle+deflate and honors the chunk filter mask") {
+    // round-trip through the writer's own pipeline is covered above; here
+    // check the mask: a set bit means that filter was skipped for the chunk
+    val raw = Array.tabulate[Byte](16)(_.toByte)
+    val passthrough = Hdf5.defilter(raw, Seq(Hdf5.Filter(1, Seq.empty)), 0x1)
+    assert(passthrough.toSeq == raw.toSeq)
+  }
+}
