@@ -18,12 +18,13 @@ object Bench {
     // whichever query happens to run first.
     try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
     catch { case _: Throwable => }
-    // q55/q60 replay the reference's FIXED-SIZE golden fixtures regardless
-    // of SF — correctness regression locks, not scale benchmarks; including
-    // them would add a constant ~40 s to every SF's total and distort the
-    // scaling signal.
+    // q55/q60/q72 replay the reference's FIXED-SIZE golden fixtures
+    // regardless of SF — correctness regression locks, not scale benchmarks;
+    // including them would add a constant ~60 s to every SF's total and
+    // distort the scaling signal.
     val benched = SparkEntry.queries
-      .filterNot(q => q._1 == "q55_marex_golden" || q._1 == "q60_marex_unstructured")
+      .filterNot(q => q._1 == "q55_marex_golden" || q._1 == "q60_marex_unstructured"
+        || q._1 == "q72_merge_genealogy")
     val results = benched.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

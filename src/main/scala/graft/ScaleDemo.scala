@@ -21,13 +21,42 @@ object ScaleDemo {
   def main(args: Array[String]): Unit = {
     val nYears = if (args.nonEmpty) args(0).toInt else 40
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
+    // Shuffle partitions scale with the FIELD, not the core count: at the
+    // production shape (720×1440 × 730 days ≈ 757 M samples) 32 partitions
+    // puts ~24 M rows in one sort task and starves execution memory; target
+    // ≈4 M samples per shuffle partition like a real cluster deployment
+    // (overridable via SPARK_GRAFT_SHUFFLE).
+    val dimsNy = if (args.length > 2) args(2).toLong else 20L
+    val dimsNx = if (args.length > 3) args(3).toLong else 40L
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+      math.max(cpus.toInt,
+        (dimsNy * dimsNx * 365L * nYears / 4000000L).toInt).toString)
+    // At production grids the per-pixel dimension tables (climatology /
+    // threshold: |pixels|×366 rows ≈ 380 M at 0.25°) are NOT broadcastable
+    // — a mis-estimated build side would collect GBs to the driver. Real
+    // cluster deployments disable auto-broadcast for these joins at large
+    // grid sizes; the CI-fixture shape keeps the default (broadcasting the
+    // 293 k-row threshold table there is the right plan).
+    val bigGrid = dimsNy * dimsNx > 1000000L
+    val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val builder =
+      if (bigGrid)
+        builder0
+          .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+          .config("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+          // full-field shuffles at this shape are tens of GB on disk; zstd
+          // compresses the noisy-double payload ~2× better than lz4, and a
+          // 60 s periodic GC releases dereferenced shuffle files promptly —
+          // both standard knobs for disk-constrained shuffle service nodes
+          .config("spark.io.compression.codec", "zstd")
+          .config("spark.cleaner.periodicGC.interval", "60s")
+      else builder0
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
     def timed[T](name: String)(f: => T): T = {
@@ -37,14 +66,20 @@ object ScaleDemo {
       r
     }
 
-    val ny = if (args.length > 2) args(2).toInt else 20
-    val nx = if (args.length > 3) args(3).toInt else 40
+    val ny = dimsNy.toInt
+    val nx = dimsNx.toInt
     val spec = GridSpec(ny = ny, nx = nx)
     val geom = SyntheticData.geometry(spark, ny, nx).cache()
 
+    // Big grids skip the source checkpoint: the synthetic generator is
+    // deterministic, and pinning a second field-sized copy (≈30 GB at 0.25°
+    // × 2 y) next to the anomaly checkpoint exceeds a single box's disk —
+    // the two consumers (climatology agg + join-back) regenerate instead,
+    // exactly like re-reading a parquet/zarr source twice on a cluster.
     val sst = timed(s"generate ${nYears}y daily $ny×$nx") {
-      val df = SyntheticData.sstGridded(spark, nDays = 365 * nYears, ny = ny, nx = nx,
-        noiseAmp = 2.0).localCheckpoint()
+      val df0 = SyntheticData.sstGridded(spark, nDays = 365 * nYears, ny = ny, nx = nx,
+        noiseAmp = 2.0)
+      val df = if (bigGrid) df0 else df0.localCheckpoint()
       println(s"[scale] rows = ${df.count()}")
       df
     }
@@ -65,14 +100,18 @@ object ScaleDemo {
         methodAnomaly = "fixed_baseline", methodExtreme = "hobday_extreme",
         thresholdPercentile = 95, methodPercentile = method,
         precision = 0.05, maxAnomaly = 25.0))
-      (r._1, r._2, r._3.localCheckpoint())
-    }
-    timed("extreme fraction") {
-      val frac = extremes.agg(avg(col("extreme").cast("double"))).head().getDouble(0)
-      println(f"[scale] flagged fraction = $frac%.4f (thr rows=${thr.count()})")
+      // big grids keep only the ~5% flag set, not the full boolean field —
+      // the extremes frame is a join of two already-checkpointed inputs
+      (r._1, r._2, if (bigGrid) r._3 else r._3.localCheckpoint())
     }
 
-    val flags = extremes.filter(col("extreme")).select("time", "y", "x").localCheckpoint()
+    val flags = timed("extreme flags") {
+      val f = extremes.filter(col("extreme")).select("time", "y", "x").localCheckpoint()
+      val n = f.count()
+      println(f"[scale] flagged fraction = ${n.toDouble / (365L * nYears * ny * nx)}%.4f " +
+        f"($n rows, thr rows=${thr.count()})")
+      f
+    }
     val res = timed("track (non-merging, R=2, T=2)") {
       val r = Track.track(flags, geom, spec, TrackConfig(
         rFill = 2, tFill = 2, areaFilterQuartile = 0.5,

@@ -26,7 +26,9 @@ object SyntheticData {
       seed: Long = 42L, trendPerYear: Double = 0.02, noiseAmp: Double = 1.0): DataFrame = {
     import spark.implicits._
     val epoch0 = Timestamp.valueOf("2000-01-01 00:00:00").getTime
-    spark.range(0, nDays.toLong).flatMap { t =>
+    // one partition per day — a 0.25°-global day is ~1 M rows; the default
+    // 32-partition range would funnel ~23 days through each task
+    spark.range(0, nDays.toLong, 1, math.min(nDays, 1024)).flatMap { t =>
       val ts = new Timestamp(epoch0 + t * 86400000L)
       val seasonal = math.sin(2 * math.Pi * (t % 365).toDouble / 365.0)
       for (y <- 0 until ny; x <- 0 until nx) yield {
@@ -66,7 +68,9 @@ object SyntheticData {
       r0: Int = 3, speed: Int = 2, staticCx: Int = -1, staticCy: Int = -1): DataFrame = {
     import spark.implicits._
     val epoch0 = Timestamp.valueOf("2000-01-01 00:00:00").getTime
-    spark.range(0, nDays.toLong).flatMap { t =>
+    // one partition per day — a 0.25°-global day is ~1 M rows; the default
+    // 32-partition range would funnel ~23 days through each task
+    spark.range(0, nDays.toLong, 1, math.min(nDays, 1024)).flatMap { t =>
       val ts = new Timestamp(epoch0 + t * 86400000L)
       val cx = (5 + speed * t).toInt % nx
       val cy = ny / 2

@@ -124,11 +124,12 @@ private[marex] object UnstructuredBatch {
 
         // fragment id minting: k = parent ordinal (0-based, ascending id);
         // fragment 0 keeps the child id, k ≥ 1 gets a collision-free slot
+        // derived from the checkpointed `multi` by a projection — cheap to
+        // recompute per consumer, so no checkpoint of its own
         val frag = multi.select(col("ctime"), col("id_c"), col("ptime"),
             col("m_idx"), posexplode(col("parents")).as(Seq("k", "id_p")))
           .withColumn("frag_gid", when(col("k") === 0, col("id_c"))
             .otherwise(lit(maxGid) + (col("m_idx") - 1) * lit(maxNp - 1) + col("k")))
-          .localCheckpoint()
 
         // ── kernel payload ──────────────────────────────────────────────
         val childRows = ids
