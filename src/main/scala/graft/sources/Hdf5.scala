@@ -271,6 +271,50 @@ private[sources] object Hdf5 {
     out.result()
   }
 
+  /** Attribute message (0x000C), versions 1–3. Returns name → value where
+    * value is a String (fixed-length string type), Double (scalar numeric),
+    * or Seq[Double]. Variable-length and shared-datatype attributes (global
+    * heap machinery) are skipped — none of the CF-convention attributes the
+    * ingest needs (`scale_factor`, `add_offset`, `_FillValue`, `units`) are
+    * written that way by netcdf-c/h5py. */
+  def parseAttribute(body: Array[Byte]): Option[(String, Any)] = {
+    val version = body(0) & 0xff
+    val b = le(body)
+    if (version < 1 || version > 3) return None
+    if (version >= 2 && (body(1) & 0x01) != 0) return None // shared datatype
+    val nameSize = b.getShort(2) & 0xffff
+    val dtSize = b.getShort(4) & 0xffff
+    val dsSize = b.getShort(6) & 0xffff
+    val headerLen = if (version == 3) 9 else 8
+    def padded(n: Int): Int = if (version == 1) (n + 7) / 8 * 8 else n
+    var p = headerLen
+    val rawName = new String(body, p, nameSize, "UTF-8")
+    val name = rawName.takeWhile(_ != 0)
+    p += padded(nameSize)
+    val dtBody = java.util.Arrays.copyOfRange(body, p, p + dtSize)
+    p += padded(dtSize)
+    val dsBody = java.util.Arrays.copyOfRange(body, p, p + dsSize)
+    p += padded(dsSize)
+    val n = parseDataspace(dsBody).product.toInt // rank 0 → 1 (scalar)
+    val cls = dtBody(0) & 0x0f
+    val size = le(dtBody).getInt(4)
+    cls match {
+      case 3 => // fixed-length string
+        val s = new String(body, p, n * size, "UTF-8").takeWhile(_ != 0)
+        Some(name -> s)
+      case 0 | 1 =>
+        val t = parseDatatype(dtBody)
+        val vals = decode(java.util.Arrays.copyOfRange(body, p, p + n * t.size), t, n)
+        Some(name -> (if (n == 1) vals(0) else vals.toSeq))
+      case _ => None // vlen / compound / reference — not needed for ingest
+    }
+  }
+
+  /** All parseable attributes of the object at `ohAddr`. */
+  def attributes(src: ByteSource, ohAddr: Long): Map[String, Any] =
+    readMessages(src, ohAddr).filter(_.typ == 0x000C)
+      .flatMap(m => parseAttribute(m.body)).toMap
+
   // ── groups ───────────────────────────────────────────────────────────────
 
   /** Child links (name → object header address) of the group at `ohAddr`. */
@@ -460,9 +504,59 @@ private[sources] object Hdf5 {
 
   // ── writer ───────────────────────────────────────────────────────────────
 
-  /** One dataset to write: row-major f64 values of the given shape. */
+  /** One dataset to write: row-major f64 values of the given shape.
+    * Attribute values may be String, Double, or Seq[Double]. */
   final case class WriteVar(name: String, dims: Seq[Int], values: Array[Double],
-      chunkDims: Option[Seq[Int]] = None, deflateLevel: Int = 4)
+      chunkDims: Option[Seq[Int]] = None, deflateLevel: Int = 4,
+      attrs: Seq[(String, Any)] = Seq.empty)
+
+  /** 20-byte IEEE f64 LE datatype message body (class 1, version 1). */
+  private def f64TypeBody: Array[Byte] = {
+    val dt = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+    dt.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte).putInt(8)
+    dt.putShort(0).putShort(64)
+    dt.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+    dt.array()
+  }
+
+  /** v1 attribute message body (8-padded sub-blocks, as the spec requires). */
+  private def attrMessage(name: String, value: Any): Array[Byte] = {
+    def pad8(n: Int): Int = (n + 7) / 8 * 8
+    val nameB = name.getBytes("UTF-8") :+ 0.toByte
+    def scalarDs = Array[Byte](1, 0, 0, 0, 0, 0, 0, 0)
+    def vecDs(n: Int): Array[Byte] = {
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(1.toByte).put(1.toByte).put(0.toByte).put(0.toByte).putInt(0).putLong(n.toLong)
+      b.array()
+    }
+    def doubles(vs: Seq[Double]): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putDouble)
+      b.array()
+    }
+    val (dt, ds, data) = value match {
+      case s: String =>
+        val sb = s.getBytes("UTF-8") :+ 0.toByte
+        val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+        b.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(sb.length)
+        (b.array(), scalarDs, sb)
+      case d: Double => (f64TypeBody, scalarDs, doubles(Seq(d)))
+      case vs: Seq[_] =>
+        val dv = vs.map(_.asInstanceOf[Double])
+        (f64TypeBody, vecDs(dv.length), doubles(dv))
+      case other => throw new IllegalArgumentException(
+        s"unsupported attribute type ${other.getClass.getName}")
+    }
+    val total = pad8(8 + pad8(nameB.length) + pad8(dt.length) + pad8(ds.length) + data.length)
+    val out = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
+    out.put(1.toByte).put(0.toByte)
+    out.putShort(nameB.length.toShort).putShort(dt.length.toShort).putShort(ds.length.toShort)
+    out.put(nameB); out.position(8 + pad8(nameB.length))
+    out.put(dt); out.position(8 + pad8(nameB.length) + pad8(dt.length))
+    out.put(ds); out.position(8 + pad8(nameB.length) + pad8(dt.length) + pad8(ds.length))
+    out.put(data)
+    out.array()
+  }
 
   /** Assemble a complete HDF5 file (superblock v0, old-style root group,
     * v1 object headers). Datasets with `chunkDims` are written
@@ -515,11 +609,11 @@ private[sources] object Hdf5 {
       val n = v.dims.map(_.toLong).product
       require(n == v.values.length, s"${v.name}: shape/data mismatch")
       val ohAddr = cursor
-      val nMsgs = 4 + (if (v.chunkDims.isDefined) 1 else 0)
       val layoutBody = if (v.chunkDims.isDefined) 32 else 24
       val filterBody = if (v.chunkDims.isDefined) 8 + 16 + 16 else 0
+      val attrBytes = v.attrs.map(a => 8 + attrMessage(a._1, a._2).length).sum
       val ohSize = 16 + (8 + 8 + v.dims.length * 8) + (8 + 24) + (8 + 8) +
-        (8 + layoutBody) + (if (filterBody > 0) 8 + filterBody else 0)
+        (8 + layoutBody) + (if (filterBody > 0) 8 + filterBody else 0) + attrBytes
       cursor += ohSize
       v.chunkDims match {
         case None =>
@@ -632,11 +726,7 @@ private[sources] object Hdf5 {
       v.dims.foreach(d => ds.putLong(d.toLong))
       msgs += 0x0001 -> ds.array()
       // datatype: IEEE f64 LE (class 1 v1; 12-byte properties, padded to 24)
-      val dt = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
-      dt.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte).putInt(8)
-      dt.putShort(0).putShort(64) // bit offset / precision
-      dt.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
-      msgs += 0x0003 -> dt.array()
+      msgs += 0x0003 -> java.util.Arrays.copyOf(f64TypeBody, 24)
       // fill value v2, undefined
       msgs += 0x0005 -> Array[Byte](2, 2, 0, 0, 0, 0, 0, 0)
       // layout v3
@@ -658,6 +748,7 @@ private[sources] object Hdf5 {
         fp.putShort(1).putShort(0).putShort(0).putShort(1).putInt(v.deflateLevel).putInt(0)
         msgs += 0x000B -> fp.array()
       }
+      v.attrs.foreach { case (an, av) => msgs += 0x000C -> attrMessage(an, av) }
       val ms = msgs.result()
       val bodyBytes = ms.map(m => 8 + m._2.length).sum
       out.write(Array[Byte](1, 0)); out.write(u16(ms.size)); out.write(u32(1))

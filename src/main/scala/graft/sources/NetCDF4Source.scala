@@ -45,11 +45,37 @@ object NetCDF4Source {
     }.toMap
   }
 
-  private def findVar(src: ByteSource, path: String, varName: String): Dataset = {
+  private def findVarOh(src: ByteSource, path: String, varName: String): Long = {
     val (rootOh, _) = readSuperblock(src)
-    val ds = listDatasets(src, rootOh).find(_._1 == varName)
-      .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))
-    readDataset(src, varName, ds._2)
+    listDatasets(src, rootOh).find(_._1 == varName)
+      .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))._2
+  }
+
+  private def findVar(src: ByteSource, path: String, varName: String): Dataset =
+    readDataset(src, varName, findVarOh(src, path, varName))
+
+  /** A variable's attributes (CF metadata: units, scale_factor, …). */
+  def readAttributes(spark: SparkSession, path: String,
+      varName: String): Map[String, Any] = {
+    val src = source(spark, path)
+    attributes(src, findVarOh(src, path, varName))
+  }
+
+  /** CF packed-data decode: raw → physical. Most real NC4 archives store
+    * int16/byte data with `scale_factor`/`add_offset`; `_FillValue`
+    * compares in RAW space and maps to NaN. Identity when none are set. */
+  private def cfDecoder(attrs: Map[String, Any]): Double => Double = {
+    def num(k: String): Option[Double] = attrs.get(k).collect {
+      case d: Double => d
+      case s: Seq[_] if s.nonEmpty => s.head.asInstanceOf[Double]
+    }
+    val scale = num("scale_factor").getOrElse(1.0)
+    val offset = num("add_offset").getOrElse(0.0)
+    val fill = num("_FillValue")
+    if (scale == 1.0 && offset == 0.0 && fill.isEmpty) identity
+    else (raw: Double) =>
+      if (fill.exists(f => f == raw || (f.isNaN && raw.isNaN))) Double.NaN
+      else raw * scale + offset
   }
 
   /** Driver-side dense read of a small variable (coordinate axes, masks). */
@@ -103,12 +129,16 @@ object NetCDF4Source {
     *
     * @param timeRange optional inclusive [t0, t1] record range; chunks
     *                  entirely outside it are pruned from the B-tree
-    *                  listing and never read. */
+    *                  listing and never read.
+    * @param unpack    apply CF `scale_factor`/`add_offset`/`_FillValue`
+    *                  decoding (identity when the variable has none). */
   def read3D(spark: SparkSession, path: String, varName: String,
-      timeRange: Option[(Int, Int)] = None): DataFrame = {
+      timeRange: Option[(Int, Int)] = None, unpack: Boolean = true): DataFrame = {
     import spark.implicits._
     val src = source(spark, path)
-    val v = findVar(src, path, varName)
+    val oh = findVarOh(src, path, varName)
+    val v = readDataset(src, varName, oh)
+    val cf = if (unpack) cfDecoder(attributes(src, oh)) else identity[Double] _
     require(v.dims.length == 3, s"$varName is not 3-D")
     val Seq(nt, nyL, nxL) = v.dims
     val ny = nyL.toInt; val nx = nxL.toInt
@@ -135,7 +165,7 @@ object NetCDF4Source {
               foreachCell(c.offsets, cds, dims) { (flat, ci) =>
                 val t = flat / (ny * nx)
                 if (t >= t0 && t <= t1)
-                  rows += ((t, flat / nx % ny, flat % nx, vals(ci)))
+                  rows += ((t, flat / nx % ny, flat % nx, cf(vals(ci))))
               }
               rows.result()
             }
@@ -152,7 +182,7 @@ object NetCDF4Source {
             ts.flatMap { t =>
               val vals = decode(s.read(addr + t * sliceBytes, sliceBytes.toInt),
                 dtype, ny * nx)
-              (0 until ny * nx).iterator.map(i => (t, i / nx, i % nx, vals(i)))
+              (0 until ny * nx).iterator.map(i => (t, i / nx, i % nx, cf(vals(i))))
             }
           }
           .toDF("t_idx", "y", "x", "value")
@@ -160,7 +190,7 @@ object NetCDF4Source {
         val vals = decode(data, dtype, (nt * ny * nx).toInt)
         spark.sparkContext
           .parallelize((t0 to t1).flatMap(t =>
-            (0 until ny * nx).map(i => (t, i / nx, i % nx, vals(t * ny * nx + i)))))
+            (0 until ny * nx).map(i => (t, i / nx, i % nx, cf(vals(t * ny * nx + i))))))
           .toDF("t_idx", "y", "x", "value")
     }
   }
@@ -173,7 +203,8 @@ object NetCDF4Source {
     * serial sink, so this is for result exports that fit one machine;
     * parquet/zarr are the distributed-output paths. Missing cells → NaN. */
   def write3D(df: DataFrame, path: String, varName: String,
-      shape: (Int, Int, Int), timeChunk: Int = 8, deflateLevel: Int = 4): Unit = {
+      shape: (Int, Int, Int), timeChunk: Int = 8, deflateLevel: Int = 4,
+      attrs: Seq[(String, Any)] = Seq.empty): Unit = {
     val (nt, ny, nx) = shape
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
@@ -189,7 +220,7 @@ object NetCDF4Source {
       }
     val bytes = Hdf5.assemble(Seq(WriteVar(varName, Seq(nt, ny, nx), values,
       chunkDims = Some(Seq(math.min(timeChunk, nt), ny, nx)),
-      deflateLevel = deflateLevel)))
+      deflateLevel = deflateLevel, attrs = attrs)))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

@@ -105,6 +105,35 @@ class NetCDF4Spec extends SparkSpec {
     assert(e.getMessage.contains("not a NetCDF"))
   }
 
+  test("attributes round-trip: strings, scalars, and vectors") {
+    val path = tmpNc()
+    NetCDF4Source.write3D(grid(2, 2, 2), path, "sst", shape = (2, 2, 2),
+      attrs = Seq("units" -> "degC", "scale_factor" -> 1.0,
+        "valid_range" -> Seq(-2.0, 40.0)))
+    val attrs = NetCDF4Source.readAttributes(spark, path, "sst")
+    assert(attrs("units") == "degC")
+    assert(attrs("scale_factor") == 1.0)
+    assert(attrs("valid_range") == Seq(-2.0, 40.0))
+  }
+
+  test("CF packed data unpacks via scale_factor/add_offset and _FillValue") {
+    val path = tmpNc()
+    // raw values as a packed archive stores them: fill = -999
+    val raw = Seq((0, 0, 0, 100.0), (0, 0, 1, -999.0), (1, 1, 1, 250.0))
+      .toDF("t_idx", "y", "x", "value")
+    NetCDF4Source.write3D(raw, path, "v", shape = (2, 2, 2),
+      attrs = Seq("scale_factor" -> 0.01, "add_offset" -> 10.0,
+        "_FillValue" -> -999.0))
+    val out = NetCDF4Source.read3D(spark, path, "v")
+      .filter(!isnan(col("value"))).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3))).toSet
+    // unwritten cells are NaN raw → NaN after unpack; -999 → fill → NaN
+    assert(out == Set((0, 0, 0, 11.0), (1, 1, 1, 12.5)))
+    val rawBack = NetCDF4Source.read3D(spark, path, "v", unpack = false)
+      .filter(col("value") === -999.0).count()
+    assert(rawBack == 1)
+  }
+
   test("unsupported filters fail with the filter id in the error") {
     val e = intercept[IllegalArgumentException](
       Hdf5.defilter(new Array[Byte](8), Seq(Hdf5.Filter(307, Seq.empty)), 0))
