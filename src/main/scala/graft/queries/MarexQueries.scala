@@ -669,12 +669,13 @@ object MarexQueries extends QueryRegistry {
     // ── NetCDF-4/HDF5 ingest: chunked+shuffle+deflate round-trip ───────────
     QueryDef("q73_netcdf4_roundtrip",
       (s, d) => {
-        import graft.sources.{NetCDF4Source, NetCDFSource}
+        import graft.sources.NetCDF4Source
         // same cell construction as q54/q59 but through the HDF5 path —
-        // chunked + shuffle + deflate, read back via the format-dispatching
-        // facade, so a byte-level defect anywhere in the HDF5 writer, the
-        // superblock/object-header/B-tree parsers, or the filter pipeline
-        // mismatches the oracle, which recomputes straight from events.
+        // chunked + shuffle + deflate, read back via the "netcdf"
+        // DataSourceV2 (t_idx pushdown prunes chunks at planning time), so
+        // a byte-level defect anywhere in the HDF5 writer, the superblock/
+        // object-header/B-tree parsers, the filter pipeline, or the DSv2
+        // reader mismatches the oracle, which recomputes from events.
         val cells = Tables.load(s, d, "events")
           .groupBy(
             datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
@@ -685,8 +686,8 @@ object MarexQueries extends QueryRegistry {
         val path = s"${System.getProperty("java.io.tmpdir")}/graft_q73.nc"
         new java.io.File(path).delete()
         NetCDF4Source.write3D(cells, path, "sst", shape = (31, 10, 15), timeChunk = 8)
-        NetCDFSource.read3D(s, path, "sst", timeRange = Some((0, 30)))
-          .filter(!isnan(col("value")))
+        s.read.format("netcdf").option("var", "sst").load(path)
+          .filter(col("t_idx").between(0, 30) && !isnan(col("value")))
           .groupBy(col("y").cast("long").as("y"))
           .agg(count(lit(1)).as("n_cells"),
             round(sum(round(col("value") * 100.0, 0).cast("long")

@@ -56,7 +56,7 @@ private[sources] object Hdf5 {
   final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends Layout
 
   final case class Dataset(name: String, dims: Seq[Long], dtype: NumType,
-      layout: Layout, filters: Seq[Filter])
+      layout: Layout, filters: Seq[Filter], fillValue: Option[Double])
 
   /** One stored chunk: logical element offsets + file location. */
   final case class ChunkRef(offsets: Seq[Long], addr: Long, size: Int,
@@ -271,6 +271,20 @@ private[sources] object Hdf5 {
     out.result()
   }
 
+  /** Fill-value message (0x0005): the defined fill datum, if any — chunked
+    * datasets elide all-fill chunks, so readers synthesize it. */
+  def parseFillValue(body: Array[Byte], t: NumType): Option[Double] = {
+    val version = body(0) & 0xff
+    val (present, dataOff) = version match {
+      case 1 | 2 => ((body(3) & 0xff) == 1 && body.length >= 8, 8)
+      case 3 => ((body(1) & 0x20) != 0 && body.length >= 6, 6)
+      case _ => (false, 0)
+    }
+    if (present && body.length >= dataOff + t.size)
+      Some(decode(java.util.Arrays.copyOfRange(body, dataOff, dataOff + t.size), t, 1)(0))
+    else None
+  }
+
   /** Attribute message (0x000C), versions 1–3. Returns name → value where
     * value is a String (fixed-length string type), Double (scalar numeric),
     * or Seq[Double]. Variable-length and shared-datatype attributes (global
@@ -404,11 +418,13 @@ private[sources] object Hdf5 {
     def one(typ: Int, what: String): Array[Byte] =
       msgs.find(_.typ == typ).getOrElse(
         throw new IllegalArgumentException(s"$name: no $what message")).body
+    val dtype = parseDatatype(one(0x0003, "datatype"))
     Dataset(name,
       parseDataspace(one(0x0001, "dataspace")),
-      parseDatatype(one(0x0003, "datatype")),
+      dtype,
       parseLayout(src, one(0x0008, "layout")),
-      msgs.find(_.typ == 0x000B).map(m => parseFilters(m.body)).getOrElse(Seq.empty))
+      msgs.find(_.typ == 0x000B).map(m => parseFilters(m.body)).getOrElse(Seq.empty),
+      msgs.find(_.typ == 0x0005).flatMap(m => parseFillValue(m.body, dtype)))
   }
 
   // ── chunk index ──────────────────────────────────────────────────────────

@@ -1,0 +1,344 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** NetCDF (classic AND HDF5-backed) as a first-class Spark DataSourceV2:
+  * `spark.read.format("netcdf").option("var", "sst").load(path)` yields
+  * `(t_idx INT, y INT, x INT, value DOUBLE)` for a 3-D (time, y, x)
+  * variable, dispatching NC3/NC4 on the file magic like [[NetCDFSource]].
+  *
+  *  - **filter pushdown**: `t_idx` range predicates prune whole NC4 chunks
+  *    / NC3 record batches at planning time (the NetCDF analogue of
+  *    Parquet row-group pruning), visible in `explain()`;
+  *  - **column pruning**: only requested columns are materialized;
+  *  - **one `InputPartition` per NC4 chunk** (or per NC3/contiguous record
+  *    batch), so parallelism tracks the file's own storage grid on any
+  *    Hadoop filesystem; fill-elided NC4 chunks synthesize the dataset's
+  *    fill value, mirroring the zarr source's absent-chunk handling;
+  *  - NC4 values pass through the CF `scale_factor`/`add_offset`/
+  *    `_FillValue` decode (see [[NetCDF4Source.read3D]]).
+  */
+class NetCdfDataSourceV2 extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "netcdf"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    NetCdfTableV2.fullSchema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "netcdf source requires a path: spark.read.format(\"netcdf\").load(file)"))
+    val varName = Option(properties.get("var")).getOrElse(
+      throw new IllegalArgumentException(
+        "netcdf source requires .option(\"var\", <variable name>)"))
+    new NetCdfTableV2(path, varName)
+  }
+}
+
+private[sources] object NetCdfTableV2 {
+  val fullSchema: StructType = StructType(Seq(
+    StructField("t_idx", IntegerType, nullable = false),
+    StructField("y", IntegerType, nullable = false),
+    StructField("x", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+}
+
+private[sources] class NetCdfTableV2(path: String, varName: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"netcdf:$path#$varName"
+  override def schema(): StructType = NetCdfTableV2.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NetCdfScanBuilder(path, varName)
+}
+
+private[sources] class NetCdfScanBuilder(path: String, varName: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var tLo = Int.MinValue
+  private var tHi = Int.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = NetCdfTableV2.fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case EqualTo("t_idx", v: Int) => tLo = math.max(tLo, v); tHi = math.min(tHi, v); true
+      case GreaterThan("t_idx", v: Int) => tLo = math.max(tLo, v + 1); true
+      case GreaterThanOrEqual("t_idx", v: Int) => tLo = math.max(tLo, v); true
+      case LessThan("t_idx", v: Int) => tHi = math.min(tHi, v - 1); true
+      case LessThanOrEqual("t_idx", v: Int) => tHi = math.min(tHi, v); true
+      case _ => false
+    }
+    pushed = accepted
+    // the pushdown is a chunk/record-level prune, not an exact row filter —
+    // keep every filter as a post-scan predicate too
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new NetCdfScan(path, varName, tLo, tHi, required)
+}
+
+/** One stored (or fill-elided: addr = -1) NC4 chunk. */
+private[sources] case class NcChunkPartition(orgT: Int, orgY: Int, orgX: Int,
+    addr: Long, size: Int, filterMask: Int) extends InputPartition
+
+/** An inclusive record/time-slice batch (NC3 or NC4-contiguous). */
+private[sources] case class NcRecordPartition(t0: Int, t1: Int) extends InputPartition
+
+/** Serializable per-file decode context shared by all partitions. */
+private[sources] case class NcDecodeMeta(
+    nt: Int, ny: Int, nx: Int,
+    // record-slice path: base address + per-record byte stride
+    sliceBase: Long, sliceStride: Long,
+    dtype: Hdf5.NumType,
+    // NC4 chunked path
+    chunkDims: Seq[Int], filters: Seq[Hdf5.Filter],
+    // CF decode (identity: 1, 0, None) + dataset fill for elided chunks
+    scale: Double, offset: Double, fillRaw: Option[Double], elidedFill: Double)
+
+private[sources] class NetCdfScan(path: String, varName: String, tLo: Int, tHi: Int,
+    required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val range =
+      if (tLo == Int.MinValue && tHi == Int.MaxValue) "none"
+      else s"t_idx in [$tLo, $tHi]"
+    s"NetCdfScan(path=$path, var=$varName, pushed=$range, " +
+      s"columns=${required.fieldNames.mkString(",")})"
+  }
+
+  override def toBatch: Batch = this
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  private def isHdf5: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val magic = try { val b = new Array[Byte](8); in.readFully(0, b, 0, 8); b }
+    finally in.close()
+    magic.sameElements(Hdf5.Signature)
+  }
+
+  private def hdf5Var: (Hdf5.Dataset, Map[String, Any]) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val src: Hdf5.ByteSource = new Hdf5.ByteSource {
+      private val p = new org.apache.hadoop.fs.Path(path)
+      private val fs = p.getFileSystem(conf)
+      def read(off: Long, len: Int): Array[Byte] = {
+        val in = fs.open(p)
+        try { val b = new Array[Byte](len); in.readFully(off, b, 0, len); b }
+        finally in.close()
+      }
+    }
+    val (rootOh, _) = Hdf5.readSuperblock(src)
+    val oh = Hdf5.listDatasets(src, rootOh).find(_._1 == varName)
+      .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))._2
+    (Hdf5.readDataset(src, varName, oh), Hdf5.attributes(src, oh))
+  }
+
+  private def meta: (NcDecodeMeta, Option[Seq[Hdf5.ChunkRef]]) =
+    if (isHdf5) {
+      val (v, attrs) = hdf5Var
+      require(v.dims.length == 3, s"$varName is not 3-D")
+      val Seq(nt, ny, nx) = v.dims.map(_.toInt)
+      def num(k: String): Option[Double] = attrs.get(k).collect {
+        case d: Double => d
+        case s: Seq[_] if s.nonEmpty => s.head.asInstanceOf[Double]
+      }
+      val base = NcDecodeMeta(nt, ny, nx, sliceBase = -1L, sliceStride = 0L,
+        dtype = v.dtype, chunkDims = Seq.empty, filters = v.filters,
+        scale = num("scale_factor").getOrElse(1.0),
+        offset = num("add_offset").getOrElse(0.0),
+        fillRaw = num("_FillValue"),
+        elidedFill = v.fillValue.getOrElse(Double.NaN))
+      v.layout match {
+        case Hdf5.Chunked(_, cds) =>
+          val conf = spark.sparkContext.hadoopConfiguration
+          val src: Hdf5.ByteSource = new Hdf5.ByteSource {
+            private val p = new org.apache.hadoop.fs.Path(path)
+            private val fs = p.getFileSystem(conf)
+            def read(off: Long, len: Int): Array[Byte] = {
+              val in = fs.open(p)
+              try { val b = new Array[Byte](len); in.readFully(off, b, 0, len); b }
+              finally in.close()
+            }
+          }
+          (base.copy(chunkDims = cds), Some(Hdf5.listChunks(src, v)))
+        case Hdf5.Contiguous(addr, _) =>
+          (base.copy(sliceBase = addr,
+            sliceStride = ny.toLong * nx * v.dtype.size), None)
+        case Hdf5.Compact(_) =>
+          throw new IllegalArgumentException(
+            s"$varName is compact-layout; use NetCDF4Source.read3D")
+      }
+    } else {
+      val h = NetCDF3Source.readHeader(spark, path)
+      val v = h.vars.find(_.name == varName)
+        .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))
+      require(v.dimIds.length == 3, s"$varName is not 3-D")
+      val nt = if (v.isRecord(h.dims)) h.numRecs else h.dims(v.dimIds.head).size
+      val ny = h.dims(v.dimIds(1)).size
+      val nx = h.dims(v.dimIds(2)).size
+      // NC3 types map onto the HDF5 numeric model, big-endian
+      val dtype = v.ncType match {
+        case 1 => Hdf5.NumType("int", 1, littleEndian = false)
+        case 2 => Hdf5.NumType("uint", 1, littleEndian = false)
+        case 3 => Hdf5.NumType("int", 2, littleEndian = false)
+        case 4 => Hdf5.NumType("int", 4, littleEndian = false)
+        case 5 => Hdf5.NumType("float", 4, littleEndian = false)
+        case 6 => Hdf5.NumType("float", 8, littleEndian = false)
+        case t => throw new IllegalArgumentException(s"unknown nc_type $t")
+      }
+      val sliceBytes = ny.toLong * nx * dtype.size
+      val stride = if (v.isRecord(h.dims)) h.recSize else sliceBytes
+      (NcDecodeMeta(nt, ny, nx, sliceBase = v.begin, sliceStride = stride,
+        dtype = dtype, chunkDims = Seq.empty, filters = Seq.empty,
+        scale = 1.0, offset = 0.0, fillRaw = None, elidedFill = Double.NaN), None)
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (m, chunksOpt) = meta
+    val t0 = math.max(tLo, 0); val t1 = math.min(tHi, m.nt - 1)
+    if (t1 < t0) return Array.empty
+    chunksOpt match {
+      case Some(chunks) =>
+        val ct = m.chunkDims.head
+        val present = chunks.map(c => c.offsets.map(_.toInt) -> c).toMap
+        val orgs = for {
+          ot <- 0 until m.nt by ct
+          if ot <= t1 && ot + ct - 1 >= t0
+          oy <- 0 until m.ny by m.chunkDims(1)
+          ox <- 0 until m.nx by m.chunkDims(2)
+        } yield Seq(ot, oy, ox)
+        orgs.map { org =>
+          present.get(org) match {
+            case Some(c) => NcChunkPartition(org(0), org(1), org(2), c.addr, c.size, c.filterMask)
+            case None => NcChunkPartition(org(0), org(1), org(2), -1L, 0, 0)
+          }
+        }.toArray[InputPartition]
+      case None =>
+        // batch records so huge time axes don't explode the partition count
+        val n = t1 - t0 + 1
+        val per = math.max(1, n / 256)
+        (t0 to t1 by per).map(s =>
+          NcRecordPartition(s, math.min(s + per - 1, t1))).toArray[InputPartition]
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val (m, _) = meta
+    new NetCdfReaderFactory(path, m, math.max(tLo, 0), math.min(tHi, m.nt - 1),
+      required.fieldNames,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+  }
+}
+
+private[sources] class NetCdfReaderFactory(path: String, m: NcDecodeMeta,
+    t0: Int, t1: Int, columns: Array[String],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val cf: Double => Double =
+      if (m.scale == 1.0 && m.offset == 0.0 && m.fillRaw.isEmpty) identity
+      else (raw: Double) =>
+        if (m.fillRaw.exists(f => f == raw || (f.isNaN && raw.isNaN))) Double.NaN
+        else raw * m.scale + m.offset
+
+    def open(): org.apache.hadoop.fs.FSDataInputStream = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      p.getFileSystem(conf.value).open(p)
+    }
+
+    partition match {
+      case c: NcChunkPartition =>
+        val n = m.chunkDims.map(_.toLong).product.toInt
+        val vals: Array[Double] =
+          if (c.addr < 0) Array.fill(n)(m.elidedFill)
+          else {
+            val in = open()
+            val raw = try {
+              val b = new Array[Byte](c.size); in.readFully(c.addr, b, 0, c.size); b
+            } finally in.close()
+            Hdf5.decode(Hdf5.defilter(raw, m.filters, c.filterMask), m.dtype, n)
+          }
+        val Seq(ct, cy, cx) = m.chunkDims
+        new NetCdfRowReader(columns, cf) {
+          private var i = -1
+          override def next(): Boolean = {
+            while ({ i += 1; i < n }) {
+              t = c.orgT + i / (cy * cx)
+              yy = c.orgY + (i / cx) % cy
+              xx = c.orgX + i % cx
+              if (t < m.nt && yy < m.ny && xx < m.nx && t >= t0 && t <= t1) {
+                v = vals(i)
+                return true
+              }
+            }
+            false
+          }
+        }
+      case r: NcRecordPartition =>
+        val perSlice = m.ny * m.nx
+        new NetCdfRowReader(columns, cf) {
+          private var slice: Array[Double] = _
+          private var tCur = r.t0 - 1
+          private var i = perSlice
+          override def next(): Boolean = {
+            while (true) {
+              if (i + 1 < perSlice) {
+                i += 1
+                t = tCur; yy = i / m.nx; xx = i % m.nx; v = slice(i)
+                return true
+              }
+              tCur += 1
+              if (tCur > r.t1) return false
+              val in = open()
+              val raw = try {
+                val len = perSlice * m.dtype.size
+                val b = new Array[Byte](len)
+                in.readFully(m.sliceBase + tCur * m.sliceStride, b, 0, len)
+                b
+              } finally in.close()
+              slice = Hdf5.decode(raw, m.dtype, perSlice)
+              i = -1
+            }
+            false
+          }
+        }
+    }
+  }
+}
+
+/** Shared column-pruned row emitter. */
+private[sources] abstract class NetCdfRowReader(columns: Array[String],
+    cf: Double => Double) extends PartitionReader[InternalRow] {
+  protected var t = 0; protected var yy = 0; protected var xx = 0
+  protected var v = 0.0
+  override def get(): InternalRow =
+    InternalRow.fromSeq(columns.toSeq.map {
+      case "t_idx" => t
+      case "y" => yy
+      case "x" => xx
+      case "value" => cf(v)
+    })
+  override def close(): Unit = ()
+}

@@ -1,0 +1,82 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class NetCdfDataSourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpNc(): String = {
+    val f = java.io.File.createTempFile("graft_ncv2", ".nc")
+    f.delete()
+    f.getAbsolutePath
+  }
+
+  private def grid(nt: Int, ny: Int, nx: Int) =
+    (for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx)
+      yield (t, y, x, t * 2.0 + y * 0.5 + x * 0.25)).toDF("t_idx", "y", "x", "value")
+
+  test("format(\"netcdf\") reads an NC4 file like the utility reader") {
+    val path = tmpNc()
+    val in = grid(6, 3, 4)
+    NetCDF4Source.write3D(in, path, "sst", shape = (6, 3, 4), timeChunk = 2)
+    val v2 = spark.read.format("netcdf").option("var", "sst").load(path)
+    assert(v2.count() == 6 * 3 * 4)
+    val diff = v2.join(in.withColumnRenamed("value", "expected"), Seq("t_idx", "y", "x"))
+      .filter(col("value") =!= col("expected")).count()
+    assert(diff == 0)
+  }
+
+  test("format(\"netcdf\") reads an NC3 classic file through the same format") {
+    val path = tmpNc()
+    val in = grid(5, 2, 3)
+    NetCDF3Source.write3D(in, path, "v", shape = (5, 2, 3))
+    val v2 = spark.read.format("netcdf").option("var", "v").load(path)
+    assert(v2.count() == 5 * 2 * 3)
+    val diff = v2.join(in.withColumnRenamed("value", "expected"), Seq("t_idx", "y", "x"))
+      .filter(col("value") =!= col("expected")).count()
+    assert(diff == 0)
+  }
+
+  test("t_idx range predicates prune chunks and appear in the plan") {
+    val path = tmpNc()
+    NetCDF4Source.write3D(grid(8, 2, 2), path, "v", shape = (8, 2, 2), timeChunk = 2)
+    val df = spark.read.format("netcdf").option("var", "v").load(path)
+      .filter(col("t_idx").between(4, 5))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("t_idx in [4, 5]"), s"pushed range missing from plan:\n$plan")
+    assert(df.select("t_idx").distinct().collect().map(_.getInt(0)).sorted.toSeq == Seq(4, 5))
+    // [4,5] covers exactly one 2-timestep chunk of four
+    val scan = df.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.toString.contains("NetCdfScan"))
+  }
+
+  test("column pruning reaches the reader") {
+    val path = tmpNc()
+    NetCDF4Source.write3D(grid(4, 2, 2), path, "v", shape = (4, 2, 2), timeChunk = 2)
+    val df = spark.read.format("netcdf").option("var", "v").load(path).select("t_idx")
+    assert(df.schema.fieldNames.toSeq == Seq("t_idx"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=t_idx"), s"pruned column set missing:\n$plan")
+    assert(df.distinct().count() == 4)
+  }
+
+  test("CF packing decodes through the DataSourceV2 path too") {
+    val path = tmpNc()
+    val raw = Seq((0, 0, 0, 100.0), (1, 0, 0, -999.0)).toDF("t_idx", "y", "x", "value")
+    NetCDF4Source.write3D(raw, path, "v", shape = (2, 1, 1),
+      attrs = Seq("scale_factor" -> 0.1, "add_offset" -> 5.0, "_FillValue" -> -999.0))
+    val out = spark.read.format("netcdf").option("var", "v").load(path)
+      .filter(!isnan(col("value")))
+    assert(out.collect().map(r => (r.getInt(0), r.getDouble(3))).toSet == Set((0, 15.0)))
+  }
+
+  test("missing var option fails with a clear error") {
+    val path = tmpNc()
+    NetCDF4Source.write3D(grid(2, 2, 2), path, "v", shape = (2, 2, 2))
+    val e = intercept[Exception](
+      spark.read.format("netcdf").load(path).count())
+    assert(e.getMessage.contains("var"))
+  }
+}
