@@ -70,6 +70,34 @@ object ScaleDemo {
     val nx = dimsNx.toInt
     val spec = GridSpec(ny = ny, nx = nx)
     val geom = SyntheticData.geometry(spark, ny, nx).cache()
+    val method = if (args.length > 1) args(1) else "exact"
+
+    // ── trackonly: the production-shape TRACKING workload ──────────────────
+    // Detect and track are separate cluster jobs at scale; a single box
+    // lacks the aggregate scratch disk for the 2-year detect→track handoff
+    // (measured: detect alone peaks ≈76 GB of shuffle+checkpoint). This
+    // mode feeds the full merging tracker a realistic ~4–5 %-coverage storm
+    // field at the same grid, so the track wall is measured at the true
+    // shape with real merge/split events.
+    if (method == "trackonly") {
+      val flags = timed(s"storm flags ${nYears}y $ny×$nx") {
+        val f = SyntheticData.stormFlags(spark, nDays = 365 * nYears, ny = ny, nx = nx)
+          .localCheckpoint()
+        val n = f.count()
+        println(f"[scale] flag density = ${n.toDouble / (365L * nYears * ny * nx)}%.4f ($n rows)")
+        f
+      }
+      val res = timed("track (merging, batch-parallel)") {
+        val r = Track.track(flags, geom, spec, TrackConfig(
+          rFill = 2, tFill = 2, areaFilterQuartile = 0.5,
+          overlapThreshold = 0.25, allowMerging = true))
+        r.idField.count()
+        r
+      }
+      timed("stats") { println(s"[scale] ${res.stats}") }
+      spark.stop()
+      return
+    }
 
     // Big grids skip the source checkpoint: the synthetic generator is
     // deterministic, and pinning a second field-sized copy (≈30 GB at 0.25°
@@ -94,7 +122,6 @@ object ScaleDemo {
     // 0.05-unit bins over-flag — the histogram path pays off when
     // per-group sample counts dwarf the bin count (century archives,
     // std-normalised units).
-    val method = if (args.length > 1) args(1) else "exact"
     val (anom, thr, extremes) = timed(s"detect (fixed+hobday $method)") {
       val r = Detect.preprocess(sst, DetectConfig(
         methodAnomaly = "fixed_baseline", methodExtreme = "hobday_extreme",

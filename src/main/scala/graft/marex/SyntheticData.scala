@@ -60,6 +60,48 @@ object SyntheticData {
     }).toDF("y", "x", "lat", "lon", "area", "valid")
   }
 
+  /** SPARSE flag field of many drifting storm blobs — the production-shape
+    * tracking workload: each storm is born at a deterministic place/day,
+    * drifts (eastward + slight meridional, x-wrapping), grows then shrinks
+    * over its lifetime, and storms overlap → real merge/split events.
+    * Emits only flagged (time, y, x) cells, like detect's flag output; the
+    * defaults cover ≈4–5 % of a 720×1440 grid per day. */
+  def stormFlags(spark: SparkSession, nDays: Int, ny: Int, nx: Int,
+      nStorms: Int = 240, seed: Long = 7L): DataFrame = {
+    import spark.implicits._
+    val epoch0 = Timestamp.valueOf("2000-01-01 00:00:00").getTime
+    // (birth, life, y0, x0, vx, vy, rMax) per storm — tiny, captured by value
+    val storms: Seq[(Int, Int, Double, Double, Double, Double, Double)] =
+      (0 until nStorms).map { k =>
+        def u(j: Int): Double = noise(j.toLong, k, 0, seed) + 0.5
+        ((u(1) * nDays).toInt, 20 + (u(2) * 40).toInt,
+          0.1 * ny + u(3) * 0.8 * ny, u(4) * nx,
+          0.5 + u(5) * 1.5, (u(6) - 0.5) * 0.4,
+          math.max(8.0, (0.03 + 0.02 * u(7)) * ny))
+      }
+    spark.range(0, nDays.toLong, 1, math.min(nDays, 1024)).flatMap { t =>
+      val ts = new Timestamp(epoch0 + t * 86400000L)
+      val seen = new scala.collection.mutable.HashSet[Int]
+      storms.iterator
+        .filter { case (b, l, _, _, _, _, _) => t >= b && t < b + l }
+        .flatMap { case (b, l, y0, x0, vx, vy, rMax) =>
+          val age = (t - b).toDouble / l
+          val r = rMax * math.sin(math.Pi * age)
+          val ri = r.toInt
+          val cy = y0 + vy * (t - b)
+          val cx = x0 + vx * (t - b)
+          for {
+            dy <- -ri to ri
+            dx <- -ri to ri
+            if dy * dy + dx * dx <= r * r
+            y = (cy + dy).toInt if y >= 0 && y < ny
+            x = (((cx + dx).toInt % nx) + nx) % nx
+            if seen.add(y * nx + x) // overlapping storms: emit each cell once
+          } yield (ts, y, x)
+        }
+    }.toDF("time", "y", "x")
+  }
+
   /** Boolean blob field for tracking tests: a disk of radius `r0` moving
     * east (wrapping in x) at `speed` cells/day, plus a stationary disk —
     * the structured analogue of the reference's `extremes_gridded_blob`

@@ -249,11 +249,16 @@ object Track {
     * parents by partitioning the child's cells to the nearest parent
     * centroid (haversine, T20); repeat until no multi-parent child remains.
     * Returns the updated id field and the merge ledger. */
+  /** See [[graft.core.Plans.iterCheckpoint]]: localCheckpoint + stats
+    * reset, mandatory for every checkpoint inside the round loop. */
+  private[marex] def iterCheckpoint(df: DataFrame): DataFrame =
+    graft.core.Plans.iterCheckpoint(df)
+
   def splitAndMerge(ids0: DataFrame, geom: DataFrame, cfg: TrackConfig,
       timeAxis: Option[DataFrame] = None): (DataFrame, DataFrame) = {
     val spark = ids0.sparkSession
     import spark.implicits._
-    var ids = ids0.localCheckpoint()
+    var ids = iterCheckpoint(ids0)
     var mergesAcc: DataFrame =
       Seq.empty[(java.sql.Timestamp, Long, Seq[Long], Seq[Long], Seq[Double])]
         .toDF("time", "child_id", "parent_ids", "child_ids", "overlap_areas")
@@ -262,20 +267,22 @@ object Track {
     while (!done && iter < cfg.maxOuterIter) {
       // pairs.time = parent timestep; the child lives at ctime = the NEXT
       // timestep on the axis (index-paired, works for any time spacing).
-      val pairs = overlapPairs(ids, cfg.overlapThreshold, timeAxis)
+      // iterCheckpoint (NOT plain localCheckpoint — see its scaladoc):
+      // bounds each round's executed plan AND resets the inherited stats
+      // estimate. Object-level rows, so the materialization is cheap.
+      val pairs = iterCheckpoint(overlapPairs(ids, cfg.overlapThreshold, timeAxis))
       // children (time, gid) claimed by >1 parent — keys MUST include the
       // timestep: after a reassignment round the same gid exists at many
       // timesteps (cells inherit the parent's gid going forward).
       // Parents and their overlap areas are collected as ONE sorted struct
       // list so parent_ids and overlap_areas stay index-aligned (the
       // reference's parent_idx axis, track.py:3776–3793).
-      val multi = pairs.groupBy("ctime", "id_c")
+      val multi = iterCheckpoint(pairs.groupBy("ctime", "id_c")
         .agg(sort_array(collect_list(struct(col("id_p"), col("overlap_cells")))).as("po"),
           count(lit(1)).as("np"))
         .withColumn("parents", expr("transform(po, p -> p.id_p)"))
         .withColumn("areas", expr("transform(po, p -> cast(p.overlap_cells as double))"))
-        .filter(col("np") > 1)
-        .localCheckpoint()
+        .filter(col("np") > 1))
       if (multi.isEmpty) done = true
       else {
         val contested = pairs.join(multi.select("ctime", "id_c"), Seq("ctime", "id_c"), "left_semi")
@@ -329,10 +336,9 @@ object Track {
             col("parents").cast("array<long>").as("parent_ids"),
             array(col("id_c").cast("long")).as("child_ids"),
             col("areas").as("overlap_areas"))
-        mergesAcc = mergesAcc.unionByName(newMerges).localCheckpoint()
-        ids = untouched.select("time", "y", "x", "gid")
-          .union(assigned.select("time", "y", "x", "gid"))
-          .localCheckpoint()
+        mergesAcc = iterCheckpoint(mergesAcc.unionByName(newMerges))
+        ids = iterCheckpoint(untouched.select("time", "y", "x", "gid")
+          .union(assigned.select("time", "y", "x", "gid")))
       }
       iter += 1
     }

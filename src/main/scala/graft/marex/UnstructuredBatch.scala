@@ -85,7 +85,7 @@ private[marex] object UnstructuredBatch {
     val thr = cfg.overlapThreshold
     val nnMode = cfg.nnPartitioning
 
-    var ids = ids0.localCheckpoint()
+    var ids = graft.core.Plans.iterCheckpoint(ids0)
     var mergesAcc: DataFrame =
       Seq.empty[(java.sql.Timestamp, Long, Seq[Long], Seq[Long], Seq[Double])]
         .toDF("time", "child_id", "parent_ids", "child_ids", "overlap_areas")
@@ -94,7 +94,10 @@ private[marex] object UnstructuredBatch {
     var iter = 0
     var done = false
     while (!done && iter < cfg.maxOuterIter) {
-      val pairs = overlapPairs(ids, geom, thr, timeAxis).localCheckpoint()
+      // iterCheckpoint everywhere in this loop — inherited stats
+      // estimates compound exponentially across rounds otherwise
+      // (see Plans.iterCheckpoint)
+      val pairs = graft.core.Plans.iterCheckpoint(overlapPairs(ids, geom, thr, timeAxis))
       // round scope: round 1 takes all children; later rounds only children
       // reached FORWARD from a fresh fragment with STRICT > threshold — the
       // queue's forward-check enqueue (track.py:4115), batched per round
@@ -113,10 +116,10 @@ private[marex] object UnstructuredBatch {
         .agg(sort_array(collect_list(struct(col("id_p"), col("ov_area")))).as("po"),
           first(col("time")).as("ptime"), count(lit(1)).as("np"))
         .filter(col("np") > 1)
-      val multi = Track.denseNumber(multi0, Seq("ctime", "id_c"), "m_idx")
-        .withColumn("parents", expr("transform(po, p -> p.id_p)"))
-        .withColumn("areas", expr("transform(po, p -> p.ov_area)"))
-        .localCheckpoint()
+      val multi = graft.core.Plans.iterCheckpoint(
+        Track.denseNumber(multi0, Seq("ctime", "id_c"), "m_idx")
+          .withColumn("parents", expr("transform(po, p -> p.id_p)"))
+          .withColumn("areas", expr("transform(po, p -> p.ov_area)")))
       if (multi.isEmpty) done = true
       else {
         val maxGid = ids.agg(max("gid")).head().getLong(0)
@@ -140,9 +143,9 @@ private[marex] object UnstructuredBatch {
             lit(0.0).as("v1"), lit(0.0).as("v2"), lit(0.0).as("v3"))
         val parentKeys = frag.select(col("m_idx"), col("k"),
           col("ptime").as("time"), col("id_p").as("gid"))
-        val parentCells = ids.join(parentKeys, Seq("time", "gid"))
-          .select(col("m_idx"), col("k"), col("cell"))
-          .localCheckpoint()
+        val parentCells = graft.core.Plans.iterCheckpoint(
+          ids.join(parentKeys, Seq("time", "gid"))
+            .select(col("m_idx"), col("k"), col("cell")))
         val parentRows = parentCells
           .select(col("m_idx").as("m"), lit(1).as("kind"),
             col("cell").cast("int").as("cell"), col("k").cast("int").as("k"),
@@ -214,9 +217,9 @@ private[marex] object UnstructuredBatch {
         val untouched = ids.join(
           multi.select(col("ctime").as("time"), col("id_c").as("gid")),
           Seq("time", "gid"), "left_anti")
-        ids = untouched.select("time", "cell", "gid")
-          .union(newCells.select("time", "cell", "gid"))
-          .localCheckpoint()
+        ids = graft.core.Plans.iterCheckpoint(
+          untouched.select("time", "cell", "gid")
+            .union(newCells.select("time", "cell", "gid")))
 
         val newMerges = multi.select(
           col("ctime").as("time"), col("id_c").cast("long").as("child_id"),
@@ -225,8 +228,8 @@ private[marex] object UnstructuredBatch {
             s"k -> if(k = 0, id_c, ${maxGid}L + (m_idx - 1) * ${maxNp - 1}L + k))")
             .cast("array<long>").as("child_ids"),
           col("areas").cast("array<double>").as("overlap_areas"))
-        mergesAcc = mergesAcc.unionByName(newMerges).localCheckpoint()
-        minted = Some(frag.select(col("frag_gid").as("gid")).localCheckpoint())
+        mergesAcc = graft.core.Plans.iterCheckpoint(mergesAcc.unionByName(newMerges))
+        minted = Some(graft.core.Plans.iterCheckpoint(frag.select(col("frag_gid").as("gid"))))
       }
       iter += 1
     }

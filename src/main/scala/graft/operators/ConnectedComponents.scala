@@ -62,10 +62,12 @@ object ConnectedComponents {
         .groupBy("node").agg(min("label").as("label"))
       // (b) pointer jump: label := label(label)
       val lookup = labels.select(col("node").as("l_node"), col("label").as("l_label"))
-      val next = afterNbr
+      // iterCheckpoint, NOT plain localCheckpoint: the round plan references
+      // the previous round's labels twice, so an inherited stats estimate
+      // would square every round (see Plans.iterCheckpoint)
+      val next = graft.core.Plans.iterCheckpoint(afterNbr
         .join(lookup, afterNbr("label") === lookup("l_node"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("l_label"), col("label"))).as("label"))
-        .localCheckpoint()
+        .select(col("node"), least(col("label"), coalesce(col("l_label"), col("label"))).as("label")))
       val s = next.agg(sum("label")).head().getLong(0)
       converged = s == prevSum
       prevSum = s
@@ -127,11 +129,12 @@ object ConnectedComponents {
         .union(ls.select(col("b").as("u"), col("a").as("v")))
       val sml = und2.where(col("v") < col("u"))
       val ssMin = sml.groupBy("u").agg(min("v").as("m"))
-      val ss = sml.join(ssMin, "u")
+      // iterCheckpoint: p appears four times in this round's plan — an
+      // inherited stats estimate would grow as S^4 per round
+      val ss = graft.core.Plans.iterCheckpoint(sml.join(ssMin, "u")
         .select(col("v").as("a"), col("m").as("b"))
         .union(ssMin.select(col("u").as("a"), col("m").as("b")))
-        .where(col("a") =!= col("b")).distinct()
-        .localCheckpoint()
+        .where(col("a") =!= col("b")).distinct())
       converged = ss.exceptAll(p).isEmpty
       p = ss
       i += 1

@@ -324,10 +324,13 @@ private[sources] object Hdf5 {
     }
   }
 
-  /** All parseable attributes of the object at `ohAddr`. */
+  /** All parseable attributes of the object at `ohAddr`. Exotic or
+    * malformed attributes are skipped, never fatal — ingest only needs the
+    * CF numeric/string ones. */
   def attributes(src: ByteSource, ohAddr: Long): Map[String, Any] =
     readMessages(src, ohAddr).filter(_.typ == 0x000C)
-      .flatMap(m => parseAttribute(m.body)).toMap
+      .flatMap(m => try parseAttribute(m.body) catch { case _: Exception => None })
+      .toMap
 
   // ── groups ───────────────────────────────────────────────────────────────
 
