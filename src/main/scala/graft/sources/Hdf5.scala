@@ -16,8 +16,10 @@ import java.util.zip.{Deflater, Inflater}
   *    (fractal-heap) groups are rejected with a clear error
   *  - dataspace v1/v2, datatype classes 0 (fixed-point) and 1 (IEEE float)
   *    in either endianness, fill-value, filter pipeline v1/v2
-  *  - data layouts: compact, contiguous, and chunked v3 (v1 B-tree chunk
-  *    index); the chunked v4 indexes of `libver='latest'` files are rejected
+  *  - data layouts: compact, contiguous, chunked v3 (v1 B-tree chunk
+  *    index), and the chunked-v4 `libver='latest'` indexes Single Chunk,
+  *    Implicit, and Fixed Array (paged + unpaged); the unlimited-dimension
+  *    Extensible Array / v2-B-tree indexes are rejected with a clear error
   *  - filters: deflate (1), shuffle (2), fletcher32 (3, checksum stripped);
   *    anything else → error naming the filter id
   *
@@ -52,8 +54,27 @@ private[sources] object Hdf5 {
   sealed trait Layout
   final case class Compact(data: Array[Byte]) extends Layout
   final case class Contiguous(addr: Long, size: Long) extends Layout
-  /** chunkDims excludes the trailing element-size pseudo-dimension. */
-  final case class Chunked(btreeAddr: Long, chunkDims: Seq[Int]) extends Layout
+
+  /** How a chunked dataset's chunks are indexed. Layout v1–v3 always use a
+    * v1 B-tree; layout v4 (written under `libver='latest'`) picks one of
+    * five index types at create time. */
+  sealed trait ChunkIndex
+  /** v1 B-tree (layout v3, the netcdf-c / h5py default). */
+  case object BTreeV1 extends ChunkIndex
+  /** Exactly one chunk; the layout message holds its location directly.
+    * `filteredSize` is set iff the chunk went through the filter pipeline
+    * (layout flag 0x02), else the chunk is raw chunk-sized bytes. */
+  final case class SingleChunk(filteredSize: Option[Long], filterMask: Int) extends ChunkIndex
+  /** Unfiltered early-allocated chunks laid out consecutively, row-major. */
+  case object ImplicitIndex extends ChunkIndex
+  /** Fixed Array ("FAHD"/"FADB") — fixed-shape chunked datasets. */
+  final case class FixedArray(pageBits: Int) extends ChunkIndex
+
+  /** chunkDims excludes the trailing element-size pseudo-dimension.
+    * `indexAddr` is the chunk B-tree root (v1), the FA header, the implicit
+    * base address, or the single chunk's data address. */
+  final case class Chunked(indexAddr: Long, chunkDims: Seq[Int],
+      index: ChunkIndex = BTreeV1) extends Layout
 
   final case class Dataset(name: String, dims: Seq[Long], dtype: NumType,
       layout: Layout, filters: Seq[Filter], fillValue: Option[Double])
@@ -221,9 +242,35 @@ private[sources] object Hdf5 {
             val btree = b.getLong(3)
             val dims = (0 until dim - 1).map(i => b.getInt(11 + i * 4))
             Chunked(btree, dims)
-          case 2 => throw new IllegalArgumentException(
-            "chunked layout v4 (libver-latest chunk indexes) not supported; " +
-              "rewrite with default library settings")
+          case 2 => // version 4 (`libver='latest'`): typed chunk index
+            val flags = body(2) & 0xff
+            val dim = body(3) & 0xff // rank + 1, like v3
+            val encLen = body(4) & 0xff
+            def dimAt(i: Int): Long = {
+              val raw = java.util.Arrays.copyOfRange(body, 5 + i * encLen, 5 + (i + 1) * encLen)
+              le(java.util.Arrays.copyOf(raw, 8)).getLong(0)
+            }
+            val dims = (0 until dim - 1).map(i => dimAt(i).toInt)
+            var p = 5 + dim * encLen
+            val idxType = body(p) & 0xff
+            p += 1
+            val index = idxType match {
+              case 1 =>
+                if ((flags & 0x02) != 0) { // filtered single chunk: size + mask
+                  val sz = b.getLong(p); val mask = b.getInt(p + 8); p += 12
+                  SingleChunk(Some(sz), mask)
+                } else SingleChunk(None, 0)
+              case 2 => ImplicitIndex
+              case 3 => val pb = body(p) & 0xff; p += 1; FixedArray(pb)
+              case 4 => throw new IllegalArgumentException(
+                "extensible-array chunk index (unlimited-dimension libver-latest " +
+                  "dataset) not supported; rewrite with default library settings")
+              case 5 => throw new IllegalArgumentException(
+                "v2 B-tree chunk index (multi-unlimited libver-latest dataset) " +
+                  "not supported; rewrite with default library settings")
+              case t => throw new IllegalArgumentException(s"chunk index type $t")
+            }
+            Chunked(b.getLong(p), dims, index)
           case c => throw new IllegalArgumentException(s"layout class $c")
         }
       case 1 | 2 =>
@@ -432,9 +479,37 @@ private[sources] object Hdf5 {
 
   // ── chunk index ──────────────────────────────────────────────────────────
 
-  /** Walk the v1 chunk B-tree and list every stored chunk. */
+  /** List every stored chunk of a chunked dataset, whatever the index. */
   def listChunks(src: ByteSource, ds: Dataset): Seq[ChunkRef] = {
     val layout = ds.layout.asInstanceOf[Chunked]
+    layout.index match {
+      case BTreeV1 => btreeV1Chunks(src, layout)
+      case SingleChunk(filteredSize, mask) =>
+        val raw = layout.chunkDims.map(_.toLong).product * ds.dtype.size
+        if (layout.indexAddr == Undef) Seq.empty // never allocated → all fill
+        else Seq(ChunkRef(layout.chunkDims.map(_ => 0L), layout.indexAddr,
+          filteredSize.getOrElse(raw).toInt, mask))
+      case ImplicitIndex =>
+        // early-allocated raw chunks, consecutive in row-major grid order
+        val chunkBytes = layout.chunkDims.map(_.toLong).product * ds.dtype.size
+        gridOrigins(ds.dims, layout.chunkDims).zipWithIndex.map { case (org, i) =>
+          ChunkRef(org, layout.indexAddr + i * chunkBytes, chunkBytes.toInt, 0)
+        }
+      case FixedArray(_) => fixedArrayChunks(src, ds, layout)
+    }
+  }
+
+  /** Chunk-grid origins (element offsets) in row-major linear order — the
+    * order Fixed Array / Implicit indexes number chunks in. */
+  private def gridOrigins(dims: Seq[Long], cd: Seq[Int]): Seq[Seq[Long]] = {
+    def loop(d: Int): Seq[Seq[Long]] =
+      if (d == cd.length) Seq(Seq.empty)
+      else (0L until dims(d) by cd(d).toLong).flatMap(o => loop(d + 1).map(o +: _))
+    loop(0)
+  }
+
+  /** Walk the v1 chunk B-tree and list every stored chunk. */
+  private def btreeV1Chunks(src: ByteSource, layout: Chunked): Seq[ChunkRef] = {
     val rank1 = layout.chunkDims.length + 1 // + element-size pseudo-dim
     val keySize = 8 + rank1 * 8
     def walk(addr: Long): Seq[ChunkRef] = {
@@ -454,7 +529,71 @@ private[sources] object Hdf5 {
         else walk(child)
       }
     }
-    walk(layout.btreeAddr)
+    walk(layout.indexAddr)
+  }
+
+  /** Read a Fixed Array chunk index ("FAHD" header + "FADB" data block,
+    * paged or not). Client 0 elements are bare chunk addresses (unfiltered
+    * datasets); client 1 adds the stored chunk size + filter mask.
+    * Unallocated chunks (address UNDEF) are skipped — readers fill them. */
+  private def fixedArrayChunks(src: ByteSource, ds: Dataset, layout: Chunked): Seq[ChunkRef] = {
+    if (layout.indexAddr == Undef) return Seq.empty
+    val hdr = src.read(layout.indexAddr, 28)
+    require(hdr.take(4).sameElements("FAHD".getBytes),
+      s"bad Fixed Array header at ${layout.indexAddr}")
+    val client = hdr(5) & 0xff
+    val entrySize = hdr(6) & 0xff
+    val pageBits = hdr(7) & 0xff
+    val hb = le(hdr)
+    val maxEntries = hb.getLong(8)
+    val dblkAddr = hb.getLong(16)
+    if (dblkAddr == Undef) return Seq.empty
+    val rawChunkBytes = layout.chunkDims.map(_.toLong).product * ds.dtype.size
+
+    val pageElems = 1L << pageBits
+    val paged = maxEntries > pageElems
+    val nPages = if (paged) ((maxEntries + pageElems - 1) / pageElems).toInt else 0
+    // FADB prelude: sig(4) version(1) client(1) header-addr(8)
+    val preludeLen = 14
+    val head = src.read(dblkAddr, preludeLen)
+    require(head.take(4).sameElements("FADB".getBytes), s"bad Fixed Array data block at $dblkAddr")
+    require((head(5) & 0xff) == client, "FADB client id mismatch")
+
+    val elemBytes: Array[Byte] =
+      if (!paged)
+        src.read(dblkAddr + preludeLen, (maxEntries * entrySize).toInt)
+      else {
+        // bitmap + checksum, then pages each followed by a 4-byte checksum
+        val bitmapLen = (nPages + 7) / 8
+        var off = dblkAddr + preludeLen + bitmapLen + 4
+        val out = new java.io.ByteArrayOutputStream((maxEntries * entrySize).toInt)
+        var remaining = maxEntries
+        while (remaining > 0) {
+          val inPage = math.min(pageElems, remaining)
+          out.write(src.read(off, (inPage * entrySize).toInt))
+          off += inPage * entrySize + 4
+          remaining -= inPage
+        }
+        out.toByteArray
+      }
+    val eb = le(elemBytes)
+    val origins = gridOrigins(ds.dims, layout.chunkDims)
+    require(origins.length <= maxEntries,
+      s"Fixed Array smaller than chunk grid: $maxEntries < ${origins.length}")
+    origins.zipWithIndex.flatMap { case (org, i) =>
+      val p = i * entrySize
+      val addr = eb.getLong(p)
+      if (addr == Undef) None
+      else if (client == 0) Some(ChunkRef(org, addr, rawChunkBytes.toInt, 0))
+      else {
+        // client 1: address(8) + stored size(entrySize-12) + filter mask(4)
+        val szLen = entrySize - 12
+        val szRaw = java.util.Arrays.copyOfRange(elemBytes, p + 8, p + 8 + szLen)
+        val sz = le(java.util.Arrays.copyOf(szRaw, 8)).getLong(0)
+        val mask = eb.getInt(p + 8 + szLen)
+        Some(ChunkRef(org, addr, sz.toInt, mask))
+      }
+    }
   }
 
   // ── filters + decode ─────────────────────────────────────────────────────
@@ -524,10 +663,17 @@ private[sources] object Hdf5 {
   // ── writer ───────────────────────────────────────────────────────────────
 
   /** One dataset to write: row-major f64 values of the given shape.
-    * Attribute values may be String, Double, or Seq[Double]. */
+    * Attribute values may be String, Double, or Seq[Double].
+    *
+    * `v4Index` selects a layout-v4 chunk index instead of the default v3
+    * v1-B-tree (requires `chunkDims`): "single" = one shuffle+deflate chunk
+    * addressed from the layout message (flag 0x02); "implicit" = raw
+    * early-allocated consecutive chunks; "fa" = unpaged Fixed Array;
+    * "fa-paged" = Fixed Array with 4-element pages. Used to round-trip the
+    * `libver='latest'` read paths. */
   final case class WriteVar(name: String, dims: Seq[Int], values: Array[Double],
       chunkDims: Option[Seq[Int]] = None, deflateLevel: Int = 4,
-      attrs: Seq[(String, Any)] = Seq.empty)
+      attrs: Seq[(String, Any)] = Seq.empty, v4Index: Option[String] = None)
 
   /** 20-byte IEEE f64 LE datatype message body (class 1, version 1). */
   private def f64TypeBody: Array[Byte] = {
@@ -621,15 +767,55 @@ private[sources] object Hdf5 {
     val snodSize = 8 + 40 * math.max(8, sorted.size) // 2×symLeafK slots min
     var cursor = snodAddr + snodSize
 
-    // per-var: object header → [chunk B-tree] → data
+    // per-var: object header → [chunk index] → data
     final case class Plan(v: WriteVar, ohAddr: Long, dataAddr: Long,
         btAddr: Long, chunks: Seq[(Seq[Long], Array[Byte])])
+    def shuffleDeflate(raw: Array[Byte], level: Int): Array[Byte] = {
+      val chunkN = raw.length / 8
+      val shuffled = new Array[Byte](raw.length)
+      var b = 0
+      while (b < 8) {
+        var j = 0
+        while (j < chunkN) { shuffled(b * chunkN + j) = raw(j * 8 + b); j += 1 }
+        b += 1
+      }
+      val defl = new Deflater(level)
+      defl.setInput(shuffled); defl.finish()
+      val cbuf = new java.io.ByteArrayOutputStream(raw.length)
+      val tmp = new Array[Byte](65536)
+      while (!defl.finished()) cbuf.write(tmp, 0, defl.deflate(tmp))
+      defl.end()
+      cbuf.toByteArray
+    }
+    // Fixed Array geometry (client 1, entry = addr 8 + size 8 + mask 4)
+    val faEntry = 20
+    def faPageBits(v4: String, n: Int): Int =
+      if (v4 == "fa-paged") 2
+      else { var pb = 4; while ((1 << pb) < n) pb += 1; pb }
+    def fadbSize(pageBits: Int, n: Int): Int = {
+      val pageElems = 1 << pageBits
+      if (n <= pageElems) 14 + n * faEntry + 4
+      else {
+        val nPages = (n + pageElems - 1) / pageElems
+        14 + (nPages + 7) / 8 + 4 +
+          (0 until nPages).map(p => math.min(pageElems, n - p * pageElems) * faEntry + 4).sum
+      }
+    }
     val plans = sorted.map { v =>
       val n = v.dims.map(_.toLong).product
       require(n == v.values.length, s"${v.name}: shape/data mismatch")
+      require(v.v4Index.isEmpty || v.chunkDims.isDefined, s"${v.name}: v4Index needs chunkDims")
       val ohAddr = cursor
-      val layoutBody = if (v.chunkDims.isDefined) 32 else 24
-      val filterBody = if (v.chunkDims.isDefined) 8 + 16 + 16 else 0
+      val rank1 = v.dims.length + 1
+      val filtered = v.chunkDims.isDefined && !v.v4Index.contains("implicit")
+      val layoutBody = v.v4Index match {
+        case None => if (v.chunkDims.isDefined) 32 else 24
+        case Some("single") => 5 + rank1 * 8 + 1 + 12 + 8
+        case Some("implicit") => 5 + rank1 * 8 + 1 + 8
+        case Some("fa") | Some("fa-paged") => 5 + rank1 * 8 + 1 + 1 + 8
+        case Some(o) => throw new IllegalArgumentException(s"v4Index $o")
+      }
+      val filterBody = if (filtered) 8 + 16 + 16 else 0
       val attrBytes = v.attrs.map(a => 8 + attrMessage(a._1, a._2).length).sum
       val ohSize = 16 + (8 + 8 + v.dims.length * 8) + (8 + 24) + (8 + 8) +
         (8 + layoutBody) + (if (filterBody > 0) 8 + filterBody else 0) + attrBytes
@@ -641,7 +827,7 @@ private[sources] object Hdf5 {
           Plan(v, ohAddr, dataAddr, Undef, Seq.empty)
         case Some(cd) =>
           require(cd.length == v.dims.length)
-          // enumerate chunk origins (row-major), slice + shuffle + deflate
+          // enumerate chunk origins (row-major), slice [+ shuffle + deflate]
           def origins(d: Int): Seq[Seq[Long]] =
             if (d == v.dims.length) Seq(Seq.empty)
             else (0L until v.dims(d).toLong by cd(d).toLong)
@@ -664,31 +850,34 @@ private[sources] object Hdf5 {
             }
             val bytes = ByteBuffer.allocate(chunkN * 8).order(ByteOrder.LITTLE_ENDIAN)
             buf.foreach(bytes.putDouble)
-            // shuffle (element size 8) then deflate — netCDF-4's default
+            // shuffle (element size 8) then deflate — netCDF-4's default —
+            // unless the index type forbids filters (implicit)
             val raw = bytes.array()
-            val shuffled = new Array[Byte](raw.length)
-            var b = 0
-            while (b < 8) {
-              var j = 0
-              while (j < chunkN) { shuffled(b * chunkN + j) = raw(j * 8 + b); j += 1 }
-              b += 1
-            }
-            val defl = new Deflater(v.deflateLevel)
-            defl.setInput(shuffled); defl.finish()
-            val cbuf = new java.io.ByteArrayOutputStream(raw.length)
-            val tmp = new Array[Byte](65536)
-            while (!defl.finished()) cbuf.write(tmp, 0, defl.deflate(tmp))
-            defl.end()
-            (org, cbuf.toByteArray)
+            (org, if (filtered) shuffleDeflate(raw, v.deflateLevel) else raw)
           }
-          val btAddr = cursor
-          val keySize = 8 + (v.dims.length + 1) * 8
-          cursor += 24 + chunks.size * (keySize + 8) + keySize
-          val withAddr = chunks.map { case (org, bytes) =>
-            val a = cursor; cursor += bytes.length; (org, bytes, a)
+          v.v4Index match {
+            case None =>
+              val btAddr = cursor
+              val keySize = 8 + (v.dims.length + 1) * 8
+              cursor += 24 + chunks.size * (keySize + 8) + keySize
+              chunks.foreach { case (_, bytes) => cursor += bytes.length }
+              Plan(v, ohAddr, Undef, btAddr, chunks)
+            case Some("single") =>
+              require(chunks.size == 1, s"${v.name}: single-chunk index needs one chunk")
+              val dataAddr = cursor
+              cursor += chunks.head._2.length
+              Plan(v, ohAddr, dataAddr, Undef, chunks)
+            case Some("implicit") =>
+              val dataAddr = cursor
+              chunks.foreach { case (_, bytes) => cursor += bytes.length }
+              Plan(v, ohAddr, dataAddr, Undef, chunks)
+            case Some(v4 @ ("fa" | "fa-paged")) =>
+              val faAddr = cursor
+              cursor += 28 + fadbSize(faPageBits(v4, chunks.size), chunks.size)
+              chunks.foreach { case (_, bytes) => cursor += bytes.length }
+              Plan(v, ohAddr, Undef, faAddr, chunks)
+            case Some(o) => throw new IllegalArgumentException(s"v4Index $o")
           }
-          Plan(v, ohAddr, Undef, btAddr,
-            withAddr.map { case (org, bytes, a) => (org, bytes) }) // addresses recomputed on write
       }
     }
 
@@ -748,18 +937,46 @@ private[sources] object Hdf5 {
       msgs += 0x0003 -> java.util.Arrays.copyOf(f64TypeBody, 24)
       // fill value v2, undefined
       msgs += 0x0005 -> Array[Byte](2, 2, 0, 0, 0, 0, 0, 0)
-      // layout v3
+      // layout message: v3 (default) or v4 (typed chunk index)
+      val filtered = chunked && !v.v4Index.contains("implicit")
       if (!chunked) {
         val lb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
         lb.put(3.toByte).put(1.toByte).putLong(p.dataAddr)
         lb.putLong(v.values.length.toLong * 8)
         msgs += 0x0008 -> lb.array()
-      } else {
+      } else if (v.v4Index.isEmpty) {
         val cd = v.chunkDims.get
         val lb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
         lb.put(3.toByte).put(2.toByte).put((cd.length + 1).toByte).putLong(p.btAddr)
         cd.foreach(lb.putInt); lb.putInt(8)
         msgs += 0x0008 -> lb.array()
+      } else {
+        val cd = v.chunkDims.get
+        val v4 = v.v4Index.get
+        val rank1 = v.dims.length + 1
+        val specific = v4 match {
+          case "single" => 12
+          case "implicit" => 0
+          case _ => 1
+        }
+        val lb = ByteBuffer.allocate(5 + rank1 * 8 + 1 + specific + 8)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        val flags = if (v4 == "single") 0x02 else 0x00 // single chunk is filtered
+        lb.put(4.toByte).put(2.toByte).put(flags.toByte).put(rank1.toByte).put(8.toByte)
+        cd.foreach(d => lb.putLong(d.toLong)); lb.putLong(8L) // element-size pseudo-dim
+        v4 match {
+          case "single" =>
+            lb.put(1.toByte)
+            lb.putLong(p.chunks.head._2.length.toLong).putInt(0) // size + filter mask
+            lb.putLong(p.dataAddr)
+          case "implicit" =>
+            lb.put(2.toByte).putLong(p.dataAddr)
+          case _ =>
+            lb.put(3.toByte).put(faPageBits(v4, p.chunks.size).toByte).putLong(p.btAddr)
+        }
+        msgs += 0x0008 -> lb.array()
+      }
+      if (filtered) {
         // filter pipeline v1: shuffle(2) then deflate(1)
         val fp = ByteBuffer.allocate(8 + 16 + 16).order(ByteOrder.LITTLE_ENDIAN)
         fp.put(1.toByte).put(2.toByte).putShort(0).putInt(0)
@@ -781,23 +998,64 @@ private[sources] object Hdf5 {
         val bb = ByteBuffer.allocate(v.values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
         v.values.foreach(bb.putDouble)
         out.write(bb.array())
-      } else {
-        require(pos == p.btAddr)
-        val keySize = 8 + (v.dims.length + 1) * 8
-        var dataAddr = p.btAddr + 24 + p.chunks.size * (keySize + 8) + keySize
-        out.write("TREE".getBytes); out.write(Array[Byte](1, 0)); out.write(u16(p.chunks.size))
-        out.write(u64(Undef)); out.write(u64(Undef))
-        p.chunks.foreach { case (org, bytes) =>
-          out.write(u32(bytes.length)); out.write(u32(0))
-          org.foreach(o => out.write(u64(o))); out.write(u64(0))
-          out.write(u64(dataAddr))
-          dataAddr += bytes.length
-        }
-        // final key: one past the last chunk in every dimension
-        out.write(u32(0)); out.write(u32(0))
-        v.dims.indices.foreach(d => out.write(u64(v.dims(d).toLong)))
-        out.write(u64(8))
-        p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
+      } else v.v4Index match {
+        case None =>
+          require(pos == p.btAddr)
+          val keySize = 8 + (v.dims.length + 1) * 8
+          var dataAddr = p.btAddr + 24 + p.chunks.size * (keySize + 8) + keySize
+          out.write("TREE".getBytes); out.write(Array[Byte](1, 0)); out.write(u16(p.chunks.size))
+          out.write(u64(Undef)); out.write(u64(Undef))
+          p.chunks.foreach { case (org, bytes) =>
+            out.write(u32(bytes.length)); out.write(u32(0))
+            org.foreach(o => out.write(u64(o))); out.write(u64(0))
+            out.write(u64(dataAddr))
+            dataAddr += bytes.length
+          }
+          // final key: one past the last chunk in every dimension
+          out.write(u32(0)); out.write(u32(0))
+          v.dims.indices.foreach(d => out.write(u64(v.dims(d).toLong)))
+          out.write(u64(8))
+          p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
+        case Some("single") | Some("implicit") =>
+          require(pos == p.dataAddr)
+          p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
+        case Some(v4) =>
+          // Fixed Array: FAHD, FADB (paged or not), then the chunk data
+          require(pos == p.btAddr)
+          val n = p.chunks.size
+          val pageBits = faPageBits(v4, n)
+          val dblkAddr = p.btAddr + 28
+          out.write("FAHD".getBytes)
+          out.write(Array[Byte](0, 1)) // version, client 1 (filtered chunks)
+          out.write(Array[Byte](faEntry.toByte, pageBits.toByte))
+          out.write(u64(n.toLong)); out.write(u64(dblkAddr)); out.write(u32(0))
+          require(pos == dblkAddr)
+          var dataAddr = dblkAddr + fadbSize(pageBits, n)
+          val elements = p.chunks.map { case (_, bytes) =>
+            val eb = ByteBuffer.allocate(faEntry).order(ByteOrder.LITTLE_ENDIAN)
+            eb.putLong(dataAddr).putLong(bytes.length.toLong).putInt(0)
+            dataAddr += bytes.length
+            eb.array()
+          }
+          out.write("FADB".getBytes)
+          out.write(Array[Byte](0, 1)) // version, client
+          out.write(u64(p.btAddr))
+          val pageElems = 1 << pageBits
+          if (n <= pageElems) {
+            elements.foreach(e => out.write(e, 0, e.length))
+            out.write(u32(0)) // checksum (not verified by the reader)
+          } else {
+            val nPages = (n + pageElems - 1) / pageElems
+            val bitmap = new Array[Byte]((nPages + 7) / 8)
+            (0 until nPages).foreach(i => bitmap(i / 8) = (bitmap(i / 8) | (1 << (i % 8))).toByte)
+            out.write(bitmap, 0, bitmap.length)
+            out.write(u32(0)) // header-part checksum
+            elements.grouped(pageElems).foreach { page =>
+              page.foreach(e => out.write(e, 0, e.length))
+              out.write(u32(0)) // per-page checksum
+            }
+          }
+          p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
       }
     }
 

@@ -88,7 +88,7 @@ object NetCDF4Source {
       case Compact(data) => decode(data, v.dtype, n)
       case Contiguous(addr, size) =>
         decode(src.read(addr, size.toInt), v.dtype, n)
-      case Chunked(_, chunkDims) =>
+      case Chunked(_, chunkDims, _) =>
         val acc = new Array[Double](n)
         java.util.Arrays.fill(acc, Double.NaN)
         listChunks(src, v).foreach { c =>
@@ -149,7 +149,7 @@ object NetCDF4Source {
     val dims = v.dims
 
     v.layout match {
-      case Chunked(_, chunkDims) =>
+      case Chunked(_, chunkDims, _) =>
         val cds = chunkDims
         val kept = listChunks(src, v).filter { c =>
           c.offsets.head <= t1 && c.offsets.head + cds.head > t0

@@ -171,7 +171,7 @@ private[sources] class NetCdfScan(path: String, varName: String, tLo: Int, tHi: 
         fillRaw = num("_FillValue"),
         elidedFill = v.fillValue.getOrElse(Double.NaN))
       v.layout match {
-        case Hdf5.Chunked(_, cds) =>
+        case Hdf5.Chunked(_, cds, _) =>
           val conf = spark.sparkContext.hadoopConfiguration
           val src: Hdf5.ByteSource = new Hdf5.ByteSource {
             private val p = new org.apache.hadoop.fs.Path(path)

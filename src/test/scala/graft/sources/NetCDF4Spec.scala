@@ -134,6 +134,86 @@ class NetCDF4Spec extends SparkSpec {
     assert(rawBack == 1)
   }
 
+  // ── layout v4 (`libver='latest'`) chunk indexes ──────────────────────────
+
+  private def writeV4(v4: String, dims: Seq[Int], chunks: Seq[Int]): (String, Array[Double]) = {
+    val n = dims.map(_.toLong).product.toInt
+    val vals = Array.tabulate(n)(i => i * 0.75 - 3.0)
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("v", dims, vals,
+      chunkDims = Some(chunks), v4Index = Some(v4))))
+    val path = tmpNc()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    (path, vals)
+  }
+
+  private def parsedIndex(path: String): Hdf5.ChunkIndex = {
+    val src = new Hdf5.ByteSource {
+      private val raf = new java.io.RandomAccessFile(path, "r")
+      def read(off: Long, len: Int): Array[Byte] = {
+        val b = new Array[Byte](len); raf.seek(off); raf.readFully(b); b
+      }
+    }
+    val (rootOh, _) = Hdf5.readSuperblock(src)
+    val (nm, oh) = Hdf5.listDatasets(src, rootOh).head
+    Hdf5.readDataset(src, nm, oh).layout.asInstanceOf[Hdf5.Chunked].index
+  }
+
+  test("v4 single-chunk index (filtered) round-trips") {
+    val (path, vals) = writeV4("single", Seq(2, 3, 4), Seq(2, 3, 4))
+    assert(parsedIndex(path).isInstanceOf[Hdf5.SingleChunk])
+    assert(NetCDF4Source.readLocal(spark, path, "v")._2.toSeq == vals.toSeq)
+    assert(NetCDF4Source.read3D(spark, path, "v").count() == 24)
+  }
+
+  test("v4 implicit index (raw consecutive chunks) round-trips") {
+    val (path, vals) = writeV4("implicit", Seq(4, 3, 2), Seq(2, 3, 2))
+    assert(parsedIndex(path) == Hdf5.ImplicitIndex)
+    assert(NetCDF4Source.readLocal(spark, path, "v")._2.toSeq == vals.toSeq)
+  }
+
+  test("v4 fixed-array index round-trips, edge chunk included") {
+    val (path, vals) = writeV4("fa", Seq(9, 2, 2), Seq(2, 2, 2)) // 5 chunks, last partial
+    assert(parsedIndex(path).isInstanceOf[Hdf5.FixedArray])
+    assert(NetCDF4Source.readLocal(spark, path, "v")._2.toSeq == vals.toSeq)
+    val out = NetCDF4Source.read3D(spark, path, "v", timeRange = Some((3, 6)))
+    assert(out.select("t_idx").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(3, 4, 5, 6))
+  }
+
+  test("v4 paged fixed-array index round-trips") {
+    val (path, vals) = writeV4("fa-paged", Seq(12, 2, 2), Seq(1, 2, 2)) // 12 chunks, 4/page
+    val src = new Hdf5.ByteSource {
+      private val raf = new java.io.RandomAccessFile(path, "r")
+      def read(off: Long, len: Int): Array[Byte] = {
+        val b = new Array[Byte](len); raf.seek(off); raf.readFully(b); b
+      }
+    }
+    val (rootOh, _) = Hdf5.readSuperblock(src)
+    val (nm, oh) = Hdf5.listDatasets(src, rootOh).head
+    val ds = Hdf5.readDataset(src, nm, oh)
+    assert(Hdf5.listChunks(src, ds).size == 12)
+    assert(NetCDF4Source.readLocal(spark, path, "v")._2.toSeq == vals.toSeq)
+  }
+
+  test("v4 extensible-array / v2-btree indexes are rejected with a clear error") {
+    def v4Body(idxType: Int, specific: Array[Byte]): Array[Byte] = {
+      val rank1 = 3
+      val b = java.nio.ByteBuffer.allocate(5 + rank1 * 8 + 1 + specific.length + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put(4.toByte).put(2.toByte).put(0.toByte).put(rank1.toByte).put(8.toByte)
+      b.putLong(2L).putLong(2L).putLong(8L)
+      b.put(idxType.toByte).put(specific).putLong(0L)
+      b.array()
+    }
+    val src = new Hdf5.ByteSource { def read(off: Long, len: Int) = new Array[Byte](len) }
+    val ea = intercept[IllegalArgumentException](
+      Hdf5.parseLayout(src, v4Body(4, new Array[Byte](5))))
+    assert(ea.getMessage.contains("extensible-array"))
+    val bt = intercept[IllegalArgumentException](
+      Hdf5.parseLayout(src, v4Body(5, new Array[Byte](6))))
+    assert(bt.getMessage.contains("v2 B-tree"))
+  }
+
   test("unsupported filters fail with the filter id in the error") {
     val e = intercept[IllegalArgumentException](
       Hdf5.defilter(new Array[Byte](8), Seq(Hdf5.Filter(307, Seq.empty)), 0))
