@@ -1,0 +1,104 @@
+package graft.sources
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+/** Property-based round-trips for the Hdf5 writer/reader pair across every
+  * layout the reader supports: contiguous, chunked v3 (v1 B-tree), and the
+  * chunked-v4 `libver='latest'` indexes (single chunk, implicit, fixed
+  * array paged + unpaged). Random shapes, chunk grids (edge chunks
+  * included), and values must survive assemble→parse→listChunks→decode
+  * bit-exactly. No SparkSession needed — this is the file-format kernel. */
+object Hdf5PropertySpec extends Properties("Hdf5Layouts") {
+
+  private def byteSource(bytes: Array[Byte]): Hdf5.ByteSource =
+    (off: Long, len: Int) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+
+  /** Read back every cell of the single dataset in an assembled file. */
+  private def readBack(bytes: Array[Byte]): (Seq[Long], Array[Double]) = {
+    val src = byteSource(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(src)
+    val (nm, oh) = Hdf5.listDatasets(src, rootOh).head
+    val ds = Hdf5.readDataset(src, nm, oh)
+    val n = ds.dims.product.toInt
+    ds.layout match {
+      case Hdf5.Contiguous(addr, size) =>
+        (ds.dims, Hdf5.decode(src.read(addr, size.toInt), ds.dtype, n))
+      case ch: Hdf5.Chunked =>
+        val cd = ch.chunkDims
+        val chunkN = cd.map(_.toLong).product.toInt
+        val acc = new Array[Double](n)
+        java.util.Arrays.fill(acc, Double.NaN)
+        Hdf5.listChunks(src, ds).foreach { c =>
+          val vals = Hdf5.decode(
+            Hdf5.defilter(src.read(c.addr, c.size), ds.filters, c.filterMask),
+            ds.dtype, chunkN)
+          // row-major cell walk of the chunk, skipping out-of-range padding
+          var ci = 0
+          while (ci < chunkN) {
+            var rem = ci
+            val idx = new Array[Long](cd.length)
+            var d = cd.length - 1
+            while (d >= 0) { idx(d) = rem % cd(d); rem /= cd(d); d -= 1 }
+            var ok = true; var flat = 0L; var e = 0
+            while (e < cd.length) {
+              val coord = c.offsets(e) + idx(e)
+              if (coord >= ds.dims(e)) { ok = false; e = cd.length }
+              else { flat = flat * ds.dims(e) + coord; e += 1 }
+            }
+            if (ok) acc(flat.toInt) = vals(ci)
+            ci += 1
+          }
+        }
+        (ds.dims, acc)
+      case Hdf5.Compact(data) => (ds.dims, Hdf5.decode(data, ds.dtype, n))
+    }
+  }
+
+  private val shapeGen: Gen[(Seq[Int], Seq[Int])] = for {
+    rank <- Gen.choose(1, 3)
+    dims <- Gen.listOfN(rank, Gen.choose(1, 9))
+    cds <- Gen.sequence[Seq[Int], Int](dims.map(d => Gen.choose(1, d)))
+  } yield (dims, cds)
+
+  private def values(dims: Seq[Int], seed: Long): Array[Double] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(dims.map(_.toLong).product.toInt)(rnd.nextDouble() * 200 - 100)
+  }
+
+  private def roundtrip(v: Hdf5.WriteVar): Prop = {
+    val (dims, got) = readBack(Hdf5.assemble(Seq(v)))
+    Prop.all(
+      Prop(dims == v.dims.map(_.toLong)) :| "shape",
+      Prop(got.toSeq == v.values.toSeq) :| "values bit-exact")
+  }
+
+  property("contiguous") = forAll(shapeGen, Gen.long) { case ((dims, _), seed) =>
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed)))
+  }
+
+  property("chunkedV3Btree") = forAll(shapeGen, Gen.long) { case ((dims, cds), seed) =>
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed), chunkDims = Some(cds)))
+  }
+
+  property("v4SingleChunk") = forAll(shapeGen, Gen.long) { case ((dims, _), seed) =>
+    // single-chunk index requires the chunk to cover the dataset
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed),
+      chunkDims = Some(dims), v4Index = Some("single")))
+  }
+
+  property("v4Implicit") = forAll(shapeGen, Gen.long) { case ((dims, cds), seed) =>
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed),
+      chunkDims = Some(cds), v4Index = Some("implicit")))
+  }
+
+  property("v4FixedArray") = forAll(shapeGen, Gen.long) { case ((dims, cds), seed) =>
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed),
+      chunkDims = Some(cds), v4Index = Some("fa")))
+  }
+
+  property("v4FixedArrayPaged") = forAll(shapeGen, Gen.long) { case ((dims, cds), seed) =>
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed),
+      chunkDims = Some(cds), v4Index = Some("fa-paged")))
+  }
+}
