@@ -33,17 +33,23 @@ object ScaleDemo {
         (dimsNy * dimsNx * 365L * nYears / 4000000L).toInt).toString)
     // At production grids the per-pixel dimension tables (climatology /
     // threshold: |pixels|×366 rows ≈ 380 M at 0.25°) are NOT broadcastable
-    // — a mis-estimated build side would collect GBs to the driver. Real
-    // cluster deployments disable auto-broadcast for these joins at large
-    // grid sizes; the CI-fixture shape keeps the default (broadcasting the
-    // 293 k-row threshold table there is the right plan).
-    val bigGrid = dimsNy * dimsNx > 1000000L
+    // — a mis-estimated build side would collect GBs to the driver
+    // (measured: 360×720 = 259 k pixels → a 94.9 M-row threshold table that
+    // AQE tried to broadcast at 12.5 GiB). The table scales with
+    // pixels×366, so the no-auto-broadcast regime starts at ~100 k pixels
+    // (×366 ≈ 1 GB); the CI-fixture shape keeps the default (broadcasting
+    // the 293 k-row threshold table there is the right plan).
+    val bigGrid = dimsNy * dimsNx > 100000L
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the detect plan carries thousands of SQL metrics; at ~300 tasks the
+      // per-task accumulator payloads alone cross the 1 GiB default during
+      // eager checkpoints — size the cap like a production fat-driver node
+      .config("spark.driver.maxResultSize", "8g")
     val builder =
       if (bigGrid)
         builder0
@@ -91,6 +97,56 @@ object ScaleDemo {
         val r = Track.track(flags, geom, spec, TrackConfig(
           rFill = 2, tFill = 2, areaFilterQuartile = 0.5,
           overlapThreshold = 0.25, allowMerging = true))
+        r.idField.count()
+        r
+      }
+      timed("stats") { println(s"[scale] ${res.stats}") }
+      spark.stop()
+      return
+    }
+
+    // ── unstructured: the mesh-tracking scale workload ─────────────────────
+    // In this mode args(0) is the DAY COUNT and args(2) the mesh SIDE
+    // (cells = side²; 3163 ≈ 10⁷, ICON-R2B8-class ≈ 84 M ≈ 8 such meshes).
+    // `ScaleDemo 45 unstructured 3163` = 45 days × 10⁷ cells. This was the
+    // round-4 scale-killer: the queue tracker collected nT × nCells slices
+    // to the driver; the batch path must run the same workload with
+    // one-row driver aggregates only.
+    if (method == "unstructured") {
+      val side = ny
+      val nCells = side * side
+      val nDays = nYears // arg(0) repurposed — see scaladoc above
+      val mesh = timed(s"mesh build ($nCells cells)") {
+        val nbr = Array.ofDim[Int](3, nCells)
+        var i = 0
+        while (i < nCells) {
+          val x = i % side
+          nbr(0)(i) = if (x > 0) i - 1 else -1
+          nbr(1)(i) = if (x < side - 1) i + 1 else -1
+          nbr(2)(i) = if (i >= side) i - side else -1
+          i += 1
+        }
+        val lat = Array.tabulate(nCells)(i => -60.0 + 120.0 * (i / side) / side)
+        val lon = Array.tabulate(nCells)(i => -180.0 + 360.0 * (i % side) / side)
+        UnstructuredTracker.Mesh(nbr, lat, lon,
+          Array.fill(nCells)(1.0), Array.fill(nCells)(true))
+      }
+      val flags = timed(s"storm flags ${nDays}d on $side×$side mesh") {
+        // storm count scales with the day window so concurrent-active storms
+        // (≈ nStorms × life/nDays) stay at the trackonly density ~1.5 %
+        val f = SyntheticData.stormFlags(spark, nDays = nDays, ny = side, nx = side,
+          nStorms = math.max(8, nDays / 3))
+          .select(col("time"), (col("y") * side + col("x")).cast("int").as("cell"))
+          .localCheckpoint()
+        val n = f.count()
+        println(f"[scale] flag density = ${n.toDouble / (nDays.toLong * nCells)}%.4f ($n rows)")
+        f
+      }
+      val res = timed("unstructured track (merging, batch-parallel)") {
+        val r = UnstructuredTracker.track(flags, mesh, TrackConfig(
+          rFill = 0, tFill = 0, areaFilterAbsolute = Some(100.0),
+          overlapThreshold = 0.25, allowMerging = true, nnPartitioning = true),
+          scalePath = true)
         r.idField.count()
         r
       }
