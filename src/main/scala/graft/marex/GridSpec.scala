@@ -45,7 +45,11 @@ final case class DetectConfig(
 final case class TrackConfig(
     rFill: Int = 8, // morphology disk radius (cells)
     tFill: Int = 2, // max temporal gap to fill (days); must be even
-    areaFilterQuartile: Double = 0.5, // or absolute:
+    // NaN = unset. The two filters are mutually exclusive, resolved like the
+    // reference (_resolve_area_filtering_parameters, track.py:712–749):
+    // neither given → quartile 0.5; absolute given → quartile mode off.
+    // Read via `resolvedQuartile`, never the raw field.
+    areaFilterQuartile: Double = Double.NaN,
     areaFilterAbsolute: Option[Double] = None,
     overlapThreshold: Double = 0.5,
     allowMerging: Boolean = true,
@@ -72,7 +76,17 @@ final case class TrackConfig(
     maxOuterIter: Int = 40) {
   require(tFill % 2 == 0, "T_fill must be even (matches reference track.py:714)")
   require(overlapThreshold > 0 && overlapThreshold <= 1)
-  require(areaFilterQuartile >= 0 && areaFilterQuartile < 1)
+  require(!(areaFilterAbsolute.isDefined && !areaFilterQuartile.isNaN),
+    "Cannot specify both area filtering parameters: area_filter_quartile and " +
+      "area_filter_absolute are mutually exclusive (track.py:736)")
+  require(areaFilterAbsolute.forall(_ > 0),
+    s"area_filter_absolute=${areaFilterAbsolute.orNull} must be positive (track.py:692)")
+  require(areaFilterQuartile.isNaN || (areaFilterQuartile >= 0 && areaFilterQuartile < 1))
+  /** The quartile the filter actually runs with (track.py:712–749). */
+  def resolvedQuartile: Double =
+    if (!areaFilterQuartile.isNaN) areaFilterQuartile
+    else if (areaFilterAbsolute.isDefined) 0.0
+    else 0.5
   require(Set("", "save", "load")(checkpointMode),
     s"checkpointMode must be ''/'save'/'load', got '$checkpointMode'")
   require(checkpointMode.isEmpty || checkpointDir.nonEmpty,

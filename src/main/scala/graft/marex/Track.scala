@@ -55,7 +55,7 @@ object Track {
     val stats = res.stats
     val json =
       s"""{"r_fill": ${cfg.rFill}, "t_fill": ${cfg.tFill},
-          "area_filter_quartile": ${cfg.areaFilterQuartile},
+          "area_filter_quartile": ${cfg.resolvedQuartile},
           "overlap_threshold": ${cfg.overlapThreshold},
           "allow_merging": ${cfg.allowMerging},
           "nn_partitioning": ${cfg.nnPartitioning},
@@ -168,13 +168,13 @@ object Track {
   def filterSmallObjects(ids: DataFrame, geom: DataFrame, cfg: TrackConfig): DataFrame = {
     // quartile 0 = threshold at the minimum area = keep everything: skip
     // the area aggregation + quantile jobs outright (exact, not a shortcut)
-    if (cfg.areaFilterAbsolute.isEmpty && cfg.areaFilterQuartile == 0.0
+    if (cfg.areaFilterAbsolute.isEmpty && cfg.resolvedQuartile == 0.0
         && !cfg.dropSmallestObject)
       return ids
     val areas = ids.join(geom.select("y", "x", "area"), Seq("y", "x"))
       .groupBy("time", "gid").agg(sum("area").as("obj_area"))
     val threshold: Double = cfg.areaFilterAbsolute.getOrElse(
-      exactQuantile(areas.select("obj_area"), cfg.areaFilterQuartile))
+      exactQuantile(areas.select("obj_area"), cfg.resolvedQuartile))
     // reference parity: the structured branch force-drops the first object
     // entry — i.e. the smallest gid — regardless of its area (track.py:1898,
     // `object_ids_keep[0] = -1`; see TrackConfig.dropSmallestObject)

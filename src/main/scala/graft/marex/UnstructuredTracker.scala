@@ -130,7 +130,7 @@ object UnstructuredTracker {
     val preList = counts.filter(col("n") > preCut)
     val nPre = preList.count()
     val threshold: Double = cfg.areaFilterAbsolute.getOrElse(
-      Track.exactQuantile(preList.select(col("n").cast("double")), cfg.areaFilterQuartile))
+      Track.exactQuantile(preList.select(col("n").cast("double")), cfg.resolvedQuartile))
     val keep = counts.filter(col("n") > threshold).select("gid")
     val nPost = keep.count()
     val filtered = gids.join(keep, Seq("gid"), "left_semi")

@@ -15,6 +15,33 @@ class TrackSpec extends SparkSpec {
   private lazy val blobs = SyntheticData.movingBlobs(spark, nDays = 12, ny = ny, nx = nx)
     .filter(col("flag")).select("time", "y", "x").cache()
 
+  test("area-filter parameters resolve and validate like the reference (track.py:712–749)") {
+    assert(TrackConfig().resolvedQuartile == 0.5) // neither given → default quartile
+    assert(TrackConfig(areaFilterQuartile = 0.25).resolvedQuartile == 0.25)
+    assert(TrackConfig(areaFilterAbsolute = Some(10.0)).resolvedQuartile == 0.0)
+    val neg = intercept[IllegalArgumentException](
+      TrackConfig(areaFilterAbsolute = Some(-100.0)))
+    assert(neg.getMessage.contains("must be positive"))
+    val both = intercept[IllegalArgumentException](
+      TrackConfig(areaFilterQuartile = 0.5, areaFilterAbsolute = Some(1000.0)))
+    assert(both.getMessage.contains("Cannot specify both area filtering parameters"))
+  }
+
+  test("single-timestep tracking works end-to-end (test_track_edge_cases.py:748)") {
+    val oneDay = (Seq.tabulate(9)(i => (ts(0), 3 + i / 3, 3 + i % 3)) ++
+      Seq.tabulate(9)(i => (ts(0), 10 + i / 3, 20 + i % 3))).toDF("time", "y", "x")
+    val res = Track.track(oneDay, geom, spec,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+        dropSmallestObject = false, allowMerging = false))
+    assert(res.stats("n_events_final") == 2, s"stats: ${res.stats}")
+    assert(res.idField.count() == 18)
+    res.events.collect().foreach { r =>
+      assert(r.getTimestamp(r.fieldIndex("time_start")) == ts(0))
+      assert(r.getTimestamp(r.fieldIndex("time_end")) == ts(0))
+      assert(r.getLong(r.fieldIndex("n_timesteps")) == 1L)
+    }
+  }
+
   test("per-slice labeling finds the two blobs each day") {
     val labeled = Raster.labelPerSlice(blobs, spec)
     val perT = labeled.groupBy("time").agg(countDistinct("label").as("n"))
