@@ -70,6 +70,12 @@ private[sources] object Hdf5 {
   /** Fixed Array ("FAHD"/"FADB") — fixed-shape chunked datasets. */
   final case class FixedArray(pageBits: Int) extends ChunkIndex
 
+  /** Extensible Array ("EAHD"/"EAIB"/"EASB"/"EADB") — single-unlimited-
+    * dimension chunked datasets under `libver='latest'` (the typical
+    * unlimited-time case). Creation parameters are read from the EAHD
+    * header, so none are kept here. */
+  case object ExtensibleArray extends ChunkIndex
+
   /** chunkDims excludes the trailing element-size pseudo-dimension.
     * `indexAddr` is the chunk B-tree root (v1), the FA header, the implicit
     * base address, or the single chunk's data address. */
@@ -262,9 +268,12 @@ private[sources] object Hdf5 {
                 } else SingleChunk(None, 0)
               case 2 => ImplicitIndex
               case 3 => val pb = body(p) & 0xff; p += 1; FixedArray(pb)
-              case 4 => throw new IllegalArgumentException(
-                "extensible-array chunk index (unlimited-dimension libver-latest " +
-                  "dataset) not supported; rewrite with default library settings")
+              case 4 =>
+                // 5 creation params (also stored in the EAHD header, which
+                // the walker reads): max-bits, index-elmts, min-ptrs,
+                // min-elmts, page-bits
+                p += 5
+                ExtensibleArray
               case 5 => throw new IllegalArgumentException(
                 "v2 B-tree chunk index (multi-unlimited libver-latest dataset) " +
                   "not supported; rewrite with default library settings")
@@ -496,6 +505,7 @@ private[sources] object Hdf5 {
           ChunkRef(org, layout.indexAddr + i * chunkBytes, chunkBytes.toInt, 0)
         }
       case FixedArray(_) => fixedArrayChunks(src, ds, layout)
+      case ExtensibleArray => extensibleArrayChunks(src, ds, layout)
     }
   }
 
@@ -592,6 +602,118 @@ private[sources] object Hdf5 {
         val sz = le(java.util.Arrays.copyOf(szRaw, 8)).getLong(0)
         val mask = eb.getInt(p + 8 + szLen)
         Some(ChunkRef(org, addr, sz.toInt, mask))
+      }
+    }
+  }
+
+  /** Walk an Extensible Array chunk index — the `libver='latest'` index for
+    * a single unlimited dimension (typically time).
+    *
+    * Structure (HDF5 spec III.A.2, mirrored by the public H5EA sources):
+    * the "EAHD" header carries the creation parameters and the index-block
+    * address; the "EAIB" index block stores the first `idxBlkElmts` elements
+    * inline, then direct data-block addresses for the first
+    * `2·log2(supBlkMinDataPtrs)` super blocks, then super-block addresses;
+    * "EASB" super blocks hold further data-block addresses; "EADB" data
+    * blocks hold the elements. Super block `u` has `2^(u/2)` data blocks of
+    * `2^((u+1)/2)·dataBlkMinElmts` elements each — the doubling that makes
+    * appends O(1) amortized. Elements are chunk addresses (client 0) or
+    * address+size+mask triples (client 1, filtered).
+    *
+    * Paged data blocks (element count above `2^maxDblkPageNelmtsBits`,
+    * reached only past ~131 k chunks at the library defaults) are rejected
+    * with a clear error. */
+  private def extensibleArrayChunks(src: ByteSource, ds: Dataset, layout: Chunked): Seq[ChunkRef] = {
+    if (layout.indexAddr == Undef) return Seq.empty
+    val hdr = src.read(layout.indexAddr, 72)
+    require(hdr.take(4).sameElements("EAHD".getBytes),
+      s"bad Extensible Array header at ${layout.indexAddr}")
+    val client = hdr(5) & 0xff
+    val elemSize = hdr(6) & 0xff
+    val maxBits = hdr(7) & 0xff
+    val idxBlkElmts = hdr(8) & 0xff
+    val minElmts = hdr(9) & 0xff
+    val supMinPtrs = hdr(10) & 0xff
+    val pageBits = hdr(11) & 0xff
+    val iblkAddr = le(hdr).getLong(60)
+    if (iblkAddr == Undef) return Seq.empty
+    val arrOffSize = (maxBits + 7) / 8
+    val rawChunkBytes = layout.chunkDims.map(_.toLong).product * ds.dtype.size
+
+    def log2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+    // super-block geometry (H5EA__hdr_init)
+    val nsblks = 1 + (maxBits - log2(minElmts))
+    val ndblksOf = (u: Int) => 1 << (u / 2)
+    val dblkNelmtsOf = (u: Int) => (1 << ((u + 1) / 2)) * minElmts
+    val startIdx = new Array[Long](nsblks); val startDblk = new Array[Long](nsblks)
+    var si = 0L; var sd = 0L
+    (0 until nsblks).foreach { u =>
+      startIdx(u) = si; startDblk(u) = sd
+      si += ndblksOf(u).toLong * dblkNelmtsOf(u); sd += ndblksOf(u)
+    }
+    // index-block geometry (H5EA__iblock_alloc)
+    val nsblksIb = 2 * log2(supMinPtrs)
+    val ndblkAddrsIb = (0 until nsblksIb).map(ndblksOf).sum
+    val nsblkAddrs = nsblks - nsblksIb
+
+    // index block: prelude(14) + inline elements + dblk addrs + sblk addrs
+    val ibBody = le(src.read(iblkAddr + 14,
+      idxBlkElmts * elemSize + (ndblkAddrsIb + nsblkAddrs) * 8))
+    require(src.read(iblkAddr, 4).sameElements("EAIB".getBytes),
+      s"bad Extensible Array index block at $iblkAddr")
+
+    def decodeElem(b: ByteBuffer, p: Int, origin: Seq[Long]): Option[ChunkRef] = {
+      val addr = b.getLong(p)
+      if (addr == Undef) None
+      else if (client == 0) Some(ChunkRef(origin, addr, rawChunkBytes.toInt, 0))
+      else {
+        val szLen = elemSize - 12
+        val szRaw = new Array[Byte](8)
+        (0 until szLen).foreach(i => szRaw(i) = b.get(p + 8 + i))
+        val sz = le(szRaw).getLong(0)
+        Some(ChunkRef(origin, addr, sz.toInt, b.getInt(p + 8 + szLen)))
+      }
+    }
+
+    // cache data-block element buffers and super-block address buffers
+    val dblkCache = scala.collection.mutable.HashMap.empty[Long, ByteBuffer]
+    def dblkElems(addr: Long, nelmts: Int): ByteBuffer =
+      dblkCache.getOrElseUpdate(addr, {
+        require(src.read(addr, 4).sameElements("EADB".getBytes),
+          s"bad Extensible Array data block at $addr")
+        le(src.read(addr + 14 + arrOffSize, nelmts * elemSize))
+      })
+    val sblkCache = scala.collection.mutable.HashMap.empty[Long, ByteBuffer]
+    def sblkAddrsOf(addr: Long, u: Int): ByteBuffer =
+      sblkCache.getOrElseUpdate(addr, {
+        require(src.read(addr, 4).sameElements("EASB".getBytes),
+          s"bad Extensible Array super block at $addr")
+        le(src.read(addr + 14 + arrOffSize, ndblksOf(u) * 8))
+      })
+
+    val origins = gridOrigins(ds.dims, layout.chunkDims)
+    origins.zipWithIndex.flatMap { case (org, k) =>
+      if (k < idxBlkElmts) decodeElem(ibBody, k * elemSize, org)
+      else {
+        val k1 = (k - idxBlkElmts).toLong
+        val u = 63 - java.lang.Long.numberOfLeadingZeros(k1 / minElmts + 1)
+        val dn = dblkNelmtsOf(u)
+        require(dn <= (1 << pageBits),
+          s"paged Extensible Array data block ($dn elements > 2^$pageBits per page) " +
+            "not supported — reachable only past ~131k chunks at library defaults")
+        val within = k1 - startIdx(u)
+        val dblkIdx = (within / dn).toInt
+        val elemIdx = (within % dn).toInt
+        val dblkAddr =
+          if (u < nsblksIb)
+            ibBody.getLong(idxBlkElmts * elemSize + (startDblk(u) + dblkIdx).toInt * 8)
+          else {
+            val sAddr = ibBody.getLong(
+              idxBlkElmts * elemSize + ndblkAddrsIb * 8 + (u - nsblksIb) * 8)
+            if (sAddr == Undef) Undef else sblkAddrsOf(sAddr, u).getLong(dblkIdx * 8)
+          }
+        if (dblkAddr == Undef) None
+        else decodeElem(dblkElems(dblkAddr, dn), elemIdx * elemSize, org)
       }
     }
   }
@@ -801,6 +923,47 @@ private[sources] object Hdf5 {
           (0 until nPages).map(p => math.min(pageElems, n - p * pageElems) * faEntry + 4).sum
       }
     }
+    // Extensible Array geometry (client 1, element = addr 8 + size 8 + mask
+    // 4). "ea" keeps data-block addressing inside the index block for up to
+    // 64 chunks; "ea-sblk" shrinks supMinPtrs to 2 so tests past 16 chunks
+    // exercise the super-block indirection too.
+    final case class EaGeom(supMinPtrs: Int, n: Int) {
+      val elemSize = 20; val maxBits = 32; val idxBlkElmts = 4
+      val minElmts = 4; val pageBits = 10
+      val arrOffSize: Int = (maxBits + 7) / 8
+      private def log2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
+      val nsblks: Int = 1 + (maxBits - log2(minElmts))
+      def ndblksOf(u: Int): Int = 1 << (u / 2)
+      def dblkNelmtsOf(u: Int): Int = (1 << ((u + 1) / 2)) * minElmts
+      val startIdx: Array[Long] = new Array[Long](nsblks)
+      val startDblk: Array[Long] = new Array[Long](nsblks)
+      locally { var si = 0L; var sd = 0L
+        (0 until nsblks).foreach { u =>
+          startIdx(u) = si; startDblk(u) = sd
+          si += ndblksOf(u).toLong * dblkNelmtsOf(u); sd += ndblksOf(u) } }
+      val nsblksIb: Int = 2 * log2(supMinPtrs)
+      val ndblkAddrsIb: Int = (0 until nsblksIb).map(ndblksOf).sum
+      val nsblkAddrs: Int = nsblks - nsblksIb
+      /** (super block u, dblk index within u) for linear chunk k ≥ idxBlkElmts. */
+      def locate(k: Int): (Int, Int, Int) = {
+        val k1 = (k - idxBlkElmts).toLong
+        val u = 63 - java.lang.Long.numberOfLeadingZeros(k1 / minElmts + 1)
+        val within = k1 - startIdx(u)
+        (u, (within / dblkNelmtsOf(u)).toInt, (within % dblkNelmtsOf(u)).toInt)
+      }
+      /** Data blocks actually used, in emission order. */
+      val usedDblks: Seq[(Int, Int)] =
+        (idxBlkElmts until n).map(locate).map(t => (t._1, t._2)).distinct.sorted
+      val usedSblks: Seq[Int] = usedDblks.map(_._1).filter(_ >= nsblksIb).distinct.sorted
+      val iblkSize: Int = 14 + idxBlkElmts * elemSize + (ndblkAddrsIb + nsblkAddrs) * 8 + 4
+      def dblkSize(u: Int): Int = 14 + arrOffSize + dblkNelmtsOf(u) * elemSize + 4
+      def sblkSize(u: Int): Int = 14 + arrOffSize + ndblksOf(u) * 8 + 4
+      val totalSize: Int = 72 + iblkSize + usedDblks.map(t => dblkSize(t._1)).sum +
+        usedSblks.map(sblkSize).sum
+      require(usedDblks.forall(t => dblkNelmtsOf(t._1) <= (1 << pageBits)),
+        "writer does not emit paged EA data blocks")
+    }
+    def eaGeom(v4: String, n: Int): EaGeom = EaGeom(if (v4 == "ea-sblk") 2 else 4, n)
     val plans = sorted.map { v =>
       val n = v.dims.map(_.toLong).product
       require(n == v.values.length, s"${v.name}: shape/data mismatch")
@@ -813,6 +976,7 @@ private[sources] object Hdf5 {
         case Some("single") => 5 + rank1 * 8 + 1 + 12 + 8
         case Some("implicit") => 5 + rank1 * 8 + 1 + 8
         case Some("fa") | Some("fa-paged") => 5 + rank1 * 8 + 1 + 1 + 8
+        case Some("ea") | Some("ea-sblk") => 5 + rank1 * 8 + 1 + 5 + 8
         case Some(o) => throw new IllegalArgumentException(s"v4Index $o")
       }
       val filterBody = if (filtered) 8 + 16 + 16 else 0
@@ -876,6 +1040,11 @@ private[sources] object Hdf5 {
               cursor += 28 + fadbSize(faPageBits(v4, chunks.size), chunks.size)
               chunks.foreach { case (_, bytes) => cursor += bytes.length }
               Plan(v, ohAddr, Undef, faAddr, chunks)
+            case Some(v4 @ ("ea" | "ea-sblk")) =>
+              val eaAddr = cursor
+              cursor += eaGeom(v4, chunks.size).totalSize
+              chunks.foreach { case (_, bytes) => cursor += bytes.length }
+              Plan(v, ohAddr, Undef, eaAddr, chunks)
             case Some(o) => throw new IllegalArgumentException(s"v4Index $o")
           }
       }
@@ -957,6 +1126,7 @@ private[sources] object Hdf5 {
         val specific = v4 match {
           case "single" => 12
           case "implicit" => 0
+          case "ea" | "ea-sblk" => 5
           case _ => 1
         }
         val lb = ByteBuffer.allocate(5 + rank1 * 8 + 1 + specific + 8)
@@ -971,6 +1141,12 @@ private[sources] object Hdf5 {
             lb.putLong(p.dataAddr)
           case "implicit" =>
             lb.put(2.toByte).putLong(p.dataAddr)
+          case "ea" | "ea-sblk" =>
+            val g = eaGeom(v4, p.chunks.size)
+            lb.put(4.toByte)
+            lb.put(g.maxBits.toByte).put(g.idxBlkElmts.toByte)
+              .put(g.supMinPtrs.toByte).put(g.minElmts.toByte).put(g.pageBits.toByte)
+            lb.putLong(p.btAddr)
           case _ =>
             lb.put(3.toByte).put(faPageBits(v4, p.chunks.size).toByte).putLong(p.btAddr)
         }
@@ -1018,6 +1194,70 @@ private[sources] object Hdf5 {
           p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
         case Some("single") | Some("implicit") =>
           require(pos == p.dataAddr)
+          p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
+        case Some(v4 @ ("ea" | "ea-sblk")) =>
+          // Extensible Array: EAHD, EAIB, data blocks, super blocks, chunks
+          require(pos == p.btAddr)
+          val g = eaGeom(v4, p.chunks.size)
+          val n = p.chunks.size
+          val iblkAddr = p.btAddr + 72
+          // block addresses, in emission order after the index block
+          var a = iblkAddr + g.iblkSize
+          val dblkAddr = g.usedDblks.map { t => val r = t -> a; a += g.dblkSize(t._1); r }.toMap
+          val sblkAddr = g.usedSblks.map { u => val r = u -> a; a += g.sblkSize(u); r }.toMap
+          require(a == p.btAddr + g.totalSize)
+          var dataAddr = a
+          val chunkLoc = p.chunks.map { case (_, bytes) =>
+            val r = (dataAddr, bytes.length); dataAddr += bytes.length; r
+          }
+          def elem(k: Int): Array[Byte] = {
+            val eb = ByteBuffer.allocate(g.elemSize).order(ByteOrder.LITTLE_ENDIAN)
+            if (k < n) eb.putLong(chunkLoc(k)._1).putLong(chunkLoc(k)._2.toLong).putInt(0)
+            else { (0 until g.elemSize).foreach(_ => eb.put(0xff.toByte)) }
+            eb.array()
+          }
+          // EAHD: params, stats, index-block address
+          out.write("EAHD".getBytes)
+          out.write(Array[Byte](0, 1)) // version, client 1 (filtered chunks)
+          out.write(Array[Byte](g.elemSize.toByte, g.maxBits.toByte, g.idxBlkElmts.toByte,
+            g.minElmts.toByte, g.supMinPtrs.toByte, g.pageBits.toByte))
+          out.write(u64(g.usedSblks.size.toLong))
+          out.write(u64(g.usedSblks.map(g.sblkSize(_).toLong).sum))
+          out.write(u64(g.usedDblks.size.toLong))
+          out.write(u64(g.usedDblks.map(t => g.dblkSize(t._1).toLong).sum))
+          out.write(u64(math.max(0L, n.toLong - 1))); out.write(u64(n.toLong))
+          out.write(u64(iblkAddr)); out.write(u32(0)) // checksum unverified
+          // EAIB: inline elements, direct data-block addrs, super-block addrs
+          require(pos == iblkAddr)
+          out.write("EAIB".getBytes); out.write(Array[Byte](0, 1))
+          out.write(u64(p.btAddr))
+          (0 until g.idxBlkElmts).foreach(k => out.write(elem(k)))
+          (0 until g.nsblksIb).foreach { u =>
+            (0 until g.ndblksOf(u)).foreach { di =>
+              out.write(u64(dblkAddr.getOrElse((u, di), Undef)))
+            }
+          }
+          (g.nsblksIb until g.nsblks).foreach(u => out.write(u64(sblkAddr.getOrElse(u, Undef))))
+          out.write(u32(0))
+          // EADB data blocks
+          g.usedDblks.foreach { case (u, di) =>
+            require(pos == dblkAddr((u, di)))
+            out.write("EADB".getBytes); out.write(Array[Byte](0, 1))
+            out.write(u64(p.btAddr))
+            out.write(u32((g.idxBlkElmts + g.startIdx(u) + di.toLong * g.dblkNelmtsOf(u)).toInt))
+            val base = g.idxBlkElmts + g.startIdx(u).toInt + di * g.dblkNelmtsOf(u)
+            (0 until g.dblkNelmtsOf(u)).foreach(e => out.write(elem(base + e)))
+            out.write(u32(0))
+          }
+          // EASB super blocks
+          g.usedSblks.foreach { u =>
+            require(pos == sblkAddr(u))
+            out.write("EASB".getBytes); out.write(Array[Byte](0, 1))
+            out.write(u64(p.btAddr))
+            out.write(u32((g.idxBlkElmts + g.startIdx(u)).toInt))
+            (0 until g.ndblksOf(u)).foreach(di => out.write(u64(dblkAddr.getOrElse((u, di), Undef))))
+            out.write(u32(0))
+          }
           p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
         case Some(v4) =>
           // Fixed Array: FAHD, FADB (paged or not), then the chunk data

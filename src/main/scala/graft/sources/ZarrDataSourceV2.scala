@@ -13,9 +13,9 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.util.SerializableConfiguration
 
-/** Zarr v2 as a first-class Spark DataSourceV2: `spark.read.format("zarr")
+/** Zarr v2/v3 as a first-class Spark DataSourceV2: `spark.read.format("zarr")
   * .load(dir)` yields `(t_idx INT, y INT, x INT, value DOUBLE)` for a 3-D
-  * (time, y, x) array, with
+  * (time, y, x) array (v2 `.zarray` or v3 `zarr.json` auto-detected), with
   *
   *  - **filter pushdown**: `t_idx` range predicates prune whole chunk FILES
   *    at planning time — the Zarr analogue of Parquet row-group pruning —
@@ -121,13 +121,13 @@ private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
     val t0 = math.max(tLo, 0); val t1 = math.min(tHi, nt - 1)
     def keepT(ci: Int): Boolean = ci * ct <= t1 && ci * ct + ct - 1 >= t0
 
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val present = fs.listStatus(p).toSeq.map(_.getPath)
-      .filter(_.getName.matches("\\d+\\.\\d+\\.\\d+"))
-      .map { q =>
-        val Array(a, b, c) = q.getName.split('.').map(_.toInt)
-        (a, b, c) -> q.toString
+    val glob = ZarrSource.chunkGlob(meta, path, 3)
+    val gp = new org.apache.hadoop.fs.Path(glob)
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = Option(fs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap { st =>
+        ZarrSource.parseChunkKey(meta, st.getPath.toString, 3)
+          .map { ci => (ci(0), ci(1), ci(2)) -> st.getPath.toString }
       }.toMap
 
     (for {
@@ -139,11 +139,7 @@ private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
   }
 
   private def readDirMeta(spark: org.apache.spark.sql.SparkSession): ZarrSource.ZarrMeta = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/.zarray")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val json = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-    val meta = ZarrSource.readMeta(json)
+    val meta = ZarrSource.readMetaAny(path, spark.sparkContext.hadoopConfiguration)
     require(meta.shape.length == 3, s"zarr DSv2 expects a 3-D array, got ${meta.shape}")
     require(meta.order == "C", "only C-order zarr supported")
     meta
@@ -181,10 +177,11 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
             in.readFully(0, b, 0, b.length)
             b
           } finally in.close()
-          ZarrSource.decompress(bytes, meta.compressor, ct * cy * cx * bp)
+          ZarrSource.decodeChunk(bytes, meta, ct * cy * cx * bp)
         }
       private val buf =
-        if (raw == null) null else ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        if (raw == null) null
+        else ByteBuffer.wrap(raw).order(ZarrSource.byteOrderOf(meta.dtype))
 
       private var i = -1
       private var t = 0; private var yy = 0; private var xx = 0; private var v = 0.0
@@ -198,13 +195,7 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
           if (t < nt && yy < ny && xx < nx && t >= t0 && t <= t1) {
             v =
               if (raw == null) meta.fillValue
-              else meta.dtype match {
-                case "<f4" => buf.getFloat(i * bp).toDouble
-                case "<f8" => buf.getDouble(i * bp)
-                case "<i4" => buf.getInt(i * bp).toDouble
-                case "<i8" => buf.getLong(i * bp).toDouble
-                case _ => (raw(i) & 0xff).toDouble
-              }
+              else ZarrSource.cellValue(raw, buf, meta.dtype, i, bp)
             return true
           }
         }

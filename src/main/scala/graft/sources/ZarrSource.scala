@@ -8,14 +8,19 @@ import org.apache.spark.sql.functions._
 import org.json4s._
 import org.json4s.jackson.JsonMethods
 
-/** Zarr v2 directory ingest — the reference's native storage format
-  * (marEx reads/writes zarr throughout, e.g. detect.py:409, track.py:1748).
+/** Zarr v2 + v3 directory ingest — the reference's native storage format
+  * (marEx reads/writes zarr throughout, e.g. detect.py:409, track.py:1748;
+  * zarr-python ≥3 / current xarray write the v3 layout by default).
   *
-  * Scope: C-order little-endian arrays, dtypes <f4 <f8 <i4 <i8 |b1, with
-  * raw, zlib, or blosc-lz4 (byte-shuffle, split/memcpy frames — [[Blosc]])
-  * chunk compression. That covers the reference's own test fixtures (written
-  * with the zarr default blosc/lz4/shuffle=1) and anything written with
-  * `compressor=zlib/None`.
+  * Scope: C-order arrays, either endianness, dtypes f4 f8 i4 i8 and the
+  * 1-byte family. v2 chunk compression: raw, zlib, or blosc-lz4
+  * (byte-shuffle, split/memcpy frames — [[Blosc]]); that covers the
+  * reference's own fixtures (zarr v2 default blosc/lz4/shuffle=1) and
+  * `compressor=zlib/None`. v3 codec chains: `bytes` (either endian) +
+  * optional `gzip`/`zstd`/`blosc` compression + optional trailing `crc32c`
+  * (verified) — zarr-python 3's default chain is `bytes → zstd`. The
+  * `transpose` and `sharding_indexed` codecs are rejected with a clear
+  * error, as is the v1 layout.
   *
   * Execution shape: chunk files are the unit of parallelism — each becomes
   * one task decoding one chunk into long-format rows, so ingest scales with
@@ -27,9 +32,25 @@ import org.json4s.jackson.JsonMethods
   */
 object ZarrSource {
 
+  /** v3 codec-chain entry (array→bytes or bytes→bytes). Compression levels
+    * only matter on write, so readers keep none of the configuration except
+    * the `bytes` endianness — which is folded into [[ZarrMeta.dtype]]. */
+  sealed trait V3Codec extends Serializable
+  case object GzipC extends V3Codec
+  case object ZstdC extends V3Codec
+  case object BloscC extends V3Codec
+  case object Crc32cC extends V3Codec
+
+  /** Unified v2/v3 metadata. `dtype` is always a v2-style code whose
+    * prefix carries endianness (`<f8`, `>i4`, `|b1`) — for v3 the prefix
+    * comes from the `bytes` codec. `keyPrefix`/`keySep` describe chunk-file
+    * naming: v2 = ("", "."); v3 default encoding = ("c", "/" or "."); v3
+    * "v2" encoding = ("", sep). */
   final case class ZarrMeta(
       shape: Seq[Int], chunks: Seq[Int], dtype: String,
-      compressor: Option[String], fillValue: Double, order: String)
+      compressor: Option[String], fillValue: Double, order: String,
+      format: Int = 2, keyPrefix: String = "", keySep: String = ".",
+      v3Codecs: Seq[V3Codec] = Nil)
 
   /** Parse `.zarray` metadata (JSON; json4s ships with Spark). */
   def readMeta(zarrayJson: String): ZarrMeta = {
@@ -51,11 +72,192 @@ object ZarrSource {
     ZarrMeta(shape, chunks, dtype, comp, fill, order)
   }
 
-  private[sources] def bytesPer(dtype: String): Int = dtype match {
-    case "<f4" | "<i4" => 4
-    case "<f8" | "<i8" => 8
-    case "|b1" | "|i1" | "|u1" => 1
-    case other => throw new IllegalArgumentException(s"unsupported zarr dtype $other")
+  /** Parse v3 `zarr.json` array metadata into the unified [[ZarrMeta]]. */
+  def readMetaV3(zarrJson: String): ZarrMeta = {
+    implicit val fmts: Formats = DefaultFormats
+    val j = JsonMethods.parse(zarrJson)
+    require((j \ "zarr_format").extract[Int] == 3, "zarr.json is not zarr_format 3")
+    require((j \ "node_type").extract[String] == "array",
+      "zarr.json node_type must be 'array' (open the array directory, not the group)")
+    val shape = (j \ "shape").extract[Seq[Int]]
+    val grid = j \ "chunk_grid"
+    require((grid \ "name").extract[String] == "regular",
+      s"unsupported chunk_grid '${(grid \ "name").extract[String]}' (only 'regular')")
+    val chunks = (grid \ "configuration" \ "chunk_shape").extract[Seq[Int]]
+    val fill = (j \ "fill_value") match {
+      case JDouble(d) => d
+      case JInt(i) => i.toDouble
+      case JLong(i) => i.toDouble
+      case JBool(b) => if (b) 1.0 else 0.0
+      case JString("NaN") => Double.NaN
+      case JString("Infinity") => Double.PositiveInfinity
+      case JString("-Infinity") => Double.NegativeInfinity
+      case _ => Double.NaN
+    }
+    // key encoding: default = "c" prefix, sep "/" unless configured "."
+    val (kp, ks) = (j \ "chunk_key_encoding") match {
+      case JNothing | JNull => ("c", "/")
+      case enc =>
+        val sep = (enc \ "configuration" \ "separator").extractOrElse[String]("/")
+        (enc \ "name").extract[String] match {
+          case "default" => ("c", sep)
+          case "v2" => ("", sep)
+          case other => throw new IllegalArgumentException(
+            s"unsupported chunk_key_encoding '$other'")
+        }
+    }
+    // codec chain: exactly one array→bytes codec ("bytes"), which sets
+    // endianness; everything after it is bytes→bytes
+    var little = true
+    val codecs = (j \ "codecs") match {
+      case JArray(cs) => cs.flatMap { c =>
+        (c \ "name").extract[String] match {
+          case "bytes" | "endian" =>
+            little = (c \ "configuration" \ "endian")
+              .extractOrElse[String]("little") == "little"
+            None
+          case "gzip" => Some(GzipC)
+          case "zstd" => Some(ZstdC)
+          case "blosc" => Some(BloscC)
+          case "crc32c" => Some(Crc32cC)
+          case "transpose" => throw new IllegalArgumentException(
+            "zarr v3 'transpose' codec not supported (rewrite in C order)")
+          case "sharding_indexed" => throw new IllegalArgumentException(
+            "zarr v3 sharded arrays not supported (rewrite without the " +
+              "sharding_indexed codec)")
+          case other => throw new IllegalArgumentException(
+            s"unsupported zarr v3 codec '$other'")
+        }
+      }
+      case _ => Nil
+    }
+    val pre = if (little) "<" else ">"
+    val dtype = (j \ "data_type").extract[String] match {
+      case "float64" => pre + "f8"
+      case "float32" => pre + "f4"
+      case "int64" => pre + "i8"
+      case "int32" => pre + "i4"
+      case "bool" => "|b1"
+      case "int8" => "|i1"
+      case "uint8" => "|u1"
+      case other => throw new IllegalArgumentException(
+        s"unsupported zarr v3 data_type '$other'")
+    }
+    ZarrMeta(shape, chunks, dtype, None, fill, "C",
+      format = 3, keyPrefix = kp, keySep = ks, v3Codecs = codecs)
+  }
+
+  /** Read a directory's array metadata: v3 `zarr.json` if present, else v2
+    * `.zarray`, via the Hadoop FS API (works on any supported filesystem). */
+  def readMetaAny(dir: String, conf: org.apache.hadoop.conf.Configuration): ZarrMeta = {
+    val d = new org.apache.hadoop.fs.Path(dir)
+    val fs = d.getFileSystem(conf)
+    def slurp(p: org.apache.hadoop.fs.Path): String = {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    }
+    val v3 = new org.apache.hadoop.fs.Path(dir, "zarr.json")
+    if (fs.exists(v3)) readMetaV3(slurp(v3))
+    else readMeta(slurp(new org.apache.hadoop.fs.Path(dir, ".zarray")))
+  }
+
+  private[sources] def bytesPer(dtype: String): Int = dtype.substring(1) match {
+    case "f4" | "i4" => 4
+    case "f8" | "i8" => 8
+    case "b1" | "i1" | "u1" => 1
+    case _ => throw new IllegalArgumentException(s"unsupported zarr dtype $dtype")
+  }
+
+  private[sources] def byteOrderOf(dtype: String): ByteOrder =
+    if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
+
+  /** Decode one numeric cell from a chunk's raw bytes. */
+  private[sources] def cellValue(raw: Array[Byte], buf: ByteBuffer, dtype: String,
+      i: Int, bp: Int): Double = dtype.substring(1) match {
+    case "f4" => buf.getFloat(i * bp).toDouble
+    case "f8" => buf.getDouble(i * bp)
+    case "i4" => buf.getInt(i * bp).toDouble
+    case "i8" => buf.getLong(i * bp).toDouble
+    case _ => (raw(i) & 0xff).toDouble
+  }
+
+  /** Chunk-file path (relative to the array dir) for grid index `ci`. */
+  private[sources] def chunkKey(meta: ZarrMeta, ci: Seq[Int]): String = {
+    val parts = if (meta.keyPrefix.isEmpty) ci.map(_.toString)
+      else meta.keyPrefix +: ci.map(_.toString)
+    parts.mkString(meta.keySep)
+  }
+
+  /** Parse a chunk file's (possibly nested) path back to its grid index,
+    * or None for non-chunk files (metadata, attributes …). */
+  private[sources] def parseChunkKey(meta: ZarrMeta, fullPath: String,
+      nd: Int): Option[Seq[Int]] = {
+    val segs = fullPath.split('/').filter(_.nonEmpty)
+    val tailSegs =
+      if (meta.keySep == "/") {
+        val need = nd + (if (meta.keyPrefix.isEmpty) 0 else 1)
+        if (segs.length < need) return None
+        segs.takeRight(need).toSeq
+      } else {
+        segs.lastOption.toSeq.flatMap(_.split(java.util.regex.Pattern.quote(meta.keySep)).toSeq)
+      }
+    val idx = if (meta.keyPrefix.nonEmpty) {
+      if (tailSegs.headOption.contains(meta.keyPrefix)) tailSegs.tail else return None
+    } else tailSegs
+    if (idx.length == nd && idx.forall(_.matches("\\d+"))) Some(idx.map(_.toInt))
+    else None
+  }
+
+  /** Glob matching every chunk file of an `nd`-dimensional array. */
+  private[sources] def chunkGlob(meta: ZarrMeta, dir: String, nd: Int): String =
+    if (meta.keySep == "/") {
+      val stars = Seq.fill(nd)("*").mkString("/")
+      if (meta.keyPrefix.isEmpty) s"$dir/$stars" else s"$dir/${meta.keyPrefix}/$stars"
+    } else s"$dir/*"
+
+  /** Decode a chunk file's bytes to the raw C-order cell bytes, whatever
+    * the format: v2 compressor or v3 codec chain (applied in reverse —
+    * trailing crc32c verified and stripped first). */
+  private[sources] def decodeChunk(data: Array[Byte], meta: ZarrMeta,
+      rawLen: Int): Array[Byte] = {
+    if (meta.format == 2) decompress(data, meta.compressor, rawLen)
+    else {
+      var cur = data
+      meta.v3Codecs.reverse.foreach {
+        case Crc32cC =>
+          require(cur.length >= 4, "crc32c codec: chunk shorter than checksum")
+          val crc = new java.util.zip.CRC32C
+          crc.update(cur, 0, cur.length - 4)
+          val stored = ByteBuffer.wrap(cur, cur.length - 4, 4)
+            .order(ByteOrder.LITTLE_ENDIAN).getInt
+          if (stored != crc.getValue.toInt)
+            throw new java.io.IOException(
+              f"crc32c mismatch: stored 0x$stored%08x computed 0x${crc.getValue.toInt}%08x")
+          cur = java.util.Arrays.copyOf(cur, cur.length - 4)
+        case GzipC =>
+          val in = new java.util.zip.GZIPInputStream(
+            new java.io.ByteArrayInputStream(cur))
+          val out = new Array[Byte](rawLen)
+          var off = 0
+          try {
+            while (off < rawLen) {
+              val n = in.read(out, off, rawLen - off)
+              if (n < 0) throw new java.io.IOException(
+                s"truncated gzip chunk: decoded $off of $rawLen bytes")
+              off += n
+            }
+          } finally in.close()
+          cur = out
+        case ZstdC =>
+          cur = com.github.luben.zstd.Zstd.decompress(cur, rawLen)
+        case BloscC =>
+          cur = Blosc.decompress(cur)
+      }
+      if (cur.length != rawLen)
+        throw new java.io.IOException(
+          s"zarr v3 chunk decoded to ${cur.length} bytes, expected $rawLen")
+      cur
+    }
   }
 
   private[sources] def decompress(data: Array[Byte], compressor: Option[String], rawLen: Int): Array[Byte] =
@@ -94,11 +296,10 @@ object ZarrSource {
 
   /** Driver-side dense read of a small N-D zarr array (coordinate axes,
     * masks — things that are broadcast anyway). Returns the shape and the
-    * C-order flat values; missing chunk files read as fill_value. */
+    * C-order flat values; missing chunk files read as fill_value. Accepts
+    * both v2 and v3 layouts. */
   def readLocalND(dir: String): (Seq[Int], Array[Double]) = {
-    val metaJson = new String(java.nio.file.Files.readAllBytes(
-      java.nio.file.Paths.get(s"$dir/.zarray")))
-    val meta = readMeta(metaJson)
+    val meta = readMetaAny(dir, new org.apache.hadoop.conf.Configuration())
     require(meta.order == "C", "only C-order zarr supported")
     val shape = meta.shape
     val chunks = meta.chunks
@@ -112,11 +313,11 @@ object ZarrSource {
         acc.flatMap(prefix => (0 until n).iterator.map(prefix :+ _))
       }
     for (ci <- gridIndices(nChunks)) {
-      val f = new java.io.File(s"$dir/${ci.mkString(".")}")
+      val f = new java.io.File(dir, chunkKey(meta, ci))
       if (f.exists()) {
-        val raw = decompress(java.nio.file.Files.readAllBytes(f.toPath),
-          meta.compressor, chunks.product * bp)
-        val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+        val raw = decodeChunk(java.nio.file.Files.readAllBytes(f.toPath),
+          meta, chunks.product * bp)
+        val buf = ByteBuffer.wrap(raw).order(byteOrderOf(meta.dtype))
         val chunkLen = chunks.product
         val coords = new Array[Int](nd)
         var i = 0
@@ -134,16 +335,7 @@ object ZarrSource {
             else flat = flat * shape(d) + g
             d += 1
           }
-          if (inBounds) {
-            val v = meta.dtype match {
-              case "<f4" => buf.getFloat(i * bp).toDouble
-              case "<f8" => buf.getDouble(i * bp)
-              case "<i4" => buf.getInt(i * bp).toDouble
-              case "<i8" => buf.getLong(i * bp).toDouble
-              case "|b1" | "|i1" | "|u1" => (raw(i) & 0xff).toDouble
-            }
-            out(flat.toInt) = v
-          }
+          if (inBounds) out(flat.toInt) = cellValue(raw, buf, meta.dtype, i, bp)
           i += 1
         }
       }
@@ -159,28 +351,24 @@ object ZarrSource {
   def read3D(spark: SparkSession, dir: String,
       timeRange: Option[(Int, Int)] = None): DataFrame = {
     import spark.implicits._
-    val zarrayPath = new java.io.File(s"$dir/.zarray")
-    val metaJson = new String(java.nio.file.Files.readAllBytes(zarrayPath.toPath))
-    val meta = readMeta(metaJson)
+    val meta = readMetaAny(dir, spark.sparkContext.hadoopConfiguration)
     require(meta.shape.length == 3, s"read3D expects 3-D array, got shape ${meta.shape}")
     require(meta.order == "C", "only C-order zarr supported")
     val Seq(nt, ny, nx) = meta.shape
     val Seq(ct, cy, cx) = meta.chunks
     val bp = bytesPer(meta.dtype)
     val dtype = meta.dtype
-    val comp = meta.compressor
+    val metaB = meta // stable reference for task closures
 
     // chunk-grid pruning on time
     val (t0, t1) = timeRange.getOrElse((0, nt - 1))
     val keepChunkT: Int => Boolean = ci => (ci * ct) <= t1 && (ci * ct + ct - 1) >= t0
 
-    val files = spark.sparkContext.binaryFiles(s"$dir/*", minPartitions = 8)
-      .filter { case (path, _) =>
-        val name = path.substring(path.lastIndexOf('/') + 1)
-        name.matches("\\d+\\.\\d+\\.\\d+") && keepChunkT(name.split('.')(0).toInt)
-      }
+    // v2 / v3-"." keys are flat files in the array dir; v3 default ("/")
+    // keys are nested one directory level per dimension
+    val glob = chunkGlob(meta, dir, 3)
 
-    // Zarr v2: a chunk file that does not exist means the whole chunk equals
+    // A chunk file that does not exist means the whole chunk equals
     // fill_value (writers elide empty chunks, e.g. write_empty_chunks=False).
     // Enumerate the expected chunk grid and synthesize fill_value rows for
     // the absent ones — otherwise those cells silently vanish from the long
@@ -189,13 +377,23 @@ object ZarrSource {
     // return null on non-local URIs and silently classify every chunk as
     // missing, duplicating each cell as value + fill_value.
     val present: Set[(Int, Int, Int)] = {
-      val p = new org.apache.hadoop.fs.Path(dir)
+      val p = new org.apache.hadoop.fs.Path(glob)
       val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.listStatus(p).toSeq.map(_.getPath.getName)
-        .filter(_.matches("\\d+\\.\\d+\\.\\d+"))
-        .map { n => val Array(a, b, c) = n.split('.').map(_.toInt); (a, b, c) }
+      Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+        .flatMap(st => parseChunkKey(meta, st.getPath.toString, 3))
+        .map { ci => (ci(0), ci(1), ci(2)) }
         .toSet
     }
+    // binaryFiles rejects a glob with zero matches — possible under the v3
+    // nested layout when every chunk was elided as all-fill
+    val files =
+      if (present.isEmpty)
+        spark.sparkContext.emptyRDD[(Seq[Int], org.apache.spark.input.PortableDataStream)]
+      else spark.sparkContext.binaryFiles(glob, minPartitions = 8)
+        .flatMap { case (path, stream) =>
+          parseChunkKey(metaB, path, 3).map(ci => (ci, stream))
+        }
+        .filter { case (ci, _) => keepChunkT(ci.head) }
     val missing = for {
       ci <- 0 until (nt + ct - 1) / ct if keepChunkT(ci)
       cj <- 0 until (ny + cy - 1) / cy
@@ -216,27 +414,18 @@ object ZarrSource {
         } yield (t, y, x, fill)
       }
 
-    val rows = files.flatMap { case (path, stream) =>
-      val name = path.substring(path.lastIndexOf('/') + 1)
-      val Array(ci, cj, ck) = name.split('.').map(_.toInt)
-      val raw = decompress(stream.toArray(), comp, ct * cy * cx * bp)
-      val buf = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    val rows = files.flatMap { case (cidx, stream) =>
+      val Seq(ci, cj, ck) = cidx
+      val raw = decodeChunk(stream.toArray(), metaB, ct * cy * cx * bp)
+      val buf = ByteBuffer.wrap(raw).order(byteOrderOf(dtype))
       val out = scala.collection.mutable.ArrayBuffer[(Int, Int, Int, Double)]()
       var i = 0
       while (i < ct * cy * cx) {
         val t = ci * ct + i / (cy * cx)
         val y = cj * cy + (i / cx) % cy
         val x = ck * cx + i % cx
-        if (t < nt && y < ny && x < nx && t >= t0 && t <= t1) {
-          val v = dtype match {
-            case "<f4" => buf.getFloat(i * bp).toDouble
-            case "<f8" => buf.getDouble(i * bp)
-            case "<i4" => buf.getInt(i * bp).toDouble
-            case "<i8" => buf.getLong(i * bp).toDouble
-            case "|b1" | "|i1" | "|u1" => (raw(i) & 0xff).toDouble
-          }
-          out += ((t, y, x, v))
-        }
+        if (t < nt && y < ny && x < nx && t >= t0 && t <= t1)
+          out += ((t, y, x, cellValue(raw, buf, dtype, i, bp)))
         i += 1
       }
       out
@@ -277,6 +466,81 @@ object ZarrSource {
         java.nio.file.Files.write(
           java.nio.file.Paths.get(s"$dir/$ci.$cj.$ck"), buf.array())
         s"$ci.$cj.$ck"
+      }
+      .collect() // materialize writes
+    ()
+  }
+
+  /** Distributed Zarr **v3** writer (sink dual of [[read3D]] for the layout
+    * zarr-python ≥3 / current xarray write by default): one task per chunk
+    * serializes its cells through the codec chain into a nested
+    * `c/t/y/x` chunk file. Missing cells become NaN.
+    *
+    * @param codecs bytes→bytes chain after the implicit little-endian
+    *               `bytes` codec, in chain order — any of [[GzipC]],
+    *               [[ZstdC]], [[Crc32cC]] (zarr-python 3's default chain is
+    *               `bytes → zstd`; pass `Seq(ZstdC, Crc32cC)` to also
+    *               checksum). */
+  def write3DV3(df: DataFrame, dir: String, shape: (Int, Int, Int),
+      chunks: (Int, Int, Int), codecs: Seq[V3Codec] = Seq(ZstdC)): Unit = {
+    require(!codecs.contains(BloscC), "v3 writer supports gzip/zstd/crc32c chains")
+    val (nt, ny, nx) = shape
+    val (ct, cy, cx) = chunks
+    new java.io.File(dir).mkdirs()
+    val codecJson = Seq("""{"name": "bytes", "configuration": {"endian": "little"}}""") ++
+      codecs.map {
+        case GzipC => """{"name": "gzip", "configuration": {"level": 5}}"""
+        case ZstdC => """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
+        case Crc32cC => """{"name": "crc32c"}"""
+        case BloscC => throw new IllegalArgumentException("unreachable")
+      }
+    val zarrJson =
+      s"""{"zarr_format": 3, "node_type": "array",
+          "shape": [$nt, $ny, $nx],
+          "data_type": "float64",
+          "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$ct, $cy, $cx]}},
+          "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+          "fill_value": "NaN",
+          "codecs": [${codecJson.mkString(", ")}],
+          "attributes": {}}"""
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/zarr.json"), zarrJson.getBytes)
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col("t_idx").cast("int"), col("y").cast("int"), col("x").cast("int"),
+      col("value").cast("double"))
+      .as[(Int, Int, Int, Double)]
+      .groupByKey(r => (r._1 / ct, r._2 / cy, r._3 / cx))
+      .mapGroups { (key: (Int, Int, Int), it: Iterator[(Int, Int, Int, Double)]) =>
+        val (ci, cj, ck) = key
+        val buf = ByteBuffer.allocate(ct * cy * cx * 8).order(ByteOrder.LITTLE_ENDIAN)
+        var i = 0
+        while (i < ct * cy * cx) { buf.putDouble(i * 8, Double.NaN); i += 1 }
+        it.foreach { case (t, y, x, v) =>
+          val idx = (t - ci * ct) * cy * cx + (y - cj * cy) * cx + (x - ck * cx)
+          buf.putDouble(idx * 8, v)
+        }
+        var cur = buf.array()
+        codecs.foreach {
+          case GzipC =>
+            val bos = new java.io.ByteArrayOutputStream()
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(cur); gz.close()
+            cur = bos.toByteArray
+          case ZstdC =>
+            cur = com.github.luben.zstd.Zstd.compress(cur, 3)
+          case Crc32cC =>
+            val crc = new java.util.zip.CRC32C
+            crc.update(cur, 0, cur.length)
+            val out = java.util.Arrays.copyOf(cur, cur.length + 4)
+            ByteBuffer.wrap(out, cur.length, 4).order(ByteOrder.LITTLE_ENDIAN)
+              .putInt(crc.getValue.toInt)
+            cur = out
+          case BloscC => throw new IllegalArgumentException("unreachable")
+        }
+        val f = new java.io.File(dir, s"c/$ci/$cj/$ck")
+        f.getParentFile.mkdirs()
+        java.nio.file.Files.write(f.toPath, cur)
+        s"c/$ci/$cj/$ck"
       }
       .collect() // materialize writes
     ()

@@ -101,4 +101,22 @@ object Hdf5PropertySpec extends Properties("Hdf5Layouts") {
     roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed),
       chunkDims = Some(cds), v4Index = Some("fa-paged")))
   }
+
+  property("v4ExtensibleArray") = forAll(shapeGen, Gen.long) { case ((dims, cds), seed) =>
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed),
+      chunkDims = Some(cds), v4Index = Some("ea")))
+  }
+
+  property("v4ExtensibleArraySuperBlocks") = forAll(shapeGen, Gen.long) { case ((dims, cds), seed) =>
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed),
+      chunkDims = Some(cds), v4Index = Some("ea-sblk")))
+  }
+
+  // deterministic deep EA: 500 single-element chunks push through many
+  // super-block generations (u up to ~13) behind the EASB indirection
+  property("v4ExtensibleArrayDeep") = {
+    val dims = Seq(500)
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, 42L),
+      chunkDims = Some(Seq(1)), v4Index = Some("ea-sblk")))
+  }
 }

@@ -195,7 +195,27 @@ class NetCDF4Spec extends SparkSpec {
     assert(NetCDF4Source.readLocal(spark, path, "v")._2.toSeq == vals.toSeq)
   }
 
-  test("v4 extensible-array / v2-btree indexes are rejected with a clear error") {
+  test("v4 extensible-array index round-trips (index block + data blocks)") {
+    // 20 chunks: 4 inline index-block elements + data blocks across the
+    // first super-block generations, all addressed from the index block
+    val (path, vals) = writeV4("ea", Seq(20, 2, 2), Seq(1, 2, 2))
+    assert(parsedIndex(path) == Hdf5.ExtensibleArray)
+    assert(NetCDF4Source.readLocal(spark, path, "v")._2.toSeq == vals.toSeq)
+    val out = NetCDF4Source.read3D(spark, path, "v", timeRange = Some((7, 12)))
+    assert(out.select("t_idx").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(7, 8, 9, 10, 11, 12))
+  }
+
+  test("v4 extensible-array index round-trips through super blocks") {
+    // supMinPtrs=2 keeps only 16 chunks inside the index block; the other
+    // 24 resolve through EASB super-block indirection, edge chunk included
+    val (path, vals) = writeV4("ea-sblk", Seq(79, 2, 2), Seq(2, 2, 2)) // 40 chunks, last partial
+    assert(parsedIndex(path) == Hdf5.ExtensibleArray)
+    assert(NetCDF4Source.readLocal(spark, path, "v")._2.toSeq == vals.toSeq)
+    assert(NetCDF4Source.read3D(spark, path, "v").count() == 79L * 2 * 2)
+  }
+
+  test("v4 v2-btree index is rejected with a clear error") {
     def v4Body(idxType: Int, specific: Array[Byte]): Array[Byte] = {
       val rank1 = 3
       val b = java.nio.ByteBuffer.allocate(5 + rank1 * 8 + 1 + specific.length + 8)
@@ -206,9 +226,9 @@ class NetCDF4Spec extends SparkSpec {
       b.array()
     }
     val src = new Hdf5.ByteSource { def read(off: Long, len: Int) = new Array[Byte](len) }
-    val ea = intercept[IllegalArgumentException](
-      Hdf5.parseLayout(src, v4Body(4, new Array[Byte](5))))
-    assert(ea.getMessage.contains("extensible-array"))
+    // extensible array (type 4) now parses; v2 B-tree (type 5) still rejects
+    assert(Hdf5.parseLayout(src, v4Body(4, new Array[Byte](5)))
+      .asInstanceOf[Hdf5.Chunked].index == Hdf5.ExtensibleArray)
     val bt = intercept[IllegalArgumentException](
       Hdf5.parseLayout(src, v4Body(5, new Array[Byte](6))))
     assert(bt.getMessage.contains("v2 B-tree"))
