@@ -744,6 +744,47 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells GROUP BY y"""),
-      "Zarr v3 sink + source round-trip (zarr-python 3 default layout: nested keys, zstd, crc32c)")
+      "Zarr v3 sink + source round-trip (zarr-python 3 default layout: nested keys, zstd, crc32c)"),
+
+    // ── Zarr v3 sharding: inner chunks + verified end-index per object ─────
+    QueryDef("q75_zarr3_sharded",
+      (s, d) => {
+        import graft.sources.ZarrSource
+        // q74's construction through `sharding_indexed` — the v3 feature
+        // that keeps object counts bounded at 100 TB (inner-chunk
+        // parallelism without billions of small store objects). The oracle
+        // recomputes from events, so a defect in shard assembly, the
+        // (offset, nbytes) index, inner-chunk elision, or the index crc32c
+        // mismatches.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("value"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q75_zarr3sh"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        ZarrSource.write3DV3(cells, dir, shape = (31, 10, 15), chunks = (16, 10, 15),
+          codecs = Seq(ZarrSource.ZstdC), innerChunks = Some((4, 5, 15)))
+        ZarrSource.read3D(s, dir, timeRange = Some((0, 30)))
+          .filter(!isnan(col("value")))
+          .groupBy(col("y").cast("long").as("y"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("value") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(y AS BIGINT) AS y,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells GROUP BY y"""),
+      "Zarr v3 sharded round-trip (inner chunks + verified end-index, bounded object count)")
   )
 }

@@ -18,9 +18,10 @@ import org.json4s.jackson.JsonMethods
   * reference's own fixtures (zarr v2 default blosc/lz4/shuffle=1) and
   * `compressor=zlib/None`. v3 codec chains: `bytes` (either endian) +
   * optional `gzip`/`zstd`/`blosc` compression + optional trailing `crc32c`
-  * (verified) — zarr-python 3's default chain is `bytes → zstd`. The
-  * `transpose` and `sharding_indexed` codecs are rejected with a clear
-  * error, as is the v1 layout.
+  * (verified) — zarr-python 3's default chain is `bytes → zstd` — plus
+  * `sharding_indexed` (one level: inner chunks + verified end/start index
+  * per stored object). The `transpose` codec and nested sharding are
+  * rejected with a clear error, as is the v1 layout.
   *
   * Execution shape: chunk files are the unit of parallelism — each becomes
   * one task decoding one chunk into long-format rows, so ingest scales with
@@ -41,6 +42,17 @@ object ZarrSource {
   case object BloscC extends V3Codec
   case object Crc32cC extends V3Codec
 
+  /** `sharding_indexed` configuration: each stored object (one per OUTER
+    * chunk of the chunk grid) packs a grid of inner chunks plus an index of
+    * `(offset, nbytes)` u64-LE pairs, one per inner chunk in C order,
+    * `0xFF…FF` for inner chunks elided as all-fill. The index sits at the
+    * file start or end and is protected by its own codec chain (crc32c by
+    * default — verified). This is Zarr v3's object-count control at scale:
+    * a 100 TB store keeps chunk-grid parallelism without creating billions
+    * of small objects. */
+  final case class ShardSpec(innerChunks: Seq[Int], innerCodecs: Seq[V3Codec],
+      indexCrc: Boolean, indexAtEnd: Boolean)
+
   /** Unified v2/v3 metadata. `dtype` is always a v2-style code whose
     * prefix carries endianness (`<f8`, `>i4`, `|b1`) — for v3 the prefix
     * comes from the `bytes` codec. `keyPrefix`/`keySep` describe chunk-file
@@ -50,7 +62,7 @@ object ZarrSource {
       shape: Seq[Int], chunks: Seq[Int], dtype: String,
       compressor: Option[String], fillValue: Double, order: String,
       format: Int = 2, keyPrefix: String = "", keySep: String = ".",
-      v3Codecs: Seq[V3Codec] = Nil)
+      v3Codecs: Seq[V3Codec] = Nil, shard: Option[ShardSpec] = None)
 
   /** Parse `.zarray` metadata (JSON; json4s ships with Spark). */
   def readMeta(zarrayJson: String): ZarrMeta = {
@@ -107,10 +119,12 @@ object ZarrSource {
         }
     }
     // codec chain: exactly one array→bytes codec ("bytes"), which sets
-    // endianness; everything after it is bytes→bytes
-    var little = true
-    val codecs = (j \ "codecs") match {
-      case JArray(cs) => cs.flatMap { c =>
+    // endianness; everything after it is bytes→bytes. A top-level
+    // `sharding_indexed` wraps an inner chain instead.
+    def parseChain(cs: List[JValue], allowShard: Boolean): (Boolean, Seq[V3Codec], Option[ShardSpec]) = {
+      var little = true
+      var shard: Option[ShardSpec] = None
+      val flat = cs.flatMap { c =>
         (c \ "name").extract[String] match {
           case "bytes" | "endian" =>
             little = (c \ "configuration" \ "endian")
@@ -122,14 +136,40 @@ object ZarrSource {
           case "crc32c" => Some(Crc32cC)
           case "transpose" => throw new IllegalArgumentException(
             "zarr v3 'transpose' codec not supported (rewrite in C order)")
+          case "sharding_indexed" if allowShard =>
+            val cfg = c \ "configuration"
+            val inner = (cfg \ "chunk_shape").extract[Seq[Int]]
+            val (innerLittle, innerCodecs, innerShard) = (cfg \ "codecs") match {
+              case JArray(ics) => parseChain(ics, allowShard = false)
+              case _ => (true, Nil, None)
+            }
+            require(innerShard.isEmpty, "nested sharding not supported")
+            little = innerLittle
+            val idxCrc = (cfg \ "index_codecs") match {
+              case JArray(ics) => ics.exists(ic => (ic \ "name").extract[String] == "crc32c")
+              case _ => true // spec default index chain is bytes+crc32c
+            }
+            val atEnd = (cfg \ "index_location").extractOrElse[String]("end") == "end"
+            shard = Some(ShardSpec(inner, innerCodecs, idxCrc, atEnd))
+            None
           case "sharding_indexed" => throw new IllegalArgumentException(
-            "zarr v3 sharded arrays not supported (rewrite without the " +
-              "sharding_indexed codec)")
+            "nested sharding not supported")
           case other => throw new IllegalArgumentException(
             s"unsupported zarr v3 codec '$other'")
         }
       }
-      case _ => Nil
+      (little, flat, shard)
+    }
+    val (little, codecs, shard) = (j \ "codecs") match {
+      case JArray(cs) => parseChain(cs, allowShard = true)
+      case _ => (true, Nil, None)
+    }
+    shard.foreach { s =>
+      require(s.innerChunks.length == chunks.length &&
+        s.innerChunks.indices.forall(d => chunks(d) % s.innerChunks(d) == 0),
+        s"shard inner chunk shape ${s.innerChunks} must divide chunk shape $chunks")
+      require(codecs.isEmpty,
+        "codecs outside sharding_indexed not supported (compression belongs on the inner chain)")
     }
     val pre = if (little) "<" else ">"
     val dtype = (j \ "data_type").extract[String] match {
@@ -144,7 +184,7 @@ object ZarrSource {
         s"unsupported zarr v3 data_type '$other'")
     }
     ZarrMeta(shape, chunks, dtype, None, fill, "C",
-      format = 3, keyPrefix = kp, keySep = ks, v3Codecs = codecs)
+      format = 3, keyPrefix = kp, keySep = ks, v3Codecs = codecs, shard = shard)
   }
 
   /** Read a directory's array metadata: v3 `zarr.json` if present, else v2
@@ -219,45 +259,129 @@ object ZarrSource {
     * the format: v2 compressor or v3 codec chain (applied in reverse —
     * trailing crc32c verified and stripped first). */
   private[sources] def decodeChunk(data: Array[Byte], meta: ZarrMeta,
-      rawLen: Int): Array[Byte] = {
+      rawLen: Int): Array[Byte] =
     if (meta.format == 2) decompress(data, meta.compressor, rawLen)
-    else {
-      var cur = data
-      meta.v3Codecs.reverse.foreach {
-        case Crc32cC =>
-          require(cur.length >= 4, "crc32c codec: chunk shorter than checksum")
-          val crc = new java.util.zip.CRC32C
-          crc.update(cur, 0, cur.length - 4)
-          val stored = ByteBuffer.wrap(cur, cur.length - 4, 4)
-            .order(ByteOrder.LITTLE_ENDIAN).getInt
-          if (stored != crc.getValue.toInt)
-            throw new java.io.IOException(
-              f"crc32c mismatch: stored 0x$stored%08x computed 0x${crc.getValue.toInt}%08x")
-          cur = java.util.Arrays.copyOf(cur, cur.length - 4)
-        case GzipC =>
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(cur))
-          val out = new Array[Byte](rawLen)
-          var off = 0
-          try {
-            while (off < rawLen) {
-              val n = in.read(out, off, rawLen - off)
-              if (n < 0) throw new java.io.IOException(
-                s"truncated gzip chunk: decoded $off of $rawLen bytes")
-              off += n
-            }
-          } finally in.close()
-          cur = out
-        case ZstdC =>
-          cur = com.github.luben.zstd.Zstd.decompress(cur, rawLen)
-        case BloscC =>
-          cur = Blosc.decompress(cur)
-      }
-      if (cur.length != rawLen)
-        throw new java.io.IOException(
-          s"zarr v3 chunk decoded to ${cur.length} bytes, expected $rawLen")
-      cur
+    else meta.shard match {
+      case None => decodeV3Chain(data, meta.v3Codecs, rawLen)
+      case Some(s) => assembleShard(data, meta, s, rawLen)
     }
+
+  /** Apply a v3 bytes→bytes codec chain in reverse (decode direction). */
+  private[sources] def decodeV3Chain(data: Array[Byte], codecs: Seq[V3Codec],
+      rawLen: Int): Array[Byte] = {
+    var cur = data
+    codecs.reverse.foreach {
+      case Crc32cC =>
+        require(cur.length >= 4, "crc32c codec: chunk shorter than checksum")
+        val crc = new java.util.zip.CRC32C
+        crc.update(cur, 0, cur.length - 4)
+        val stored = ByteBuffer.wrap(cur, cur.length - 4, 4)
+          .order(ByteOrder.LITTLE_ENDIAN).getInt
+        if (stored != crc.getValue.toInt)
+          throw new java.io.IOException(
+            f"crc32c mismatch: stored 0x$stored%08x computed 0x${crc.getValue.toInt}%08x")
+        cur = java.util.Arrays.copyOf(cur, cur.length - 4)
+      case GzipC =>
+        val in = new java.util.zip.GZIPInputStream(
+          new java.io.ByteArrayInputStream(cur))
+        val out = new Array[Byte](rawLen)
+        var off = 0
+        try {
+          while (off < rawLen) {
+            val n = in.read(out, off, rawLen - off)
+            if (n < 0) throw new java.io.IOException(
+              s"truncated gzip chunk: decoded $off of $rawLen bytes")
+            off += n
+          }
+        } finally in.close()
+        cur = out
+      case ZstdC =>
+        cur = com.github.luben.zstd.Zstd.decompress(cur, rawLen)
+      case BloscC =>
+        cur = Blosc.decompress(cur)
+    }
+    if (cur.length != rawLen)
+      throw new java.io.IOException(
+        s"zarr v3 chunk decoded to ${cur.length} bytes, expected $rawLen")
+    cur
+  }
+
+  /** One element's byte pattern for the array's fill value. */
+  private def fillPattern(meta: ZarrMeta): Array[Byte] = {
+    val bp = bytesPer(meta.dtype)
+    val b = ByteBuffer.allocate(bp).order(byteOrderOf(meta.dtype))
+    meta.dtype.substring(1) match {
+      case "f8" => b.putDouble(meta.fillValue)
+      case "f4" => b.putFloat(meta.fillValue.toFloat)
+      case "i8" => b.putLong(meta.fillValue.toLong)
+      case "i4" => b.putInt(meta.fillValue.toInt)
+      case _ => b.put(meta.fillValue.toInt.toByte)
+    }
+    b.array()
+  }
+
+  /** Decode a `sharding_indexed` stored object into the full outer-chunk
+    * C-order buffer: verify + read the (offset, nbytes) index, decode each
+    * present inner chunk through the inner codec chain, scatter it into
+    * place, and fill elided inner chunks with the fill value. Downstream
+    * cell walks then treat shards exactly like plain chunks. */
+  private def assembleShard(data: Array[Byte], meta: ZarrMeta, s: ShardSpec,
+      rawLen: Int): Array[Byte] = {
+    val bp = bytesPer(meta.dtype)
+    val inner = s.innerChunks
+    val nd = inner.length
+    val grid = meta.chunks.indices.map(d => meta.chunks(d) / inner(d))
+    val nInner = grid.product
+    val innerLen = inner.product
+    val innerBytes = innerLen * bp
+
+    // index: 16 bytes per inner chunk (+4 crc32c), at file start or end
+    val idxEnc = 16 * nInner + (if (s.indexCrc) 4 else 0)
+    require(data.length >= idxEnc, s"shard shorter than its index ($idxEnc bytes)")
+    val idxRaw = decodeV3Chain(
+      if (s.indexAtEnd) java.util.Arrays.copyOfRange(data, data.length - idxEnc, data.length)
+      else java.util.Arrays.copyOfRange(data, 0, idxEnc),
+      if (s.indexCrc) Seq(Crc32cC) else Nil, 16 * nInner)
+    val idx = ByteBuffer.wrap(idxRaw).order(ByteOrder.LITTLE_ENDIAN)
+
+    // pre-fill the outer buffer with the fill value
+    val out = new Array[Byte](rawLen)
+    val fp = fillPattern(meta)
+    var o = 0
+    while (o < rawLen) { System.arraycopy(fp, 0, out, o, bp); o += bp }
+
+    // scatter each present inner chunk; contiguous runs along the last dim
+    val rowElems = inner(nd - 1)
+    val nRows = innerLen / rowElems
+    val gi = new Array[Int](nd); val ei = new Array[Int](nd)
+    var k = 0
+    while (k < nInner) {
+      val off = idx.getLong(k * 16); val nb = idx.getLong(k * 16 + 8)
+      if (off != -1L || nb != -1L) {
+        require(off >= 0 && nb > 0 && off + nb <= data.length,
+          s"shard inner chunk $k out of bounds: offset=$off nbytes=$nb len=${data.length}")
+        val raw = decodeV3Chain(
+          java.util.Arrays.copyOfRange(data, off.toInt, (off + nb).toInt),
+          s.innerCodecs, innerBytes)
+        var r = k; var d = nd - 1
+        while (d >= 0) { gi(d) = r % grid(d); r /= grid(d); d -= 1 }
+        var row = 0
+        while (row < nRows) {
+          var rem = row; var dd = nd - 2
+          while (dd >= 0) { ei(dd) = rem % inner(dd); rem /= inner(dd); dd -= 1 }
+          ei(nd - 1) = 0
+          var flat = 0L
+          var d2 = 0
+          while (d2 < nd) {
+            flat = flat * meta.chunks(d2) + (gi(d2) * inner(d2) + ei(d2)); d2 += 1
+          }
+          System.arraycopy(raw, row * rowElems * bp, out, flat.toInt * bp, rowElems * bp)
+          row += 1
+        }
+      }
+      k += 1
+    }
+    out
   }
 
   private[sources] def decompress(data: Array[Byte], compressor: Option[String], rawLen: Int): Array[Byte] =
@@ -480,20 +604,39 @@ object ZarrSource {
     *               `bytes` codec, in chain order — any of [[GzipC]],
     *               [[ZstdC]], [[Crc32cC]] (zarr-python 3's default chain is
     *               `bytes → zstd`; pass `Seq(ZstdC, Crc32cC)` to also
-    *               checksum). */
+    *               checksum).
+    * @param innerChunks if set, write `sharding_indexed` shards: each outer
+    *               chunk becomes one stored object of inner chunks of this
+    *               shape (must divide `chunks`) plus a crc32c-protected
+    *               end-index; `codecs` then applies to the INNER chunks and
+    *               all-fill inner chunks are elided from the shard. */
   def write3DV3(df: DataFrame, dir: String, shape: (Int, Int, Int),
-      chunks: (Int, Int, Int), codecs: Seq[V3Codec] = Seq(ZstdC)): Unit = {
+      chunks: (Int, Int, Int), codecs: Seq[V3Codec] = Seq(ZstdC),
+      innerChunks: Option[(Int, Int, Int)] = None): Unit = {
     require(!codecs.contains(BloscC), "v3 writer supports gzip/zstd/crc32c chains")
     val (nt, ny, nx) = shape
     val (ct, cy, cx) = chunks
+    innerChunks.foreach { case (it0, iy0, ix0) =>
+      require(ct % it0 == 0 && cy % iy0 == 0 && cx % ix0 == 0,
+        s"inner chunk shape ($it0,$iy0,$ix0) must divide chunk shape $chunks")
+    }
     new java.io.File(dir).mkdirs()
-    val codecJson = Seq("""{"name": "bytes", "configuration": {"endian": "little"}}""") ++
-      codecs.map {
+    def chainJson(cs: Seq[V3Codec]): String =
+      (Seq("""{"name": "bytes", "configuration": {"endian": "little"}}""") ++ cs.map {
         case GzipC => """{"name": "gzip", "configuration": {"level": 5}}"""
         case ZstdC => """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
         case Crc32cC => """{"name": "crc32c"}"""
         case BloscC => throw new IllegalArgumentException("unreachable")
-      }
+      }).mkString(", ")
+    val codecJson = innerChunks match {
+      case None => chainJson(codecs)
+      case Some((it0, iy0, ix0)) =>
+        s"""{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [$it0, $iy0, $ix0],
+            "codecs": [${chainJson(codecs)}],
+            "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+            "index_location": "end"}}"""
+    }
     val zarrJson =
       s"""{"zarr_format": 3, "node_type": "array",
           "shape": [$nt, $ny, $nx],
@@ -501,9 +644,30 @@ object ZarrSource {
           "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [$ct, $cy, $cx]}},
           "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
           "fill_value": "NaN",
-          "codecs": [${codecJson.mkString(", ")}],
+          "codecs": [$codecJson],
           "attributes": {}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/zarr.json"), zarrJson.getBytes)
+    def encodeChain(raw: Array[Byte]): Array[Byte] = {
+      var cur = raw
+      codecs.foreach {
+        case GzipC =>
+          val bos = new java.io.ByteArrayOutputStream()
+          val gz = new java.util.zip.GZIPOutputStream(bos)
+          gz.write(cur); gz.close()
+          cur = bos.toByteArray
+        case ZstdC =>
+          cur = com.github.luben.zstd.Zstd.compress(cur, 3)
+        case Crc32cC =>
+          val crc = new java.util.zip.CRC32C
+          crc.update(cur, 0, cur.length)
+          val out = java.util.Arrays.copyOf(cur, cur.length + 4)
+          ByteBuffer.wrap(out, cur.length, 4).order(ByteOrder.LITTLE_ENDIAN)
+            .putInt(crc.getValue.toInt)
+          cur = out
+        case BloscC => throw new IllegalArgumentException("unreachable")
+      }
+      cur
+    }
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("t_idx").cast("int"), col("y").cast("int"), col("x").cast("int"),
@@ -519,27 +683,41 @@ object ZarrSource {
           val idx = (t - ci * ct) * cy * cx + (y - cj * cy) * cx + (x - ck * cx)
           buf.putDouble(idx * 8, v)
         }
-        var cur = buf.array()
-        codecs.foreach {
-          case GzipC =>
-            val bos = new java.io.ByteArrayOutputStream()
-            val gz = new java.util.zip.GZIPOutputStream(bos)
-            gz.write(cur); gz.close()
-            cur = bos.toByteArray
-          case ZstdC =>
-            cur = com.github.luben.zstd.Zstd.compress(cur, 3)
-          case Crc32cC =>
+        val payload = innerChunks match {
+          case None => encodeChain(buf.array())
+          case Some((it0, iy0, ix0)) =>
+            // slice the outer buffer into inner chunks, elide all-fill ones,
+            // concatenate + (offset, nbytes) index + crc32c at the end
+            val (gt, gy, gx) = (ct / it0, cy / iy0, cx / ix0)
+            val nInner = gt * gy * gx
+            val body = new java.io.ByteArrayOutputStream()
+            val index = ByteBuffer.allocate(16 * nInner + 4).order(ByteOrder.LITTLE_ENDIAN)
+            for (kt <- 0 until gt; ky <- 0 until gy; kx <- 0 until gx) {
+              val innerRaw = ByteBuffer.allocate(it0 * iy0 * ix0 * 8)
+                .order(ByteOrder.LITTLE_ENDIAN)
+              var allFill = true
+              for (dt <- 0 until it0; dy <- 0 until iy0; dx <- 0 until ix0) {
+                val outer = ((kt * it0 + dt) * cy + (ky * iy0 + dy)) * cx + (kx * ix0 + dx)
+                val v = buf.getDouble(outer * 8)
+                if (!v.isNaN) allFill = false
+                innerRaw.putDouble(v)
+              }
+              if (allFill) { index.putLong(-1L).putLong(-1L) }
+              else {
+                val enc = encodeChain(innerRaw.array())
+                index.putLong(body.size().toLong).putLong(enc.length.toLong)
+                body.write(enc)
+              }
+            }
             val crc = new java.util.zip.CRC32C
-            crc.update(cur, 0, cur.length)
-            val out = java.util.Arrays.copyOf(cur, cur.length + 4)
-            ByteBuffer.wrap(out, cur.length, 4).order(ByteOrder.LITTLE_ENDIAN)
-              .putInt(crc.getValue.toInt)
-            cur = out
-          case BloscC => throw new IllegalArgumentException("unreachable")
+            crc.update(index.array(), 0, 16 * nInner)
+            index.putInt(crc.getValue.toInt)
+            body.write(index.array())
+            body.toByteArray
         }
         val f = new java.io.File(dir, s"c/$ci/$cj/$ck")
         f.getParentFile.mkdirs()
-        java.nio.file.Files.write(f.toPath, cur)
+        java.nio.file.Files.write(f.toPath, payload)
         s"c/$ci/$cj/$ck"
       }
       .collect() // materialize writes

@@ -150,14 +150,86 @@ class ZarrV3Spec extends SparkSpec {
     assert(vals.toSeq == Seq(0.0, 1.5, 3.0, 4.5, 6.0))
   }
 
-  test("sharded arrays are rejected with a clear error") {
-    val dir = Files.createTempDirectory("graft_zarr3_shard").toString
+  test("write3DV3 sharded zstd round-trips; all-fill inner chunks elided") {
+    import spark.implicits._
+    // drop the t=2..3, y=0..1 block: it spans whole inner chunks, so the
+    // writer elides them from the shard and the reader must fill NaN back
+    val df = (for (t <- 0 until 8; y <- 0 until 4; x <- 0 until 4
+                   if !(t >= 2 && t < 4 && y < 2))
+      yield (t, y, x, (t * 10000 + y * 100 + x).toDouble)).toDF("t_idx", "y", "x", "value")
+    val dir = Files.createTempDirectory("graft_zarr3_sh").toString + "/arr"
+    ZarrSource.write3DV3(df, dir, shape = (8, 4, 4), chunks = (4, 4, 4),
+      codecs = Seq(ZarrSource.ZstdC), innerChunks = Some((2, 2, 4)))
+    // 2 shard files (one per outer chunk), not 16 inner-chunk files
+    assert(new java.io.File(dir, "c/0/0/0").isFile && new java.io.File(dir, "c/1/0/0").isFile)
+    val got = ZarrSource.read3D(spark, dir)
+    assert(got.count() == 8 * 4 * 4)
+    assert(got.filter(isnan(col("value"))).count() == 2 * 2 * 4)
+    val bad = got.filter(!isnan(col("value")) && col("value") =!=
+      (col("t_idx") * 10000 + col("y") * 100 + col("x")).cast("double")).count()
+    assert(bad == 0)
+  }
+
+  test("hand-written shard with index at start decodes correctly") {
+    // 1 outer chunk (2,2,2), inner (1,2,2) → 2 inner chunks, raw f4 cells,
+    // index_location start — written by hand so a symmetric writer/reader
+    // bug cannot hide
+    val dir = Files.createTempDirectory("graft_zarr3_shs").toString
+    val shardCfg =
+      """{"name": "sharding_indexed", "configuration": {
+          "chunk_shape": [1, 2, 2],
+          "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+          "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+          "index_location": "start"}}"""
     Files.write(java.nio.file.Paths.get(s"$dir/zarr.json"),
-      metaJson(Seq(4, 2, 2), Seq(2, 2, 2), "float32",
-        """{"name": "sharding_indexed", "configuration": {}}""").getBytes)
+      metaJson(Seq(2, 2, 2), Seq(2, 2, 2), "float32", shardCfg).getBytes)
+    val idx = ByteBuffer.allocate(36).order(ByteOrder.LITTLE_ENDIAN)
+    idx.putLong(36L).putLong(16L) // inner chunk 0 right after the index
+    idx.putLong(52L).putLong(16L) // inner chunk 1
+    val crc = new java.util.zip.CRC32C
+    crc.update(idx.array(), 0, 32)
+    idx.putInt(crc.getValue.toInt)
+    val cells = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
+    (0 until 8).foreach(i => cells.putFloat(i * 4, i * 2.0f))
+    new java.io.File(dir, "c/0/0").mkdirs()
+    Files.write(java.nio.file.Paths.get(s"$dir/c/0/0/0"),
+      idx.array() ++ cells.array())
+    val got = ZarrSource.read3D(spark, dir).orderBy("t_idx", "y", "x")
+      .collect().map(_.getDouble(3)).toSeq
+    assert(got == (0 until 8).map(_ * 2.0))
+  }
+
+  test("corrupt shard index fails the crc32c check") {
+    import spark.implicits._
+    val df = (for (t <- 0 until 4; y <- 0 until 2; x <- 0 until 2)
+      yield (t, y, x, 1.0 * t)).toDF("t_idx", "y", "x", "value")
+    val dir = Files.createTempDirectory("graft_zarr3_shc").toString + "/arr"
+    ZarrSource.write3DV3(df, dir, shape = (4, 2, 2), chunks = (4, 2, 2),
+      codecs = Seq.empty, innerChunks = Some((2, 2, 2)))
+    val f = new java.io.File(dir, "c/0/0/0")
+    val bytes = Files.readAllBytes(f.toPath)
+    bytes(bytes.length - 20) = (bytes(bytes.length - 20) ^ 0x01).toByte // index word
+    Files.write(f.toPath, bytes)
+    val e = intercept[org.apache.spark.SparkException] {
+      ZarrSource.read3D(spark, dir).count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: chain(t.getCause)
+    assert(chain(e).exists(c => c.getMessage != null && c.getMessage.contains("crc32c")))
+  }
+
+  test("nested sharding is rejected with a clear error") {
+    val dir = Files.createTempDirectory("graft_zarr3_nest").toString
+    val nested =
+      """{"name": "sharding_indexed", "configuration": {
+          "chunk_shape": [1, 2, 2],
+          "codecs": [{"name": "sharding_indexed", "configuration": {"chunk_shape": [1, 1, 1], "codecs": []}}],
+          "index_location": "end"}}"""
+    Files.write(java.nio.file.Paths.get(s"$dir/zarr.json"),
+      metaJson(Seq(2, 2, 2), Seq(2, 2, 2), "float32", nested).getBytes)
     val e = intercept[IllegalArgumentException] {
       ZarrSource.read3D(spark, dir)
     }
-    assert(e.getMessage.contains("shard"))
+    assert(e.getMessage.contains("nested sharding"))
   }
 }
