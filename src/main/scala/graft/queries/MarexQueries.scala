@@ -785,6 +785,58 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells GROUP BY y"""),
-      "Zarr v3 sharded round-trip (inner chunks + verified end-index, bounded object count)")
+      "Zarr v3 sharded round-trip (inner chunks + verified end-index, bounded object count)"),
+
+    // ── Zarr GROUP (xarray Dataset) round-trip: two vars + coords ──────────
+    QueryDef("q76_zarr_group",
+      (s, d) => {
+        import graft.sources.ZarrGroup
+        // the group-level layer the reference actually uses (xr.open_zarr /
+        // ds.to_zarr): TWO data variables written as one consolidated v2
+        // group with dimension names + coordinate axes, read back through
+        // the wide no-join dataset reader. The oracle recomputes both
+        // variables from events, so a defect in the group writer, the
+        // consolidated-metadata parse, the wide chunk-manifest read, or the
+        // coordinate attach mismatches.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("sst"),
+            count(lit(1)).cast("double").as("n_obs"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q76_zgroup"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        ZarrGroup.writeDataset(cells, dir,
+          dims = Seq("time" -> 31, "y" -> 10, "x" -> 15), chunks = Seq(8, 10, 15),
+          valueCols = Seq("sst", "n_obs"),
+          coords = Map("y" -> Array.tabulate(10)(_ * 2.0),
+            "x" -> Array.tabulate(15)(_ * 3.0)),
+          attrs = Map("source" -> "graft"))
+        ZarrGroup.readDataset(s, dir)
+          .filter(!isnan(col("sst")))
+          .groupBy(col("y_idx").cast("long").as("y"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("sst") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"),
+            sum(col("n_obs").cast("long")).as("n_obs"),
+            round(sum(col("y") + col("x")), 2).as("sum_coord"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value,
+                       count(*) AS n_obs
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(y AS BIGINT) AS y,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val,
+                     sum(n_obs) AS n_obs,
+                     round(sum(y * 2.0 + x * 3.0), 2) AS sum_coord
+              FROM cells GROUP BY y"""),
+      "Zarr group (xarray Dataset) round-trip: 2 vars + coords via consolidated metadata, wide no-join read")
   )
 }

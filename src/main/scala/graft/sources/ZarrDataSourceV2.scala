@@ -28,8 +28,12 @@ import org.apache.spark.util.SerializableConfiguration
   *    filesystem; absent chunk files synthesize `fill_value` cells (Zarr
   *    writers elide all-fill chunks).
   *
-  * [[ZarrSource.read3D]] remains as the utility-call form; both share the
-  * same chunk decoding ([[Blosc]], zlib, raw).
+  * A GROUP directory (v2 `.zgroup`/`.zmetadata` or v3 group `zarr.json`)
+  * loads with `.option("var", name)` selecting the member array — the same
+  * UX as the netcdf source — so `spark.read.format("zarr").option("var",
+  * "extreme_events").load(store)` opens an xarray-written dataset member
+  * directly. [[ZarrSource.read3D]] remains as the utility-call form; both
+  * share the same chunk decoding ([[Blosc]], zlib, raw).
   */
 class ZarrDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zarr"
@@ -42,7 +46,7 @@ class ZarrDataSourceV2 extends TableProvider with DataSourceRegister {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "zarr source requires a path: spark.read.format(\"zarr\").load(dir)"))
-    new ZarrTableV2(path)
+    new ZarrTableV2(ZarrTableV2.resolveVar(path, Option(properties.get("var"))))
   }
 }
 
@@ -52,6 +56,38 @@ private[sources] object ZarrTableV2 {
     StructField("y", IntegerType, nullable = false),
     StructField("x", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
+
+  /** Resolve a load path that may point at a GROUP: with `var`, descend to
+    * that member (validated against the group's metadata for a listing
+    * error); without, require the path to be an array directory. */
+  def resolveVar(path: String, varName: Option[String]): String = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val d = new org.apache.hadoop.fs.Path(path)
+    val fs = d.getFileSystem(conf)
+    def isGroup: Boolean = {
+      val v3 = new org.apache.hadoop.fs.Path(path, "zarr.json")
+      if (fs.exists(v3)) {
+        val in = fs.open(v3)
+        val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+        val j = org.json4s.jackson.JsonMethods.parse(s)
+        (j \ "node_type") == org.json4s.JString("group")
+      } else fs.exists(new org.apache.hadoop.fs.Path(path, ".zgroup")) ||
+        fs.exists(new org.apache.hadoop.fs.Path(path, ".zmetadata"))
+    }
+    varName match {
+      case Some(v) =>
+        val g = ZarrGroup.open(path, conf) // also errors clearly on non-group
+        require(g.members.contains(v),
+          s"no variable '$v' in zarr group $path " +
+            s"(have: ${g.members.keys.toSeq.sorted.mkString(", ")})")
+        s"$path/$v"
+      case None =>
+        require(!isGroup,
+          s"$path is a zarr GROUP — pick a member with .option(\"var\", <name>)")
+        path
+    }
+  }
 }
 
 private[sources] class ZarrTableV2(path: String) extends Table with SupportsRead {

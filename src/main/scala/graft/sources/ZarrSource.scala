@@ -31,7 +31,7 @@ import org.json4s.jackson.JsonMethods
   * row-group pruning. Files are read through `sparkContext.binaryFiles`, so
   * any Hadoop-compatible filesystem (local, HDFS, S3A) works unchanged.
   */
-object ZarrSource {
+object ZarrSource extends Serializable {
 
   /** v3 codec-chain entry (array→bytes or bytes→bytes). Compression levels
     * only matter on write, so readers keep none of the configuration except
@@ -621,13 +621,7 @@ object ZarrSource {
         s"inner chunk shape ($it0,$iy0,$ix0) must divide chunk shape $chunks")
     }
     new java.io.File(dir).mkdirs()
-    def chainJson(cs: Seq[V3Codec]): String =
-      (Seq("""{"name": "bytes", "configuration": {"endian": "little"}}""") ++ cs.map {
-        case GzipC => """{"name": "gzip", "configuration": {"level": 5}}"""
-        case ZstdC => """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
-        case Crc32cC => """{"name": "crc32c"}"""
-        case BloscC => throw new IllegalArgumentException("unreachable")
-      }).mkString(", ")
+    def chainJson(cs: Seq[V3Codec]): String = v3ChainJson(cs)
     val codecJson = innerChunks match {
       case None => chainJson(codecs)
       case Some((it0, iy0, ix0)) =>
@@ -647,27 +641,7 @@ object ZarrSource {
           "codecs": [$codecJson],
           "attributes": {}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/zarr.json"), zarrJson.getBytes)
-    def encodeChain(raw: Array[Byte]): Array[Byte] = {
-      var cur = raw
-      codecs.foreach {
-        case GzipC =>
-          val bos = new java.io.ByteArrayOutputStream()
-          val gz = new java.util.zip.GZIPOutputStream(bos)
-          gz.write(cur); gz.close()
-          cur = bos.toByteArray
-        case ZstdC =>
-          cur = com.github.luben.zstd.Zstd.compress(cur, 3)
-        case Crc32cC =>
-          val crc = new java.util.zip.CRC32C
-          crc.update(cur, 0, cur.length)
-          val out = java.util.Arrays.copyOf(cur, cur.length + 4)
-          ByteBuffer.wrap(out, cur.length, 4).order(ByteOrder.LITTLE_ENDIAN)
-            .putInt(crc.getValue.toInt)
-          cur = out
-        case BloscC => throw new IllegalArgumentException("unreachable")
-      }
-      cur
-    }
+    def encodeChain(raw: Array[Byte]): Array[Byte] = v3EncodeChain(raw, codecs)
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col("t_idx").cast("int"), col("y").cast("int"), col("x").cast("int"),
@@ -722,6 +696,42 @@ object ZarrSource {
       }
       .collect() // materialize writes
     ()
+  }
+
+  /** JSON for a v3 codec chain: the implicit little-endian `bytes` codec
+    * followed by the given bytes→bytes codecs, in chain order. Shared by the
+    * array and group writers so every written chain parses back through
+    * [[readMetaV3]]. */
+  private[sources] def v3ChainJson(cs: Seq[V3Codec]): String =
+    (Seq("""{"name": "bytes", "configuration": {"endian": "little"}}""") ++ cs.map {
+      case GzipC => """{"name": "gzip", "configuration": {"level": 5}}"""
+      case ZstdC => """{"name": "zstd", "configuration": {"level": 3, "checksum": false}}"""
+      case Crc32cC => """{"name": "crc32c"}"""
+      case BloscC => throw new IllegalArgumentException("v3 writer supports gzip/zstd/crc32c chains")
+    }).mkString(", ")
+
+  /** Apply a v3 bytes→bytes codec chain in write order (dual of
+    * [[decodeV3Chain]]). */
+  private[sources] def v3EncodeChain(raw: Array[Byte], codecs: Seq[V3Codec]): Array[Byte] = {
+    var cur = raw
+    codecs.foreach {
+      case GzipC =>
+        val bos = new java.io.ByteArrayOutputStream()
+        val gz = new java.util.zip.GZIPOutputStream(bos)
+        gz.write(cur); gz.close()
+        cur = bos.toByteArray
+      case ZstdC =>
+        cur = com.github.luben.zstd.Zstd.compress(cur, 3)
+      case Crc32cC =>
+        val crc = new java.util.zip.CRC32C
+        crc.update(cur, 0, cur.length)
+        val out = java.util.Arrays.copyOf(cur, cur.length + 4)
+        ByteBuffer.wrap(out, cur.length, 4).order(ByteOrder.LITTLE_ENDIAN)
+          .putInt(crc.getValue.toInt)
+        cur = out
+      case BloscC => throw new IllegalArgumentException("v3 writer supports gzip/zstd/crc32c chains")
+    }
+    cur
   }
 
   /** Convenience: attach daily timestamps starting at `epochStart` to the

@@ -1,0 +1,148 @@
+package graft.marex
+
+import org.apache.spark.sql.functions._
+import org.json4s._
+
+import graft.SparkSpec
+import graft.sources.ZarrGroup
+
+/** Tracker output → zarr group: the layout `tracker.run().to_zarr(path)`
+  * produces in the reference (track.py:210–221). Re-opens the written group
+  * through the group reader and checks every variable against the
+  * TrackResult frames it came from, plus the xarray-facing metadata
+  * (member set, dims, fills, coordinate axes). */
+class ZarrOutputSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ny = 16
+  private val nx = 32
+  private lazy val spec0 = GridSpec(ny = ny, nx = nx, periodicX = true)
+  private lazy val geom = SyntheticData.geometry(spark, ny, nx).cache()
+  private lazy val collide = SyntheticData.movingBlobs(spark, nDays = 12,
+    ny = ny, nx = nx, r0 = 3, speed = 2, staticCx = 20, staticCy = 4)
+    .filter(col("flag")).select("time", "y", "x").cache()
+
+  private lazy val res = Track.track(collide, geom, spec0,
+    TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+      dropSmallestObject = false, overlapThreshold = 0.2, allowMerging = true))
+
+  private lazy val outDir = {
+    val d = java.nio.file.Files.createTempDirectory("zarr_track_out").toFile
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    ZarrOutput.writeTrackResult(res, geom, spec0, d.getAbsolutePath,
+      attrs = Map("method" -> "spec-test"))
+    d.getAbsolutePath
+  }
+
+  test("written group carries the reference's member set, dims, and fills") {
+    val g = ZarrGroup.open(outDir, spark.sparkContext.hadoopConfiguration)
+    assert(g.format == 2 && g.consolidated)
+    assert(g.members.keySet == Set("ID_field", "global_ID", "area", "centroid",
+      "presence", "time_start", "time_end", "merge_ledger",
+      "time", "lat", "lon", "ID"))
+    assert(g.members("ID_field").dims == Seq("time", "lat", "lon"))
+    assert(g.members("centroid").dims == Seq("component", "time", "ID"))
+    assert(g.members("merge_ledger").dims == Seq("time", "ID", "sibling_ID"))
+    assert(g.members("time_start").dims == Seq("ID"))
+    assert(g.members("ID_field").meta.fillValue == 0.0)
+    assert(g.members("presence").meta.fillValue == 0.0)
+    assert(g.members("merge_ledger").meta.fillValue == -1.0)
+    assert(g.members("area").meta.fillValue.isNaN)
+    assert((g.attrs \ "method") == JString("spec-test"))
+    assert(g.coordNames == Set("time", "lat", "lon", "ID"))
+  }
+
+  test("ID_field round-trips: labeled cells exact, background zero") {
+    val g = ZarrGroup.open(outDir, spark.sparkContext.hadoopConfiguration)
+    val cube = ZarrGroup.readVar(spark, outDir, g, "ID_field")
+    val nt = g.members("time").meta.shape.head
+    assert(cube.count() == nt.toLong * ny * nx)
+    val labeled = cube.filter(col("ID_field") > 0)
+    // rebuild (time_idx, y, x, id) from the result for comparison
+    val times = res.idField.select("time").distinct().orderBy("time")
+      .as[java.sql.Timestamp].collect().zipWithIndex.toSeq
+      .toDF("time", "time_idx")
+    val want = res.idField.join(times, "time")
+      .select(col("time_idx"), col("y"), col("x"), col("event_id").cast("double"))
+    val mismatch = labeled
+      .join(want, labeled("time_idx") === want("time_idx") &&
+        labeled("lat_idx") === want("y") && labeled("lon_idx") === want("x"),
+        "full")
+      .filter(want("event_id").isNull || labeled("ID_field").isNull ||
+        want("event_id") =!= labeled("ID_field"))
+      .count()
+    assert(mismatch == 0L, s"$mismatch ID_field cells disagree with idField")
+  }
+
+  test("per-(time,ID) tables and centroid components round-trip") {
+    val g = ZarrGroup.open(outDir, spark.sparkContext.hadoopConfiguration)
+    val area = ZarrGroup.readVar(spark, outDir, g, "area")
+      .filter(!isnan(col("area")))
+    assert(area.count() == res.eventProps.count())
+    val presence = ZarrGroup.readVar(spark, outDir, g, "presence")
+    assert(presence.filter(col("presence") === 1.0).count() == res.eventProps.count())
+    // centroid: component 0 = lat, 1 = lon, NaN padding elsewhere
+    val cen = ZarrGroup.readVar(spark, outDir, g, "centroid")
+      .filter(!isnan(col("centroid")))
+    assert(cen.count() == 2 * res.eventProps.count())
+    val clat = cen.filter(col("component_idx") === 0)
+      .agg(round(sum("centroid"), 6)).head().getDouble(0)
+    val wantLat = res.eventProps.agg(round(sum("cen_lat"), 6)).head().getDouble(0)
+    assert(math.abs(clat - wantLat) < 1e-6)
+  }
+
+  test("time bounds and merge ledger round-trip with -1 padding") {
+    val g = ZarrGroup.open(outDir, spark.sparkContext.hadoopConfiguration)
+    val ts = ZarrGroup.readVar(spark, outDir, g, "time_start")
+      .filter(!isnan(col("time_start")))
+    assert(ts.count() == res.events.count())
+    // every real sibling id appears; everything else is the -1 pad
+    val led = ZarrGroup.readVar(spark, outDir, g, "merge_ledger")
+    val real = led.filter(col("merge_ledger") >= 0).count()
+    val wantSibs = res.mergeLedger
+      .select(explode(col("sibling_event_ids"))).count()
+    assert(real == wantSibs, s"ledger has $real entries, result has $wantSibs")
+    assert(led.filter(col("merge_ledger") < -1).count() == 0)
+  }
+
+  test("writeDetectResult emits the fixture layout; loadExtremesGridded re-opens it") {
+    val d = java.nio.file.Files.createTempDirectory("zarr_detect_out").toFile
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    // flags -> a fixture-shaped extremes frame (full field, boolean extreme)
+    val flagged = collide.withColumn("extreme", lit(true))
+    val cfg = DetectConfig(methodAnomaly = "shifting_baseline",
+      methodExtreme = "hobday_extreme")
+    ZarrOutput.writeDetectResult(flagged, geom, spec0, cfg, d.getAbsolutePath)
+
+    val g = ZarrGroup.open(d.getAbsolutePath, spark.sparkContext.hadoopConfiguration)
+    assert(g.members.keySet == Set("extreme_events", "mask", "time", "lat", "lon"))
+    assert(g.members("extreme_events").dims == Seq("time", "lat", "lon"))
+    assert(g.members("mask").dims == Seq("lat", "lon"))
+    // typed attrs, like the reference fixture writes them
+    assert((g.attrs \ "method_anomaly") == JString("shifting_baseline"))
+    assert((g.attrs \ "window_year_baseline") == JInt(15))
+    assert((g.attrs \ "exact_percentile") == JBool(true))
+    assert((g.attrs \ "preprocessing_steps").isInstanceOf[JArray])
+
+    // full circle: the engine's own fixture loader opens the written store
+    val (flags2, geom2, spec2) = ReferenceFixtures.loadExtremesGridded(
+      spark, d.getAbsolutePath, maxLat = 1000, minLat = -1000)
+    assert(spec2.ny == ny && spec2.nx == nx)
+    assert(flags2.count() == collide.count())
+    assert(geom2.filter("valid").count() == geom.filter("valid").count())
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+  }
+
+  test("coordinate axes: lat/lon from geom, ID = 1..N, time epoch seconds") {
+    val g = ZarrGroup.open(outDir, spark.sparkContext.hadoopConfiguration)
+    val (_, lat) = graft.sources.ZarrSource.readLocalND(s"$outDir/lat")
+    val wantLat = geom.groupBy("y").agg(first("lat").as("lat")).orderBy("y")
+      .select(col("lat").cast("double")).as[Double].collect()
+    assert(lat.toSeq == wantLat.toSeq)
+    val (_, ids) = graft.sources.ZarrSource.readLocalND(s"$outDir/ID")
+    assert(ids.toSeq == (1 to ids.length).map(_.toDouble))
+    val (_, t) = graft.sources.ZarrSource.readLocalND(s"$outDir/time")
+    assert(t.length == g.members("time").meta.shape.head)
+    assert(t.toSeq == t.toSeq.sorted)
+  }
+}

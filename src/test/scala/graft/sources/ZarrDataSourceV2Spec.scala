@@ -47,4 +47,28 @@ class ZarrDataSourceV2Spec extends SparkSpec {
     val util = ZarrSource.read3D(spark, fixture).filter(col("value") =!= 0.0)
     assert(v2.count() == util.count())
   }
+
+  private val groupDir = "/root/reference/tests/data/extremes_gridded.zarr"
+
+  test("group dir + option(\"var\") selects the member array") {
+    assume(haveFixture)
+    val viaGroup = spark.read.format("zarr").option("var", "extreme_events")
+      .load(groupDir)
+    val direct = spark.read.format("zarr").load(fixture)
+    assert(viaGroup.count() == direct.count())
+    assert(viaGroup.filter(col("value") =!= 0.0).count() ==
+      direct.filter(col("value") =!= 0.0).count())
+  }
+
+  test("group dir without var, and unknown var, fail with clear errors") {
+    assume(haveFixture)
+    val noVar = intercept[IllegalArgumentException] {
+      spark.read.format("zarr").load(groupDir).count()
+    }
+    assert(noVar.getMessage.contains("option(\"var\""), noVar.getMessage)
+    val badVar = intercept[IllegalArgumentException] {
+      spark.read.format("zarr").option("var", "nope").load(groupDir).count()
+    }
+    assert(badVar.getMessage.contains("extreme_events"), badVar.getMessage)
+  }
 }
