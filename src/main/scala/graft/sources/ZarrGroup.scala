@@ -213,11 +213,38 @@ object ZarrGroup extends Serializable {
     }
   }
 
+  /** Keep only chunk indices overlapping the requested per-dim index
+    * ranges — whole chunk FILES outside a range are never opened, the
+    * group-level analogue of [[ZarrSource.read3D]]'s timeRange prune. */
+  private def pruneChunks(chunkIdxs: Seq[Seq[Int]], dims: Seq[String],
+      chunks: Seq[Int], ranges: Map[String, (Int, Int)]): Seq[Seq[Int]] = {
+    if (ranges.isEmpty) chunkIdxs
+    else chunkIdxs.filter { ci =>
+      dims.indices.forall { d =>
+        ranges.get(dims(d)).forall { case (lo, hi) =>
+          ci(d) * chunks(d) <= hi && ci(d) * chunks(d) + chunks(d) - 1 >= lo
+        }
+      }
+    }
+  }
+
+  private def inRanges(dims: Seq[String], ranges: Map[String, (Int, Int)],
+      idx: Array[Any]): Boolean =
+    ranges.isEmpty || dims.indices.forall { d =>
+      ranges.get(dims(d)).forall { case (lo, hi) =>
+        val v = idx(d).asInstanceOf[Int]; v >= lo && v <= hi
+      }
+    }
+
   /** Distributed long-format read of ONE member: columns
     * `<dim>_idx INT …, <name> DOUBLE`. Chunk-manifest parallelism (one task
     * per chunk, direct FS reads — no driver glob, missing chunks read as
-    * fill). Any rank. */
-  def readVar(spark: SparkSession, dir: String, g: ZGroup, name: String): DataFrame = {
+    * fill). Any rank.
+    *
+    * @param ranges optional inclusive index range per DIM NAME; chunk files
+    *               entirely outside a range are never opened. */
+  def readVar(spark: SparkSession, dir: String, g: ZGroup, name: String,
+      ranges: Map[String, (Int, Int)] = Map.empty): DataFrame = {
     val v = g.members.getOrElse(name,
       throw new IllegalArgumentException(
         s"no member '$name' in group $dir (have: ${g.members.keys.toSeq.sorted.mkString(", ")})"))
@@ -226,9 +253,11 @@ object ZarrGroup extends Serializable {
     val nd = meta.shape.length
     val arrayDir = s"$dir/$name"
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val chunkIdxs = gridIndices(chunkGridOf(meta)).toSeq
+    val dims = v.dims
+    val chunkIdxs = pruneChunks(gridIndices(chunkGridOf(meta)).toSeq,
+      dims, meta.chunks, ranges)
     val schema = StructType(
-      v.dims.map(dn => StructField(s"${dn}_idx", IntegerType, nullable = false)) :+
+      dims.map(dn => StructField(s"${dn}_idx", IntegerType, nullable = false)) :+
         StructField(name, DoubleType, nullable = false))
     val shape = meta.shape
     val chunks = meta.chunks
@@ -253,8 +282,9 @@ object ZarrGroup extends Serializable {
               if (gidx >= shape(d)) inBounds = false else global(d) = gidx
               d += 1
             }
-            if (inBounds) { global(nd) = vals(i); Some(Row.fromSeq(global.toSeq)) }
-            else None
+            if (inBounds && inRanges(dims, ranges, global)) {
+              global(nd) = vals(i); Some(Row.fromSeq(global.toSeq))
+            } else None
           }
         }
       }
@@ -274,10 +304,14 @@ object ZarrGroup extends Serializable {
     * too big to broadcast (> ~64 M cells) falls back to a shuffle join with
     * a logged note — at that point it is not really a "mask" anymore.
     *
-    * @param vars data variables to read (default: all of them)
+    * @param vars   data variables to read (default: all of them)
+    * @param ranges optional inclusive index range per DIM NAME (e.g.
+    *               `Map("time" -> (0, 364))`) — chunk files entirely
+    *               outside a range are never opened, on every variable
     */
   def readDataset(spark: SparkSession, dir: String,
-      vars: Seq[String] = Seq.empty): DataFrame = {
+      vars: Seq[String] = Seq.empty,
+      ranges: Map[String, (Int, Int)] = Map.empty): DataFrame = {
     val g = open(dir, spark.sparkContext.hadoopConfiguration)
     val wanted = if (vars.nonEmpty) vars else g.dataVarNames
     require(wanted.nonEmpty, s"zarr group $dir has no data variables")
@@ -306,7 +340,9 @@ object ZarrGroup extends Serializable {
     val varNames = primary.map(_.name)
     val varMetas = primary.map(v => (v.name, v.meta))
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val chunkIdxs = gridIndices(chunkGridOf(headMeta)).toSeq
+    val chunkIdxs = pruneChunks(gridIndices(chunkGridOf(headMeta)).toSeq,
+      primaryDims, chunks, ranges)
+    val rangesB = ranges
     val schema = StructType(
       primaryDims.map(dn => StructField(s"${dn}_idx", IntegerType, nullable = false)) ++
         varNames.map(n => StructField(n, DoubleType, nullable = false)))
@@ -331,7 +367,7 @@ object ZarrGroup extends Serializable {
               if (gidx >= shape(d)) inBounds = false else cells(d) = gidx
               d += 1
             }
-            if (inBounds) {
+            if (inBounds && inRanges(primaryDims, rangesB, cells)) {
               var vi = 0
               while (vi < perVar.length) { cells(nd + vi) = perVar(vi)(i); vi += 1 }
               Some(Row.fromSeq(cells.toSeq))
@@ -343,7 +379,8 @@ object ZarrGroup extends Serializable {
 
     // ── lower-rank data variables: broadcast-join on their dim indices ──
     secondary.foreach { v =>
-      val vdf = readVar(spark, dir, g, v.name)
+      val vdf = readVar(spark, dir, g, v.name,
+        ranges.view.filterKeys(v.dims.contains).toMap)
       val keys = v.dims.map(dn => s"${dn}_idx")
       val joined = if (v.meta.shape.map(_.toLong).product <= 64L * 1024 * 1024)
         broadcast(vdf) else vdf
@@ -352,7 +389,8 @@ object ZarrGroup extends Serializable {
 
     // ── dimension coordinates: broadcast value columns `<dim>` ──
     primaryDims.filter(g.coordNames).foreach { dn =>
-      val cdf = readVar(spark, dir, g, dn)
+      val cdf = readVar(spark, dir, g, dn,
+        ranges.view.filterKeys(_ == dn).toMap)
         .withColumnRenamed(dn, s"${dn}__coord")
       out = out.join(broadcast(cdf), Seq(s"${dn}_idx"), "left")
         .withColumnRenamed(s"${dn}__coord", dn)

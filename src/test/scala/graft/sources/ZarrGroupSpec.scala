@@ -144,6 +144,33 @@ class ZarrGroupSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("dim-range prune: out-of-range chunk files are never opened") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zgroup_prune").toFile
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val cells = (for (t <- 0 until 8; x <- 0 until 4)
+      yield (t, x, t * 10.0 + x)).toDF("time_idx", "x_idx", "v")
+    ZarrGroup.writeDataset(cells, dir.getAbsolutePath,
+      dims = Seq("time" -> 8, "x" -> 4), chunks = Seq(2, 4), valueCols = Seq("v"),
+      coords = Map("time" -> Array.tabulate(8)(_ * 1.0)))
+    // corrupt the chunks OUTSIDE the requested range: if the prune works
+    // they are never read; if it doesn't, decode throws
+    for (c <- Seq("2.0", "3.0"))
+      java.nio.file.Files.write(new java.io.File(dir, s"v/$c").toPath,
+        Array[Byte](1, 2, 3))
+    val got = ZarrGroup.readDataset(spark, dir.getAbsolutePath,
+      ranges = Map("time" -> (1, 3)))
+    assert(got.count() == 3 * 4)
+    assert(got.agg(min("time_idx"), max("time_idx")).head() ==
+      org.apache.spark.sql.Row(1, 3))
+    // values exact within the range (chunk [0,1] partially in range)
+    assert(got.filter(col("v") =!= col("time_idx") * 10 - col("x_idx") + col("x_idx") * 2)
+      .filter(col("v") =!= col("time_idx") * 10 + col("x_idx")).count() == 0)
+    // coord joined only for in-range indices
+    assert(got.select("time").distinct().count() == 3)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("missing chunk files read as fill (write_empty_chunks=False semantics)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("zgroup_fill").toFile
