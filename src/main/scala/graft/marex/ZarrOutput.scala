@@ -143,6 +143,115 @@ object ZarrOutput {
       "periodic_x" -> spec.periodicX.toString) ++ attrs)
   }
 
+  /** Export an unstructured (mesh) tracking result as the reference's
+    * output dataset on `(time, ncells)` — same variable set as
+    * [[writeTrackResult]] with the cell dimension in place of (lat, lon),
+    * plus the mesh's own per-cell arrays (`lat`, `lon`, `cell_areas`,
+    * `mask(ncells)`) so the store is self-describing the way the
+    * reference's unstructured fixtures are. Event properties (area,
+    * centroid, lifetime) are derived here with the SAME area-weighted
+    * spherical centroid the gridded tracker uses ([[Track.objectProps]],
+    * mesh cells mapped to degenerate (y=cell, x=0) coordinates) — the
+    * unstructured result carries only the id field and genealogy.
+    *
+    * Scale shape: identical to [[writeTrackResult]] — the (time, ncells)
+    * cube is one shuffle with fill-0 background; per-cell arrays are
+    * mesh-sized driver writes, the same bound the Mesh itself already
+    * holds in memory. */
+  def writeUnstructuredResult(res: UnstructuredTracker.Result,
+      mesh: UnstructuredTracker.Mesh, dir: String, timeChunk: Int = 16,
+      v3: Boolean = false, attrs: Map[String, String] = Map.empty): Unit = {
+    val spark = res.idField.sparkSession
+    import spark.implicits._
+
+    val times = res.idField.select("time").distinct().orderBy("time")
+      .as[java.sql.Timestamp].collect()
+    require(times.nonEmpty, "writeUnstructuredResult: empty result (no timesteps)")
+    val nt = times.length
+    val timeIdxDf = broadcast(times.zipWithIndex.toSeq.toDF("time", "time_idx"))
+    val nCells = mesh.lat.length
+
+    // degenerate-grid geometry so the gridded props kernel applies as-is
+    val geom = spark.sparkContext.parallelize(0 until nCells, 8)
+      .map(c => (c, 0, mesh.lat(c), mesh.lon(c), mesh.area(c)))
+      .toDF("y", "x", "lat", "lon", "area")
+    val ids = res.idField.select(col("time"), col("cell").as("y"),
+      lit(0).as("x"), col("event_id"))
+    val props = Track.objectProps(ids, geom, idCol = "event_id")
+      .localCheckpoint()
+    val events = props.groupBy("event_id").agg(
+      min("time").as("time_start"), max("time").as("time_end"))
+    val nIds = math.max(1L, events.agg(coalesce(max(col("event_id")), lit(0L)))
+      .head().getLong(0)).toInt
+    val maxSib = math.max(1L, res.mergeLedger
+      .agg(coalesce(max(size(col("sibling_event_ids"))), lit(0)))
+      .head().getInt(0).toLong).toInt
+
+    val w = new ZarrGroup.GroupWriter(dir, v3)
+    val tDim = "time" -> nt
+    val idDim = "ID" -> nIds
+    val tCh = math.min(timeChunk, nt)
+    val idCh = math.min(nIds, 65536)
+
+    w.arrays(
+      res.idField.join(timeIdxDf, "time").select(
+        col("time_idx"), col("cell").cast("int").as("ncells_idx"),
+        col("event_id").cast("double").as("ID_field")),
+      dims = Seq(tDim, "ncells" -> nCells),
+      chunks = Seq(tCh, math.min(nCells, 1 << 20)),
+      valueCols = Seq("ID_field"), fill = 0.0)
+
+    val perT = props.join(timeIdxDf, "time").select(
+      col("time_idx"), (col("event_id") - 1).cast("int").as("ID_idx"),
+      col("event_id").cast("double").as("global_ID"), lit(1.0).as("presence"),
+      col("area").cast("double").as("area"),
+      col("cen_lat").cast("double"), col("cen_lon").cast("double"))
+    w.arrays(perT, Seq(tDim, idDim), Seq(tCh, idCh),
+      valueCols = Seq("global_ID", "presence"), fill = 0.0)
+    w.arrays(perT, Seq(tDim, idDim), Seq(tCh, idCh),
+      valueCols = Seq("area"), fill = Double.NaN)
+    w.arrays(
+      perT.select(col("time_idx"), col("ID_idx"),
+          array(struct(lit(0).as("c"), col("cen_lat").as("v")),
+            struct(lit(1).as("c"), col("cen_lon").as("v"))).as("cs"))
+        .select(col("time_idx"), col("ID_idx"), explode(col("cs")).as("e"))
+        .select(col("e.c").as("component_idx"), col("time_idx"), col("ID_idx"),
+          col("e.v").as("centroid")),
+      dims = Seq("component" -> 2, tDim, idDim), chunks = Seq(2, tCh, idCh),
+      valueCols = Seq("centroid"), fill = Double.NaN)
+    w.arrays(
+      events.select((col("event_id") - 1).cast("int").as("ID_idx"),
+        col("time_start").cast("double").as("time_start"),
+        col("time_end").cast("double").as("time_end")),
+      dims = Seq(idDim), chunks = Seq(idCh),
+      valueCols = Seq("time_start", "time_end"), fill = Double.NaN)
+    w.arrays(
+      res.mergeLedger.join(timeIdxDf, "time").select(
+          col("time_idx"), (col("event_id") - 1).cast("int").as("ID_idx"),
+          posexplode(col("sibling_event_ids")).as(Seq("sibling_ID_idx", "sib")))
+        .select(col("time_idx"), col("ID_idx"), col("sibling_ID_idx"),
+          col("sib").cast("double").as("merge_ledger")),
+      dims = Seq(tDim, idDim, "sibling_ID" -> maxSib),
+      chunks = Seq(tCh, idCh, maxSib),
+      valueCols = Seq("merge_ledger"), fill = -1.0)
+
+    // mesh per-cell arrays, fixture-style (extreme_unstructured.zarr layout)
+    val cellsDf = spark.sparkContext.parallelize(0 until nCells, 8)
+      .map(c => (c, mesh.lat(c), mesh.lon(c), mesh.area(c),
+        if (mesh.valid(c)) 1.0 else 0.0))
+      .toDF("ncells_idx", "lat", "lon", "cell_areas", "mask")
+    w.arrays(cellsDf, Seq("ncells" -> nCells), Seq(math.min(nCells, 1 << 20)),
+      valueCols = Seq("lat", "lon", "cell_areas", "mask"), fill = Double.NaN)
+
+    w.coord("time", times.map(_.getTime / 1000.0))
+    w.coord("ID", Array.tabulate(nIds)(i => (i + 1).toDouble))
+
+    w.finish(Map(
+      "title" -> "graft tracked events (unstructured)",
+      "n_events" -> nIds.toString,
+      "grid" -> "unstructured") ++ attrs)
+  }
+
   /** Export a detect/preprocess result as the reference's PREPROCESSED
     * dataset — the exact layout of its own shipped fixture
     * (`extremes_gridded.zarr`: `extreme_events(time, lat, lon)`,

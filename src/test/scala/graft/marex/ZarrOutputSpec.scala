@@ -133,6 +133,51 @@ class ZarrOutputSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(d)
   }
 
+  test("writeUnstructuredResult: mesh output group round-trips") {
+    // a tiny 1-D chain mesh with a two-blob collision over 3 days
+    val n = 60
+    val nbr = Array.ofDim[Int](3, n)
+    for (i <- 0 until n) {
+      nbr(0)(i) = if (i > 0) i - 1 else -1
+      nbr(1)(i) = if (i < n - 1) i + 1 else -1
+      nbr(2)(i) = -1
+    }
+    val mesh = UnstructuredTracker.Mesh(nbr,
+      Array.tabulate(n)(i => -30.0 + i), Array.tabulate(n)(i => i * 2.0),
+      Array.fill(n)(1.0), Array.fill(n)(true))
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2020-01-${d + 1}%02d 00:00:00")
+    val flags = (for {
+      d <- 0 until 3
+      c <- (10 + 5 * d until 16 + 5 * d) ++ (30 until 36)
+    } yield (ts(d), c)).toDF("time", "cell")
+    val res = UnstructuredTracker.track(flags, mesh,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.0,
+        dropSmallestObject = false, overlapThreshold = 0.2, allowMerging = true))
+
+    val d = java.nio.file.Files.createTempDirectory("zarr_unstr_out").toFile
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    ZarrOutput.writeUnstructuredResult(res, mesh, d.getAbsolutePath)
+
+    val g = ZarrGroup.open(d.getAbsolutePath, spark.sparkContext.hadoopConfiguration)
+    assert(g.members.keySet == Set("ID_field", "global_ID", "area", "centroid",
+      "presence", "time_start", "time_end", "merge_ledger",
+      "lat", "lon", "cell_areas", "mask", "time", "ID"))
+    assert(g.members("ID_field").dims == Seq("time", "ncells"))
+    assert(g.members("lat").dims == Seq("ncells"))
+    // id cube round-trips cell-exactly
+    val cube = ZarrGroup.readVar(spark, d.getAbsolutePath, g, "ID_field")
+    assert(cube.filter(col("ID_field") > 0).count() == res.idField.count())
+    assert(cube.count() == 3L * n)
+    // derived area matches the flagged-cell count per (t, id) (unit areas)
+    val area = ZarrGroup.readVar(spark, d.getAbsolutePath, g, "area")
+      .filter(!isnan(col("area")))
+    assert(area.agg(sum("area")).head().getDouble(0) == res.idField.count().toDouble)
+    // mesh arrays written faithfully
+    val (_, latArr) = graft.sources.ZarrSource.readLocalND(s"${d.getAbsolutePath}/lat")
+    assert(latArr.toSeq == mesh.lat.toSeq)
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+  }
+
   test("coordinate axes: lat/lon from geom, ID = 1..N, time epoch seconds") {
     val g = ZarrGroup.open(outDir, spark.sparkContext.hadoopConfiguration)
     val (_, lat) = graft.sources.ZarrSource.readLocalND(s"$outDir/lat")
