@@ -269,10 +269,19 @@ object ZarrOutput {
     * @param extremes (time, y, x, …, extreme BOOLEAN) — [[Detect.preprocess]]'s
     *                 third output (rows may cover the full field; only
     *                 `extreme = true` cells are stored, the rest is fill)
+    * @param anomaly  optional (time, y, x, anomaly) — stored as
+    *                 `dat_anomaly(time, lat, lon)` like the reference's full
+    *                 output (detect.py:417)
+    * @param thresholds optional threshold table — `(y, x, threshold)` stores
+    *                 as `thresholds(lat, lon)` (global_extreme),
+    *                 `(y, x, doy, threshold)` as
+    *                 `thresholds(dayofyear, lat, lon)` (hobday_extreme,
+    *                 detect.py:445), dayofyear coordinate 1-based
     */
   def writeDetectResult(extremes: DataFrame, geom: DataFrame, spec: GridSpec,
       cfg: DetectConfig, dir: String, timeChunk: Int = 16,
-      v3: Boolean = false): Unit = {
+      v3: Boolean = false, anomaly: Option[DataFrame] = None,
+      thresholds: Option[DataFrame] = None): Unit = {
     val spark = extremes.sparkSession
     import spark.implicits._
 
@@ -305,6 +314,35 @@ object ZarrOutput {
         when(col("valid"), 1.0).otherwise(0.0).as("mask")),
       dims = Seq("lat" -> spec.ny, "lon" -> spec.nx),
       chunks = Seq(spec.ny, spec.nx), valueCols = Seq("mask"), fill = 0.0)
+    anomaly.foreach { a =>
+      w.arrays(
+        a.join(timeIdxDf, "time").select(col("time_idx"),
+          col("y").cast("int").as("lat_idx"), col("x").cast("int").as("lon_idx"),
+          col("anomaly").cast("double").as("dat_anomaly")),
+        dims = Seq("time" -> nt, "lat" -> spec.ny, "lon" -> spec.nx),
+        chunks = Seq(math.min(timeChunk, nt),
+          math.min(spec.ny, 720), math.min(spec.nx, 1440)),
+        valueCols = Seq("dat_anomaly"), fill = Double.NaN)
+    }
+    thresholds.foreach { t =>
+      if (t.columns.contains("doy")) {
+        w.arrays(
+          t.select((col("doy") - 1).cast("int").as("dayofyear_idx"),
+            col("y").cast("int").as("lat_idx"), col("x").cast("int").as("lon_idx"),
+            col("threshold").cast("double").as("thresholds")),
+          dims = Seq("dayofyear" -> 366, "lat" -> spec.ny, "lon" -> spec.nx),
+          chunks = Seq(61, math.min(spec.ny, 720), math.min(spec.nx, 1440)),
+          valueCols = Seq("thresholds"), fill = Double.NaN)
+        w.coord("dayofyear", Array.tabulate(366)(i => (i + 1).toDouble))
+      } else
+        w.arrays(
+          t.select(col("y").cast("int").as("lat_idx"),
+            col("x").cast("int").as("lon_idx"),
+            col("threshold").cast("double").as("thresholds")),
+          dims = Seq("lat" -> spec.ny, "lon" -> spec.nx),
+          chunks = Seq(spec.ny, spec.nx),
+          valueCols = Seq("thresholds"), fill = Double.NaN)
+    }
     w.coord("time", times.map(_.getTime / 1000.0))
     w.coord("lat", latAxis)
     w.coord("lon", lonAxis)

@@ -133,6 +133,48 @@ class ZarrOutputSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(d)
   }
 
+  test("writeDetectResult full output: dat_anomaly + thresholds (global and hobday dims)") {
+    val sst = SyntheticData.sstGridded(spark, nDays = 365 * 2, ny = 4, nx = 6)
+    val gspec = GridSpec(ny = 4, nx = 6, periodicX = true)
+    val dgeom = SyntheticData.geometry(spark, 4, 6)
+
+    // global_extreme: thresholds(lat, lon)
+    val cfgG = DetectConfig(methodAnomaly = "fixed_baseline",
+      methodExtreme = "global_extreme")
+    val (anomG, thrG, extG) = Detect.preprocess(sst, cfgG)
+    val dG = java.nio.file.Files.createTempDirectory("zarr_detect_full_g").toFile
+    org.apache.commons.io.FileUtils.deleteQuietly(dG)
+    ZarrOutput.writeDetectResult(extG, dgeom, gspec, cfgG, dG.getAbsolutePath,
+      anomaly = Some(anomG), thresholds = Some(thrG))
+    val gG = ZarrGroup.open(dG.getAbsolutePath, spark.sparkContext.hadoopConfiguration)
+    assert(gG.members.keySet == Set("extreme_events", "mask", "dat_anomaly",
+      "thresholds", "time", "lat", "lon"))
+    assert(gG.members("thresholds").dims == Seq("lat", "lon"))
+    assert(gG.members("dat_anomaly").dims == Seq("time", "lat", "lon"))
+    // threshold values round-trip
+    val thrBack = ZarrGroup.readVar(spark, dG.getAbsolutePath, gG, "thresholds")
+    val diff = thrBack.join(thrG.withColumnRenamed("threshold", "want"),
+        thrBack("lat_idx") === thrG("y") && thrBack("lon_idx") === thrG("x"))
+      .filter(abs(col("thresholds") - col("want")) > 1e-12).count()
+    assert(diff == 0L)
+    org.apache.commons.io.FileUtils.deleteQuietly(dG)
+
+    // hobday_extreme: thresholds(dayofyear, lat, lon) + dayofyear coord
+    val cfgH = DetectConfig(methodAnomaly = "fixed_baseline",
+      methodExtreme = "hobday_extreme")
+    val (anomH, thrH, extH) = Detect.preprocess(sst, cfgH)
+    val dH = java.nio.file.Files.createTempDirectory("zarr_detect_full_h").toFile
+    org.apache.commons.io.FileUtils.deleteQuietly(dH)
+    ZarrOutput.writeDetectResult(extH, dgeom, gspec, cfgH, dH.getAbsolutePath,
+      anomaly = Some(anomH), thresholds = Some(thrH))
+    val gH = ZarrGroup.open(dH.getAbsolutePath, spark.sparkContext.hadoopConfiguration)
+    assert(gH.members("thresholds").dims == Seq("dayofyear", "lat", "lon"))
+    assert(gH.members.contains("dayofyear"))
+    val (sh, doyAxis) = graft.sources.ZarrSource.readLocalND(s"${dH.getAbsolutePath}/dayofyear")
+    assert(sh == Seq(366) && doyAxis.head == 1.0 && doyAxis.last == 366.0)
+    org.apache.commons.io.FileUtils.deleteQuietly(dH)
+  }
+
   test("writeUnstructuredResult: mesh output group round-trips") {
     // a tiny 1-D chain mesh with a two-blob collision over 3 days
     val n = 60
