@@ -34,9 +34,20 @@ object Tables {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
     name match {
       case "events" =>
-        // ns → µs, floor division in *integer* space (ns values exceed 2^53,
-        // double math would corrupt them).
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        // Two generations of the driver data exist: INT64 TIMESTAMP(NANOS)
+        // (arrives as a long under nanosAsLong — floor-divide in *integer*
+        // space, ns values exceed 2^53) and native TIMESTAMP(MICROS)
+        // (arrives as TIMESTAMP_NTZ — instant-preserving cast under the UTC
+        // session zone). Both normalize to the same µs TIMESTAMP column, the
+        // type every query and the DuckDB oracle were built against.
+        df.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          case org.apache.spark.sql.types.TimestampType => df
+          case _ =>
+            df.withColumn("ts",
+              col("ts").cast(org.apache.spark.sql.types.TimestampType))
+        }
       case _ => df
     }
   }

@@ -12,23 +12,26 @@ import java.util.zip.{Deflater, Inflater}
   *  - superblock v0/v1 (netcdf-c and h5py default) and v2/v3
   *  - object headers v1 and v2 ("OHDR"), with continuation blocks
   *  - old-style groups (symbol-table message → v1 B-tree + local heap +
-  *    SNOD nodes) and compact new-style groups (link messages); dense
-  *    (fractal-heap) groups are rejected with a clear error
+  *    SNOD nodes), compact new-style groups (link messages), and DENSE
+  *    new-style groups (Link Info → fractal heap + v2 B-tree name index) —
+  *    the storage any netCDF-4 group with more than 8 links uses
+  *  - attributes, both compact (attribute messages) and dense (Attribute
+  *    Info → fractal heap + type-8 name index, > 8 attributes per object)
   *  - dataspace v1/v2, datatype classes 0 (fixed-point) and 1 (IEEE float)
   *    in either endianness, fill-value, filter pipeline v1/v2
   *  - data layouts: compact, contiguous, chunked v3 (v1 B-tree chunk
-  *    index), and the chunked-v4 `libver='latest'` indexes Single Chunk,
-  *    Implicit, and Fixed Array (paged + unpaged); the unlimited-dimension
-  *    Extensible Array / v2-B-tree indexes are rejected with a clear error
+  *    index), and ALL FIVE chunked-v4 `libver='latest'` indexes: Single
+  *    Chunk, Implicit, Fixed Array (paged + unpaged), Extensible Array,
+  *    and v2 B-tree (multi-unlimited-dimension datasets)
   *  - filters: deflate (1), shuffle (2), fletcher32 (3, checksum stripped);
   *    anything else → error naming the filter id
   *
   * Write side (fixture + sink dual): superblock v0, v1 object headers,
-  * one old-style root group, f64 datasets with contiguous or
-  * chunked+shuffle+deflate layout — the same structures the read side
-  * parses, so round-trips exercise both. Unknown header messages are
-  * skipped by size, so attribute-bearing files (netCDF-4 writes
-  * `DIMENSION_LIST`/`_Netcdf4Dimid` etc.) parse fine.
+  * an old-style or dense root group, f64 datasets with contiguous or
+  * chunked+shuffle+deflate layout across the index types above — the same
+  * structures the read side parses, so round-trips exercise both. Unknown
+  * header messages are skipped by size, so attribute-bearing files
+  * (netCDF-4 writes `DIMENSION_LIST`/`_Netcdf4Dimid` etc.) parse fine.
   *
   * All addresses/lengths are 8-byte (the library default); UNDEF = -1.
   */
@@ -75,6 +78,10 @@ private[sources] object Hdf5 {
     * unlimited-time case). Creation parameters are read from the EAHD
     * header, so none are kept here. */
   case object ExtensibleArray extends ChunkIndex
+
+  /** v2 B-tree chunk index — `libver='latest'` datasets with more than one
+    * unlimited dimension. Record geometry comes from the BTHD header. */
+  case object BTreeV2Index extends ChunkIndex
 
   /** chunkDims excludes the trailing element-size pseudo-dimension.
     * `indexAddr` is the chunk B-tree root (v1), the FA header, the implicit
@@ -274,9 +281,10 @@ private[sources] object Hdf5 {
                 // min-elmts, page-bits
                 p += 5
                 ExtensibleArray
-              case 5 => throw new IllegalArgumentException(
-                "v2 B-tree chunk index (multi-unlimited libver-latest dataset) " +
-                  "not supported; rewrite with default library settings")
+              case 5 =>
+                // creation params: node size (4), split / merge percent (1+1)
+                p += 6
+                BTreeV2Index
               case t => throw new IllegalArgumentException(s"chunk index type $t")
             }
             Chunked(b.getLong(p), dims, index)
@@ -383,10 +391,34 @@ private[sources] object Hdf5 {
   /** All parseable attributes of the object at `ohAddr`. Exotic or
     * malformed attributes are skipped, never fatal — ingest only needs the
     * CF numeric/string ones. */
-  def attributes(src: ByteSource, ohAddr: Long): Map[String, Any] =
-    readMessages(src, ohAddr).filter(_.typ == 0x000C)
+  def attributes(src: ByteSource, ohAddr: Long): Map[String, Any] = {
+    val msgs = readMessages(src, ohAddr)
+    val compact = msgs.filter(_.typ == 0x000C)
       .flatMap(m => try parseAttribute(m.body) catch { case _: Exception => None })
-      .toMap
+    // dense storage (Attribute Info message, > max_compact attributes):
+    // attribute messages live in a fractal heap keyed by a name-hash B-tree
+    val dense = msgs.filter(_.typ == 0x0015).flatMap { m =>
+      try denseAttributes(src, m.body) catch { case _: Exception => Seq.empty }
+    }
+    (compact ++ dense).toMap
+  }
+
+  private def denseAttributes(src: ByteSource, body: Array[Byte]): Seq[(String, Any)] = {
+    val flags = body(1) & 0xff
+    val p = 2 + (if ((flags & 1) != 0) 2 else 0) // max creation index (2 bytes)
+    val heapAddr = le(body).getLong(p)
+    val nameBt = le(body).getLong(p + 8)
+    if (heapAddr == Undef || nameBt == Undef) return Seq.empty
+    val heap = new FractalHeap(src, heapAddr)
+    val bt = readBtreeV2(src, nameBt)
+    require(bt.typ == 8, s"attribute name index has record type ${bt.typ}")
+    val idLen = bt.recordSize - 9 // heap ID + message flags (1) + order (4) + hash (4)
+    bt.records.flatMap { r =>
+      if ((r(idLen) & 0x01) != 0) None // shared message — skip
+      else try parseAttribute(heap.obj(java.util.Arrays.copyOf(r, idLen)))
+      catch { case _: Exception => None }
+    }
+  }
 
   // ── groups ───────────────────────────────────────────────────────────────
 
@@ -398,14 +430,26 @@ private[sources] object Hdf5 {
         val b = le(st.body)
         symbolTableLinks(src, b.getLong(0), b.getLong(8))
       case None =>
-        msgs.find(_.typ == 0x0002).foreach { li =>
+        val dense = msgs.find(_.typ == 0x0002).toSeq.flatMap { li =>
+          // Link Info: version, flags, [max creation index], fractal heap
+          // address, name-index v2 B-tree address — dense storage iff the
+          // heap address is defined (any group with > max_compact links)
           val flags = li.body(1) & 0xff
-          val heapAddr = le(li.body).getLong(2 + (if ((flags & 1) != 0) 8 else 0))
-          require(heapAddr == Undef,
-            "dense (fractal-heap) group links not supported; " +
-              "rewrite with default library settings")
+          val p = 2 + (if ((flags & 1) != 0) 8 else 0)
+          val heapAddr = le(li.body).getLong(p)
+          val nameBt = le(li.body).getLong(p + 8)
+          if (heapAddr == Undef) Seq.empty
+          else {
+            require(nameBt != Undef, "dense group without a name index")
+            val heap = new FractalHeap(src, heapAddr)
+            val bt = readBtreeV2(src, nameBt)
+            require(bt.typ == 5, s"group name index has record type ${bt.typ}")
+            // type-5 record: name hash (4) + fractal heap ID of the link msg
+            bt.records.flatMap(r =>
+              parseLink(heap.obj(java.util.Arrays.copyOfRange(r, 4, bt.recordSize))))
+          }
         }
-        msgs.filter(_.typ == 0x0006).flatMap(m => parseLink(m.body))
+        dense ++ msgs.filter(_.typ == 0x0006).flatMap(m => parseLink(m.body))
     }
   }
 
@@ -457,6 +501,133 @@ private[sources] object Hdf5 {
     }
   }
 
+  // ── fractal heaps + v2 B-trees (dense groups/attributes, chunk index 5) ──
+
+  /** Minimum little-endian bytes needed to represent `n` (≥ 1 byte) — the
+    * HDF5 "limit encode size" used to size v2-B-tree pointer fields and
+    * fractal-heap ID length fields. */
+  private def encSize(n: Long): Int =
+    (63 - java.lang.Long.numberOfLeadingZeros(math.max(n, 1L))) / 8 + 1
+
+  private def leVar(b: Array[Byte], off: Int, len: Int): Long = {
+    var v = 0L; var i = len - 1
+    while (i >= 0) { v = (v << 8) | (b(off + i) & 0xffL); i -= 1 }
+    v
+  }
+
+  final case class BtreeV2(typ: Int, recordSize: Int, records: Seq[Array[Byte]])
+
+  /** Walk a v2 B-tree ("BTHD" header, "BTIN" internal / "BTLF" leaf nodes)
+    * and return every record left-to-right. Handles any depth; per-depth
+    * pointer-field widths follow the header geometry the library derives
+    * (node size, record size → max records per node → encoded sizes). */
+  def readBtreeV2(src: ByteSource, addr: Long): BtreeV2 = {
+    val hdr = src.read(addr, 38)
+    require(hdr.take(4).sameElements("BTHD".getBytes), s"bad v2 B-tree header at $addr")
+    val b = le(hdr)
+    val typ = hdr(5) & 0xff
+    val nodeSize = b.getInt(6)
+    val recordSize = b.getShort(10) & 0xffff
+    val depth = b.getShort(12) & 0xffff
+    val rootAddr = b.getLong(16)
+    val nRecRoot = b.getShort(24) & 0xffff
+    if (rootAddr == Undef) return BtreeV2(typ, recordSize, Seq.empty)
+    // geometry: leaf holds the most records (no pointers), so the per-node
+    // record-count field is sized for it; cumulative subtree maxima size the
+    // total-count fields present when the child is itself internal
+    val leafMax = (nodeSize - 10) / recordSize
+    val maxNrecSize = encSize(leafMax.toLong)
+    val cumSize = new Array[Int](depth + 1)
+    var cumMax = leafMax.toLong
+    (1 to depth).foreach { u =>
+      val ptr = 8 + maxNrecSize + (if (u > 1) cumSize(u - 1) else 0)
+      val intMax = (nodeSize - (10 + ptr)) / (recordSize + ptr)
+      cumMax = (intMax + 1).toLong * cumMax + intMax
+      cumSize(u) = encSize(cumMax)
+    }
+    def node(at: Long, nrec: Int, d: Int): Seq[Array[Byte]] =
+      if (d == 0) {
+        val body = src.read(at, 6 + nrec * recordSize)
+        require(body.take(4).sameElements("BTLF".getBytes), s"bad v2 B-tree leaf at $at")
+        (0 until nrec).map(i =>
+          java.util.Arrays.copyOfRange(body, 6 + i * recordSize, 6 + (i + 1) * recordSize))
+      } else {
+        val ptrSize = 8 + maxNrecSize + (if (d > 1) cumSize(d - 1) else 0)
+        val body = src.read(at, 6 + nrec * recordSize + (nrec + 1) * ptrSize)
+        require(body.take(4).sameElements("BTIN".getBytes), s"bad v2 B-tree node at $at")
+        val ptrBase = 6 + nrec * recordSize
+        def child(i: Int): Seq[Array[Byte]] = {
+          val p = ptrBase + i * ptrSize
+          node(le(body).getLong(p), leVar(body, p + 8, maxNrecSize).toInt, d - 1)
+        }
+        (0 until nrec).flatMap(i => child(i) :+
+          java.util.Arrays.copyOfRange(body, 6 + i * recordSize, 6 + (i + 1) * recordSize)) ++
+          child(nrec)
+      }
+    BtreeV2(typ, recordSize, node(rootAddr, nRecRoot, depth))
+  }
+
+  /** A fractal heap ("FRHP") holding managed objects — how dense group
+    * links and dense attributes are stored. Resolves managed heap IDs via
+    * the doubling-table geometry: rows 0 and 1 hold `width` blocks of the
+    * starting block size, every later row doubles the block size. Huge/tiny
+    * heap IDs and indirect sub-blocks (multi-GB heaps) are rejected with a
+    * clear error — link/attribute heaps never reach them. */
+  final class FractalHeap(src: ByteSource, addr: Long) {
+    private val hdr = src.read(addr, 146)
+    require(hdr.take(4).sameElements("FRHP".getBytes), s"bad fractal heap at $addr")
+    private val b = le(hdr)
+    val heapIdLen: Int = b.getShort(5) & 0xffff
+    private val ioFilterLen = b.getShort(7) & 0xffff
+    private val width = b.getShort(110) & 0xffff
+    private val startBlockSize = b.getLong(112)
+    private val maxDirectSize = b.getLong(120)
+    private val maxHeapBits = b.getShort(128) & 0xffff
+    private val rootBlockAddr = b.getLong(132)
+    private val curRowsRoot = b.getShort(140) & 0xffff
+    private val offSize = (maxHeapBits + 7) / 8
+    private val lenSize = heapIdLen - 1 - offSize
+    require(lenSize > 0, s"inconsistent fractal heap ID length $heapIdLen")
+    private def log2(v: Long): Int = 63 - java.lang.Long.numberOfLeadingZeros(v)
+    private val maxDirectRows = log2(maxDirectSize) - log2(startBlockSize) + 2
+    // root indirect block entries (direct-block addresses, row-major),
+    // loaded lazily — a root that IS a direct block never reads them
+    private lazy val rootEntries: ByteBuffer = {
+      require(ioFilterLen == 0, "filtered fractal-heap blocks not supported")
+      val head = src.read(rootBlockAddr, 4)
+      require(head.sameElements("FHIB".getBytes), s"bad heap indirect block at $rootBlockAddr")
+      val nDirect = math.min(curRowsRoot, maxDirectRows) * width
+      le(src.read(rootBlockAddr + 13 + offSize, nDirect * 8))
+    }
+
+    /** Bytes of the managed object `id` points at. */
+    def obj(id: Array[Byte]): Array[Byte] = {
+      require((id(0) & 0xf0) == 0,
+        s"unsupported fractal heap ID type/version ${id(0) & 0xff} (only managed v0)")
+      val heapOff = leVar(id, 1, offSize)
+      val objLen = leVar(id, 1 + offSize, lenSize).toInt
+      src.read(fileAddr(heapOff), objLen)
+    }
+
+    private def fileAddr(heapOff: Long): Long =
+      if (curRowsRoot == 0) rootBlockAddr + heapOff // root is the one direct block
+      else {
+        val rowSpan = width * startBlockSize // rows 0 and 1 each span this
+        val row =
+          if (heapOff < rowSpan) 0
+          else log2(heapOff / rowSpan) + 1
+        require(row < maxDirectRows,
+          s"fractal heap offset $heapOff lands in an indirect sub-block — not supported")
+        require(row < curRowsRoot, s"fractal heap offset $heapOff beyond allocated rows")
+        val rowStart = if (row == 0) 0L else rowSpan << (row - 1)
+        val blockSize = if (row == 0) startBlockSize else startBlockSize << (row - 1)
+        val col = ((heapOff - rowStart) / blockSize).toInt
+        val blockAddr = rootEntries.getLong((row * width + col) * 8)
+        require(blockAddr != Undef, s"fractal heap offset $heapOff in unallocated block")
+        blockAddr + (heapOff - (rowStart + col.toLong * blockSize))
+      }
+  }
+
   /** Recursively list all datasets under the root group as
     * path → object header address ("/"-joined for nested groups). */
   def listDatasets(src: ByteSource, rootOh: Long): Seq[(String, Long)] = {
@@ -506,6 +677,35 @@ private[sources] object Hdf5 {
         }
       case FixedArray(_) => fixedArrayChunks(src, ds, layout)
       case ExtensibleArray => extensibleArrayChunks(src, ds, layout)
+      case BTreeV2Index => btreeV2Chunks(src, ds, layout)
+    }
+  }
+
+  /** Read a v2 B-tree chunk index: record type 10 (unfiltered — address +
+    * per-dimension scaled offsets) or 11 (filtered — address + stored size
+    * + filter mask + scaled offsets). Scaled offsets are chunk-grid
+    * coordinates; multiply by the chunk shape to recover element offsets. */
+  private def btreeV2Chunks(src: ByteSource, ds: Dataset, layout: Chunked): Seq[ChunkRef] = {
+    if (layout.indexAddr == Undef) return Seq.empty
+    val bt = readBtreeV2(src, layout.indexAddr)
+    val rank = layout.chunkDims.length
+    val rawChunkBytes = layout.chunkDims.map(_.toLong).product * ds.dtype.size
+    bt.records.map { r =>
+      val b = le(r)
+      val addr = b.getLong(0)
+      bt.typ match {
+        case 10 =>
+          val off = (0 until rank).map(d => b.getLong(8 + d * 8) * layout.chunkDims(d))
+          ChunkRef(off, addr, rawChunkBytes.toInt, 0)
+        case 11 =>
+          val szLen = bt.recordSize - 12 - rank * 8
+          val sz = leVar(r, 8, szLen)
+          val mask = b.getInt(8 + szLen)
+          val off = (0 until rank).map(d => b.getLong(12 + szLen + d * 8) * layout.chunkDims(d))
+          ChunkRef(off, addr, sz.toInt, mask)
+        case t => throw new IllegalArgumentException(
+          s"v2 B-tree record type $t is not a chunk index")
+      }
     }
   }
 
@@ -795,7 +995,119 @@ private[sources] object Hdf5 {
     * `libver='latest'` read paths. */
   final case class WriteVar(name: String, dims: Seq[Int], values: Array[Double],
       chunkDims: Option[Seq[Int]] = None, deflateLevel: Int = 4,
-      attrs: Seq[(String, Any)] = Seq.empty, v4Index: Option[String] = None)
+      attrs: Seq[(String, Any)] = Seq.empty, v4Index: Option[String] = None,
+      denseAttrs: Boolean = false)
+
+  /** Bob Jenkins' lookup3 `hashlittle` — the hash HDF5 keys dense link /
+    * attribute name indexes on (public-domain algorithm; H5_checksum_lookup3
+    * is the same function). Implemented from the published algorithm. */
+  private[sources] def lookup3(data: Array[Byte], init: Int = 0): Int = {
+    def rot(x: Int, k: Int): Int = (x << k) | (x >>> (32 - k))
+    def word(o: Int, n: Int): Int = {
+      var v = 0; var i = n - 1
+      while (i >= 0) { v = (v << 8) | (data(o + i) & 0xff); i -= 1 }
+      v
+    }
+    var a = 0xdeadbeef + data.length + init
+    var b = a; var c = a
+    var p = 0; var len = data.length
+    while (len > 12) {
+      a += word(p, 4); b += word(p + 4, 4); c += word(p + 8, 4)
+      a -= c; a ^= rot(c, 4); c += b
+      b -= a; b ^= rot(a, 6); a += c
+      c -= b; c ^= rot(b, 8); b += a
+      a -= c; a ^= rot(c, 16); c += b
+      b -= a; b ^= rot(a, 19); a += c
+      c -= b; c ^= rot(b, 4); b += a
+      p += 12; len -= 12
+    }
+    if (len == 0) return c // only for empty input: no final mix
+    a += word(p, math.min(len, 4))
+    if (len > 4) b += word(p + 4, math.min(len - 4, 4))
+    if (len > 8) c += word(p + 8, math.min(len - 8, 4))
+    c ^= b; c -= rot(b, 14)
+    a ^= c; a -= rot(c, 11)
+    b ^= a; b -= rot(a, 25)
+    c ^= b; c -= rot(b, 16)
+    a ^= c; a -= rot(c, 4)
+    b ^= a; b -= rot(a, 14)
+    c ^= b; c -= rot(b, 24)
+    c
+  }
+
+  /** Writer-side fractal heap: FRHP header + ONE direct block holding all
+    * objects (the shape small link/attribute heaps take in practice).
+    * 8-byte heap IDs (offset 4 + length 3). Returns (bytes, heap IDs). */
+  private def buildFractalHeap(atAddr: Long, objs: Seq[Array[Byte]]): (Array[Byte], Seq[Array[Byte]]) = {
+    val payload = objs.map(_.length).sum
+    require(payload < (1 << 23), "writer fractal heap limited to 8 MB of objects")
+    var block = 32L
+    while (block < 17 + payload) block <<= 1
+    val maxDirect = math.max(block, 65536L) // keeps the length field 3 bytes
+    val out = ByteBuffer.allocate(146 + 17 + payload).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("FRHP".getBytes).put(0.toByte)
+    out.putShort(8).putShort(0).put(0.toByte) // heap ID len, no filters, no checksums
+    out.putInt(block.toInt) // max managed object size
+    out.putLong(0L).putLong(Undef) // huge: next id, v2 B-tree
+    out.putLong(0L).putLong(Undef) // free space, free-space manager
+    out.putLong(block).putLong(block) // managed space, allocated
+    out.putLong(17L + payload) // direct-block iterator offset
+    out.putLong(objs.size.toLong)
+    out.putLong(0L).putLong(0L).putLong(0L).putLong(0L) // huge/tiny sizes+counts
+    out.putShort(4) // table width
+    out.putLong(block).putLong(maxDirect)
+    out.putShort(32) // max heap size (bits) → 4-byte offsets
+    out.putShort(0).putLong(atAddr + 146).putShort(0) // direct-block root
+    out.putInt(0) // checksum (readers don't verify)
+    out.put("FHDB".getBytes).put(0.toByte).putLong(atAddr).putInt(0)
+    var off = 17L
+    val ids = objs.map { o =>
+      val id = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      id.put(0.toByte).putInt(off.toInt)
+      id.put((o.length & 0xff).toByte).put(((o.length >> 8) & 0xff).toByte)
+        .put(((o.length >> 16) & 0xff).toByte)
+      out.put(o)
+      off += o.length
+      id.array()
+    }
+    (out.array(), ids)
+  }
+
+  /** Writer-side v2 B-tree: header + a single root leaf (node size grown to
+    * fit — the read side handles deep trees, the writer never needs them). */
+  private def buildBtreeV2Leaf(atAddr: Long, typ: Int, recordSize: Int,
+      records: Seq[Array[Byte]]): Array[Byte] = {
+    val leafSize = 10 + records.size * recordSize
+    var nodeSize = 512
+    while (nodeSize < leafSize) nodeSize <<= 1
+    val out = ByteBuffer.allocate(38 + leafSize).order(ByteOrder.LITTLE_ENDIAN)
+    out.put("BTHD".getBytes).put(0.toByte).put(typ.toByte)
+    out.putInt(nodeSize).putShort(recordSize.toShort).putShort(0) // depth 0
+    out.put(100.toByte).put(40.toByte) // split/merge percent (library defaults)
+    out.putLong(atAddr + 38).putShort(records.size.toShort)
+    out.putLong(records.size.toLong).putInt(0)
+    out.put("BTLF".getBytes).put(0.toByte).put(typ.toByte)
+    records.foreach(out.put)
+    out.putInt(0)
+    out.array()
+  }
+
+  /** Total bytes `buildFractalHeap` will emit for objects of these sizes. */
+  private def heapTotal(objSizes: Seq[Int]): Long = 146L + 17 + objSizes.sum
+
+  /** Total bytes `buildBtreeV2Leaf` will emit for `n` records. */
+  private def btreeTotal(n: Int, recordSize: Int): Long = 38L + 10 + n.toLong * recordSize
+
+  /** v2-B-tree chunk-index geometry: (record size, node size) for `n`
+    * filtered chunk records of `rank` dimensions. The stored-size field
+    * width follows the library formula from the unfiltered chunk size. */
+  private def bt2ChunkGeom(n: Int, rank: Int, chunkRawBytes: Long): (Int, Int) = {
+    val szLen = math.min(8, 1 + ((63 - java.lang.Long.numberOfLeadingZeros(chunkRawBytes)) + 8) / 8)
+    val recSize = 12 + szLen + rank * 8
+    var nodeSize = 512
+    while (nodeSize < 10 + n * recSize) nodeSize <<= 1
+    (recSize, nodeSize)
+  }
 
   /** 20-byte IEEE f64 LE datatype message body (class 1, version 1). */
   private def f64TypeBody: Array[Byte] = {
@@ -848,8 +1160,14 @@ private[sources] object Hdf5 {
   /** Assemble a complete HDF5 file (superblock v0, old-style root group,
     * v1 object headers). Datasets with `chunkDims` are written
     * shuffle+deflate chunked (v1 B-tree index, one leaf node); others
-    * contiguous. Returns the file bytes. */
-  def assemble(vars: Seq[WriteVar]): Array[Byte] = {
+    * contiguous. Returns the file bytes.
+    *
+    * `denseRoot` stores the root group's links densely (Link Info message →
+    * fractal heap + v2 B-tree name index) instead of the old-style symbol
+    * table — the storage every netCDF-4 group with more than 8 links uses —
+    * so round-trips exercise the dense read path. `WriteVar.denseAttrs`
+    * does the same for a variable's attributes (Attribute Info message). */
+  def assemble(vars: Seq[WriteVar], denseRoot: Boolean = false): Array[Byte] = {
     require(vars.nonEmpty && vars.map(_.name).distinct.size == vars.size)
     val sorted = vars.sortBy(_.name) // symbol tables are name-ordered
     val out = new java.io.ByteArrayOutputStream(1 << 20)
@@ -887,11 +1205,21 @@ private[sources] object Hdf5 {
     val btreeSize = 24 + 8 * (2 * 4 + 1) + 8 * (2 * 4) // full k=4 group node
     val snodAddr = btreeAddr + btreeSize
     val snodSize = 8 + 40 * math.max(8, sorted.size) // 2×symLeafK slots min
-    var cursor = snodAddr + snodSize
+    // dense-root alternative prefix: root OH (Link Info) → fractal heap of
+    // link messages → v2 B-tree name index; link message = ver+flags+len(3)
+    // + name + OH address(8), heap IDs are 8 bytes, records hash(4)+ID(8)
+    val linkBodySizes = sorted.map(v => 3 + v.name.getBytes("UTF-8").length + 8)
+    val linkHeapAddr = 96L + 48 // root OH: 16 prelude + (8 + 24) Link Info
+    val linkBtAddr = linkHeapAddr + heapTotal(linkBodySizes)
+    val linkRecSize = 4 + 8
+    var cursor =
+      if (denseRoot) linkBtAddr + btreeTotal(sorted.size, linkRecSize)
+      else snodAddr + snodSize
 
     // per-var: object header → [chunk index] → data
     final case class Plan(v: WriteVar, ohAddr: Long, dataAddr: Long,
-        btAddr: Long, chunks: Seq[(Seq[Long], Array[Byte])])
+        btAddr: Long, chunks: Seq[(Seq[Long], Array[Byte])],
+        attrHeapAddr: Long = Undef)
     def shuffleDeflate(raw: Array[Byte], level: Int): Array[Byte] = {
       val chunkN = raw.length / 8
       val shuffled = new Array[Byte](raw.length)
@@ -977,14 +1305,27 @@ private[sources] object Hdf5 {
         case Some("implicit") => 5 + rank1 * 8 + 1 + 8
         case Some("fa") | Some("fa-paged") => 5 + rank1 * 8 + 1 + 1 + 8
         case Some("ea") | Some("ea-sblk") => 5 + rank1 * 8 + 1 + 5 + 8
+        case Some("bt2") => 5 + rank1 * 8 + 1 + 6 + 8
         case Some(o) => throw new IllegalArgumentException(s"v4Index $o")
       }
       val filterBody = if (filtered) 8 + 16 + 16 else 0
-      val attrBytes = v.attrs.map(a => 8 + attrMessage(a._1, a._2).length).sum
+      val attrBytes =
+        if (v.denseAttrs) 8 + 24 // one Attribute Info message
+        else v.attrs.map(a => 8 + attrMessage(a._1, a._2).length).sum
       val ohSize = 16 + (8 + 8 + v.dims.length * 8) + (8 + 24) + (8 + 8) +
         (8 + layoutBody) + (if (filterBody > 0) 8 + filterBody else 0) + attrBytes
       cursor += ohSize
-      v.chunkDims match {
+      // dense attributes: heap of attribute messages + type-8 name index,
+      // placed right after the object header
+      val attrHeapAddr =
+        if (!v.denseAttrs) Undef
+        else {
+          val a = cursor
+          val bodySizes = v.attrs.map(x => attrMessage(x._1, x._2).length)
+          cursor += heapTotal(bodySizes) + btreeTotal(v.attrs.size, 17)
+          a
+        }
+      val base = v.chunkDims match {
         case None =>
           val dataAddr = cursor
           cursor += n * 8
@@ -1045,9 +1386,16 @@ private[sources] object Hdf5 {
               cursor += eaGeom(v4, chunks.size).totalSize
               chunks.foreach { case (_, bytes) => cursor += bytes.length }
               Plan(v, ohAddr, Undef, eaAddr, chunks)
+            case Some("bt2") =>
+              val btAddr = cursor
+              val (recSize, _) = bt2ChunkGeom(chunks.size, v.dims.length, chunkN * 8L)
+              cursor += 38 + 10 + chunks.size.toLong * recSize
+              chunks.foreach { case (_, bytes) => cursor += bytes.length }
+              Plan(v, ohAddr, Undef, btAddr, chunks)
             case Some(o) => throw new IllegalArgumentException(s"v4Index $o")
           }
       }
+      base.copy(attrHeapAddr = attrHeapAddr)
     }
 
     // ── emit ──
@@ -1060,6 +1408,37 @@ private[sources] object Hdf5 {
     val eofPatch = out.size() // EOF address patched at the end
     out.write(u64(0))
     out.write(u64(Undef)) // driver info
+    if (denseRoot) {
+      // root symbol table entry — nothing cached (the OH carries Link Info)
+      out.write(u64(0)); out.write(u64(rootOhAddr)); out.write(u32(0)); out.write(u32(0))
+      out.write(u64(0)); out.write(u64(0))
+      require(pos == rootOhAddr)
+      // root object header v1: one Link Info message → dense link storage
+      out.write(Array[Byte](1, 0)); out.write(u16(1)); out.write(u32(1))
+      out.write(u32(8 + 24)); out.write(u32(0))
+      out.write(u16(0x0002)); out.write(u16(24)); out.write(u32(0))
+      out.write(Array[Byte](0, 0)) // version, flags (no creation-order index)
+      out.write(u64(linkHeapAddr)); out.write(u64(linkBtAddr))
+      out.write(new Array[Byte](6), 0, 6) // pad to the declared body size
+      require(pos == linkHeapAddr)
+      val linkBodies = plans.map { p =>
+        val nb = p.v.name.getBytes("UTF-8")
+        require(nb.length < 256, s"${p.v.name}: name too long for a 1-byte length link")
+        val lb = ByteBuffer.allocate(3 + nb.length + 8).order(ByteOrder.LITTLE_ENDIAN)
+        lb.put(1.toByte).put(0.toByte).put(nb.length.toByte).put(nb).putLong(p.ohAddr)
+        lb.array()
+      }
+      val (heapBytes, ids) = buildFractalHeap(linkHeapAddr, linkBodies)
+      out.write(heapBytes, 0, heapBytes.length)
+      require(pos == linkBtAddr)
+      val records = plans.zip(ids).map { case (p, id) =>
+        val r = ByteBuffer.allocate(linkRecSize).order(ByteOrder.LITTLE_ENDIAN)
+        r.putInt(lookup3(p.v.name.getBytes("UTF-8"))).put(id)
+        r.array()
+      }.sortBy(r => le(r).getInt(0) & 0xffffffffL) // name index is hash-ordered
+      val btBytes = buildBtreeV2Leaf(linkBtAddr, 5, linkRecSize, records)
+      out.write(btBytes, 0, btBytes.length)
+    } else {
     // root symbol table entry
     out.write(u64(0)); out.write(u64(rootOhAddr)); out.write(u32(1)); out.write(u32(0))
     out.write(u64(btreeAddr)); out.write(u64(heapDataAddr - 32)) // scratch: btree+heap
@@ -1091,6 +1470,7 @@ private[sources] object Hdf5 {
     }
     out.write(new Array[Byte]((snodAddr + snodSize - pos).toInt), 0,
       (snodAddr + snodSize - pos).toInt)
+    }
 
     plans.foreach { p =>
       require(pos == p.ohAddr, s"layout drift at ${p.v.name}: $pos != ${p.ohAddr}")
@@ -1127,6 +1507,7 @@ private[sources] object Hdf5 {
           case "single" => 12
           case "implicit" => 0
           case "ea" | "ea-sblk" => 5
+          case "bt2" => 6
           case _ => 1
         }
         val lb = ByteBuffer.allocate(5 + rank1 * 8 + 1 + specific + 8)
@@ -1147,6 +1528,11 @@ private[sources] object Hdf5 {
             lb.put(g.maxBits.toByte).put(g.idxBlkElmts.toByte)
               .put(g.supMinPtrs.toByte).put(g.minElmts.toByte).put(g.pageBits.toByte)
             lb.putLong(p.btAddr)
+          case "bt2" =>
+            val chunkN = cd.map(_.toLong).product
+            val (_, nodeSize) = bt2ChunkGeom(p.chunks.size, v.dims.length, chunkN * 8)
+            lb.put(5.toByte).putInt(nodeSize).put(100.toByte).put(40.toByte)
+            lb.putLong(p.btAddr)
           case _ =>
             lb.put(3.toByte).put(faPageBits(v4, p.chunks.size).toByte).putLong(p.btAddr)
         }
@@ -1160,7 +1546,14 @@ private[sources] object Hdf5 {
         fp.putShort(1).putShort(0).putShort(0).putShort(1).putInt(v.deflateLevel).putInt(0)
         msgs += 0x000B -> fp.array()
       }
-      v.attrs.foreach { case (an, av) => msgs += 0x000C -> attrMessage(an, av) }
+      if (v.denseAttrs) {
+        // Attribute Info → heap + name index emitted right after this OH
+        val bodySizes = v.attrs.map(a => attrMessage(a._1, a._2).length)
+        val ab = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+        ab.put(0.toByte).put(0.toByte)
+        ab.putLong(p.attrHeapAddr).putLong(p.attrHeapAddr + heapTotal(bodySizes))
+        msgs += 0x0015 -> ab.array()
+      } else v.attrs.foreach { case (an, av) => msgs += 0x000C -> attrMessage(an, av) }
       val ms = msgs.result()
       val bodyBytes = ms.map(m => 8 + m._2.length).sum
       out.write(Array[Byte](1, 0)); out.write(u16(ms.size)); out.write(u32(1))
@@ -1168,6 +1561,20 @@ private[sources] object Hdf5 {
       ms.foreach { case (typ, body) =>
         out.write(u16(typ)); out.write(u16(body.length)); out.write(u32(0))
         out.write(body)
+      }
+      if (v.denseAttrs) {
+        require(pos == p.attrHeapAddr, s"attr heap drift at ${v.name}")
+        val bodies = v.attrs.map(a => attrMessage(a._1, a._2))
+        val (heapBytes, ids) = buildFractalHeap(p.attrHeapAddr, bodies)
+        out.write(heapBytes, 0, heapBytes.length)
+        // type-8 record: heap ID (8) + message flags (1) + order (4) + hash (4)
+        val records = v.attrs.zip(ids).zipWithIndex.map { case (((an, _), id), i) =>
+          val r = ByteBuffer.allocate(17).order(ByteOrder.LITTLE_ENDIAN)
+          r.put(id).put(0.toByte).putInt(i).putInt(lookup3(an.getBytes("UTF-8")))
+          r.array()
+        }.sortBy(r => le(r).getInt(13) & 0xffffffffL)
+        val btBytes = buildBtreeV2Leaf(p.attrHeapAddr + heapBytes.length, 8, 17, records)
+        out.write(btBytes, 0, btBytes.length)
       }
       if (!chunked) {
         require(pos == p.dataAddr)
@@ -1258,6 +1665,27 @@ private[sources] object Hdf5 {
             (0 until g.ndblksOf(u)).foreach(di => out.write(u64(dblkAddr.getOrElse((u, di), Undef))))
             out.write(u32(0))
           }
+          p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
+        case Some("bt2") =>
+          // v2 B-tree chunk index: BTHD + one leaf of filtered records
+          require(pos == p.btAddr)
+          val rank = v.dims.length
+          val chunkN = v.chunkDims.get.map(_.toLong).product
+          val (recSize, _) = bt2ChunkGeom(p.chunks.size, rank, chunkN * 8)
+          val szLen = recSize - 12 - rank * 8
+          var dataAddr = p.btAddr + 38 + 10 + p.chunks.size.toLong * recSize
+          // records sorted by scaled offsets = the row-major chunk order
+          val records = p.chunks.map { case (org, bytes) =>
+            val r = ByteBuffer.allocate(recSize).order(ByteOrder.LITTLE_ENDIAN)
+            r.putLong(dataAddr)
+            (0 until szLen).foreach(i => r.put(((bytes.length >> (8 * i)) & 0xff).toByte))
+            r.putInt(0) // filter mask
+            org.indices.foreach(d => r.putLong(org(d) / v.chunkDims.get(d)))
+            dataAddr += bytes.length
+            r.array()
+          }
+          val btBytes = buildBtreeV2Leaf(p.btAddr, 11, recSize, records)
+          out.write(btBytes, 0, btBytes.length)
           p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
         case Some(v4) =>
           // Fixed Array: FAHD, FADB (paged or not), then the chunk data

@@ -119,4 +119,20 @@ object Hdf5PropertySpec extends Properties("Hdf5Layouts") {
     roundtrip(Hdf5.WriteVar("v", dims, values(dims, 42L),
       chunkDims = Some(Seq(1)), v4Index = Some("ea-sblk")))
   }
+
+  property("v4BTreeV2") = forAll(shapeGen, Gen.long) { case ((dims, cds), seed) =>
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed),
+      chunkDims = Some(cds), v4Index = Some("bt2")))
+  }
+
+  // dense root group: every layout must also read back when the links live
+  // in a fractal heap + v2 B-tree instead of a symbol table
+  property("denseRootGroup") = forAll(shapeGen, Gen.long) { case ((dims, cds), seed) =>
+    val (rdims, got) = readBack(Hdf5.assemble(
+      Seq(Hdf5.WriteVar("v", dims, values(dims, seed), chunkDims = Some(cds))),
+      denseRoot = true))
+    Prop.all(
+      Prop(rdims == dims.map(_.toLong)) :| "shape",
+      Prop(got.toSeq != null && got.length == dims.product) :| "read")
+  }
 }

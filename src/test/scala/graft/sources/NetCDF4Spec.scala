@@ -63,6 +63,19 @@ class NetCDF4Spec extends SparkSpec {
     assert(NetCDF4Source.readLocal(spark, path, "zeta")._2.toSeq == a.toSeq)
   }
 
+  test("dense-group file (>8 variables) resolves through the source transparently") {
+    // netCDF-4 switches groups to dense (fractal-heap) link storage past 8
+    // links — the layout most real multi-variable archives use
+    val vars = (0 until 11).map(i =>
+      Hdf5.WriteVar(f"f$i%02d", Seq(3), Array.tabulate(3)(j => i * 10.0 + j)))
+    val bytes = Hdf5.assemble(vars, denseRoot = true)
+    val path = tmpNc()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val desc = NetCDF4Source.describe(spark, path)
+    assert(desc.keySet == vars.map(_.name).toSet)
+    assert(NetCDF4Source.readLocal(spark, path, "f07")._2.toSeq == Seq(70.0, 71.0, 72.0))
+  }
+
   test("read3D timeRange prunes chunks before reading") {
     val path = tmpNc()
     NetCDF4Source.write3D(grid(12, 2, 2), path, "v", shape = (12, 2, 2), timeChunk = 4)
@@ -215,7 +228,7 @@ class NetCDF4Spec extends SparkSpec {
     assert(NetCDF4Source.read3D(spark, path, "v").count() == 79L * 2 * 2)
   }
 
-  test("v4 v2-btree index is rejected with a clear error") {
+  test("v4 v2-btree chunk index round-trips through the source") {
     def v4Body(idxType: Int, specific: Array[Byte]): Array[Byte] = {
       val rank1 = 3
       val b = java.nio.ByteBuffer.allocate(5 + rank1 * 8 + 1 + specific.length + 8)
@@ -225,13 +238,20 @@ class NetCDF4Spec extends SparkSpec {
       b.put(idxType.toByte).put(specific).putLong(0L)
       b.array()
     }
-    val src = new Hdf5.ByteSource { def read(off: Long, len: Int) = new Array[Byte](len) }
-    // extensible array (type 4) now parses; v2 B-tree (type 5) still rejects
-    assert(Hdf5.parseLayout(src, v4Body(4, new Array[Byte](5)))
+    val nul = new Hdf5.ByteSource { def read(off: Long, len: Int) = new Array[Byte](len) }
+    assert(Hdf5.parseLayout(nul, v4Body(4, new Array[Byte](5)))
       .asInstanceOf[Hdf5.Chunked].index == Hdf5.ExtensibleArray)
-    val bt = intercept[IllegalArgumentException](
-      Hdf5.parseLayout(src, v4Body(5, new Array[Byte](6))))
-    assert(bt.getMessage.contains("v2 B-tree"))
+    assert(Hdf5.parseLayout(nul, v4Body(5, new Array[Byte](6)))
+      .asInstanceOf[Hdf5.Chunked].index == Hdf5.BTreeV2Index)
+    // full round-trip: the index multi-unlimited libver-latest datasets use
+    val vals = (0 until 60).map(_ * 0.25).toArray
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("v", Seq(5, 4, 3), vals,
+      chunkDims = Some(Seq(2, 2, 2)), v4Index = Some("bt2"))))
+    val path = tmpNc()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val (shape, got) = NetCDF4Source.readLocal(spark, path, "v")
+    assert(shape == Seq(5L, 4L, 3L))
+    assert(got.toSeq == vals.toSeq)
   }
 
   test("unsupported filters fail with the filter id in the error") {
