@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for large-scale training-data pipelines.
@@ -54,6 +55,51 @@ object Dedup {
         ts.join(freq.filter(col("df") <= df).select("shingle"), "shingle")
           .select(col(idCol), col("shingle"))
     }
+  }
+
+  /** Duplicated-span analysis: mark every `w`-token sliding window whose
+    * exact text occurs anywhere else in the corpus (earlier in the same doc
+    * or in any other doc), and report per-document duplicated-window
+    * fractions — the practical approximation of suffix-array substring
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better", ACL 2022) that modern corpus pipelines threshold on as a
+    * `dup_ngram` quality signal.
+    *
+    * An occurrence is a duplicate iff it is not the corpus-first occurrence
+    * of its window text, "first" = minimum (doc_id, pos) — deterministic and
+    * partition-independent.
+    *
+    * Scale shape: window hashes are a pure projection (HOF slice + md5, no
+    * explode of w× token copies — each window row carries only its 32-char
+    * hash). TWO shuffles total: the min-(doc_id,pos) marker is an aggregate
+    * window over the hash partition (no sort, no groupBy-plus-join-back),
+    * then one groupBy(doc_id). A hash partition holds one window-text's
+    * occurrence list — bounded by that text's true frequency, the same
+    * skew exposure as any exact-dedup groupBy.
+    *
+    * Docs shorter than `w` tokens have no windows and do not appear.
+    *
+    * @return (doc_id, n_windows, n_dup, dup_ppm, has_dup)
+    */
+  def duplicatedSpans(docs: DataFrame, w: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val wins = docs
+      .select(col(idCol).cast("long").as("doc_id"), tokens(col(textCol)).as("ts"))
+      .select(col("doc_id"), col("ts"),
+        explode(when(size(col("ts")) >= w,
+          sequence(lit(1), size(col("ts")) - (w - 1)))).as("pos"))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        md5(concat_ws(" ", slice(col("ts"), col("pos"), lit(w)))).as("h"))
+    val firstOcc = min(struct(col("doc_id"), col("pos")))
+      .over(Window.partitionBy("h")).as("first")
+    wins.select(col("doc_id"), col("pos"), firstOcc)
+      .groupBy("doc_id").agg(
+        count(lit(1)).cast("long").as("n_windows"),
+        sum(when(col("first.doc_id") =!= col("doc_id") ||
+          col("first.pos") =!= col("pos"), 1L).otherwise(0L)).cast("long").as("n_dup"))
+      .select(col("doc_id"), col("n_windows"), col("n_dup"),
+        expr("(n_dup * 1000000L) DIV n_windows").cast("long").as("dup_ppm"),
+        (col("n_dup") > 0).as("has_dup"))
   }
 
   /** EXACT n-gram Jaccard pairs ≥ `minJaccard`, dispatched on the threshold

@@ -471,6 +471,32 @@ object PipelineQueries extends QueryRegistry {
               FROM agg"""),
       "Shared-3-shingle contamination vs a broadcast probe set (one shuffle)"),
 
+    // ── dedup: duplicated-span (substring) analysis ────────────────────────
+    // Sliding 20-token windows; an occurrence is duplicated iff it is not
+    // the corpus-first (min (doc_id, pos)) occurrence of its window text —
+    // the practical form of suffix-array substring dedup (Lee et al. 2022).
+    QueryDef("q77_dup_spans",
+      (s, d) => Dedup.duplicatedSpans(docs(s, d), w = 20),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+                   wins AS (SELECT doc_id, i AS pos,
+                                   md5(array_to_string(list_slice(ts, i, i + 19), ' ')) AS h
+                            FROM toks, UNNEST(generate_series(1, len(ts) - 19)) AS u(i)
+                            WHERE len(ts) >= 20),
+                   marked AS (SELECT doc_id, pos,
+                                     min({'doc_id': doc_id, 'pos': pos}) OVER (PARTITION BY h) AS f
+                              FROM wins),
+                   agg AS (SELECT doc_id, count(*) AS n_windows,
+                                  sum(CASE WHEN f.doc_id != doc_id OR f.pos != pos
+                                           THEN 1 ELSE 0 END) AS n_dup
+                           FROM marked GROUP BY doc_id)
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(n_windows AS BIGINT) AS n_windows,
+                     CAST(n_dup AS BIGINT) AS n_dup,
+                     CAST((n_dup * 1000000) // n_windows AS BIGINT) AS dup_ppm,
+                     n_dup > 0 AS has_dup
+              FROM agg"""),
+      "Duplicated 20-token spans vs corpus-first occurrence (two shuffles)"),
+
     // ── curation: PII detect + redact ──────────────────────────────────────
     // The synthetic corpus contains no PII, so the query injects a
     // deterministic doc_id-derived email/URL/IPv4 suffix on BOTH engines;

@@ -25,6 +25,28 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.minhashLsh(df, 3, 8, 2, 0.3).collect().isEmpty)
   }
 
+  test("duplicated spans: repeats flagged against the corpus-first occurrence") {
+    val df = Seq(
+      (1L, "a b c d e"), // windows: "a b c", "b c d", "c d e" — all first
+      (2L, "b c d x y"), // "b c d" duplicates doc 1 pos 2; others unique
+      (3L, "a b c d e"), // every window duplicates doc 1
+      (4L, "a b")        // too short: no windows, absent from output
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(df, w = 3).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4)))).toMap
+    assert(out.keySet == Set(1L, 2L, 3L))
+    assert(out(1L) == ((3L, 0L, false)))
+    assert(out(2L) == ((3L, 1L, true)))
+    assert(out(3L) == ((3L, 3L, true)))
+  }
+
+  test("duplicated spans: within-doc repetition counts after the first") {
+    val df = Seq((7L, "x y x y x y")).toDF("doc_id", "text")
+    // windows: "x y x"(1) "y x y"(2) "x y x"(3) "y x y"(4) — positions 3,4 dup
+    val r = Dedup.duplicatedSpans(df, w = 3).head()
+    assert(r.getLong(1) == 4L && r.getLong(2) == 2L && r.getLong(3) == 500000L)
+  }
+
   test("jaccard pairs are symmetric-free, bounded, and ordered") {
     val pairs = Dedup.jaccardPairs(Dedup.shingles(docs, 3), 0.1).collect()
     pairs.foreach { r =>
