@@ -820,9 +820,10 @@ private[sources] object Hdf5 {
     * appends O(1) amortized. Elements are chunk addresses (client 0) or
     * address+size+mask triples (client 1, filtered).
     *
-    * Paged data blocks (element count above `2^maxDblkPageNelmtsBits`,
-    * reached only past ~131 k chunks at the library defaults) are rejected
-    * with a clear error. */
+    * Data blocks above `2^maxDblkPageNelmtsBits` elements (reached past
+    * ~131 k chunks at the library defaults — realistic for 100 TB archives)
+    * are PAGED: the block keeps only its prefix and the elements live in
+    * fixed-size pages, each with a trailing checksum. Handled. */
   private def extensibleArrayChunks(src: ByteSource, ds: Dataset, layout: Chunked): Seq[ChunkRef] = {
     if (layout.indexAddr == Undef) return Seq.empty
     val hdr = src.read(layout.indexAddr, 72)
@@ -881,7 +882,24 @@ private[sources] object Hdf5 {
       dblkCache.getOrElseUpdate(addr, {
         require(src.read(addr, 4).sameElements("EADB".getBytes),
           s"bad Extensible Array data block at $addr")
-        le(src.read(addr + 14 + arrOffSize, nelmts * elemSize))
+        val pageElems = 1 << pageBits
+        if (nelmts <= pageElems)
+          le(src.read(addr + 14 + arrOffSize, nelmts * elemSize))
+        else {
+          // paged data block (> 2^pageBits elements): the block stores only
+          // its prefix + checksum; pages of `pageElems` elements follow,
+          // each with its own trailing checksum. Element counts are powers
+          // of two × minElmts, so every page is full.
+          val out = new java.io.ByteArrayOutputStream(nelmts * elemSize)
+          var off = addr + 14 + arrOffSize + 4
+          var remaining = nelmts
+          while (remaining > 0) {
+            out.write(src.read(off, pageElems * elemSize))
+            off += pageElems * elemSize + 4
+            remaining -= pageElems
+          }
+          le(out.toByteArray)
+        }
       })
     val sblkCache = scala.collection.mutable.HashMap.empty[Long, ByteBuffer]
     def sblkAddrsOf(addr: Long, u: Int): ByteBuffer =
@@ -898,9 +916,6 @@ private[sources] object Hdf5 {
         val k1 = (k - idxBlkElmts).toLong
         val u = 63 - java.lang.Long.numberOfLeadingZeros(k1 / minElmts + 1)
         val dn = dblkNelmtsOf(u)
-        require(dn <= (1 << pageBits),
-          s"paged Extensible Array data block ($dn elements > 2^$pageBits per page) " +
-            "not supported — reachable only past ~131k chunks at library defaults")
         val within = k1 - startIdx(u)
         val dblkIdx = (within / dn).toInt
         val elemIdx = (within % dn).toInt
@@ -991,7 +1006,9 @@ private[sources] object Hdf5 {
     * v1-B-tree (requires `chunkDims`): "single" = one shuffle+deflate chunk
     * addressed from the layout message (flag 0x02); "implicit" = raw
     * early-allocated consecutive chunks; "fa" = unpaged Fixed Array;
-    * "fa-paged" = Fixed Array with 4-element pages. Used to round-trip the
+    * "fa-paged" = Fixed Array with 4-element pages; "ea"/"ea-sblk"/
+    * "ea-paged" = Extensible Array (inline, super-block indirected, paged
+    * data blocks); "bt2" = v2 B-tree. Used to round-trip the
     * `libver='latest'` read paths. */
   final case class WriteVar(name: String, dims: Seq[Int], values: Array[Double],
       chunkDims: Option[Seq[Int]] = None, deflateLevel: Int = 4,
@@ -1254,10 +1271,12 @@ private[sources] object Hdf5 {
     // Extensible Array geometry (client 1, element = addr 8 + size 8 + mask
     // 4). "ea" keeps data-block addressing inside the index block for up to
     // 64 chunks; "ea-sblk" shrinks supMinPtrs to 2 so tests past 16 chunks
-    // exercise the super-block indirection too.
-    final case class EaGeom(supMinPtrs: Int, n: Int) {
+    // exercise the super-block indirection too; "ea-paged" also shrinks the
+    // page size to 4 elements so data blocks past the first super-block
+    // generation split into pages.
+    final case class EaGeom(supMinPtrs: Int, n: Int, pageBits: Int = 10) {
       val elemSize = 20; val maxBits = 32; val idxBlkElmts = 4
-      val minElmts = 4; val pageBits = 10
+      val minElmts = 4
       val arrOffSize: Int = (maxBits + 7) / 8
       private def log2(v: Int): Int = 31 - Integer.numberOfLeadingZeros(v)
       val nsblks: Int = 1 + (maxBits - log2(minElmts))
@@ -1284,14 +1303,22 @@ private[sources] object Hdf5 {
         (idxBlkElmts until n).map(locate).map(t => (t._1, t._2)).distinct.sorted
       val usedSblks: Seq[Int] = usedDblks.map(_._1).filter(_ >= nsblksIb).distinct.sorted
       val iblkSize: Int = 14 + idxBlkElmts * elemSize + (ndblkAddrsIb + nsblkAddrs) * 8 + 4
-      def dblkSize(u: Int): Int = 14 + arrOffSize + dblkNelmtsOf(u) * elemSize + 4
+      val pageElems: Int = 1 << pageBits
+      def paged(u: Int): Boolean = dblkNelmtsOf(u) > pageElems
+      def dblkSize(u: Int): Int = {
+        val dn = dblkNelmtsOf(u)
+        if (!paged(u)) 14 + arrOffSize + dn * elemSize + 4
+        else 14 + arrOffSize + 4 + (dn / pageElems) * (pageElems * elemSize + 4)
+      }
       def sblkSize(u: Int): Int = 14 + arrOffSize + ndblksOf(u) * 8 + 4
       val totalSize: Int = 72 + iblkSize + usedDblks.map(t => dblkSize(t._1)).sum +
         usedSblks.map(sblkSize).sum
-      require(usedDblks.forall(t => dblkNelmtsOf(t._1) <= (1 << pageBits)),
-        "writer does not emit paged EA data blocks")
     }
-    def eaGeom(v4: String, n: Int): EaGeom = EaGeom(if (v4 == "ea-sblk") 2 else 4, n)
+    def eaGeom(v4: String, n: Int): EaGeom = v4 match {
+      case "ea-paged" => EaGeom(2, n, pageBits = 2)
+      case "ea-sblk" => EaGeom(2, n)
+      case _ => EaGeom(4, n)
+    }
     val plans = sorted.map { v =>
       val n = v.dims.map(_.toLong).product
       require(n == v.values.length, s"${v.name}: shape/data mismatch")
@@ -1304,7 +1331,7 @@ private[sources] object Hdf5 {
         case Some("single") => 5 + rank1 * 8 + 1 + 12 + 8
         case Some("implicit") => 5 + rank1 * 8 + 1 + 8
         case Some("fa") | Some("fa-paged") => 5 + rank1 * 8 + 1 + 1 + 8
-        case Some("ea") | Some("ea-sblk") => 5 + rank1 * 8 + 1 + 5 + 8
+        case Some("ea") | Some("ea-sblk") | Some("ea-paged") => 5 + rank1 * 8 + 1 + 5 + 8
         case Some("bt2") => 5 + rank1 * 8 + 1 + 6 + 8
         case Some(o) => throw new IllegalArgumentException(s"v4Index $o")
       }
@@ -1381,7 +1408,7 @@ private[sources] object Hdf5 {
               cursor += 28 + fadbSize(faPageBits(v4, chunks.size), chunks.size)
               chunks.foreach { case (_, bytes) => cursor += bytes.length }
               Plan(v, ohAddr, Undef, faAddr, chunks)
-            case Some(v4 @ ("ea" | "ea-sblk")) =>
+            case Some(v4 @ ("ea" | "ea-sblk" | "ea-paged")) =>
               val eaAddr = cursor
               cursor += eaGeom(v4, chunks.size).totalSize
               chunks.foreach { case (_, bytes) => cursor += bytes.length }
@@ -1506,7 +1533,7 @@ private[sources] object Hdf5 {
         val specific = v4 match {
           case "single" => 12
           case "implicit" => 0
-          case "ea" | "ea-sblk" => 5
+          case "ea" | "ea-sblk" | "ea-paged" => 5
           case "bt2" => 6
           case _ => 1
         }
@@ -1522,7 +1549,7 @@ private[sources] object Hdf5 {
             lb.putLong(p.dataAddr)
           case "implicit" =>
             lb.put(2.toByte).putLong(p.dataAddr)
-          case "ea" | "ea-sblk" =>
+          case "ea" | "ea-sblk" | "ea-paged" =>
             val g = eaGeom(v4, p.chunks.size)
             lb.put(4.toByte)
             lb.put(g.maxBits.toByte).put(g.idxBlkElmts.toByte)
@@ -1602,7 +1629,7 @@ private[sources] object Hdf5 {
         case Some("single") | Some("implicit") =>
           require(pos == p.dataAddr)
           p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
-        case Some(v4 @ ("ea" | "ea-sblk")) =>
+        case Some(v4 @ ("ea" | "ea-sblk" | "ea-paged")) =>
           // Extensible Array: EAHD, EAIB, data blocks, super blocks, chunks
           require(pos == p.btAddr)
           val g = eaGeom(v4, p.chunks.size)
@@ -1653,8 +1680,18 @@ private[sources] object Hdf5 {
             out.write(u64(p.btAddr))
             out.write(u32((g.idxBlkElmts + g.startIdx(u) + di.toLong * g.dblkNelmtsOf(u)).toInt))
             val base = g.idxBlkElmts + g.startIdx(u).toInt + di * g.dblkNelmtsOf(u)
-            (0 until g.dblkNelmtsOf(u)).foreach(e => out.write(elem(base + e)))
-            out.write(u32(0))
+            if (!g.paged(u)) {
+              (0 until g.dblkNelmtsOf(u)).foreach(e => out.write(elem(base + e)))
+              out.write(u32(0))
+            } else {
+              // paged: prefix checksum, then full pages each with a checksum
+              out.write(u32(0))
+              (0 until g.dblkNelmtsOf(u)).grouped(g.pageElems).foreach { page =>
+                page.foreach(e => out.write(elem(base + e)))
+                out.write(u32(0))
+              }
+            }
+            require(pos == dblkAddr((u, di)) + g.dblkSize(u))
           }
           // EASB super blocks
           g.usedSblks.foreach { u =>

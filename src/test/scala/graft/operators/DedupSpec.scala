@@ -47,6 +47,14 @@ class DedupSpec extends SparkSpec {
     assert(r.getLong(1) == 4L && r.getLong(2) == 2L && r.getLong(3) == 500000L)
   }
 
+  test("duplicated spans plan: exactly two shuffles, no sort in the marker window") {
+    val plan = Dedup.duplicatedSpans(docs, w = 20).queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 2, s"expected 2 shuffles (hash window + doc rollup):\n$plan")
+    // min(struct) is an aggregate window — no per-partition sort by (doc,pos)
+    assert(!plan.contains("row_number"), "marker must not rank-sort the hash partition")
+  }
+
   test("jaccard pairs are symmetric-free, bounded, and ordered") {
     val pairs = Dedup.jaccardPairs(Dedup.shingles(docs, 3), 0.1).collect()
     pairs.foreach { r =>

@@ -125,6 +125,19 @@ object Hdf5PropertySpec extends Properties("Hdf5Layouts") {
       chunkDims = Some(cds), v4Index = Some("bt2")))
   }
 
+  property("v4ExtensibleArrayPagedBlocks") = forAll(shapeGen, Gen.long) { case ((dims, cds), seed) =>
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, seed),
+      chunkDims = Some(cds), v4Index = Some("ea-paged")))
+  }
+
+  // deterministic deep paged EA: 300 single-element chunks make data blocks
+  // of 8..64 elements split into 4-element pages behind the super blocks
+  property("v4ExtensibleArrayPagedDeep") = {
+    val dims = Seq(300)
+    roundtrip(Hdf5.WriteVar("v", dims, values(dims, 7L),
+      chunkDims = Some(Seq(1)), v4Index = Some("ea-paged")))
+  }
+
   // dense root group: every layout must also read back when the links live
   // in a fractal heap + v2 B-tree instead of a symbol table
   property("denseRootGroup") = forAll(shapeGen, Gen.long) { case ((dims, cds), seed) =>
