@@ -1,0 +1,132 @@
+package graft.marex
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Incremental (append-only) tracking must equal the batch space-time CCL
+  * tracker up to an event-id bijection, including retroactive merges where
+  * a newly-appended cell bridges two previously-separate events. */
+class IncrementalTrackerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val ny = 24
+  private val nx = 48
+  private lazy val spec = GridSpec(ny = ny, nx = nx, periodicX = true)
+  private lazy val geom = SyntheticData.geometry(spark, ny, nx).cache()
+
+  private val cfg = TrackConfig(rFill = 1, tFill = 0, areaFilterQuartile = 0.0,
+    dropSmallestObject = false, allowMerging = false)
+
+  private def ts(day: Int): Timestamp =
+    new Timestamp(Timestamp.valueOf("2000-01-01 00:00:00").getTime + day * 86400000L)
+
+  /** Run the incremental tracker over time-ordered blocks and materialize
+    * the accumulated id field with every later remap applied to history —
+    * what a caller maintaining persistent event tables would do. */
+  private def trackIncrementally(blocks: Seq[DataFrame]): DataFrame = {
+    var state: Option[IncrementalTracker.IncState] = None
+    var acc: Option[DataFrame] = None
+    blocks.foreach { b =>
+      val (st, inc) = IncrementalTracker.extend(state, b, geom, spec, cfg)
+      state = Some(st)
+      val remapped = acc.map { a =>
+        a.join(broadcast(inc.remap),
+            a("event_id") === inc.remap("from_event_id"), "left")
+          .select(a("time"), a("y"), a("x"),
+            coalesce(col("to_event_id"), a("event_id")).as("event_id"))
+      }
+      acc = Some(remapped.getOrElse(
+        Seq.empty[(Timestamp, Long, Long, Long)].toDF("time", "y", "x", "event_id"))
+        .unionByName(inc.blockIds).localCheckpoint())
+    }
+    acc.get
+  }
+
+  /** Assert two labelings of the same cell set are the same partition —
+    * the id correspondence must be a bijection. */
+  private def assertEquivalent(batch: DataFrame, inc: DataFrame): Unit = {
+    assert(batch.count() == inc.count(), "cell counts differ")
+    val joined = batch.select(col("time"), col("y"), col("x"), col("event_id").as("b"))
+      .join(inc.select(col("time"), col("y"), col("x"), col("event_id").as("i")),
+        Seq("time", "y", "x"))
+    assert(joined.count() == batch.count(), "cell sets differ")
+    val pairs = joined.select("b", "i").distinct().cache()
+    val nPairs = pairs.count()
+    assert(pairs.select("b").distinct().count() == nPairs, "a batch event maps to 2+ ids")
+    assert(pairs.select("i").distinct().count() == nPairs, "an incremental id maps to 2+ events")
+    pairs.unpersist()
+  }
+
+  test("three-block append equals the one-shot batch tracker (storm field)") {
+    val flags = SyntheticData.stormFlags(spark, nDays = 30, ny = ny, nx = nx,
+      nStorms = 40, seed = 11L).cache()
+    val batch = Track.track(flags, geom, spec, cfg).idField
+    val blocks = Seq(0 -> 10, 10 -> 20, 20 -> 30).map { case (a, b) =>
+      flags.filter(col("time") >= lit(ts(a)) && col("time") < lit(ts(b)))
+    }
+    assertEquivalent(batch, trackIncrementally(blocks))
+  }
+
+  test("a new slice bridging two old events emits a retroactive remap") {
+    // two static 2×2 squares, far apart, for t0..t2; at t3 a band covers the
+    // space between and overlaps both squares' footprints
+    def square(t: Int, y0: Int, x0: Int): Seq[(Timestamp, Int, Int)] =
+      for (dy <- 0 to 1; dx <- 0 to 1) yield (ts(t), y0 + dy, x0 + dx)
+    val early = (0 to 2).flatMap(t => square(t, 10, 5) ++ square(t, 10, 20))
+    val bridge = (5 to 22).map(x => (ts(3), 10, x))
+    val b1 = early.toDF("time", "y", "x")
+    val b2 = bridge.toDF("time", "y", "x")
+    val cfgNoFill = cfg.copy(rFill = 0)
+
+    val (st1, inc1) = IncrementalTracker.extend(None, b1, geom, spec, cfgNoFill)
+    assert(inc1.remap.isEmpty)
+    assert(inc1.blockIds.select("event_id").distinct().count() == 2)
+    val ids1 = inc1.blockIds.select("event_id").distinct()
+      .collect().map(_.getLong(0)).sorted
+
+    val (_, inc2) = IncrementalTracker.extend(Some(st1), b2, geom, spec, cfgNoFill)
+    val remaps = inc2.remap.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(remaps.toSeq == Seq(ids1(1) -> ids1(0)),
+      s"expected ${ids1(1)} -> ${ids1(0)}, got ${remaps.toSeq}")
+    assert(inc2.blockIds.select("event_id").distinct().head().getLong(0) == ids1(0))
+
+    // and the same field tracked in one shot is a single event
+    val batch = Track.track(b1.unionByName(b2), geom, spec, cfgNoFill).idField
+    assert(batch.select("event_id").distinct().count() == 1)
+  }
+
+  test("empty and gapped appends keep state consistent") {
+    val b1 = (0 to 1).flatMap(t => Seq((ts(t), 5, 5), (ts(t), 5, 6))).toDF("time", "y", "x")
+    val cfg0 = cfg.copy(rFill = 0)
+    val (st1, _) = IncrementalTracker.extend(None, b1, geom, spec, cfg0)
+    // an entirely-empty block leaves the seam untouched
+    val empty = Seq.empty[(Timestamp, Int, Int)].toDF("time", "y", "x")
+    val (st2, inc2) = IncrementalTracker.extend(Some(st1), empty, geom, spec, cfg0)
+    assert(inc2.blockIds.isEmpty && inc2.remap.isEmpty)
+    assert(st2.nextEventId == st1.nextEventId)
+    // the next nonempty block still stitches to the pre-gap seam — the
+    // data-derived axis treats present slices as consecutive (same as batch)
+    val b3 = Seq((ts(5), 5, 5), (ts(5), 5, 6)).toDF("time", "y", "x")
+    val (_, inc3) = IncrementalTracker.extend(Some(st2), b3, geom, spec, cfg0)
+    assert(inc3.blockIds.select("event_id").distinct().head().getLong(0) == 1L)
+  }
+
+  test("non-incremental configurations are rejected eagerly") {
+    val b = Seq((ts(0), 5, 5)).toDF("time", "y", "x")
+    def bad(c: TrackConfig, msg: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        IncrementalTracker.extend(None, b, geom, spec, c))
+      assert(e.getMessage.contains(msg), e.getMessage)
+    }
+    bad(cfg.copy(allowMerging = true), "non-merging")
+    bad(cfg.copy(tFill = 2), "tFill=0")
+    bad(cfg.copy(areaFilterQuartile = 0.5), "absolute area filter")
+    bad(cfg.copy(dropSmallestObject = true), "dropSmallestObject")
+    bad(TrackConfig(tFill = 0, allowMerging = false, dropSmallestObject = false),
+      "absolute area filter") // default quartile 0.5 is a whole-run statistic
+  }
+}
