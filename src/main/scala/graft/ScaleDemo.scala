@@ -155,6 +155,42 @@ object ScaleDemo {
       return
     }
 
+    // ── append: the incremental-tracking scale claim, measured ─────────────
+    // `ScaleDemo 1 append 720 1440` = one year of history at the production
+    // grid, then ONE appended day. The number that matters is the ratio:
+    // the daily-ingest cost must not scale with the archive length.
+    if (method == "append") {
+      val nDays = 365 * nYears
+      val histCfg = TrackConfig(rFill = 2, tFill = 0,
+        areaFilterAbsolute = Some(100.0), overlapThreshold = 0.25,
+        allowMerging = false, dropSmallestObject = false)
+      val epoch0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime
+      val cut = new java.sql.Timestamp(epoch0 + nDays.toLong * 86400000L)
+      val all = timed(s"storm flags ${nDays + 1}d $ny×$nx") {
+        val f = SyntheticData.stormFlags(spark, nDays = nDays + 1, ny = ny, nx = nx)
+          .localCheckpoint()
+        println(s"[scale] flag rows = ${f.count()}")
+        f
+      }
+      val hist = all.filter(col("time") < lit(cut))
+      val day = all.filter(col("time") >= lit(cut)).localCheckpoint()
+      timed(s"batch re-track (${nDays + 1} d)") {
+        Track.track(all, geom, spec, histCfg).idField.count()
+      }
+      val st = timed(s"incremental bootstrap ($nDays d history)") {
+        val (s, inc) = IncrementalTracker.extend(None, hist, geom, spec, histCfg)
+        inc.blockIds.count()
+        s
+      }
+      timed("append 1 day") {
+        val (_, inc) = IncrementalTracker.extend(Some(st), day, geom, spec, histCfg)
+        println(s"[scale] appended cells = ${inc.blockIds.count()}, " +
+          s"retroactive merges = ${inc.remap.count()}")
+      }
+      spark.stop()
+      return
+    }
+
     // Big grids skip the source checkpoint: the synthetic generator is
     // deterministic, and pinning a second field-sized copy (≈30 GB at 0.25°
     // × 2 y) next to the anomaly checkpoint exceeds a single box's disk —

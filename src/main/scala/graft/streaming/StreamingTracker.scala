@@ -28,14 +28,21 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
     sinkDir: String) extends Serializable {
 
   @volatile private var state: Option[IncrementalTracker.IncState] = None
+  @volatile private var lastBatchId: Long = -1L
 
-  /** The foreachBatch function: track the new slices, append output. */
+  /** The foreachBatch function: track the new slices, append output.
+    * foreachBatch re-delivers a batch (same `batchId`) after a failed
+    * attempt; re-appending it would duplicate cells, so replays of an
+    * already-committed batch are skipped. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (batchId <= lastBatchId) return
     val (st, inc) = IncrementalTracker.extend(state, batch, geom, spec, cfg)
-    state = Some(st)
     inc.blockIds.write.mode("append").parquet(s"$sinkDir/id_field")
     if (!inc.remap.isEmpty)
       inc.remap.write.mode("append").parquet(s"$sinkDir/remap")
+    // commit the in-memory state only after the sink writes succeeded
+    state = Some(st)
+    lastBatchId = batchId
   }
 
   /** Rebuild driver state from the sink after a restart: the seam is the
