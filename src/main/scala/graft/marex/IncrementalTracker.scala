@@ -13,7 +13,8 @@ import graft.operators.ConnectedComponents
   * point re-tracking decades to absorb one day is the difference between a
   * minutes-long append job and a full-archive recompute. This module keeps
   * the minimum state that tracking semantics require — the labeled cells of
-  * the LAST nonempty slice (the seam), plus an id counter — and stitches
+  * the last SURVIVING slice (the seam), the count of erased raw slices
+  * after it, plus an id counter — and stitches
   * each new block to it with the same 26-connectivity (9 spatial offsets
   * incl. diagonals, x-wrap) the batch space-time CCL uses
   * (reference structure: track.py:2009–2016, time connectivity
@@ -43,10 +44,13 @@ import graft.operators.ConnectedComponents
 object IncrementalTracker {
 
   /** Tracker state between extensions. `seam` holds (y, x, event_id) of the
-    * last NONEMPTY slice processed; `nextEventId` is 1 + the highest id
-    * ever issued (provisional block ids start here, keeping old and new id
-    * spaces disjoint). */
-  final case class IncState(seam: DataFrame, nextEventId: Long)
+    * last slice that SURVIVED preprocessing; `gapAfterSeam` counts the raw
+    * input slices processed after it (slices whose objects were all erased
+    * by morphology or the area filter still occupy the time axis, exactly
+    * as in the batch tracker, so anything following them must NOT stitch);
+    * `nextEventId` is 1 + the highest id ever issued (provisional block ids
+    * start here, keeping old and new id spaces disjoint). */
+  final case class IncState(seam: DataFrame, gapAfterSeam: Long, nextEventId: Long)
 
   /** One extension's output: the new slices' labeled cells, and the
     * retroactive merges among PREVIOUSLY issued event ids (empty when no
@@ -79,49 +83,60 @@ object IncrementalTracker {
   }
 
   /** Extend the track with a block of new slices (all strictly later than
-    * anything processed before; empty blocks are fine). The axis follows
-    * the batch tracker's data-derived semantics: slices present in the data
-    * are consecutive, so the first new nonempty slice always stitches to
-    * the seam. */
+    * anything processed before; empty blocks are fine). The time axis is
+    * the batch tracker's: raw slices present in the INPUT are consecutive —
+    * including slices whose objects preprocessing then erases, which stay
+    * on the axis and separate what surrounds them. */
   def extend(state: Option[IncState], newFlags: DataFrame, geom: DataFrame,
       spec: GridSpec, cfg: TrackConfig): (IncState, Increment) = {
     requireIncremental(cfg)
     val spark = newFlags.sparkSession
     import spark.implicits._
     val emptyRemap = Seq.empty[(Long, Long)].toDF("from_event_id", "to_event_id")
+    val emptyIds = Seq.empty[(java.sql.Timestamp, Int, Int, Long)]
+      .toDF("time", "y", "x", "event_id")
+    def emptySeam = Seq.empty[(Int, Int, Long)].toDF("y", "x", "event_id")
+
+    // the raw axis: every input slice occupies a timestep, processed or not
+    val rawTimes = newFlags.select("time").distinct()
+      .orderBy("time").collect().map(_.getTimestamp(0))
+    if (rawTimes.isEmpty)
+      return (state.getOrElse(IncState(emptySeam, 0L, 1L)),
+        Increment(emptyIds, emptyRemap))
+    val axis = Some(rawTimes.toSeq.toDF("time"))
 
     val cells = preprocessBlock(newFlags, geom, spec, cfg)
     if (cells.isEmpty) {
-      val st = state.getOrElse(IncState(
-        Seq.empty[(Long, Long, Long)].toDF("y", "x", "event_id"), 1L))
-      return (st, Increment(
-        Seq.empty[(java.sql.Timestamp, Long, Long, Long)]
-          .toDF("time", "y", "x", "event_id"), emptyRemap))
+      // every slice erased: the block still advances the axis past the seam
+      val st = state.getOrElse(IncState(emptySeam, 0L, 1L))
+      return (st.copy(gapAfterSeam = st.gapAfterSeam + rawTimes.length),
+        Increment(emptyIds, emptyRemap))
     }
 
-    // block-local space-time CCL, ids offset into the fresh id range
+    // block-local space-time CCL over the RAW axis (erased interior slices
+    // keep separating their neighbors), ids offset into the fresh id range
     val offset = state.map(_.nextEventId - 1).getOrElse(0L)
-    val local = Track.labelSpaceTime(cells, spec)
+    val local = Track.labelSpaceTime(cells, spec, timeAxis = axis)
       .withColumn("event_id", col("event_id") + offset)
       .localCheckpoint()
     val nIssued = local.agg(max("event_id")).head().getLong(0) - offset
+    val tFirst = local.agg(min("time")).head().getTimestamp(0)
+    val tLast = local.agg(max("time")).head().getTimestamp(0)
+    // raw slices erased at the block edges — they count toward seam gaps
+    val gapBefore = rawTimes.indexWhere(_.equals(tFirst))
+    val trailing = rawTimes.length - 1 - rawTimes.indexWhere(_.equals(tLast))
 
     val (blockIds, remap) = state match {
       case None => (local, emptyRemap)
+      // stitch only when the seam slice and the first surviving new slice
+      // are ADJACENT on the combined raw axis (no erased slice between)
+      case Some(st) if st.gapAfterSeam + gapBefore > 0 => (local, emptyRemap)
       case Some(st) =>
-        // seam edges: old last-slice cells vs the first new slice, 9 spatial
-        // offsets incl. the center and diagonals (26-conn time face), x-wrap
-        val tFirst = local.agg(min("time")).head().getTimestamp(0)
+        // seam edges: old last-slice cells vs the first new slice, fanned
+        // with the shared 26-connectivity time face (diagonals, x-wrap)
         val firstNew = local.filter(col("time") === lit(tFirst))
-        val offs = array((for (dy <- -1 to 1; dx <- -1 to 1)
-          yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
-        val shiftedX =
-          if (spec.periodicX) pmod(col("x") + col("o.dx"), lit(spec.nx))
-          else col("x") + col("o.dx")
-        val fanned = st.seam
-          .select(col("y"), col("x"), col("event_id").as("old_id"), explode(offs).as("o"))
-          .select((col("y") + col("o.dy")).as("y"), shiftedX.as("x"), col("old_id"))
-          .filter(col("y").between(0, spec.ny - 1) && col("x").between(0, spec.nx - 1))
+        val fanned = Track.fanNeighborhood(
+          st.seam.withColumnRenamed("event_id", "old_id"), spec, keep = Seq("old_id"))
         val edges = firstNew.select(col("y"), col("x"), col("event_id"))
           .join(fanned, Seq("y", "x"))
           .select(col("old_id").as("src"), col("event_id").as("dst"))
@@ -150,10 +165,9 @@ object IncrementalTracker {
         }
     }
 
-    val tLast = blockIds.agg(max("time")).head().getTimestamp(0)
     val seam = blockIds.filter(col("time") === lit(tLast))
       .select("y", "x", "event_id").localCheckpoint()
     val next = state.map(_.nextEventId).getOrElse(1L) + nIssued
-    (IncState(seam, next), Increment(blockIds, remap))
+    (IncState(seam, trailing.toLong, next), Increment(blockIds, remap))
   }
 }

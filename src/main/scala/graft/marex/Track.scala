@@ -367,6 +367,24 @@ object Track {
     * label, but component count and per-event cell sets agree exactly.
     *
     * @return (time, y, x, event_id) */
+  /** Fan each row out to its 3×3 spatial neighborhood (the time face of
+    * 26-connectivity: dy, dx ∈ {−1, 0, 1} incl. the center), wrapping x on
+    * periodic grids and dropping out-of-bounds cells. `keep` columns pass
+    * through unchanged. THE single definition of the cross-time spatial
+    * connectivity — shared by [[labelSpaceTime]] and the incremental
+    * tracker's seam stitch so the two can't drift apart. */
+  private[marex] def fanNeighborhood(df: DataFrame, spec: GridSpec,
+      keep: Seq[String]): DataFrame = {
+    val offs = array((for (dy <- -1 to 1; dx <- -1 to 1)
+      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
+    val shiftedX =
+      if (spec.periodicX) pmod(col("x") + col("o.dx"), lit(spec.nx))
+      else col("x") + col("o.dx")
+    df.select(col("y") +: col("x") +: explode(offs).as("o") +: keep.map(col): _*)
+      .select((col("y") + col("o.dy")).as("y") +: shiftedX.as("x") +: keep.map(col): _*)
+      .filter(col("y").between(0, spec.ny - 1) && col("x").between(0, spec.nx - 1))
+  }
+
   def labelSpaceTime(flags: DataFrame, spec: GridSpec,
       timeAxis: Option[DataFrame] = None): DataFrame = {
     // the labeled field feeds the edge build, the component mapping, the
@@ -375,18 +393,10 @@ object Track {
     val gids = globalIds(Raster.labelPerSlice(flags, spec)).localCheckpoint()
     val idx = timeIndex(gids, timeAxis)
     val withIdx = gids.join(idx, "time")
-    val nx = spec.nx; val ny = spec.ny
-    val offs = array((for (dy <- -1 to 1; dx <- -1 to 1)
-      yield struct(lit(dy).as("dy"), lit(dx).as("dx"))): _*)
-    val shiftedX =
-      if (spec.periodicX) pmod(col("x") + col("o.dx"), lit(nx))
-      else col("x") + col("o.dx")
-    val b = withIdx
-      .select(col("t_idx"), col("y"), col("x"), col("gid").as("gid_c"),
-        explode(offs).as("o"))
-      .select((col("t_idx") - 1).as("t_idx"), (col("y") + col("o.dy")).as("y"),
-        shiftedX.as("x"), col("gid_c"))
-      .filter(col("y").between(0, ny - 1) && col("x").between(0, nx - 1))
+    val b = fanNeighborhood(
+        withIdx.select(col("t_idx"), col("y"), col("x"), col("gid").as("gid_c")),
+        spec, keep = Seq("t_idx", "gid_c"))
+      .select((col("t_idx") - 1).as("t_idx"), col("y"), col("x"), col("gid_c"))
     val edges = withIdx.select(col("t_idx"), col("y"), col("x"), col("gid"))
       .join(b, Seq("t_idx", "y", "x"))
       .select(col("gid").as("src"), col("gid_c").as("dst"))

@@ -11,81 +11,138 @@ import graft.marex.{GridSpec, IncrementalTracker, TrackConfig}
   *
   * Shape: a `foreachBatch` sink. Each micro-batch (new time slices of the
   * boolean extreme field, append-only and time-ordered — the natural order
-  * of an ingest pipeline) is stitched to the seam state and its labeled
-  * cells APPENDED to `sinkDir/id_field`. Retroactive merges (a new cell
-  * bridging two previously-separate events) cannot rewrite already-written
-  * output at scale, so they append to a tiny `sinkDir/remap` ledger
-  * instead; [[resolvedIdField]] applies the ledger's transitive closure at
-  * read time (the ledger is #merge-events rows — driver-sized — while the
-  * id field is archive-sized and never rewritten).
+  * of an ingest pipeline) is stitched to the seam state; its labeled cells
+  * land in `sinkDir/id_field/batch=<id>` and retroactive merges (a new
+  * cell bridging two previously-separate events — history cannot be
+  * rewritten at scale) in `sinkDir/remap/batch=<id>`.
+  * [[StreamingTracker.resolvedIdField]] applies the remap ledger's
+  * transitive closure at read time (the ledger is #merge-events rows —
+  * driver-sized — while the id field is archive-sized and never rewritten).
   *
-  * The tracker state itself (one slice of labeled cells + a counter) lives
-  * in the driver across batches; restart recovery = re-`extend` from the
-  * last written slice (read `id_field` at its max time), which
-  * [[restoreState]] does.
-  */
+  * Replay safety: foreachBatch re-delivers a batch (same `batchId`) after a
+  * failed attempt. Every write targets the batch's OWN partition directory
+  * with overwrite semantics, so a replay replaces any partial output
+  * instead of appending next to it; `state.json` (tracker counters + the
+  * last COMMITTED batch id) is written last as the commit marker, and
+  * readers ignore partitions past it. Restart recovery
+  * ([[restoreState]]) rebuilds the seam from the committed sink alone. */
 final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
     sinkDir: String) extends Serializable {
 
   @volatile private var state: Option[IncrementalTracker.IncState] = None
+  // the stream's own batch ids guard in-run re-delivery only — a RESTARTED
+  // query may renumber from 0 (fresh checkpoint), so they never key storage
   @volatile private var lastBatchId: Long = -1L
+  // tracker-owned commit sequence: monotone across restarts (restored from
+  // the manifest), so partition directories never collide between runs
+  @volatile private var committedSeq: Long = -1L
 
-  /** The foreachBatch function: track the new slices, append output.
-    * foreachBatch re-delivers a batch (same `batchId`) after a failed
-    * attempt; re-appending it would duplicate cells, so replays of an
-    * already-committed batch are skipped. */
+  /** The foreachBatch function: track the new slices, commit the batch. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
-    if (batchId <= lastBatchId) return
+    if (batchId <= lastBatchId) return // in-run replay of a committed batch
+    val seq = committedSeq + 1 // a crashed attempt's partial dir is re-overwritten
     val (st, inc) = IncrementalTracker.extend(state, batch, geom, spec, cfg)
-    inc.blockIds.write.mode("append").parquet(s"$sinkDir/id_field")
+    if (!inc.blockIds.isEmpty)
+      inc.blockIds.write.mode("overwrite").parquet(s"$sinkDir/id_field/batch=$seq")
     if (!inc.remap.isEmpty)
-      inc.remap.write.mode("append").parquet(s"$sinkDir/remap")
-    // commit the in-memory state only after the sink writes succeeded
+      inc.remap.write.mode("overwrite").parquet(s"$sinkDir/remap/batch=$seq")
+    StreamingTracker.writeManifest(batch.sparkSession, sinkDir,
+      seq, st.gapAfterSeam, st.nextEventId)
     state = Some(st)
+    committedSeq = seq
     lastBatchId = batchId
   }
 
-  /** Rebuild driver state from the sink after a restart: the seam is the
-    * last written slice (with the remap ledger applied) and the counter
-    * resumes past the highest id ever issued. */
+  /** Rebuild driver state from the committed sink after a restart: counters
+    * from the manifest, the seam from the last written slice (remap ledger
+    * applied). */
   def restoreState(spark: SparkSession): Unit = {
-    val ids = StreamingTracker.resolvedIdField(spark, sinkDir)
-    if (ids.isEmpty) { state = None; return }
-    val tLast = ids.agg(max("time")).head().getTimestamp(0)
-    val seam = ids.filter(col("time") === lit(tLast))
-      .select("y", "x", "event_id").localCheckpoint()
-    // resume AFTER the raw (pre-remap) id space: read the unresolved field
-    val rawMax = ids.sparkSession.read.parquet(s"$sinkDir/id_field")
-      .agg(max("event_id")).head().getLong(0)
-    state = Some(IncrementalTracker.IncState(seam, rawMax + 1))
+    lastBatchId = -1L // a restarted query may renumber its batches
+    StreamingTracker.readManifest(spark, sinkDir) match {
+      case None => state = None; committedSeq = -1L
+      case Some((seq, gap, next)) =>
+        val ids = StreamingTracker.resolvedIdField(spark, sinkDir)
+        val seam =
+          if (ids.isEmpty) {
+            import spark.implicits._
+            Seq.empty[(Int, Int, Long)].toDF("y", "x", "event_id")
+          } else {
+            val tLast = ids.agg(max("time")).head().getTimestamp(0)
+            ids.filter(col("time") === lit(tLast))
+              .select("y", "x", "event_id").localCheckpoint()
+          }
+        state = Some(IncrementalTracker.IncState(seam, gap, next))
+        committedSeq = seq
+    }
   }
 }
 
 object StreamingTracker {
 
-  /** The id field with the remap ledger's TRANSITIVE closure applied —
-    * what a consumer reads. The ledger is collected and path-compressed on
-    * the driver (it is #retroactive-merges rows), then broadcast-joined:
-    * one pass over the archive-sized field, no iteration. */
+  private def manifestPath(sinkDir: String) =
+    new org.apache.hadoop.fs.Path(sinkDir, "state.json")
+
+  private def writeManifest(spark: SparkSession, sinkDir: String,
+      batchId: Long, gap: Long, nextId: Long): Unit = {
+    val p = manifestPath(sinkDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(s"""{"committedSeq": $batchId, "gapAfterSeam": $gap, "nextEventId": $nextId}"""
+      .getBytes("UTF-8"))
+    out.close()
+  }
+
+  private def readManifest(spark: SparkSession,
+      sinkDir: String): Option[(Long, Long, Long)] = {
+    val p = manifestPath(sinkDir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val js = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    in.close()
+    def field(k: String): Long =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(js).get.group(1).toLong
+    Some((field("committedSeq"), field("gapAfterSeam"), field("nextEventId")))
+  }
+
+  /** The COMMITTED id field with the remap ledger's transitive closure
+    * applied — what a consumer reads. Partitions past the manifest's last
+    * committed batch (a crashed attempt's partial output) are ignored. The
+    * ledger is collected and path-compressed on the driver (it is
+    * #retroactive-merges rows), then broadcast-joined: one pass over the
+    * archive-sized field, no iteration. */
   def resolvedIdField(spark: SparkSession, sinkDir: String): DataFrame = {
     import spark.implicits._
-    val fs = new org.apache.hadoop.fs.Path(sinkDir, "id_field")
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(sinkDir, "id_field")))
-      return Seq.empty[(java.sql.Timestamp, Long, Long, Long)]
-        .toDF("time", "y", "x", "event_id")
-    val raw = spark.read.parquet(s"$sinkDir/id_field")
-    if (!fs.exists(new org.apache.hadoop.fs.Path(sinkDir, "remap"))) return raw
-    val ledger = spark.read.parquet(s"$sinkDir/remap")
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    def root(id: Long): Long = {
-      var v = id
-      while (ledger.contains(v)) v = ledger(v)
-      v
+    val empty = Seq.empty[(java.sql.Timestamp, Int, Int, Long)]
+      .toDF("time", "y", "x", "event_id")
+    val fs = manifestPath(sinkDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readCommitted(committed: Long, sub: String): Option[DataFrame] =
+      if (!fs.exists(new org.apache.hadoop.fs.Path(sinkDir, sub))) None
+      else Some(spark.read.parquet(s"$sinkDir/$sub")
+        .filter(col("batch") <= committed).drop("batch"))
+    readManifest(spark, sinkDir) match {
+      case None => empty
+      case Some((committed, _, _)) =>
+        readCommitted(committed, "id_field") match {
+          case None => empty
+          case Some(raw) =>
+            val ledger = readCommitted(committed, "remap") match {
+              case None => Map.empty[Long, Long]
+              case Some(r) => r.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+            }
+            if (ledger.isEmpty) raw
+            else {
+              def root(id: Long): Long = {
+                var v = id
+                while (ledger.contains(v)) v = ledger(v)
+                v
+              }
+              val closed = ledger.keys.map(k => k -> root(k)).toSeq.toDF("from_id", "to_id")
+              raw.join(broadcast(closed), raw("event_id") === col("from_id"), "left")
+                .select(raw("time"), raw("y"), raw("x"),
+                  coalesce(col("to_id"), raw("event_id")).as("event_id"))
+            }
+        }
     }
-    val closed = ledger.keys.map(k => k -> root(k)).toSeq.toDF("from_id", "to_id")
-    raw.join(broadcast(closed), raw("event_id") === col("from_id"), "left")
-      .select(raw("time"), raw("y"), raw("x"),
-        coalesce(col("to_id"), raw("event_id")).as("event_id"))
   }
 }

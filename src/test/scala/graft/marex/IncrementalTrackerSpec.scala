@@ -115,6 +115,34 @@ class IncrementalTrackerSpec extends SparkSpec {
     assert(inc3.blockIds.select("event_id").distinct().head().getLong(0) == 1L)
   }
 
+  test("a raw slice erased by preprocessing still separates events, as in batch") {
+    // 3×3 squares at t0 and t2; a single isolated cell at t1 that the
+    // rFill=1 morphological opening erases. The erased slice stays on the
+    // time axis, so t0 and t2 must be two events — within one block AND
+    // across a block boundary at the erased slice.
+    def square(t: Int): Seq[(Timestamp, Int, Int)] =
+      for (dy <- 0 to 2; dx <- 0 to 2) yield (ts(t), 8 + dy, 8 + dx)
+    val lone = Seq((ts(1), 20, 20))
+    val all = (square(0) ++ lone ++ square(2)).toDF("time", "y", "x")
+
+    val batch = Track.track(all, geom, spec, cfg).idField
+    assert(batch.select("event_id").distinct().count() == 2, "batch sanity")
+
+    // one block containing the erased interior slice
+    val (_, one) = IncrementalTracker.extend(None, all, geom, spec, cfg)
+    assertEquivalent(batch, one.blockIds)
+
+    // block boundary right after the erased slice: [t0, t1] then [t2]
+    val b1 = (square(0) ++ lone).toDF("time", "y", "x")
+    val b2 = square(2).toDF("time", "y", "x")
+    assertEquivalent(batch, trackIncrementally(Seq(b1, b2)))
+
+    // and the mirror: [t0] then [t1, t2]
+    val c1 = square(0).toDF("time", "y", "x")
+    val c2 = (lone ++ square(2)).toDF("time", "y", "x")
+    assertEquivalent(batch, trackIncrementally(Seq(c1, c2)))
+  }
+
   test("non-incremental configurations are rejected eagerly") {
     val b = Seq((ts(0), 5, 5)).toDF("time", "y", "x")
     def bad(c: TrackConfig, msg: String): Unit = {
