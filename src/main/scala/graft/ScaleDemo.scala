@@ -28,9 +28,17 @@ object ScaleDemo {
     // (overridable via SPARK_GRAFT_SHUFFLE).
     val dimsNy = if (args.length > 2) args(2).toLong else 20L
     val dimsNx = if (args.length > 3) args(3).toLong else 40L
-    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      math.max(cpus.toInt,
-        (dimsNy * dimsNx * 365L * nYears / 4000000L).toInt).toString)
+    val methodArg = if (args.length > 1) args(1) else "exact"
+    // sample count per MODE: "unstructured" repurposes args(0) as the day
+    // count and args(2) as the mesh side (cells = side²) — tuning keyed off
+    // the gridded interpretation there would be meaningless. The mesh path
+    // targets ~1 M samples/partition (its kernel-payload rows are wider and
+    // the split/merge loop keeps several checkpointed generations live);
+    // the gridded detect path sustains 4 M.
+    val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (methodArg match {
+      case "unstructured" => math.max(cpus.toInt, (dimsNy * dimsNy * nYears / 1000000L).toInt)
+      case _ => math.max(cpus.toInt, (dimsNy * dimsNx * 365L * nYears / 4000000L).toInt)
+    }).toString)
     // At production grids the per-pixel dimension tables (climatology /
     // threshold: |pixels|×366 rows ≈ 380 M at 0.25°) are NOT broadcastable
     // — a mis-estimated build side would collect GBs to the driver
@@ -39,7 +47,10 @@ object ScaleDemo {
     // pixels×366, so the no-auto-broadcast regime starts at ~100 k pixels
     // (×366 ≈ 1 GB); the CI-fixture shape keeps the default (broadcasting
     // the 293 k-row threshold table there is the right plan).
-    val bigGrid = dimsNy * dimsNx > 100000L
+    val bigGrid = (methodArg match {
+      case "unstructured" => dimsNy * dimsNy // mesh cells = side²
+      case _ => dimsNy * dimsNx
+    }) > 100000L
     val builder0 = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shufflePartitions)
@@ -76,7 +87,7 @@ object ScaleDemo {
     val nx = dimsNx.toInt
     val spec = GridSpec(ny = ny, nx = nx)
     val geom = SyntheticData.geometry(spark, ny, nx).cache()
-    val method = if (args.length > 1) args(1) else "exact"
+    val method = methodArg
 
     // ── trackonly: the production-shape TRACKING workload ──────────────────
     // Detect and track are separate cluster jobs at scale; a single box

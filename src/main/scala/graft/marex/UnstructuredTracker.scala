@@ -398,9 +398,26 @@ object UnstructuredTracker {
   private[marex] def partitionNN(childCells: Array[Int], prev: Array[Int],
       parentIds: Array[Int], centroids: Array[(Double, Double)], mesh: Mesh,
       maxDistance: Int): Array[Int] = {
+    val np = parentIds.length
+    val kOf = new java.util.HashMap[Int, Int]()
+    parentIds.zipWithIndex.foreach { case (p, k) => kOf.put(p, k) }
     val frontier = Array.fill(mesh.nCells)(255)
-    for (k <- parentIds.indices; i <- 0 until mesh.nCells if prev(i) == parentIds(k))
-      frontier(i) = k
+    // Work-list BFS with the SAME claim schedule as a full-mesh rescan: a
+    // cell claimed via nv row i expands via rows i+1..2 in the same round
+    // (the cascade) and rows 0..i the next round; any later re-expansion is
+    // a no-op (its neighbors are already claimed), so each claim is
+    // expanded exactly once per row — O(claimed cells), not
+    // O(parents × rounds × nCells). Entries encode (cell << 2 | claimRow);
+    // seeds carry claimRow 2 so round 1 expands them through every row.
+    var prevClaims = Array.fill(np)(new scala.collection.mutable.ArrayBuffer[Long])
+    var i0 = 0
+    while (i0 < mesh.nCells) {
+      if (prev(i0) != 0) {
+        val k = kOf.getOrDefault(prev(i0), -1)
+        if (k >= 0) { frontier(i0) = k; prevClaims(k) += ((i0.toLong << 2) | 2L) }
+      }
+      i0 += 1
+    }
     val isChild = new Array[Boolean](mesh.nCells)
     childCells.foreach(isChild(_) = true)
 
@@ -410,17 +427,36 @@ object UnstructuredTracker {
     while (dist < maxDistance && anyUnassigned && !break) {
       dist += 1
       var updates = false
-      for (k <- parentIds.indices; i <- 0 until 3) {
-        // snapshot of this parent's current claim set for nv row i
-        val snap = (0 until mesh.nCells).filter(frontier(_) == k)
-        snap.foreach { c =>
-          val n = mesh.nbr(i)(c)
-          if (n >= 0 && frontier(n) == 255) {
-            frontier(n) = k
-            if (isChild(n)) updates = true
+      val cur = Array.fill(np)(new scala.collection.mutable.ArrayBuffer[Long])
+      var k = 0
+      while (k < np) {
+        var row = 0
+        while (row < 3) {
+          def expand(c: Int): Unit = {
+            val n = mesh.nbr(row)(c)
+            if (n >= 0 && frontier(n) == 255) {
+              frontier(n) = k
+              cur(k) += ((n.toLong << 2) | row.toLong)
+              if (isChild(n)) updates = true
+            }
           }
+          // due now: last round's claims still owing this row…
+          prevClaims(k).foreach { e => if ((e & 3L) >= row) expand((e >> 2).toInt) }
+          // …plus this round's earlier-row claims (snapshot length: entries
+          // appended during this row carry claimRow == row and wait)
+          val curK = cur(k)
+          val snapLen = curK.length
+          var j = 0
+          while (j < snapLen) {
+            val e = curK(j)
+            if ((e & 3L) < row) expand((e >> 2).toInt)
+            j += 1
+          }
+          row += 1
         }
+        k += 1
       }
+      prevClaims = cur
       if (!updates) break = true
       else anyUnassigned = childCells.exists(frontier(_) == 255)
     }

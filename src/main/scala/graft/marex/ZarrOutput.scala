@@ -91,45 +91,8 @@ object ZarrOutput {
       chunks = Seq(tCh, math.min(spec.ny, 720), math.min(spec.nx, 1440)),
       valueCols = Seq("ID_field"), fill = 0.0)
 
-    // per-(time, ID) event tables
-    val perT = res.eventProps.join(timeIdxDf, "time").select(
-      col("time_idx"), (col("event_id") - 1).cast("int").as("ID_idx"),
-      col("event_id").cast("double").as("global_ID"),
-      lit(1.0).as("presence"),
-      col("area").cast("double").as("area"),
-      col("cen_lat").cast("double"), col("cen_lon").cast("double"))
-    w.arrays(perT, Seq(tDim, idDim), Seq(tCh, idCh),
-      valueCols = Seq("global_ID", "presence"), fill = 0.0)
-    w.arrays(perT, Seq(tDim, idDim), Seq(tCh, idCh),
-      valueCols = Seq("area"), fill = Double.NaN)
-    w.arrays(
-      perT.select(col("time_idx"), col("ID_idx"),
-          array(struct(lit(0).as("c"), col("cen_lat").as("v")),
-            struct(lit(1).as("c"), col("cen_lon").as("v"))).as("cs"))
-        .select(col("time_idx"), col("ID_idx"), explode(col("cs")).as("e"))
-        .select(col("e.c").as("component_idx"), col("time_idx"), col("ID_idx"),
-          col("e.v").as("centroid")),
-      dims = Seq("component" -> 2, tDim, idDim), chunks = Seq(2, tCh, idCh),
-      valueCols = Seq("centroid"), fill = Double.NaN)
-
-    // per-ID lifetime bounds (epoch seconds, the fixture's own time unit)
-    w.arrays(
-      res.events.select((col("event_id") - 1).cast("int").as("ID_idx"),
-        col("time_start").cast("double").as("time_start"),
-        col("time_end").cast("double").as("time_end")),
-      dims = Seq(idDim), chunks = Seq(idCh),
-      valueCols = Seq("time_start", "time_end"), fill = Double.NaN)
-
-    // sibling ledger, −1-padded along sibling_ID like the reference
-    w.arrays(
-      res.mergeLedger.join(timeIdxDf, "time").select(
-          col("time_idx"), (col("event_id") - 1).cast("int").as("ID_idx"),
-          posexplode(col("sibling_event_ids")).as(Seq("sibling_ID_idx", "sib")))
-        .select(col("time_idx"), col("ID_idx"), col("sibling_ID_idx"),
-          col("sib").cast("double").as("merge_ledger")),
-      dims = Seq(tDim, idDim, "sibling_ID" -> maxSib),
-      chunks = Seq(tCh, idCh, maxSib),
-      valueCols = Seq("merge_ledger"), fill = -1.0)
+    writeEventTables(w, res.eventProps, res.events, res.mergeLedger,
+      timeIdxDf, tDim, idDim, tCh, idCh, maxSib)
 
     // coordinate axes
     w.coord("time", times.map(_.getTime / 1000.0))
@@ -158,6 +121,54 @@ object ZarrOutput {
     * cube is one shuffle with fill-0 background; per-cell arrays are
     * mesh-sized driver writes, the same bound the Mesh itself already
     * holds in memory. */
+  /** The per-(time, ID) event tables + lifetime bounds + sibling ledger
+    * every tracked export writes — ONE definition shared by the gridded
+    * and unstructured exporters, so a fill/dtype/padding fix cannot
+    * silently miss one layout. `props` needs (time, event_id, area,
+    * cen_lat, cen_lon); `events` needs (event_id, time_start, time_end);
+    * the ledger is −1-padded along sibling_ID like the reference. */
+  private def writeEventTables(w: ZarrGroup.GroupWriter, props: DataFrame,
+      events: DataFrame, mergeLedger: DataFrame, timeIdxDf: DataFrame,
+      tDim: (String, Int), idDim: (String, Int), tCh: Int, idCh: Int,
+      maxSib: Int): Unit = {
+    val perT = props.join(timeIdxDf, "time").select(
+      col("time_idx"), (col("event_id") - 1).cast("int").as("ID_idx"),
+      col("event_id").cast("double").as("global_ID"),
+      lit(1.0).as("presence"),
+      col("area").cast("double").as("area"),
+      col("cen_lat").cast("double"), col("cen_lon").cast("double"))
+    w.arrays(perT, Seq(tDim, idDim), Seq(tCh, idCh),
+      valueCols = Seq("global_ID", "presence"), fill = 0.0)
+    w.arrays(perT, Seq(tDim, idDim), Seq(tCh, idCh),
+      valueCols = Seq("area"), fill = Double.NaN)
+    w.arrays(
+      perT.select(col("time_idx"), col("ID_idx"),
+          array(struct(lit(0).as("c"), col("cen_lat").as("v")),
+            struct(lit(1).as("c"), col("cen_lon").as("v"))).as("cs"))
+        .select(col("time_idx"), col("ID_idx"), explode(col("cs")).as("e"))
+        .select(col("e.c").as("component_idx"), col("time_idx"), col("ID_idx"),
+          col("e.v").as("centroid")),
+      dims = Seq("component" -> 2, tDim, idDim), chunks = Seq(2, tCh, idCh),
+      valueCols = Seq("centroid"), fill = Double.NaN)
+    // per-ID lifetime bounds (epoch seconds, the fixture's own time unit)
+    w.arrays(
+      events.select((col("event_id") - 1).cast("int").as("ID_idx"),
+        col("time_start").cast("double").as("time_start"),
+        col("time_end").cast("double").as("time_end")),
+      dims = Seq(idDim), chunks = Seq(idCh),
+      valueCols = Seq("time_start", "time_end"), fill = Double.NaN)
+    // sibling ledger, −1-padded along sibling_ID like the reference
+    w.arrays(
+      mergeLedger.join(timeIdxDf, "time").select(
+          col("time_idx"), (col("event_id") - 1).cast("int").as("ID_idx"),
+          posexplode(col("sibling_event_ids")).as(Seq("sibling_ID_idx", "sib")))
+        .select(col("time_idx"), col("ID_idx"), col("sibling_ID_idx"),
+          col("sib").cast("double").as("merge_ledger")),
+      dims = Seq(tDim, idDim, "sibling_ID" -> maxSib),
+      chunks = Seq(tCh, idCh, maxSib),
+      valueCols = Seq("merge_ledger"), fill = -1.0)
+  }
+
   def writeUnstructuredResult(res: UnstructuredTracker.Result,
       mesh: UnstructuredTracker.Mesh, dir: String, timeChunk: Int = 16,
       v3: Boolean = false, attrs: Map[String, String] = Map.empty): Unit = {
@@ -201,39 +212,8 @@ object ZarrOutput {
       chunks = Seq(tCh, math.min(nCells, 1 << 20)),
       valueCols = Seq("ID_field"), fill = 0.0)
 
-    val perT = props.join(timeIdxDf, "time").select(
-      col("time_idx"), (col("event_id") - 1).cast("int").as("ID_idx"),
-      col("event_id").cast("double").as("global_ID"), lit(1.0).as("presence"),
-      col("area").cast("double").as("area"),
-      col("cen_lat").cast("double"), col("cen_lon").cast("double"))
-    w.arrays(perT, Seq(tDim, idDim), Seq(tCh, idCh),
-      valueCols = Seq("global_ID", "presence"), fill = 0.0)
-    w.arrays(perT, Seq(tDim, idDim), Seq(tCh, idCh),
-      valueCols = Seq("area"), fill = Double.NaN)
-    w.arrays(
-      perT.select(col("time_idx"), col("ID_idx"),
-          array(struct(lit(0).as("c"), col("cen_lat").as("v")),
-            struct(lit(1).as("c"), col("cen_lon").as("v"))).as("cs"))
-        .select(col("time_idx"), col("ID_idx"), explode(col("cs")).as("e"))
-        .select(col("e.c").as("component_idx"), col("time_idx"), col("ID_idx"),
-          col("e.v").as("centroid")),
-      dims = Seq("component" -> 2, tDim, idDim), chunks = Seq(2, tCh, idCh),
-      valueCols = Seq("centroid"), fill = Double.NaN)
-    w.arrays(
-      events.select((col("event_id") - 1).cast("int").as("ID_idx"),
-        col("time_start").cast("double").as("time_start"),
-        col("time_end").cast("double").as("time_end")),
-      dims = Seq(idDim), chunks = Seq(idCh),
-      valueCols = Seq("time_start", "time_end"), fill = Double.NaN)
-    w.arrays(
-      res.mergeLedger.join(timeIdxDf, "time").select(
-          col("time_idx"), (col("event_id") - 1).cast("int").as("ID_idx"),
-          posexplode(col("sibling_event_ids")).as(Seq("sibling_ID_idx", "sib")))
-        .select(col("time_idx"), col("ID_idx"), col("sibling_ID_idx"),
-          col("sib").cast("double").as("merge_ledger")),
-      dims = Seq(tDim, idDim, "sibling_ID" -> maxSib),
-      chunks = Seq(tCh, idCh, maxSib),
-      valueCols = Seq("merge_ledger"), fill = -1.0)
+    writeEventTables(w, props, events, res.mergeLedger,
+      timeIdxDf, tDim, idDim, tCh, idCh, maxSib)
 
     // mesh per-cell arrays, fixture-style (extreme_unstructured.zarr layout)
     val cellsDf = spark.sparkContext.parallelize(0 until nCells, 8)

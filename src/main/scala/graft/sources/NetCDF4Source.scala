@@ -22,7 +22,7 @@ import Hdf5._
   */
 object NetCDF4Source {
 
-  private final class HadoopSource(conf: org.apache.hadoop.conf.Configuration,
+  private[sources] final class HadoopSource(conf: org.apache.hadoop.conf.Configuration,
       path: String) extends ByteSource {
     private val p = new org.apache.hadoop.fs.Path(path)
     private val fs = p.getFileSystem(conf)

@@ -129,33 +129,24 @@ private[sources] class NetCdfScan(path: String, varName: String, tLo: Int, tHi: 
 
   private def spark = org.apache.spark.sql.SparkSession.active
 
-  private def isHdf5: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val magic = try { val b = new Array[Byte](8); in.readFully(0, b, 0, 8); b }
-    finally in.close()
-    magic.sameElements(Hdf5.Signature)
-  }
+  private def driverSource: Hdf5.ByteSource =
+    new NetCDF4Source.HadoopSource(spark.sparkContext.hadoopConfiguration, path)
+
+  private def isHdf5: Boolean =
+    driverSource.read(0L, 8).sameElements(Hdf5.Signature)
 
   private def hdf5Var: (Hdf5.Dataset, Map[String, Any]) = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val src: Hdf5.ByteSource = new Hdf5.ByteSource {
-      private val p = new org.apache.hadoop.fs.Path(path)
-      private val fs = p.getFileSystem(conf)
-      def read(off: Long, len: Int): Array[Byte] = {
-        val in = fs.open(p)
-        try { val b = new Array[Byte](len); in.readFully(off, b, 0, len); b }
-        finally in.close()
-      }
-    }
+    val src = driverSource
     val (rootOh, _) = Hdf5.readSuperblock(src)
     val oh = Hdf5.listDatasets(src, rootOh).find(_._1 == varName)
       .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))._2
     (Hdf5.readDataset(src, varName, oh), Hdf5.attributes(src, oh))
   }
 
-  private def meta: (NcDecodeMeta, Option[Seq[Hdf5.ChunkRef]]) =
+  // lazy val: both planInputPartitions() and createReaderFactory() need it,
+  // and the HDF5 branch walks the whole chunk index — pay that driver-side
+  // metadata cost once per scan, not per consumer
+  private lazy val meta: (NcDecodeMeta, Option[Seq[Hdf5.ChunkRef]]) =
     if (isHdf5) {
       val (v, attrs) = hdf5Var
       require(v.dims.length == 3, s"$varName is not 3-D")
@@ -172,17 +163,7 @@ private[sources] class NetCdfScan(path: String, varName: String, tLo: Int, tHi: 
         elidedFill = v.fillValue.getOrElse(Double.NaN))
       v.layout match {
         case Hdf5.Chunked(_, cds, _) =>
-          val conf = spark.sparkContext.hadoopConfiguration
-          val src: Hdf5.ByteSource = new Hdf5.ByteSource {
-            private val p = new org.apache.hadoop.fs.Path(path)
-            private val fs = p.getFileSystem(conf)
-            def read(off: Long, len: Int): Array[Byte] = {
-              val in = fs.open(p)
-              try { val b = new Array[Byte](len); in.readFully(off, b, 0, len); b }
-              finally in.close()
-            }
-          }
-          (base.copy(chunkDims = cds), Some(Hdf5.listChunks(src, v)))
+          (base.copy(chunkDims = cds), Some(Hdf5.listChunks(driverSource, v)))
         case Hdf5.Contiguous(addr, _) =>
           (base.copy(sliceBase = addr,
             sliceStride = ny.toLong * nx * v.dtype.size), None)
@@ -328,17 +309,33 @@ private[sources] class NetCdfReaderFactory(path: String, m: NcDecodeMeta,
   }
 }
 
-/** Shared column-pruned row emitter. */
+/** Shared column-pruned row emitter. Column routing is resolved to ordinal
+  * codes ONCE at construction — get() runs once per emitted cell (~10⁹ rows
+  * at production reads), so the hot path allocates only the row array, no
+  * Seq wrappers or per-row string matches. */
 private[sources] abstract class NetCdfRowReader(columns: Array[String],
     cf: Double => Double) extends PartitionReader[InternalRow] {
   protected var t = 0; protected var yy = 0; protected var xx = 0
   protected var v = 0.0
-  override def get(): InternalRow =
-    InternalRow.fromSeq(columns.toSeq.map {
-      case "t_idx" => t
-      case "y" => yy
-      case "x" => xx
-      case "value" => cf(v)
-    })
+  private val codes: Array[Int] = columns.map {
+    case "t_idx" => 0
+    case "y" => 1
+    case "x" => 2
+    case "value" => 3
+  }
+  override def get(): InternalRow = {
+    val out = new Array[Any](codes.length)
+    var i = 0
+    while (i < codes.length) {
+      out(i) = codes(i) match {
+        case 0 => t
+        case 1 => yy
+        case 2 => xx
+        case _ => cf(v)
+      }
+      i += 1
+    }
+    InternalRow.fromSeq(scala.collection.immutable.ArraySeq.unsafeWrapArray(out))
+  }
   override def close(): Unit = ()
 }

@@ -201,15 +201,21 @@ object ZarrGroup extends Serializable {
     val bp = ZarrSource.bytesPer(meta.dtype)
     val chunkLen = meta.chunks.product
     val p = new org.apache.hadoop.fs.Path(arrayDir, ZarrSource.chunkKey(meta, ci))
-    if (!fs.exists(p)) Array.fill(chunkLen)(meta.fillValue)
-    else {
-      val st = fs.getFileStatus(p)
-      val data = new Array[Byte](st.getLen.toInt)
-      val in = fs.open(p)
-      try in.readFully(0, data) finally in.close()
-      val raw = ZarrSource.decodeChunk(data, meta, chunkLen * bp)
-      val buf = ByteBuffer.wrap(raw).order(ZarrSource.byteOrderOf(meta.dtype))
-      Array.tabulate(chunkLen)(i => ZarrSource.cellValue(raw, buf, meta.dtype, i, bp))
+    // ONE metadata round-trip per chunk file: open directly and treat
+    // not-found as the fill case — exists + getFileStatus + open would cost
+    // 3 RPCs per chunk per variable on an object store
+    val data =
+      try {
+        val in = fs.open(p)
+        try Some(org.apache.commons.io.IOUtils.toByteArray(in))
+        finally in.close()
+      } catch { case _: java.io.FileNotFoundException => None }
+    data match {
+      case None => Array.fill(chunkLen)(meta.fillValue)
+      case Some(d) =>
+        val raw = ZarrSource.decodeChunk(d, meta, chunkLen * bp)
+        val buf = ByteBuffer.wrap(raw).order(ZarrSource.byteOrderOf(meta.dtype))
+        Array.tabulate(chunkLen)(i => ZarrSource.cellValue(raw, buf, meta.dtype, i, bp))
     }
   }
 
