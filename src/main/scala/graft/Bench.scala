@@ -14,10 +14,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Capture-condition self-annotation: a bench captured on a contended
+    // machine or against a cold page cache is not comparable round-to-round,
+    // and the manual checks (PERF.md) were easy to forget — so the artifact
+    // now carries its own flags.
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val contended = loadAvg > 0.5 * cpus.toInt
     // Warm-up: JVM/codegen/scheduler first-stage costs land here, not on
-    // whichever query happens to run first.
-    try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
-    catch { case _: Throwable => }
+    // whichever query happens to run first. Reading the same file twice
+    // also measures page-cache state: a cold first read is >2× the second.
+    def timedCount(): Double = {
+      val t0 = System.nanoTime()
+      try { spark.read.parquet(s"$sfDir/lineitem.parquet").count() }
+      catch { case _: Throwable => }
+      (System.nanoTime() - t0) / 1e9
+    }
+    val warm1 = timedCount()
+    val warm2 = timedCount()
+    val coldCache = warm1 > 2.0 * warm2 && warm1 - warm2 > 0.5
     // q55/q60/q72 replay the reference's FIXED-SIZE golden fixtures
     // regardless of SF — correctness regression locks, not scale benchmarks;
     // including them would add a constant ~60 s to every SF's total and
@@ -39,7 +54,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+      f""""load_avg_start":$loadAvg%.2f,"contended":$contended,""" +
+      f""""warmup_first_s":$warm1%.3f,"warmup_second_s":$warm2%.3f,"cold_cache":$coldCache}""")
     spark.stop()
   }
 }

@@ -834,8 +834,8 @@ object MarexQueries extends QueryRegistry {
               SELECT CAST(y AS BIGINT) AS y,
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val,
-                     sum(n_obs) AS n_obs,
-                     round(sum(y * 2.0 + x * 3.0), 2) AS sum_coord
+                     CAST(sum(n_obs) AS BIGINT) AS n_obs,
+                     CAST(round(sum(y * 2.0 + x * 3.0), 2) AS DOUBLE) AS sum_coord
               FROM cells GROUP BY y"""),
       "Zarr group (xarray Dataset) round-trip: 2 vars + coords via consolidated metadata, wide no-join read")
   )

@@ -414,7 +414,10 @@ private[sources] object Hdf5 {
     require(bt.typ == 8, s"attribute name index has record type ${bt.typ}")
     val idLen = bt.recordSize - 9 // heap ID + message flags (1) + order (4) + hash (4)
     bt.records.flatMap { r =>
-      if ((r(idLen) & 0x01) != 0) None // shared message — skip
+      // type-8 record message flags use object-header message flag
+      // semantics: bit 0 = constant (fine to read), bit 1 = shared (the
+      // heap ID then points into the SOHM heap, not the attribute heap)
+      if ((r(idLen) & 0x02) != 0) None // shared message — skip
       else try parseAttribute(heap.obj(java.util.Arrays.copyOf(r, idLen)))
       catch { case _: Exception => None }
     }

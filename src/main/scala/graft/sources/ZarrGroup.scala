@@ -425,8 +425,17 @@ object ZarrGroup extends Serializable {
     * which would shuffle the cube V times). Write parallelism is the chunk
     * grid — the same unit the readers scale by. Paths are plain-filesystem
     * here (tests/local), like [[ZarrSource]]'s array writers; a production
-    * deployment would route through the Hadoop FS API. */
-  final class GroupWriter(dir: String, v3: Boolean = false) {
+    * deployment would route through the Hadoop FS API.
+    *
+    * @param compressor v2 chunk compression: `None` = raw chunks,
+    *                   `Some("blosc")` = blosc-lz4 with byte shuffle (the
+    *                   zarr-python default — what the reference's own
+    *                   fixtures use). Ignored for v3, whose chain is the
+    *                   zarr-python-3 default `bytes → zstd`. */
+  final class GroupWriter(dir: String, v3: Boolean = false,
+      compressor: Option[String] = None) {
+    require(compressor.forall(_ == "blosc"),
+      s"unsupported v2 write compressor '${compressor.get}' (supported: blosc)")
     // member name -> (shape, chunks, dims, fill)
     private val members =
       scala.collection.mutable.ArrayBuffer[(String, Seq[Int], Seq[Int], Seq[String], Double)]()
@@ -471,6 +480,7 @@ object ZarrGroup extends Serializable {
       val dirB = dir
       val isV3 = v3
       val fillB = fill
+      val bloscB = !v3 && compressor.contains("blosc")
       valueCols.foreach(vc => new java.io.File(s"$dir/$vc").mkdirs())
       rows.groupByKey(r => (0 until nd).map(d => r.getInt(d) / chB(d)).toList)
         .mapGroups { (ci: List[Int], it: Iterator[Row]) =>
@@ -495,6 +505,7 @@ object ZarrGroup extends Serializable {
           while (vi < nV) {
             val payload = if (isV3)
               ZarrSource.v3EncodeChain(bufs(vi).array(), Seq(ZarrSource.ZstdC))
+            else if (bloscB) Blosc.compress(bufs(vi).array(), typesize = 8)
             else bufs(vi).array()
             val f = new java.io.File(s"$dirB/${vcB(vi)}", rel)
             f.getParentFile.mkdirs()
@@ -517,6 +528,7 @@ object ZarrGroup extends Serializable {
       val buf = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       values.foreach(buf.putDouble)
       val payload = if (v3) ZarrSource.v3EncodeChain(buf.array(), Seq(ZarrSource.ZstdC))
+        else if (compressor.contains("blosc")) Blosc.compress(buf.array(), typesize = 8)
         else buf.array()
       java.nio.file.Files.write(f.toPath, payload)
       this
@@ -551,10 +563,14 @@ object ZarrGroup extends Serializable {
         if (f.isNaN) "\"NaN\""
         else if (f == f.floor && math.abs(f) < 1e15) f.toLong.toString
         else f.toString
+      val v2Compressor =
+        if (compressor.contains("blosc"))
+          """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+        else "null"
       def v2Zarray(shape: Seq[Int], chk: Seq[Int], fill: Double): String =
         s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
             "chunks": [${chk.mkString(", ")}], "dtype": "<f8",
-            "compressor": null, "fill_value": ${fillJson(fill)}, "order": "C", "filters": null}"""
+            "compressor": $v2Compressor, "fill_value": ${fillJson(fill)}, "order": "C", "filters": null}"""
       def v2Zattrs(dimsOf: Seq[String]): String =
         s"""{"_ARRAY_DIMENSIONS": [${dimsOf.map(jsonStr).mkString(", ")}]}"""
       def v3ArrayJson(shape: Seq[Int], chk: Seq[Int], dimsOf: Seq[String], fill: Double): String =
@@ -632,13 +648,14 @@ object ZarrGroup extends Serializable {
   def writeDataset(df: DataFrame, dir: String, dims: Seq[(String, Int)],
       chunks: Seq[Int], valueCols: Seq[String],
       coords: Map[String, Array[Double]] = Map.empty,
-      attrs: Map[String, String] = Map.empty, v3: Boolean = false): Unit = {
+      attrs: Map[String, String] = Map.empty, v3: Boolean = false,
+      compressor: Option[String] = None): Unit = {
     coords.foreach { case (n, a) =>
       val sz = dims.toMap.getOrElse(n,
         throw new IllegalArgumentException(s"coord '$n' names no dimension"))
       require(a.length == sz, s"coord '$n' has ${a.length} values, dim has $sz")
     }
-    val w = new GroupWriter(dir, v3)
+    val w = new GroupWriter(dir, v3, compressor)
     w.arrays(df, dims, chunks, valueCols)
     coords.keys.toSeq.sorted.foreach(cn => w.coord(cn, coords(cn)))
     w.finish(attrs)

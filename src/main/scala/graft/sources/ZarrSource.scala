@@ -563,13 +563,19 @@ object ZarrSource extends Serializable {
     * plain-filesystem here (tests/local); a production deployment would
     * route the writes through the Hadoop FS API like the reader does. */
   def write3D(df: DataFrame, dir: String, shape: (Int, Int, Int),
-      chunks: (Int, Int, Int)): Unit = {
+      chunks: (Int, Int, Int), compressor: Option[String] = None): Unit = {
+    require(compressor.forall(_ == "blosc"),
+      s"unsupported v2 write compressor '${compressor.get}' (supported: blosc)")
+    val blosc = compressor.contains("blosc")
     val (nt, ny, nx) = shape
     val (ct, cy, cx) = chunks
     new java.io.File(dir).mkdirs()
+    val compJson =
+      if (blosc) """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
+      else "null"
     val zarray =
       s"""{"zarr_format": 2, "shape": [$nt, $ny, $nx], "chunks": [$ct, $cy, $cx],
-          "dtype": "<f8", "compressor": null, "fill_value": "NaN",
+          "dtype": "<f8", "compressor": $compJson, "fill_value": "NaN",
           "order": "C", "filters": null}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/.zarray"), zarray.getBytes)
     val spark = df.sparkSession
@@ -587,8 +593,10 @@ object ZarrSource extends Serializable {
           val idx = (t - ci * ct) * cy * cx + (y - cj * cy) * cx + (x - ck * cx)
           buf.putDouble(idx * 8, v)
         }
+        val payload = if (blosc) Blosc.compress(buf.array(), typesize = 8)
+          else buf.array()
         java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$dir/$ci.$cj.$ck"), buf.array())
+          java.nio.file.Paths.get(s"$dir/$ci.$cj.$ck"), payload)
         s"$ci.$cj.$ck"
       }
       .collect() // materialize writes

@@ -36,20 +36,35 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
   // tracker-owned commit sequence: monotone across restarts (restored from
   // the manifest), so partition directories never collide between runs
   @volatile private var committedSeq: Long = -1L
+  // idempotence key: the max raw input slice time (epoch ms) this tracker
+  // has COMMITTED. A crash can land between our manifest write and the
+  // streaming engine's own commit-log write; the restarted query then
+  // re-delivers the same batch under a fresh batchId (lastBatchId is reset
+  // to -1, so the in-run guard cannot catch it). Input is append-only and
+  // time-ordered, so dropping slices <= this key makes replay a no-op.
+  @volatile private var maxCommittedMs: Long = Long.MinValue
 
   /** The foreachBatch function: track the new slices, commit the batch. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= lastBatchId) return // in-run replay of a committed batch
+    val fresh =
+      if (maxCommittedMs == Long.MinValue) batch
+      else batch.filter(col("time") >
+        lit(new java.sql.Timestamp(maxCommittedMs)).cast("timestamp"))
+    val maxRow = fresh.agg(max("time")).head()
+    if (maxRow.isNullAt(0)) { lastBatchId = batchId; return } // cross-restart replay
+    val batchMaxMs = maxRow.getTimestamp(0).getTime
     val seq = committedSeq + 1 // a crashed attempt's partial dir is re-overwritten
-    val (st, inc) = IncrementalTracker.extend(state, batch, geom, spec, cfg)
+    val (st, inc) = IncrementalTracker.extend(state, fresh, geom, spec, cfg)
     if (!inc.blockIds.isEmpty)
       inc.blockIds.write.mode("overwrite").parquet(s"$sinkDir/id_field/batch=$seq")
     if (!inc.remap.isEmpty)
       inc.remap.write.mode("overwrite").parquet(s"$sinkDir/remap/batch=$seq")
     StreamingTracker.writeManifest(batch.sparkSession, sinkDir,
-      seq, st.gapAfterSeam, st.nextEventId)
+      seq, st.gapAfterSeam, st.nextEventId, batchMaxMs)
     state = Some(st)
     committedSeq = seq
+    maxCommittedMs = batchMaxMs
     lastBatchId = batchId
   }
 
@@ -59,8 +74,9 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
   def restoreState(spark: SparkSession): Unit = {
     lastBatchId = -1L // a restarted query may renumber its batches
     StreamingTracker.readManifest(spark, sinkDir) match {
-      case None => state = None; committedSeq = -1L
-      case Some((seq, gap, next)) =>
+      case None =>
+        state = None; committedSeq = -1L; maxCommittedMs = Long.MinValue
+      case Some((seq, gap, next, maxMs)) =>
         val ids = StreamingTracker.resolvedIdField(spark, sinkDir)
         val seam =
           if (ids.isEmpty) {
@@ -73,6 +89,7 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
           }
         state = Some(IncrementalTracker.IncState(seam, gap, next))
         committedSeq = seq
+        maxCommittedMs = maxMs
     }
   }
 }
@@ -82,18 +99,28 @@ object StreamingTracker {
   private def manifestPath(sinkDir: String) =
     new org.apache.hadoop.fs.Path(sinkDir, "state.json")
 
+  /** The manifest is the COMMIT MARKER, so its update must never destroy
+    * the previous marker: write the new content to a temp path, then rename
+    * over `state.json` (atomic on HDFS and local filesystems via
+    * [[org.apache.hadoop.fs.FileContext]] with `Rename.OVERWRITE`;
+    * acceptable on object stores). A crash mid-write leaves at worst a
+    * stale temp file next to an intact previous manifest. */
   private def writeManifest(spark: SparkSession, sinkDir: String,
-      batchId: Long, gap: Long, nextId: Long): Unit = {
+      batchId: Long, gap: Long, nextId: Long, maxTimeMs: Long): Unit = {
     val p = manifestPath(sinkDir)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(p, true)
-    out.write(s"""{"committedSeq": $batchId, "gapAfterSeam": $gap, "nextEventId": $nextId}"""
-      .getBytes("UTF-8"))
+    val tmp = new org.apache.hadoop.fs.Path(sinkDir, s"state.json.tmp")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(tmp, true)
+    out.write((s"""{"committedSeq": $batchId, "gapAfterSeam": $gap, """ +
+      s""""nextEventId": $nextId, "maxTimeMs": $maxTimeMs}""").getBytes("UTF-8"))
     out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readManifest(spark: SparkSession,
-      sinkDir: String): Option[(Long, Long, Long)] = {
+      sinkDir: String): Option[(Long, Long, Long, Long)] = {
     val p = manifestPath(sinkDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -101,8 +128,17 @@ object StreamingTracker {
     val js = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
     in.close()
     def field(k: String): Long =
-      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(js).get.group(1).toLong
-    Some((field("committedSeq"), field("gapAfterSeam"), field("nextEventId")))
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(js) match {
+        case Some(m) => m.group(1).toLong
+        case None => throw new IllegalStateException(
+          s"malformed streaming-tracker manifest $p: missing field '$k' in: " +
+            js.take(200))
+      }
+    def optField(k: String, dflt: Long): Long =
+      s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(js)
+        .map(_.group(1).toLong).getOrElse(dflt)
+    Some((field("committedSeq"), field("gapAfterSeam"), field("nextEventId"),
+      optField("maxTimeMs", Long.MinValue)))
   }
 
   /** The COMMITTED id field with the remap ledger's transitive closure
@@ -122,7 +158,7 @@ object StreamingTracker {
         .filter(col("batch") <= committed).drop("batch"))
     readManifest(spark, sinkDir) match {
       case None => empty
-      case Some((committed, _, _)) =>
+      case Some((committed, _, _, _)) =>
         readCommitted(committed, "id_field") match {
           case None => empty
           case Some(raw) =>

@@ -50,4 +50,74 @@ class BloscSpec extends SparkSpec {
     val frac = df.filter(col("value") === 1.0).count().toDouble / (32L * 180 * 360)
     assert(frac > 0.01 && frac < 0.3, s"extreme fraction $frac out of range")
   }
+
+  // ── write side (round 6): Blosc.compress must produce frames the strict
+  // decoder accepts, byte-exactly round-tripping every container case ──────
+
+  private def doubles(n: Int, f: Int => Double): Array[Byte] = {
+    val buf = java.nio.ByteBuffer.allocate(n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(i => buf.putDouble(i * 8, f(i)))
+    buf.array()
+  }
+
+  test("compress round-trips smooth data at a real compression ratio") {
+    val raw = doubles(4096, i => math.floor(i / 37.0)) // long runs per byte plane
+    val frame = Blosc.compress(raw, typesize = 8)
+    assert(frame.length < raw.length / 2,
+      s"smooth data should compress well, got ${frame.length}/${raw.length}")
+    assert(java.util.Arrays.equals(Blosc.decompress(frame), raw))
+  }
+
+  test("compress falls back to a memcpy frame on incompressible data") {
+    val rnd = new java.util.Random(7)
+    val raw = new Array[Byte](8192)
+    rnd.nextBytes(raw)
+    val frame = Blosc.compress(raw, typesize = 8)
+    assert(frame.length == raw.length + 16, "memcpy frame = header + raw payload")
+    assert((frame(2) & 0x02) != 0, "memcpy flag must be set")
+    assert(java.util.Arrays.equals(Blosc.decompress(frame), raw))
+  }
+
+  test("compress round-trips multi-block payloads (> 256 KiB) and tails") {
+    // 40 000 doubles = 320 000 bytes → 2 blocks of 256 KiB cap; value cycle
+    // keeps it compressible so both the LZ4 and stored paths stay honest
+    val raw = doubles(40000, i => (i % 97).toDouble)
+    val frame = Blosc.compress(raw, typesize = 8)
+    assert(frame.length < raw.length)
+    assert(java.util.Arrays.equals(Blosc.decompress(frame), raw))
+    // length not a multiple of typesize: sub-element tail copied verbatim
+    val odd = java.util.Arrays.copyOf(raw, 8 * 1000 + 5)
+    assert(java.util.Arrays.equals(Blosc.decompress(Blosc.compress(odd, 8)), odd))
+  }
+
+  test("compress handles empty and tiny inputs") {
+    assert(Blosc.decompress(Blosc.compress(Array.empty[Byte], 8)).isEmpty)
+    val tiny = Array[Byte](1, 2, 3)
+    assert(java.util.Arrays.equals(Blosc.decompress(Blosc.compress(tiny, 8)), tiny))
+    val one = doubles(1, _ => 42.0)
+    assert(java.util.Arrays.equals(Blosc.decompress(Blosc.compress(one, 8)), one))
+  }
+
+  test("compress round-trips random typesizes and lengths (property sweep)") {
+    val rnd = new java.util.Random(42)
+    (1 to 50).foreach { _ =>
+      val ts = 1 + rnd.nextInt(16)
+      val n = rnd.nextInt(100000)
+      val raw = new Array[Byte](n)
+      // mixed compressibility: runs of a repeated byte + random spans
+      var i = 0
+      while (i < n) {
+        val runLen = math.min(1 + rnd.nextInt(64), n - i)
+        if (rnd.nextBoolean()) {
+          val b = rnd.nextInt(256).toByte
+          java.util.Arrays.fill(raw, i, i + runLen, b)
+        } else (i until i + runLen).foreach(j => raw(j) = rnd.nextInt(256).toByte)
+        i += runLen
+      }
+      val frame = Blosc.compress(raw, ts)
+      assert(java.util.Arrays.equals(Blosc.decompress(frame), raw),
+        s"round-trip failed at ts=$ts n=$n")
+    }
+  }
 }

@@ -86,7 +86,7 @@ class ZarrGroupSpec extends SparkSpec {
     } finally ds.unpersist()
   }
 
-  private def roundTrip(v3: Boolean): Unit = {
+  private def roundTrip(v3: Boolean, compressor: Option[String] = None): Unit = {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory(s"zgroup_rt_$v3").toFile
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
@@ -99,7 +99,7 @@ class ZarrGroupSpec extends SparkSpec {
       valueCols = Seq("sst", "flag"),
       coords = Map("time" -> Array.tabulate(5)(_.toDouble),
         "y" -> Array.tabulate(6)(10.0 + _), "x" -> Array.tabulate(8)(_ * 0.5)),
-      attrs = Map("source" -> "graft-test"), v3 = v3)
+      attrs = Map("source" -> "graft-test"), v3 = v3, compressor = compressor)
 
     val g = ZarrGroup.open(dir.getAbsolutePath, hconf)
     assert(g.format == (if (v3) 3 else 2) && g.consolidated)
@@ -121,6 +121,30 @@ class ZarrGroupSpec extends SparkSpec {
 
   test("v2 group write → read round-trip (values, coords, attrs)") { roundTrip(v3 = false) }
   test("v3 group write → read round-trip (values, coords, attrs)") { roundTrip(v3 = true) }
+
+  test("v2 blosc-lz4 write round-trips and matches the fixture chunk layout") {
+    roundTrip(v3 = false, compressor = Some("blosc"))
+    // layout check against the reference fixture convention: chunk files are
+    // blosc frames (magic: version=2, lz4 codec id in flags bits 5-7)
+    val dir = java.nio.file.Files.createTempDirectory("zgroup_blosc").toFile
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    import spark.implicits._
+    val cells = (for (y <- 0 until 20; x <- 0 until 30)
+      yield (y, x, y * 1.5 + x)).toDF("y_idx", "x_idx", "v")
+    ZarrGroup.writeDataset(cells, dir.getAbsolutePath,
+      dims = Seq("y" -> 20, "x" -> 30), chunks = Seq(10, 30),
+      valueCols = Seq("v"), compressor = Some("blosc"))
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "v/.zarray").toPath))
+    assert(meta.contains("\"id\": \"blosc\"") && meta.contains("\"cname\": \"lz4\""))
+    val chunk = java.nio.file.Files.readAllBytes(new java.io.File(dir, "v/0.0").toPath)
+    assert(chunk.length < 10 * 30 * 8, "chunk must actually be compressed")
+    assert(((chunk(2) & 0xff) >>> 5) == 1, "codec id must be lz4")
+    val back = ZarrGroup.readDataset(spark, dir.getAbsolutePath)
+    assert(back.filter(abs(col("v") - (col("y_idx") * 1.5 + col("x_idx"))) > 1e-12)
+      .count() == 0L && back.count() == 600)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
 
   test("v2 written layout is xarray's: .zmetadata + _ARRAY_DIMENSIONS per member") {
     import spark.implicits._

@@ -56,13 +56,19 @@ class StreamingTrackerSpec extends SparkSpec {
     blocks.take(2).foreach { b => ms1.addData(b.toSeq); q1.processAllAvailable() }
     q1.stop()
 
-    // restart: fresh tracker instance, state rebuilt from the sink alone
+    // restart: fresh tracker instance, state rebuilt from the sink alone.
+    // The first delivery REPLAYS the last committed block — the crash
+    // window where the tracker committed its manifest but the engine's own
+    // commit log didn't: a restarted query re-delivers that batch under a
+    // fresh batchId. The manifest's idempotence key must make it a no-op.
     val ms2 = MemoryStream[(Timestamp, Int, Int)]
     val t2 = new StreamingTracker(geom, spec, cfg, sinkDir)
     t2.restoreState(spark)
     val q2 = ms2.toDS().toDF("time", "y", "x")
       .writeStream.foreachBatch(t2.processBatch _).start()
-    blocks.drop(2).foreach { b => ms2.addData(b.toSeq); q2.processAllAvailable() }
+    (blocks(1) +: blocks.drop(2)).foreach { b =>
+      ms2.addData(b.toSeq); q2.processAllAvailable()
+    }
     q2.stop()
 
     val streamed = StreamingTracker.resolvedIdField(spark, sinkDir)
@@ -88,5 +94,20 @@ class StreamingTrackerSpec extends SparkSpec {
       "all cells must resolve to one event through the chained ledger")
     val oneShot = Track.track(resolved.select("time", "y", "x"), geom, spec, cfg0).idField
     assert(oneShot.select("event_id").distinct().count() == 1)
+  }
+
+  test("malformed manifest fails restore with a clear error, not a regex crash") {
+    val sinkDir = Files.createTempDirectory("graft_stream_track3").toString
+    val t = new StreamingTracker(geom, spec, cfg, sinkDir)
+    t.processBatch(Seq((ts(0), 5, 5), (ts(0), 5, 6)).toDF("time", "y", "x"), 0L)
+    // simulate a torn manifest (the failure writeManifest's temp+rename now
+    // prevents, but a foreign writer could still produce)
+    Files.write(java.nio.file.Paths.get(sinkDir, "state.json"),
+      """{"committedSeq": 0, "gapAf""".getBytes("UTF-8"))
+    Files.deleteIfExists(java.nio.file.Paths.get(sinkDir, ".state.json.crc"))
+    val t2 = new StreamingTracker(geom, spec, cfg, sinkDir)
+    val e = intercept[IllegalStateException] { t2.restoreState(spark) }
+    assert(e.getMessage.contains("malformed"))
+    assert(e.getMessage.contains("gapAfterSeam"))
   }
 }
