@@ -1,12 +1,14 @@
 package graft.marex
 
+import java.sql.Timestamp
+
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.ConnectedComponents
 
-/** Incremental (append-only) event tracking — extend a non-merging track
-  * with newly-arrived time slices WITHOUT recomputing history.
+/** Incremental (append-only) event tracking — extend a track with
+  * newly-arrived time slices WITHOUT recomputing history.
   *
   * The reference's tracker (and [[Track.track]]) is a batch pass over the
   * full archive; a production archive grows daily, and at the 100 TB design
@@ -14,52 +16,89 @@ import graft.operators.ConnectedComponents
   * minutes-long append job and a full-archive recompute. This module keeps
   * the minimum state that tracking semantics require — the labeled cells of
   * the last SURVIVING slice (the seam), the count of erased raw slices
-  * after it, plus an id counter — and stitches
-  * each new block to it with the same 26-connectivity (9 spatial offsets
-  * incl. diagonals, x-wrap) the batch space-time CCL uses
-  * (reference structure: track.py:2009–2016, time connectivity
-  * track.py:1388–1395).
+  * after it, plus id counters — and stitches each new block to it.
+  *
+  * Two modes, dispatched on `cfg.allowMerging`:
+  *
+  *  - '''non-merging''' (the reference's "Scannell" mode): the block is
+  *    labeled by block-local 3-D space-time CCL and linked to the seam with
+  *    the same 26-connectivity (9 spatial offsets incl. diagonals, x-wrap)
+  *    the batch CCL uses (reference structure: track.py:2009–2016, time
+  *    connectivity track.py:1388–1395);
+  *  - '''merging''' (split/merge genealogy): the batch-parallel split/merge
+  *    ([[Track.splitAndMerge]]) only ever rewrites CHILD cells — the cells
+  *    of the LATER timestep of an overlap pair — so already-resolved history
+  *    is stable under appends. The increment therefore re-runs the identical
+  *    resolution over (seam slice ∪ new block): boundary children claimed by
+  *    two seam parents are partitioned exactly as in batch, the block's
+  *    merge-genealogy rows come out of the same code path, and event
+  *    components compose through the seam (an old event id is reused where a
+  *    component touches the seam; genuinely new components mint fresh ids).
   *
   * Appending data can retroactively MERGE previously-separate events (a new
-  * cell bridging two old components); each extension therefore returns a
-  * `remap` table (`from_event_id` → `to_event_id`) the caller applies to
-  * any historical tables it keeps. Event ids are stable and unique but NOT
-  * dense: equivalence with the batch tracker is up to a bijection of ids,
-  * which is what [[IncrementalTrackerSpec]] asserts.
+  * cell bridging two old components; in merging mode, a post-partition
+  * fragment still overlapping the *other* parent above threshold); each
+  * extension therefore returns a `remap` table (`from_event_id` →
+  * `to_event_id`) the caller applies to any historical tables it keeps.
+  * Event ids are stable and unique but NOT dense: equivalence with the batch
+  * tracker is up to a bijection of ids, which is what
+  * [[IncrementalTrackerSpec]] asserts — for BOTH modes.
   *
-  * Scope (all checked eagerly): non-merging semantics (the reference's
-  * "Scannell" mode — splits/merges need the full genealogy pass), no
-  * temporal gap fill (`tFill == 0`: closing along time reads future slices),
-  * absolute area filtering (a quartile threshold is a statistic of the
-  * WHOLE run — inherently non-incremental; production append pipelines use
-  * absolute thresholds, e.g. run_track.py:27–36's 600 km²), and
-  * `dropSmallestObject == false` (the reference's drop-first-label quirk is
-  * per-batch-run, meaningless under appends).
+  * Scope (all checked eagerly): no temporal gap fill (`tFill == 0`: closing
+  * along time reads future slices), absolute area filtering (a quartile
+  * threshold is a statistic of the WHOLE run — inherently non-incremental;
+  * production append pipelines use absolute thresholds, e.g.
+  * run_track.py:27–36's 600 km²), `dropSmallestObject == false` (the
+  * reference's drop-first-label quirk is per-batch-run, meaningless under
+  * appends), and — merging mode only — the batch-parallel split/merge
+  * (`sequentialSplitMerge == false`: the sequential pass is a whole-run
+  * driver algorithm whose decisions at t read updated t−1/t−2 ACROSS the
+  * whole history).
   *
   * Scale shape per block: morphology + per-slice CCL are one task per
-  * slice; the block-local space-time CCL sees only the block; the seam join
-  * touches ONE slice of cells; the seam component solve is driver
-  * union-find over seam-sized edges. Nothing reads history except the seam.
+  * slice; the block-local resolution sees only the block (+ one seam
+  * slice); the seam join touches ONE slice of cells; the component solve is
+  * over the block's object graph. Nothing reads history except the seam.
   */
 object IncrementalTracker {
 
-  /** Tracker state between extensions. `seam` holds (y, x, event_id) of the
-    * last slice that SURVIVED preprocessing; `gapAfterSeam` counts the raw
-    * input slices processed after it (slices whose objects were all erased
-    * by morphology or the area filter still occupy the time axis, exactly
-    * as in the batch tracker, so anything following them must NOT stitch);
-    * `nextEventId` is 1 + the highest id ever issued (provisional block ids
-    * start here, keeping old and new id spaces disjoint). */
-  final case class IncState(seam: DataFrame, gapAfterSeam: Long, nextEventId: Long)
+  /** Tracker state between extensions.
+    *
+    * `seam` holds the last slice that SURVIVED preprocessing:
+    * (y, x, event_id) in non-merging mode, (y, x, gid, event_id) in merging
+    * mode (the gid is the split/merge-resolved object id the overlap
+    * fractions are computed against; the event id is the post-remap final
+    * id). `gapAfterSeam` counts the raw input slices processed after it
+    * (slices whose objects were all erased by morphology or the area filter
+    * still occupy the time axis, exactly as in the batch tracker, so
+    * anything following them must NOT stitch). `nextEventId` is 1 + the
+    * highest event id ever issued; `nextGid` (merging mode) is 1 + the
+    * highest object gid ever issued, keeping old and new id spaces
+    * disjoint.
+    *
+    * `seamTraj` (merging mode) is the seam slice's sparse PER-ROUND label
+    * trajectory `(round, y, x, gid)` — round 0 = its initial per-slice
+    * labels, round r = its state after batch-iteration round r when that
+    * round changed it. The batch split/merge resolves all timesteps in
+    * simultaneous rounds, so the next block's round r must see the seam as
+    * of round r−1, not its converged state; replaying the trajectory
+    * ([[Track.splitAndMergeReplay]]) makes the append bit-equal to the
+    * whole-run batch fixpoint. One slice × a handful of states — bounded by
+    * `maxOuterIter`. */
+  final case class IncState(seam: DataFrame, gapAfterSeam: Long,
+      nextEventId: Long, nextGid: Long = 1L,
+      seamTraj: Option[DataFrame] = None)
 
-  /** One extension's output: the new slices' labeled cells, and the
-    * retroactive merges among PREVIOUSLY issued event ids (empty when no
-    * new cell bridges two old events). */
-  final case class Increment(blockIds: DataFrame, remap: DataFrame)
+  /** One extension's output: the new slices' labeled cells, the retroactive
+    * merges among PREVIOUSLY issued event ids (empty when no new cell
+    * bridges two old events), and — merging mode — the block's merge
+    * genealogy rows in [[Track.splitAndMerge]]'s schema (object-gid space;
+    * gids are globally unique across appends, so accumulated tables stay
+    * consistent). */
+  final case class Increment(blockIds: DataFrame, remap: DataFrame,
+      merges: DataFrame)
 
-  private def requireIncremental(cfg: TrackConfig): Unit = {
-    require(!cfg.allowMerging,
-      "incremental tracking supports the non-merging (space-time CCL) mode")
+  private def requireShared(cfg: TrackConfig): Unit = {
     require(cfg.tFill == 0,
       "incremental tracking requires tFill=0 (temporal closing reads future slices)")
     require(cfg.resolvedQuartile == 0.0,
@@ -72,14 +111,15 @@ object IncrementalTracker {
 
   /** Slice-local preprocessing: morphology, per-slice CCL, absolute area
     * filter — every step reads one slice, so it is append-safe. Returns the
-    * surviving flagged cells (time, y, x). */
+    * surviving flagged cells with their block-local object ids
+    * (time, y, x, gid). */
   private def preprocessBlock(flags: DataFrame, geom: DataFrame, spec: GridSpec,
       cfg: TrackConfig): DataFrame = {
     val land = geom.filter(!col("valid")).select("y", "x")
     val landOpt = if (land.isEmpty) None else Some(land)
     val filled = Raster.fillHoles(flags, cfg.rFill, spec, landOpt)
     val gids = Track.globalIds(Raster.labelPerSlice(filled.localCheckpoint(), spec))
-    Track.filterSmallObjects(gids, geom, cfg).select("time", "y", "x")
+    Track.filterSmallObjects(gids, geom, cfg)
   }
 
   /** Extend the track with a block of new slices (all strictly later than
@@ -88,29 +128,33 @@ object IncrementalTracker {
     * including slices whose objects preprocessing then erases, which stay
     * on the axis and separate what surrounds them. */
   def extend(state: Option[IncState], newFlags: DataFrame, geom: DataFrame,
-      spec: GridSpec, cfg: TrackConfig): (IncState, Increment) = {
-    requireIncremental(cfg)
+      spec: GridSpec, cfg: TrackConfig): (IncState, Increment) =
+    if (cfg.allowMerging) extendMerging(state, newFlags, geom, spec, cfg)
+    else extendNonMerging(state, newFlags, geom, spec, cfg)
+
+  private def extendNonMerging(state: Option[IncState], newFlags: DataFrame,
+      geom: DataFrame, spec: GridSpec, cfg: TrackConfig): (IncState, Increment) = {
+    requireShared(cfg)
     val spark = newFlags.sparkSession
     import spark.implicits._
     val emptyRemap = Seq.empty[(Long, Long)].toDF("from_event_id", "to_event_id")
-    val emptyIds = Seq.empty[(java.sql.Timestamp, Int, Int, Long)]
+    val emptyIds = Seq.empty[(Timestamp, Int, Int, Long)]
       .toDF("time", "y", "x", "event_id")
     def emptySeam = Seq.empty[(Int, Int, Long)].toDF("y", "x", "event_id")
+    def noInc = Increment(emptyIds, emptyRemap, emptyMerges(spark))
 
     // the raw axis: every input slice occupies a timestep, processed or not
     val rawTimes = newFlags.select("time").distinct()
       .orderBy("time").collect().map(_.getTimestamp(0))
     if (rawTimes.isEmpty)
-      return (state.getOrElse(IncState(emptySeam, 0L, 1L)),
-        Increment(emptyIds, emptyRemap))
+      return (state.getOrElse(IncState(emptySeam, 0L, 1L)), noInc)
     val axis = Some(rawTimes.toSeq.toDF("time"))
 
-    val cells = preprocessBlock(newFlags, geom, spec, cfg)
+    val cells = preprocessBlock(newFlags, geom, spec, cfg).select("time", "y", "x")
     if (cells.isEmpty) {
       // every slice erased: the block still advances the axis past the seam
       val st = state.getOrElse(IncState(emptySeam, 0L, 1L))
-      return (st.copy(gapAfterSeam = st.gapAfterSeam + rawTimes.length),
-        Increment(emptyIds, emptyRemap))
+      return (st.copy(gapAfterSeam = st.gapAfterSeam + rawTimes.length), noInc)
     }
 
     // block-local space-time CCL over the RAW axis (erased interior slices
@@ -168,6 +212,135 @@ object IncrementalTracker {
     val seam = blockIds.filter(col("time") === lit(tLast))
       .select("y", "x", "event_id").localCheckpoint()
     val next = state.map(_.nextEventId).getOrElse(1L) + nIssued
-    (IncState(seam, trailing.toLong, next), Increment(blockIds, remap))
+    (IncState(seam, trailing.toLong, next),
+      Increment(blockIds, remap, emptyMerges(spark)))
+  }
+
+  private def emptyMerges(spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Timestamp, Long, Seq[Long], Seq[Long], Seq[Double], Long, Long)]
+      .toDF("time", "child_id", "parent_ids", "child_ids", "overlap_areas",
+        "n_parents", "n_children")
+  }
+
+  /** Merging-mode extension. The combined input (seam slice + new block) is
+    * resolved by the SAME batch-parallel split/merge the batch tracker runs;
+    * the seam slice — the earliest timestep of the combined axis — is never
+    * a child, so it is provably untouched by the resolution, which is what
+    * makes history append-stable. Event components then compose through the
+    * seam: every component of the block's overlap-pair graph that contains a
+    * seam gid adopts the smallest old event id among them (others become
+    * remap rows); components with no seam contact mint fresh event ids. */
+  private def extendMerging(state: Option[IncState], newFlags: DataFrame,
+      geom: DataFrame, spec: GridSpec, cfg: TrackConfig): (IncState, Increment) = {
+    requireShared(cfg)
+    require(!cfg.sequentialSplitMerge,
+      "incremental merging tracking uses the batch-parallel split/merge " +
+        "(Track.splitAndMerge); the sequential pass is a whole-run driver " +
+        "algorithm and cannot run on an append")
+    val spark = newFlags.sparkSession
+    import spark.implicits._
+    val emptyRemap = Seq.empty[(Long, Long)].toDF("from_event_id", "to_event_id")
+    val emptyIds = Seq.empty[(Timestamp, Int, Int, Long)]
+      .toDF("time", "y", "x", "event_id")
+    def emptySeam = Seq.empty[(Int, Int, Long, Long)].toDF("y", "x", "gid", "event_id")
+    def freshState = IncState(emptySeam, 0L, 1L, 1L)
+    def noInc = Increment(emptyIds, emptyRemap, emptyMerges(spark))
+
+    val rawTimes = newFlags.select("time").distinct()
+      .orderBy("time").collect().map(_.getTimestamp(0))
+    if (rawTimes.isEmpty) return (state.getOrElse(freshState), noInc)
+
+    val cells = preprocessBlock(newFlags, geom, spec, cfg)
+    if (cells.isEmpty) {
+      val st = state.getOrElse(freshState)
+      return (st.copy(gapAfterSeam = st.gapAfterSeam + rawTimes.length), noInc)
+    }
+
+    // block-local per-slice objects, offset into the fresh gid range
+    val gidOffset = state.map(_.nextGid - 1).getOrElse(0L)
+    val local = cells.withColumn("gid", col("gid") + gidOffset).localCheckpoint()
+    val nGids = local.agg(max("gid")).head().getLong(0) - gidOffset
+    val tFirst = local.agg(min("time")).head().getTimestamp(0)
+    val tLast = local.agg(max("time")).head().getTimestamp(0)
+    val gapBefore = rawTimes.indexWhere(_.equals(tFirst))
+    val trailing = rawTimes.length - 1 - rawTimes.indexWhere(_.equals(tLast))
+
+    val stitch = state.exists(st =>
+      st.gapAfterSeam + gapBefore == 0 && !st.seam.isEmpty)
+    // the seam slice joins the combined axis under a synthetic timestamp
+    // strictly before the block — only its ORDER matters (overlap pairing is
+    // by dense index, Track.timeIndex); no exported row carries it (merge
+    // genealogy time is the CHILD's timestep, always a real block slice)
+    val seamTime = new Timestamp(tFirst.getTime - 1L)
+    val axisTimes = if (stitch) seamTime +: rawTimes.toSeq else rawTimes.toSeq
+    val axis = Some(axisTimes.toDF("time"))
+
+    // identical resolution to the batch path: the block's slices plus the
+    // seam's per-round trajectory replayed underneath, so round r of this
+    // run sees exactly what round r of the whole-run batch iteration saw
+    val seamReplay =
+      if (stitch) Some((seamTime, state.get.seamTraj.getOrElse(
+        // legacy state without a trajectory: converged seam as the only state
+        state.get.seam.select(lit(0).as("round"), col("y"), col("x"), col("gid")))))
+      else None
+    val (resolved0, mergesRaw, captured) = Track.splitAndMergeReplay(
+      local.select("time", "y", "x", "gid"), geom, cfg, axis,
+      seamReplay, captureAt = Some(tLast))
+    val resolved = resolved0.localCheckpoint()
+    val merges = mergesRaw.localCheckpoint()
+
+    // event components over the resolved overlap-pair graph (gid space)
+    val pairs = Track.overlapPairs(resolved, cfg.overlapThreshold, axis)
+      .select(col("id_p").as("src"), col("id_c").as("dst")).distinct()
+    val comp = ConnectedComponents.auto(pairs)
+    val roots = resolved.select("gid").distinct()
+      .join(comp.withColumnRenamed("node", "gid"), Seq("gid"), "left")
+      .select(col("gid"), coalesce(col("component"), col("gid")).as("root"))
+      .localCheckpoint()
+
+    // old event ids enter through the seam: canonical = min old event id in
+    // the component; every other old event id in it is a retroactive merge
+    val seamMap =
+      if (stitch) state.get.seam.select(col("gid"), col("event_id").as("old_event"))
+        .distinct()
+      else emptySeam.select(col("gid"), col("event_id").as("old_event"))
+    val withOld = roots.join(seamMap, Seq("gid"), "left")
+    val canonOld = withOld.filter(col("old_event").isNotNull)
+      .groupBy("root").agg(min("old_event").as("canon"))
+      .localCheckpoint()
+    val remap = withOld.filter(col("old_event").isNotNull)
+      .join(canonOld, "root")
+      .filter(col("old_event") =!= col("canon"))
+      .select(col("old_event").as("from_event_id"), col("canon").as("to_event_id"))
+      .distinct()
+      .localCheckpoint()
+
+    // fresh event ids for components with no seam contact, numbered by
+    // (first timestep, root) — denseNumber: no single-partition window
+    val nextEv = state.map(_.nextEventId).getOrElse(1L)
+    val firstT = resolved.join(roots, "gid").groupBy("root").agg(min("time").as("t0"))
+    val freshRoots = firstT.join(canonOld.select("root"), Seq("root"), "left_anti")
+    val fresh = Track.denseNumber(freshRoots, Seq("t0", "root"), "k")
+      .select(col("root"), (col("k") + lit(nextEv - 1)).as("event_id"))
+    val rootEvent = canonOld.select(col("root"), col("canon").as("event_id"))
+      .unionByName(fresh)
+    val gidEvent = roots.join(rootEvent, "root").select("gid", "event_id")
+      .localCheckpoint()
+    val nFresh = fresh.count()
+
+    val blockResolved =
+      if (stitch) resolved.filter(col("time") > lit(seamTime)) else resolved
+    val blockIds = blockResolved.join(gidEvent, "gid")
+      .select("time", "y", "x", "event_id").localCheckpoint()
+    // the new seam carries the resolved gids (overlap fractions for the next
+    // append are computed against them) AND the post-remap final event ids
+    val seam = blockResolved.filter(col("time") === lit(tLast))
+      .join(gidEvent, "gid")
+      .select("y", "x", "gid", "event_id").localCheckpoint()
+
+    (IncState(seam, trailing.toLong, nextEv + nFresh, gidOffset + nGids + 1,
+        seamTraj = Some(captured.localCheckpoint())),
+      Increment(blockIds, remap, merges))
   }
 }

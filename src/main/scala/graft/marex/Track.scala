@@ -256,21 +256,71 @@ object Track {
 
   def splitAndMerge(ids0: DataFrame, geom: DataFrame, cfg: TrackConfig,
       timeAxis: Option[DataFrame] = None): (DataFrame, DataFrame) = {
+    val (ids, merges, _) = splitAndMergeReplay(ids0, geom, cfg, timeAxis, None, None)
+    (ids, merges)
+  }
+
+  /** [[splitAndMerge]] with the two hooks the incremental tracker needs for
+    * EXACT batch equivalence (see [[IncrementalTracker]]):
+    *
+    *  - `seamTraj` — replay a earlier slice's per-round label states: the
+    *    batch iteration resolves all timesteps in SIMULTANEOUS rounds, so
+    *    round r at the block's first slice reads the seam's round-(r−1)
+    *    state, not its converged state. Labels never depend on later times,
+    *    so the batch fixpoint is prefix-stable PER ROUND — replaying the
+    *    seam's sparse trajectory `(round, y, x, gid)` (state AFTER each
+    *    round that changed it; round 0 = initial labels) reproduces the
+    *    whole-run fixpoint on the suffix exactly. `ids0` must NOT contain
+    *    the seam slice; the slice is injected per round and reassignment
+    *    can never touch it (children live strictly later).
+    *  - `captureAt` — record that slice's own per-round states (the NEXT
+    *    seam's trajectory), same sparse layout.
+    *
+    * The trajectory is one slice × #rounds-that-changed-it — bounded by
+    * `maxOuterIter`, in practice 1–3 states.
+    *
+    * @return (resolved ids — including the final-round seam slice when
+    *         replaying, merges, captured trajectory (empty unless
+    *         `captureAt`)) */
+  private[marex] def splitAndMergeReplay(ids0: DataFrame, geom: DataFrame,
+      cfg: TrackConfig, timeAxis: Option[DataFrame],
+      seamTraj: Option[(java.sql.Timestamp, DataFrame)],
+      captureAt: Option[java.sql.Timestamp]): (DataFrame, DataFrame, DataFrame) = {
     val spark = ids0.sparkSession
     import spark.implicits._
+    val trajRounds: Seq[Int] = seamTraj.map(_._2.select("round").distinct()
+      .collect().map(_.getInt(0)).sorted.toSeq).getOrElse(Nil)
+    // the seam slice as of (the state after) round r, timestamped
+    def seamAt(r: Int): Option[DataFrame] = seamTraj.map { case (t, df) =>
+      val eff = trajRounds.filter(_ <= r).lastOption.getOrElse(
+        throw new IllegalStateException(s"seam trajectory has no state <= round $r"))
+      df.filter(col("round") === eff)
+        .select(lit(t).cast("timestamp").as("time"), col("y"), col("x"), col("gid"))
+    }
+    val seamTime = seamTraj.map(_._1)
     var ids = iterCheckpoint(ids0)
     var mergesAcc: DataFrame =
       Seq.empty[(java.sql.Timestamp, Long, Seq[Long], Seq[Long], Seq[Double])]
         .toDF("time", "child_id", "parent_ids", "child_ids", "overlap_areas")
+    var capture: DataFrame = captureAt match {
+      case Some(t) => iterCheckpoint(ids0.filter(col("time") === lit(t))
+        .select(lit(0).as("round"), col("y"), col("x"), col("gid")))
+      case None => Seq.empty[(Int, Int, Int, Long)].toDF("round", "y", "x", "gid")
+    }
     var iter = 0
     var done = false
     while (!done && iter < cfg.maxOuterIter) {
+      val round = iter + 1 // batch round counter; round r reads state r−1
+      val cur = seamAt(round - 1) match {
+        case Some(s) => ids.unionByName(s)
+        case None => ids
+      }
       // pairs.time = parent timestep; the child lives at ctime = the NEXT
       // timestep on the axis (index-paired, works for any time spacing).
       // iterCheckpoint (NOT plain localCheckpoint — see its scaladoc):
       // bounds each round's executed plan AND resets the inherited stats
       // estimate. Object-level rows, so the materialization is cheap.
-      val pairs = iterCheckpoint(overlapPairs(ids, cfg.overlapThreshold, timeAxis))
+      val pairs = iterCheckpoint(overlapPairs(cur, cfg.overlapThreshold, timeAxis))
       // children (time, gid) claimed by >1 parent — keys MUST include the
       // timestep: after a reassignment round the same gid exists at many
       // timesteps (cells inherit the parent's gid going forward).
@@ -283,11 +333,14 @@ object Track {
         .withColumn("parents", expr("transform(po, p -> p.id_p)"))
         .withColumn("areas", expr("transform(po, p -> cast(p.overlap_cells as double))"))
         .filter(col("np") > 1))
-      if (multi.isEmpty) done = true
+      // a still-evolving seam can re-contest children in later rounds even
+      // when this round found none — keep stepping until it is exhausted
+      val seamPending = trajRounds.exists(_ > round - 1)
+      if (multi.isEmpty) { if (!seamPending) done = true }
       else {
         val contested = pairs.join(multi.select("ctime", "id_c"), Seq("ctime", "id_c"), "left_semi")
         // contested child cells with their coordinates
-        val childCells = ids
+        val childCells = cur
           .join(multi.select(col("ctime").as("time"), col("id_c").as("gid")),
             Seq("time", "gid"), "left_semi")
           .join(geom.select("y", "x", "lat", "lon"), Seq("y", "x"))
@@ -302,7 +355,7 @@ object Track {
           col("ctime").as("time"), col("id_c").as("gid"),
           col("time").as("ptime"), col("id_p"))
         val assigned = (if (!cfg.nnPartitioning) {
-          val props = objectProps(ids, geom)
+          val props = objectProps(cur, geom)
           val parentCen = contestedK
             .join(props.select(col("time").as("ptime"), col("gid").as("id_p"),
               col("cen_lat").as("p_lat"), col("cen_lon").as("p_lon")), Seq("ptime", "id_p"))
@@ -310,7 +363,7 @@ object Track {
             .join(parentCen, Seq("time", "gid"))
             .withColumn("dist", haversineKm(col("lat"), col("lon"), col("p_lat"), col("p_lon")))
         } else {
-          val parentCells = ids
+          val parentCells = cur
             .join(contestedK.select(col("ptime").as("time"), col("id_p").as("gid")).distinct(),
               Seq("time", "gid"), "left_semi")
             .join(geom.select("y", "x", "lat", "lon"), Seq("y", "x"))
@@ -325,7 +378,7 @@ object Track {
             Window.partitionBy("time", "y", "x", "gid").orderBy(col("dist"), col("id_p"))))
           .filter(col("rn") === 1)
           .select(col("time"), col("y"), col("x"), col("id_p").as("gid"))
-        val untouched = ids.join(
+        val untouched = cur.join(
           multi.select(col("ctime").as("time"), col("id_c").as("gid")),
           Seq("time", "gid"), "left_anti")
         // batch-parallel reassignment hands child cells the PARENT ids (no
@@ -337,14 +390,30 @@ object Track {
             array(col("id_c").cast("long")).as("child_ids"),
             col("areas").as("overlap_areas"))
         mergesAcc = iterCheckpoint(mergesAcc.unionByName(newMerges))
-        ids = iterCheckpoint(untouched.select("time", "y", "x", "gid")
-          .union(assigned.select("time", "y", "x", "gid")))
+        val updated = untouched.select("time", "y", "x", "gid")
+          .union(assigned.select("time", "y", "x", "gid"))
+        // in replay mode `ids` stays seam-free (the slice re-injects per
+        // round from the trajectory; reassignment cannot touch it anyway)
+        ids = iterCheckpoint(seamTime match {
+          case Some(t) => updated.filter(col("time") =!= lit(t))
+          case None => updated
+        })
+        captureAt.foreach { t =>
+          if (!multi.filter(col("ctime") === lit(t)).isEmpty)
+            capture = iterCheckpoint(capture.unionByName(
+              ids.filter(col("time") === lit(t))
+                .select(lit(round).as("round"), col("y"), col("x"), col("gid"))))
+        }
       }
       iter += 1
     }
-    (ids, mergesAcc
+    val resolved = seamAt(Int.MaxValue - 1) match {
+      case Some(s) => ids.unionByName(s)
+      case None => ids
+    }
+    (resolved, mergesAcc
       .withColumn("n_parents", size(col("parent_ids")).cast("long"))
-      .withColumn("n_children", size(col("child_ids")).cast("long")))
+      .withColumn("n_children", size(col("child_ids")).cast("long")), capture)
   }
 
   /** T23 (true form): 3-D space-time connected-component labeling with

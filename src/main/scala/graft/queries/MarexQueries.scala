@@ -837,6 +837,58 @@ object MarexQueries extends QueryRegistry {
                      CAST(sum(n_obs) AS BIGINT) AS n_obs,
                      CAST(round(sum(y * 2.0 + x * 3.0), 2) AS DOUBLE) AS sum_coord
               FROM cells GROUP BY y"""),
-      "Zarr group (xarray Dataset) round-trip: 2 vars + coords via consolidated metadata, wide no-join read")
+      "Zarr group (xarray Dataset) round-trip: 2 vars + coords via consolidated metadata, wide no-join read"),
+
+    // ── Zarr GROUP through SQL: format("zarr") + per-dim pushdown ──────────
+    QueryDef("q78_zarr_sql_group",
+      (s, d) => {
+        import graft.sources.ZarrGroup
+        // q76's store read back through the DataSourceV2 instead of the
+        // utility API: `spark.read.format("zarr").load(groupDir)` is the
+        // SQL-facing xr.open_zarr. The filter exercises the per-DIMENSION
+        // range pushdown (time_idx AND y_idx ranges prune whole chunk
+        // files at planning time) and the projection exercises member-array
+        // column pruning (n_obs is never opened). The oracle recomputes
+        // from events with the same predicates, so a defect in group
+        // schema inference, pushdown bounds, coordinate attach, or the
+        // partition reader mismatches.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("sst"),
+            count(lit(1)).cast("double").as("n_obs"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q78_zsql"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        ZarrGroup.writeDataset(cells, dir,
+          dims = Seq("time" -> 31, "y" -> 10, "x" -> 15), chunks = Seq(8, 5, 15),
+          valueCols = Seq("sst", "n_obs"),
+          coords = Map("y" -> Array.tabulate(10)(_ * 2.0),
+            "x" -> Array.tabulate(15)(_ * 3.0)))
+        s.read.format("zarr").load(dir)
+          .filter(col("time_idx").between(5, 20) && col("y_idx") < 5)
+          .select("time_idx", "y_idx", "sst", "y", "x")
+          .filter(!isnan(col("sst")))
+          .groupBy(col("time_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("sst") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"),
+            round(sum(col("y") + col("x")), 2).cast("double").as("sum_coord"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val,
+                     CAST(round(sum(y * 2.0 + x * 3.0), 2) AS DOUBLE) AS sum_coord
+              FROM cells WHERE t_idx BETWEEN 5 AND 20 AND y < 5 GROUP BY t_idx"""),
+      "Zarr group through SQL: format(\"zarr\") wide scan, per-dimension chunk pushdown + member column pruning")
   )
 }

@@ -38,15 +38,24 @@ import org.apache.spark.util.SerializableConfiguration
 class ZarrDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "zarr"
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ZarrTableV2.fullSchema
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException(
+        "zarr source requires a path: spark.read.format(\"zarr\").load(dir)"))
+    if (ZarrTableV2.isGroupPath(path) && Option(options.get("var")).isEmpty)
+      ZarrGroupTableV2.layout(path).schema
+    else ZarrTableV2.fullSchema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "zarr source requires a path: spark.read.format(\"zarr\").load(dir)"))
-    new ZarrTableV2(ZarrTableV2.resolveVar(path, Option(properties.get("var"))))
+    val varOpt = Option(properties.get("var"))
+    if (ZarrTableV2.isGroupPath(path) && varOpt.isEmpty)
+      new ZarrGroupTableV2(path)
+    else new ZarrTableV2(ZarrTableV2.resolveVar(path, varOpt))
   }
 }
 
@@ -57,24 +66,29 @@ private[sources] object ZarrTableV2 {
     StructField("x", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
+  /** Whether `path` is a zarr GROUP directory (v2 `.zgroup`/`.zmetadata` or
+    * a v3 group `zarr.json`), as opposed to a bare array. */
+  def isGroupPath(path: String): Boolean = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val v3 = new org.apache.hadoop.fs.Path(path, "zarr.json")
+    if (fs.exists(v3)) {
+      val in = fs.open(v3)
+      val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+      val j = org.json4s.jackson.JsonMethods.parse(s)
+      (j \ "node_type") == org.json4s.JString("group")
+    } else fs.exists(new org.apache.hadoop.fs.Path(path, ".zgroup")) ||
+      fs.exists(new org.apache.hadoop.fs.Path(path, ".zmetadata"))
+  }
+
   /** Resolve a load path that may point at a GROUP: with `var`, descend to
     * that member (validated against the group's metadata for a listing
-    * error); without, require the path to be an array directory. */
+    * error); without, require the path to be an array directory (group
+    * paths without `var` route to [[ZarrGroupTableV2]] instead). */
   def resolveVar(path: String, varName: Option[String]): String = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
-    val d = new org.apache.hadoop.fs.Path(path)
-    val fs = d.getFileSystem(conf)
-    def isGroup: Boolean = {
-      val v3 = new org.apache.hadoop.fs.Path(path, "zarr.json")
-      if (fs.exists(v3)) {
-        val in = fs.open(v3)
-        val s = try scala.io.Source.fromInputStream(in).mkString finally in.close()
-        val j = org.json4s.jackson.JsonMethods.parse(s)
-        (j \ "node_type") == org.json4s.JString("group")
-      } else fs.exists(new org.apache.hadoop.fs.Path(path, ".zgroup")) ||
-        fs.exists(new org.apache.hadoop.fs.Path(path, ".zmetadata"))
-    }
     varName match {
       case Some(v) =>
         val g = ZarrGroup.open(path, conf) // also errors clearly on non-group
@@ -83,7 +97,7 @@ private[sources] object ZarrTableV2 {
             s"(have: ${g.members.keys.toSeq.sorted.mkString(", ")})")
         s"$path/$v"
       case None =>
-        require(!isGroup,
+        require(!isGroupPath(path),
           s"$path is a zarr GROUP — pick a member with .option(\"var\", <name>)")
         path
     }
@@ -244,6 +258,250 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
           case "y" => yy
           case "x" => xx
           case "value" => v
+        })
+
+      override def close(): Unit = ()
+    }
+  }
+}
+
+// ═══════════════════════════════════════════════════════════════════════════
+// GROUP scan: `spark.read.format("zarr").load(groupDir)` with NO `var`
+// option reads the whole dataset wide — the SQL-facing `xr.open_zarr`.
+// ═══════════════════════════════════════════════════════════════════════════
+
+/** Read plan of a group resolved once at table creation: the primary
+  * (maximal-rank) dim tuple and its shared chunk grid, the dimension
+  * coordinates, and the variable split. Mirrors [[ZarrGroup.readDataset]]'s
+  * schema exactly: `<dim>_idx INT …, <dim> DOUBLE …, <var> DOUBLE …`. */
+private[sources] object ZarrGroupTableV2 {
+
+  /** Driver-side-materialization bound for coordinate axes and lower-rank
+    * variables (cells): partition readers cannot express a join, so these
+    * ride the task closure — 16 M doubles = 128 MB, already generous for
+    * "metadata-sized". Bigger masks should use ZarrGroup.readDataset. */
+  val SmallArrayCells: Long = 16L * 1024 * 1024
+
+  final case class Layout(dir: String, primaryDims: Seq[String],
+      shape: Seq[Int], chunks: Seq[Int], coordDims: Seq[String],
+      dataVars: Seq[String], varMeta: Map[String, ZarrSource.ZarrMeta],
+      varDims: Map[String, Seq[String]],
+      coordMeta: Map[String, ZarrSource.ZarrMeta]) {
+    def isPrimary(v: String): Boolean = varDims(v) == primaryDims
+    def schema: StructType = StructType(
+      primaryDims.map(d => StructField(s"${d}_idx", IntegerType, nullable = false)) ++
+        coordDims.map(d => StructField(d, DoubleType, nullable = true)) ++
+        dataVars.map(v => StructField(v, DoubleType, nullable = !isPrimary(v))))
+  }
+
+  def layout(dir: String): Layout = {
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val g = ZarrGroup.open(dir, conf)
+    val wanted = g.dataVarNames
+    require(wanted.nonEmpty, s"zarr group $dir has no data variables")
+    val members = wanted.map(g.members)
+    val primaryDims = members.map(_.dims).maxBy(_.length)
+    val (primary, secondary) = members.partition(_.dims == primaryDims)
+    secondary.foreach { v =>
+      require(v.dims.forall(primaryDims.contains),
+        s"variable '${v.name}'(${v.dims.mkString(",")}) shares no dim layout " +
+          s"with primary (${primaryDims.mkString(",")})")
+    }
+    val headMeta = primary.head.meta
+    primary.foreach { v =>
+      require(v.meta.shape == headMeta.shape && v.meta.chunks == headMeta.chunks,
+        s"primary variables must share one chunk grid: '${v.name}' has " +
+          s"shape=${v.meta.shape}/chunks=${v.meta.chunks}")
+      require(v.meta.order == "C", "only C-order zarr supported")
+    }
+    val coordDims = primaryDims.filter(g.coordNames)
+    Layout(dir, primaryDims, headMeta.shape, headMeta.chunks, coordDims,
+      wanted, members.map(v => v.name -> v.meta).toMap,
+      members.map(v => v.name -> v.dims).toMap,
+      coordDims.map(d => d -> g.members(d).meta).toMap)
+  }
+}
+
+private[sources] class ZarrGroupTableV2(path: String) extends Table with SupportsRead {
+  private val lay = ZarrGroupTableV2.layout(path)
+  override def name(): String = s"zarr-group:$path"
+  override def schema(): StructType = lay.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ZarrGroupScanBuilder(lay)
+}
+
+/** Pushdown: range predicates on ANY `<dim>_idx` column prune whole chunk
+  * files on that dimension (the multi-dim generalization of the array
+  * scan's t_idx prune); column pruning drops entire member ARRAYS from the
+  * read — an unprojected variable's chunk files are never opened. */
+private[sources] class ZarrGroupScanBuilder(lay: ZarrGroupTableV2.Layout)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private val lo = Array.fill(lay.primaryDims.length)(Int.MinValue)
+  private val hi = Array.fill(lay.primaryDims.length)(Int.MaxValue)
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = lay.schema
+
+  private def dimOf(attr: String): Int =
+    lay.primaryDims.indexWhere(d => s"${d}_idx" == attr)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case EqualTo(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); lo(d) = math.max(lo(d), v); hi(d) = math.min(hi(d), v); true
+      case GreaterThan(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); lo(d) = math.max(lo(d), v + 1); true
+      case GreaterThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); lo(d) = math.max(lo(d), v); true
+      case LessThan(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); hi(d) = math.min(hi(d), v - 1); true
+      case LessThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); hi(d) = math.min(hi(d), v); true
+      case _ => false
+    }
+    pushed = accepted
+    // chunk-level prune, not an exact row filter — keep them post-scan too
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new ZarrGroupScan(lay, lo.clone(), hi.clone(), required)
+}
+
+private[sources] case class ZarrGroupChunkPartition(ci: Seq[Int]) extends InputPartition
+
+/** Per-required-column read instruction, resolved once in the factory. */
+private[sources] sealed trait ZGCol extends Serializable
+private[sources] case class ZGDimIdx(d: Int) extends ZGCol
+private[sources] case class ZGCoord(d: Int, values: Array[Double]) extends ZGCol
+private[sources] case class ZGPrimary(k: Int) extends ZGCol // index into decoded list
+private[sources] case class ZGSecondary(dimPos: Array[Int], strides: Array[Long],
+    shape: Array[Int], values: Array[Double]) extends ZGCol
+
+private[sources] class ZarrGroupScan(lay: ZarrGroupTableV2.Layout,
+    lo: Array[Int], hi: Array[Int], required: StructType) extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String = {
+    val ranges = lay.primaryDims.indices.collect {
+      case d if lo(d) != Int.MinValue || hi(d) != Int.MaxValue =>
+        s"${lay.primaryDims(d)}_idx in [${math.max(lo(d), 0)}, " +
+          s"${math.min(hi(d), lay.shape(d) - 1)}]"
+    }
+    s"ZarrGroupScan(path=${lay.dir}, " +
+      s"pushed=${if (ranges.isEmpty) "none" else ranges.mkString(", ")}, " +
+      s"columns=${required.fieldNames.mkString(",")})"
+  }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val nChunks = lay.shape.indices.map(d =>
+      (lay.shape(d) + lay.chunks(d) - 1) / lay.chunks(d))
+    ZarrGroup.gridIndices(nChunks)
+      .filter { ci =>
+        lay.primaryDims.indices.forall { d =>
+          val first = ci(d) * lay.chunks(d)
+          first <= hi(d) && first + lay.chunks(d) - 1 >= lo(d)
+        }
+      }
+      .map(ci => ZarrGroupChunkPartition(ci): InputPartition).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(lay.dir).getFileSystem(hconf)
+    def loadSmall(name: String, meta: ZarrSource.ZarrMeta): Array[Double] = {
+      val cells = meta.shape.map(_.toLong).product
+      require(cells <= ZarrGroupTableV2.SmallArrayCells,
+        s"member '$name' (${meta.shape.mkString("×")} cells) is too large to " +
+          s"materialize in the zarr group scan — read it with " +
+          s"ZarrGroup.readDataset, which broadcast-joins lower-rank variables")
+      ZarrGroup.readWholeArray(fs, s"${lay.dir}/$name", meta)
+    }
+    // resolve each required column ONCE; unprojected variables never load
+    val primaryNeeded = required.fieldNames.filter(n =>
+      lay.dataVars.contains(n) && lay.isPrimary(n)).toSeq
+    val cols: Array[ZGCol] = required.fieldNames.map { n =>
+      val dimIdx = lay.primaryDims.indexWhere(d => s"${d}_idx" == n)
+      if (dimIdx >= 0) ZGDimIdx(dimIdx)
+      else if (lay.coordDims.contains(n))
+        ZGCoord(lay.primaryDims.indexOf(n), loadSmall(n, lay.coordMeta(n)))
+      else if (lay.isPrimary(n)) ZGPrimary(primaryNeeded.indexOf(n))
+      else {
+        val meta = lay.varMeta(n)
+        val dims = lay.varDims(n)
+        val strides = new Array[Long](dims.length)
+        var s = 1L
+        for (d <- (dims.length - 1) to 0 by -1) { strides(d) = s; s *= meta.shape(d) }
+        ZGSecondary(dims.map(lay.primaryDims.indexOf).toArray, strides,
+          meta.shape.toArray, loadSmall(n, meta))
+      }
+    }
+    new ZarrGroupReaderFactory(lay.dir, lay.shape.toArray, lay.chunks.toArray,
+      primaryNeeded.map(n => (n, lay.varMeta(n))), cols, lo, hi,
+      new SerializableConfiguration(hconf))
+  }
+}
+
+private[sources] class ZarrGroupReaderFactory(dir: String, shape: Array[Int],
+    chunks: Array[Int], primaryVars: Seq[(String, ZarrSource.ZarrMeta)],
+    cols: Array[ZGCol], lo: Array[Int], hi: Array[Int],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val ci = partition.asInstanceOf[ZarrGroupChunkPartition].ci
+    new PartitionReader[InternalRow] {
+      private val nd = shape.length
+      private val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+      private val perVar: Seq[Array[Double]] =
+        primaryVars.map { case (n, m) => ZarrGroup.chunkValues(fs, s"$dir/$n", m, ci) }
+      private val n = chunks.product
+      private val gidx = new Array[Int](nd)
+      private var i = -1
+
+      override def next(): Boolean = {
+        while ({ i += 1; i < n }) {
+          var r = i
+          var d = nd - 1
+          while (d >= 0) { gidx(d) = r % chunks(d); r /= chunks(d); d -= 1 }
+          var ok = true
+          d = 0
+          while (d < nd && ok) {
+            val g = ci(d) * chunks(d) + gidx(d)
+            if (g >= shape(d) || g < lo(d) || g > hi(d)) ok = false else gidx(d) = g
+            d += 1
+          }
+          if (ok) return true
+        }
+        false
+      }
+
+      override def get(): InternalRow =
+        InternalRow.fromSeq(cols.toSeq.map {
+          case ZGDimIdx(d) => gidx(d)
+          case ZGCoord(d, values) => values(gidx(d))
+          case ZGPrimary(k) => perVar(k)(i)
+          case ZGSecondary(dimPos, strides, sshape, values) =>
+            var flat = 0L
+            var ok = true
+            var d = 0
+            while (d < dimPos.length && ok) {
+              val g = gidx(dimPos(d))
+              if (g >= sshape(d)) ok = false else flat += g * strides(d)
+              d += 1
+            }
+            if (ok) values(flat.toInt) else null
         })
 
       override def close(): Unit = ()

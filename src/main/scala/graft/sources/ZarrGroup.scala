@@ -59,6 +59,11 @@ object ZarrGroup extends Serializable {
 
   private implicit val fmts: Formats = DefaultFormats
 
+  /** Bound on the sub-group walk in the listed (non-consolidated) discovery
+    * fallbacks — real hierarchies are 1–2 levels; a runaway store (or a
+    * filesystem loop) stops cleanly instead of recursing forever. */
+  private val MaxGroupDepth = 8
+
   private def asObj(j: JValue): JObject = j match {
     case o: JObject => o
     case _ => JObject()
@@ -79,8 +84,17 @@ object ZarrGroup extends Serializable {
   /** Open a zarr group, preferring consolidated metadata (a single
     * metadata read — at 100 TB a store can hold thousands of members and a
     * per-member listing is thousands of round-trips on an object store).
-    * Nested sub-groups are rejected with a clear error: the reference's
-    * datasets are flat, and silently flattening would mis-scope names. */
+    *
+    * Nested sub-groups are supported read-only by QUALIFYING member names
+    * with their store path (`sub/array`), the zarr-python convention for
+    * hierarchies: consolidated metadata already carries slash-qualified
+    * keys, and the listed fallbacks walk child `.zgroup`/`zarr.json` group
+    * nodes (bounded depth). The flat fast path is unchanged — a flat store
+    * never pays an extra listing. Qualified members read through
+    * [[readVar]]/[[readDataset]] like any other (the name concatenates onto
+    * the store path); only ROOT-level rank-1 members named after their
+    * dimension are treated as dimension coordinates, since a nested `lat`
+    * would be scoped to its sub-group in zarr-python too. */
   def open(dir: String, conf: org.apache.hadoop.conf.Configuration): ZGroup = {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(conf)
@@ -104,39 +118,48 @@ object ZarrGroup extends Serializable {
       val groupAttrs = asObj(j \ "attributes")
       (j \ "consolidated_metadata" \ "metadata") match {
         case JObject(entries) if entries.nonEmpty =>
-          val members = entries.map { case (name, m) =>
-            require(!name.contains("/"),
-              s"nested zarr group member '$name' not supported (flat groups only)")
-            val meta = ZarrSource.readMetaV3(JsonMethods.compact(JsonMethods.render(m)))
-            val dims = (m \ "dimension_names") match {
-              case JArray(a) if a.length == meta.shape.length =>
-                a.map(_.extract[String])
-              case _ => defaultDims(meta.shape.length)
-            }
-            name -> GroupVar(name, meta, dims, asObj(m \ "attributes"))
-          }.toMap
-          ZGroup(3, consolidated = true, groupAttrs, members)
-        case _ =>
-          // listed fallback: every child directory holding an array zarr.json
-          val members = fs.listStatus(d).toSeq.filter(_.isDirectory).flatMap { st =>
-            val child = new org.apache.hadoop.fs.Path(st.getPath, "zarr.json")
-            if (!fs.exists(child)) None
-            else {
-              val cj = JsonMethods.parse(slurp(child))
-              if ((cj \ "node_type").extractOrElse[String]("") != "array") None
-              else {
-                val name = st.getPath.getName
-                val meta = ZarrSource.readMetaV3(JsonMethods.compact(JsonMethods.render(cj)))
-                val dims = (cj \ "dimension_names") match {
+          // consolidated keys are already slash-qualified for sub-group
+          // members; group nodes themselves carry no data — skip them
+          val members = entries.flatMap { case (name, m) =>
+            (m \ "node_type").extractOrElse[String]("array") match {
+              case "group" => None
+              case _ =>
+                val meta = ZarrSource.readMetaV3(JsonMethods.compact(JsonMethods.render(m)))
+                val dims = (m \ "dimension_names") match {
                   case JArray(a) if a.length == meta.shape.length =>
                     a.map(_.extract[String])
                   case _ => defaultDims(meta.shape.length)
                 }
-                Some(name -> GroupVar(name, meta, dims, asObj(cj \ "attributes")))
-              }
+                Some(name -> GroupVar(name, meta, dims, asObj(m \ "attributes")))
             }
           }.toMap
-          ZGroup(3, consolidated = false, groupAttrs, members)
+          ZGroup(3, consolidated = true, groupAttrs, members)
+        case _ =>
+          // listed fallback: child array zarr.jsons, walking group nodes
+          def walk(base: org.apache.hadoop.fs.Path, prefix: String,
+              depth: Int): Seq[(String, GroupVar)] =
+            if (depth > MaxGroupDepth) Seq.empty
+            else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+              val child = new org.apache.hadoop.fs.Path(st.getPath, "zarr.json")
+              if (!fs.exists(child)) None
+              else {
+                val cj = JsonMethods.parse(slurp(child))
+                val name = prefix + st.getPath.getName
+                (cj \ "node_type").extractOrElse[String]("") match {
+                  case "array" =>
+                    val meta = ZarrSource.readMetaV3(JsonMethods.compact(JsonMethods.render(cj)))
+                    val dims = (cj \ "dimension_names") match {
+                      case JArray(a) if a.length == meta.shape.length =>
+                        a.map(_.extract[String])
+                      case _ => defaultDims(meta.shape.length)
+                    }
+                    Seq(name -> GroupVar(name, meta, dims, asObj(cj \ "attributes")))
+                  case "group" => walk(st.getPath, name + "/", depth + 1)
+                  case _ => Seq.empty
+                }
+              }
+            }
+          ZGroup(3, consolidated = false, groupAttrs, walk(d, "", 0).toMap)
       }
     } else if (fs.exists(v2Cons)) {
       val j = JsonMethods.parse(slurp(v2Cons))
@@ -146,13 +169,11 @@ object ZarrGroup extends Serializable {
       }
       val byKey = entries.toMap
       val groupAttrs = asObj(byKey.getOrElse(".zattrs", JObject()))
+      // consolidated keys are slash-qualified for nested members already —
+      // 'sub/arr/.zarray' names member 'sub/arr'
       val arrayNames = byKey.keys.collect {
         case k if k.endsWith("/.zarray") => k.dropRight("/.zarray".length)
       }.toSeq
-      arrayNames.foreach { n =>
-        require(!n.contains("/"),
-          s"nested zarr group member '$n' not supported (flat groups only)")
-      }
       val members = arrayNames.map { name =>
         val meta = ZarrSource.readMeta(
           JsonMethods.compact(JsonMethods.render(byKey(s"$name/.zarray"))))
@@ -167,36 +188,40 @@ object ZarrGroup extends Serializable {
       val groupAttrs =
         if (fs.exists(groupAttrsPath)) asObj(JsonMethods.parse(slurp(groupAttrsPath)))
         else JObject()
-      val members = fs.listStatus(d).toSeq.filter(_.isDirectory).flatMap { st =>
-        val za = new org.apache.hadoop.fs.Path(st.getPath, ".zarray")
-        if (!fs.exists(za)) None
-        else {
-          val name = st.getPath.getName
-          val meta = ZarrSource.readMeta(slurp(za))
-          val ap = new org.apache.hadoop.fs.Path(st.getPath, ".zattrs")
-          val attrs = if (fs.exists(ap)) asObj(JsonMethods.parse(slurp(ap))) else JObject()
-          val dims = dimsFromAttrs(attrs, meta.shape.length)
-            .getOrElse(defaultDims(meta.shape.length))
-          Some(name -> GroupVar(name, meta, dims, stripDims(attrs)))
+      def walk(base: org.apache.hadoop.fs.Path, prefix: String,
+          depth: Int): Seq[(String, GroupVar)] =
+        if (depth > MaxGroupDepth) Seq.empty
+        else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+          val za = new org.apache.hadoop.fs.Path(st.getPath, ".zarray")
+          val zg = new org.apache.hadoop.fs.Path(st.getPath, ".zgroup")
+          val name = prefix + st.getPath.getName
+          if (fs.exists(za)) {
+            val meta = ZarrSource.readMeta(slurp(za))
+            val ap = new org.apache.hadoop.fs.Path(st.getPath, ".zattrs")
+            val attrs = if (fs.exists(ap)) asObj(JsonMethods.parse(slurp(ap))) else JObject()
+            val dims = dimsFromAttrs(attrs, meta.shape.length)
+              .getOrElse(defaultDims(meta.shape.length))
+            Seq(name -> GroupVar(name, meta, dims, stripDims(attrs)))
+          } else if (fs.exists(zg)) walk(st.getPath, name + "/", depth + 1)
+          else Seq.empty
         }
-      }.toMap
-      ZGroup(2, consolidated = false, groupAttrs, members)
+      ZGroup(2, consolidated = false, groupAttrs, walk(d, "", 0).toMap)
     } else throw new IllegalArgumentException(
       s"$dir is not a zarr group (no zarr.json, .zmetadata, or .zgroup)")
   }
 
   /** C-order iterator over an N-D grid. */
-  private def gridIndices(dims: Seq[Int]): Iterator[Seq[Int]] =
+  private[sources] def gridIndices(dims: Seq[Int]): Iterator[Seq[Int]] =
     dims.foldLeft(Iterator(Seq.empty[Int])) { (acc, n) =>
       acc.flatMap(prefix => (0 until n).iterator.map(prefix :+ _))
     }
 
-  private def chunkGridOf(meta: ZarrSource.ZarrMeta): Seq[Int] =
+  private[sources] def chunkGridOf(meta: ZarrSource.ZarrMeta): Seq[Int] =
     meta.shape.indices.map(d => (meta.shape(d) + meta.chunks(d) - 1) / meta.chunks(d))
 
   /** Decode one variable's chunk `ci` into its C-order cell values, reading
     * through the Hadoop FS; a missing file yields the fill pattern. */
-  private def chunkValues(fs: org.apache.hadoop.fs.FileSystem, arrayDir: String,
+  private[sources] def chunkValues(fs: org.apache.hadoop.fs.FileSystem, arrayDir: String,
       meta: ZarrSource.ZarrMeta, ci: Seq[Int]): Array[Double] = {
     val bp = ZarrSource.bytesPer(meta.dtype)
     val chunkLen = meta.chunks.product
@@ -217,6 +242,45 @@ object ZarrGroup extends Serializable {
         val buf = ByteBuffer.wrap(raw).order(ZarrSource.byteOrderOf(meta.dtype))
         Array.tabulate(chunkLen)(i => ZarrSource.cellValue(raw, buf, meta.dtype, i, bp))
     }
+  }
+
+  /** Materialize one WHOLE member array into a C-order `Array[Double]` —
+    * for metadata-sized arrays only (coordinate axes, small masks): the
+    * DataSourceV2 group scan resolves coordinate values and lower-rank
+    * variables per-row inside partition readers, where a join is not
+    * expressible, so these load once and ride the task closure. Callers
+    * bound the size BEFORE calling. */
+  private[sources] def readWholeArray(fs: org.apache.hadoop.fs.FileSystem,
+      arrayDir: String, meta: ZarrSource.ZarrMeta): Array[Double] = {
+    val shape = meta.shape
+    val chunks = meta.chunks
+    val nd = shape.length
+    val strides = new Array[Long](nd) // C-order global strides
+    var s = 1L
+    for (d <- (nd - 1) to 0 by -1) { strides(d) = s; s *= shape(d) }
+    val out = new Array[Double](s.toInt)
+    val chunkLen = chunks.product
+    gridIndices(chunkGridOf(meta)).foreach { ci =>
+      val vals = chunkValues(fs, arrayDir, meta, ci)
+      val coords = new Array[Int](nd)
+      var i = 0
+      while (i < chunkLen) {
+        var r = i
+        var d = nd - 1
+        while (d >= 0) { coords(d) = r % chunks(d); r /= chunks(d); d -= 1 }
+        var flat = 0L
+        var ok = true
+        d = 0
+        while (d < nd && ok) {
+          val g = ci(d) * chunks(d) + coords(d)
+          if (g >= shape(d)) ok = false else flat += g * strides(d)
+          d += 1
+        }
+        if (ok) out(flat.toInt) = vals(i)
+        i += 1
+      }
+    }
+    out
   }
 
   /** Keep only chunk indices overlapping the requested per-dim index

@@ -19,6 +19,12 @@ import graft.marex.{GridSpec, IncrementalTracker, TrackConfig}
   * transitive closure at read time (the ledger is #merge-events rows —
   * driver-sized — while the id field is archive-sized and never rewritten).
   *
+  * Both tracker modes stream: non-merging (space-time CCL) and merging
+  * (split/merge genealogy — `merges/batch=<id>` accumulates the genealogy
+  * rows, read back via [[StreamingTracker.mergesTable]]; the seam slice with
+  * its resolved object gids is persisted per commit under `seam/batch=<id>`
+  * because a restart cannot rebuild gids from the event-id sink).
+  *
   * Replay safety: foreachBatch re-delivers a batch (same `batchId`) after a
   * failed attempt. Every write targets the batch's OWN partition directory
   * with overwrite semantics, so a replay replaces any partial output
@@ -60,8 +66,18 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
       inc.blockIds.write.mode("overwrite").parquet(s"$sinkDir/id_field/batch=$seq")
     if (!inc.remap.isEmpty)
       inc.remap.write.mode("overwrite").parquet(s"$sinkDir/remap/batch=$seq")
+    if (cfg.allowMerging) {
+      // merging mode: the genealogy rows, and the seam itself — its resolved
+      // object gids (and per-round trajectory, see IncState.seamTraj) cannot
+      // be rebuilt from the event-id sink after a restart
+      if (!inc.merges.isEmpty)
+        inc.merges.write.mode("overwrite").parquet(s"$sinkDir/merges/batch=$seq")
+      st.seam.write.mode("overwrite").parquet(s"$sinkDir/seam/batch=$seq")
+      st.seamTraj.foreach(_.write.mode("overwrite")
+        .parquet(s"$sinkDir/seam_traj/batch=$seq"))
+    }
     StreamingTracker.writeManifest(batch.sparkSession, sinkDir,
-      seq, st.gapAfterSeam, st.nextEventId, batchMaxMs)
+      seq, st.gapAfterSeam, st.nextEventId, batchMaxMs, st.nextGid)
     state = Some(st)
     committedSeq = seq
     maxCommittedMs = batchMaxMs
@@ -76,18 +92,30 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
     StreamingTracker.readManifest(spark, sinkDir) match {
       case None =>
         state = None; committedSeq = -1L; maxCommittedMs = Long.MinValue
-      case Some((seq, gap, next, maxMs)) =>
-        val ids = StreamingTracker.resolvedIdField(spark, sinkDir)
+      case Some((seq, gap, next, maxMs, nextGid)) =>
+        var traj: Option[org.apache.spark.sql.DataFrame] = None
         val seam =
-          if (ids.isEmpty) {
-            import spark.implicits._
-            Seq.empty[(Int, Int, Long)].toDF("y", "x", "event_id")
+          if (cfg.allowMerging) {
+            // merging mode persists the seam (resolved gids + event ids)
+            // per commit — the committed partition IS the restart state
+            val fs = StreamingTracker.manifestPath(sinkDir)
+              .getFileSystem(spark.sparkContext.hadoopConfiguration)
+            val tp = new org.apache.hadoop.fs.Path(s"$sinkDir/seam_traj/batch=$seq")
+            if (fs.exists(tp))
+              traj = Some(spark.read.parquet(tp.toString).localCheckpoint())
+            spark.read.parquet(s"$sinkDir/seam/batch=$seq").localCheckpoint()
           } else {
-            val tLast = ids.agg(max("time")).head().getTimestamp(0)
-            ids.filter(col("time") === lit(tLast))
-              .select("y", "x", "event_id").localCheckpoint()
+            val ids = StreamingTracker.resolvedIdField(spark, sinkDir)
+            if (ids.isEmpty) {
+              import spark.implicits._
+              Seq.empty[(Int, Int, Long)].toDF("y", "x", "event_id")
+            } else {
+              val tLast = ids.agg(max("time")).head().getTimestamp(0)
+              ids.filter(col("time") === lit(tLast))
+                .select("y", "x", "event_id").localCheckpoint()
+            }
           }
-        state = Some(IncrementalTracker.IncState(seam, gap, next))
+        state = Some(IncrementalTracker.IncState(seam, gap, next, nextGid, traj))
         committedSeq = seq
         maxCommittedMs = maxMs
     }
@@ -106,21 +134,23 @@ object StreamingTracker {
     * acceptable on object stores). A crash mid-write leaves at worst a
     * stale temp file next to an intact previous manifest. */
   private def writeManifest(spark: SparkSession, sinkDir: String,
-      batchId: Long, gap: Long, nextId: Long, maxTimeMs: Long): Unit = {
+      batchId: Long, gap: Long, nextId: Long, maxTimeMs: Long,
+      nextGid: Long): Unit = {
     val p = manifestPath(sinkDir)
     val tmp = new org.apache.hadoop.fs.Path(sinkDir, s"state.json.tmp")
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = p.getFileSystem(conf)
     val out = fs.create(tmp, true)
     out.write((s"""{"committedSeq": $batchId, "gapAfterSeam": $gap, """ +
-      s""""nextEventId": $nextId, "maxTimeMs": $maxTimeMs}""").getBytes("UTF-8"))
+      s""""nextEventId": $nextId, "maxTimeMs": $maxTimeMs, """ +
+      s""""nextGid": $nextGid}""").getBytes("UTF-8"))
     out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
       .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readManifest(spark: SparkSession,
-      sinkDir: String): Option[(Long, Long, Long, Long)] = {
+      sinkDir: String): Option[(Long, Long, Long, Long, Long)] = {
     val p = manifestPath(sinkDir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -138,7 +168,27 @@ object StreamingTracker {
       s""""$k"\\s*:\\s*(-?\\d+)""".r.findFirstMatchIn(js)
         .map(_.group(1).toLong).getOrElse(dflt)
     Some((field("committedSeq"), field("gapAfterSeam"), field("nextEventId"),
-      optField("maxTimeMs", Long.MinValue)))
+      optField("maxTimeMs", Long.MinValue), optField("nextGid", 1L)))
+  }
+
+  /** The COMMITTED merge-genealogy table (merging mode): one row per merge
+    * event in [[graft.marex.Track.splitAndMerge]]'s schema, object gids
+    * globally unique across the stream's lifetime. Empty for non-merging
+    * streams or before the first merge. */
+  def mergesTable(spark: SparkSession, sinkDir: String): DataFrame = {
+    import spark.implicits._
+    val empty = Seq.empty[(java.sql.Timestamp, Long, Seq[Long], Seq[Long],
+        Seq[Double], Long, Long)]
+      .toDF("time", "child_id", "parent_ids", "child_ids", "overlap_areas",
+        "n_parents", "n_children")
+    val fs = manifestPath(sinkDir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    readManifest(spark, sinkDir) match {
+      case Some((committed, _, _, _, _))
+          if fs.exists(new org.apache.hadoop.fs.Path(sinkDir, "merges")) =>
+        spark.read.parquet(s"$sinkDir/merges")
+          .filter(col("batch") <= committed).drop("batch")
+      case _ => empty
+    }
   }
 
   /** The COMMITTED id field with the remap ledger's transitive closure
@@ -158,7 +208,7 @@ object StreamingTracker {
         .filter(col("batch") <= committed).drop("batch"))
     readManifest(spark, sinkDir) match {
       case None => empty
-      case Some((committed, _, _, _)) =>
+      case Some((committed, _, _, _, _)) =>
         readCommitted(committed, "id_field") match {
           case None => empty
           case Some(raw) =>

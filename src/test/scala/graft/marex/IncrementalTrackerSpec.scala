@@ -27,11 +27,12 @@ class IncrementalTrackerSpec extends SparkSpec {
   /** Run the incremental tracker over time-ordered blocks and materialize
     * the accumulated id field with every later remap applied to history —
     * what a caller maintaining persistent event tables would do. */
-  private def trackIncrementally(blocks: Seq[DataFrame]): DataFrame = {
+  private def trackIncrementally(blocks: Seq[DataFrame],
+      tcfg: TrackConfig = cfg): DataFrame = {
     var state: Option[IncrementalTracker.IncState] = None
     var acc: Option[DataFrame] = None
     blocks.foreach { b =>
-      val (st, inc) = IncrementalTracker.extend(state, b, geom, spec, cfg)
+      val (st, inc) = IncrementalTracker.extend(state, b, geom, spec, tcfg)
       state = Some(st)
       val remapped = acc.map { a =>
         a.join(broadcast(inc.remap),
@@ -150,11 +151,86 @@ class IncrementalTrackerSpec extends SparkSpec {
         IncrementalTracker.extend(None, b, geom, spec, c))
       assert(e.getMessage.contains(msg), e.getMessage)
     }
-    bad(cfg.copy(allowMerging = true), "non-merging")
     bad(cfg.copy(tFill = 2), "tFill=0")
     bad(cfg.copy(areaFilterQuartile = 0.5), "absolute area filter")
     bad(cfg.copy(dropSmallestObject = true), "dropSmallestObject")
     bad(TrackConfig(tFill = 0, allowMerging = false, dropSmallestObject = false),
       "absolute area filter") // default quartile 0.5 is a whole-run statistic
+    // merging mode shares the append constraints, and additionally rejects
+    // the sequential (whole-run driver) split/merge variant
+    bad(cfg.copy(allowMerging = true, tFill = 2), "tFill=0")
+    bad(cfg.copy(allowMerging = true, sequentialSplitMerge = true), "batch-parallel")
+  }
+
+  // ── merging mode ──────────────────────────────────────────────────────────
+
+  private val mCfg = cfg.copy(allowMerging = true)
+
+  test("merging mode: three-block append equals the one-shot batch tracker") {
+    val flags = SyntheticData.stormFlags(spark, nDays = 30, ny = ny, nx = nx,
+      nStorms = 40, seed = 23L).cache()
+    val batch = Track.track(flags, geom, spec, mCfg).idField
+    val blocks = Seq(0 -> 10, 10 -> 20, 20 -> 30).map { case (a, b) =>
+      flags.filter(col("time") >= lit(ts(a)) && col("time") < lit(ts(b)))
+    }
+    assertEquivalent(batch, trackIncrementally(blocks, mCfg))
+  }
+
+  test("merging mode: NN partitioning across a block boundary equals batch") {
+    val flags = SyntheticData.stormFlags(spark, nDays = 16, ny = ny, nx = nx,
+      nStorms = 30, seed = 7L).cache()
+    val nn = mCfg.copy(nnPartitioning = true)
+    val batch = Track.track(flags, geom, spec, nn).idField
+    val blocks = Seq(0 -> 8, 8 -> 16).map { case (a, b) =>
+      flags.filter(col("time") >= lit(ts(a)) && col("time") < lit(ts(b)))
+    }
+    assertEquivalent(batch, trackIncrementally(blocks, nn))
+  }
+
+  test("merging mode: an appended child of two seam parents records the merge") {
+    // two 2×2 squares for t0..t2; at t3 a band covers both footprints — a
+    // child claimed by two parents, the canonical merge-genealogy shape
+    def square(t: Int, y0: Int, x0: Int): Seq[(Timestamp, Int, Int)] =
+      for (dy <- 0 to 1; dx <- 0 to 1) yield (ts(t), y0 + dy, x0 + dx)
+    val early = (0 to 2).flatMap(t => square(t, 10, 5) ++ square(t, 10, 20))
+    val band = (5 to 22).map(x => (ts(3), 10, x)) ++ (5 to 22).map(x => (ts(3), 11, x))
+    val b1 = early.toDF("time", "y", "x")
+    val b2 = band.toDF("time", "y", "x")
+    val c = mCfg.copy(rFill = 0)
+
+    val (st1, inc1) = IncrementalTracker.extend(None, b1, geom, spec, c)
+    assert(inc1.merges.isEmpty && inc1.remap.isEmpty)
+    assert(inc1.blockIds.select("event_id").distinct().count() == 2)
+
+    val (_, inc2) = IncrementalTracker.extend(Some(st1), b2, geom, spec, c)
+    // the batch run of the same field is the oracle — id field equivalent,
+    // and the same number of genealogy rows at the same (child) timestep
+    val all = b1.unionByName(b2)
+    val res = Track.track(all, geom, spec, c)
+    assert(res.merges.count() == 1, "batch sanity: one merge event")
+    assert(inc2.merges.count() == 1)
+    assert(inc2.merges.head().getTimestamp(0) == ts(3))
+    assert(inc2.merges.head().getAs[scala.collection.Seq[Long]]("parent_ids").length == 2)
+    val incField = inc1.blockIds.join(broadcast(inc2.remap),
+        inc1.blockIds("event_id") === inc2.remap("from_event_id"), "left")
+      .select(inc1.blockIds("time"), inc1.blockIds("y"), inc1.blockIds("x"),
+        coalesce(col("to_event_id"), inc1.blockIds("event_id")).as("event_id"))
+      .unionByName(inc2.blockIds)
+    assertEquivalent(res.idField, incField)
+  }
+
+  test("merging mode: erased slices and empty blocks separate events as in batch") {
+    def square(t: Int): Seq[(Timestamp, Int, Int)] =
+      for (dy <- 0 to 2; dx <- 0 to 2) yield (ts(t), 8 + dy, 8 + dx)
+    val lone = Seq((ts(1), 20, 20))
+    val all = (square(0) ++ lone ++ square(2)).toDF("time", "y", "x")
+    val batch = Track.track(all, geom, spec, mCfg).idField
+    assert(batch.select("event_id").distinct().count() == 2, "batch sanity")
+    val b1 = (square(0) ++ lone).toDF("time", "y", "x")
+    val b2 = square(2).toDF("time", "y", "x")
+    assertEquivalent(batch, trackIncrementally(Seq(b1, b2), mCfg))
+    val c1 = square(0).toDF("time", "y", "x")
+    val c2 = (lone ++ square(2)).toDF("time", "y", "x")
+    assertEquivalent(batch, trackIncrementally(Seq(c1, c2), mCfg))
   }
 }

@@ -60,15 +60,53 @@ class ZarrDataSourceV2Spec extends SparkSpec {
       direct.filter(col("value") =!= 0.0).count())
   }
 
-  test("group dir without var, and unknown var, fail with clear errors") {
+  test("unknown var fails with a clear error listing the members") {
     assume(haveFixture)
-    val noVar = intercept[IllegalArgumentException] {
-      spark.read.format("zarr").load(groupDir).count()
-    }
-    assert(noVar.getMessage.contains("option(\"var\""), noVar.getMessage)
     val badVar = intercept[IllegalArgumentException] {
       spark.read.format("zarr").option("var", "nope").load(groupDir).count()
     }
     assert(badVar.getMessage.contains("extreme_events"), badVar.getMessage)
+  }
+
+  test("group dir without var reads the whole dataset wide (xr.open_zarr)") {
+    assume(haveFixture)
+    val df = spark.read.format("zarr").load(groupDir)
+    assert(df.schema.fieldNames.toSeq == Seq("time_idx", "lat_idx", "lon_idx",
+      "time", "lat", "lon", "extreme_events", "mask"))
+    assert(df.count() == 32L * 180 * 360)
+    // cell values match the utility group reader on a slice
+    val util = ZarrGroup.readDataset(spark, groupDir,
+        ranges = Map("time" -> (0, 0)))
+      .withColumnRenamed("extreme_events", "e2").withColumnRenamed("mask", "m2")
+    val joined = df.filter(col("time_idx") === 0)
+      .join(util, Seq("time_idx", "lat_idx", "lon_idx"))
+    assert(joined.count() == 180L * 360)
+    assert(joined.filter(col("extreme_events") =!= col("e2") ||
+      col("mask") =!= col("m2")).count() == 0)
+  }
+
+  test("group scan: per-dimension range pushdown prunes and shows in the plan") {
+    assume(haveFixture)
+    val df = spark.read.format("zarr").load(groupDir)
+      .filter(col("time_idx").between(2, 3) && col("lat_idx") < 90)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("time_idx in [2, 3]"), s"pushed time range missing:\n$plan")
+    assert(plan.contains("lat_idx in [0, 89]"), s"pushed lat range missing:\n$plan")
+    assert(df.count() == 2L * 90 * 360)
+    assert(df.select("time_idx").distinct().collect()
+      .map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
+  }
+
+  test("group scan: column pruning drops unprojected member arrays") {
+    assume(haveFixture)
+    val df = spark.read.format("zarr").load(groupDir)
+      .select("time_idx", "extreme_events")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=time_idx,extreme_events"),
+      s"pruned column set missing:\n$plan")
+    // flagged-cell count must match the member-array read
+    val member = spark.read.format("zarr").option("var", "extreme_events")
+      .load(groupDir).filter(col("value") =!= 0.0)
+    assert(df.filter(col("extreme_events") =!= 0.0).count() == member.count())
   }
 }

@@ -212,11 +212,61 @@ class ZarrGroupSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
-  test("array dir and nested members are rejected with clear errors") {
+  test("array dir is rejected with a clear error") {
     val err = intercept[IllegalArgumentException] {
       ZarrGroup.open(s"$fixture/extreme_events", hconf)
     }
     // an array dir has neither group metadata nor (v2) a zarr.json group
     assert(err.getMessage.contains("not a zarr group") || err.getMessage.contains("ARRAY"))
+  }
+
+  test("nested sub-groups read with slash-qualified names, both discovery modes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zgroup_nested").toFile
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val root = dir.getAbsolutePath
+    val cells = (for (t <- 0 until 4; x <- 0 until 3)
+      yield (t, x, t * 10.0 + x)).toDF("time_idx", "x_idx", "v")
+    val axes = Map("time" -> Array(0.0, 1, 2, 3), "x" -> Array(10.0, 11, 12))
+    ZarrGroup.writeDataset(cells, root,
+      dims = Seq("time" -> 4, "x" -> 3), chunks = Seq(2, 3), valueCols = Seq("v"),
+      coords = axes)
+    ZarrGroup.writeDataset(cells.withColumn("w", col("v") * 2).drop("v"),
+      s"$root/sub", dims = Seq("time" -> 4, "x" -> 3), chunks = Seq(2, 3),
+      valueCols = Seq("w"), coords = axes)
+
+    // consolidated mode: merge the sub-group's .zmetadata under 'sub/' keys,
+    // the layout zarr-python's consolidate_metadata produces for hierarchies
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    def metaOf(p: String): Seq[(String, JValue)] =
+      (JsonMethods.parse(new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p, ".zmetadata"))), useBigDecimalForDouble = false)
+        \ "metadata").asInstanceOf[JObject].obj
+    val merged = JObject(
+      "metadata" -> JObject((metaOf(root) ++
+        metaOf(s"$root/sub").map { case (k, v) => s"sub/$k" -> v }).toList),
+      "zarr_format" -> JInt(2))
+    java.nio.file.Files.write(java.nio.file.Paths.get(root, ".zmetadata"),
+      JsonMethods.compact(JsonMethods.render(merged)).getBytes)
+
+    val gCons = ZarrGroup.open(root, hconf)
+    assert(gCons.consolidated)
+    assert(gCons.members.contains("sub/w") && gCons.members.contains("v"))
+    assert(gCons.coordNames == Set("time", "x"),
+      "only ROOT rank-1 members named after their dim are coordinates")
+
+    // listed mode: drop the consolidated file; the walk follows sub/.zgroup
+    java.nio.file.Files.delete(java.nio.file.Paths.get(root, ".zmetadata"))
+    val gList = ZarrGroup.open(root, hconf)
+    assert(!gList.consolidated)
+    assert(gList.members.keySet.filter(_.startsWith("sub/")) ==
+      gCons.members.keySet.filter(_.startsWith("sub/")))
+
+    // and the qualified member reads like any other variable
+    val got = ZarrGroup.readDataset(spark, root, vars = Seq("v", "sub/w"))
+    assert(got.count() == 12)
+    assert(got.filter(col("`sub/w`") =!= col("v") * 2).count() == 0)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 }

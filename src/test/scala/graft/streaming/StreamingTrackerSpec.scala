@@ -96,6 +96,38 @@ class StreamingTrackerSpec extends SparkSpec {
     assert(oneShot.select("event_id").distinct().count() == 1)
   }
 
+  test("merging-mode stream equals the batch merging tracker across a restart") {
+    val sinkDir = Files.createTempDirectory("graft_stream_track_m").toString
+    val mCfg = cfg.copy(allowMerging = true)
+    val flags = SyntheticData.stormFlags(spark, nDays = 18, ny = ny, nx = nx,
+      nStorms = 20, seed = 5L).cache()
+    val blocks = Seq(0 -> 6, 6 -> 12, 12 -> 18).map { case (a, b) =>
+      flags.filter(col("time") >= lit(ts(a)) && col("time") < lit(ts(b)))
+    }
+
+    val t1 = new StreamingTracker(geom, spec, mCfg, sinkDir)
+    t1.processBatch(blocks(0), 0L)
+    t1.processBatch(blocks(1), 1L)
+
+    // restart: the seam (resolved gids + event ids) must come back from the
+    // persisted seam partition — the event-id sink alone cannot rebuild it
+    val t2 = new StreamingTracker(geom, spec, mCfg, sinkDir)
+    t2.restoreState(spark)
+    t2.processBatch(blocks(1), 0L) // cross-restart replay → must be a no-op
+    t2.processBatch(blocks(2), 1L)
+
+    val streamed = StreamingTracker.resolvedIdField(spark, sinkDir)
+    val res = Track.track(flags, geom, spec, mCfg)
+    assertEquivalent(res.idField, streamed)
+    // genealogy accumulates with the same per-timestep row counts as batch
+    val streamMerges = StreamingTracker.mergesTable(spark, sinkDir)
+    val b = res.merges.groupBy("time").count().collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val s = streamMerges.groupBy("time").count().collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(b == s, s"merge genealogy differs: batch=$b stream=$s")
+  }
+
   test("malformed manifest fails restore with a clear error, not a regex crash") {
     val sinkDir = Files.createTempDirectory("graft_stream_track3").toString
     val t = new StreamingTracker(geom, spec, cfg, sinkDir)
