@@ -49,8 +49,27 @@ private[sources] object Hdf5 {
 
   // ── parsed model ─────────────────────────────────────────────────────────
 
+  /** Element datatype of a dataset; `size` is the stored bytes per element. */
+  sealed trait DType { def size: Int }
+
   /** Numeric type: kind ∈ {int, uint, float}, size in bytes, littleEndian. */
-  final case class NumType(kind: String, size: Int, littleEndian: Boolean)
+  final case class NumType(kind: String, size: Int, littleEndian: Boolean) extends DType
+
+  /** Fixed-length string (datatype class 3): `size`-byte cells, NUL-padded
+    * or NUL-terminated (both trim the same way on read). */
+  final case class StrType(size: Int, utf8: Boolean) extends DType
+
+  /** Variable-length string (class 9, vlen type 1). Each stored element is
+    * 16 bytes: byte length (4) + global-heap collection address (8) +
+    * object index within the collection (4); the bytes live in a "GCOL"
+    * global heap collection. */
+  final case class VlenStrType(utf8: Boolean) extends DType { def size: Int = 16 }
+
+  final case class CompoundMember(name: String, offset: Int, dtype: DType)
+
+  /** Compound type (class 6) — HDF5's record/struct type, what PyTables/
+    * pandas `to_hdf` tables and netCDF-4 compound variables store. */
+  final case class CompoundType(size: Int, members: Seq[CompoundMember]) extends DType
 
   final case class Filter(id: Int, clientValues: Seq[Int])
 
@@ -89,7 +108,7 @@ private[sources] object Hdf5 {
   final case class Chunked(indexAddr: Long, chunkDims: Seq[Int],
       index: ChunkIndex = BTreeV1) extends Layout
 
-  final case class Dataset(name: String, dims: Seq[Long], dtype: NumType,
+  final case class Dataset(name: String, dims: Seq[Long], dtype: DType,
       layout: Layout, filters: Seq[Filter], fillValue: Option[Double])
 
   /** One stored chunk: logical element offsets + file location. */
@@ -226,16 +245,68 @@ private[sources] object Hdf5 {
     (0 until rank).map(i => b.getLong(off + i * 8))
   }
 
-  def parseDatatype(body: Array[Byte]): NumType = {
-    val cls = body(0) & 0x0f
-    val bits0 = body(1) & 0xff
-    val size = le(body).getInt(4)
+  def parseDatatype(body: Array[Byte]): DType = parseDatatypeAt(body, 0)._1
+
+  /** Parse the datatype message starting at `off`; returns the type and the
+    * number of bytes it occupies (8-byte header + class-specific
+    * properties) — needed to walk nested types (compound members, vlen
+    * base types), whose encoded length is not stored explicitly. */
+  private def parseDatatypeAt(body: Array[Byte], off: Int): (DType, Int) = {
+    val cls = body(off) & 0x0f
+    val version = (body(off) & 0xf0) >> 4
+    val bits0 = body(off + 1) & 0xff
+    val bits1 = body(off + 2) & 0xff
+    val b = le(body)
+    val size = b.getInt(off + 4)
     val littleEndian = (bits0 & 0x01) == 0
     cls match {
-      case 0 => NumType(if ((bits0 & 0x08) != 0) "int" else "uint", size, littleEndian)
-      case 1 => NumType("float", size, littleEndian)
+      case 0 => (NumType(if ((bits0 & 0x08) != 0) "int" else "uint", size, littleEndian), 12)
+      case 1 => (NumType("float", size, littleEndian), 20)
+      case 3 => // fixed-length string: bits 0–3 padding, 4–7 charset
+        (StrType(size, utf8 = ((bits0 >> 4) & 0x0f) == 1), 8)
+      case 9 => // variable-length: bits 0–3 vlen type, 4–7 padding, 8–11 charset
+        val (base, baseLen) = parseDatatypeAt(body, off + 8)
+        if ((bits0 & 0x0f) == 1) (VlenStrType(utf8 = (bits1 & 0x0f) == 1), 8 + baseLen)
+        else throw new IllegalArgumentException(
+          s"unsupported vlen sequence datatype (base $base) — only vlen strings")
+      case 6 => // compound: member count in class bit field bits 0–15
+        val nMembers = bits0 | (bits1 << 8)
+        var p = off + 8
+        val members = (0 until nMembers).map { _ =>
+          version match {
+            case 1 | 2 =>
+              var nameEnd = p
+              while (body(nameEnd) != 0) nameEnd += 1
+              val name = new String(body, p, nameEnd - p, "UTF-8")
+              p += (nameEnd - p) / 8 * 8 + 8 // NUL-terminated, padded to ×8
+              val memberOff = b.getInt(p)
+              if (version == 1) {
+                val dim = body(p + 4) & 0xff
+                require(dim == 0, s"compound member $name: array members unsupported")
+                p += 4 + 1 + 3 + 4 + 4 + 16 // offset, dim, reserved, perm, reserved, dims
+              } else p += 4
+              val (mt, mlen) = parseDatatypeAt(body, p)
+              p += mlen
+              CompoundMember(name, memberOff, mt)
+            case 3 =>
+              var nameEnd = p
+              while (body(nameEnd) != 0) nameEnd += 1
+              val name = new String(body, p, nameEnd - p, "UTF-8")
+              p = nameEnd + 1 // no padding in v3
+              val offBytes = // fewest bytes that can hold the compound size
+                math.max(1, (64 - java.lang.Long.numberOfLeadingZeros(
+                  math.max(1L, size.toLong)) + 7) / 8).toInt
+              val memberOff = leVar(body, p, offBytes).toInt
+              p += offBytes
+              val (mt, mlen) = parseDatatypeAt(body, p)
+              p += mlen
+              CompoundMember(name, memberOff, mt)
+            case v => throw new IllegalArgumentException(s"compound datatype version $v")
+          }
+        }
+        (CompoundType(size, members), p - off)
       case c => throw new IllegalArgumentException(
-        s"unsupported datatype class $c (only fixed-point and float)")
+        s"unsupported datatype class $c (fixed-point, float, string, vlen string, compound)")
     }
   }
 
@@ -337,16 +408,18 @@ private[sources] object Hdf5 {
 
   /** Fill-value message (0x0005): the defined fill datum, if any — chunked
     * datasets elide all-fill chunks, so readers synthesize it. */
-  def parseFillValue(body: Array[Byte], t: NumType): Option[Double] = {
-    val version = body(0) & 0xff
-    val (present, dataOff) = version match {
-      case 1 | 2 => ((body(3) & 0xff) == 1 && body.length >= 8, 8)
-      case 3 => ((body(1) & 0x20) != 0 && body.length >= 6, 6)
-      case _ => (false, 0)
-    }
-    if (present && body.length >= dataOff + t.size)
-      Some(decode(java.util.Arrays.copyOfRange(body, dataOff, dataOff + t.size), t, 1)(0))
-    else None
+  def parseFillValue(body: Array[Byte], t: DType): Option[Double] = t match {
+    case nt: NumType =>
+      val version = body(0) & 0xff
+      val (present, dataOff) = version match {
+        case 1 | 2 => ((body(3) & 0xff) == 1 && body.length >= 8, 8)
+        case 3 => ((body(1) & 0x20) != 0 && body.length >= 6, 6)
+        case _ => (false, 0)
+      }
+      if (present && body.length >= dataOff + nt.size)
+        Some(decode(java.util.Arrays.copyOfRange(body, dataOff, dataOff + nt.size), nt, 1)(0))
+      else None
+    case _ => None // string/compound fills are not meaningful as a Double
   }
 
   /** Attribute message (0x000C), versions 1–3. Returns name → value where
@@ -970,14 +1043,45 @@ private[sources] object Hdf5 {
           }
         case 3 => // fletcher32: 4-byte checksum trailer (not verified)
           data = java.util.Arrays.copyOf(data, data.length - 4)
+        case 32015 => // registered zstd plugin: the chunk is one zstd frame
+          val in = new com.github.luben.zstd.ZstdInputStreamNoFinalizer(
+            new java.io.ByteArrayInputStream(data))
+          val out = new java.io.ByteArrayOutputStream(data.length * 4)
+          val buf = new Array[Byte](65536)
+          var nr = in.read(buf)
+          while (nr >= 0) { out.write(buf, 0, nr); nr = in.read(buf) }
+          in.close()
+          data = out.toByteArray
+        case 32004 => // registered lz4 plugin: BE total size + block size,
+          // then per block a BE compressed length and the block bytes
+          // (stored raw when compression did not shrink the block)
+          val bb = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
+          val total = bb.getLong(0)
+          val blockSize = bb.getInt(8)
+          val out = new Array[Byte](total.toInt)
+          val dec = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastDecompressor()
+          var p = 12; var o = 0
+          while (o < total) {
+            val origLen = math.min(blockSize.toLong, total - o).toInt
+            val compLen = bb.getInt(p); p += 4
+            if (compLen == origLen) System.arraycopy(data, p, out, o, origLen)
+            else dec.decompress(data, p, out, o, origLen)
+            p += compLen; o += origLen
+          }
+          data = out
         case id => throw new IllegalArgumentException(
-          s"unsupported HDF5 filter id $id (deflate/shuffle/fletcher32 only)")
+          s"unsupported HDF5 filter id $id (deflate/shuffle/fletcher32/zstd/lz4 only)")
       }
     }
     data
   }
 
-  def decode(data: Array[Byte], t: NumType, n: Int): Array[Double] = {
+  def decode(data: Array[Byte], dt: DType, n: Int): Array[Double] = {
+    val t = dt match {
+      case nt: NumType => nt
+      case o => throw new IllegalArgumentException(
+        s"non-numeric dataset ($o) — use decodeStrings/decodeCompound")
+    }
     val buf = ByteBuffer.wrap(data)
       .order(if (t.littleEndian) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
     val out = new Array[Double](n)
@@ -1000,6 +1104,97 @@ private[sources] object Hdf5 {
     out
   }
 
+  // ── global heap + typed decode ───────────────────────────────────────────
+
+  /** Objects of the global heap collection at `addr` ("GCOL"): object
+    * index → bytes. Vlen data and region references store through these. */
+  def globalHeapCollection(src: ByteSource, addr: Long): Map[Int, Array[Byte]] = {
+    val head = src.read(addr, 16)
+    require(head.take(4).sameElements("GCOL".getBytes), s"no GCOL signature at $addr")
+    val size = le(head).getLong(8)
+    val block = src.read(addr, size.toInt)
+    val b = le(block)
+    val out = Map.newBuilder[Int, Array[Byte]]
+    var p = 16
+    var done = false
+    while (!done && p + 16 <= size) {
+      val idx = b.getShort(p) & 0xffff
+      val objSize = b.getLong(p + 8)
+      if (idx == 0) done = true // free-space object terminates the walk
+      else {
+        out += idx -> java.util.Arrays.copyOfRange(block, p + 16, p + 16 + objSize.toInt)
+        p += 16 + ((objSize + 7) / 8 * 8).toInt
+      }
+    }
+    out.result()
+  }
+
+  /** Decode `n` string elements — fixed-length cells trimmed at NUL, or
+    * vlen elements resolved through their global heap collections (one
+    * positioned read per distinct collection, cached). */
+  def decodeStrings(data: Array[Byte], dt: DType, n: Int, src: ByteSource): Array[String] =
+    dt match {
+      case StrType(size, _) =>
+        Array.tabulate(n) { i =>
+          var len = 0
+          while (len < size && data(i * size + len) != 0) len += 1
+          new String(data, i * size, len, "UTF-8")
+        }
+      case VlenStrType(_) =>
+        val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+        val b = le(data)
+        Array.tabulate(n) { i =>
+          val len = b.getInt(i * 16)
+          val addr = b.getLong(i * 16 + 4)
+          val idx = b.getInt(i * 16 + 12)
+          if (addr == Undef || addr == 0L || len == 0) ""
+          else {
+            val col = cache.getOrElseUpdate(addr, globalHeapCollection(src, addr))
+            val bytes = col.getOrElse(idx, throw new IllegalArgumentException(
+              s"vlen element points at missing global heap object $idx@$addr"))
+            new String(bytes, 0, math.min(len, bytes.length), "UTF-8")
+          }
+        }
+      case o => throw new IllegalArgumentException(s"not a string datatype: $o")
+    }
+
+  /** Column-wise decode of `n` compound records: member name → either
+    * `Array[Double]` (numeric members) or `Array[String]` (string
+    * members). Nested compounds/vlens inside members are rejected with a
+    * named error. */
+  def decodeCompound(data: Array[Byte], dt: DType, n: Int,
+      src: ByteSource): Seq[(String, Array[_])] = {
+    val ct = dt match {
+      case c: CompoundType => c
+      case o => throw new IllegalArgumentException(s"not a compound datatype: $o")
+    }
+    ct.members.map { m =>
+      m.dtype match {
+        case nt: NumType =>
+          val cell = new Array[Byte](nt.size)
+          val out = new Array[Double](n)
+          var i = 0
+          while (i < n) {
+            System.arraycopy(data, i * ct.size + m.offset, cell, 0, nt.size)
+            out(i) = decode(cell, nt, 1)(0)
+            i += 1
+          }
+          m.name -> out
+        case st @ (_: StrType | _: VlenStrType) =>
+          val es = st.size
+          val cells = new Array[Byte](n * es)
+          var i = 0
+          while (i < n) {
+            System.arraycopy(data, i * ct.size + m.offset, cells, i * es, es)
+            i += 1
+          }
+          m.name -> decodeStrings(cells, st, n, src)
+        case o => throw new IllegalArgumentException(
+          s"compound member ${m.name}: unsupported member type $o")
+      }
+    }
+  }
+
   // ── writer ───────────────────────────────────────────────────────────────
 
   /** One dataset to write: row-major f64 values of the given shape.
@@ -1016,7 +1211,143 @@ private[sources] object Hdf5 {
   final case class WriteVar(name: String, dims: Seq[Int], values: Array[Double],
       chunkDims: Option[Seq[Int]] = None, deflateLevel: Int = 4,
       attrs: Seq[(String, Any)] = Seq.empty, v4Index: Option[String] = None,
-      denseAttrs: Boolean = false)
+      denseAttrs: Boolean = false, typed: Option[TypedData] = None,
+      compressor: String = "deflate")
+
+  /** Non-f64 payload for a [[WriteVar]] (contiguous layout only): the
+    * write-side dual of the string/vlen/compound READ paths, so round-trip
+    * tests exercise both. `values` is ignored when `typed` is set. */
+  sealed trait TypedData { def n: Int; def elemSize: Int }
+  /** Fixed-length string dataset (class 3): NUL-padded `size`-byte cells. */
+  final case class FixedStrData(values: Seq[String], size: Int) extends TypedData {
+    def n: Int = values.length; def elemSize: Int = size
+  }
+  /** Vlen string dataset (class 9): elements point into one GCOL written
+    * right after the dataset's element array. */
+  final case class VlenStrData(values: Seq[String]) extends TypedData {
+    def n: Int = values.length; def elemSize: Int = 16
+  }
+  sealed trait CompoundCol { def n: Int; def elemSize: Int }
+  final case class F64Col(values: Array[Double]) extends CompoundCol {
+    def n: Int = values.length; def elemSize: Int = 8
+  }
+  final case class StrCol(values: Seq[String], size: Int) extends CompoundCol {
+    def n: Int = values.length; def elemSize: Int = size
+  }
+  /** Compound (record) dataset, class 6 v1 — packed members in order. */
+  final case class CompoundData(members: Seq[(String, CompoundCol)]) extends TypedData {
+    require(members.nonEmpty && members.map(_._2.n).distinct.size == 1)
+    def n: Int = members.head._2.n
+    def elemSize: Int = members.map(_._2.elemSize).sum
+  }
+
+  /** Datatype message body for a typed payload (writer side). */
+  private def typedDtBody(t: TypedData): Array[Byte] = t match {
+    case FixedStrData(_, size) =>
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      // v1 class 3; padding = NUL-terminated (0), charset = UTF-8 (1)
+      b.put(0x13.toByte).put(0x10.toByte).put(0.toByte).put(0.toByte).putInt(size)
+      b.array()
+    case _: VlenStrData =>
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      // v1 class 9; vlen type = string (bits 0–3), charset UTF-8 (bits 8–11)
+      b.put(0x19.toByte).put(0x01.toByte).put(0x01.toByte).put(0.toByte).putInt(16)
+      // base type: 1-byte ASCII string (libhdf5 convention for vlen str)
+      b.put(0x13.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte).putInt(1)
+      b.array()
+    case cd: CompoundData =>
+      val memberRecs = {
+        var off = 0
+        cd.members.map { case (name, col) =>
+          val nb = name.getBytes("UTF-8")
+          val namePad = nb.length / 8 * 8 + 8
+          val mt = col match {
+            case _: F64Col => f64TypeBody
+            case StrCol(_, size) =>
+              val sb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+              sb.put(0x13.toByte).put(0x10.toByte).put(0.toByte).put(0.toByte).putInt(size)
+              sb.array()
+          }
+          val r = ByteBuffer.allocate(namePad + 32 + mt.length)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          r.put(nb); r.position(namePad)
+          r.putInt(off) // byte offset; dimensionality 0 + reserved + perm stay zero
+          r.position(namePad + 32)
+          r.put(mt)
+          off += col.elemSize
+          r.array()
+        }
+      }
+      val b = ByteBuffer.allocate(8 + memberRecs.map(_.length).sum)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x16.toByte) // v1 class 6
+        .put((cd.members.size & 0xff).toByte)
+        .put(((cd.members.size >> 8) & 0xff).toByte)
+        .put(0.toByte).putInt(cd.elemSize)
+      memberRecs.foreach(b.put)
+      b.array()
+  }
+
+  /** Element bytes of a typed payload; vlen elements reference `gcolAddr`. */
+  private def typedDataBytes(t: TypedData, gcolAddr: Long): Array[Byte] = t match {
+    case FixedStrData(values, size) =>
+      val out = new Array[Byte](values.length * size)
+      values.zipWithIndex.foreach { case (s, i) =>
+        val sb = s.getBytes("UTF-8")
+        require(sb.length <= size, s"string '$s' exceeds fixed size $size")
+        System.arraycopy(sb, 0, out, i * size, math.min(sb.length, size))
+      }
+      out
+    case VlenStrData(values) =>
+      val b = ByteBuffer.allocate(values.length * 16).order(ByteOrder.LITTLE_ENDIAN)
+      values.zipWithIndex.foreach { case (s, i) =>
+        b.putInt(s.getBytes("UTF-8").length).putLong(gcolAddr).putInt(i + 1)
+      }
+      b.array()
+    case cd: CompoundData =>
+      val es = cd.elemSize
+      val out = new Array[Byte](cd.n * es)
+      var off = 0
+      cd.members.foreach { case (_, col) =>
+        col match {
+          case F64Col(vs) =>
+            val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            vs.zipWithIndex.foreach { case (v, i) =>
+              b.clear(); b.putDouble(v)
+              System.arraycopy(b.array(), 0, out, i * es + off, 8)
+            }
+          case StrCol(vs, size) =>
+            vs.zipWithIndex.foreach { case (s, i) =>
+              val sb = s.getBytes("UTF-8")
+              require(sb.length <= size, s"string '$s' exceeds fixed size $size")
+              System.arraycopy(sb, 0, out, i * es + off, math.min(sb.length, size))
+            }
+        }
+        off += col.elemSize
+      }
+      out
+  }
+
+  /** Global heap collection holding the vlen payload bytes: "GCOL" header,
+    * one object per string (index 1..n, 8-padded), free-space terminator. */
+  private def buildGcol(objs: Seq[Array[Byte]]): Array[Byte] = {
+    val padded = objs.map(o => (o, (o.length + 7) / 8 * 8))
+    val size = 16L + padded.map(_._2 + 16).sum + 16
+    val b = ByteBuffer.allocate(size.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    b.put("GCOL".getBytes).put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    b.putLong(size)
+    padded.zipWithIndex.foreach { case ((o, pad), i) =>
+      b.putShort((i + 1).toShort).putShort(1.toShort).putInt(0).putLong(o.length.toLong)
+      b.put(o)
+      (o.length until pad).foreach(_ => b.put(0.toByte))
+    }
+    b.putShort(0.toShort).putShort(0.toShort).putInt(0).putLong(16L) // free space
+    b.array()
+  }
+
+  /** Bytes `buildGcol` will emit for these object sizes. */
+  private def gcolTotal(objSizes: Seq[Int]): Long =
+    16L + objSizes.map(s => (s + 7) / 8 * 8 + 16).sum + 16
 
   /** Bob Jenkins' lookup3 `hashlittle` — the hash HDF5 keys dense link /
     * attribute name indexes on (public-domain algorithm; H5_checksum_lookup3
@@ -1239,8 +1570,9 @@ private[sources] object Hdf5 {
     // per-var: object header → [chunk index] → data
     final case class Plan(v: WriteVar, ohAddr: Long, dataAddr: Long,
         btAddr: Long, chunks: Seq[(Seq[Long], Array[Byte])],
-        attrHeapAddr: Long = Undef)
-    def shuffleDeflate(raw: Array[Byte], level: Int): Array[Byte] = {
+        attrHeapAddr: Long = Undef, gcolAddr: Long = Undef)
+    def shuffleDeflate(raw: Array[Byte], level: Int,
+        compressor: String = "deflate"): Array[Byte] = {
       val chunkN = raw.length / 8
       val shuffled = new Array[Byte](raw.length)
       var b = 0
@@ -1249,13 +1581,18 @@ private[sources] object Hdf5 {
         while (j < chunkN) { shuffled(b * chunkN + j) = raw(j * 8 + b); j += 1 }
         b += 1
       }
-      val defl = new Deflater(level)
-      defl.setInput(shuffled); defl.finish()
-      val cbuf = new java.io.ByteArrayOutputStream(raw.length)
-      val tmp = new Array[Byte](65536)
-      while (!defl.finished()) cbuf.write(tmp, 0, defl.deflate(tmp))
-      defl.end()
-      cbuf.toByteArray
+      compressor match {
+        case "deflate" =>
+          val defl = new Deflater(level)
+          defl.setInput(shuffled); defl.finish()
+          val cbuf = new java.io.ByteArrayOutputStream(raw.length)
+          val tmp = new Array[Byte](65536)
+          while (!defl.finished()) cbuf.write(tmp, 0, defl.deflate(tmp))
+          defl.end()
+          cbuf.toByteArray
+        case "zstd" => com.github.luben.zstd.Zstd.compress(shuffled, level)
+        case o => throw new IllegalArgumentException(s"compressor $o (deflate/zstd)")
+      }
     }
     // Fixed Array geometry (client 1, entry = addr 8 + size 8 + mask 4)
     val faEntry = 20
@@ -1324,8 +1661,15 @@ private[sources] object Hdf5 {
     }
     val plans = sorted.map { v =>
       val n = v.dims.map(_.toLong).product
-      require(n == v.values.length, s"${v.name}: shape/data mismatch")
+      v.typed match {
+        case Some(t) =>
+          require(n == t.n, s"${v.name}: shape/data mismatch")
+          require(v.chunkDims.isEmpty && v.v4Index.isEmpty,
+            s"${v.name}: typed payloads are contiguous-only")
+        case None => require(n == v.values.length, s"${v.name}: shape/data mismatch")
+      }
       require(v.v4Index.isEmpty || v.chunkDims.isDefined, s"${v.name}: v4Index needs chunkDims")
+      val dtPadLen = v.typed.map(t => (typedDtBody(t).length + 7) / 8 * 8).getOrElse(24)
       val ohAddr = cursor
       val rank1 = v.dims.length + 1
       val filtered = v.chunkDims.isDefined && !v.v4Index.contains("implicit")
@@ -1342,7 +1686,7 @@ private[sources] object Hdf5 {
       val attrBytes =
         if (v.denseAttrs) 8 + 24 // one Attribute Info message
         else v.attrs.map(a => 8 + attrMessage(a._1, a._2).length).sum
-      val ohSize = 16 + (8 + 8 + v.dims.length * 8) + (8 + 24) + (8 + 8) +
+      val ohSize = 16 + (8 + 8 + v.dims.length * 8) + (8 + dtPadLen) + (8 + 8) +
         (8 + layoutBody) + (if (filterBody > 0) 8 + filterBody else 0) + attrBytes
       cursor += ohSize
       // dense attributes: heap of attribute messages + type-8 name index,
@@ -1358,8 +1702,15 @@ private[sources] object Hdf5 {
       val base = v.chunkDims match {
         case None =>
           val dataAddr = cursor
-          cursor += n * 8
-          Plan(v, ohAddr, dataAddr, Undef, Seq.empty)
+          cursor += n * v.typed.map(_.elemSize.toLong).getOrElse(8L)
+          val gcolAddr = v.typed match {
+            case Some(VlenStrData(vals)) =>
+              val a = cursor
+              cursor += gcolTotal(vals.map(_.getBytes("UTF-8").length))
+              a
+            case _ => Undef
+          }
+          Plan(v, ohAddr, dataAddr, Undef, Seq.empty, gcolAddr = gcolAddr)
         case Some(cd) =>
           require(cd.length == v.dims.length)
           // enumerate chunk origins (row-major), slice [+ shuffle + deflate]
@@ -1388,7 +1739,7 @@ private[sources] object Hdf5 {
             // shuffle (element size 8) then deflate — netCDF-4's default —
             // unless the index type forbids filters (implicit)
             val raw = bytes.array()
-            (org, if (filtered) shuffleDeflate(raw, v.deflateLevel) else raw)
+            (org, if (filtered) shuffleDeflate(raw, v.deflateLevel, v.compressor) else raw)
           }
           v.v4Index match {
             case None =>
@@ -1512,8 +1863,14 @@ private[sources] object Hdf5 {
       ds.put(1.toByte).put(v.dims.length.toByte).put(0.toByte).put(0.toByte).putInt(0)
       v.dims.foreach(d => ds.putLong(d.toLong))
       msgs += 0x0001 -> ds.array()
-      // datatype: IEEE f64 LE (class 1 v1; 12-byte properties, padded to 24)
-      msgs += 0x0003 -> java.util.Arrays.copyOf(f64TypeBody, 24)
+      // datatype: IEEE f64 LE (class 1 v1; 12-byte properties, padded to
+      // 24), or the typed payload's own message body
+      msgs += 0x0003 -> (v.typed match {
+        case Some(t) =>
+          val dt = typedDtBody(t)
+          java.util.Arrays.copyOf(dt, (dt.length + 7) / 8 * 8)
+        case None => java.util.Arrays.copyOf(f64TypeBody, 24)
+      })
       // fill value v2, undefined
       msgs += 0x0005 -> Array[Byte](2, 2, 0, 0, 0, 0, 0, 0)
       // layout message: v3 (default) or v4 (typed chunk index)
@@ -1521,7 +1878,7 @@ private[sources] object Hdf5 {
       if (!chunked) {
         val lb = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
         lb.put(3.toByte).put(1.toByte).putLong(p.dataAddr)
-        lb.putLong(v.values.length.toLong * 8)
+        lb.putLong(v.dims.map(_.toLong).product * v.typed.map(_.elemSize.toLong).getOrElse(8L))
         msgs += 0x0008 -> lb.array()
       } else if (v.v4Index.isEmpty) {
         val cd = v.chunkDims.get
@@ -1569,11 +1926,17 @@ private[sources] object Hdf5 {
         msgs += 0x0008 -> lb.array()
       }
       if (filtered) {
-        // filter pipeline v1: shuffle(2) then deflate(1)
+        // filter pipeline v1: shuffle(2) then deflate(1) or zstd(32015)
+        val compId = v.compressor match {
+          case "deflate" => 1
+          case "zstd" => 32015
+          case o => throw new IllegalArgumentException(s"compressor $o")
+        }
         val fp = ByteBuffer.allocate(8 + 16 + 16).order(ByteOrder.LITTLE_ENDIAN)
         fp.put(1.toByte).put(2.toByte).putShort(0).putInt(0)
         fp.putShort(2).putShort(0).putShort(0).putShort(1).putInt(8).putInt(0) // shuffle, es=8
-        fp.putShort(1).putShort(0).putShort(0).putShort(1).putInt(v.deflateLevel).putInt(0)
+        fp.putShort(compId.toShort).putShort(0).putShort(0).putShort(1)
+          .putInt(v.deflateLevel).putInt(0)
         msgs += 0x000B -> fp.array()
       }
       if (v.denseAttrs) {
@@ -1608,9 +1971,20 @@ private[sources] object Hdf5 {
       }
       if (!chunked) {
         require(pos == p.dataAddr)
-        val bb = ByteBuffer.allocate(v.values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-        v.values.foreach(bb.putDouble)
-        out.write(bb.array())
+        v.typed match {
+          case Some(t) =>
+            out.write(typedDataBytes(t, p.gcolAddr))
+            t match {
+              case VlenStrData(vals) =>
+                require(pos == p.gcolAddr, s"gcol drift at ${v.name}")
+                out.write(buildGcol(vals.map(_.getBytes("UTF-8"))))
+              case _ => ()
+            }
+          case None =>
+            val bb = ByteBuffer.allocate(v.values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+            v.values.foreach(bb.putDouble)
+            out.write(bb.array())
+        }
       } else v.v4Index match {
         case None =>
           require(pos == p.btAddr)

@@ -155,8 +155,14 @@ private[sources] class NetCdfScan(path: String, varName: String, tLo: Int, tHi: 
         case d: Double => d
         case s: Seq[_] if s.nonEmpty => s.head.asInstanceOf[Double]
       }
+      val ntype = v.dtype match {
+        case n: Hdf5.NumType => n
+        case o => throw new IllegalArgumentException(
+          s"$varName has non-numeric datatype $o — the netcdf DSv2 table read " +
+            "is numeric; use NetCDF4Source.readLocalStrings/readCompoundTable")
+      }
       val base = NcDecodeMeta(nt, ny, nx, sliceBase = -1L, sliceStride = 0L,
-        dtype = v.dtype, chunkDims = Seq.empty, filters = v.filters,
+        dtype = ntype, chunkDims = Seq.empty, filters = v.filters,
         scale = num("scale_factor").getOrElse(1.0),
         offset = num("add_offset").getOrElse(0.0),
         fillRaw = num("_FillValue"),

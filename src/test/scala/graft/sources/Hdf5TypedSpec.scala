@@ -1,0 +1,182 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** String, vlen-string, and compound datatypes plus the registered zstd /
+  * lz4 plugin filters — the "exotic" corners real-world `.nc` archives
+  * occasionally carry beyond plain numeric data (reference entry:
+  * `xr.open_dataset`, marEx detect.py:409). Round-trips go through the
+  * writer duals; hand-built fixtures cover reader-only shapes (datatype
+  * message versions the writer does not emit, foreign filter framing). */
+class Hdf5TypedSpec extends AnyFunSuite {
+
+  private def src(bytes: Array[Byte]): Hdf5.ByteSource =
+    (off: Long, len: Int) => java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+
+  private def readStrings(bytes: Array[Byte], name: String): Array[String] = {
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == name).get._2
+    val ds = Hdf5.readDataset(s, name, oh)
+    val n = ds.dims.product.toInt
+    val Hdf5.Contiguous(addr, size) = ds.layout: @unchecked
+    Hdf5.decodeStrings(s.read(addr, size.toInt), ds.dtype, n, s)
+  }
+
+  // ── fixed-length strings (class 3) ───────────────────────────────────────
+
+  test("fixed-length string dataset round-trips, NUL padding trimmed") {
+    val values = Seq("en", "de", "fr-CA", "", "pt")
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("lang", Seq(values.length), Array.empty,
+        typed = Some(Hdf5.FixedStrData(values, 8)))))
+    assert(readStrings(bytes, "lang").toSeq == values)
+  }
+
+  test("fixed-string cells at exactly the declared size survive (no NUL)") {
+    val values = Seq("abcd", "wxyz")
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("tag", Seq(2), Array.empty,
+        typed = Some(Hdf5.FixedStrData(values, 4)))))
+    assert(readStrings(bytes, "tag").toSeq == values)
+  }
+
+  // ── vlen strings (class 9 + global heap) ─────────────────────────────────
+
+  test("vlen string dataset round-trips through a GCOL global heap") {
+    val values = Seq("short", "a considerably longer string value", "", "åéî-utf8",
+      "x" * 200)
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("title", Seq(values.length), Array.empty,
+        typed = Some(Hdf5.VlenStrData(values)))))
+    assert(readStrings(bytes, "title").toSeq == values)
+  }
+
+  test("vlen strings coexist with numeric variables in one file") {
+    val names = Seq("alpha", "beta", "gamma")
+    val nums = Array(1.5, 2.5, 3.5)
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("name", Seq(3), Array.empty, typed = Some(Hdf5.VlenStrData(names))),
+      Hdf5.WriteVar("score", Seq(3), nums)))
+    assert(readStrings(bytes, "name").toSeq == names)
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == "score").get._2
+    val ds = Hdf5.readDataset(s, "score", oh)
+    val Hdf5.Contiguous(addr, size) = ds.layout: @unchecked
+    assert(Hdf5.decode(s.read(addr, size.toInt), ds.dtype, 3).toSeq == nums.toSeq)
+  }
+
+  // ── compound datasets (class 6) ──────────────────────────────────────────
+
+  test("compound dataset (f64 + fixed-string members) round-trips column-wise") {
+    val langs = Seq("en", "de", "fr")
+    val scores = Array(0.91, 0.72, 0.88)
+    val counts = Array(120.0, 45.0, 300.0)
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("table", Seq(3), Array.empty,
+        typed = Some(Hdf5.CompoundData(Seq(
+          "lang" -> Hdf5.StrCol(langs, 4),
+          "score" -> Hdf5.F64Col(scores),
+          "count" -> Hdf5.F64Col(counts)))))))
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == "table").get._2
+    val ds = Hdf5.readDataset(s, "table", oh)
+    val ct = ds.dtype.asInstanceOf[Hdf5.CompoundType]
+    assert(ct.size == 4 + 8 + 8)
+    assert(ct.members.map(m => (m.name, m.offset)) == Seq(("lang", 0), ("score", 4), ("count", 12)))
+    val Hdf5.Contiguous(addr, size) = ds.layout: @unchecked
+    val cols = Hdf5.decodeCompound(s.read(addr, size.toInt), ct, 3, s).toMap
+    assert(cols("lang").toSeq == langs)
+    assert(cols("score").toSeq == scores.toSeq)
+    assert(cols("count").toSeq == counts.toSeq)
+  }
+
+  test("compound datatype message version 3 parses (reader-only shape)") {
+    // v3: NUL-terminated names with NO padding, offsets in the fewest
+    // bytes that hold the compound size — what libver='latest' writes.
+    val f64 = {
+      val b = ByteBuffer.allocate(20).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x11.toByte).put(0x20.toByte).put(0x3f.toByte).put(0.toByte).putInt(8)
+      b.putShort(0).putShort(64)
+      b.put(52.toByte).put(11.toByte).put(0.toByte).put(52.toByte).putInt(1023)
+      b.array()
+    }
+    def member(name: String, off: Int): Array[Byte] = {
+      val nb = name.getBytes("UTF-8")
+      val b = ByteBuffer.allocate(nb.length + 1 + 1 + f64.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.put(nb).put(0.toByte).put(off.toByte).put(f64) // size 16 → 1-byte offsets
+      b.array()
+    }
+    val ms = member("x", 0) ++ member("yy", 8)
+    val body = ByteBuffer.allocate(8 + ms.length).order(ByteOrder.LITTLE_ENDIAN)
+    body.put(0x36.toByte).put(2.toByte).put(0.toByte).put(0.toByte).putInt(16).put(ms)
+    val t = Hdf5.parseDatatype(body.array()).asInstanceOf[Hdf5.CompoundType]
+    assert(t.size == 16)
+    assert(t.members.map(m => (m.name, m.offset, m.dtype)) ==
+      Seq(("x", 0, Hdf5.NumType("float", 8, true)), ("yy", 8, Hdf5.NumType("float", 8, true))))
+  }
+
+  test("unsupported datatype classes error with the class named") {
+    val body = Array[Byte](0x17, 0, 0, 0, 8, 0, 0, 0) // class 7 (reference)
+    val e = intercept[IllegalArgumentException](Hdf5.parseDatatype(body))
+    assert(e.getMessage.contains("class 7"))
+  }
+
+  // ── registered plugin filters: zstd (32015) and lz4 (32004) ─────────────
+
+  test("zstd-filtered chunks round-trip (writer emits, defilter decodes)") {
+    val vals = Array.tabulate(48)(i => math.sin(i * 0.7) * 10)
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("z", Seq(6, 8), vals, chunkDims = Some(Seq(3, 4)),
+        deflateLevel = 3, compressor = "zstd")))
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == "z").get._2
+    val ds = Hdf5.readDataset(s, "z", oh)
+    assert(ds.filters.map(_.id) == Seq(2, 32015))
+    val acc = new Array[Double](48)
+    Hdf5.listChunks(s, ds).foreach { c =>
+      val got = Hdf5.decode(
+        Hdf5.defilter(s.read(c.addr, c.size), ds.filters, c.filterMask), ds.dtype, 12)
+      var ci = 0
+      while (ci < 12) {
+        val y = c.offsets(0) + ci / 4; val x = c.offsets(1) + ci % 4
+        if (y < 6 && x < 8) acc((y * 8 + x).toInt) = got(ci)
+        ci += 1
+      }
+    }
+    assert(acc.toSeq == vals.toSeq)
+  }
+
+  test("lz4 plugin framing (BE sizes, blocked) defilters exactly") {
+    // Build the registered HDF5 lz4 plugin layout by hand: u64 BE total,
+    // u32 BE block size, then [u32 BE compressed len, block bytes]*.
+    val raw = Array.tabulate(1000)(i => (i % 251).toByte)
+    val blockSize = 256
+    val comp = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastCompressor()
+    val out = new java.io.ByteArrayOutputStream()
+    val head = ByteBuffer.allocate(12).order(ByteOrder.BIG_ENDIAN)
+    head.putLong(raw.length.toLong).putInt(blockSize)
+    out.write(head.array())
+    raw.grouped(blockSize).foreach { block =>
+      val c = comp.compress(block)
+      val stored = if (c.length >= block.length) block else c // raw when not smaller
+      val lb = ByteBuffer.allocate(4).order(ByteOrder.BIG_ENDIAN)
+      lb.putInt(stored.length)
+      out.write(lb.array()); out.write(stored)
+    }
+    val got = Hdf5.defilter(out.toByteArray, Seq(Hdf5.Filter(32004, Seq(0, blockSize))), 0)
+    assert(got.toSeq == raw.toSeq)
+  }
+
+  test("unknown filter ids still error with the id named") {
+    val e = intercept[IllegalArgumentException](
+      Hdf5.defilter(Array[Byte](1, 2, 3), Seq(Hdf5.Filter(4, Seq.empty)), 0))
+    assert(e.getMessage.contains("filter id 4"))
+  }
+}
