@@ -889,6 +889,41 @@ object MarexQueries extends QueryRegistry {
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val,
                      CAST(round(sum(y * 2.0 + x * 3.0), 2) AS DOUBLE) AS sum_coord
               FROM cells WHERE t_idx BETWEEN 5 AND 20 AND y < 5 GROUP BY t_idx"""),
-      "Zarr group through SQL: format(\"zarr\") wide scan, per-dimension chunk pushdown + member column pruning")
+      "Zarr group through SQL: format(\"zarr\") wide scan, per-dimension chunk pushdown + member column pruning"),
+
+    // ── HDF5 compound-table ingest (PyTables / pandas.to_hdf shape) ───────
+    QueryDef("q79_hdf5_table",
+      (s, d) => {
+        import graft.sources.NetCDF4Source
+        // per-(lang, source) aggregate of documents written as an HDF5
+        // COMPOUND dataset — string + f64 members, the record shape
+        // PyTables and pandas `to_hdf` store — read back distributed via
+        // readCompoundTable and re-aggregated per lang. A defect in the
+        // compound datatype writer/parser, the fixed-string member decode,
+        // or the row fan-out mismatches the oracle, which recomputes from
+        // the parquet directly. All measures are integer-valued, so the
+        // f64 round-trip is exact (< 2^53).
+        val table = Tables.load(s, d, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).cast("double").as("n_docs"),
+            sum(col("n_chars")).cast("double").as("sum_chars"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q79.h5"
+        new java.io.File(path).delete()
+        NetCDF4Source.writeCompoundTable(table, path, "doc_stats")
+        NetCDF4Source.readCompoundTable(s, path, "doc_stats")
+          .groupBy(col("lang"))
+          .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+            sum(col("sum_chars")).cast("long").as("sum_chars"),
+            count(lit(1)).cast("long").as("n_sources"))
+      },
+      Some("""WITH t AS (
+                SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+                FROM documents GROUP BY 1, 2)
+              SELECT lang,
+                     CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                     CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+                     CAST(count(*) AS BIGINT) AS n_sources
+              FROM t GROUP BY lang"""),
+      "HDF5 compound-table sink + distributed source (string + f64 members, PyTables shape)")
   )
 }

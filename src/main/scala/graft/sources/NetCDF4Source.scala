@@ -101,6 +101,138 @@ object NetCDF4Source {
     (v.dims, out)
   }
 
+  /** Driver-side read of a string variable (label axes, station names,
+    * member ids — small by nature): fixed-length or vlen cells. */
+  def readLocalStrings(spark: SparkSession, path: String,
+      varName: String): (Seq[Long], Array[String]) = {
+    val src = source(spark, path)
+    val v = findVar(src, path, varName)
+    val n = v.dims.product.toInt
+    val out = v.layout match {
+      case Compact(data) => decodeStrings(data, v.dtype, n, src)
+      case Contiguous(addr, size) =>
+        decodeStrings(src.read(addr, size.toInt), v.dtype, n, src)
+      case Chunked(_, chunkDims, _) =>
+        val acc = new Array[String](n)
+        listChunks(src, v).foreach { c =>
+          val vals = decodeStrings(
+            defilter(src.read(c.addr, c.size), v.filters, c.filterMask),
+            v.dtype, chunkDims.map(_.toLong).product.toInt, src)
+          foreachCell(c.offsets, chunkDims, v.dims) { (flat, ci) => acc(flat) = vals(ci) }
+        }
+        acc
+    }
+    (v.dims, out)
+  }
+
+  /** Distributed read of a 1-D COMPOUND dataset into a DataFrame — the
+    * HDF5 record/table shape PyTables and `pandas.to_hdf` store. Numeric
+    * members become DOUBLE columns, string members STRING. Metadata is
+    * parsed once on the driver; chunked tables fan out one task per chunk
+    * batch (like parquet row-groups), contiguous tables split into
+    * fixed-size row ranges — both scale with the file, not the driver. */
+  def readCompoundTable(spark: SparkSession, path: String,
+      varName: String): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val src = source(spark, path)
+    val v = findVar(src, path, varName)
+    val ct = v.dtype match {
+      case c: CompoundType => c
+      case o => throw new IllegalArgumentException(s"$varName is not compound ($o)")
+    }
+    require(v.dims.length == 1, s"$varName: compound tables are 1-D (got ${v.dims})")
+    val n = v.dims.head
+    val schema = StructType(ct.members.map { m =>
+      m.dtype match {
+        case _: NumType => StructField(m.name, DoubleType, nullable = false)
+        case _ => StructField(m.name, StringType, nullable = false)
+      }
+    })
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val filters = v.filters
+    def rowsOf(data: Array[Byte], count: Int, s: ByteSource): Iterator[Row] = {
+      val cols = decodeCompound(data, ct, count, s).map(_._2)
+      (0 until count).iterator.map(i => Row.fromSeq(cols.map {
+        case ds: Array[Double] => ds(i)
+        case ss: Array[String] => ss(i)
+        case o: Array[_] => o(i)
+      }))
+    }
+    val rdd = v.layout match {
+      case Chunked(_, chunkDims, _) =>
+        val cn = chunkDims.head
+        val kept = listChunks(src, v)
+        spark.sparkContext
+          .parallelize(kept, math.min(128, math.max(1, kept.size)))
+          .mapPartitions { it =>
+            val s = new HadoopSource(conf.value, path)
+            it.flatMap { c =>
+              val data = defilter(s.read(c.addr, c.size), filters, c.filterMask)
+              rowsOf(data, math.min(cn.toLong, n - c.offsets.head).toInt, s)
+            }
+          }
+      case Contiguous(addr, _) =>
+        val batch = 65536
+        val starts = (0L until n by batch.toLong).toSeq
+        spark.sparkContext
+          .parallelize(starts, math.min(128, math.max(1, starts.size)))
+          .mapPartitions { it =>
+            val s = new HadoopSource(conf.value, path)
+            it.flatMap { start =>
+              val count = math.min(batch.toLong, n - start).toInt
+              rowsOf(s.read(addr + start * ct.size, count * ct.size), count, s)
+            }
+          }
+      case Compact(data) =>
+        spark.sparkContext.parallelize(rowsOf(data, n.toInt, src).toSeq)
+    }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Compound-table sink: the write dual of [[readCompoundTable]] (string
+    * columns → fixed-length members sized to the data, numerics → f64).
+    * Driver-side assembly like [[write3D]] — a single HDF5 file is an
+    * inherently serial sink, for bounded result exports only. */
+  def writeCompoundTable(df: DataFrame, path: String, varName: String,
+      stringSizes: Map[String, Int] = Map.empty): Unit = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val fields = df.schema.fields
+    val rows = df.collect()
+    val cols: Seq[(String, Hdf5.CompoundCol)] = fields.zipWithIndex.map { case (f, i) =>
+      f.dataType match {
+        case StringType =>
+          val vals = rows.map(r => Option(r.getString(i)).getOrElse("")).toSeq
+          val size = stringSizes.getOrElse(f.name,
+            math.max(1, if (vals.isEmpty) 1 else vals.map(_.getBytes("UTF-8").length).max))
+          f.name -> Hdf5.StrCol(vals, size)
+        case _ =>
+          val vals = rows.map { r =>
+            if (r.isNullAt(i)) Double.NaN
+            else r.get(i) match {
+              case d: Double => d
+              case fl: Float => fl.toDouble
+              case l: Long => l.toDouble
+              case in: Int => in.toDouble
+              case s: Short => s.toDouble
+              case b: Byte => b.toDouble
+              case bd: java.math.BigDecimal => bd.doubleValue
+              case o => throw new IllegalArgumentException(
+                s"column ${f.name}: unsupported type ${o.getClass.getName}")
+            }
+          }
+          f.name -> Hdf5.F64Col(vals)
+      }
+    }.toSeq
+    val bytes = Hdf5.assemble(Seq(WriteVar(varName, Seq(rows.length), Array.empty,
+      typed = Some(Hdf5.CompoundData(cols)))))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
   /** Row-major iteration over the in-range cells of one chunk:
     * f(flat dataset index, chunk-local index). */
   private def foreachCell(org: Seq[Long], chunkDims: Seq[Int], dims: Seq[Long])(

@@ -267,4 +267,57 @@ class NetCDF4Spec extends SparkSpec {
     val passthrough = Hdf5.defilter(raw, Seq(Hdf5.Filter(1, Seq.empty)), 0x1)
     assert(passthrough.toSeq == raw.toSeq)
   }
+
+  test("readLocalStrings reads fixed and vlen string variables") {
+    val path = tmpNc()
+    val fixed = Seq("tokyo", "oslo", "", "perth")
+    val vlen = Seq("a rather long station description", "x", "")
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("station", Seq(4), Array.empty,
+        typed = Some(Hdf5.FixedStrData(fixed, 8))),
+      Hdf5.WriteVar("descr", Seq(3), Array.empty,
+        typed = Some(Hdf5.VlenStrData(vlen)))))
+    val f = new java.io.File(path)
+    val os = new java.io.FileOutputStream(f)
+    try os.write(bytes) finally os.close()
+    assert(NetCDF4Source.readLocalStrings(spark, path, "station")._2.toSeq == fixed)
+    assert(NetCDF4Source.readLocalStrings(spark, path, "descr")._2.toSeq == vlen)
+  }
+
+  test("compound table sink + distributed source round-trips rows") {
+    val path = tmpNc()
+    val in = Seq(
+      ("en", "web", 120.0, 0.91),
+      ("de", "web", 45.0, 0.72),
+      ("fr", "books", 300.0, 0.88),
+      ("en", "books", 7.0, 0.15)
+    ).toDF("lang", "source", "n_docs", "score")
+    NetCDF4Source.writeCompoundTable(in, path, "stats")
+    val out = NetCDF4Source.readCompoundTable(spark, path, "stats")
+    assert(out.schema.fieldNames.toSeq == Seq("lang", "source", "n_docs", "score"))
+    assert(out.count() == 4)
+    val got = out.orderBy("lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("de", "web", 45.0, 0.72), ("en", "books", 7.0, 0.15),
+      ("en", "web", 120.0, 0.91), ("fr", "books", 300.0, 0.88)))
+  }
+
+  test("compound table: integer and null inputs coerce to f64 (NaN for null)") {
+    val path = tmpNc()
+    val in = Seq(("a", Some(3L)), ("b", None)).toDF("k", "v")
+    NetCDF4Source.writeCompoundTable(in, path, "t")
+    val got = NetCDF4Source.readCompoundTable(spark, path, "t")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got(0) == ("a", 3.0))
+    assert(got(1)._1 == "b" && got(1)._2.isNaN)
+  }
+
+  test("non-compound variables hitting readCompoundTable fail with a named error") {
+    val path = tmpNc()
+    NetCDF4Source.write3D(grid(2, 2, 2), path, "sst", shape = (2, 2, 2))
+    val e = intercept[IllegalArgumentException](
+      NetCDF4Source.readCompoundTable(spark, path, "sst"))
+    assert(e.getMessage.contains("not compound"))
+  }
 }
