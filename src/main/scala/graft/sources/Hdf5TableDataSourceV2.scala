@@ -1,0 +1,217 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+/** HDF5 1-D COMPOUND datasets (the PyTables / `pandas.to_hdf` record
+  * shape) as a Spark DataSourceV2:
+  * `spark.read.format("hdf5table").option("var", "stats").load(path)`.
+  *
+  * The schema is inferred from the compound member list (numeric members →
+  * DOUBLE, string members → STRING). Spark-first details:
+  *
+  *  - **member-level column pruning**: a compound record stores members at
+  *    fixed offsets, so pruning is done INSIDE the record — only the
+  *    requested members' bytes are decoded; a `select(one_col)` over a
+  *    20-member table decodes 1/20th of the cells (the HDF5 analogue of
+  *    Parquet column pruning, except within a row-major record);
+  *  - **limit pushdown**: `LIMIT n` stops planning partitions once the
+  *    cumulative row count covers n — a `df.show()` against a billion-row
+  *    table opens one chunk;
+  *  - **one `InputPartition` per stored chunk** (chunked tables) or per
+  *    fixed row range (contiguous), so parallelism tracks the file layout
+  *    on any Hadoop filesystem, like the netcdf/zarr sources.
+  *
+  * Reference entry point: marEx opens archives via `xr.open_dataset`
+  * (detect.py:409); compound variables are the table-valued corner of that
+  * surface. Utility twin: [[NetCDF4Source.readCompoundTable]].
+  */
+class Hdf5TableDataSourceV2 extends TableProvider
+    with org.apache.spark.sql.sources.DataSourceRegister {
+  override def shortName(): String = "hdf5table"
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (path, varName) = Hdf5TableV2.pathVar(options.asCaseSensitiveMap())
+    Hdf5TableV2.schemaOf(Hdf5TableV2.compoundOf(path, varName)._2)
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table = {
+    val (path, varName) = Hdf5TableV2.pathVar(properties)
+    new Hdf5TableV2(path, varName)
+  }
+}
+
+private[sources] object Hdf5TableV2 {
+  def pathVar(props: java.util.Map[String, String]): (String, String) = {
+    val path = Option(props.get("path")).getOrElse(throw new IllegalArgumentException(
+      "hdf5table source requires a path: spark.read.format(\"hdf5table\").load(file)"))
+    val varName = Option(props.get("var")).getOrElse(throw new IllegalArgumentException(
+      "hdf5table source requires .option(\"var\", <dataset name>)"))
+    (path, varName)
+  }
+
+  def compoundOf(path: String, varName: String): (Hdf5.Dataset, Hdf5.CompoundType) = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val src = new NetCDF4Source.HadoopSource(
+      spark.sparkContext.hadoopConfiguration, path)
+    val (rootOh, _) = Hdf5.readSuperblock(src)
+    val oh = Hdf5.listDatasets(src, rootOh).find(_._1 == varName)
+      .getOrElse(throw new IllegalArgumentException(s"no dataset $varName in $path"))._2
+    val ds = Hdf5.readDataset(src, varName, oh)
+    val ct = ds.dtype match {
+      case c: Hdf5.CompoundType => c
+      case o => throw new IllegalArgumentException(
+        s"$varName is not a compound dataset ($o) — use format(\"netcdf\") for numeric grids")
+    }
+    require(ds.dims.length == 1, s"$varName: compound tables are 1-D (got ${ds.dims})")
+    (ds, ct)
+  }
+
+  def schemaOf(ct: Hdf5.CompoundType): StructType = StructType(ct.members.map { m =>
+    m.dtype match {
+      case _: Hdf5.NumType => StructField(m.name, DoubleType, nullable = false)
+      case _ => StructField(m.name, StringType, nullable = false)
+    }
+  })
+}
+
+private[sources] class Hdf5TableV2(path: String, varName: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"hdf5table:$path#$varName"
+  override def schema(): StructType =
+    Hdf5TableV2.schemaOf(Hdf5TableV2.compoundOf(path, varName)._2)
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new Hdf5TableScanBuilder(path, varName)
+}
+
+private[sources] class Hdf5TableScanBuilder(path: String, varName: String)
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+
+  private var required: Option[StructType] = None
+  private var limit: Option[Int] = None
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = Some(requiredSchema)
+
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  // chunk boundaries over-deliver rows, so Spark must still apply the limit
+  override def isPartiallyPushed: Boolean = true
+
+  override def build(): Scan = new Hdf5TableScan(path, varName, required, limit)
+}
+
+/** One stored chunk (`addr >= 0`) or a contiguous/compact row range. */
+private[sources] case class Hdf5TableChunkPartition(orgRow: Long, rows: Int,
+    addr: Long, size: Int, filterMask: Int) extends InputPartition
+private[sources] case class Hdf5TableRangePartition(addr: Long, orgRow: Long,
+    rows: Int) extends InputPartition
+private[sources] case class Hdf5TableInlinePartition(data: Array[Byte],
+    rows: Int) extends InputPartition
+
+private[sources] class Hdf5TableScan(path: String, varName: String,
+    requiredOpt: Option[StructType], limit: Option[Int]) extends Scan with Batch {
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  private lazy val meta: (Hdf5.Dataset, Hdf5.CompoundType) =
+    Hdf5TableV2.compoundOf(path, varName)
+
+  private lazy val required: StructType =
+    requiredOpt.getOrElse(Hdf5TableV2.schemaOf(meta._2))
+
+  /** The compound type narrowed to the required members, in OUTPUT order —
+    * offsets are absolute within the stored record, so dropping members IS
+    * the column pruning (unrequested bytes are never decoded). */
+  private lazy val prunedCt: Hdf5.CompoundType = {
+    val byName = meta._2.members.map(m => m.name -> m).toMap
+    Hdf5.CompoundType(meta._2.size, required.fieldNames.toIndexedSeq.map(byName(_)))
+  }
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"Hdf5TableScan(path=$path, var=$varName, " +
+      s"columns=${required.fieldNames.mkString(",")}${
+        limit.map(l => s", limit=$l").getOrElse("")})"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val (ds, ct) = meta
+    val n = ds.dims.head
+    val cap = limit.map(_.toLong).getOrElse(Long.MaxValue)
+    val parts = ds.layout match {
+      case Hdf5.Chunked(_, chunkDims, _) =>
+        val cn = chunkDims.head.toLong
+        val src = new NetCDF4Source.HadoopSource(
+          spark.sparkContext.hadoopConfiguration, path)
+        Hdf5.listChunks(src, ds).sortBy(_.offsets.head).iterator.map { c =>
+          Hdf5TableChunkPartition(c.offsets.head,
+            math.min(cn, n - c.offsets.head).toInt, c.addr, c.size, c.filterMask)
+        }
+      case Hdf5.Contiguous(addr, _) =>
+        val batch = 65536L
+        (0L until n by batch).iterator.map(start =>
+          Hdf5TableRangePartition(addr + start * ct.size, start,
+            math.min(batch, n - start).toInt))
+      case Hdf5.Compact(data) =>
+        Iterator.single(Hdf5TableInlinePartition(data, n.toInt))
+    }
+    // limit pushdown: stop planning once the cumulative rows cover it
+    val out = Seq.newBuilder[InputPartition]
+    var covered = 0L
+    while (parts.hasNext && covered < cap) {
+      val p = parts.next()
+      out += p
+      covered += (p match {
+        case c: Hdf5TableChunkPartition => c.rows.toLong
+        case r: Hdf5TableRangePartition => r.rows.toLong
+        case i: Hdf5TableInlinePartition => i.rows.toLong
+      })
+    }
+    out.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new Hdf5TableReaderFactory(path, prunedCt, meta._1.filters,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+}
+
+private[sources] class Hdf5TableReaderFactory(path: String,
+    ct: Hdf5.CompoundType, filters: Seq[Hdf5.Filter],
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    lazy val src = new NetCDF4Source.HadoopSource(conf.value, path)
+    val (data, rows) = partition match {
+      case c: Hdf5TableChunkPartition =>
+        (Hdf5.defilter(src.read(c.addr, c.size), filters, c.filterMask), c.rows)
+      case r: Hdf5TableRangePartition =>
+        (src.read(r.addr, r.rows * ct.size), r.rows)
+      case i: Hdf5TableInlinePartition => (i.data, i.rows)
+    }
+    val cols: Seq[Array[_]] = Hdf5.decodeCompound(data, ct, rows, src).map(_._2)
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < rows }
+      override def get(): InternalRow =
+        InternalRow.fromSeq(cols.map {
+          case ds: Array[Double] => ds(i)
+          case ss: Array[String] => UTF8String.fromString(ss(i))
+          case o: Array[_] => o(i)
+        })
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `format("hdf5table")` — compound datasets through SQL, with
+  * member-level column pruning and limit pushdown. */
+class Hdf5TableDataSourceV2Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpH5(): String = {
+    val f = java.io.File.createTempFile("graft_h5tbl", ".h5")
+    f.delete()
+    f.getAbsolutePath
+  }
+
+  private def writeSample(path: String): Unit = {
+    val in = Seq(
+      ("en", "web", 120.0, 0.91),
+      ("de", "web", 45.0, 0.72),
+      ("fr", "books", 300.0, 0.88),
+      ("en", "books", 7.0, 0.15),
+      ("pt", "web", 9.0, 0.5)
+    ).toDF("lang", "source", "n_docs", "score")
+    NetCDF4Source.writeCompoundTable(in, path, "stats")
+  }
+
+  test("schema is inferred from the compound member list") {
+    val path = tmpH5()
+    writeSample(path)
+    val df = spark.read.format("hdf5table").option("var", "stats").load(path)
+    assert(df.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("lang", "string"), ("source", "string"),
+        ("n_docs", "double"), ("score", "double")))
+  }
+
+  test("full scan returns every record") {
+    val path = tmpH5()
+    writeSample(path)
+    val got = spark.read.format("hdf5table").option("var", "stats").load(path)
+      .orderBy("lang", "source")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.length == 5 && got.head == ("de", "web", 45.0, 0.72))
+  }
+
+  test("member-level column pruning reaches the scan") {
+    val path = tmpH5()
+    writeSample(path)
+    val df = spark.read.format("hdf5table").option("var", "stats").load(path)
+      .select(sum(col("score")).as("s"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("columns=score"), s"pruned member set missing from plan:\n$plan")
+    assert(math.abs(df.collect().head.getDouble(0) - 3.16) < 1e-9)
+  }
+
+  test("limit pushdown lands in the scan and rows still cap correctly") {
+    val path = tmpH5()
+    writeSample(path)
+    val df = spark.read.format("hdf5table").option("var", "stats").load(path).limit(2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=2"), s"pushed limit missing from plan:\n$plan")
+    assert(df.count() == 2)
+  }
+
+  test("aggregation with no member referenced (count star) still scans") {
+    val path = tmpH5()
+    writeSample(path)
+    val n = spark.read.format("hdf5table").option("var", "stats").load(path).count()
+    assert(n == 5)
+  }
+
+  test("missing var / non-compound dataset fail with named errors") {
+    val path = tmpH5()
+    writeSample(path)
+    val e1 = intercept[Exception](
+      spark.read.format("hdf5table").option("var", "nope").load(path).collect())
+    assert(e1.getMessage.contains("nope"))
+    val gridPath = tmpH5()
+    NetCDF4Source.write3D(
+      Seq((0, 0, 0, 1.0)).toDF("t_idx", "y", "x", "value"),
+      gridPath, "sst", shape = (1, 1, 1))
+    val e2 = intercept[Exception](
+      spark.read.format("hdf5table").option("var", "sst").load(gridPath).collect())
+    assert(e2.getMessage.contains("not a compound"))
+  }
+}
