@@ -170,11 +170,13 @@ object ScaleDemo {
     // `ScaleDemo 1 append 720 1440` = one year of history at the production
     // grid, then ONE appended day. The number that matters is the ratio:
     // the daily-ingest cost must not scale with the archive length.
-    if (method == "append") {
+    // "append-merge" = same probe with split/merge genealogy on (the
+    // merging-mode increment re-resolves only seam ∪ block)
+    if (method == "append" || method == "append-merge") {
       val nDays = 365 * nYears
       val histCfg = TrackConfig(rFill = 2, tFill = 0,
         areaFilterAbsolute = Some(100.0), overlapThreshold = 0.25,
-        allowMerging = false, dropSmallestObject = false)
+        allowMerging = method == "append-merge", dropSmallestObject = false)
       val epoch0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime
       val cut = new java.sql.Timestamp(epoch0 + nDays.toLong * 86400000L)
       val all = timed(s"storm flags ${nDays + 1}d $ny×$nx") {

@@ -65,6 +65,12 @@ private[sources] object Hdf5 {
     * global heap collection. */
   final case class VlenStrType(utf8: Boolean) extends DType { def size: Int = 16 }
 
+  /** Variable-length SEQUENCE (class 9, vlen type 0) of a numeric base —
+    * ragged per-element arrays (e.g. per-station sample lists). Same
+    * 16-byte element encoding as vlen strings; the heap object holds
+    * `length` packed base-type values. */
+  final case class VlenSeqType(base: NumType) extends DType { def size: Int = 16 }
+
   final case class CompoundMember(name: String, offset: Int, dtype: DType)
 
   /** Compound type (class 6) — HDF5's record/struct type, what PyTables/
@@ -267,8 +273,11 @@ private[sources] object Hdf5 {
       case 9 => // variable-length: bits 0–3 vlen type, 4–7 padding, 8–11 charset
         val (base, baseLen) = parseDatatypeAt(body, off + 8)
         if ((bits0 & 0x0f) == 1) (VlenStrType(utf8 = (bits1 & 0x0f) == 1), 8 + baseLen)
-        else throw new IllegalArgumentException(
-          s"unsupported vlen sequence datatype (base $base) — only vlen strings")
+        else base match {
+          case nt: NumType => (VlenSeqType(nt), 8 + baseLen)
+          case o => throw new IllegalArgumentException(
+            s"unsupported vlen sequence base datatype $o — numeric bases only")
+        }
       case 6 => // compound: member count in class bit field bits 0–15
         val nMembers = bits0 | (bits1 << 8)
         var p = off + 8
@@ -1158,6 +1167,29 @@ private[sources] object Hdf5 {
       case o => throw new IllegalArgumentException(s"not a string datatype: $o")
     }
 
+  /** Decode `n` vlen-sequence elements into ragged double arrays (the heap
+    * object of element i holds its `length` packed base-type values). */
+  def decodeVlenSeqs(data: Array[Byte], dt: DType, n: Int,
+      src: ByteSource): Array[Array[Double]] = {
+    val base = dt match {
+      case VlenSeqType(b) => b
+      case o => throw new IllegalArgumentException(s"not a vlen sequence datatype: $o")
+    }
+    val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+    val b = le(data)
+    Array.tabulate(n) { i =>
+      val len = b.getInt(i * 16)
+      val addr = b.getLong(i * 16 + 4)
+      val idx = b.getInt(i * 16 + 12)
+      if (addr == Undef || addr == 0L || len == 0) Array.emptyDoubleArray
+      else {
+        val col = cache.getOrElseUpdate(addr, globalHeapCollection(src, addr))
+        decode(col.getOrElse(idx, throw new IllegalArgumentException(
+          s"vlen element points at missing global heap object $idx@$addr")), base, len)
+      }
+    }
+  }
+
   /** Column-wise decode of `n` compound records: member name → either
     * `Array[Double]` (numeric members) or `Array[String]` (string
     * members). Nested compounds/vlens inside members are rejected with a
@@ -1227,6 +1259,10 @@ private[sources] object Hdf5 {
   final case class VlenStrData(values: Seq[String]) extends TypedData {
     def n: Int = values.length; def elemSize: Int = 16
   }
+  /** Vlen f64-sequence dataset (class 9 type 0): ragged arrays via GCOL. */
+  final case class VlenSeqData(values: Seq[Array[Double]]) extends TypedData {
+    def n: Int = values.length; def elemSize: Int = 16
+  }
   sealed trait CompoundCol { def n: Int; def elemSize: Int }
   final case class F64Col(values: Array[Double]) extends CompoundCol {
     def n: Int = values.length; def elemSize: Int = 8
@@ -1254,6 +1290,12 @@ private[sources] object Hdf5 {
       b.put(0x19.toByte).put(0x01.toByte).put(0x01.toByte).put(0.toByte).putInt(16)
       // base type: 1-byte ASCII string (libhdf5 convention for vlen str)
       b.put(0x13.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte).putInt(1)
+      b.array()
+    case _: VlenSeqData =>
+      val b = ByteBuffer.allocate(8 + 24).order(ByteOrder.LITTLE_ENDIAN)
+      // v1 class 9; vlen type = sequence (0); base = IEEE f64 LE
+      b.put(0x19.toByte).put(0x00.toByte).put(0x00.toByte).put(0.toByte).putInt(16)
+      b.put(f64TypeBody)
       b.array()
     case cd: CompoundData =>
       val memberRecs = {
@@ -1302,6 +1344,12 @@ private[sources] object Hdf5 {
       val b = ByteBuffer.allocate(values.length * 16).order(ByteOrder.LITTLE_ENDIAN)
       values.zipWithIndex.foreach { case (s, i) =>
         b.putInt(s.getBytes("UTF-8").length).putLong(gcolAddr).putInt(i + 1)
+      }
+      b.array()
+    case VlenSeqData(values) =>
+      val b = ByteBuffer.allocate(values.length * 16).order(ByteOrder.LITTLE_ENDIAN)
+      values.zipWithIndex.foreach { case (a, i) =>
+        b.putInt(a.length).putLong(gcolAddr).putInt(i + 1) // length in ELEMENTS
       }
       b.array()
     case cd: CompoundData =>
@@ -1708,6 +1756,10 @@ private[sources] object Hdf5 {
               val a = cursor
               cursor += gcolTotal(vals.map(_.getBytes("UTF-8").length))
               a
+            case Some(VlenSeqData(vals)) =>
+              val a = cursor
+              cursor += gcolTotal(vals.map(_.length * 8))
+              a
             case _ => Undef
           }
           Plan(v, ohAddr, dataAddr, Undef, Seq.empty, gcolAddr = gcolAddr)
@@ -1978,6 +2030,13 @@ private[sources] object Hdf5 {
               case VlenStrData(vals) =>
                 require(pos == p.gcolAddr, s"gcol drift at ${v.name}")
                 out.write(buildGcol(vals.map(_.getBytes("UTF-8"))))
+              case VlenSeqData(vals) =>
+                require(pos == p.gcolAddr, s"gcol drift at ${v.name}")
+                out.write(buildGcol(vals.map { a =>
+                  val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+                  a.foreach(bb.putDouble)
+                  bb.array()
+                }))
               case _ => ()
             }
           case None =>

@@ -69,6 +69,27 @@ class Hdf5TypedSpec extends AnyFunSuite {
     assert(Hdf5.decode(s.read(addr, size.toInt), ds.dtype, 3).toSeq == nums.toSeq)
   }
 
+  // ── vlen sequences (class 9 type 0, numeric base) ────────────────────────
+
+  test("vlen f64-sequence dataset round-trips ragged arrays") {
+    val values = Seq(
+      Array(1.5, 2.5, 3.5),
+      Array.emptyDoubleArray,
+      Array(42.0),
+      Array.tabulate(100)(_ * 0.25))
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("samples", Seq(values.length), Array.empty,
+        typed = Some(Hdf5.VlenSeqData(values)))))
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == "samples").get._2
+    val ds = Hdf5.readDataset(s, "samples", oh)
+    assert(ds.dtype == Hdf5.VlenSeqType(Hdf5.NumType("float", 8, littleEndian = true)))
+    val Hdf5.Contiguous(addr, size) = ds.layout: @unchecked
+    val got = Hdf5.decodeVlenSeqs(s.read(addr, size.toInt), ds.dtype, 4, s)
+    assert(got.map(_.toSeq).toSeq == values.map(_.toSeq))
+  }
+
   // ── compound datasets (class 6) ──────────────────────────────────────────
 
   test("compound dataset (f64 + fixed-string members) round-trips column-wise") {
