@@ -148,4 +148,79 @@ object Hdf5PropertySpec extends Properties("Hdf5Layouts") {
       Prop(rdims == dims.map(_.toLong)) :| "shape",
       Prop(got.toSeq != null && got.length == dims.product) :| "read")
   }
+
+  // ── typed datatypes: random compound schemas + string/vlen payloads ─────
+
+  private val strGen: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+    Gen.listOfN(n, Gen.frequency(
+      9 -> Gen.alphaNumChar, 1 -> Gen.oneOf('å', 'ß', '中'))).map(_.mkString))
+
+  property("typedFixedStrings") = forAll(Gen.nonEmptyListOf(strGen)) { vals =>
+    val size = math.max(1, vals.map(_.getBytes("UTF-8").length).max)
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("s", Seq(vals.length), Array.empty,
+      typed = Some(Hdf5.FixedStrData(vals, size)))))
+    val src = byteSource(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(src)
+    val (nm, oh) = Hdf5.listDatasets(src, rootOh).head
+    val ds = Hdf5.readDataset(src, nm, oh)
+    val Hdf5.Contiguous(addr, sz) = ds.layout: @unchecked
+    val got = Hdf5.decodeStrings(src.read(addr, sz.toInt), ds.dtype, vals.length, src)
+    // NUL-trim semantics: embedded content survives; values round-trip
+    Prop(got.toSeq == vals) :| s"got ${got.toSeq} want $vals"
+  }
+
+  property("typedVlenStrings") = forAll(Gen.nonEmptyListOf(strGen)) { vals =>
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("s", Seq(vals.length), Array.empty,
+      typed = Some(Hdf5.VlenStrData(vals)))))
+    val src = byteSource(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(src)
+    val (nm, oh) = Hdf5.listDatasets(src, rootOh).head
+    val ds = Hdf5.readDataset(src, nm, oh)
+    val Hdf5.Contiguous(addr, sz) = ds.layout: @unchecked
+    val got = Hdf5.decodeStrings(src.read(addr, sz.toInt), ds.dtype, vals.length, src)
+    Prop(got.toSeq == vals) :| s"got ${got.toSeq} want $vals"
+  }
+
+  property("typedCompoundRandomSchema") = forAll(
+    Gen.chooseNum(1, 40), Gen.chooseNum(1, 6), Gen.long) { (n, nMembers, seed) =>
+    val rnd = new scala.util.Random(seed)
+    val members = (0 until nMembers).map { m =>
+      if (rnd.nextBoolean()) {
+        s"num_$m" -> Hdf5.F64Col(Array.fill(n)(rnd.nextDouble() * 100 - 50))
+      } else {
+        val size = 1 + rnd.nextInt(10)
+        s"str_$m" -> Hdf5.StrCol(
+          Seq.fill(n)(rnd.alphanumeric.take(rnd.nextInt(size + 1)).mkString), size)
+      }
+    }
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("t", Seq(n), Array.empty,
+      typed = Some(Hdf5.CompoundData(members)))))
+    val src = byteSource(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(src)
+    val (nm, oh) = Hdf5.listDatasets(src, rootOh).head
+    val ds = Hdf5.readDataset(src, nm, oh)
+    val Hdf5.Contiguous(addr, sz) = ds.layout: @unchecked
+    val cols = Hdf5.decodeCompound(src.read(addr, sz.toInt), ds.dtype, n, src).toMap
+    Prop.all(members.map {
+      case (name, Hdf5.F64Col(vs)) =>
+        Prop(cols(name).asInstanceOf[Array[Double]].toSeq == vs.toSeq) :| name
+      case (name, Hdf5.StrCol(vs, _)) =>
+        Prop(cols(name).asInstanceOf[Array[String]].toSeq == vs) :| name
+    }: _*)
+  }
+
+  property("typedVlenSeqs") = forAll(
+    Gen.chooseNum(1, 20), Gen.long) { (n, seed) =>
+    val rnd = new scala.util.Random(seed)
+    val vals = Seq.fill(n)(Array.fill(rnd.nextInt(30))(rnd.nextDouble()))
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("v", Seq(n), Array.empty,
+      typed = Some(Hdf5.VlenSeqData(vals)))))
+    val src = byteSource(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(src)
+    val (nm, oh) = Hdf5.listDatasets(src, rootOh).head
+    val ds = Hdf5.readDataset(src, nm, oh)
+    val Hdf5.Contiguous(addr, sz) = ds.layout: @unchecked
+    val got = Hdf5.decodeVlenSeqs(src.read(addr, sz.toInt), ds.dtype, n, src)
+    Prop(got.map(_.toSeq).toSeq == vals.map(_.toSeq)) :| "ragged arrays"
+  }
 }
