@@ -924,6 +924,59 @@ object MarexQueries extends QueryRegistry {
                      CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
                      CAST(count(*) AS BIGINT) AS n_sources
               FROM t GROUP BY lang"""),
-      "HDF5 compound-table sink + distributed source (string + f64 members, PyTables shape)")
+      "HDF5 compound-table sink + distributed source (string + f64 members, PyTables shape)"),
+
+    // ── multi-file NetCDF archive (xr.open_mfdataset, user_guide.rst:82) ──
+    QueryDef("q80_netcdf_mfdataset",
+      (s, d) => {
+        import graft.sources.NetCDF4Source
+        // the reference's documented archive entry is
+        // xr.open_mfdataset('sst_*.nc'): one file per period, concatenated
+        // along time. Three "monthly" NC4 files are written from events
+        // (global t 0..30 split 0–9 / 10–19 / 20–30, each file's t_idx
+        // local), the DIRECTORY is read back through format("netcdf"), and
+        // a global t-range crossing two file boundaries is aggregated —
+        // misaligned concatenation order, a wrong global offset, or broken
+        // file-level pruning all mismatch the oracle, which recomputes
+        // from events on the global axis.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("value"))
+          .filter(col("t_idx").between(0, 30))
+          .localCheckpoint()
+        val dir = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft_q80_mf")
+        org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        dir.mkdirs()
+        Seq((0, 9), (10, 19), (20, 30)).zipWithIndex.foreach { case ((a, b), i) =>
+          NetCDF4Source.write3D(
+            cells.filter(col("t_idx").between(a, b))
+              .withColumn("t_idx", col("t_idx") - a),
+            f"${dir.getAbsolutePath}/sst_$i%03d.nc", "sst",
+            shape = (b - a + 1, 10, 15), timeChunk = 4)
+        }
+        s.read.format("netcdf").option("var", "sst").load(dir.getAbsolutePath)
+          .filter(col("t_idx").between(5, 25) && !isnan(col("value")))
+          .groupBy(col("t_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("value") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
+      "Multi-file NetCDF archive through format(\"netcdf\"): name-ordered time concat + file-level pruning")
   )
 }

@@ -16,12 +16,21 @@ import org.apache.spark.util.SerializableConfiguration
   * `(t_idx INT, y INT, x INT, value DOUBLE)` for a 3-D (time, y, x)
   * variable, dispatching NC3/NC4 on the file magic like [[NetCDFSource]].
   *
-  *  - **filter pushdown**: `t_idx` range predicates prune whole NC4 chunks
-  *    / NC3 record batches at planning time (the NetCDF analogue of
-  *    Parquet row-group pruning), visible in `explain()`;
+  * MULTI-FILE archives — the shape the reference documents
+  * (`xr.open_mfdataset('sst_*.nc')`, user_guide.rst:82: one file per
+  * year/month, thousands of files at 100 TB) — load the same way: `load()`
+  * accepts a directory, a glob, or several paths, concatenated along time
+  * in NAME order (the time-partitioned-archive convention) with a global
+  * `t_idx`. NC3 and NC4 files may mix; each dispatches on its own magic.
+  *
+  *  - **filter pushdown**: `t_idx` range predicates prune whole FILES
+  *    first (a "last 30 days" query against a 40-year daily archive opens
+  *    two files' metadata), then whole NC4 chunks / NC3 record batches
+  *    within surviving files — all at planning time, visible in
+  *    `explain()`;
   *  - **column pruning**: only requested columns are materialized;
   *  - **one `InputPartition` per NC4 chunk** (or per NC3/contiguous record
-  *    batch), so parallelism tracks the file's own storage grid on any
+  *    batch), so parallelism tracks the files' own storage grid on any
   *    Hadoop filesystem; fill-elided NC4 chunks synthesize the dataset's
   *    fill value, mirroring the zarr source's absent-chunk handling;
   *  - NC4 values pass through the CF `scale_factor`/`add_offset`/
@@ -35,13 +44,11 @@ class NetCdfDataSourceV2 extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val path = Option(properties.get("path")).getOrElse(
-      throw new IllegalArgumentException(
-        "netcdf source requires a path: spark.read.format(\"netcdf\").load(file)"))
+    val paths = NetCdfTableV2.resolvePaths(properties)
     val varName = Option(properties.get("var")).getOrElse(
       throw new IllegalArgumentException(
         "netcdf source requires .option(\"var\", <variable name>)"))
-    new NetCdfTableV2(path, varName)
+    new NetCdfTableV2(paths, varName)
   }
 }
 
@@ -51,19 +58,54 @@ private[sources] object NetCdfTableV2 {
     StructField("y", IntegerType, nullable = false),
     StructField("x", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
+
+  /** Expand the load() inputs (single path, several paths, directories,
+    * globs) into the concrete file list, NAME-sorted — the concatenation
+    * order of a time-partitioned archive (`sst_1990.nc`, `sst_1991.nc`…). */
+  def resolvePaths(properties: java.util.Map[String, String]): Seq[String] = {
+    val raw: Seq[String] = Option(properties.get("paths")) match {
+      case Some(json) => // .load(a, b, …) arrives as a JSON string array
+        org.json4s.jackson.JsonMethods.parse(json) match {
+          case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
+          case _ => throw new IllegalArgumentException(s"unparseable paths: $json")
+        }
+      case None => Option(properties.get("path")).map(Seq(_)).getOrElse(
+        throw new IllegalArgumentException(
+          "netcdf source requires a path: spark.read.format(\"netcdf\").load(files|dir|glob)"))
+    }
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration
+    val out = raw.flatMap { p =>
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(conf)
+      val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
+      require(matched.nonEmpty, s"no files match $p")
+      matched.flatMap { st =>
+        if (st.isDirectory)
+          fs.listStatus(st.getPath).toSeq
+            .filter(f => f.isFile && !f.getPath.getName.startsWith(".")
+              && !f.getPath.getName.startsWith("_"))
+            .map(_.getPath.toString)
+        else Seq(st.getPath.toString)
+      }
+    }
+    require(out.nonEmpty, s"no files under ${raw.mkString(", ")}")
+    out.distinct.sortBy(p => new org.apache.hadoop.fs.Path(p).getName)
+  }
 }
 
-private[sources] class NetCdfTableV2(path: String, varName: String)
+private[sources] class NetCdfTableV2(paths: Seq[String], varName: String)
     extends Table with SupportsRead {
-  override def name(): String = s"netcdf:$path#$varName"
+  override def name(): String = s"netcdf:${paths.head}${
+    if (paths.size > 1) s" (+${paths.size - 1})" else ""}#$varName"
   override def schema(): StructType = NetCdfTableV2.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NetCdfScanBuilder(path, varName)
+    new NetCdfScanBuilder(paths, varName)
 }
 
-private[sources] class NetCdfScanBuilder(path: String, varName: String)
+private[sources] class NetCdfScanBuilder(paths: Seq[String], varName: String)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var tLo = Int.MinValue
@@ -81,7 +123,7 @@ private[sources] class NetCdfScanBuilder(path: String, varName: String)
       case _ => false
     }
     pushed = accepted
-    // the pushdown is a chunk/record-level prune, not an exact row filter —
+    // the pushdown is a file/chunk-level prune, not an exact row filter —
     // keep every filter as a post-scan predicate too
     filters
   }
@@ -91,17 +133,20 @@ private[sources] class NetCdfScanBuilder(path: String, varName: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new NetCdfScan(path, varName, tLo, tHi, required)
+  override def build(): Scan = new NetCdfScan(paths, varName, tLo, tHi, required)
 }
 
-/** One stored (or fill-elided: addr = -1) NC4 chunk. */
-private[sources] case class NcChunkPartition(orgT: Int, orgY: Int, orgX: Int,
+/** One stored (or fill-elided: addr = -1) NC4 chunk of one file. Local
+  * time indexes; `tOff` shifts them onto the archive-global axis. */
+private[sources] case class NcChunkPartition(path: String, m: NcDecodeMeta,
+    tOff: Int, lt0: Int, lt1: Int, orgT: Int, orgY: Int, orgX: Int,
     addr: Long, size: Int, filterMask: Int) extends InputPartition
 
-/** An inclusive record/time-slice batch (NC3 or NC4-contiguous). */
-private[sources] case class NcRecordPartition(t0: Int, t1: Int) extends InputPartition
+/** An inclusive LOCAL record/time-slice batch (NC3 or NC4-contiguous). */
+private[sources] case class NcRecordPartition(path: String, m: NcDecodeMeta,
+    tOff: Int, t0: Int, t1: Int) extends InputPartition
 
-/** Serializable per-file decode context shared by all partitions. */
+/** Serializable per-file decode context. */
 private[sources] case class NcDecodeMeta(
     nt: Int, ny: Int, nx: Int,
     // record-slice path: base address + per-record byte stride
@@ -112,44 +157,34 @@ private[sources] case class NcDecodeMeta(
     // CF decode (identity: 1, 0, None) + dataset fill for elided chunks
     scale: Double, offset: Double, fillRaw: Option[Double], elidedFill: Double)
 
-private[sources] class NetCdfScan(path: String, varName: String, tLo: Int, tHi: Int,
-    required: StructType) extends Scan with Batch {
+private[sources] class NetCdfScan(paths: Seq[String], varName: String,
+    tLo: Int, tHi: Int, required: StructType) extends Scan with Batch {
 
   override def readSchema(): StructType = required
 
-  override def description(): String = {
-    val range =
-      if (tLo == Int.MinValue && tHi == Int.MaxValue) "none"
-      else s"t_idx in [$tLo, $tHi]"
-    s"NetCdfScan(path=$path, var=$varName, pushed=$range, " +
-      s"columns=${required.fieldNames.mkString(",")})"
-  }
-
-  override def toBatch: Batch = this
-
   private def spark = org.apache.spark.sql.SparkSession.active
 
-  private def driverSource: Hdf5.ByteSource =
+  private def driverSource(path: String): Hdf5.ByteSource =
     new NetCDF4Source.HadoopSource(spark.sparkContext.hadoopConfiguration, path)
 
-  private def isHdf5: Boolean =
-    driverSource.read(0L, 8).sameElements(Hdf5.Signature)
+  private def isHdf5(path: String): Boolean =
+    driverSource(path).read(0L, 8).sameElements(Hdf5.Signature)
 
-  private def hdf5Var: (Hdf5.Dataset, Map[String, Any]) = {
-    val src = driverSource
+  private def hdf5Var(path: String): (Hdf5.Dataset, Map[String, Any]) = {
+    val src = driverSource(path)
     val (rootOh, _) = Hdf5.readSuperblock(src)
     val oh = Hdf5.listDatasets(src, rootOh).find(_._1 == varName)
       .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))._2
     (Hdf5.readDataset(src, varName, oh), Hdf5.attributes(src, oh))
   }
 
-  // lazy val: both planInputPartitions() and createReaderFactory() need it,
-  // and the HDF5 branch walks the whole chunk index — pay that driver-side
-  // metadata cost once per scan, not per consumer
-  private lazy val meta: (NcDecodeMeta, Option[Seq[Hdf5.ChunkRef]]) =
-    if (isHdf5) {
-      val (v, attrs) = hdf5Var
-      require(v.dims.length == 3, s"$varName is not 3-D")
+  /** Header-level metadata; the NC4 chunked branch returns the parsed
+    * Dataset so the (expensive on huge files) chunk-index walk can be
+    * deferred until the file survives the time-range prune. */
+  private def fileMeta(path: String): (NcDecodeMeta, Option[Hdf5.Dataset]) =
+    if (isHdf5(path)) {
+      val (v, attrs) = hdf5Var(path)
+      require(v.dims.length == 3, s"$varName is not 3-D in $path")
       val Seq(nt, ny, nx) = v.dims.map(_.toInt)
       def num(k: String): Option[Double] = attrs.get(k).collect {
         case d: Double => d
@@ -169,19 +204,19 @@ private[sources] class NetCdfScan(path: String, varName: String, tLo: Int, tHi: 
         elidedFill = v.fillValue.getOrElse(Double.NaN))
       v.layout match {
         case Hdf5.Chunked(_, cds, _) =>
-          (base.copy(chunkDims = cds), Some(Hdf5.listChunks(driverSource, v)))
+          (base.copy(chunkDims = cds), Some(v))
         case Hdf5.Contiguous(addr, _) =>
           (base.copy(sliceBase = addr,
             sliceStride = ny.toLong * nx * v.dtype.size), None)
         case Hdf5.Compact(_) =>
           throw new IllegalArgumentException(
-            s"$varName is compact-layout; use NetCDF4Source.read3D")
+            s"$varName is compact-layout in $path; use NetCDF4Source.read3D")
       }
     } else {
       val h = NetCDF3Source.readHeader(spark, path)
       val v = h.vars.find(_.name == varName)
         .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))
-      require(v.dimIds.length == 3, s"$varName is not 3-D")
+      require(v.dimIds.length == 3, s"$varName is not 3-D in $path")
       val nt = if (v.isRecord(h.dims)) h.numRecs else h.dims(v.dimIds.head).size
       val ny = h.dims(v.dimIds(1)).size
       val nx = h.dims(v.dimIds(2)).size
@@ -202,80 +237,120 @@ private[sources] class NetCdfScan(path: String, varName: String, tLo: Int, tHi: 
         scale = 1.0, offset = 0.0, fillRaw = None, elidedFill = Double.NaN), None)
     }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val (m, chunksOpt) = meta
-    val t0 = math.max(tLo, 0); val t1 = math.min(tHi, m.nt - 1)
-    if (t1 < t0) return Array.empty
-    chunksOpt match {
-      case Some(chunks) =>
-        val ct = m.chunkDims.head
-        val present = chunks.map(c => c.offsets.map(_.toInt) -> c).toMap
-        val orgs = for {
-          ot <- 0 until m.nt by ct
-          if ot <= t1 && ot + ct - 1 >= t0
-          oy <- 0 until m.ny by m.chunkDims(1)
-          ox <- 0 until m.nx by m.chunkDims(2)
-        } yield Seq(ot, oy, ox)
-        orgs.map { org =>
-          present.get(org) match {
-            case Some(c) => NcChunkPartition(org(0), org(1), org(2), c.addr, c.size, c.filterMask)
-            case None => NcChunkPartition(org(0), org(1), org(2), -1L, 0, 0)
-          }
-        }.toArray[InputPartition]
-      case None =>
-        // batch records so huge time axes don't explode the partition count
-        val n = t1 - t0 + 1
-        val per = math.max(1, n / 256)
-        (t0 to t1 by per).map(s =>
-          NcRecordPartition(s, math.min(s + per - 1, t1))).toArray[InputPartition]
+  /** Per-file metadata + its global time offset, pruned to the pushed
+    * range: a file whose [tOff, tOff+nt) misses [tLo, tHi] contributes no
+    * chunks and, past the first survivor gap, is never even opened for
+    * chunk listing (metadata headers ARE read once to learn nt — KBs per
+    * file, the driver-side cost any concat-along-time read pays).
+    *
+    * Lazy val: planInputPartitions() and createReaderFactory() both need
+    * it; the NC4 branch walks chunk indexes — pay that once per scan. */
+  private lazy val fileMetas: Seq[(String, NcDecodeMeta, Option[Hdf5.Dataset], Int)] = {
+    var off = 0
+    paths.map { p =>
+      // nt must be known to place subsequent files on the global axis, so
+      // headers are always parsed (KBs per file); the CHUNK INDEX walk
+      // (the expensive part of huge NC4 files) is deferred until the file
+      // survives the range prune in planInputPartitions.
+      val (m, ds) = fileMeta(p)
+      val r = (p, m, ds, off)
+      off += m.nt
+      r
     }
   }
 
-  override def createReaderFactory(): PartitionReaderFactory = {
-    val (m, _) = meta
-    new NetCdfReaderFactory(path, m, math.max(tLo, 0), math.min(tHi, m.nt - 1),
-      required.fieldNames,
-      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+  private def keptFiles: Seq[(String, NcDecodeMeta, Option[Hdf5.Dataset], Int)] =
+    fileMetas.filter { case (_, m, _, off) =>
+      off.toLong <= tHi && off.toLong + m.nt - 1 >= tLo }
+
+  override def description(): String = {
+    val range =
+      if (tLo == Int.MinValue && tHi == Int.MaxValue) "none"
+      else s"t_idx in [$tLo, $tHi]"
+    s"NetCdfScan(paths=${paths.size}, files_kept=${keptFiles.size}, " +
+      s"var=$varName, pushed=$range, " +
+      s"columns=${required.fieldNames.mkString(",")})"
   }
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    keptFiles.flatMap { case (path, m, dsOpt, off) =>
+      val lt0 = math.max(tLo.toLong - off, 0L).toInt // Long: tLo may be MinValue
+      val lt1 = math.min(tHi.toLong - off, m.nt - 1L).toInt
+      if (lt1 < lt0) Seq.empty
+      else dsOpt match {
+        case Some(ds) =>
+          val chunks = Hdf5.listChunks(driverSource(path), ds)
+          val ct = m.chunkDims.head
+          val present = chunks.map(c => c.offsets.map(_.toInt) -> c).toMap
+          val orgs = for {
+            ot <- 0 until m.nt by ct
+            if ot <= lt1 && ot + ct - 1 >= lt0
+            oy <- 0 until m.ny by m.chunkDims(1)
+            ox <- 0 until m.nx by m.chunkDims(2)
+          } yield Seq(ot, oy, ox)
+          orgs.map { org =>
+            present.get(org) match {
+              case Some(c) => NcChunkPartition(path, m, off, lt0, lt1,
+                org(0), org(1), org(2), c.addr, c.size, c.filterMask)
+              case None => NcChunkPartition(path, m, off, lt0, lt1,
+                org(0), org(1), org(2), -1L, 0, 0)
+            }
+          }
+        case None =>
+          // batch records so huge time axes don't explode the partition count
+          val n = lt1 - lt0 + 1
+          val per = math.max(1, n / 256)
+          (lt0 to lt1 by per).map(s =>
+            NcRecordPartition(path, m, off, s, math.min(s + per - 1, lt1)))
+      }
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NetCdfReaderFactory(required.fieldNames,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
 }
 
-private[sources] class NetCdfReaderFactory(path: String, m: NcDecodeMeta,
-    t0: Int, t1: Int, columns: Array[String],
+private[sources] class NetCdfReaderFactory(columns: Array[String],
     conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val cf: Double => Double =
+    def cfOf(m: NcDecodeMeta): Double => Double =
       if (m.scale == 1.0 && m.offset == 0.0 && m.fillRaw.isEmpty) identity
       else (raw: Double) =>
         if (m.fillRaw.exists(f => f == raw || (f.isNaN && raw.isNaN))) Double.NaN
         else raw * m.scale + m.offset
 
-    def open(): org.apache.hadoop.fs.FSDataInputStream = {
+    def open(path: String): org.apache.hadoop.fs.FSDataInputStream = {
       val p = new org.apache.hadoop.fs.Path(path)
       p.getFileSystem(conf.value).open(p)
     }
 
     partition match {
       case c: NcChunkPartition =>
+        val m = c.m
         val n = m.chunkDims.map(_.toLong).product.toInt
         val vals: Array[Double] =
           if (c.addr < 0) Array.fill(n)(m.elidedFill)
           else {
-            val in = open()
+            val in = open(c.path)
             val raw = try {
               val b = new Array[Byte](c.size); in.readFully(c.addr, b, 0, c.size); b
             } finally in.close()
             Hdf5.decode(Hdf5.defilter(raw, m.filters, c.filterMask), m.dtype, n)
           }
         val Seq(ct, cy, cx) = m.chunkDims
-        new NetCdfRowReader(columns, cf) {
+        new NetCdfRowReader(columns, cfOf(m)) {
           private var i = -1
           override def next(): Boolean = {
             while ({ i += 1; i < n }) {
-              t = c.orgT + i / (cy * cx)
+              val lt = c.orgT + i / (cy * cx)
               yy = c.orgY + (i / cx) % cy
               xx = c.orgX + i % cx
-              if (t < m.nt && yy < m.ny && xx < m.nx && t >= t0 && t <= t1) {
+              if (lt < m.nt && yy < m.ny && xx < m.nx && lt >= c.lt0 && lt <= c.lt1) {
+                t = c.tOff + lt
                 v = vals(i)
                 return true
               }
@@ -284,8 +359,9 @@ private[sources] class NetCdfReaderFactory(path: String, m: NcDecodeMeta,
           }
         }
       case r: NcRecordPartition =>
+        val m = r.m
         val perSlice = m.ny * m.nx
-        new NetCdfRowReader(columns, cf) {
+        new NetCdfRowReader(columns, cfOf(m)) {
           private var slice: Array[Double] = _
           private var tCur = r.t0 - 1
           private var i = perSlice
@@ -293,12 +369,12 @@ private[sources] class NetCdfReaderFactory(path: String, m: NcDecodeMeta,
             while (true) {
               if (i + 1 < perSlice) {
                 i += 1
-                t = tCur; yy = i / m.nx; xx = i % m.nx; v = slice(i)
+                t = r.tOff + tCur; yy = i / m.nx; xx = i % m.nx; v = slice(i)
                 return true
               }
               tCur += 1
               if (tCur > r.t1) return false
-              val in = open()
+              val in = open(r.path)
               val raw = try {
                 val len = perSlice * m.dtype.size
                 val b = new Array[Byte](len)

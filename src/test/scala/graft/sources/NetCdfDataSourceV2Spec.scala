@@ -79,4 +79,76 @@ class NetCdfDataSourceV2Spec extends SparkSpec {
       spark.read.format("netcdf").load(path).count())
     assert(e.getMessage.contains("var"))
   }
+
+  // ── multi-file archives (xr.open_mfdataset, user_guide.rst:82) ──────────
+
+  /** Write one file per 4-day "month": global t in [4m, 4m+3] maps to
+    * local t_idx 0..3, with a value encoding the GLOBAL t. */
+  private def writeArchive(dir: java.io.File, months: Int, mixNc3: Boolean = false): Unit = {
+    dir.mkdirs()
+    (0 until months).foreach { mth =>
+      val local = (for (t <- 0 until 4; y <- 0 until 2; x <- 0 until 3)
+        yield (t, y, x, (mth * 4 + t) * 10.0 + y + x * 0.5)).toDF("t_idx", "y", "x", "value")
+      val p = f"${dir.getAbsolutePath}/sst_$mth%03d.nc"
+      if (mixNc3 && mth % 2 == 1) NetCDF3Source.write3D(local, p, "sst", shape = (4, 2, 3))
+      else NetCDF4Source.write3D(local, p, "sst", shape = (4, 2, 3), timeChunk = 2)
+    }
+  }
+
+  test("a directory of files concatenates along time in name order") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mf").toFile
+    writeArchive(dir, months = 3)
+    val df = spark.read.format("netcdf").option("var", "sst").load(dir.getAbsolutePath)
+    assert(df.count() == 3 * 4 * 2 * 3)
+    // global t_idx must match the value encoding (value DIV 10 = global t)
+    val bad = df.filter(col("t_idx") =!= (col("value") / 10.0).cast("int")).count()
+    assert(bad == 0, "global time axis misaligned across files")
+    assert(df.agg(max("t_idx")).head.getInt(0) == 11)
+  }
+
+  test("a glob selects and orders the matching files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfg").toFile
+    writeArchive(dir, months = 3)
+    val df = spark.read.format("netcdf").option("var", "sst")
+      .load(s"${dir.getAbsolutePath}/sst_*.nc")
+    assert(df.count() == 3 * 4 * 2 * 3)
+    assert(df.agg(max("t_idx")).head.getInt(0) == 11)
+  }
+
+  test("NC3 and NC4 files mix in one archive, each dispatched on its magic") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfmix").toFile
+    writeArchive(dir, months = 4, mixNc3 = true)
+    val df = spark.read.format("netcdf").option("var", "sst").load(dir.getAbsolutePath)
+    assert(df.count() == 4 * 4 * 2 * 3)
+    assert(df.filter(col("t_idx") =!= (col("value") / 10.0).cast("int")).count() == 0)
+  }
+
+  test("t_idx range prunes whole files before chunks, visible in the plan") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfp").toFile
+    writeArchive(dir, months = 6) // global t 0..23
+    val df = spark.read.format("netcdf").option("var", "sst")
+      .load(dir.getAbsolutePath)
+      .filter(col("t_idx").between(9, 10)) // inside file 2 only
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("files_kept=1"), s"file-level prune missing from plan:\n$plan")
+    assert(plan.contains("t_idx in [9, 10]"), s"pushed range missing:\n$plan")
+    val got = df.select("t_idx").distinct().collect().map(_.getInt(0)).sorted
+    assert(got.toSeq == Seq(9, 10))
+  }
+
+  test("multiple explicit paths load as one table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfe").toFile
+    writeArchive(dir, months = 2)
+    val df = spark.read.format("netcdf").option("var", "sst")
+      .load(f"${dir.getAbsolutePath}/sst_000.nc", f"${dir.getAbsolutePath}/sst_001.nc")
+    assert(df.count() == 48)
+    assert(df.agg(max("t_idx")).head.getInt(0) == 7)
+  }
+
+  test("an empty match fails with the pattern named") {
+    val e = intercept[Exception](
+      spark.read.format("netcdf").option("var", "sst")
+        .load("/tmp/does_not_exist_graft_*.nc").count())
+    assert(e.getMessage.contains("does_not_exist_graft"))
+  }
 }
