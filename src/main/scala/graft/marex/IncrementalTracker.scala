@@ -343,4 +343,65 @@ object IncrementalTracker {
         seamTraj = Some(captured.localCheckpoint())),
       Increment(blockIds, remap, merges))
   }
+
+  // ── durable state (daily batch-append jobs) ─────────────────────────────
+
+  /** Persist the tracker state so tomorrow's append JOB (a fresh
+    * SparkSession) can continue where today's stopped — the batch twin of
+    * [[graft.streaming.StreamingTracker]]'s internal recovery. Crash-safe
+    * like the streaming manifest: data lands under a fresh `v=<n>/`
+    * directory first, then `state.json` is renamed into place as the
+    * commit marker; a crash mid-save leaves the previous state intact.
+    * Versions older than the committed one are cleaned afterwards. */
+  def saveState(st: IncState, dir: String): Unit = {
+    val spark = st.seam.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(dir)
+    val fs = base.getFileSystem(conf)
+    val prev = readManifest(spark, dir)
+    val v = prev.map(_._1 + 1).getOrElse(0L)
+    st.seam.write.mode("overwrite").parquet(s"$dir/v=$v/seam")
+    st.seamTraj.foreach(_.write.mode("overwrite").parquet(s"$dir/v=$v/traj"))
+    val tmp = new org.apache.hadoop.fs.Path(dir, "state.json.tmp")
+    val out = fs.create(tmp, true)
+    out.write((s"""{"version": $v, "gapAfterSeam": ${st.gapAfterSeam}, """ +
+      s""""nextEventId": ${st.nextEventId}, "nextGid": ${st.nextGid}, """ +
+      s""""hasTraj": ${st.seamTraj.isDefined}}""").getBytes("UTF-8"))
+    out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(base.toUri, conf)
+      .rename(tmp, new org.apache.hadoop.fs.Path(dir, "state.json"),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    prev.foreach { case (pv, _, _, _, _) =>
+      (0L to pv).foreach(old =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"v=$old"), true))
+    }
+  }
+
+  /** Restore state saved by [[saveState]]. Returns None when no committed
+    * state exists (first run). Malformed manifests fail with a named
+    * error rather than silently starting over. */
+  def loadState(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[IncState] =
+    readManifest(spark, dir).map { case (v, gap, nextEv, nextGid, hasTraj) =>
+      val seam = spark.read.parquet(s"$dir/v=$v/seam")
+      val traj = if (hasTraj) Some(spark.read.parquet(s"$dir/v=$v/traj")) else None
+      IncState(seam, gap, nextEv, nextGid, traj)
+    }
+
+  private def readManifest(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[(Long, Long, Long, Long, Boolean)] = {
+    val p = new org.apache.hadoop.fs.Path(dir, "state.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return None
+    val in = fs.open(p)
+    val js = new String(org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8")
+    in.close()
+    def field(k: String): String =
+      s""""$k"\\s*:\\s*(\\w+)""".r.findFirstMatchIn(js).map(_.group(1)).getOrElse(
+        throw new IllegalArgumentException(
+          s"malformed incremental-tracker manifest at $p (missing $k): $js"))
+    Some((field("version").toLong, field("gapAfterSeam").toLong,
+      field("nextEventId").toLong, field("nextGid").toLong,
+      field("hasTraj").toBoolean))
+  }
 }

@@ -233,4 +233,54 @@ class IncrementalTrackerSpec extends SparkSpec {
     val c2 = (lone ++ square(2)).toDF("time", "y", "x")
     assertEquivalent(batch, trackIncrementally(Seq(c1, c2), mCfg))
   }
+
+  // ── durable state: tomorrow's job continues today's track ───────────────
+
+  /** Like trackIncrementally, but the state crosses each block boundary
+    * through saveState/loadState — the daily-batch-job shape where every
+    * append runs in a fresh session. */
+  private def trackViaDisk(blocks: Seq[DataFrame], dir: String,
+      tcfg: TrackConfig): DataFrame = {
+    var acc: Option[DataFrame] = None
+    blocks.foreach { b =>
+      val state = IncrementalTracker.loadState(spark, dir)
+      val (st, inc) = IncrementalTracker.extend(state, b, geom, spec, tcfg)
+      IncrementalTracker.saveState(st, dir)
+      val remapped = acc.map { a =>
+        a.join(broadcast(inc.remap),
+            a("event_id") === inc.remap("from_event_id"), "left")
+          .select(a("time"), a("y"), a("x"),
+            coalesce(col("to_event_id"), a("event_id")).as("event_id"))
+      }
+      acc = Some(remapped.getOrElse(
+        Seq.empty[(Timestamp, Long, Long, Long)].toDF("time", "y", "x", "event_id"))
+        .unionByName(inc.blockIds).localCheckpoint())
+    }
+    acc.get
+  }
+
+  test("state saved to disk and reloaded continues equal to batch (both modes)") {
+    val flags = SyntheticData.stormFlags(spark, nDays = 18, ny = ny, nx = nx,
+      nStorms = 25, seed = 23L).cache()
+    val blocks = Seq(0 -> 6, 6 -> 12, 12 -> 18).map { case (a, b) =>
+      flags.filter(col("time") >= lit(ts(a)) && col("time") < lit(ts(b)))
+    }
+    Seq(cfg, mCfg).foreach { c =>
+      val dir = java.nio.file.Files.createTempDirectory("graft_incstate").toFile
+      val batch = Track.track(flags, geom, spec, c).idField
+      assertEquivalent(batch, trackViaDisk(blocks, dir.getAbsolutePath, c))
+      // the committed manifest survives: a fourth, empty load still works
+      assert(IncrementalTracker.loadState(spark, dir.getAbsolutePath).isDefined)
+    }
+  }
+
+  test("loadState on a fresh directory returns None; malformed manifest is named") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_incstate2").toFile
+    assert(IncrementalTracker.loadState(spark, dir.getAbsolutePath).isEmpty)
+    val p = new java.io.File(dir, "state.json")
+    val w = new java.io.FileWriter(p); w.write("{\"garbage\": true}"); w.close()
+    val e = intercept[IllegalArgumentException](
+      IncrementalTracker.loadState(spark, dir.getAbsolutePath))
+    assert(e.getMessage.contains("malformed"))
+  }
 }
