@@ -204,6 +204,49 @@ object ScaleDemo {
       return
     }
 
+    // ── mfread: multi-file archive read throughput + file pruning ──────────
+    // `ScaleDemo 12 mfread 720 1440` = a year of the production grid as 12
+    // monthly NC4 files (the xr.open_mfdataset shape), read back through
+    // format("netcdf"). Two numbers matter: full-archive scan throughput,
+    // and the wall of a 2-day window — which must open ONE file's chunks,
+    // not the archive.
+    if (method == "mfread") {
+      import graft.sources.NetCDF4Source
+      val months = nYears // args(0) = file count
+      val days = 30
+      val dir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_mfread_${ny}x$nx")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      dir.mkdirs()
+      timed(s"write $months files × ${days}d $ny×$nx") {
+        (0 until months).foreach { m =>
+          val slab = spark.range(days.toLong * ny * nx).select(
+            (col("id") / (ny.toLong * nx)).cast("int").as("t_idx"),
+            (col("id") / nx % ny).cast("int").as("y"),
+            (col("id") % nx).cast("int").as("x"),
+            (sin(col("id").cast("double") * 1e-3 + lit(m)) * 10.0).as("value"))
+          NetCDF4Source.write3D(slab, f"${dir.getAbsolutePath}/sst_$m%03d.nc",
+            "sst", shape = (days, ny, nx), timeChunk = 5, deflateLevel = 1)
+        }
+      }
+      val cells = months.toLong * days * ny * nx
+      val archive = spark.read.format("netcdf").option("var", "sst")
+        .load(dir.getAbsolutePath)
+      timed(s"full-archive agg ($cells cells)") {
+        val r = archive.agg(count(lit(1)), sum("value")).collect()(0)
+        println(s"[scale] rows = ${r.getLong(0)}")
+      }
+      val t0w = months / 2 * days + 10 // inside one file
+      val window = archive.filter(col("t_idx").between(t0w, t0w + 1))
+      val plan = window.queryExecution.executedPlan.toString
+      val kept = "files_kept=(\\d+)".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("?")
+      timed(s"2-day window (files_kept=$kept)") {
+        println(s"[scale] window rows = ${window.count()}")
+      }
+      spark.stop()
+      return
+    }
+
     // Big grids skip the source checkpoint: the synthetic generator is
     // deterministic, and pinning a second field-sized copy (≈30 GB at 0.25°
     // × 2 y) next to the anomaly checkpoint exceeds a single box's disk —

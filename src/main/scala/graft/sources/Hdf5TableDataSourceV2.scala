@@ -120,7 +120,8 @@ private[sources] case class Hdf5TableInlinePartition(data: Array[Byte],
     rows: Int) extends InputPartition
 
 private[sources] class Hdf5TableScan(path: String, varName: String,
-    requiredOpt: Option[StructType], limit: Option[Int]) extends Scan with Batch {
+    requiredOpt: Option[StructType], limit: Option[Int])
+    extends Scan with Batch with SupportsReportStatistics {
 
   private def spark = org.apache.spark.sql.SparkSession.active
 
@@ -146,6 +147,18 @@ private[sources] class Hdf5TableScan(path: String, varName: String,
         limit.map(l => s", limit=$l").getOrElse("")})"
 
   override def toBatch: Batch = this
+
+  /** Accurate row count (the dataspace stores it) + a projected-width size
+    * estimate, so Catalyst can broadcast a small table on its own. */
+  override def estimateStatistics(): Statistics = {
+    val rows = math.min(meta._1.dims.head,
+      limit.map(_.toLong).getOrElse(Long.MaxValue))
+    val bytes = math.max(1L, rows * math.max(required.defaultSize, 1))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val (ds, ct) = meta

@@ -158,9 +158,25 @@ private[sources] case class NcDecodeMeta(
     scale: Double, offset: Double, fillRaw: Option[Double], elidedFill: Double)
 
 private[sources] class NetCdfScan(paths: Seq[String], varName: String,
-    tLo: Int, tHi: Int, required: StructType) extends Scan with Batch {
+    tLo: Int, tHi: Int, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Exact post-prune cell count (grids are dense), so Catalyst can pick
+    * broadcast joins for small time windows over huge archives. */
+  override def estimateStatistics(): Statistics = {
+    val rows = keptFiles.map { case (_, m, _, off) =>
+      val lt0 = math.max(tLo.toLong - off, 0L)
+      val lt1 = math.min(tHi.toLong - off, m.nt - 1L)
+      math.max(0L, lt1 - lt0 + 1) * m.ny * m.nx
+    }.sum
+    val bytes = math.max(1L, rows * math.max(required.defaultSize, 1))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   private def spark = org.apache.spark.sql.SparkSession.active
 

@@ -148,9 +148,23 @@ private[sources] case class ZarrChunkPartition(
     ci: Int, cj: Int, ck: Int, filePath: String) extends InputPartition // filePath "" → missing chunk
 
 private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
-    required: StructType) extends Scan with Batch {
+    required: StructType) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Post-prune dense cell count + projected width, so Catalyst can
+    * broadcast small windows of huge stores on its own. */
+  override def estimateStatistics(): Statistics = {
+    val meta = readDirMeta(org.apache.spark.sql.SparkSession.active)
+    val Seq(nt, ny, nx) = meta.shape
+    val rows = math.max(0L,
+      math.min(tHi.toLong, nt - 1L) - math.max(tLo.toLong, 0L) + 1) * ny * nx
+    val bytes = math.max(1L, rows * math.max(required.defaultSize, 1))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def description(): String = {
     val range =
@@ -387,9 +401,23 @@ private[sources] case class ZGSecondary(dimPos: Array[Int], strides: Array[Long]
     shape: Array[Int], values: Array[Double]) extends ZGCol
 
 private[sources] class ZarrGroupScan(lay: ZarrGroupTableV2.Layout,
-    lo: Array[Int], hi: Array[Int], required: StructType) extends Scan with Batch {
+    lo: Array[Int], hi: Array[Int], required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  /** Post-prune dense cell count across every pushed dimension range. */
+  override def estimateStatistics(): Statistics = {
+    val rows = lay.primaryDims.indices.map { d =>
+      math.max(0L, math.min(hi(d).toLong, lay.shape(d) - 1L) -
+        math.max(lo(d).toLong, 0L) + 1)
+    }.product
+    val bytes = math.max(1L, rows * math.max(required.defaultSize, 1))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def description(): String = {
     val ranges = lay.primaryDims.indices.collect {

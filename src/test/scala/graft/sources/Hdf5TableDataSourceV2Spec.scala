@@ -70,6 +70,18 @@ class Hdf5TableDataSourceV2Spec extends SparkSpec {
     assert(n == 5)
   }
 
+  test("scan statistics report the exact row count (and the pushed limit)") {
+    val path = tmpH5()
+    writeSample(path)
+    def statsOf(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+      }.head.computeStats()
+    val full = spark.read.format("hdf5table").option("var", "stats").load(path)
+    assert(statsOf(full).rowCount.contains(BigInt(5)))
+    assert(statsOf(full.limit(2)).rowCount.contains(BigInt(2)))
+  }
+
   test("missing var / non-compound dataset fail with named errors") {
     val path = tmpH5()
     writeSample(path)

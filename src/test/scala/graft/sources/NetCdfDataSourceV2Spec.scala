@@ -145,6 +145,19 @@ class NetCdfDataSourceV2Spec extends SparkSpec {
     assert(df.agg(max("t_idx")).head.getInt(0) == 7)
   }
 
+  test("scan statistics reflect the pruned range (Catalyst sees true sizes)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfs").toFile
+    writeArchive(dir, months = 6) // 24 global t, 2×3 cells per slice
+    val df = spark.read.format("netcdf").option("var", "sst")
+      .load(dir.getAbsolutePath)
+      .filter(col("t_idx").between(9, 10))
+    val rel = df.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation => r
+    }.head
+    assert(rel.computeStats().rowCount.contains(BigInt(2 * 2 * 3)),
+      s"stats: ${rel.computeStats()}")
+  }
+
   test("an empty match fails with the pattern named") {
     val e = intercept[Exception](
       spark.read.format("netcdf").option("var", "sst")
