@@ -44,11 +44,13 @@ class NetCdfDataSourceV2 extends TableProvider with DataSourceRegister {
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
-    val paths = NetCdfTableV2.resolvePaths(properties)
+    // raw patterns, not a resolved snapshot: a STREAMING read re-expands
+    // them every micro-batch as the archive grows
+    val raw = NetCdfTableV2.rawInputs(properties)
     val varName = Option(properties.get("var")).getOrElse(
       throw new IllegalArgumentException(
         "netcdf source requires .option(\"var\", <variable name>)"))
-    new NetCdfTableV2(paths, varName)
+    new NetCdfTableV2(raw, varName)
   }
 }
 
@@ -59,11 +61,10 @@ private[sources] object NetCdfTableV2 {
     StructField("x", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
-  /** Expand the load() inputs (single path, several paths, directories,
-    * globs) into the concrete file list, NAME-sorted — the concatenation
-    * order of a time-partitioned archive (`sst_1990.nc`, `sst_1991.nc`…). */
-  def resolvePaths(properties: java.util.Map[String, String]): Seq[String] = {
-    val raw: Seq[String] = Option(properties.get("paths")) match {
+  /** The raw load() inputs — pattern strings, NOT yet expanded, so
+    * streaming reads can re-expand them as the archive grows. */
+  def rawInputs(properties: java.util.Map[String, String]): Seq[String] =
+    Option(properties.get("paths")) match {
       case Some(json) => // .load(a, b, …) arrives as a JSON string array
         org.json4s.jackson.JsonMethods.parse(json) match {
           case org.json4s.JArray(vs) => vs.collect { case org.json4s.JString(s) => s }
@@ -73,13 +74,20 @@ private[sources] object NetCdfTableV2 {
         throw new IllegalArgumentException(
           "netcdf source requires a path: spark.read.format(\"netcdf\").load(files|dir|glob)"))
     }
+
+  /** Expand inputs (single path, several paths, directories, globs) into
+    * the concrete file list, NAME-sorted — the concatenation order of a
+    * time-partitioned archive (`sst_1990.nc`, `sst_1991.nc`…).
+    * @param allowEmpty streaming listings may legitimately be empty before
+    *                   the first file lands; batch reads require matches. */
+  def expand(raw: Seq[String], allowEmpty: Boolean = false): Seq[String] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
     val out = raw.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
       val matched = Option(fs.globStatus(hp)).map(_.toSeq).getOrElse(Seq.empty)
-      require(matched.nonEmpty, s"no files match $p")
+      require(allowEmpty || matched.nonEmpty, s"no files match $p")
       matched.flatMap { st =>
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq
@@ -89,117 +97,27 @@ private[sources] object NetCdfTableV2 {
         else Seq(st.getPath.toString)
       }
     }
-    require(out.nonEmpty, s"no files under ${raw.mkString(", ")}")
+    require(allowEmpty || out.nonEmpty, s"no files under ${raw.mkString(", ")}")
     out.distinct.sortBy(p => new org.apache.hadoop.fs.Path(p).getName)
   }
-}
 
-private[sources] class NetCdfTableV2(paths: Seq[String], varName: String)
-    extends Table with SupportsRead {
-  override def name(): String = s"netcdf:${paths.head}${
-    if (paths.size > 1) s" (+${paths.size - 1})" else ""}#$varName"
-  override def schema(): StructType = NetCdfTableV2.fullSchema
-  override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NetCdfScanBuilder(paths, varName)
-}
+  def resolvePaths(properties: java.util.Map[String, String]): Seq[String] =
+    expand(rawInputs(properties))
 
-private[sources] class NetCdfScanBuilder(paths: Seq[String], varName: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-
-  private var tLo = Int.MinValue
-  private var tHi = Int.MaxValue
-  private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = NetCdfTableV2.fullSchema
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val accepted = filters.filter {
-      case EqualTo("t_idx", v: Int) => tLo = math.max(tLo, v); tHi = math.min(tHi, v); true
-      case GreaterThan("t_idx", v: Int) => tLo = math.max(tLo, v + 1); true
-      case GreaterThanOrEqual("t_idx", v: Int) => tLo = math.max(tLo, v); true
-      case LessThan("t_idx", v: Int) => tHi = math.min(tHi, v - 1); true
-      case LessThanOrEqual("t_idx", v: Int) => tHi = math.min(tHi, v); true
-      case _ => false
-    }
-    pushed = accepted
-    // the pushdown is a file/chunk-level prune, not an exact row filter —
-    // keep every filter as a post-scan predicate too
-    filters
-  }
-
-  override def pushedFilters(): Array[Filter] = pushed
-
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-
-  override def build(): Scan = new NetCdfScan(paths, varName, tLo, tHi, required)
-}
-
-/** One stored (or fill-elided: addr = -1) NC4 chunk of one file. Local
-  * time indexes; `tOff` shifts them onto the archive-global axis. */
-private[sources] case class NcChunkPartition(path: String, m: NcDecodeMeta,
-    tOff: Int, lt0: Int, lt1: Int, orgT: Int, orgY: Int, orgX: Int,
-    addr: Long, size: Int, filterMask: Int) extends InputPartition
-
-/** An inclusive LOCAL record/time-slice batch (NC3 or NC4-contiguous). */
-private[sources] case class NcRecordPartition(path: String, m: NcDecodeMeta,
-    tOff: Int, t0: Int, t1: Int) extends InputPartition
-
-/** Serializable per-file decode context. */
-private[sources] case class NcDecodeMeta(
-    nt: Int, ny: Int, nx: Int,
-    // record-slice path: base address + per-record byte stride
-    sliceBase: Long, sliceStride: Long,
-    dtype: Hdf5.NumType,
-    // NC4 chunked path
-    chunkDims: Seq[Int], filters: Seq[Hdf5.Filter],
-    // CF decode (identity: 1, 0, None) + dataset fill for elided chunks
-    scale: Double, offset: Double, fillRaw: Option[Double], elidedFill: Double)
-
-private[sources] class NetCdfScan(paths: Seq[String], varName: String,
-    tLo: Int, tHi: Int, required: StructType)
-    extends Scan with Batch with SupportsReportStatistics {
-
-  override def readSchema(): StructType = required
-
-  /** Exact post-prune cell count (grids are dense), so Catalyst can pick
-    * broadcast joins for small time windows over huge archives. */
-  override def estimateStatistics(): Statistics = {
-    val rows = keptFiles.map { case (_, m, _, off) =>
-      val lt0 = math.max(tLo.toLong - off, 0L)
-      val lt1 = math.min(tHi.toLong - off, m.nt - 1L)
-      math.max(0L, lt1 - lt0 + 1) * m.ny * m.nx
-    }.sum
-    val bytes = math.max(1L, rows * math.max(required.defaultSize, 1))
-    new Statistics {
-      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
-    }
-  }
-
-  private def spark = org.apache.spark.sql.SparkSession.active
-
-  private def driverSource(path: String): Hdf5.ByteSource =
-    new NetCDF4Source.HadoopSource(spark.sparkContext.hadoopConfiguration, path)
-
-  private def isHdf5(path: String): Boolean =
-    driverSource(path).read(0L, 8).sameElements(Hdf5.Signature)
-
-  private def hdf5Var(path: String): (Hdf5.Dataset, Map[String, Any]) = {
-    val src = driverSource(path)
-    val (rootOh, _) = Hdf5.readSuperblock(src)
-    val oh = Hdf5.listDatasets(src, rootOh).find(_._1 == varName)
-      .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))._2
-    (Hdf5.readDataset(src, varName, oh), Hdf5.attributes(src, oh))
-  }
-
-  /** Header-level metadata; the NC4 chunked branch returns the parsed
-    * Dataset so the (expensive on huge files) chunk-index walk can be
-    * deferred until the file survives the time-range prune. */
-  private def fileMeta(path: String): (NcDecodeMeta, Option[Hdf5.Dataset]) =
-    if (isHdf5(path)) {
-      val (v, attrs) = hdf5Var(path)
+  /** Header metadata + (chunked NC4) the parsed Dataset for a deferred
+    * chunk-index walk — shared by the batch scan and the streaming source. */
+  def fileMeta(spark: org.apache.spark.sql.SparkSession, path: String,
+      varName: String): (NcDecodeMeta, Option[Hdf5.Dataset]) = {
+    def driverSource: Hdf5.ByteSource =
+      new NetCDF4Source.HadoopSource(spark.sparkContext.hadoopConfiguration, path)
+    val isH5 = driverSource.read(0L, 8).sameElements(Hdf5.Signature)
+    if (isH5) {
+      val src = driverSource
+      val (rootOh, _) = Hdf5.readSuperblock(src)
+      val oh = Hdf5.listDatasets(src, rootOh).find(_._1 == varName)
+        .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))._2
+      val v = Hdf5.readDataset(src, varName, oh)
+      val attrs = Hdf5.attributes(src, oh)
       require(v.dims.length == 3, s"$varName is not 3-D in $path")
       val Seq(nt, ny, nx) = v.dims.map(_.toInt)
       def num(k: String): Option[Double] = attrs.get(k).collect {
@@ -219,8 +137,7 @@ private[sources] class NetCdfScan(paths: Seq[String], varName: String,
         fillRaw = num("_FillValue"),
         elidedFill = v.fillValue.getOrElse(Double.NaN))
       v.layout match {
-        case Hdf5.Chunked(_, cds, _) =>
-          (base.copy(chunkDims = cds), Some(v))
+        case Hdf5.Chunked(_, cds, _) => (base.copy(chunkDims = cds), Some(v))
         case Hdf5.Contiguous(addr, _) =>
           (base.copy(sliceBase = addr,
             sliceStride = ny.toLong * nx * v.dtype.size), None)
@@ -252,6 +169,136 @@ private[sources] class NetCdfScan(paths: Seq[String], varName: String,
         dtype = dtype, chunkDims = Seq.empty, filters = Seq.empty,
         scale = 1.0, offset = 0.0, fillRaw = None, elidedFill = Double.NaN), None)
     }
+  }
+
+  /** Every partition of one file's FULL local time range at `tOff`. */
+  def partitionsOf(spark: org.apache.spark.sql.SparkSession, path: String,
+      varName: String, tOff: Int): Seq[InputPartition] = {
+    val (m, dsOpt) = fileMeta(spark, path, varName)
+    dsOpt match {
+      case Some(ds) =>
+        val src = new NetCDF4Source.HadoopSource(
+          spark.sparkContext.hadoopConfiguration, path)
+        val chunks = Hdf5.listChunks(src, ds)
+        val present = chunks.map(c => c.offsets.map(_.toInt) -> c).toMap
+        val orgs = for {
+          ot <- 0 until m.nt by m.chunkDims.head
+          oy <- 0 until m.ny by m.chunkDims(1)
+          ox <- 0 until m.nx by m.chunkDims(2)
+        } yield Seq(ot, oy, ox)
+        orgs.map { org =>
+          present.get(org) match {
+            case Some(c) => NcChunkPartition(path, m, tOff, 0, m.nt - 1,
+              org(0), org(1), org(2), c.addr, c.size, c.filterMask)
+            case None => NcChunkPartition(path, m, tOff, 0, m.nt - 1,
+              org(0), org(1), org(2), -1L, 0, 0)
+          }
+        }
+      case None =>
+        val per = math.max(1, m.nt / 256)
+        (0 until m.nt by per).map(s =>
+          NcRecordPartition(path, m, tOff, s, math.min(s + per - 1, m.nt - 1)))
+    }
+  }
+}
+
+private[sources] class NetCdfTableV2(rawInputs: Seq[String], varName: String)
+    extends Table with SupportsRead {
+  override def name(): String = s"netcdf:${rawInputs.head}${
+    if (rawInputs.size > 1) s" (+${rawInputs.size - 1})" else ""}#$varName"
+  override def schema(): StructType = NetCdfTableV2.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new NetCdfScanBuilder(rawInputs, varName)
+}
+
+private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var tLo = Int.MinValue
+  private var tHi = Int.MaxValue
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = NetCdfTableV2.fullSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val accepted = filters.filter {
+      case EqualTo("t_idx", v: Int) => tLo = math.max(tLo, v); tHi = math.min(tHi, v); true
+      case GreaterThan("t_idx", v: Int) => tLo = math.max(tLo, v + 1); true
+      case GreaterThanOrEqual("t_idx", v: Int) => tLo = math.max(tLo, v); true
+      case LessThan("t_idx", v: Int) => tHi = math.min(tHi, v - 1); true
+      case LessThanOrEqual("t_idx", v: Int) => tHi = math.min(tHi, v); true
+      case _ => false
+    }
+    pushed = accepted
+    // the pushdown is a file/chunk-level prune, not an exact row filter —
+    // keep every filter as a post-scan predicate too
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new NetCdfScan(rawInputs, varName, tLo, tHi, required)
+}
+
+/** One stored (or fill-elided: addr = -1) NC4 chunk of one file. Local
+  * time indexes; `tOff` shifts them onto the archive-global axis. */
+private[sources] case class NcChunkPartition(path: String, m: NcDecodeMeta,
+    tOff: Int, lt0: Int, lt1: Int, orgT: Int, orgY: Int, orgX: Int,
+    addr: Long, size: Int, filterMask: Int) extends InputPartition
+
+/** An inclusive LOCAL record/time-slice batch (NC3 or NC4-contiguous). */
+private[sources] case class NcRecordPartition(path: String, m: NcDecodeMeta,
+    tOff: Int, t0: Int, t1: Int) extends InputPartition
+
+/** Serializable per-file decode context. */
+private[sources] case class NcDecodeMeta(
+    nt: Int, ny: Int, nx: Int,
+    // record-slice path: base address + per-record byte stride
+    sliceBase: Long, sliceStride: Long,
+    dtype: Hdf5.NumType,
+    // NC4 chunked path
+    chunkDims: Seq[Int], filters: Seq[Hdf5.Filter],
+    // CF decode (identity: 1, 0, None) + dataset fill for elided chunks
+    scale: Double, offset: Double, fillRaw: Option[Double], elidedFill: Double)
+
+private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
+    tLo: Int, tHi: Int, required: StructType)
+    extends Scan with Batch with SupportsReportStatistics {
+
+  private lazy val paths: Seq[String] = NetCdfTableV2.expand(rawInputs)
+
+  override def readSchema(): StructType = required
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new NetCdfMicroBatchStream(rawInputs, varName, required)
+
+  /** Exact post-prune cell count (grids are dense), so Catalyst can pick
+    * broadcast joins for small time windows over huge archives. */
+  override def estimateStatistics(): Statistics = {
+    val rows = keptFiles.map { case (_, m, _, off) =>
+      val lt0 = math.max(tLo.toLong - off, 0L)
+      val lt1 = math.min(tHi.toLong - off, m.nt - 1L)
+      math.max(0L, lt1 - lt0 + 1) * m.ny * m.nx
+    }.sum
+    val bytes = math.max(1L, rows * math.max(required.defaultSize, 1))
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  private def driverSource(path: String): Hdf5.ByteSource =
+    new NetCDF4Source.HadoopSource(spark.sparkContext.hadoopConfiguration, path)
+
+  private def fileMeta(path: String): (NcDecodeMeta, Option[Hdf5.Dataset]) =
+    NetCdfTableV2.fileMeta(spark, path, varName)
 
   /** Per-file metadata + its global time offset, pruned to the pushed
     * range: a file whose [tOff, tOff+nt) misses [tLo, tHi] contributes no
@@ -405,6 +452,72 @@ private[sources] class NetCdfReaderFactory(columns: Array[String],
         }
     }
   }
+}
+
+/** Offset = how many NAME-SORTED files of the archive are committed. */
+private[sources] case class NcFileOffset(n: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"files": $n}"""
+}
+
+/** `spark.readStream.format("netcdf")` over a GROWING archive directory:
+  * each micro-batch re-expands the load() patterns and emits the files
+  * beyond the committed offset — the streaming twin of the multi-file
+  * batch read, with the same global `t_idx` axis, so the incremental /
+  * streaming trackers can consume a live satellite-archive directory
+  * directly. New files must sort AFTER committed ones (the
+  * `sst_YYYYMM.nc` naming convention time-partitioned archives already
+  * follow). An archive that SHRINKS below the committed offset fails at
+  * planning time; a file inserted earlier in the name order cannot be
+  * detected from a count offset alone — follow the naming convention. */
+private[sources] class NetCdfMicroBatchStream(rawInputs: Seq[String],
+    varName: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  private def files(): Seq[String] = NetCdfTableV2.expand(rawInputs, allowEmpty = true)
+
+  // re-listing the archive between planInputPartitions and latestOffset
+  // must see the same snapshot — cache per planning cycle
+  @volatile private var snapshot: Seq[String] = Seq.empty
+
+  override def initialOffset(): Offset = NcFileOffset(0)
+
+  override def latestOffset(): Offset = {
+    snapshot = files()
+    NcFileOffset(snapshot.size)
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    NcFileOffset("""\d+""".r.findFirstIn(json).getOrElse(
+      throw new IllegalArgumentException(s"malformed netcdf stream offset: $json")).toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[NcFileOffset].n
+    val e = end.asInstanceOf[NcFileOffset].n
+    val fs = if (snapshot.size >= e) snapshot else files()
+    require(fs.size >= e,
+      s"netcdf stream: archive shrank below the committed offset ($e > ${fs.size})")
+    // global t offsets accumulate over the sorted PREFIX — headers of
+    // already-committed files are re-read (KBs each) to keep the axis
+    // stable without persisting per-file state
+    var off = 0
+    val parts = Seq.newBuilder[InputPartition]
+    fs.take(e).zipWithIndex.foreach { case (p, i) =>
+      if (i >= s) parts ++= NetCdfTableV2.partitionsOf(spark, p, varName, off)
+      off += NetCdfTableV2.fileMeta(spark, p, varName)._1.nt
+    }
+    parts.result().toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new NetCdfReaderFactory(required.fieldNames,
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 /** Shared column-pruned row emitter. Column routing is resolved to ordinal
