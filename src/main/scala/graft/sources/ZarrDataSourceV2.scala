@@ -108,7 +108,7 @@ private[sources] class ZarrTableV2(path: String) extends Table with SupportsRead
   override def name(): String = s"zarr:$path"
   override def schema(): StructType = ZarrTableV2.fullSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ZarrScanBuilder(path)
 }
@@ -151,6 +151,10 @@ private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
     required: StructType) extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new ZarrMicroBatchStream(path, required)
 
   /** Post-prune dense cell count + projected width, so Catalyst can
     * broadcast small windows of huge stores on its own. */
@@ -215,6 +219,94 @@ private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
     new ZarrReaderFactory(meta, tLo, tHi, required.fieldNames,
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
   }
+}
+
+/** Offset = how many leading time slices of the growing array are
+  * committed (zarr appends along time by enlarging `shape[0]`). */
+private[sources] case class ZarrNtOffset(nt: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"nt": $nt}"""
+}
+
+/** A chunk re-planned for one micro-batch, with the batch's time bounds —
+  * a chunk STRADDLING the previous offset is legitimately re-read, and
+  * the bounds confine it to the new slices only. */
+private[sources] case class ZarrStreamChunkPartition(ci: Int, cj: Int, ck: Int,
+    filePath: String, lt0: Int, lt1: Int,
+    meta: ZarrSource.ZarrMeta) extends InputPartition
+
+/** `spark.readStream.format("zarr")` over a growing zarr ARRAY — the
+  * reference's production stores append new days by enlarging the time
+  * dimension in place (to_zarr(append_dim="time")). Each micro-batch
+  * re-reads the array metadata; slices beyond the committed offset are
+  * planned as their covering chunks, bounded to the fresh time range so a
+  * partially-committed edge chunk never re-delivers old slices. */
+private[sources] class ZarrMicroBatchStream(path: String, required: StructType)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+
+  private def metaNow(): ZarrSource.ZarrMeta = {
+    val m = ZarrSource.readMetaAny(path, spark.sparkContext.hadoopConfiguration)
+    require(m.shape.length == 3, s"zarr stream expects a 3-D array, got ${m.shape}")
+    require(m.order == "C", "only C-order zarr supported")
+    m
+  }
+
+  override def initialOffset(): Offset = ZarrNtOffset(0)
+
+  override def latestOffset(): Offset = ZarrNtOffset(metaNow().shape.head)
+
+  override def deserializeOffset(json: String): Offset =
+    ZarrNtOffset("""\d+""".r.findFirstIn(json).getOrElse(
+      throw new IllegalArgumentException(s"malformed zarr stream offset: $json")).toInt)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[ZarrNtOffset].nt
+    val e = end.asInstanceOf[ZarrNtOffset].nt
+    if (e <= s) return Array.empty
+    val meta = metaNow()
+    require(meta.shape.head >= e,
+      s"zarr stream: the array shrank below the committed offset ($e > ${meta.shape.head})")
+    val Seq(_, ny, nx) = meta.shape
+    val Seq(ct, cy, cx) = meta.chunks
+    val nyC = (ny + cy - 1) / cy
+    val nxC = (nx + cx - 1) / cx
+    def keepT(ci: Int): Boolean = ci * ct <= e - 1 && ci * ct + ct - 1 >= s
+
+    val glob = ZarrSource.chunkGlob(meta, path, 3)
+    val gp = new org.apache.hadoop.fs.Path(glob)
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present = Option(fs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
+      .flatMap { st =>
+        ZarrSource.parseChunkKey(meta, st.getPath.toString, 3)
+          .map { ci => (ci(0), ci(1), ci(2)) -> st.getPath.toString }
+      }.toMap
+
+    (for {
+      ci <- 0 until (e + ct - 1) / ct if keepT(ci)
+      cj <- 0 until nyC
+      ck <- 0 until nxC
+    } yield ZarrStreamChunkPartition(ci, cj, ck,
+      present.getOrElse((ci, cj, ck), ""), s, e - 1, meta)).toArray[InputPartition]
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val columns = required.fieldNames
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[ZarrStreamChunkPartition]
+        // delegate to the batch chunk reader with the batch's time bounds
+        new ZarrReaderFactory(p.meta, p.lt0, p.lt1, columns, conf)
+          .createReader(ZarrChunkPartition(p.ci, p.cj, p.ck, p.filePath))
+      }
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
