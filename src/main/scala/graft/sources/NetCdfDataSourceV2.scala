@@ -483,6 +483,15 @@ private[sources] class NetCdfMicroBatchStream(rawInputs: Seq[String],
   // must see the same snapshot — cache per planning cycle
   @volatile private var snapshot: Seq[String] = Seq.empty
 
+  // committed files are immutable, so their time-axis lengths are
+  // memoized — a decades-long archive (10⁵ files) pays one header parse
+  // per file per stream lifetime, not per micro-batch
+  private val ntCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+
+  private def ntOf(path: String): Int =
+    ntCache.computeIfAbsent(path,
+      p => NetCdfTableV2.fileMeta(spark, p, varName)._1.nt)
+
   override def initialOffset(): Offset = NcFileOffset(0)
 
   override def latestOffset(): Offset = {
@@ -500,14 +509,14 @@ private[sources] class NetCdfMicroBatchStream(rawInputs: Seq[String],
     val fs = if (snapshot.size >= e) snapshot else files()
     require(fs.size >= e,
       s"netcdf stream: archive shrank below the committed offset ($e > ${fs.size})")
-    // global t offsets accumulate over the sorted PREFIX — headers of
-    // already-committed files are re-read (KBs each) to keep the axis
-    // stable without persisting per-file state
+    // global t offsets accumulate over the sorted PREFIX — committed
+    // files' time lengths come from the memoized header parse, keeping
+    // the axis stable without persisting per-file state
     var off = 0
     val parts = Seq.newBuilder[InputPartition]
     fs.take(e).zipWithIndex.foreach { case (p, i) =>
       if (i >= s) parts ++= NetCdfTableV2.partitionsOf(spark, p, varName, off)
-      off += NetCdfTableV2.fileMeta(spark, p, varName)._1.nt
+      off += ntOf(p)
     }
     parts.result().toArray
   }
