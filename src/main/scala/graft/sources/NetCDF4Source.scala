@@ -385,20 +385,33 @@ object NetCDF4Source {
 }
 
 /** Format-dispatching facade — the engine's equivalent of the reference's
-  * `xr.open_dataset(path)` entry (marEx detect.py:409): classic CDF files
-  * route to [[NetCDF3Source]], HDF5-backed NetCDF-4 to [[NetCDF4Source]]. */
+  * `xr.open_dataset(path)` / `xr.open_mfdataset(pattern)` entries (marEx
+  * detect.py:409, user_guide.rst:82): single classic CDF files route to
+  * [[NetCDF3Source]], HDF5-backed NetCDF-4 to [[NetCDF4Source]], and a
+  * directory or glob to the multi-file DataSourceV2 (name-ordered time
+  * concat, whole-file pruning for the time range). */
 object NetCDFSource {
   def read3D(spark: SparkSession, path: String, varName: String,
       timeRange: Option[(Int, Int)] = None): DataFrame = {
+    import org.apache.spark.sql.functions.col
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(p)
-    val magic = try { val b = new Array[Byte](8); in.readFully(0, b, 0, 8); b }
-    finally in.close()
-    if (magic.take(3).sameElements("CDF".getBytes))
-      NetCDF3Source.read3D(spark, path, varName, timeRange)
-    else if (magic.sameElements(Hdf5.Signature))
-      NetCDF4Source.read3D(spark, path, varName, timeRange)
-    else throw new IllegalArgumentException(s"$path is not a NetCDF file")
+    val isGlob = path.exists("*?[{".contains(_))
+    if (isGlob || fs.getFileStatus(p).isDirectory) {
+      val df = spark.read.format("netcdf").option("var", varName).load(path)
+      timeRange match {
+        case Some((t0, t1)) => df.filter(col("t_idx").between(t0, t1))
+        case None => df
+      }
+    } else {
+      val in = fs.open(p)
+      val magic = try { val b = new Array[Byte](8); in.readFully(0, b, 0, 8); b }
+      finally in.close()
+      if (magic.take(3).sameElements("CDF".getBytes))
+        NetCDF3Source.read3D(spark, path, varName, timeRange)
+      else if (magic.sameElements(Hdf5.Signature))
+        NetCDF4Source.read3D(spark, path, varName, timeRange)
+      else throw new IllegalArgumentException(s"$path is not a NetCDF file")
+    }
   }
 }

@@ -158,6 +158,17 @@ class NetCdfDataSourceV2Spec extends SparkSpec {
       s"stats: ${rel.computeStats()}")
   }
 
+  test("the NetCDFSource facade opens directories and globs like open_mfdataset") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mff").toFile
+    writeArchive(dir, months = 3)
+    val viaDir = NetCDFSource.read3D(spark, dir.getAbsolutePath, "sst")
+    assert(viaDir.count() == 3 * 4 * 2 * 3)
+    val ranged = NetCDFSource.read3D(spark, s"${dir.getAbsolutePath}/sst_*.nc", "sst",
+      timeRange = Some((9, 10)))
+    assert(ranged.select("t_idx").distinct().collect().map(_.getInt(0)).sorted.toSeq
+      == Seq(9, 10))
+  }
+
   test("an empty match fails with the pattern named") {
     val e = intercept[Exception](
       spark.read.format("netcdf").option("var", "sst")
