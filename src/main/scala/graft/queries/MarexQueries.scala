@@ -977,6 +977,39 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
-      "Multi-file NetCDF archive through format(\"netcdf\"): name-ordered time concat + file-level pruning")
+      "Multi-file NetCDF archive through format(\"netcdf\"): name-ordered time concat + file-level pruning"),
+
+    // ── HDF5 compound table through SQL (member pruning under the gate) ───
+    QueryDef("q81_hdf5_sql_table",
+      (s, d) => {
+        import graft.sources.NetCDF4Source
+        // q79's sink read back through the DataSourceV2 instead of the
+        // utility API: format("hdf5table") infers the member schema and
+        // the projection exercises MEMBER-LEVEL pruning (only lang and
+        // n_chars bytes are decoded from each record; source and n_docs
+        // are never touched). The oracle recomputes from parquet, so a
+        // defect in schema inference, the pruned compound decode, or the
+        // chunk/range partitioning mismatches.
+        val table = Tables.load(s, d, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(count(lit(1)).cast("double").as("n_docs"),
+            sum(col("n_chars")).cast("double").as("sum_chars"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q81.h5"
+        new java.io.File(path).delete()
+        NetCDF4Source.writeCompoundTable(table, path, "doc_stats")
+        s.read.format("hdf5table").option("var", "doc_stats").load(path)
+          .select("lang", "sum_chars")
+          .groupBy("lang")
+          .agg(sum(col("sum_chars")).cast("long").as("sum_chars"),
+            count(lit(1)).cast("long").as("n_rows"))
+      },
+      Some("""WITH t AS (
+                SELECT lang, source, sum(n_chars) AS sum_chars
+                FROM documents GROUP BY 1, 2)
+              SELECT lang,
+                     CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+                     CAST(count(*) AS BIGINT) AS n_rows
+              FROM t GROUP BY lang"""),
+      "HDF5 compound table through SQL: format(\"hdf5table\") schema inference + member-level pruning")
   )
 }
