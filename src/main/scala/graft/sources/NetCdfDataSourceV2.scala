@@ -79,10 +79,17 @@ private[sources] object NetCdfTableV2 {
     * the concrete file list, NAME-sorted — the concatenation order of a
     * time-partitioned archive (`sst_1990.nc`, `sst_1991.nc`…).
     * @param allowEmpty streaming listings may legitimately be empty before
-    *                   the first file lands; batch reads require matches. */
-  def expand(raw: Seq[String], allowEmpty: Boolean = false): Seq[String] = {
+    *                   the first file lands; batch reads require matches.
+    * @param minAgeMs   exclude files modified within the last `minAgeMs`
+    *                   milliseconds — a streaming knob to skip files a
+    *                   producer is still writing (0 = no age filter). */
+  def expand(raw: Seq[String], allowEmpty: Boolean = false,
+      minAgeMs: Long = 0L): Seq[String] = {
     val conf = org.apache.spark.sql.SparkSession.active
       .sparkContext.hadoopConfiguration
+    val cutoff = if (minAgeMs > 0) System.currentTimeMillis() - minAgeMs else Long.MaxValue
+    def settled(st: org.apache.hadoop.fs.FileStatus): Boolean =
+      st.getModificationTime <= cutoff
     val out = raw.flatMap { p =>
       val hp = new org.apache.hadoop.fs.Path(p)
       val fs = hp.getFileSystem(conf)
@@ -92,8 +99,10 @@ private[sources] object NetCdfTableV2 {
         if (st.isDirectory)
           fs.listStatus(st.getPath).toSeq
             .filter(f => f.isFile && !f.getPath.getName.startsWith(".")
-              && !f.getPath.getName.startsWith("_"))
+              && !f.getPath.getName.startsWith("_")
+              && !f.getPath.getName.endsWith(".tmp") && settled(f))
             .map(_.getPath.toString)
+        else if (st.getPath.getName.endsWith(".tmp") || !settled(st)) Seq.empty
         else Seq(st.getPath.toString)
       }
     }
@@ -171,11 +180,14 @@ private[sources] object NetCdfTableV2 {
     }
   }
 
-  /** Every partition of one file's FULL local time range at `tOff`. */
+  /** Every partition of one file's FULL local time range at `tOff`, plus
+    * the time length (`nt`) of the SAME header parse — streaming callers
+    * must advance the global axis by exactly what was planned, even if the
+    * file is still growing between two parses. */
   def partitionsOf(spark: org.apache.spark.sql.SparkSession, path: String,
-      varName: String, tOff: Int): Seq[InputPartition] = {
+      varName: String, tOff: Int): (Seq[InputPartition], Int) = {
     val (m, dsOpt) = fileMeta(spark, path, varName)
-    dsOpt match {
+    val parts: Seq[InputPartition] = dsOpt match {
       case Some(ds) =>
         val src = new NetCDF4Source.HadoopSource(
           spark.sparkContext.hadoopConfiguration, path)
@@ -199,6 +211,7 @@ private[sources] object NetCdfTableV2 {
         (0 until m.nt by per).map(s =>
           NcRecordPartition(path, m, tOff, s, math.min(s + per - 1, m.nt - 1)))
     }
+    (parts, m.nt)
   }
 }
 
@@ -210,10 +223,11 @@ private[sources] class NetCdfTableV2(rawInputs: Seq[String], varName: String)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NetCdfScanBuilder(rawInputs, varName)
+    new NetCdfScanBuilder(rawInputs, varName, options.getLong("fileMinAgeMs", 0L))
 }
 
-private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String)
+private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String,
+    minAgeMs: Long)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var tLo = Int.MinValue
@@ -241,7 +255,8 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new NetCdfScan(rawInputs, varName, tLo, tHi, required)
+  override def build(): Scan =
+    new NetCdfScan(rawInputs, varName, tLo, tHi, required, minAgeMs)
 }
 
 /** One stored (or fill-elided: addr = -1) NC4 chunk of one file. Local
@@ -266,7 +281,7 @@ private[sources] case class NcDecodeMeta(
     scale: Double, offset: Double, fillRaw: Option[Double], elidedFill: Double)
 
 private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
-    tLo: Int, tHi: Int, required: StructType)
+    tLo: Int, tHi: Int, required: StructType, minAgeMs: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics {
 
   private lazy val paths: Seq[String] = NetCdfTableV2.expand(rawInputs)
@@ -275,7 +290,7 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new NetCdfMicroBatchStream(rawInputs, varName, required)
+    new NetCdfMicroBatchStream(rawInputs, varName, required, minAgeMs)
 
   /** Exact post-prune cell count (grids are dense), so Catalyst can pick
     * broadcast joins for small time windows over huge archives. */
@@ -454,10 +469,34 @@ private[sources] class NetCdfReaderFactory(columns: Array[String],
   }
 }
 
-/** Offset = how many NAME-SORTED files of the archive are committed. */
-private[sources] case class NcFileOffset(n: Int)
+/** Offset = how many NAME-SORTED files of the archive are committed, PLUS
+  * the NAME of the last committed file — the name pins the prefix
+  * membership, so a backfilled file that sorts before a committed one is
+  * detected (and failed loudly) instead of silently remapping the global
+  * time axis. `last` is absent/empty at offset 0 and in pre-upgrade
+  * checkpoints (which then get count-only protection). */
+private[sources] case class NcFileOffset(n: Int, last: String)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = s"""{"files": $n}"""
+  override def json(): String = {
+    import org.json4s.JsonDSL._
+    org.json4s.jackson.JsonMethods.compact(
+      ("files" -> n) ~ ("last" -> last))
+  }
+}
+
+private[sources] object NcFileOffset {
+  def parse(json: String): NcFileOffset = {
+    val j = org.json4s.jackson.JsonMethods.parse(json)
+    val n = (j \ "files") match {
+      case org.json4s.JInt(v) => v.toInt
+      case _ => throw new IllegalArgumentException(s"malformed netcdf stream offset: $json")
+    }
+    val last = (j \ "last") match {
+      case org.json4s.JString(s) => s
+      case _ => "" // pre-upgrade checkpoint: count-only offset
+    }
+    NcFileOffset(n, last)
+  }
 }
 
 /** `spark.readStream.format("netcdf")` over a GROWING archive directory:
@@ -467,17 +506,21 @@ private[sources] case class NcFileOffset(n: Int)
   * streaming trackers can consume a live satellite-archive directory
   * directly. New files must sort AFTER committed ones (the
   * `sst_YYYYMM.nc` naming convention time-partitioned archives already
-  * follow). An archive that SHRINKS below the committed offset fails at
-  * planning time; a file inserted earlier in the name order cannot be
-  * detected from a count offset alone — follow the naming convention. */
+  * follow); the offset carries the last committed file NAME, so an
+  * archive that shrinks, reorders, or backfills below the committed
+  * prefix FAILS at planning time instead of silently remapping committed
+  * data. Files still being written are best skipped at the listing:
+  * `.tmp`-suffixed names always are, and `.option("fileMinAgeMs", ms)`
+  * additionally holds back files modified within the last `ms`. */
 private[sources] class NetCdfMicroBatchStream(rawInputs: Seq[String],
-    varName: String, required: StructType)
+    varName: String, required: StructType, minAgeMs: Long)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
   private def spark = org.apache.spark.sql.SparkSession.active
 
-  private def files(): Seq[String] = NetCdfTableV2.expand(rawInputs, allowEmpty = true)
+  private def files(): Seq[String] =
+    NetCdfTableV2.expand(rawInputs, allowEmpty = true, minAgeMs = minAgeMs)
 
   // re-listing the archive between planInputPartitions and latestOffset
   // must see the same snapshot — cache per planning cycle
@@ -485,38 +528,59 @@ private[sources] class NetCdfMicroBatchStream(rawInputs: Seq[String],
 
   // committed files are immutable, so their time-axis lengths are
   // memoized — a decades-long archive (10⁵ files) pays one header parse
-  // per file per stream lifetime, not per micro-batch
+  // per file per stream lifetime, not per micro-batch. Entries are added
+  // only for files a batch has actually PLANNED (the delivered length),
+  // never for merely-listed tail files that may still be growing.
   private val ntCache = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
 
   private def ntOf(path: String): Int =
     ntCache.computeIfAbsent(path,
       p => NetCdfTableV2.fileMeta(spark, p, varName)._1.nt)
 
-  override def initialOffset(): Offset = NcFileOffset(0)
+  private def nameOf(p: String): String = new org.apache.hadoop.fs.Path(p).getName
+
+  override def initialOffset(): Offset = NcFileOffset(0, "")
 
   override def latestOffset(): Offset = {
     snapshot = files()
-    NcFileOffset(snapshot.size)
+    NcFileOffset(snapshot.size, snapshot.lastOption.map(nameOf).getOrElse(""))
   }
 
-  override def deserializeOffset(json: String): Offset =
-    NcFileOffset("""\d+""".r.findFirstIn(json).getOrElse(
-      throw new IllegalArgumentException(s"malformed netcdf stream offset: $json")).toInt)
+  override def deserializeOffset(json: String): Offset = NcFileOffset.parse(json)
+
+  /** The first `n` files of `fs` must end exactly at `o.last` — anything
+    * else means the name order around the committed prefix changed. */
+  private def checkPrefix(fs: Seq[String], o: NcFileOffset): Unit =
+    if (o.n > 0 && o.last.nonEmpty) {
+      val at = nameOf(fs(o.n - 1))
+      require(at == o.last,
+        s"netcdf stream: archive reordered — the committed prefix (${o.n} files) " +
+          s"ended at '${o.last}' but file #${o.n} is now '$at'. A backfilled file " +
+          "sorting at or before a committed one cannot be merged into the global " +
+          "time axis; archives must append with monotonically increasing names")
+    }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[NcFileOffset].n
-    val e = end.asInstanceOf[NcFileOffset].n
-    val fs = if (snapshot.size >= e) snapshot else files()
-    require(fs.size >= e,
-      s"netcdf stream: archive shrank below the committed offset ($e > ${fs.size})")
+    val so = start.asInstanceOf[NcFileOffset]
+    val eo = end.asInstanceOf[NcFileOffset]
+    val fs = if (snapshot.size >= eo.n) snapshot else files()
+    require(fs.size >= eo.n,
+      s"netcdf stream: archive shrank below the committed offset (${eo.n} > ${fs.size})")
+    checkPrefix(fs, so)
+    checkPrefix(fs, eo)
     // global t offsets accumulate over the sorted PREFIX — committed
-    // files' time lengths come from the memoized header parse, keeping
-    // the axis stable without persisting per-file state
+    // files' time lengths come from the memoized header parse; files in
+    // THIS batch parse fresh, and the axis advances by the same parse
+    // that produced their partitions (then memoized as-delivered)
     var off = 0
     val parts = Seq.newBuilder[InputPartition]
-    fs.take(e).zipWithIndex.foreach { case (p, i) =>
-      if (i >= s) parts ++= NetCdfTableV2.partitionsOf(spark, p, varName, off)
-      off += ntOf(p)
+    fs.take(eo.n).zipWithIndex.foreach { case (p, i) =>
+      if (i >= so.n) {
+        val (ps, nt) = NetCdfTableV2.partitionsOf(spark, p, varName, off)
+        parts ++= ps
+        ntCache.put(p, nt)
+        off += nt
+      } else off += ntOf(p)
     }
     parts.result().toArray
   }

@@ -110,10 +110,10 @@ private[sources] class ZarrTableV2(path: String) extends Table with SupportsRead
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path)
+    new ZarrScanBuilder(path, options.getBoolean("fillMissingTail", false))
 }
 
-private[sources] class ZarrScanBuilder(path: String)
+private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var tLo = Int.MinValue
@@ -141,20 +141,21 @@ private[sources] class ZarrScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ZarrScan(path, tLo, tHi, required)
+  override def build(): Scan = new ZarrScan(path, tLo, tHi, required, fillMissingTail)
 }
 
 private[sources] case class ZarrChunkPartition(
     ci: Int, cj: Int, ck: Int, filePath: String) extends InputPartition // filePath "" → missing chunk
 
 private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
-    required: StructType) extends Scan with Batch with SupportsReportStatistics {
+    required: StructType, fillMissingTail: Boolean = false)
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = required
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ZarrMicroBatchStream(path, required)
+    new ZarrMicroBatchStream(path, required, fillMissingTail)
 
   /** Post-prune dense cell count + projected width, so Catalyst can
     * broadcast small windows of huge stores on its own. */
@@ -241,7 +242,8 @@ private[sources] case class ZarrStreamChunkPartition(ci: Int, cj: Int, ck: Int,
   * re-reads the array metadata; slices beyond the committed offset are
   * planned as their covering chunks, bounded to the fresh time range so a
   * partially-committed edge chunk never re-delivers old slices. */
-private[sources] class ZarrMicroBatchStream(path: String, required: StructType)
+private[sources] class ZarrMicroBatchStream(path: String, required: StructType,
+    fillMissingTail: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -254,9 +256,48 @@ private[sources] class ZarrMicroBatchStream(path: String, required: StructType)
     m
   }
 
+  // offsets must never move backwards even if the chunk probe does
+  @volatile private var offsetFloor = 0
+
   override def initialOffset(): Offset = ZarrNtOffset(0)
 
-  override def latestOffset(): Offset = ZarrNtOffset(metaNow().shape.head)
+  /** A zarr append resizes the array metadata BEFORE its chunk files land
+    * (xarray's `to_zarr(append_dim=…)` writes `.zarray` first), so the
+    * metadata shape can briefly promise slices whose data does not exist
+    * yet — and the batch reader would synthesize fill for them, commit,
+    * and never re-read the real values. Cap the offered offset at the end
+    * of the last time-chunk row whose spatial chunks are ALL present; the
+    * in-flight tail is offered once its chunks land. Caveat: a trailing
+    * row that is entirely fill-elided on purpose parks the stream at its
+    * start — opt out with `.option("fillMissingTail", "true")` to trust
+    * the metadata shape (pre-cap behavior). */
+  override def latestOffset(): Offset = {
+    val meta = metaNow()
+    val ntMeta = meta.shape.head
+    if (fillMissingTail) return ZarrNtOffset(ntMeta)
+    val Seq(ct, cy, cx) = meta.chunks
+    val nyC = (meta.shape(1) + cy - 1) / cy
+    val nxC = (meta.shape(2) + cx - 1) / cx
+    val glob = ZarrSource.chunkGlob(meta, path, 3)
+    val gp = new org.apache.hadoop.fs.Path(glob)
+    val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val present: Set[(Int, Int, Int)] =
+      Option(fs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
+        .flatMap { st =>
+          ZarrSource.parseChunkKey(meta, st.getPath.toString, 3)
+            .map(ci => (ci(0), ci(1), ci(2)))
+        }.toSet
+    val nRows = (ntMeta + ct - 1) / ct
+    def fullRow(ci: Int): Boolean =
+      (0 until nyC).forall(cj => (0 until nxC).forall(ck => present((ci, cj, ck))))
+    // rows BELOW a later full row are final (absent chunks there are
+    // legitimate fill elisions); only the trailing not-yet-full rows are
+    // treated as in-flight
+    val lastFull = (nRows - 1) to 0 by -1 collectFirst { case ci if fullRow(ci) => ci }
+    val cap = lastFull.map(ci => math.min(ntMeta, (ci + 1) * ct)).getOrElse(0)
+    offsetFloor = math.max(offsetFloor, cap)
+    ZarrNtOffset(offsetFloor)
+  }
 
   override def deserializeOffset(json: String): Offset =
     ZarrNtOffset("""\d+""".r.findFirstIn(json).getOrElse(

@@ -60,6 +60,64 @@ class NetCdfStreamSpec extends SparkSpec {
     assert(sink().count() == 3 * 3 * 2 * 2)
   }
 
+  test("a backfilled file sorting before the committed prefix fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ncstream3").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ncstream3_ck").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_ncstream3_out").toFile
+    // months 1 and 2 stream first; month 0 lands LATE (a backfill)
+    writeMonth(dir, 1)
+    writeMonth(dir, 2)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("netcdf").option("var", "sst")
+        .load(dir.getAbsolutePath)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce()
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 2 * 3 * 2 * 2)
+
+    writeMonth(dir, 0) // sst_000.nc sorts BEFORE the committed sst_001.nc
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      runOnce()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("archive reordered")),
+      s"expected the reorder guard, got: ${messages(ex).mkString(" | ")}")
+    // the committed sink is untouched — loud failure, no silent remap
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 2 * 3 * 2 * 2)
+  }
+
+  test("fileMinAgeMs holds back files modified too recently") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ncstream4").toFile
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ncstream4_ck").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_ncstream4_out").toFile
+    writeMonth(dir, 0)
+    writeMonth(dir, 1)
+    // age the first file far into the past; the second stays "in-flight"
+    val old = new java.io.File(dir, "sst_000.nc")
+    assert(old.setLastModified(System.currentTimeMillis() - 3600L * 1000))
+    def runOnce(minAge: Long): Unit = {
+      val q = spark.readStream.format("netcdf").option("var", "sst")
+        .option("fileMinAgeMs", minAge.toString)
+        .load(dir.getAbsolutePath)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    runOnce(minAge = 60L * 1000)
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 12,
+      "only the settled file is delivered while the fresh one is held back")
+    runOnce(minAge = 0)
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 24,
+      "the held-back file arrives once the age filter passes")
+  }
+
   test("streaming from an initially empty directory picks up the first file") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ncstream2").toFile
     val ckpt = java.nio.file.Files.createTempDirectory("graft_ncstream2_ck").toFile

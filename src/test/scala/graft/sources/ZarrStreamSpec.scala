@@ -53,4 +53,45 @@ class ZarrStreamSpec extends SparkSpec {
     runOnce()
     assert(sink().count() == 18 * ny * nx)
   }
+
+  test("a metadata-first append is held back until its chunks land") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstream2").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_zstream2_ck").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_zstream2_out").toFile
+    val (ny, nx) = (2, 3)
+
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("zarr").load(dir)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sink() = spark.read.parquet(out.getAbsolutePath)
+
+    ZarrSource.write3D(grid(0, 8, ny, nx), dir, shape = (8, ny, nx), chunks = (4, ny, nx))
+    runOnce()
+    assert(sink().count() == 8 * ny * nx)
+
+    // an appender resizes .zarray to 12 slices BEFORE writing chunk 2.0.0
+    // (xarray's to_zarr(append_dim) metadata-first window)
+    val zarray = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/.zarray")))
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/.zarray"),
+      zarray.replace("\"shape\": [8,", "\"shape\": [12,").getBytes)
+    runOnce()
+    assert(sink().count() == 8 * ny * nx,
+      "the promised-but-unwritten slices must NOT be delivered as fill")
+
+    // the chunk data lands → the held-back slices stream with real values
+    ZarrSource.write3D(grid(0, 12, ny, nx), dir, shape = (12, ny, nx), chunks = (4, ny, nx))
+    runOnce()
+    val all = sink()
+    assert(all.count() == 12 * ny * nx)
+    assert(all.select("t_idx", "y", "x").distinct().count() == all.count())
+    assert(all.filter(
+      col("value") =!= col("t_idx") * 10.0 + col("y") + col("x") * 0.5).count() == 0,
+      "the late-landing slices must carry their real values, not fill")
+  }
 }
