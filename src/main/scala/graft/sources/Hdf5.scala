@@ -1063,16 +1063,30 @@ private[sources] object Hdf5 {
           data = out.toByteArray
         case 32004 => // registered lz4 plugin: BE total size + block size,
           // then per block a BE compressed length and the block bytes
-          // (stored raw when compression did not shrink the block)
+          // (stored raw when compression did not shrink the block).
+          // Header fields are UNTRUSTED file bytes: a non-positive block
+          // size would stall the loop forever and an over-2-GiB total
+          // would silently truncate — both are rejected up front, and
+          // each block's declared length is bounds-checked.
+          require(data.length >= 12,
+            s"lz4 chunk header truncated (${data.length} bytes, need 12)")
           val bb = ByteBuffer.wrap(data).order(ByteOrder.BIG_ENDIAN)
           val total = bb.getLong(0)
           val blockSize = bb.getInt(8)
+          require(total > 0 && total <= Int.MaxValue,
+            s"lz4 chunk declares invalid decompressed size $total")
+          require(blockSize > 0,
+            s"lz4 chunk declares invalid block size $blockSize")
           val out = new Array[Byte](total.toInt)
           val dec = net.jpountz.lz4.LZ4Factory.fastestJavaInstance().fastDecompressor()
           var p = 12; var o = 0
           while (o < total) {
             val origLen = math.min(blockSize.toLong, total - o).toInt
+            require(p + 4 <= data.length,
+              s"lz4 block header at $p overruns chunk of ${data.length} bytes")
             val compLen = bb.getInt(p); p += 4
+            require(compLen > 0 && p + compLen <= data.length,
+              s"lz4 block at $p declares $compLen bytes, chunk has ${data.length}")
             if (compLen == origLen) System.arraycopy(data, p, out, o, origLen)
             else dec.decompress(data, p, out, o, origLen)
             p += compLen; o += origLen
@@ -1244,7 +1258,7 @@ private[sources] object Hdf5 {
       chunkDims: Option[Seq[Int]] = None, deflateLevel: Int = 4,
       attrs: Seq[(String, Any)] = Seq.empty, v4Index: Option[String] = None,
       denseAttrs: Boolean = false, typed: Option[TypedData] = None,
-      compressor: String = "deflate")
+      compressor: String = "deflate", elideDefaultChunks: Boolean = false)
 
   /** Non-f64 payload for a [[WriteVar]] (contiguous layout only): the
     * write-side dual of the string/vlen/compound READ paths, so round-trip
@@ -1620,13 +1634,13 @@ private[sources] object Hdf5 {
         btAddr: Long, chunks: Seq[(Seq[Long], Array[Byte])],
         attrHeapAddr: Long = Undef, gcolAddr: Long = Undef)
     def shuffleDeflate(raw: Array[Byte], level: Int,
-        compressor: String = "deflate"): Array[Byte] = {
-      val chunkN = raw.length / 8
+        compressor: String = "deflate", es: Int = 8): Array[Byte] = {
+      val chunkN = raw.length / es
       val shuffled = new Array[Byte](raw.length)
       var b = 0
-      while (b < 8) {
+      while (b < es) {
         var j = 0
-        while (j < chunkN) { shuffled(b * chunkN + j) = raw(j * 8 + b); j += 1 }
+        while (j < chunkN) { shuffled(b * chunkN + j) = raw(j * es + b); j += 1 }
         b += 1
       }
       compressor match {
@@ -1712,8 +1726,16 @@ private[sources] object Hdf5 {
       v.typed match {
         case Some(t) =>
           require(n == t.n, s"${v.name}: shape/data mismatch")
-          require(v.chunkDims.isEmpty && v.v4Index.isEmpty,
-            s"${v.name}: typed payloads are contiguous-only")
+          t match {
+            case _: CompoundData => // chunked compounds (PyTables' layout)
+              // are supported through the default v1 B-tree index only
+              require(v.v4Index.isEmpty,
+                s"${v.name}: chunked compounds use the v1 B-tree index")
+              require(v.chunkDims.isEmpty || v.dims.length == 1,
+                s"${v.name}: chunked compound tables are 1-D")
+            case _ => require(v.chunkDims.isEmpty && v.v4Index.isEmpty,
+              s"${v.name}: typed payloads are contiguous-only")
+          }
         case None => require(n == v.values.length, s"${v.name}: shape/data mismatch")
       }
       require(v.v4Index.isEmpty || v.chunkDims.isDefined, s"${v.name}: v4Index needs chunkDims")
@@ -1765,33 +1787,56 @@ private[sources] object Hdf5 {
           Plan(v, ohAddr, dataAddr, Undef, Seq.empty, gcolAddr = gcolAddr)
         case Some(cd) =>
           require(cd.length == v.dims.length)
+          val elemSize = v.typed.map(_.elemSize).getOrElse(8)
           // enumerate chunk origins (row-major), slice [+ shuffle + deflate]
           def origins(d: Int): Seq[Seq[Long]] =
             if (d == v.dims.length) Seq(Seq.empty)
             else (0L until v.dims(d).toLong by cd(d).toLong)
               .flatMap(o => origins(d + 1).map(o +: _))
           val chunkN = cd.map(_.toLong).product.toInt
-          val chunks = origins(0).map { org =>
-            val buf = new Array[Double](chunkN) // edge chunks stay padded
-            val idx = new Array[Int](v.dims.length)
-            var i = 0
-            while (i < chunkN) {
-              var rem = i; var d = cd.length - 1
-              while (d >= 0) { idx(d) = rem % cd(d); rem /= cd(d); d -= 1 }
-              val inRange = idx.indices.forall(d => org(d) + idx(d) < v.dims(d))
-              if (inRange) {
-                var flat = 0L
-                idx.indices.foreach(d => flat = flat * v.dims(d) + org(d) + idx(d))
-                buf(i) = v.values(flat.toInt)
-              } else buf(i) = Double.NaN
-              i += 1
+          // typed (compound) chunks slice the 1-D record bytes; f64 chunks
+          // gather from the row-major value grid
+          val typedBytes = v.typed.map(typedDataBytes(_, Undef))
+          val rawChunks = origins(0).map { org =>
+            val raw = typedBytes match {
+              case Some(all) =>
+                // 1-D record table: [org, org+chunkN) zero-padded at the edge
+                val start = org.head.toInt * elemSize
+                val out = new Array[Byte](chunkN * elemSize)
+                val len = math.min(all.length - start, out.length)
+                if (len > 0) System.arraycopy(all, start, out, 0, len)
+                out
+              case None =>
+                val buf = new Array[Double](chunkN) // edge chunks stay padded
+                val idx = new Array[Int](v.dims.length)
+                var i = 0
+                while (i < chunkN) {
+                  var rem = i; var d = cd.length - 1
+                  while (d >= 0) { idx(d) = rem % cd(d); rem /= cd(d); d -= 1 }
+                  val inRange = idx.indices.forall(d => org(d) + idx(d) < v.dims(d))
+                  if (inRange) {
+                    var flat = 0L
+                    idx.indices.foreach(d => flat = flat * v.dims(d) + org(d) + idx(d))
+                    buf(i) = v.values(flat.toInt)
+                  } else buf(i) = Double.NaN
+                  i += 1
+                }
+                val bytes = ByteBuffer.allocate(chunkN * 8).order(ByteOrder.LITTLE_ENDIAN)
+                buf.foreach(bytes.putDouble)
+                bytes.array()
             }
-            val bytes = ByteBuffer.allocate(chunkN * 8).order(ByteOrder.LITTLE_ENDIAN)
-            buf.foreach(bytes.putDouble)
-            // shuffle (element size 8) then deflate — netCDF-4's default —
-            // unless the index type forbids filters (implicit)
-            val raw = bytes.array()
-            (org, if (filtered) shuffleDeflate(raw, v.deflateLevel, v.compressor) else raw)
+            (org, raw)
+          }
+          // HDF5 writers legitimately elide never-written/all-default
+          // chunks from the index — opt in to exercise readers against it
+          val kept =
+            if (v.elideDefaultChunks) rawChunks.filter(_._2.exists(_ != 0))
+            else rawChunks
+          // shuffle (record/element size) then deflate — netCDF-4's
+          // default — unless the index type forbids filters (implicit)
+          val chunks = kept.map { case (org, raw) =>
+            (org, if (filtered) shuffleDeflate(raw, v.deflateLevel, v.compressor, elemSize)
+            else raw)
           }
           v.v4Index match {
             case None =>
@@ -1934,9 +1979,10 @@ private[sources] object Hdf5 {
         msgs += 0x0008 -> lb.array()
       } else if (v.v4Index.isEmpty) {
         val cd = v.chunkDims.get
+        val es = v.typed.map(_.elemSize).getOrElse(8)
         val lb = ByteBuffer.allocate(32).order(ByteOrder.LITTLE_ENDIAN)
         lb.put(3.toByte).put(2.toByte).put((cd.length + 1).toByte).putLong(p.btAddr)
-        cd.foreach(lb.putInt); lb.putInt(8)
+        cd.foreach(lb.putInt); lb.putInt(es) // element-size pseudo-dim
         msgs += 0x0008 -> lb.array()
       } else {
         val cd = v.chunkDims.get
@@ -1984,9 +2030,10 @@ private[sources] object Hdf5 {
           case "zstd" => 32015
           case o => throw new IllegalArgumentException(s"compressor $o")
         }
+        val es = v.typed.map(_.elemSize).getOrElse(8)
         val fp = ByteBuffer.allocate(8 + 16 + 16).order(ByteOrder.LITTLE_ENDIAN)
         fp.put(1.toByte).put(2.toByte).putShort(0).putInt(0)
-        fp.putShort(2).putShort(0).putShort(0).putShort(1).putInt(8).putInt(0) // shuffle, es=8
+        fp.putShort(2).putShort(0).putShort(0).putShort(1).putInt(es).putInt(0) // shuffle
         fp.putShort(compId.toShort).putShort(0).putShort(0).putShort(1)
           .putInt(v.deflateLevel).putInt(0)
         msgs += 0x000B -> fp.array()
@@ -2060,7 +2107,7 @@ private[sources] object Hdf5 {
           // final key: one past the last chunk in every dimension
           out.write(u32(0)); out.write(u32(0))
           v.dims.indices.foreach(d => out.write(u64(v.dims(d).toLong)))
-          out.write(u64(8))
+          out.write(u64(v.typed.map(_.elemSize.toLong).getOrElse(8L)))
           p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
         case Some("single") | Some("implicit") =>
           require(pos == p.dataAddr)

@@ -118,6 +118,11 @@ private[sources] case class Hdf5TableRangePartition(addr: Long, orgRow: Long,
     rows: Int) extends InputPartition
 private[sources] case class Hdf5TableInlinePartition(data: Array[Byte],
     rows: Int) extends InputPartition
+/** A chunk HDF5 legitimately elided (never written / all default): its rows
+  * decode from zero bytes — numeric members 0.0, strings "" — the format's
+  * default fill when no fill-value message overrides it. */
+private[sources] case class Hdf5TableFillPartition(orgRow: Long, rows: Int)
+    extends InputPartition
 
 private[sources] class Hdf5TableScan(path: String, varName: String,
     requiredOpt: Option[StructType], limit: Option[Int])
@@ -169,9 +174,17 @@ private[sources] class Hdf5TableScan(path: String, varName: String,
         val cn = chunkDims.head.toLong
         val src = new NetCDF4Source.HadoopSource(
           spark.sparkContext.hadoopConfiguration, path)
-        Hdf5.listChunks(src, ds).sortBy(_.offsets.head).iterator.map { c =>
-          Hdf5TableChunkPartition(c.offsets.head,
-            math.min(cn, n - c.offsets.head).toInt, c.addr, c.size, c.filterMask)
+        // enumerate EVERY chunk origin, not just stored ones — HDF5 elides
+        // never-written/all-fill chunks, but those rows still exist in the
+        // dataspace (and in estimateStatistics' exact count): absent chunks
+        // synthesize default-fill records, mirroring NetCdfScan
+        val present = Hdf5.listChunks(src, ds).map(c => c.offsets.head -> c).toMap
+        (0L until n by cn).iterator.map { org =>
+          val rows = math.min(cn, n - org).toInt
+          present.get(org) match {
+            case Some(c) => Hdf5TableChunkPartition(org, rows, c.addr, c.size, c.filterMask)
+            case None => Hdf5TableFillPartition(org, rows)
+          }
         }
       case Hdf5.Contiguous(addr, _) =>
         val batch = 65536L
@@ -191,6 +204,7 @@ private[sources] class Hdf5TableScan(path: String, varName: String,
         case c: Hdf5TableChunkPartition => c.rows.toLong
         case r: Hdf5TableRangePartition => r.rows.toLong
         case i: Hdf5TableInlinePartition => i.rows.toLong
+        case f: Hdf5TableFillPartition => f.rows.toLong
       })
     }
     out.result().toArray
@@ -213,6 +227,7 @@ private[sources] class Hdf5TableReaderFactory(path: String,
       case r: Hdf5TableRangePartition =>
         (src.read(r.addr, r.rows * ct.size), r.rows)
       case i: Hdf5TableInlinePartition => (i.data, i.rows)
+      case f: Hdf5TableFillPartition => (new Array[Byte](f.rows * ct.size), f.rows)
     }
     val cols: Seq[Array[_]] = Hdf5.decodeCompound(data, ct, rows, src).map(_._2)
     new PartitionReader[InternalRow] {

@@ -219,7 +219,9 @@ object NetCDF4Source {
     * Driver-side assembly like [[write3D]] — a single HDF5 file is an
     * inherently serial sink, for bounded result exports only. */
   def writeCompoundTable(df: DataFrame, path: String, varName: String,
-      stringSizes: Map[String, Int] = Map.empty): Unit = {
+      stringSizes: Map[String, Int] = Map.empty,
+      chunkRows: Option[Int] = None,
+      elideDefaultChunks: Boolean = false): Unit = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
     val fields = df.schema.fields
@@ -250,7 +252,8 @@ object NetCDF4Source {
       }
     }.toSeq
     val bytes = Hdf5.assemble(Seq(WriteVar(varName, Seq(rows.length), Array.empty,
-      typed = Some(Hdf5.CompoundData(cols)))))
+      typed = Some(Hdf5.CompoundData(cols)), chunkDims = chunkRows.map(Seq(_)),
+      elideDefaultChunks = elideDefaultChunks)))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)

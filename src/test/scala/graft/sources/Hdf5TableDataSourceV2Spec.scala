@@ -82,6 +82,53 @@ class Hdf5TableDataSourceV2Spec extends SparkSpec {
     assert(statsOf(full.limit(2)).rowCount.contains(BigInt(2)))
   }
 
+  test("chunked compound tables read back exactly (PyTables' layout)") {
+    val path = tmpH5()
+    val in = (0 until 23).map(i => (s"doc_$i", i.toDouble, i * 0.5))
+      .toDF("name", "n", "score")
+    NetCDF4Source.writeCompoundTable(in, path, "stats", chunkRows = Some(5))
+    val got = spark.read.format("hdf5table").option("var", "stats").load(path)
+    assert(got.count() == 23)
+    assert(got.orderBy("n").collect().map(_.getString(0)).take(3).toSeq ==
+      Seq("doc_0", "doc_1", "doc_2"))
+    assert(got.agg(sum("score")).head.getDouble(0) == (0 until 23).map(_ * 0.5).sum)
+  }
+
+  test("an elided (never-written) chunk synthesizes default-fill records") {
+    val path = tmpH5()
+    // rows 5..9 are all-default (0.0 / "") → with a 5-row chunk, chunk 1 is
+    // elided from the index entirely, like a PyTables file that never
+    // touched those rows
+    val in = (0 until 15).map { i =>
+      if (i >= 5 && i < 10) ("", 0.0) else (s"doc_$i", i + 0.25)
+    }.toDF("name", "score")
+    NetCDF4Source.writeCompoundTable(in, path, "stats", chunkRows = Some(5),
+      elideDefaultChunks = true)
+    val got = spark.read.format("hdf5table").option("var", "stats").load(path)
+    assert(got.count() == 15, "elided-chunk rows still exist in the dataspace")
+    val rows = got.orderBy("score").collect()
+    assert(rows.take(5).forall(r => r.getString(0) == "" && r.getDouble(1) == 0.0),
+      "absent chunk decodes as default fill")
+    assert(got.filter(col("name") === "doc_12").head.getDouble(1) == 12.25)
+    // the planned partition count still covers every chunk origin
+    assert(got.rdd.getNumPartitions == 3)
+  }
+
+  test("a corrupt lz4 chunk header fails loudly instead of hanging") {
+    // defilter is the exposed surface: blockSize <= 0 used to never
+    // advance the block loop (infinite hang on untrusted bytes)
+    val bb = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.putLong(16L).putInt(0).putInt(4) // total=16, blockSize=0 (invalid)
+    val e = intercept[IllegalArgumentException](
+      Hdf5.defilter(bb.array(), Seq(Hdf5.Filter(32004, Seq.empty)), 0))
+    assert(e.getMessage.contains("block size"))
+    val bb2 = java.nio.ByteBuffer.allocate(20).order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb2.putLong(-8L).putInt(4096) // negative declared size
+    val e2 = intercept[IllegalArgumentException](
+      Hdf5.defilter(bb2.array(), Seq(Hdf5.Filter(32004, Seq.empty)), 0))
+    assert(e2.getMessage.contains("decompressed size"))
+  }
+
   test("missing var / non-compound dataset fail with named errors") {
     val path = tmpH5()
     writeSample(path)
