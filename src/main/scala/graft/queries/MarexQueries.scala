@@ -1010,6 +1010,93 @@ object MarexQueries extends QueryRegistry {
                      CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
                      CAST(count(*) AS BIGINT) AS n_rows
               FROM t GROUP BY lang"""),
-      "HDF5 compound table through SQL: format(\"hdf5table\") schema inference + member-level pruning")
+      "HDF5 compound table through SQL: format(\"hdf5table\") schema inference + member-level pruning"),
+
+    // ── regional window over a spatially-chunked archive (track.py:5471) ──
+    QueryDef("q82_netcdf_regional",
+      (s, d) => {
+        import graft.sources.NetCDF4Source
+        // the reference's regional mode tracks a lat/lon window of a
+        // global grid; the SQL dual is a y/x range over format("netcdf").
+        // The file is written with 5×5 SPATIAL chunks, so the window
+        // [y 2..6]×[x 5..14] must prune the off-window spatial chunks at
+        // planning time (per-dimension pushdown) — a prune or reader-bound
+        // defect mismatches the oracle, which recomputes from events with
+        // the same predicates.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("value"))
+          .filter(col("t_idx").between(0, 30))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q82.nc"
+        new java.io.File(path).delete()
+        NetCDF4Source.write3D(cells, path, "sst", shape = (31, 10, 15),
+          timeChunk = 8, spatialChunks = Some((5, 5)))
+        s.read.format("netcdf").option("var", "sst").load(path)
+          .filter(col("t_idx").between(3, 27) && col("y").between(2, 6) &&
+            col("x") >= 5 && !isnan(col("value")))
+          .groupBy(col("y").cast("long").as("y"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("value") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(y AS BIGINT) AS y,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells
+              WHERE t_idx BETWEEN 3 AND 27 AND y BETWEEN 2 AND 6 AND x >= 5
+              GROUP BY y"""),
+      "Regional window over format(\"netcdf\"): per-dimension y/x chunk pushdown on a spatially-chunked file"),
+
+    QueryDef("q83_zarr_regional",
+      (s, d) => {
+        import graft.sources.ZarrSource
+        // the same regional window through the single-array zarr scan:
+        // (2,5,5)-chunked store, window [t 3..27]×[y 2..6]×[x 5..14] —
+        // spatial chunks outside the window never plan, and absent chunks
+        // (cells with no events) read as NaN fill and are dropped
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("value"))
+          .filter(col("t_idx").between(0, 30))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q83_zarr"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        ZarrSource.write3D(cells, dir, shape = (31, 10, 15), chunks = (2, 5, 5))
+        s.read.format("zarr").load(dir)
+          .filter(col("t_idx").between(3, 27) && col("y").between(2, 6) &&
+            col("x") >= 5 && !isnan(col("value")))
+          .groupBy(col("x").cast("long").as("x"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("value") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(x AS BIGINT) AS x,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells
+              WHERE t_idx BETWEEN 3 AND 27 AND y BETWEEN 2 AND 6 AND x >= 5
+              GROUP BY x"""),
+      "Regional window over the single-array zarr scan: y/x chunk pushdown + NaN-fill absent chunks")
   )
 }

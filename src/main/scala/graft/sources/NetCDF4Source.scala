@@ -363,7 +363,8 @@ object NetCDF4Source {
     * parquet/zarr are the distributed-output paths. Missing cells → NaN. */
   def write3D(df: DataFrame, path: String, varName: String,
       shape: (Int, Int, Int), timeChunk: Int = 8, deflateLevel: Int = 4,
-      attrs: Seq[(String, Any)] = Seq.empty): Unit = {
+      attrs: Seq[(String, Any)] = Seq.empty,
+      spatialChunks: Option[(Int, Int)] = None): Unit = {
     val (nt, ny, nx) = shape
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
@@ -377,8 +378,9 @@ object NetCDF4Source {
         if (t >= 0 && t < nt && y >= 0 && y < ny && x >= 0 && x < nx)
           values(t * ny * nx + y * nx + x) = v
       }
+    val (cy, cx) = spatialChunks.getOrElse((ny, nx))
     val bytes = Hdf5.assemble(Seq(WriteVar(varName, Seq(nt, ny, nx), values,
-      chunkDims = Some(Seq(math.min(timeChunk, nt), ny, nx)),
+      chunkDims = Some(Seq(math.min(timeChunk, nt), math.min(cy, ny), math.min(cx, nx))),
       deflateLevel = deflateLevel, attrs = attrs)))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -230,18 +230,29 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
     minAgeMs: Long)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var tLo = Int.MinValue
-  private var tHi = Int.MaxValue
+  // per-dimension pushed ranges: d0 = t_idx (prunes whole FILES, then
+  // chunks), d1 = y, d2 = x (prune spatial chunks within each file — the
+  // reference's regional lat/lon-window mode, track.py:5471)
+  private val dims = Seq("t_idx", "y", "x")
+  private val lo = Array.fill(3)(Int.MinValue)
+  private val hi = Array.fill(3)(Int.MaxValue)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = NetCdfTableV2.fullSchema
 
+  private def dimOf(attr: String): Int = dims.indexOf(attr)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = filters.filter {
-      case EqualTo("t_idx", v: Int) => tLo = math.max(tLo, v); tHi = math.min(tHi, v); true
-      case GreaterThan("t_idx", v: Int) => tLo = math.max(tLo, v + 1); true
-      case GreaterThanOrEqual("t_idx", v: Int) => tLo = math.max(tLo, v); true
-      case LessThan("t_idx", v: Int) => tHi = math.min(tHi, v - 1); true
-      case LessThanOrEqual("t_idx", v: Int) => tHi = math.min(tHi, v); true
+      case EqualTo(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); lo(d) = math.max(lo(d), v); hi(d) = math.min(hi(d), v); true
+      case GreaterThan(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); lo(d) = math.max(lo(d), v + 1); true
+      case GreaterThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); lo(d) = math.max(lo(d), v); true
+      case LessThan(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); hi(d) = math.min(hi(d), v - 1); true
+      case LessThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); hi(d) = math.min(hi(d), v); true
       case _ => false
     }
     pushed = accepted
@@ -256,7 +267,7 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
     required = requiredSchema
 
   override def build(): Scan =
-    new NetCdfScan(rawInputs, varName, tLo, tHi, required, minAgeMs)
+    new NetCdfScan(rawInputs, varName, lo.clone(), hi.clone(), required, minAgeMs)
 }
 
 /** One stored (or fill-elided: addr = -1) NC4 chunk of one file. Local
@@ -281,8 +292,10 @@ private[sources] case class NcDecodeMeta(
     scale: Double, offset: Double, fillRaw: Option[Double], elidedFill: Double)
 
 private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
-    tLo: Int, tHi: Int, required: StructType, minAgeMs: Long = 0L)
+    lo: Array[Int], hi: Array[Int], required: StructType, minAgeMs: Long = 0L)
     extends Scan with Batch with SupportsReportStatistics {
+
+  private def tLo = lo(0); private def tHi = hi(0)
 
   private lazy val paths: Seq[String] = NetCdfTableV2.expand(rawInputs)
 
@@ -293,12 +306,14 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
     new NetCdfMicroBatchStream(rawInputs, varName, required, minAgeMs)
 
   /** Exact post-prune cell count (grids are dense), so Catalyst can pick
-    * broadcast joins for small time windows over huge archives. */
+    * broadcast joins for small time/space windows over huge archives. */
   override def estimateStatistics(): Statistics = {
     val rows = keptFiles.map { case (_, m, _, off) =>
       val lt0 = math.max(tLo.toLong - off, 0L)
       val lt1 = math.min(tHi.toLong - off, m.nt - 1L)
-      math.max(0L, lt1 - lt0 + 1) * m.ny * m.nx
+      val yN = math.max(0L, math.min(hi(1).toLong, m.ny - 1L) - math.max(lo(1).toLong, 0L) + 1)
+      val xN = math.max(0L, math.min(hi(2).toLong, m.nx - 1L) - math.max(lo(2).toLong, 0L) + 1)
+      math.max(0L, lt1 - lt0 + 1) * yN * xN
     }.sum
     val bytes = math.max(1L, rows * math.max(required.defaultSize, 1))
     new Statistics {
@@ -342,11 +357,13 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
       off.toLong <= tHi && off.toLong + m.nt - 1 >= tLo }
 
   override def description(): String = {
-    val range =
-      if (tLo == Int.MinValue && tHi == Int.MaxValue) "none"
-      else s"t_idx in [$tLo, $tHi]"
+    val dimNames = Seq("t_idx", "y", "x")
+    val ranges = (0 until 3).collect {
+      case d if lo(d) != Int.MinValue || hi(d) != Int.MaxValue =>
+        s"${dimNames(d)} in [${lo(d)}, ${hi(d)}]"
+    }
     s"NetCdfScan(paths=${paths.size}, files_kept=${keptFiles.size}, " +
-      s"var=$varName, pushed=$range, " +
+      s"var=$varName, pushed=${if (ranges.isEmpty) "none" else ranges.mkString(", ")}, " +
       s"columns=${required.fieldNames.mkString(",")})"
   }
 
@@ -362,11 +379,15 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
           val chunks = Hdf5.listChunks(driverSource(path), ds)
           val ct = m.chunkDims.head
           val present = chunks.map(c => c.offsets.map(_.toInt) -> c).toMap
+          // spatial chunks outside the pushed y/x window never plan — the
+          // regional-query dual of the t-range file/chunk prune
           val orgs = for {
             ot <- 0 until m.nt by ct
             if ot <= lt1 && ot + ct - 1 >= lt0
             oy <- 0 until m.ny by m.chunkDims(1)
+            if oy.toLong <= hi(1) && oy.toLong + m.chunkDims(1) - 1 >= lo(1)
             ox <- 0 until m.nx by m.chunkDims(2)
+            if ox.toLong <= hi(2) && ox.toLong + m.chunkDims(2) - 1 >= lo(2)
           } yield Seq(ot, oy, ox)
           orgs.map { org =>
             present.get(org) match {
@@ -388,11 +409,15 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new NetCdfReaderFactory(required.fieldNames,
-      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
+      new SerializableConfiguration(spark.sparkContext.hadoopConfiguration),
+      lo(1), hi(1), lo(2), hi(2))
 }
 
 private[sources] class NetCdfReaderFactory(columns: Array[String],
-    conf: SerializableConfiguration) extends PartitionReaderFactory {
+    conf: SerializableConfiguration,
+    yLo: Int = Int.MinValue, yHi: Int = Int.MaxValue,
+    xLo: Int = Int.MinValue, xHi: Int = Int.MaxValue)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     def cfOf(m: NcDecodeMeta): Double => Double =
@@ -420,6 +445,7 @@ private[sources] class NetCdfReaderFactory(columns: Array[String],
             Hdf5.decode(Hdf5.defilter(raw, m.filters, c.filterMask), m.dtype, n)
           }
         val Seq(ct, cy, cx) = m.chunkDims
+        val y1 = math.min(yHi.toLong, m.ny - 1L); val x1 = math.min(xHi.toLong, m.nx - 1L)
         new NetCdfRowReader(columns, cfOf(m)) {
           private var i = -1
           override def next(): Boolean = {
@@ -427,7 +453,8 @@ private[sources] class NetCdfReaderFactory(columns: Array[String],
               val lt = c.orgT + i / (cy * cx)
               yy = c.orgY + (i / cx) % cy
               xx = c.orgX + i % cx
-              if (lt < m.nt && yy < m.ny && xx < m.nx && lt >= c.lt0 && lt <= c.lt1) {
+              if (lt < m.nt && yy >= yLo && yy <= y1 && xx >= xLo && xx <= x1 &&
+                  lt >= c.lt0 && lt <= c.lt1) {
                 t = c.tOff + lt
                 v = vals(i)
                 return true
@@ -439,16 +466,20 @@ private[sources] class NetCdfReaderFactory(columns: Array[String],
       case r: NcRecordPartition =>
         val m = r.m
         val perSlice = m.ny * m.nx
+        val y1 = math.min(yHi.toLong, m.ny - 1L); val x1 = math.min(xHi.toLong, m.nx - 1L)
         new NetCdfRowReader(columns, cfOf(m)) {
           private var slice: Array[Double] = _
           private var tCur = r.t0 - 1
           private var i = perSlice
           override def next(): Boolean = {
             while (true) {
-              if (i + 1 < perSlice) {
+              while (i + 1 < perSlice) {
                 i += 1
-                t = r.tOff + tCur; yy = i / m.nx; xx = i % m.nx; v = slice(i)
-                return true
+                yy = i / m.nx; xx = i % m.nx
+                if (yy >= yLo && yy <= y1 && xx >= xLo && xx <= x1) {
+                  t = r.tOff + tCur; v = slice(i)
+                  return true
+                }
               }
               tCur += 1
               if (tCur > r.t1) return false

@@ -113,21 +113,33 @@ private[sources] class ZarrTableV2(path: String) extends Table with SupportsRead
     new ZarrScanBuilder(path, options.getBoolean("fillMissingTail", false))
 }
 
+/** Range predicates on ANY of `t_idx`/`y`/`x` prune whole chunk files on
+  * that dimension — the reference's regional mode (track.py:5471) makes
+  * lat/lon windows a first-class query shape, so a spatial window over a
+  * global archive must not open every spatial chunk. */
 private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var tLo = Int.MinValue
-  private var tHi = Int.MaxValue
+  private val dims = Seq("t_idx", "y", "x")
+  private val lo = Array.fill(3)(Int.MinValue)
+  private val hi = Array.fill(3)(Int.MaxValue)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ZarrTableV2.fullSchema
 
+  private def dimOf(attr: String): Int = dims.indexOf(attr)
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val accepted = filters.filter {
-      case EqualTo("t_idx", v: Int) => tLo = math.max(tLo, v); tHi = math.min(tHi, v); true
-      case GreaterThan("t_idx", v: Int) => tLo = math.max(tLo, v + 1); true
-      case GreaterThanOrEqual("t_idx", v: Int) => tLo = math.max(tLo, v); true
-      case LessThan("t_idx", v: Int) => tHi = math.min(tHi, v - 1); true
-      case LessThanOrEqual("t_idx", v: Int) => tHi = math.min(tHi, v); true
+      case EqualTo(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); lo(d) = math.max(lo(d), v); hi(d) = math.min(hi(d), v); true
+      case GreaterThan(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); lo(d) = math.max(lo(d), v + 1); true
+      case GreaterThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); lo(d) = math.max(lo(d), v); true
+      case LessThan(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); hi(d) = math.min(hi(d), v - 1); true
+      case LessThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
+        val d = dimOf(a); hi(d) = math.min(hi(d), v); true
       case _ => false
     }
     pushed = accepted
@@ -141,15 +153,18 @@ private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ZarrScan(path, tLo, tHi, required, fillMissingTail)
+  override def build(): Scan =
+    new ZarrScan(path, lo.clone(), hi.clone(), required, fillMissingTail)
 }
 
 private[sources] case class ZarrChunkPartition(
     ci: Int, cj: Int, ck: Int, filePath: String) extends InputPartition // filePath "" → missing chunk
 
-private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
+private[sources] class ZarrScan(path: String, lo: Array[Int], hi: Array[Int],
     required: StructType, fillMissingTail: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics {
+
+  private val dimNames = Seq("t_idx", "y", "x")
 
   override def readSchema(): StructType = required
 
@@ -161,9 +176,10 @@ private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
     * broadcast small windows of huge stores on its own. */
   override def estimateStatistics(): Statistics = {
     val meta = readDirMeta(org.apache.spark.sql.SparkSession.active)
-    val Seq(nt, ny, nx) = meta.shape
-    val rows = math.max(0L,
-      math.min(tHi.toLong, nt - 1L) - math.max(tLo.toLong, 0L) + 1) * ny * nx
+    val rows = (0 until 3).map { d =>
+      math.max(0L, math.min(hi(d).toLong, meta.shape(d) - 1L) -
+        math.max(lo(d).toLong, 0L) + 1)
+    }.product
     val bytes = math.max(1L, rows * math.max(required.defaultSize, 1))
     new Statistics {
       override def sizeInBytes(): java.util.OptionalLong = java.util.OptionalLong.of(bytes)
@@ -172,10 +188,12 @@ private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
   }
 
   override def description(): String = {
-    val range =
-      if (tLo == Int.MinValue && tHi == Int.MaxValue) "none"
-      else s"t_idx in [$tLo, $tHi]"
-    s"ZarrScan(path=$path, pushed=$range, columns=${required.fieldNames.mkString(",")})"
+    val ranges = (0 until 3).collect {
+      case d if lo(d) != Int.MinValue || hi(d) != Int.MaxValue =>
+        s"${dimNames(d)} in [${lo(d)}, ${hi(d)}]"
+    }
+    s"ZarrScan(path=$path, pushed=${if (ranges.isEmpty) "none" else ranges.mkString(", ")}, " +
+      s"columns=${required.fieldNames.mkString(",")})"
   }
 
   override def toBatch: Batch = this
@@ -183,12 +201,14 @@ private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val meta = readDirMeta(spark)
-    val Seq(nt, _, _) = meta.shape
-    val Seq(ct, cy, cx) = meta.chunks
-    val nyC = (meta.shape(1) + cy - 1) / cy
-    val nxC = (meta.shape(2) + cx - 1) / cx
-    val t0 = math.max(tLo, 0); val t1 = math.min(tHi, nt - 1)
-    def keepT(ci: Int): Boolean = ci * ct <= t1 && ci * ct + ct - 1 >= t0
+    // per-dimension chunk prune: a chunk survives only if its index range
+    // intersects the pushed range on EVERY dimension
+    def keep(d: Int, c: Int): Boolean = {
+      val first = c.toLong * meta.chunks(d)
+      first <= math.min(hi(d).toLong, meta.shape(d) - 1L) &&
+        first + meta.chunks(d) - 1 >= math.max(lo(d).toLong, 0L)
+    }
+    val nC = (0 until 3).map(d => (meta.shape(d) + meta.chunks(d) - 1) / meta.chunks(d))
 
     val glob = ZarrSource.chunkGlob(meta, path, 3)
     val gp = new org.apache.hadoop.fs.Path(glob)
@@ -200,9 +220,9 @@ private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
       }.toMap
 
     (for {
-      ci <- 0 until (nt + ct - 1) / ct if keepT(ci)
-      cj <- 0 until nyC
-      ck <- 0 until nxC
+      ci <- 0 until nC(0) if keep(0, ci)
+      cj <- 0 until nC(1) if keep(1, cj)
+      ck <- 0 until nC(2) if keep(2, ck)
     } yield ZarrChunkPartition(ci, cj, ck,
       present.getOrElse((ci, cj, ck), ""))).toArray[InputPartition]
   }
@@ -217,7 +237,7 @@ private[sources] class ZarrScan(path: String, tLo: Int, tHi: Int,
   override def createReaderFactory(): PartitionReaderFactory = {
     val spark = org.apache.spark.sql.SparkSession.active
     val meta = readDirMeta(spark)
-    new ZarrReaderFactory(meta, tLo, tHi, required.fieldNames,
+    new ZarrReaderFactory(meta, lo, hi, required.fieldNames,
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
   }
 }
@@ -340,7 +360,9 @@ private[sources] class ZarrMicroBatchStream(path: String, required: StructType,
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[ZarrStreamChunkPartition]
         // delegate to the batch chunk reader with the batch's time bounds
-        new ZarrReaderFactory(p.meta, p.lt0, p.lt1, columns, conf)
+        new ZarrReaderFactory(p.meta,
+          Array(p.lt0, Int.MinValue, Int.MinValue),
+          Array(p.lt1, Int.MaxValue, Int.MaxValue), columns, conf)
           .createReader(ZarrChunkPartition(p.ci, p.cj, p.ck, p.filePath))
       }
     }
@@ -351,7 +373,7 @@ private[sources] class ZarrMicroBatchStream(path: String, required: StructType,
 }
 
 private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
-    tLo: Int, tHi: Int, columns: Array[String],
+    lo: Array[Int], hi: Array[Int], columns: Array[String],
     conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -360,7 +382,9 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
       private val Seq(nt, ny, nx) = meta.shape
       private val Seq(ct, cy, cx) = meta.chunks
       private val bp = ZarrSource.bytesPer(meta.dtype)
-      private val t0 = math.max(tLo, 0); private val t1 = math.min(tHi, nt - 1)
+      private val t0 = math.max(lo(0), 0); private val t1 = math.min(hi(0), nt - 1)
+      private val y0 = math.max(lo(1), 0); private val y1 = math.min(hi(1), ny - 1)
+      private val x0 = math.max(lo(2), 0); private val x1 = math.min(hi(2), nx - 1)
 
       private val raw: Array[Byte] =
         if (part.filePath.isEmpty) null
@@ -389,7 +413,7 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
           t = part.ci * ct + i / (cy * cx)
           yy = part.cj * cy + (i / cx) % cy
           xx = part.ck * cx + i % cx
-          if (t < nt && yy < ny && xx < nx && t >= t0 && t <= t1) {
+          if (t >= t0 && t <= t1 && yy >= y0 && yy <= y1 && xx >= x0 && xx <= x1) {
             v =
               if (raw == null) meta.fillValue
               else ZarrSource.cellValue(raw, buf, meta.dtype, i, bp)

@@ -52,6 +52,28 @@ class NetCdfDataSourceV2Spec extends SparkSpec {
     assert(scan.toString.contains("NetCdfScan"))
   }
 
+  test("y/x range predicates prune spatial chunks (regional window)") {
+    val path = tmpNc()
+    // 12×12 grid in 4×4 spatial chunks → 3×3 spatial grid per time-chunk
+    NetCDF4Source.write3D(grid(4, 12, 12), path, "v", shape = (4, 12, 12),
+      timeChunk = 2, spatialChunks = Some((4, 4)))
+    val all = spark.read.format("netcdf").option("var", "v").load(path)
+    assert(all.rdd.getNumPartitions == 2 * 3 * 3)
+    // the window [y 0..3] × [x 4..7] covers exactly ONE spatial chunk
+    val win = spark.read.format("netcdf").option("var", "v").load(path)
+      .filter(col("y") < 4 && col("x").between(4, 7))
+    val plan = win.queryExecution.executedPlan.toString
+    assert(plan.contains("y in [") && plan.contains("x in [4, 7]"),
+      s"pushed spatial ranges missing from plan:\n$plan")
+    assert(win.rdd.getNumPartitions == 2,
+      "only the window's spatial chunk plans (one per time-chunk)")
+    assert(win.count() == 4 * 4 * 4)
+    val expected = grid(4, 12, 12).filter(col("y") < 4 && col("x").between(4, 7))
+    assert(win.join(expected.withColumnRenamed("value", "expected"),
+      Seq("t_idx", "y", "x"))
+      .filter(col("value") =!= col("expected")).count() == 0)
+  }
+
   test("column pruning reaches the reader") {
     val path = tmpNc()
     NetCDF4Source.write3D(grid(4, 2, 2), path, "v", shape = (4, 2, 2), timeChunk = 2)

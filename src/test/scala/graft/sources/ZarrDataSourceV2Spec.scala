@@ -32,6 +32,26 @@ class ZarrDataSourceV2Spec extends SparkSpec {
     assert(df.count() * 16 == all.count())
   }
 
+  test("y/x range predicates prune spatial chunks on the array scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zyx").toFile.getAbsolutePath
+    val in = (for (t <- 0 until 4; y <- 0 until 12; x <- 0 until 12)
+      yield (t, y, x, t * 100.0 + y + x * 0.01)).toDF("t_idx", "y", "x", "value")
+    ZarrSource.write3D(in, dir, shape = (4, 12, 12), chunks = (2, 4, 4))
+    val all = spark.read.format("zarr").load(dir)
+    assert(all.rdd.getNumPartitions == 2 * 3 * 3)
+    val win = spark.read.format("zarr").load(dir)
+      .filter(col("y").between(4, 7) && col("x") >= 8)
+    val plan = win.queryExecution.executedPlan.toString
+    assert(plan.contains("y in [4, 7]") && plan.contains("x in ["),
+      s"pushed spatial ranges missing from plan:\n$plan")
+    assert(win.rdd.getNumPartitions == 2,
+      "only the window's spatial chunk plans (one per time-chunk)")
+    assert(win.count() == 4 * 4 * 4)
+    assert(win.join(in.withColumnRenamed("value", "expected"), Seq("t_idx", "y", "x"))
+      .filter(col("value") =!= col("expected")).count() == 0)
+  }
+
   test("column pruning reaches the reader") {
     assume(haveFixture)
     val df = spark.read.format("zarr").load(fixture).select("t_idx")
