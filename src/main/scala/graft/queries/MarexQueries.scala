@@ -1097,6 +1097,49 @@ object MarexQueries extends QueryRegistry {
               FROM cells
               WHERE t_idx BETWEEN 3 AND 27 AND y BETWEEN 2 AND 6 AND x >= 5
               GROUP BY x"""),
-      "Regional window over the single-array zarr scan: y/x chunk pushdown + NaN-fill absent chunks")
+      "Regional window over the single-array zarr scan: y/x chunk pushdown + NaN-fill absent chunks"),
+
+    // ── to_zarr through SQL: df.write.format("zarr") (track.py:1748) ──────
+    QueryDef("q84_zarr_sql_write",
+      (s, d) => {
+        // the write dual of q78: the SAME store shape, but written through
+        // `df.write.format("zarr")` (dims/chunks/cols as write options →
+        // the distributed chunk writer) instead of the utility API, then
+        // read back wide through format("zarr"). A defect in the write
+        // spec parse, the V1Write insert, the chunk assembly, or the fill
+        // handling of absent cells mismatches the oracle, which recomputes
+        // from events.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("sst"))
+          .filter(col("time_idx").between(0, 30))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q84_zw"
+        cells.write.format("zarr")
+          .option("dims", "time:31,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst")
+          .mode("overwrite").save(dir)
+        s.read.format("zarr").load(dir)
+          .filter(!isnan(col("sst")) && col("time_idx") >= 10)
+          .groupBy(col("time_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("sst") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells WHERE t_idx BETWEEN 10 AND 30 GROUP BY t_idx"""),
+      "to_zarr through SQL: df.write.format(\"zarr\") distributed chunk write + wide read-back")
   )
 }

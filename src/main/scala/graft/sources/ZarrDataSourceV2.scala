@@ -42,7 +42,11 @@ class ZarrDataSourceV2 extends TableProvider with DataSourceRegister {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException(
         "zarr source requires a path: spark.read.format(\"zarr\").load(dir)"))
-    if (ZarrTableV2.isGroupPath(path) && Option(options.get("var")).isEmpty)
+    // a `dims` option marks WRITE intent (`df.write.format("zarr")`): the
+    // table schema comes from the declared layout, not from store metadata
+    // (the store need not exist yet)
+    if (options.containsKey("dims")) ZarrWriteSpec.parse(options).schema
+    else if (ZarrTableV2.isGroupPath(path) && Option(options.get("var")).isEmpty)
       ZarrGroupTableV2.layout(path).schema
     else ZarrTableV2.fullSchema
   }
@@ -53,10 +57,88 @@ class ZarrDataSourceV2 extends TableProvider with DataSourceRegister {
       throw new IllegalArgumentException(
         "zarr source requires a path: spark.read.format(\"zarr\").load(dir)"))
     val varOpt = Option(properties.get("var"))
-    if (ZarrTableV2.isGroupPath(path) && varOpt.isEmpty)
+    if (properties.containsKey("dims"))
+      new ZarrWritableTableV2(path,
+        ZarrWriteSpec.parse(new CaseInsensitiveStringMap(properties)))
+    else if (ZarrTableV2.isGroupPath(path) && varOpt.isEmpty)
       new ZarrGroupTableV2(path)
     else new ZarrTableV2(ZarrTableV2.resolveVar(path, varOpt))
   }
+}
+
+/** Declared layout of a `df.write.format("zarr")` sink, parsed from write
+  * options: `dims` = "time:31,y:10,x:15" (name:size along each axis, in
+  * storage order), `chunks` = "8,5,15", `cols` = the value columns (every
+  * other input column must be a `<dim>_idx`), optional `fill` (default
+  * NaN) and `v3` (default false → v2 store). The write is the SQL face of
+  * the reference's `to_zarr` (marEx track.py:1748), delegating to the
+  * distributed [[ZarrGroup.writeDataset]] chunk writer. */
+private[sources] final case class ZarrWriteSpec(dims: Seq[(String, Int)],
+    chunks: Seq[Int], cols: Seq[String], fill: Double, v3: Boolean) {
+  require(dims.length == chunks.length,
+    s"dims (${dims.length}) and chunks (${chunks.length}) must align")
+  require(cols.nonEmpty, "zarr write needs .option(\"cols\", <value columns>)")
+  def schema: StructType = StructType(
+    dims.map { case (n, _) => StructField(s"${n}_idx", IntegerType, nullable = false) } ++
+      cols.map(c => StructField(c, DoubleType, nullable = true)))
+}
+
+private[sources] object ZarrWriteSpec {
+  def parse(options: CaseInsensitiveStringMap): ZarrWriteSpec = {
+    def req(k: String): String = Option(options.get(k)).getOrElse(
+      throw new IllegalArgumentException(
+        s"""zarr write requires .option("$k", …) alongside "dims""""))
+    val dims = req("dims").split(",").toSeq.map { part =>
+      part.split(":") match {
+        case Array(n, sz) => n.trim -> sz.trim.toInt
+        case _ => throw new IllegalArgumentException(
+          s"malformed dims entry '$part' (want name:size)")
+      }
+    }
+    val chunks = req("chunks").split(",").toSeq.map(_.trim.toInt)
+    val cols = req("cols").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    ZarrWriteSpec(dims, chunks, cols,
+      Option(options.get("fill")).map(_.toDouble).getOrElse(Double.NaN),
+      options.getBoolean("v3", false))
+  }
+}
+
+/** Write-intent table (`dims` option present): `append` creates a NEW
+  * store (failing if one exists), `overwrite` replaces it. The insert
+  * delegates to [[ZarrGroup.writeDataset]], whose chunk assembly runs in
+  * executor tasks (groupByKey on the chunk index) — the driver only
+  * writes group metadata. */
+private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
+    extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def name(): String = s"zarr-write:$path"
+  override def schema(): StructType = spec.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            val conf = data.sparkSession.sparkContext.hadoopConfiguration
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(conf)
+            if (overwrite) fs.delete(p, true)
+            else require(!fs.exists(p),
+              s"zarr store $path already exists — use mode(\"overwrite\") " +
+                "to replace it (in-place time appends are a store-resize " +
+                "operation, not a table insert)")
+            ZarrGroup.writeDataset(data, path, spec.dims, spec.chunks,
+              valueCols = spec.cols, v3 = spec.v3, fill = spec.fill)
+          }
+      }
+    }
 }
 
 private[sources] object ZarrTableV2 {

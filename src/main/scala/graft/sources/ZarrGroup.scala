@@ -713,14 +713,14 @@ object ZarrGroup extends Serializable {
       chunks: Seq[Int], valueCols: Seq[String],
       coords: Map[String, Array[Double]] = Map.empty,
       attrs: Map[String, String] = Map.empty, v3: Boolean = false,
-      compressor: Option[String] = None): Unit = {
+      compressor: Option[String] = None, fill: Double = Double.NaN): Unit = {
     coords.foreach { case (n, a) =>
       val sz = dims.toMap.getOrElse(n,
         throw new IllegalArgumentException(s"coord '$n' names no dimension"))
       require(a.length == sz, s"coord '$n' has ${a.length} values, dim has $sz")
     }
     val w = new GroupWriter(dir, v3, compressor)
-    w.arrays(df, dims, chunks, valueCols)
+    w.arrays(df, dims, chunks, valueCols, fill)
     coords.keys.toSeq.sorted.foreach(cn => w.coord(cn, coords(cn)))
     w.finish(attrs)
   }

@@ -1,0 +1,83 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `df.write.format("zarr")` — the SQL face of the reference's `to_zarr`
+  * (marEx track.py:1748). The insert delegates to the distributed
+  * [[ZarrGroup.writeDataset]] chunk writer; dims/chunks/cols arrive as
+  * write options, and the store reads back through the same format. */
+class ZarrWriteSpec2 extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_zwrite").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def cells(nt: Int, ny: Int, nx: Int) =
+    (for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx)
+      yield (t, y, x, t * 100.0 + y * 10.0 + x)).toDF("time_idx", "y_idx", "x_idx", "sst")
+
+  test("write + read round-trips through format(\"zarr\")") {
+    val dir = tmpDir()
+    val in = cells(6, 4, 5)
+    in.write.format("zarr")
+      .option("dims", "time:6,y:4,x:5").option("chunks", "2,4,5")
+      .option("cols", "sst")
+      .mode("append").save(dir)
+    val back = spark.read.format("zarr").load(dir)
+      .select("time_idx", "y_idx", "x_idx", "sst")
+    assert(back.count() == 6 * 4 * 5)
+    assert(back.join(in.withColumnRenamed("sst", "expected"),
+      Seq("time_idx", "y_idx", "x_idx"))
+      .filter(col("sst") =!= col("expected")).count() == 0)
+  }
+
+  test("append to an existing store fails; overwrite replaces it") {
+    val dir = tmpDir()
+    def write(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      df.write.format("zarr")
+        .option("dims", "time:2,y:2,x:2").option("chunks", "2,2,2")
+        .option("cols", "sst")
+        .mode(mode).save(dir)
+    write(cells(2, 2, 2), "append")
+    val e = intercept[Exception](write(cells(2, 2, 2), "append"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("already exists")))
+    write(cells(2, 2, 2).withColumn("sst", col("sst") + 1000.0), "overwrite")
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.agg(min("sst")).head.getDouble(0) >= 1000.0)
+  }
+
+  test("multiple value columns and absent cells (fill) round-trip") {
+    val dir = tmpDir()
+    // only even t cells present → odd-t chunks are absent, read as fill
+    val sparse = cells(4, 2, 2).filter(col("time_idx") % 2 === 0)
+      .withColumn("n_obs", lit(3.0))
+    sparse.write.format("zarr")
+      .option("dims", "time:4,y:2,x:2").option("chunks", "1,2,2")
+      .option("cols", "sst,n_obs")
+      .mode("append").save(dir)
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.count() == 4 * 2 * 2, "absent chunks still contribute fill rows")
+    assert(back.filter(col("time_idx") % 2 === 1)
+      .filter(!isnan(col("sst")) || !isnan(col("n_obs"))).count() == 0,
+      "absent cells read as NaN fill")
+    assert(back.filter(col("time_idx") % 2 === 0)
+      .filter(col("n_obs") =!= 3.0).count() == 0)
+  }
+
+  test("missing chunks/cols options fail with named errors") {
+    val dir = tmpDir()
+    val e = intercept[Exception](
+      cells(2, 2, 2).write.format("zarr").option("dims", "time:2,y:2,x:2")
+        .mode("append").save(dir))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(m => m.contains("chunks") || m.contains("cols")))
+  }
+}
