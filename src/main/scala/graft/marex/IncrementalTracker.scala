@@ -87,7 +87,8 @@ object IncrementalTracker {
     * `maxOuterIter`. */
   final case class IncState(seam: DataFrame, gapAfterSeam: Long,
       nextEventId: Long, nextGid: Long = 1L,
-      seamTraj: Option[DataFrame] = None)
+      seamTraj: Option[DataFrame] = None,
+      held: Option[DataFrame] = None)
 
   /** One extension's output: the new slices' labeled cells, the retroactive
     * merges among PREVIOUSLY issued event ids (empty when no new cell
@@ -100,7 +101,8 @@ object IncrementalTracker {
 
   private def requireShared(cfg: TrackConfig): Unit = {
     require(cfg.tFill == 0,
-      "incremental tracking requires tFill=0 (temporal closing reads future slices)")
+      "incremental tracking requires tFill=0 at this layer — route appends " +
+        "with temporal gap fill through extendGapFill (watermark holdback)")
     require(cfg.resolvedQuartile == 0.0,
       "incremental tracking requires an absolute area filter (or quartile 0): " +
         "a quartile threshold is a whole-run statistic (track.py:1838) and " +
@@ -131,6 +133,117 @@ object IncrementalTracker {
       spec: GridSpec, cfg: TrackConfig): (IncState, Increment) =
     if (cfg.allowMerging) extendMerging(state, newFlags, geom, spec, cfg)
     else extendNonMerging(state, newFlags, geom, spec, cfg)
+
+  // ── temporal gap fill under appends (tFill > 0): watermark holdback ─────
+
+  /** Append-safe `T_fill > 0` tracking (the reference's production config,
+    * submit scripts use T_fill=4). Temporal gap fill at slice t reads up to
+    * `tFill` slices INTO THE FUTURE (fillTimeGaps pairs each flagged entry
+    * with its next per-pixel occurrence), so a freshly-appended slice
+    * cannot be finalized immediately. This wrapper holds the last `tFill`
+    * raw slices back as PROVISIONAL state: a slice finalizes exactly when
+    * `tFill` slices exist after it on the axis — at which point its
+    * gap-fill status provably cannot change (a filler at index i needs
+    * flagged support at some index ≤ i+tFill). Finalized slices then run
+    * the batch pipeline's exact preprocessing — fillHoles(rFill) →
+    * fillTimeGaps → fillHoles(rFill/2) — and feed [[extend]] with
+    * morphology disabled (already applied), so the result is the batch
+    * fixpoint on the finalized prefix. The left gap support for upcoming
+    * fills lives in the `tFill` most recent FINALIZED slices, which ride
+    * along in state (a filler at i has support at some index ≥ i−tFill, so
+    * a deeper context is never consulted).
+    *
+    * Call [[flushGapFill]] when the archive ends to finalize the held
+    * tail (with no future slices, pending fills are decided). */
+  def extendGapFill(state: Option[IncState], newFlags: DataFrame, geom: DataFrame,
+      spec: GridSpec, cfg: TrackConfig): (IncState, Increment) =
+    gapFillStep(state, Some(newFlags), geom, spec, cfg, flush = false)
+
+  /** Finalize the slices still held back by [[extendGapFill]] — the end of
+    * the archive: with no data after them, their gap-fill status is final. */
+  def flushGapFill(state: Option[IncState], geom: DataFrame,
+      spec: GridSpec, cfg: TrackConfig): (IncState, Increment) =
+    gapFillStep(state, None, geom, spec, cfg, flush = true)
+
+  private def gapFillStep(state: Option[IncState], newFlagsOpt: Option[DataFrame],
+      geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
+      flush: Boolean): (IncState, Increment) = {
+    require(cfg.tFill > 0, "use extend() directly when tFill == 0")
+    val spark = geom.sparkSession
+    import spark.implicits._
+    def noInc = Increment(
+      Seq.empty[(Timestamp, Int, Int, Long)].toDF("time", "y", "x", "event_id"),
+      Seq.empty[(Long, Long)].toDF("from_event_id", "to_event_id"),
+      emptyMerges(spark))
+
+    val held = state.flatMap(_.held)
+    val ctx = held.map(_.filter(col("finalized"))).getOrElse(
+      Seq.empty[(Timestamp, Int, Int, Boolean)].toDF("time", "y", "x", "finalized"))
+    val pending = held.map(_.filter(!col("finalized"))).getOrElse(ctx.limit(0))
+    val ctxTimes = ctx.select("time").distinct()
+      .orderBy("time").collect().map(_.getTimestamp(0)).toSeq
+    val pendTimes = pending.select("time").distinct()
+      .orderBy("time").collect().map(_.getTimestamp(0)).toSeq
+    val newFlags = newFlagsOpt.map(_.select("time", "y", "x"))
+    val newTimes = newFlags.map(_.select("time").distinct()
+      .orderBy("time").collect().map(_.getTimestamp(0)).toSeq).getOrElse(Seq.empty)
+    (ctxTimes ++ pendTimes).lastOption.foreach { last =>
+      require(newTimes.forall(_.after(last)),
+        s"extendGapFill: appended slices must be strictly after $last")
+    }
+
+    // the (re)processable axis: held-back slices + the fresh block; the
+    // context slices prepend only as gap-fill support, never re-emitted
+    val procTimes = pendTimes ++ newTimes
+    if (procTimes.isEmpty) return (state.getOrElse(
+      IncState(emptySeamFor(cfg, spark), 0L, 1L, 1L)), noInc)
+    val nFinal = if (flush) procTimes.length else procTimes.length - cfg.tFill
+    val baseState = state.map(_.copy(held = None))
+
+    val rawAll = ctx.select("time", "y", "x")
+      .unionByName(pending.select("time", "y", "x"))
+      .unionByName(newFlags.getOrElse(pending.limit(0)).select("time", "y", "x"))
+      .localCheckpoint()
+    def heldFrom(finalTs: Seq[Timestamp], pendTs: Seq[Timestamp]): DataFrame = {
+      // keep only the last tFill finalized slices as future gap support
+      val keepCtx = finalTs.takeRight(cfg.tFill)
+      rawAll.join(
+        (keepCtx.map((_, true)) ++ pendTs.map((_, false)))
+          .toDF("time", "finalized"), Seq("time"))
+        .localCheckpoint()
+    }
+
+    if (nFinal <= 0) {
+      // nothing finalizes yet — everything new joins the pending tail
+      val st = baseState.getOrElse(IncState(emptySeamFor(cfg, spark), 0L, 1L, 1L))
+      return (st.copy(held = Some(heldFrom(ctxTimes, procTimes))), noInc)
+    }
+
+    // batch-exact preprocessing over context ∪ pending ∪ new
+    val axis = Some((ctxTimes ++ procTimes).toDF("time"))
+    val land = geom.filter(!col("valid")).select("y", "x")
+    val landOpt = if (land.isEmpty) None else Some(land)
+    val f1 = Raster.fillHoles(rawAll, cfg.rFill, spec, landOpt)
+    val f3 = Raster.fillHoles(
+      Track.fillTimeGaps(f1, cfg.tFill, axis), cfg.rFill / 2, spec, landOpt)
+    val finalTimes = procTimes.take(nFinal)
+    val block = f3.join(finalTimes.toDF("time"), Seq("time")).localCheckpoint()
+
+    // morphology + gap fill already applied — the inner extension labels,
+    // area-filters, and stitches exactly as the batch tracker would
+    val innerCfg = cfg.copy(rFill = 0, tFill = 0)
+    val (st2, inc) = extend(baseState, block, geom, spec, innerCfg)
+    (st2.copy(held = Some(heldFrom(ctxTimes ++ finalTimes, procTimes.drop(nFinal)))),
+      inc)
+  }
+
+  private def emptySeamFor(cfg: TrackConfig,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
+    import spark.implicits._
+    if (cfg.allowMerging)
+      Seq.empty[(Int, Int, Long, Long)].toDF("y", "x", "gid", "event_id")
+    else Seq.empty[(Int, Int, Long)].toDF("y", "x", "event_id")
+  }
 
   private def extendNonMerging(state: Option[IncState], newFlags: DataFrame,
       geom: DataFrame, spec: GridSpec, cfg: TrackConfig): (IncState, Increment) = {
@@ -362,16 +475,18 @@ object IncrementalTracker {
     val v = prev.map(_._1 + 1).getOrElse(0L)
     st.seam.write.mode("overwrite").parquet(s"$dir/v=$v/seam")
     st.seamTraj.foreach(_.write.mode("overwrite").parquet(s"$dir/v=$v/traj"))
+    st.held.foreach(_.write.mode("overwrite").parquet(s"$dir/v=$v/held"))
     val tmp = new org.apache.hadoop.fs.Path(dir, "state.json.tmp")
     val out = fs.create(tmp, true)
     out.write((s"""{"version": $v, "gapAfterSeam": ${st.gapAfterSeam}, """ +
       s""""nextEventId": ${st.nextEventId}, "nextGid": ${st.nextGid}, """ +
-      s""""hasTraj": ${st.seamTraj.isDefined}}""").getBytes("UTF-8"))
+      s""""hasTraj": ${st.seamTraj.isDefined}, """ +
+      s""""hasHeld": ${st.held.isDefined}}""").getBytes("UTF-8"))
     out.close()
     org.apache.hadoop.fs.FileContext.getFileContext(base.toUri, conf)
       .rename(tmp, new org.apache.hadoop.fs.Path(dir, "state.json"),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    prev.foreach { case (pv, _, _, _, _) =>
+    prev.foreach { case (pv, _, _, _, _, _) =>
       (0L to pv).foreach(old =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, s"v=$old"), true))
     }
@@ -382,14 +497,15 @@ object IncrementalTracker {
     * error rather than silently starting over. */
   def loadState(spark: org.apache.spark.sql.SparkSession,
       dir: String): Option[IncState] =
-    readManifest(spark, dir).map { case (v, gap, nextEv, nextGid, hasTraj) =>
+    readManifest(spark, dir).map { case (v, gap, nextEv, nextGid, hasTraj, hasHeld) =>
       val seam = spark.read.parquet(s"$dir/v=$v/seam")
       val traj = if (hasTraj) Some(spark.read.parquet(s"$dir/v=$v/traj")) else None
-      IncState(seam, gap, nextEv, nextGid, traj)
+      val held = if (hasHeld) Some(spark.read.parquet(s"$dir/v=$v/held")) else None
+      IncState(seam, gap, nextEv, nextGid, traj, held)
     }
 
   private def readManifest(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Option[(Long, Long, Long, Long, Boolean)] = {
+      dir: String): Option[(Long, Long, Long, Long, Boolean, Boolean)] = {
     val p = new org.apache.hadoop.fs.Path(dir, "state.json")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) return None
@@ -400,8 +516,11 @@ object IncrementalTracker {
       s""""$k"\\s*:\\s*(\\w+)""".r.findFirstMatchIn(js).map(_.group(1)).getOrElse(
         throw new IllegalArgumentException(
           s"malformed incremental-tracker manifest at $p (missing $k): $js"))
+    // hasHeld is absent in pre-tFill manifests — no held state then
+    def optBool(k: String): Boolean =
+      s""""$k"\\s*:\\s*(\\w+)""".r.findFirstMatchIn(js).exists(_.group(1) == "true")
     Some((field("version").toLong, field("gapAfterSeam").toLong,
       field("nextEventId").toLong, field("nextGid").toLong,
-      field("hasTraj").toBoolean))
+      field("hasTraj").toBoolean, optBool("hasHeld")))
   }
 }

@@ -144,6 +144,84 @@ class IncrementalTrackerSpec extends SparkSpec {
     assertEquivalent(batch, trackIncrementally(Seq(c1, c2)))
   }
 
+  /** Like [[trackIncrementally]] but through the tFill watermark-holdback
+    * wrapper, with a final flush to release the held tail. */
+  private def trackWithGapFill(blocks: Seq[DataFrame],
+      tcfg: TrackConfig): DataFrame = {
+    var state: Option[IncrementalTracker.IncState] = None
+    var acc: Option[DataFrame] = None
+    def absorb(inc: IncrementalTracker.Increment): Unit = {
+      val remapped = acc.map { a =>
+        a.join(broadcast(inc.remap),
+            a("event_id") === inc.remap("from_event_id"), "left")
+          .select(a("time"), a("y"), a("x"),
+            coalesce(col("to_event_id"), a("event_id")).as("event_id"))
+      }
+      acc = Some(remapped.getOrElse(
+        Seq.empty[(Timestamp, Long, Long, Long)].toDF("time", "y", "x", "event_id"))
+        .unionByName(inc.blockIds).localCheckpoint())
+    }
+    blocks.foreach { b =>
+      val (st, inc) = IncrementalTracker.extendGapFill(state, b, geom, spec, tcfg)
+      state = Some(st)
+      absorb(inc)
+    }
+    val (_, tail) = IncrementalTracker.flushGapFill(state, geom, spec, tcfg)
+    absorb(tail)
+    acc.get
+  }
+
+  test("tFill=2 appends (watermark holdback) equal the one-shot batch tracker") {
+    val tcfg = cfg.copy(tFill = 2)
+    val flags = SyntheticData.stormFlags(spark, nDays = 30, ny = ny, nx = nx,
+      nStorms = 40, seed = 23L).cache()
+    val batch = Track.track(flags, geom, spec, tcfg).idField
+    // block sizes deliberately uneven, including one SMALLER than tFill
+    // (nothing finalizes that round — pure accumulation)
+    val cuts = Seq(0 -> 9, 9 -> 10, 10 -> 21, 21 -> 30)
+    val blocks = cuts.map { case (a, b) =>
+      flags.filter(col("time") >= lit(ts(a)) && col("time") < lit(ts(b)))
+    }
+    assertEquivalent(batch, trackWithGapFill(blocks, tcfg))
+  }
+
+  test("a temporal gap spanning a block boundary is filled, as in batch") {
+    val tcfg = cfg.copy(rFill = 0, tFill = 2)
+    // an ANCHOR blob present every slice keeps all 10 timesteps on the
+    // dense axis; the GAPPY blob skips t4–t5, a 2-slice per-pixel index
+    // gap that tFill=2 must fill into one continuous event. The gap
+    // straddles the append boundary at t5 — its left support arrives in
+    // block 1, its right support only in block 2, so only the watermark
+    // holdback can make that call correctly.
+    def blob(t: Int, y0: Int, x0: Int): Seq[(Timestamp, Int, Int)] =
+      for (dy <- 0 to 1; dx <- 0 to 1) yield (ts(t), y0 + dy, x0 + dx)
+    val anchor = (0 to 9).flatMap(blob(_, 4, 4))
+    val gappy = ((0 to 3) ++ (6 to 9)).flatMap(blob(_, 14, 30))
+    val flags = (anchor ++ gappy).toDF("time", "y", "x").cache()
+    val batch = Track.track(flags, geom, spec, tcfg).idField
+    assert(batch.select("event_id").distinct().count() == 2,
+      "sanity: batch fills the 2-slice gap — anchor + gappy = two events")
+    assert(batch.count() == 10 * 4 + 10 * 4,
+      "sanity: the filled slices exist in the batch field")
+    val blocks = Seq(0 -> 5, 5 -> 10).map { case (a, b) =>
+      flags.filter(col("time") >= lit(ts(a)) && col("time") < lit(ts(b)))
+    }
+    val inc = trackWithGapFill(blocks, tcfg)
+    assertEquivalent(batch, inc)
+    assert(inc.select("event_id").distinct().count() == 2)
+  }
+
+  test("merging mode: tFill=2 appends equal the one-shot batch tracker") {
+    val tcfg = cfg.copy(tFill = 2, allowMerging = true)
+    val flags = SyntheticData.stormFlags(spark, nDays = 24, ny = ny, nx = nx,
+      nStorms = 30, seed = 31L).cache()
+    val batch = Track.track(flags, geom, spec, tcfg).idField
+    val blocks = Seq(0 -> 8, 8 -> 16, 16 -> 24).map { case (a, b) =>
+      flags.filter(col("time") >= lit(ts(a)) && col("time") < lit(ts(b)))
+    }
+    assertEquivalent(batch, trackWithGapFill(blocks, tcfg))
+  }
+
   test("non-incremental configurations are rejected eagerly") {
     val b = Seq((ts(0), 5, 5)).toDF("time", "y", "x")
     def bad(c: TrackConfig, msg: String): Unit = {
