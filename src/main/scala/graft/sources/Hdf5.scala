@@ -74,8 +74,15 @@ private[sources] object Hdf5 {
   final case class CompoundMember(name: String, offset: Int, dtype: DType)
 
   /** Compound type (class 6) — HDF5's record/struct type, what PyTables/
-    * pandas `to_hdf` tables and netCDF-4 compound variables store. */
+    * pandas `to_hdf` tables and netCDF-4 compound variables store.
+    * Members may themselves be compound (nested records). */
   final case class CompoundType(size: Int, members: Seq[CompoundMember]) extends DType
+
+  /** OBJECT reference (class 7, reference type 0): each element is the
+    * file address of the referenced object's header. Reads resolve the
+    * address back to the object's link name ("/<name>"); region
+    * references (type 1) stay a named error. */
+  final case class RefType(size: Int) extends DType
 
   final case class Filter(id: Int, clientValues: Seq[Int])
 
@@ -314,8 +321,14 @@ private[sources] object Hdf5 {
           }
         }
         (CompoundType(size, members), p - off)
+      case 7 => // reference: bits 0–3 = reference type
+        require((bits0 & 0x0f) == 0,
+          s"unsupported reference type ${bits0 & 0x0f} (object references only; " +
+            "region references are not supported)")
+        (RefType(size), 8)
       case c => throw new IllegalArgumentException(
-        s"unsupported datatype class $c (fixed-point, float, string, vlen string, compound)")
+        s"unsupported datatype class $c (fixed-point, float, string, vlen string, " +
+          "compound, object reference)")
     }
   }
 
@@ -1205,9 +1218,10 @@ private[sources] object Hdf5 {
   }
 
   /** Column-wise decode of `n` compound records: member name → either
-    * `Array[Double]` (numeric members) or `Array[String]` (string
-    * members). Nested compounds/vlens inside members are rejected with a
-    * named error. */
+    * `Array[Double]` (numeric members), `Array[String]` (string AND
+    * object-reference members — refs resolve to "/<name>"), or — NESTED
+    * compound members — `Array[Seq[Any]]`, one inner value per nested
+    * member in declaration order (recursively the same scalar kinds). */
   def decodeCompound(data: Array[Byte], dt: DType, n: Int,
       src: ByteSource): Seq[(String, Array[_])] = {
     val ct = dt match {
@@ -1235,9 +1249,48 @@ private[sources] object Hdf5 {
             i += 1
           }
           m.name -> decodeStrings(cells, st, n, src)
+        case rt: RefType =>
+          val cells = new Array[Byte](n * rt.size)
+          var i = 0
+          while (i < n) {
+            System.arraycopy(data, i * ct.size + m.offset, cells, i * rt.size, rt.size)
+            i += 1
+          }
+          m.name -> decodeRefs(cells, rt, n, src)
+        case nc: CompoundType =>
+          // nested record: re-pack the member's bytes densely, recurse,
+          // then transpose to one Seq per record (declaration order)
+          val inner = new Array[Byte](n * nc.size)
+          var i = 0
+          while (i < n) {
+            System.arraycopy(data, i * ct.size + m.offset, inner, i * nc.size, nc.size)
+            i += 1
+          }
+          val cols = decodeCompound(inner, nc, n, src).map(_._2)
+          m.name -> Array.tabulate[Seq[Any]](n)(i => cols.map {
+            case ds: Array[Double] => ds(i)
+            case ss: Array[String] => ss(i)
+            case o: Array[_] => o(i)
+          })
         case o => throw new IllegalArgumentException(
           s"compound member ${m.name}: unsupported member type $o")
       }
+    }
+  }
+
+  /** Decode `n` object references (file addresses of object headers) to
+    * the referenced objects' root-group link names, "/<name>". An address
+    * no root link points at fails with the address named. */
+  def decodeRefs(data: Array[Byte], rt: RefType, n: Int,
+      src: ByteSource): Array[String] = {
+    val (rootOh, _) = readSuperblock(src)
+    val byAddr: Map[Long, String] =
+      listDatasets(src, rootOh).map { case (name, oh) => oh -> s"/$name" }.toMap
+    Array.tabulate(n) { i =>
+      val addr = leVar(data, i * rt.size, math.min(rt.size, 8)).toLong
+      if (addr == Undef || addr == 0L) "" // unset/null reference
+      else byAddr.getOrElse(addr, throw new IllegalArgumentException(
+        f"object reference points at 0x$addr%x, which is not a root-group object"))
     }
   }
 
@@ -1284,11 +1337,28 @@ private[sources] object Hdf5 {
   final case class StrCol(values: Seq[String], size: Int) extends CompoundCol {
     def n: Int = values.length; def elemSize: Int = size
   }
+  /** Signed 64-bit integer member — the dtype of a pandas `to_hdf`
+    * table's `index` column. */
+  final case class I64Col(values: Array[Long]) extends CompoundCol {
+    def n: Int = values.length; def elemSize: Int = 8
+  }
+  /** NESTED compound member (a record inside the record). */
+  final case class NestedCol(members: Seq[(String, CompoundCol)]) extends CompoundCol {
+    require(members.nonEmpty && members.map(_._2.n).distinct.size == 1)
+    def n: Int = members.head._2.n
+    def elemSize: Int = members.map(_._2.elemSize).sum
+  }
   /** Compound (record) dataset, class 6 v1 — packed members in order. */
   final case class CompoundData(members: Seq[(String, CompoundCol)]) extends TypedData {
     require(members.nonEmpty && members.map(_._2.n).distinct.size == 1)
     def n: Int = members.head._2.n
     def elemSize: Int = members.map(_._2.elemSize).sum
+  }
+  /** OBJECT-reference dataset (class 7): each element names a sibling
+    * dataset in the same file; the writer resolves names to object-header
+    * addresses at emission ("" writes a null reference). */
+  final case class RefData(targets: Seq[String]) extends TypedData {
+    def n: Int = targets.length; def elemSize: Int = 8
   }
 
   /** Datatype message body for a typed payload (writer side). */
@@ -1311,37 +1381,55 @@ private[sources] object Hdf5 {
       b.put(0x19.toByte).put(0x00.toByte).put(0x00.toByte).put(0.toByte).putInt(16)
       b.put(f64TypeBody)
       b.array()
-    case cd: CompoundData =>
-      val memberRecs = {
-        var off = 0
-        cd.members.map { case (name, col) =>
-          val nb = name.getBytes("UTF-8")
-          val namePad = nb.length / 8 * 8 + 8
-          val mt = col match {
-            case _: F64Col => f64TypeBody
-            case StrCol(_, size) =>
-              val sb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-              sb.put(0x13.toByte).put(0x10.toByte).put(0.toByte).put(0.toByte).putInt(size)
-              sb.array()
-          }
-          val r = ByteBuffer.allocate(namePad + 32 + mt.length)
-            .order(ByteOrder.LITTLE_ENDIAN)
-          r.put(nb); r.position(namePad)
-          r.putInt(off) // byte offset; dimensionality 0 + reserved + perm stay zero
-          r.position(namePad + 32)
-          r.put(mt)
-          off += col.elemSize
-          r.array()
-        }
-      }
-      val b = ByteBuffer.allocate(8 + memberRecs.map(_.length).sum)
-        .order(ByteOrder.LITTLE_ENDIAN)
-      b.put(0x16.toByte) // v1 class 6
-        .put((cd.members.size & 0xff).toByte)
-        .put(((cd.members.size >> 8) & 0xff).toByte)
-        .put(0.toByte).putInt(cd.elemSize)
-      memberRecs.foreach(b.put)
+    case cd: CompoundData => compoundTypeBody(cd.members, cd.elemSize)
+    case _: RefData =>
+      // v1 class 7; reference type 0 (object) — no extra properties
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x17.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte).putInt(8)
       b.array()
+  }
+
+  /** Class-6 v1 datatype body for a member list — recursive, so nested
+    * compound members embed their own compound bodies. */
+  private def compoundTypeBody(members: Seq[(String, CompoundCol)],
+      elemSize: Int): Array[Byte] = {
+    val memberRecs = {
+      var off = 0
+      members.map { case (name, col) =>
+        val nb = name.getBytes("UTF-8")
+        val namePad = nb.length / 8 * 8 + 8
+        val mt = col match {
+          case _: F64Col => f64TypeBody
+          case _: I64Col =>
+            // v1 class 0, signed LE, 8 bytes: bit offset 0, precision 64
+            val sb = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+            sb.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(8)
+            sb.putShort(0).putShort(64)
+            sb.array()
+          case StrCol(_, size) =>
+            val sb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+            sb.put(0x13.toByte).put(0x10.toByte).put(0.toByte).put(0.toByte).putInt(size)
+            sb.array()
+          case nc: NestedCol => compoundTypeBody(nc.members, nc.elemSize)
+        }
+        val r = ByteBuffer.allocate(namePad + 32 + mt.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        r.put(nb); r.position(namePad)
+        r.putInt(off) // byte offset; dimensionality 0 + reserved + perm stay zero
+        r.position(namePad + 32)
+        r.put(mt)
+        off += col.elemSize
+        r.array()
+      }
+    }
+    val b = ByteBuffer.allocate(8 + memberRecs.map(_.length).sum)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x16.toByte) // v1 class 6
+      .put((members.size & 0xff).toByte)
+      .put(((members.size >> 8) & 0xff).toByte)
+      .put(0.toByte).putInt(elemSize)
+    memberRecs.foreach(b.put)
+    b.array()
   }
 
   /** Element bytes of a typed payload; vlen elements reference `gcolAddr`. */
@@ -1367,27 +1455,50 @@ private[sources] object Hdf5 {
       }
       b.array()
     case cd: CompoundData =>
-      val es = cd.elemSize
-      val out = new Array[Byte](cd.n * es)
-      var off = 0
-      cd.members.foreach { case (_, col) =>
-        col match {
-          case F64Col(vs) =>
-            val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
-            vs.zipWithIndex.foreach { case (v, i) =>
-              b.clear(); b.putDouble(v)
-              System.arraycopy(b.array(), 0, out, i * es + off, 8)
-            }
-          case StrCol(vs, size) =>
-            vs.zipWithIndex.foreach { case (s, i) =>
-              val sb = s.getBytes("UTF-8")
-              require(sb.length <= size, s"string '$s' exceeds fixed size $size")
-              System.arraycopy(sb, 0, out, i * es + off, math.min(sb.length, size))
-            }
-        }
-        off += col.elemSize
-      }
+      val out = new Array[Byte](cd.n * cd.elemSize)
+      fillCompound(cd.members, out, 0, cd.elemSize)
       out
+    case _: RefData => throw new IllegalStateException(
+      "RefData bytes need the object-address map — emitted via refDataBytes")
+  }
+
+  /** Pack member columns into `out` at record stride `es`, starting at
+    * byte `base` within each record — recursive for nested members. */
+  private def fillCompound(members: Seq[(String, CompoundCol)],
+      out: Array[Byte], base: Int, es: Int): Unit = {
+    var off = base
+    members.foreach { case (_, col) =>
+      col match {
+        case F64Col(vs) =>
+          val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          vs.zipWithIndex.foreach { case (v, i) =>
+            b.clear(); b.putDouble(v)
+            System.arraycopy(b.array(), 0, out, i * es + off, 8)
+          }
+        case I64Col(vs) =>
+          val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+          vs.zipWithIndex.foreach { case (v, i) =>
+            b.clear(); b.putLong(v)
+            System.arraycopy(b.array(), 0, out, i * es + off, 8)
+          }
+        case StrCol(vs, size) =>
+          vs.zipWithIndex.foreach { case (s, i) =>
+            val sb = s.getBytes("UTF-8")
+            require(sb.length <= size, s"string '$s' exceeds fixed size $size")
+            System.arraycopy(sb, 0, out, i * es + off, math.min(sb.length, size))
+          }
+        case nc: NestedCol => fillCompound(nc.members, out, off, es)
+      }
+      off += col.elemSize
+    }
+  }
+
+  /** Reference-dataset bytes: resolve each target name to its object
+    * header address ("" → null reference, written as 0). */
+  private def refDataBytes(rd: RefData, ohAddrOf: String => Long): Array[Byte] = {
+    val b = ByteBuffer.allocate(rd.n * 8).order(ByteOrder.LITTLE_ENDIAN)
+    rd.targets.foreach { t => b.putLong(if (t.isEmpty) 0L else ohAddrOf(t)) }
+    b.array()
   }
 
   /** Global heap collection holding the vlen payload bytes: "GCOL" header,
@@ -2071,6 +2182,11 @@ private[sources] object Hdf5 {
       if (!chunked) {
         require(pos == p.dataAddr)
         v.typed match {
+          case Some(rd: RefData) =>
+            out.write(refDataBytes(rd, name => plans.find(_.v.name == name)
+              .getOrElse(throw new IllegalArgumentException(
+                s"${v.name}: reference target '$name' is not a dataset in this file"))
+              .ohAddr))
           case Some(t) =>
             out.write(typedDataBytes(t, p.gcolAddr))
             t match {

@@ -76,12 +76,16 @@ private[sources] object Hdf5TableV2 {
     (ds, ct)
   }
 
-  def schemaOf(ct: Hdf5.CompoundType): StructType = StructType(ct.members.map { m =>
-    m.dtype match {
-      case _: Hdf5.NumType => StructField(m.name, DoubleType, nullable = false)
-      case _ => StructField(m.name, StringType, nullable = false)
-    }
-  })
+  def schemaOf(ct: Hdf5.CompoundType): StructType = StructType(ct.members.map(fieldOf))
+
+  /** Numeric → DOUBLE, string/reference → STRING, nested compound →
+    * STRUCT (recursively the same mapping). */
+  private def fieldOf(m: Hdf5.CompoundMember): StructField = m.dtype match {
+    case _: Hdf5.NumType => StructField(m.name, DoubleType, nullable = false)
+    case nc: Hdf5.CompoundType =>
+      StructField(m.name, StructType(nc.members.map(fieldOf)), nullable = false)
+    case _ => StructField(m.name, StringType, nullable = false)
+  }
 }
 
 private[sources] class Hdf5TableV2(path: String, varName: String)
@@ -230,6 +234,13 @@ private[sources] class Hdf5TableReaderFactory(path: String,
       case f: Hdf5TableFillPartition => (new Array[Byte](f.rows * ct.size), f.rows)
     }
     val cols: Seq[Array[_]] = Hdf5.decodeCompound(data, ct, rows, src).map(_._2)
+    // nested compound members arrive as Seq[Any] per record → nested
+    // InternalRows (strings as UTF8String at every depth)
+    def toInternal(v: Any): Any = v match {
+      case s: String => UTF8String.fromString(s)
+      case seq: scala.collection.Seq[_] => InternalRow.fromSeq(seq.toSeq.map(toInternal))
+      case o => o
+    }
     new PartitionReader[InternalRow] {
       private var i = -1
       override def next(): Boolean = { i += 1; i < rows }
@@ -237,7 +248,7 @@ private[sources] class Hdf5TableReaderFactory(path: String,
         InternalRow.fromSeq(cols.map {
           case ds: Array[Double] => ds(i)
           case ss: Array[String] => UTF8String.fromString(ss(i))
-          case o: Array[_] => o(i)
+          case o: Array[_] => toInternal(o(i))
         })
       override def close(): Unit = ()
     }

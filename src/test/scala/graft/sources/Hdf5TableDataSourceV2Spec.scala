@@ -114,6 +114,44 @@ class Hdf5TableDataSourceV2Spec extends SparkSpec {
     assert(got.rdd.getNumPartitions == 3)
   }
 
+  test("a pandas to_hdf-style table (int64 index column, chunked) reads through SQL") {
+    val path = tmpH5()
+    val n = 12
+    // the shape pandas/PyTables `to_hdf(format="table")` stores: a chunked
+    // compound with a signed-int64 `index` member ahead of the values
+    val members: Seq[(String, Hdf5.CompoundCol)] = Seq(
+      "index" -> Hdf5.I64Col(Array.tabulate(n)(_.toLong)),
+      "lang" -> Hdf5.StrCol((0 until n).map(i => Seq("en", "de", "fr")(i % 3)), 4),
+      "score" -> Hdf5.F64Col(Array.tabulate(n)(_ * 0.5)))
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("df_table", Seq(n), Array.empty,
+      typed = Some(Hdf5.CompoundData(members)), chunkDims = Some(Seq(5)))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val got = spark.read.format("hdf5table").option("var", "df_table").load(path)
+    assert(got.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("index", "double"), ("lang", "string"), ("score", "double")))
+    assert(got.count() == n)
+    assert(got.filter(col("index") === 7.0).head.getString(1) == "de")
+    assert(got.agg(sum("score")).head.getDouble(0) == (0 until n).map(_ * 0.5).sum)
+  }
+
+  test("a nested compound member surfaces as a STRUCT column") {
+    val path = tmpH5()
+    val n = 3
+    val members: Seq[(String, Hdf5.CompoundCol)] = Seq(
+      "id" -> Hdf5.I64Col(Array.tabulate(n)(_.toLong + 1)),
+      "pos" -> Hdf5.NestedCol(Seq(
+        "lat" -> Hdf5.F64Col(Array(10.0, 20.0, 30.0)),
+        "lon" -> Hdf5.F64Col(Array(-1.0, -2.0, -3.0)))))
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("t", Seq(n), Array.empty,
+      typed = Some(Hdf5.CompoundData(members)))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val got = spark.read.format("hdf5table").option("var", "t").load(path)
+    assert(got.schema("pos").dataType.typeName == "struct")
+    assert(got.select(col("id"), col("pos.lat"), col("pos.lon"))
+      .orderBy("id").collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+      .toSeq == Seq((1.0, 10.0, -1.0), (2.0, 20.0, -2.0), (3.0, 30.0, -3.0)))
+  }
+
   test("a corrupt lz4 chunk header fails loudly instead of hanging") {
     // defilter is the exposed surface: blockSize <= 0 used to never
     // advance the block loop (infinite hang on untrusted bytes)

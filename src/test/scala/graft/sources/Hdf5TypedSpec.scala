@@ -25,6 +25,64 @@ class Hdf5TypedSpec extends AnyFunSuite {
     Hdf5.decodeStrings(s.read(addr, size.toInt), ds.dtype, n, s)
   }
 
+  // ── nested compound members + object references ─────────────────────────
+
+  test("a nested compound member round-trips (record inside the record)") {
+    val n = 4
+    val members: Seq[(String, Hdf5.CompoundCol)] = Seq(
+      "id" -> Hdf5.I64Col(Array.tabulate(n)(_.toLong * 10)),
+      "pos" -> Hdf5.NestedCol(Seq(
+        "lat" -> Hdf5.F64Col(Array.tabulate(n)(_ * 1.5)),
+        "lon" -> Hdf5.F64Col(Array.tabulate(n)(_ * -2.5)),
+        "label" -> Hdf5.StrCol(Seq("a", "bb", "ccc", ""), 4))),
+      "score" -> Hdf5.F64Col(Array.tabulate(n)(_ + 0.25)))
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("obs", Seq(n), Array.empty,
+      typed = Some(Hdf5.CompoundData(members)))))
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == "obs").get._2
+    val ds = Hdf5.readDataset(s, "obs", oh)
+    val ct = ds.dtype.asInstanceOf[Hdf5.CompoundType]
+    assert(ct.members.map(_.name) == Seq("id", "pos", "score"))
+    assert(ct.members(1).dtype.isInstanceOf[Hdf5.CompoundType])
+    val Hdf5.Contiguous(addr, size) = ds.layout: @unchecked
+    val cols = Hdf5.decodeCompound(s.read(addr, size.toInt), ct, n, s).toMap
+    assert(cols("id").asInstanceOf[Array[Double]].toSeq == Seq(0.0, 10.0, 20.0, 30.0))
+    assert(cols("score").asInstanceOf[Array[Double]].toSeq == Seq(0.25, 1.25, 2.25, 3.25))
+    val pos = cols("pos").asInstanceOf[Array[Seq[Any]]]
+    assert(pos(2) == Seq(3.0, -5.0, "ccc"))
+    assert(pos(3) == Seq(4.5, -7.5, ""))
+  }
+
+  test("an object-reference dataset resolves to the referenced names") {
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("sst", Seq(2), Array(1.0, 2.0)),
+      Hdf5.WriteVar("ice", Seq(2), Array(3.0, 4.0)),
+      Hdf5.WriteVar("layers", Seq(3), Array.empty,
+        typed = Some(Hdf5.RefData(Seq("sst", "ice", ""))))))
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == "layers").get._2
+    val ds = Hdf5.readDataset(s, "layers", oh)
+    val rt = ds.dtype.asInstanceOf[Hdf5.RefType]
+    val Hdf5.Contiguous(addr, size) = ds.layout: @unchecked
+    val refs = Hdf5.decodeRefs(s.read(addr, size.toInt), rt, 3, s)
+    assert(refs.toSeq == Seq("/sst", "/ice", ""))
+  }
+
+  test("an unknown reference target fails with the name; dangling address with the address") {
+    val e = intercept[IllegalArgumentException](Hdf5.assemble(Seq(
+      Hdf5.WriteVar("r", Seq(1), Array.empty,
+        typed = Some(Hdf5.RefData(Seq("nope")))))))
+    assert(e.getMessage.contains("nope"))
+    val rt = Hdf5.RefType(8)
+    val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(0xdeadL)
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("sst", Seq(1), Array(1.0))))
+    val e2 = intercept[IllegalArgumentException](
+      Hdf5.decodeRefs(b.array(), rt, 1, src(bytes)))
+    assert(e2.getMessage.contains("dead"))
+  }
+
   // ── fixed-length strings (class 3) ───────────────────────────────────────
 
   test("fixed-length string dataset round-trips, NUL padding trimmed") {
@@ -143,9 +201,14 @@ class Hdf5TypedSpec extends AnyFunSuite {
   }
 
   test("unsupported datatype classes error with the class named") {
-    val body = Array[Byte](0x17, 0, 0, 0, 8, 0, 0, 0) // class 7 (reference)
+    val body = Array[Byte](0x18, 0, 0, 0, 4, 0, 0, 0) // class 8 (enum)
     val e = intercept[IllegalArgumentException](Hdf5.parseDatatype(body))
-    assert(e.getMessage.contains("class 7"))
+    assert(e.getMessage.contains("class 8"))
+    // object references (class 7 type 0) now parse; REGION references stay
+    // a named error
+    val region = Array[Byte](0x17, 0x01, 0, 0, 12, 0, 0, 0)
+    val e2 = intercept[IllegalArgumentException](Hdf5.parseDatatype(region))
+    assert(e2.getMessage.contains("region"))
   }
 
   // ── registered plugin filters: zstd (32015) and lz4 (32004) ─────────────
