@@ -204,6 +204,62 @@ object ScaleDemo {
       return
     }
 
+    // ── mfwrite: serial vs distributed multi-file archive sink ─────────────
+    // `ScaleDemo 12 mfwrite 720 1440` = a year of the production grid
+    // exported as 12 monthly NC4 files: first the serial per-file driver
+    // sink (write3D in a loop — the round-6 measurement), then
+    // NetCDFSource.writeArchive, which shuffles once on the block id and
+    // deflates + writes every file inside executor tasks.
+    if (method == "mfwrite") {
+      import graft.sources.{NetCDF4Source, NetCDFSource}
+      val months = nYears // args(0) = file count
+      val days = 30
+      val nt = months * days
+      def slab(b: Int): org.apache.spark.sql.DataFrame =
+        spark.range(days.toLong * ny * nx).select(
+          (col("id") / (ny.toLong * nx)).cast("int").as("t_idx"),
+          (col("id") / nx % ny).cast("int").as("y"),
+          (col("id") % nx).cast("int").as("x"),
+          (sin(col("id").cast("double") * 1e-3 + lit(b)) * 10.0).as("value"))
+      val serialDir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_mfw_serial_${ny}x$nx")
+      org.apache.commons.io.FileUtils.deleteQuietly(serialDir)
+      serialDir.mkdirs()
+      timed(s"SERIAL write3D × $months (${days}d $ny×$nx each)") {
+        (0 until months).foreach { m =>
+          NetCDF4Source.write3D(slab(m), f"${serialDir.getAbsolutePath}/sst_$m%03d.nc",
+            "sst", shape = (days, ny, nx), timeChunk = 5, deflateLevel = 1)
+        }
+      }
+      val global = spark.range(nt.toLong * ny * nx).select(
+        (col("id") / (ny.toLong * nx)).cast("int").as("t_idx"),
+        (col("id") / nx % ny).cast("int").as("y"),
+        (col("id") % nx).cast("int").as("x"),
+        (sin(pmod(col("id"), lit(days.toLong * ny * nx)).cast("double") * 1e-3 +
+          (col("id") / (days.toLong * ny * nx)).cast("long").cast("double")) * 10.0)
+          .as("value"))
+      val distDir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_mfw_dist_${ny}x$nx")
+      org.apache.commons.io.FileUtils.deleteQuietly(distDir)
+      timed(s"DISTRIBUTED writeArchive ($months blocks × ${days}d $ny×$nx)") {
+        val files = NetCDFSource.writeArchive(global, distDir.getAbsolutePath, "sst",
+          shape = (nt, ny, nx), blockNt = days, timeChunk = 5, deflateLevel = 1)
+        println(s"[scale] files written = ${files.size}")
+      }
+      // equality: both archives carry the same cells (per-block sin phase)
+      val a = spark.read.format("netcdf").option("var", "sst")
+        .load(serialDir.getAbsolutePath)
+      val b = spark.read.format("netcdf").option("var", "sst")
+        .load(distDir.getAbsolutePath)
+      timed("cross-check serial ≡ distributed") {
+        val d = a.join(b.withColumnRenamed("value", "v2"), Seq("t_idx", "y", "x"))
+          .filter(abs(col("value") - col("v2")) > 1e-12).count()
+        println(s"[scale] mismatched cells = $d (want 0)")
+      }
+      spark.stop()
+      return
+    }
+
     // ── mfread: multi-file archive read throughput + file pruning ──────────
     // `ScaleDemo 12 mfread 720 1440` = a year of the production grid as 12
     // monthly NC4 files (the xr.open_mfdataset shape), read back through

@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** [[NetCDFSource.writeArchive]] — the distributed multi-file sink (one
+  * NC4 file per time block, assembled in executor tasks) must round-trip
+  * through the multi-file reader on the same global time axis. */
+class NetCdfArchiveWriteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def grid(nt: Int, ny: Int, nx: Int) =
+    (for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx)
+      yield (t, y, x, t * 5.0 + y * 0.5 + x * 0.125)).toDF("t_idx", "y", "x", "value")
+
+  test("archive write round-trips through the multi-file reader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfw").toFile.getAbsolutePath
+    val in = grid(10, 3, 4)
+    val files = NetCDFSource.writeArchive(in, dir, "sst",
+      shape = (10, 3, 4), blockNt = 4, timeChunk = 2)
+    assert(files == Seq("sst_00000.nc", "sst_00001.nc", "sst_00002.nc"))
+    val back = spark.read.format("netcdf").option("var", "sst").load(dir)
+    assert(back.count() == 10 * 3 * 4)
+    assert(back.join(in.withColumnRenamed("value", "expected"), Seq("t_idx", "y", "x"))
+      .filter(col("value") =!= col("expected")).count() == 0)
+  }
+
+  test("a time block with no cells still writes an all-fill file") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfw2").toFile.getAbsolutePath
+    // t 4..7 (block 1 of 3) has no rows at all
+    val in = grid(12, 2, 2).filter(col("t_idx") < 4 || col("t_idx") >= 8)
+    val files = NetCDFSource.writeArchive(in, dir, "sst",
+      shape = (12, 2, 2), blockNt = 4, timeChunk = 4)
+    assert(files.length == 3)
+    val back = spark.read.format("netcdf").option("var", "sst").load(dir)
+    assert(back.count() == 12 * 2 * 2, "the dense axis has no holes")
+    assert(back.filter(col("t_idx").between(4, 7))
+      .filter(!isnan(col("value"))).count() == 0, "the empty block is all fill")
+    assert(back.filter(!isnan(col("value"))).count() == 8 * 2 * 2)
+  }
+
+  test("out-of-range rows are dropped, ragged tail block sizes correctly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfw3").toFile.getAbsolutePath
+    val in = grid(9, 2, 2) // block 2 holds only t 8 (ragged)
+      .union(Seq((99, 0, 0, 1.0), (-1, 0, 0, 2.0)).toDF("t_idx", "y", "x", "value"))
+    NetCDFSource.writeArchive(in, dir, "sst",
+      shape = (9, 2, 2), blockNt = 4, timeChunk = 4)
+    val back = spark.read.format("netcdf").option("var", "sst").load(dir)
+    assert(back.count() == 9 * 2 * 2)
+    assert(back.agg(max("t_idx")).head.getInt(0) == 8)
+  }
+}
