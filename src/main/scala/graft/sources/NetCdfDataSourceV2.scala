@@ -228,7 +228,9 @@ private[sources] class NetCdfTableV2(rawInputs: Seq[String], varName: String)
 
 private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String,
     minAgeMs: Long)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
   // per-dimension pushed ranges: d0 = t_idx (prunes whole FILES, then
   // chunks), d1 = y, d2 = x (prune spatial chunks within each file — the
@@ -256,18 +258,81 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
       case _ => false
     }
     pushed = accepted
-    // the pushdown is a file/chunk-level prune, not an exact row filter —
-    // keep every filter as a post-scan predicate too
-    filters
+    // dim ranges are applied exactly by the readers (file/chunk prune at
+    // planning, per-cell bounds at emission); everything else stays a
+    // post-scan filter
+    filters.filterNot(accepted.contains)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  private var countStars = 0
+
+  /** `count(*)` (no grouping) over dense grids = Σ per kept file of the
+    * clamped (t × y × x) range product — header metadata only, no data
+    * chunk is ever opened. */
+  private def countOnly(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = countOnly(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (countOnly(agg)) { countStars = agg.aggregateExpressions.length; true }
+    else false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan =
-    new NetCdfScan(rawInputs, varName, lo.clone(), hi.clone(), required, minAgeMs)
+    if (countStars > 0)
+      new NetCdfCountScan(rawInputs, varName, lo.clone(), hi.clone(), countStars)
+    else new NetCdfScan(rawInputs, varName, lo.clone(), hi.clone(), required, minAgeMs)
+}
+
+/** Metadata-only `count(*)` over a (multi-file) archive: per-file header
+  * parses place each file on the global axis; the count is the clamped
+  * dense product per kept file. One partition, one row, zero data reads. */
+private[sources] class NetCdfCountScan(rawInputs: Seq[String], varName: String,
+    lo: Array[Int], hi: Array[Int], nCounts: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType((0 until nCounts).map(i =>
+      StructField(s"count_$i", LongType, nullable = false)))
+
+  override def description(): String =
+    s"NetCdfCountScan(var=$varName, metadata-only count, chunk reads=0)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    var off = 0L
+    var rows = 0L
+    NetCdfTableV2.expand(rawInputs).foreach { p =>
+      val m = NetCdfTableV2.fileMeta(spark, p, varName)._1
+      val lt0 = math.max(lo(0).toLong - off, 0L)
+      val lt1 = math.min(hi(0).toLong - off, m.nt - 1L)
+      val yN = math.max(0L, math.min(hi(1).toLong, m.ny - 1L) - math.max(lo(1).toLong, 0L) + 1)
+      val xN = math.max(0L, math.min(hi(2).toLong, m.nx - 1L) - math.max(lo(2).toLong, 0L) + 1)
+      rows += math.max(0L, lt1 - lt0 + 1) * yN * xN
+      off += m.nt
+    }
+    Array(ZarrCountPartition(Array.fill(nCounts)(rows)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val counts = partition.asInstanceOf[ZarrCountPartition].counts
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(counts.toSeq)
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 /** One stored (or fill-elided: addr = -1) NC4 chunk of one file. Local

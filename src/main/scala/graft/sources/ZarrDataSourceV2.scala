@@ -198,15 +198,22 @@ private[sources] class ZarrTableV2(path: String) extends Table with SupportsRead
 /** Range predicates on ANY of `t_idx`/`y`/`x` prune whole chunk files on
   * that dimension — the reference's regional mode (track.py:5471) makes
   * lat/lon windows a first-class query shape, so a spatial window over a
-  * global archive must not open every spatial chunk. */
+  * global archive must not open every spatial chunk. Dim-range predicates
+  * are EXACT at the reader (the cell emitters bound every dimension), so
+  * they are reported fully-pushed — no redundant post-scan filter — which
+  * in turn lets `count(*)` over any dim window collapse to a pure
+  * METADATA answer (grids are dense): zero chunk files are opened. */
 private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = false)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
   private val dims = Seq("t_idx", "y", "x")
   private val lo = Array.fill(3)(Int.MinValue)
   private val hi = Array.fill(3)(Int.MaxValue)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ZarrTableV2.fullSchema
+  private var countStars = 0
 
   private def dimOf(attr: String): Int = dims.indexOf(attr)
 
@@ -225,18 +232,74 @@ private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = 
       case _ => false
     }
     pushed = accepted
-    // conservatively keep every filter as a post-scan predicate too — the
-    // pushdown is a chunk-level prune, not an exact row filter
-    filters
+    // dim ranges are applied exactly by the readers; everything else
+    // (value predicates, nulls, …) stays a post-scan filter
+    filters.filterNot(accepted.contains)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  /** `count(*)` (no grouping) over a dense grid = the product of the
+    * clamped dim ranges — answered from array metadata alone. */
+  private def countOnly(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = countOnly(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (countOnly(agg)) { countStars = agg.aggregateExpressions.length; true }
+    else false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan =
-    new ZarrScan(path, lo.clone(), hi.clone(), required, fillMissingTail)
+    if (countStars > 0) new ZarrCountScan(path, lo.clone(), hi.clone(), countStars)
+    else new ZarrScan(path, lo.clone(), hi.clone(), required, fillMissingTail)
+}
+
+/** Metadata-only `count(*)` scan: one partition, one row, zero chunk
+  * reads — the grid is dense, so the row count is the clamped dim-range
+  * product straight from the array shape. */
+private[sources] case class ZarrCountPartition(counts: Array[Long]) extends InputPartition
+
+private[sources] class ZarrCountScan(path: String, lo: Array[Int], hi: Array[Int],
+    nCounts: Int) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType((0 until nCounts).map(i =>
+      StructField(s"count_$i", LongType, nullable = false)))
+
+  override def description(): String =
+    s"ZarrCountScan(path=$path, metadata-only count, chunk reads=0)"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val meta = ZarrSource.readMetaAny(path,
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    require(meta.shape.length == 3, s"zarr count scan expects 3-D, got ${meta.shape}")
+    val rows = (0 until 3).map { d =>
+      math.max(0L, math.min(hi(d).toLong, meta.shape(d) - 1L) -
+        math.max(lo(d).toLong, 0L) + 1)
+    }.product
+    Array(ZarrCountPartition(Array.fill(nCounts)(rows)))
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val counts = partition.asInstanceOf[ZarrCountPartition].counts
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow =
+            InternalRow.fromSeq(counts.toSeq)
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 private[sources] case class ZarrChunkPartition(

@@ -74,6 +74,42 @@ class NetCdfDataSourceV2Spec extends SparkSpec {
       .filter(col("value") =!= col("expected")).count() == 0)
   }
 
+  test("count(*) collapses to a metadata-only scan (zero data reads)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nccount").toFile.getAbsolutePath
+    NetCDF4Source.write3D(grid(6, 3, 4), s"$dir/sst_000.nc", "sst",
+      shape = (6, 3, 4), timeChunk = 2)
+    NetCDF4Source.write3D(grid(4, 3, 4), s"$dir/sst_001.nc", "sst",
+      shape = (4, 3, 4), timeChunk = 2)
+    val table = spark.read.format("netcdf").option("var", "sst").load(dir)
+    val full = table.groupBy().count()
+    val plan = full.queryExecution.executedPlan.toString
+    assert(plan.contains("NetCdfCountScan"), s"metadata count scan missing:\n$plan")
+    assert(full.head.getLong(0) == 10L * 3 * 4)
+    assert(full.rdd.getNumPartitions <= 2, "one metadata partition, no chunk tasks")
+    // a dim window still counts from metadata (ranges are dense + exact)
+    val win = table.filter(col("t_idx").between(4, 7) && col("y") < 2).groupBy().count()
+    assert(win.queryExecution.executedPlan.toString.contains("NetCdfCountScan"))
+    assert(win.head.getLong(0) == 4L * 2 * 4)
+    // a VALUE predicate cannot be metadata-answered — falls back to a real scan
+    val v = table.filter(col("value") > 3.0).groupBy().count()
+    assert(!v.queryExecution.executedPlan.toString.contains("NetCdfCountScan"))
+  }
+
+  test("dim filters are exact without a residual post-scan filter") {
+    val path = tmpNc()
+    val in = grid(6, 4, 4)
+    NetCDF4Source.write3D(in, path, "v", shape = (6, 4, 4), timeChunk = 3)
+    val df = spark.read.format("netcdf").option("var", "v").load(path)
+      .filter(col("t_idx") === 2 && col("y").between(1, 2) && col("x") >= 3)
+    val rows = df.collect()
+    assert(rows.length == 1 * 2 * 1)
+    assert(rows.forall(r => r.getInt(0) == 2 && (1 to 2).contains(r.getInt(1))
+      && r.getInt(2) == 3))
+    val expected = in.filter(col("t_idx") === 2 && col("y").between(1, 2) && col("x") >= 3)
+    assert(df.join(expected.withColumnRenamed("value", "e"), Seq("t_idx", "y", "x"))
+      .filter(col("value") =!= col("e")).count() == 0)
+  }
+
   test("column pruning reaches the reader") {
     val path = tmpNc()
     NetCDF4Source.write3D(grid(4, 2, 2), path, "v", shape = (4, 2, 2), timeChunk = 2)

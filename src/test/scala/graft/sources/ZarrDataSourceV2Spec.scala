@@ -52,6 +52,24 @@ class ZarrDataSourceV2Spec extends SparkSpec {
       .filter(col("value") =!= col("expected")).count() == 0)
   }
 
+  test("count(*) collapses to a metadata-only scan (zero chunk reads)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_zcount").toFile.getAbsolutePath
+    val in = (for (t <- 0 until 6; y <- 0 until 4; x <- 0 until 4)
+      yield (t, y, x, t + y + x * 1.0)).toDF("t_idx", "y", "x", "value")
+    ZarrSource.write3D(in, dir, shape = (6, 4, 4), chunks = (2, 4, 4))
+    val table = spark.read.format("zarr").load(dir)
+    val full = table.groupBy().count()
+    val plan = full.queryExecution.executedPlan.toString
+    assert(plan.contains("ZarrCountScan"), s"metadata count scan missing:\n$plan")
+    assert(full.head.getLong(0) == 6L * 4 * 4)
+    val win = table.filter(col("t_idx") >= 3 && col("x") < 2).groupBy().count()
+    assert(win.queryExecution.executedPlan.toString.contains("ZarrCountScan"))
+    assert(win.head.getLong(0) == 3L * 4 * 2)
+    val v = table.filter(!isnan(col("value"))).groupBy().count()
+    assert(!v.queryExecution.executedPlan.toString.contains("ZarrCountScan"))
+  }
+
   test("column pruning reaches the reader") {
     assume(haveFixture)
     val df = spark.read.format("zarr").load(fixture).select("t_idx")
