@@ -30,8 +30,19 @@ object Bench {
       catch { case _: Throwable => }
       (System.nanoTime() - t0) / 1e9
     }
-    val warm1 = timedCount()
-    val warm2 = timedCount()
+    // Retry until the page cache is actually HOT (two consecutive reads
+    // within 2×): a cold first read otherwise lands in whichever query
+    // runs first and the capture self-flags cold_cache — the round-6
+    // artifact did exactly that. Bounded at 5 passes; still-cold after
+    // that (e.g. the table outsizes RAM) is flagged, not hidden.
+    var warm1 = timedCount()
+    var warm2 = timedCount()
+    var warmTries = 2
+    while ((warm1 > 2.0 * warm2 && warm1 - warm2 > 0.5) && warmTries < 5) {
+      warm1 = warm2
+      warm2 = timedCount()
+      warmTries += 1
+    }
     val coldCache = warm1 > 2.0 * warm2 && warm1 - warm2 > 0.5
     // q55/q60/q72 replay the reference's FIXED-SIZE golden fixtures
     // regardless of SF — correctness regression locks, not scale benchmarks;
