@@ -100,10 +100,13 @@ private[sources] class Hdf5TableV2(path: String, varName: String)
 }
 
 private[sources] class Hdf5TableScanBuilder(path: String, varName: String)
-    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit {
+    extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None
+  private var countStars = 0
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
@@ -112,7 +115,24 @@ private[sources] class Hdf5TableScanBuilder(path: String, varName: String)
   // chunk boundaries over-deliver rows, so Spark must still apply the limit
   override def isPartiallyPushed: Boolean = true
 
-  override def build(): Scan = new Hdf5TableScan(path, varName, required, limit)
+  /** Ungrouped `count(*)` = the dataspace cardinality — answered from the
+    * header without decoding a record. */
+  private def countOnly(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = countOnly(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (countOnly(agg)) { countStars = agg.aggregateExpressions.length; true }
+    else false
+
+  override def build(): Scan =
+    if (countStars > 0) {
+      val rows = math.min(Hdf5TableV2.compoundOf(path, varName)._1.dims.head,
+        limit.map(_.toLong).getOrElse(Long.MaxValue))
+      new MetadataCountScan(s"hdf5table:$path#$varName", rows, countStars)
+    } else new Hdf5TableScan(path, varName, required, limit)
 }
 
 /** One stored chunk (`addr >= 0`) or a contiguous/compact row range. */

@@ -652,14 +652,19 @@ private[sources] class ZarrGroupTableV2(path: String) extends Table with Support
 /** Pushdown: range predicates on ANY `<dim>_idx` column prune whole chunk
   * files on that dimension (the multi-dim generalization of the array
   * scan's t_idx prune); column pruning drops entire member ARRAYS from the
-  * read — an unprojected variable's chunk files are never opened. */
+  * read — an unprojected variable's chunk files are never opened. Dim
+  * ranges are exact at the reader, so they report fully pushed, and an
+  * ungrouped `count(*)` collapses to a metadata-only answer. */
 private[sources] class ZarrGroupScanBuilder(lay: ZarrGroupTableV2.Layout)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
   private val lo = Array.fill(lay.primaryDims.length)(Int.MinValue)
   private val hi = Array.fill(lay.primaryDims.length)(Int.MaxValue)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = lay.schema
+  private var countStars = 0
 
   private def dimOf(attr: String): Int =
     lay.primaryDims.indexWhere(d => s"${d}_idx" == attr)
@@ -679,17 +684,59 @@ private[sources] class ZarrGroupScanBuilder(lay: ZarrGroupTableV2.Layout)
       case _ => false
     }
     pushed = accepted
-    // chunk-level prune, not an exact row filter — keep them post-scan too
-    filters
+    // dim ranges are applied exactly by the reader; the rest stays post-scan
+    filters.filterNot(accepted.contains)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
+
+  private def countOnly(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+
+  override def supportCompletePushDown(agg: Aggregation): Boolean = countOnly(agg)
+
+  override def pushAggregation(agg: Aggregation): Boolean =
+    if (countOnly(agg)) { countStars = agg.aggregateExpressions.length; true }
+    else false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan =
-    new ZarrGroupScan(lay, lo.clone(), hi.clone(), required)
+    if (countStars > 0) {
+      val rows = lay.primaryDims.indices.map { d =>
+        math.max(0L, math.min(hi(d).toLong, lay.shape(d) - 1L) -
+          math.max(lo(d).toLong, 0L) + 1)
+      }.product
+      new MetadataCountScan(s"zarr-group:${lay.dir}", rows, countStars)
+    } else new ZarrGroupScan(lay, lo.clone(), hi.clone(), required)
+}
+
+/** Shared metadata-only `count(*)` scan: one partition, one row, zero
+  * data reads (the row count is already known at plan time). */
+private[sources] class MetadataCountScan(what: String, rows: Long, nCounts: Int)
+    extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType((0 until nCounts).map(i =>
+      StructField(s"count_$i", LongType, nullable = false)))
+  override def description(): String =
+    s"MetadataCountScan($what, rows=$rows, data reads=0)"
+  override def toBatch: Batch = this
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ZarrCountPartition(Array.fill(nCounts)(rows)))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val counts = partition.asInstanceOf[ZarrCountPartition].counts
+        new PartitionReader[InternalRow] {
+          private var done = false
+          override def next(): Boolean = { val r = !done; done = true; r }
+          override def get(): InternalRow = InternalRow.fromSeq(counts.toSeq)
+          override def close(): Unit = ()
+        }
+      }
+    }
 }
 
 private[sources] case class ZarrGroupChunkPartition(ci: Seq[Int]) extends InputPartition

@@ -63,11 +63,19 @@ class Hdf5TableDataSourceV2Spec extends SparkSpec {
     assert(df.count() == 2)
   }
 
-  test("aggregation with no member referenced (count star) still scans") {
+  test("count(*) is answered from the dataspace header (no record decoded)") {
     val path = tmpH5()
     writeSample(path)
-    val n = spark.read.format("hdf5table").option("var", "stats").load(path).count()
-    assert(n == 5)
+    val table = spark.read.format("hdf5table").option("var", "stats").load(path)
+    val agg = table.groupBy().count()
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("MetadataCountScan"), s"metadata count scan missing:\n$plan")
+    assert(agg.head.getLong(0) == 5)
+    assert(table.count() == 5)
+    // a filter blocks the metadata answer — falls back to a real scan
+    val f = table.filter(col("n_docs") > 10.0).groupBy().count()
+    assert(!f.queryExecution.executedPlan.toString.contains("MetadataCountScan"))
+    assert(f.head.getLong(0) == 3) // n_docs 120 / 45 / 300 pass the filter
   }
 
   test("scan statistics report the exact row count (and the pushed limit)") {

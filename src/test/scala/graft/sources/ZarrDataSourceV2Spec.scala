@@ -135,6 +135,19 @@ class ZarrDataSourceV2Spec extends SparkSpec {
       .map(_.getInt(0)).sorted.toSeq == Seq(2, 3))
   }
 
+  test("group scan: count(*) collapses to a metadata-only scan") {
+    assume(haveFixture)
+    val table = spark.read.format("zarr").load(groupDir)
+    val full = table.groupBy().count()
+    val plan = full.queryExecution.executedPlan.toString
+    assert(plan.contains("MetadataCountScan"), s"metadata count scan missing:\n$plan")
+    val expected = table.rdd.count() // via the real scan
+    assert(full.head.getLong(0) == expected)
+    val win = table.filter(col("time_idx") < 4).groupBy().count()
+    assert(win.queryExecution.executedPlan.toString.contains("MetadataCountScan"))
+    assert(win.head.getLong(0) == expected / 8)
+  }
+
   test("group scan: column pruning drops unprojected member arrays") {
     assume(haveFixture)
     val df = spark.read.format("zarr").load(groupDir)
