@@ -50,7 +50,11 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
   // time-ordered, so dropping slices <= this key makes replay a no-op.
   @volatile private var maxCommittedMs: Long = Long.MinValue
 
-  /** The foreachBatch function: track the new slices, commit the batch. */
+  /** The foreachBatch function: track the new slices, commit the batch.
+    * With `cfg.tFill > 0` the batch routes through the watermark-holdback
+    * wrapper: the last `tFill` slices stay provisional (persisted under
+    * `held/`, not in the id field) until later slices finalize them — call
+    * [[flush]] when the archive ends to release the tail. */
   def processBatch(batch: DataFrame, batchId: Long): Unit = {
     if (batchId <= lastBatchId) return // in-run replay of a committed batch
     val fresh =
@@ -60,8 +64,27 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
     val maxRow = fresh.agg(max("time")).head()
     if (maxRow.isNullAt(0)) { lastBatchId = batchId; return } // cross-restart replay
     val batchMaxMs = maxRow.getTimestamp(0).getTime
+    val (st, inc) =
+      if (cfg.tFill > 0) IncrementalTracker.extendGapFill(state, fresh, geom, spec, cfg)
+      else IncrementalTracker.extend(state, fresh, geom, spec, cfg)
+    commit(batch.sparkSession, st, inc, batchMaxMs)
+    lastBatchId = batchId
+  }
+
+  /** Finalize the slices still held back by the tFill watermark — the end
+    * of the archive (no future slices can change their gap-fill status).
+    * One more commit carrying the released tail; no-op when `tFill == 0`
+    * or nothing is held. */
+  def flush(spark: SparkSession): Unit =
+    if (cfg.tFill > 0 && state.flatMap(_.held)
+        .exists(h => !h.filter(!col("finalized")).isEmpty)) {
+      val (st, inc) = IncrementalTracker.flushGapFill(state, geom, spec, cfg)
+      commit(spark, st, inc, maxCommittedMs)
+    }
+
+  private def commit(spark: SparkSession, st: IncrementalTracker.IncState,
+      inc: IncrementalTracker.Increment, batchMaxMs: Long): Unit = {
     val seq = committedSeq + 1 // a crashed attempt's partial dir is re-overwritten
-    val (st, inc) = IncrementalTracker.extend(state, fresh, geom, spec, cfg)
     if (!inc.blockIds.isEmpty)
       inc.blockIds.write.mode("overwrite").parquet(s"$sinkDir/id_field/batch=$seq")
     if (!inc.remap.isEmpty)
@@ -76,12 +99,15 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
       st.seamTraj.foreach(_.write.mode("overwrite")
         .parquet(s"$sinkDir/seam_traj/batch=$seq"))
     }
-    StreamingTracker.writeManifest(batch.sparkSession, sinkDir,
+    // tFill holdback: the provisional tail (and its gap-support context)
+    // lives only in state — persist it with the commit or a restart
+    // would silently drop the held slices
+    st.held.foreach(_.write.mode("overwrite").parquet(s"$sinkDir/held/batch=$seq"))
+    StreamingTracker.writeManifest(spark, sinkDir,
       seq, st.gapAfterSeam, st.nextEventId, batchMaxMs, st.nextGid)
     state = Some(st)
     committedSeq = seq
     maxCommittedMs = batchMaxMs
-    lastBatchId = batchId
   }
 
   /** Rebuild driver state from the committed sink after a restart: counters
@@ -93,13 +119,13 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
       case None =>
         state = None; committedSeq = -1L; maxCommittedMs = Long.MinValue
       case Some((seq, gap, next, maxMs, nextGid)) =>
+        val fs = StreamingTracker.manifestPath(sinkDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         var traj: Option[org.apache.spark.sql.DataFrame] = None
         val seam =
           if (cfg.allowMerging) {
             // merging mode persists the seam (resolved gids + event ids)
             // per commit — the committed partition IS the restart state
-            val fs = StreamingTracker.manifestPath(sinkDir)
-              .getFileSystem(spark.sparkContext.hadoopConfiguration)
             val tp = new org.apache.hadoop.fs.Path(s"$sinkDir/seam_traj/batch=$seq")
             if (fs.exists(tp))
               traj = Some(spark.read.parquet(tp.toString).localCheckpoint())
@@ -115,7 +141,11 @@ final class StreamingTracker(geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
                 .select("y", "x", "event_id").localCheckpoint()
             }
           }
-        state = Some(IncrementalTracker.IncState(seam, gap, next, nextGid, traj))
+        val hp = new org.apache.hadoop.fs.Path(s"$sinkDir/held/batch=$seq")
+        val held =
+          if (fs.exists(hp)) Some(spark.read.parquet(hp.toString).localCheckpoint())
+          else None
+        state = Some(IncrementalTracker.IncState(seam, gap, next, nextGid, traj, held))
         committedSeq = seq
         maxCommittedMs = maxMs
     }

@@ -76,6 +76,29 @@ class StreamingTrackerSpec extends SparkSpec {
     assertEquivalent(batch, streamed)
   }
 
+  test("tFill=2 stream (watermark holdback) equals batch tracking across a restart") {
+    val sinkDir = Files.createTempDirectory("graft_stream_track_tf").toString
+    val tcfg = cfg.copy(tFill = 2)
+    val flags = SyntheticData.stormFlags(spark, nDays = 20, ny = ny, nx = nx,
+      nStorms = 20, seed = 7L).cache()
+    val blocks = Seq(0 -> 7, 7 -> 13, 13 -> 20).map { case (a, b) =>
+      flags.filter(col("time") >= lit(ts(a)) && col("time") < lit(ts(b)))
+        .toDF("time", "y", "x")
+    }
+    val t1 = new StreamingTracker(geom, spec, tcfg, sinkDir)
+    t1.processBatch(blocks(0), 0L)
+    t1.processBatch(blocks(1), 1L)
+    // restart mid-stream: the held (provisional) tail must survive via the
+    // persisted state, not be silently dropped
+    val t2 = new StreamingTracker(geom, spec, tcfg, sinkDir)
+    t2.restoreState(spark)
+    t2.processBatch(blocks(2), 0L)
+    t2.flush(spark) // archive end: release the last tFill slices
+    val streamed = StreamingTracker.resolvedIdField(spark, sinkDir)
+    val batch = Track.track(flags, geom, spec, tcfg).idField
+    assertEquivalent(batch, streamed)
+  }
+
   test("remap ledger closes transitively at read time") {
     val sinkDir = Files.createTempDirectory("graft_stream_track2").toString
     val cfg0 = cfg.copy(rFill = 0)
