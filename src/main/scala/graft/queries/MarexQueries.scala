@@ -1140,6 +1140,49 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells WHERE t_idx BETWEEN 10 AND 30 GROUP BY t_idx"""),
-      "to_zarr through SQL: df.write.format(\"zarr\") distributed chunk write + wide read-back")
+      "to_zarr through SQL: df.write.format(\"zarr\") distributed chunk write + wide read-back"),
+
+    // ── to_netcdf archives through SQL: df.write.format("netcdf") ─────────
+    QueryDef("q85_netcdf_sql_write",
+      (s, d) => {
+        // the write dual of q80: the SAME 3-file monthly layout, but
+        // produced by `df.write.format("netcdf")` (shape/blockNt write
+        // options → the distributed per-block archive sink) instead of a
+        // serial write3D loop, then read back through the multi-file
+        // scan. A defect in the write-spec parse, the Tungsten block
+        // exchange, the per-task NC4 assembly, or the name-ordered global
+        // axis mismatches the oracle, which recomputes from events.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("value"))
+          .filter(col("t_idx").between(0, 29))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q85_ncw"
+        cells.write.format("netcdf").option("var", "sst")
+          .option("shape", "30:10:15").option("blockNt", "10")
+          .option("timeChunk", "4")
+          .mode("overwrite").save(dir)
+        s.read.format("netcdf").option("var", "sst").load(dir)
+          .filter(col("t_idx").between(5, 25) && !isnan(col("value")))
+          .groupBy(col("t_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("value") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
+      "to_netcdf through SQL: df.write.format(\"netcdf\") distributed per-block archive sink + multi-file read-back")
   )
 }

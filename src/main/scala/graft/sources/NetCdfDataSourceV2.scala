@@ -50,8 +50,81 @@ class NetCdfDataSourceV2 extends TableProvider with DataSourceRegister {
     val varName = Option(properties.get("var")).getOrElse(
       throw new IllegalArgumentException(
         "netcdf source requires .option(\"var\", <variable name>)"))
-    new NetCdfTableV2(raw, varName)
+    // a `shape` option marks WRITE intent: df.write.format("netcdf")
+    if (properties.containsKey("shape"))
+      new NetCdfWritableTableV2(raw.head, varName,
+        NetCdfWriteSpec.parse(new CaseInsensitiveStringMap(properties)))
+    else new NetCdfTableV2(raw, varName)
   }
+}
+
+/** Declared layout of a `df.write.format("netcdf")` archive sink, parsed
+  * from write options: `shape` = "360:720:1440" (nt:ny:nx), `blockNt` =
+  * slices per file (default nt → a single file), optional `timeChunk`,
+  * `spatialChunks` ("cy:cx"), `deflate` level, and `prefix` for the
+  * `<prefix>_<block>.nc` names. The insert delegates to the distributed
+  * [[NetCDFSource.writeArchive]] (one file per block, assembled in
+  * executor tasks) — the write dual of the multi-file read. */
+private[sources] final case class NetCdfWriteSpec(nt: Int, ny: Int, nx: Int,
+    blockNt: Int, timeChunk: Int, spatialChunks: Option[(Int, Int)],
+    deflate: Int, prefix: String) {
+  require(nt > 0 && ny > 0 && nx > 0, s"shape must be positive (got $nt:$ny:$nx)")
+  require(blockNt > 0, s"blockNt must be positive (got $blockNt)")
+}
+
+private[sources] object NetCdfWriteSpec {
+  def parse(options: CaseInsensitiveStringMap): NetCdfWriteSpec = {
+    def ints(s: String, n: Int, what: String): Seq[Int] = {
+      val parts = s.split(":").toSeq
+      require(parts.length == n, s"malformed $what '$s' (want ${n} ints a:b…)")
+      parts.map(_.trim.toInt)
+    }
+    val Seq(nt, ny, nx) = ints(options.get("shape"), 3, "shape")
+    NetCdfWriteSpec(nt, ny, nx,
+      blockNt = Option(options.get("blockNt")).map(_.toInt).getOrElse(nt),
+      timeChunk = Option(options.get("timeChunk")).map(_.toInt).getOrElse(8),
+      spatialChunks = Option(options.get("spatialChunks")).map { s =>
+        val Seq(cy, cx) = ints(s, 2, "spatialChunks"); (cy, cx)
+      },
+      deflate = Option(options.get("deflate")).map(_.toInt).getOrElse(4),
+      prefix = Option(options.get("prefix")).getOrElse("part"))
+  }
+}
+
+private[sources] class NetCdfWritableTableV2(dir: String, varName: String,
+    spec: NetCdfWriteSpec) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write._
+
+  override def name(): String = s"netcdf-write:$dir#$varName"
+  override def schema(): StructType = NetCdfTableV2.fullSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            val conf = data.sparkSession.sparkContext.hadoopConfiguration
+            val p = new org.apache.hadoop.fs.Path(dir)
+            val fs = p.getFileSystem(conf)
+            if (overwrite) fs.delete(p, true)
+            else require(!fs.exists(p) || fs.listStatus(p).forall(_.isDirectory),
+              s"netcdf archive $dir already holds files — use mode(\"overwrite\") " +
+                "to replace it (live archives grow by LANDING new files, " +
+                "not by table inserts)")
+            NetCDFSource.writeArchive(data, dir, varName,
+              shape = (spec.nt, spec.ny, spec.nx), blockNt = spec.blockNt,
+              timeChunk = spec.timeChunk, deflateLevel = spec.deflate,
+              prefix = spec.prefix, spatialChunks = spec.spatialChunks)
+            ()
+          }
+      }
+    }
 }
 
 private[sources] object NetCdfTableV2 {

@@ -40,6 +40,32 @@ class NetCdfArchiveWriteSpec extends SparkSpec {
     assert(back.filter(!isnan(col("value"))).count() == 8 * 2 * 2)
   }
 
+  test("df.write.format(\"netcdf\") writes the archive through SQL") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfw4").toFile.getAbsolutePath
+    val in = grid(8, 3, 4)
+    in.write.format("netcdf").option("var", "sst")
+      .option("shape", "8:3:4").option("blockNt", "4").option("timeChunk", "2")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("netcdf").option("var", "sst").load(dir)
+    assert(back.count() == 8 * 3 * 4)
+    assert(back.join(in.withColumnRenamed("value", "expected"), Seq("t_idx", "y", "x"))
+      .filter(col("value") =!= col("expected")).count() == 0)
+    // append to an existing archive is a named error (archives grow by
+    // landing files, not by inserts); overwrite replaces
+    val e = intercept[Exception](
+      in.write.format("netcdf").option("var", "sst")
+        .option("shape", "8:3:4").mode("append").save(dir))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("already holds files")))
+    in.withColumn("value", col("value") + 100.0)
+      .write.format("netcdf").option("var", "sst")
+      .option("shape", "8:3:4").option("blockNt", "8")
+      .mode("overwrite").save(dir)
+    val again = spark.read.format("netcdf").option("var", "sst").load(dir)
+    assert(again.agg(min("value")).head.getDouble(0) >= 100.0)
+  }
+
   test("out-of-range rows are dropped, ragged tail block sizes correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mfw3").toFile.getAbsolutePath
     val in = grid(9, 2, 2) // block 2 holds only t 8 (ragged)
