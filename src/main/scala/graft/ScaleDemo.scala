@@ -267,27 +267,31 @@ object ScaleDemo {
     // and the wall of a 2-day window — which must open ONE file's chunks,
     // not the archive.
     if (method == "mfread") {
-      import graft.sources.NetCDF4Source
+      import graft.sources.NetCDFSource
       val months = nYears // args(0) = file count
       val days = 30
+      val nt = months * days
+      // spatial chunking: ~quarter-hemisphere tiles so a regional window
+      // covers a small fraction of the (y, x) chunk grid
+      val (cy, cx) = (math.max(1, ny / 4), math.max(1, nx / 8))
       val dir = new java.io.File(
         s"${System.getProperty("java.io.tmpdir")}/graft_mfread_${ny}x$nx")
       org.apache.commons.io.FileUtils.deleteQuietly(dir)
-      dir.mkdirs()
-      timed(s"write $months files × ${days}d $ny×$nx") {
-        (0 until months).foreach { m =>
-          val slab = spark.range(days.toLong * ny * nx).select(
-            (col("id") / (ny.toLong * nx)).cast("int").as("t_idx"),
-            (col("id") / nx % ny).cast("int").as("y"),
-            (col("id") % nx).cast("int").as("x"),
-            (sin(col("id").cast("double") * 1e-3 + lit(m)) * 10.0).as("value"))
-          NetCDF4Source.write3D(slab, f"${dir.getAbsolutePath}/sst_$m%03d.nc",
-            "sst", shape = (days, ny, nx), timeChunk = 5, deflateLevel = 1)
-        }
+      timed(s"write $months files × ${days}d $ny×$nx (distributed, $cy×$cx tiles)") {
+        val global = spark.range(nt.toLong * ny * nx).select(
+          (col("id") / (ny.toLong * nx)).cast("int").as("t_idx"),
+          (col("id") / nx % ny).cast("int").as("y"),
+          (col("id") % nx).cast("int").as("x"),
+          (sin(pmod(col("id"), lit(days.toLong * ny * nx)).cast("double") * 1e-3 +
+            (col("id") / (days.toLong * ny * nx)).cast("long").cast("double")) * 10.0)
+            .as("value"))
+        NetCDFSource.writeArchive(global, dir.getAbsolutePath, "sst",
+          shape = (nt, ny, nx), blockNt = days, timeChunk = 5, deflateLevel = 1,
+          spatialChunks = Some((cy, cx)))
       }
       val cells = months.toLong * days * ny * nx
       val archive = spark.read.format("netcdf").option("var", "sst")
-        .load(dir.getAbsolutePath)
+        .load(s"${dir.getAbsolutePath}/sst_*.nc")
       timed(s"full-archive agg ($cells cells)") {
         val r = archive.agg(count(lit(1)), sum("value")).collect()(0)
         println(s"[scale] rows = ${r.getLong(0)}")
@@ -298,6 +302,19 @@ object ScaleDemo {
       val kept = "files_kept=(\\d+)".r.findFirstMatchIn(plan).map(_.group(1)).getOrElse("?")
       timed(s"2-day window (files_kept=$kept)") {
         println(s"[scale] window rows = ${window.count()}")
+      }
+      // REGIONAL window: one spatial tile over the full year — per-dim y/x
+      // pushdown must open ~1/32nd of every file's chunks, not the globe
+      val regional = archive.filter(col("y") < cy && col("x") < cx)
+      timed(s"regional window (1 of ${(ny / cy) * (nx / cx)} tiles, full year)") {
+        val r = regional.agg(count(lit(1)), sum("value")).collect()(0)
+        println(s"[scale] regional rows = ${r.getLong(0)} " +
+          s"(partitions = ${regional.rdd.getNumPartitions})")
+      }
+      // metadata-only count: the dense cell count of the archive without
+      // opening a single chunk
+      timed("count(*) from metadata (zero chunk reads)") {
+        println(s"[scale] count(*) = ${archive.groupBy().count().head.getLong(0)}")
       }
       spark.stop()
       return
