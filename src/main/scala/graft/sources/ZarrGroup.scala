@@ -530,53 +530,85 @@ object ZarrGroup extends Serializable {
       new java.io.File(dir).mkdirs()
 
       val spark = df.sparkSession
-      import spark.implicits._
-      val idxCols = dimNames.map(dn => col(s"${dn}_idx").cast("int"))
       val chunkLen = chunks.product
       val nV = valueCols.length
-      val rowSchema = StructType(
-        dimNames.map(dn => StructField(s"${dn}_idx", IntegerType)) ++
-          valueCols.map(vc => StructField(vc, DoubleType)))
-      val rows = df.select(idxCols ++ valueCols.map(vc => col(vc).cast("double")): _*)
-        .as[Row](org.apache.spark.sql.Encoders.row(rowSchema))
-      val chB = chunks
-      val vcB = valueCols
+      val chB = chunks.toArray
+      val vcB = valueCols.toArray
       val dirB = dir
       val isV3 = v3
       val fillB = fill
       val bloscB = !v3 && compressor.contains("blosc")
       valueCols.foreach(vc => new java.io.File(s"$dir/$vc").mkdirs())
-      rows.groupByKey(r => (0 until nd).map(d => r.getInt(d) / chB(d)).toList)
-        .mapGroups { (ci: List[Int], it: Iterator[Row]) =>
-          val bufs = Array.fill(nV)(
-            ByteBuffer.allocate(chunkLen * 8).order(ByteOrder.LITTLE_ENDIAN))
-          bufs.foreach { b =>
-            var i = 0
-            while (i < chunkLen) { b.putDouble(i * 8, fillB); i += 1 }
-          }
-          it.foreach { r =>
-            var flat = 0
-            var d = 0
-            while (d < nd) { flat = flat * chB(d) + (r.getInt(d) - ci(d) * chB(d)); d += 1 }
+
+      // One Tungsten exchange keyed on the LINEAR chunk id, sorted within
+      // partitions so each task streams chunk runs holding ONE chunk's
+      // buffers at a time — the same memory shape as the former typed
+      // groupByKey, minus the Row-encoder boxing (the encoder-free path
+      // measured ~3× the rows/s on the netcdf archive sink, PERF.md).
+      val nChunksPerDim = dims.indices.map(d => (sizes(d) + chunks(d) - 1) / chunks(d))
+      val cidCol = dims.indices.map { d =>
+        val g = col(s"${dimNames(d)}_idx").cast("long")
+        ((g - pmod(g, lit(chB(d)))) / chB(d)).cast("long")
+      }.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, d)) =>
+        acc * nChunksPerDim(d) + c
+      }
+      val prepared = df.select(
+        (cidCol.cast("long").as("__cid") +:
+          dimNames.map(dn => col(s"${dn}_idx").cast("int"))) ++
+          valueCols.map(vc => col(vc).cast("double")): _*)
+      val nParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+      val ncB = nChunksPerDim.toArray
+      val ndB = nd
+      prepared.repartition(nParts, col("__cid")).sortWithinPartitions("__cid")
+        .queryExecution.toRdd.mapPartitions { it =>
+          var curCid = Long.MinValue
+          val ci = new Array[Int](ndB)
+          var bufs: Array[ByteBuffer] = null
+          val written = Seq.newBuilder[String]
+          def flush(): Unit = if (bufs != null) {
+            val rel = if (isV3) ("c" +: ci.map(_.toString)).mkString("/")
+              else ci.mkString(".")
             var vi = 0
             while (vi < nV) {
-              if (!r.isNullAt(nd + vi)) bufs(vi).putDouble(flat * 8, r.getDouble(nd + vi))
+              val payload = if (isV3)
+                ZarrSource.v3EncodeChain(bufs(vi).array(), Seq(ZarrSource.ZstdC))
+              else if (bloscB) Blosc.compress(bufs(vi).array(), typesize = 8)
+              else bufs(vi).array()
+              val f = new java.io.File(s"$dirB/${vcB(vi)}", rel)
+              f.getParentFile.mkdirs()
+              java.nio.file.Files.write(f.toPath, payload)
+              vi += 1
+            }
+            written += rel
+            bufs = null
+          }
+          it.foreach { r =>
+            val cid = r.getLong(0)
+            if (cid != curCid) {
+              flush()
+              curCid = cid
+              var rem = cid
+              var d = ndB - 1
+              while (d >= 0) { ci(d) = (rem % ncB(d)).toInt; rem /= ncB(d); d -= 1 }
+              bufs = Array.fill(nV)(
+                ByteBuffer.allocate(chunkLen * 8).order(ByteOrder.LITTLE_ENDIAN))
+              bufs.foreach { b =>
+                var i = 0
+                while (i < chunkLen) { b.putDouble(i * 8, fillB); i += 1 }
+              }
+            }
+            var flat = 0
+            var d = 0
+            while (d < ndB) { flat = flat * chB(d) + (r.getInt(1 + d) - ci(d) * chB(d)); d += 1 }
+            var vi = 0
+            while (vi < nV) {
+              if (!r.isNullAt(1 + ndB + vi))
+                bufs(vi).putDouble(flat * 8, r.getDouble(1 + ndB + vi))
               vi += 1
             }
           }
-          val rel = if (isV3) ("c" +: ci.map(_.toString)).mkString("/") else ci.mkString(".")
-          var vi = 0
-          while (vi < nV) {
-            val payload = if (isV3)
-              ZarrSource.v3EncodeChain(bufs(vi).array(), Seq(ZarrSource.ZstdC))
-            else if (bloscB) Blosc.compress(bufs(vi).array(), typesize = 8)
-            else bufs(vi).array()
-            val f = new java.io.File(s"$dirB/${vcB(vi)}", rel)
-            f.getParentFile.mkdirs()
-            java.nio.file.Files.write(f.toPath, payload)
-            vi += 1
-          }
-          rel
+          flush()
+          written.result().iterator
         }
         .collect() // materialize writes
       this
