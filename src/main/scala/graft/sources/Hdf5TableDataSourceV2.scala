@@ -102,11 +102,11 @@ private[sources] class Hdf5TableV2(path: String, varName: String)
 private[sources] class Hdf5TableScanBuilder(path: String, varName: String)
     extends ScanBuilder with SupportsPushDownRequiredColumns with SupportsPushDownLimit
     with SupportsPushDownAggregates {
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 
   private var required: Option[StructType] = None
   private var limit: Option[Int] = None
-  private var countStars = 0
+  private var pushedAgg: Option[Seq[MetaAgg]] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
@@ -116,23 +116,27 @@ private[sources] class Hdf5TableScanBuilder(path: String, varName: String)
   override def isPartiallyPushed: Boolean = true
 
   /** Ungrouped `count(*)` = the dataspace cardinality — answered from the
-    * header without decoding a record. */
-  private def countOnly(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    * header without decoding a record (members carry data, so only
+    * CountStar is metadata-answerable here). */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    MetaAgg.parse(agg, Seq.empty).isDefined
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean = countOnly(agg)
-
-  override def pushAggregation(agg: Aggregation): Boolean =
-    if (countOnly(agg)) { countStars = agg.aggregateExpressions.length; true }
-    else false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = MetaAgg.parse(agg, Seq.empty)
+    pushedAgg.isDefined
+  }
 
   override def build(): Scan =
-    if (countStars > 0) {
-      val rows = math.min(Hdf5TableV2.compoundOf(path, varName)._1.dims.head,
-        limit.map(_.toLong).getOrElse(Long.MaxValue))
-      new MetadataCountScan(s"hdf5table:$path#$varName", rows, countStars)
-    } else new Hdf5TableScan(path, varName, required, limit)
+    pushedAgg match {
+      case Some(aggs) =>
+        val lim = limit
+        new MetadataAggScan(s"hdf5table:$path#$varName", aggs, () => {
+          val rows = math.min(Hdf5TableV2.compoundOf(path, varName)._1.dims.head,
+            lim.map(_.toLong).getOrElse(Long.MaxValue))
+          aggs.map { case MetaCount => rows: Any; case _ => null }.toArray
+        })
+      case None => new Hdf5TableScan(path, varName, required, limit)
+    }
 }
 
 /** One stored chunk (`addr >= 0`) or a contiguous/compact row range. */

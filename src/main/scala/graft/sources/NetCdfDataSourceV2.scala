@@ -339,72 +339,61 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  private var countStars = 0
+  private var pushedAgg: Option[Seq[MetaAgg]] = None
 
-  /** `count(*)` (no grouping) over dense grids = Σ per kept file of the
-    * clamped (t × y × x) range product — header metadata only, no data
-    * chunk is ever opened. */
-  private def countOnly(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  /** `count(*)` / `min,max(<dim>)` (no grouping) over dense grids are
+    * header-metadata facts: the count sums the clamped (t × y × x) range
+    * product per kept file, and a dim's extremes come from the clamped
+    * bounds over CONTRIBUTING files — no data chunk is ever opened. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    MetaAgg.parse(agg, dims).isDefined
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean = countOnly(agg)
-
-  override def pushAggregation(agg: Aggregation): Boolean =
-    if (countOnly(agg)) { countStars = agg.aggregateExpressions.length; true }
-    else false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = MetaAgg.parse(agg, dims)
+    pushedAgg.isDefined
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan =
-    if (countStars > 0)
-      new NetCdfCountScan(rawInputs, varName, lo.clone(), hi.clone(), countStars)
-    else new NetCdfScan(rawInputs, varName, lo.clone(), hi.clone(), required, minAgeMs)
-}
-
-/** Metadata-only `count(*)` over a (multi-file) archive: per-file header
-  * parses place each file on the global axis; the count is the clamped
-  * dense product per kept file. One partition, one row, zero data reads. */
-private[sources] class NetCdfCountScan(rawInputs: Seq[String], varName: String,
-    lo: Array[Int], hi: Array[Int], nCounts: Int) extends Scan with Batch {
-
-  override def readSchema(): StructType =
-    StructType((0 until nCounts).map(i =>
-      StructField(s"count_$i", LongType, nullable = false)))
-
-  override def description(): String =
-    s"NetCdfCountScan(var=$varName, metadata-only count, chunk reads=0)"
-
-  override def toBatch: Batch = this
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    var off = 0L
-    var rows = 0L
-    NetCdfTableV2.expand(rawInputs).foreach { p =>
-      val m = NetCdfTableV2.fileMeta(spark, p, varName)._1
-      val lt0 = math.max(lo(0).toLong - off, 0L)
-      val lt1 = math.min(hi(0).toLong - off, m.nt - 1L)
-      val yN = math.max(0L, math.min(hi(1).toLong, m.ny - 1L) - math.max(lo(1).toLong, 0L) + 1)
-      val xN = math.max(0L, math.min(hi(2).toLong, m.nx - 1L) - math.max(lo(2).toLong, 0L) + 1)
-      rows += math.max(0L, lt1 - lt0 + 1) * yN * xN
-      off += m.nt
-    }
-    Array(ZarrCountPartition(Array.fill(nCounts)(rows)))
-  }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val counts = partition.asInstanceOf[ZarrCountPartition].counts
-        new PartitionReader[InternalRow] {
-          private var done = false
-          override def next(): Boolean = { val r = !done; done = true; r }
-          override def get(): InternalRow = InternalRow.fromSeq(counts.toSeq)
-          override def close(): Unit = ()
-        }
-      }
+    pushedAgg match {
+      case Some(aggs) =>
+        val loC = lo.clone(); val hiC = hi.clone()
+        new MetadataAggScan(s"netcdf:${rawInputs.head}#$varName", aggs, () => {
+          val spark = org.apache.spark.sql.SparkSession.active
+          var off = 0L
+          var rows = 0L
+          // extremes accumulate over files that CONTRIBUTE rows only
+          var tMin = Long.MaxValue; var tMax = Long.MinValue
+          var yMax = Int.MinValue; var xMax = Int.MinValue
+          NetCdfTableV2.expand(rawInputs).foreach { p =>
+            val m = NetCdfTableV2.fileMeta(spark, p, varName)._1
+            val lt0 = math.max(loC(0).toLong - off, 0L)
+            val lt1 = math.min(hiC(0).toLong - off, m.nt - 1L)
+            val y1 = math.min(hiC(1).toLong, m.ny - 1L)
+            val x1 = math.min(hiC(2).toLong, m.nx - 1L)
+            val yN = math.max(0L, y1 - math.max(loC(1).toLong, 0L) + 1)
+            val xN = math.max(0L, x1 - math.max(loC(2).toLong, 0L) + 1)
+            val n = math.max(0L, lt1 - lt0 + 1) * yN * xN
+            if (n > 0) {
+              rows += n
+              tMin = math.min(tMin, off + lt0); tMax = math.max(tMax, off + lt1)
+              yMax = math.max(yMax, y1.toInt); xMax = math.max(xMax, x1.toInt)
+            }
+            off += m.nt
+          }
+          aggs.map {
+            case MetaCount => rows: Any
+            case MetaMin(0) => if (rows == 0) null else tMin.toInt: Any
+            case MetaMax(0) => if (rows == 0) null else tMax.toInt: Any
+            case MetaMin(d) => if (rows == 0) null else math.max(loC(d), 0): Any
+            case MetaMax(1) => if (rows == 0) null else yMax: Any
+            case MetaMax(_) => if (rows == 0) null else xMax: Any
+          }.toArray
+        })
+      case None =>
+        new NetCdfScan(rawInputs, varName, lo.clone(), hi.clone(), required, minAgeMs)
     }
 }
 

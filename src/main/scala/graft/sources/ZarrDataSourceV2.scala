@@ -239,67 +239,124 @@ private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = 
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** `count(*)` (no grouping) over a dense grid = the product of the
-    * clamped dim ranges — answered from array metadata alone. */
-  private def countOnly(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  /** `count(*)`, `min(<dim>)`, and `max(<dim>)` (no grouping) over a
+    * dense grid are all dataspace facts: the count is the product of the
+    * clamped dim ranges, and a dim's extremes ARE its clamped bounds. */
+  private var pushedAgg: Option[Seq[MetaAgg]] = None
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean = countOnly(agg)
+  private def metaAggsOf(agg: Aggregation): Option[Seq[MetaAgg]] =
+    MetaAgg.parse(agg, dims)
 
-  override def pushAggregation(agg: Aggregation): Boolean =
-    if (countOnly(agg)) { countStars = agg.aggregateExpressions.length; true }
-    else false
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    metaAggsOf(agg).isDefined
+
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = metaAggsOf(agg)
+    pushedAgg.isDefined
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan =
-    if (countStars > 0) new ZarrCountScan(path, lo.clone(), hi.clone(), countStars)
-    else new ZarrScan(path, lo.clone(), hi.clone(), required, fillMissingTail)
+    pushedAgg match {
+      case Some(aggs) =>
+        val loC = lo.clone(); val hiC = hi.clone()
+        new MetadataAggScan(s"zarr:$path", aggs, () => {
+          val meta = ZarrSource.readMetaAny(path,
+            org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+          require(meta.shape.length == 3, s"zarr agg scan expects 3-D, got ${meta.shape}")
+          MetadataAggScan.denseRanges(aggs,
+            (0 until 3).map(d => math.max(loC(d), 0)).toArray,
+            (0 until 3).map(d => math.min(hiC(d).toLong, meta.shape(d) - 1L).toInt).toArray)
+        })
+      case None => new ZarrScan(path, lo.clone(), hi.clone(), required, fillMissingTail)
+    }
 }
 
-/** Metadata-only `count(*)` scan: one partition, one row, zero chunk
-  * reads — the grid is dense, so the row count is the clamped dim-range
-  * product straight from the array shape. */
-private[sources] case class ZarrCountPartition(counts: Array[Long]) extends InputPartition
+/** One metadata-answerable aggregate: COUNT(*) or MIN/MAX of a dim. */
+private[sources] sealed trait MetaAgg extends Serializable
+private[sources] case object MetaCount extends MetaAgg
+private[sources] case class MetaMin(d: Int) extends MetaAgg
+private[sources] case class MetaMax(d: Int) extends MetaAgg
 
-private[sources] class ZarrCountScan(path: String, lo: Array[Int], hi: Array[Int],
-    nCounts: Int) extends Scan with Batch {
+private[sources] object MetaAgg {
+  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  /** Parse an ungrouped aggregation whose every expression is CountStar or
+    * Min/Max over one of `dims` — None when anything else appears. */
+  def parse(agg: Aggregation, dims: Seq[String]): Option[Seq[MetaAgg]] = {
+    def dimOf(e: org.apache.spark.sql.connector.expressions.Expression): Int =
+      e match {
+        case r: NamedReference if r.fieldNames.length == 1 =>
+          dims.indexOf(r.fieldNames.head)
+        case _ => -1
+      }
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) None
+    else {
+      val parsed = agg.aggregateExpressions.toSeq.map {
+        case _: CountStar => Some(MetaCount)
+        case m: Min if dimOf(m.column) >= 0 => Some(MetaMin(dimOf(m.column)))
+        case m: Max if dimOf(m.column) >= 0 => Some(MetaMax(dimOf(m.column)))
+        case _ => None
+      }
+      if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
+    }
+  }
+}
+
+private[sources] case class ZarrCountPartition(values: Array[Any]) extends InputPartition
+
+/** Metadata-only aggregate scan, shared by all four sources: one
+  * partition, one row, zero data reads. `compute` runs at planning time
+  * on the driver (metadata/header walks only) and yields the final
+  * value per aggregate expression. */
+private[sources] class MetadataAggScan(what: String, aggs: Seq[MetaAgg],
+    compute: () => Array[Any]) extends Scan with Batch {
 
   override def readSchema(): StructType =
-    StructType((0 until nCounts).map(i =>
-      StructField(s"count_$i", LongType, nullable = false)))
+    StructType(aggs.zipWithIndex.map {
+      case (MetaCount, i) => StructField(s"agg_$i", LongType, nullable = false)
+      case (_, i) => StructField(s"agg_$i", IntegerType, nullable = true)
+    })
 
   override def description(): String =
-    s"ZarrCountScan(path=$path, metadata-only count, chunk reads=0)"
+    s"MetadataAggScan($what, ${aggs.mkString(",")}, data reads=0)"
 
   override def toBatch: Batch = this
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val meta = ZarrSource.readMetaAny(path,
-      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-    require(meta.shape.length == 3, s"zarr count scan expects 3-D, got ${meta.shape}")
-    val rows = (0 until 3).map { d =>
-      math.max(0L, math.min(hi(d).toLong, meta.shape(d) - 1L) -
-        math.max(lo(d).toLong, 0L) + 1)
-    }.product
-    Array(ZarrCountPartition(Array.fill(nCounts)(rows)))
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(ZarrCountPartition(compute()))
 
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val counts = partition.asInstanceOf[ZarrCountPartition].counts
+        val values = partition.asInstanceOf[ZarrCountPartition].values
         new PartitionReader[InternalRow] {
           private var done = false
           override def next(): Boolean = { val r = !done; done = true; r }
           override def get(): InternalRow =
-            InternalRow.fromSeq(counts.toSeq)
+            InternalRow.fromSeq(scala.collection.immutable.ArraySeq
+              .unsafeWrapArray(values))
           override def close(): Unit = ()
         }
       }
     }
+}
+
+private[sources] object MetadataAggScan {
+  /** Aggregate values over a DENSE grid with clamped per-dim bounds:
+    * COUNT = the range product, MIN/MAX of a dim = its bounds (NULL on an
+    * empty range). */
+  def denseRanges(aggs: Seq[MetaAgg], lo: Array[Int], hi: Array[Int]): Array[Any] = {
+    val rows = lo.indices.map(d => math.max(0L, hi(d).toLong - lo(d) + 1)).product
+    aggs.map {
+      case MetaCount => rows: Any
+      case MetaMin(d) => if (rows == 0) null else lo(d): Any
+      case MetaMax(d) => if (rows == 0) null else hi(d): Any
+    }.toArray
+  }
 }
 
 private[sources] case class ZarrChunkPartition(
@@ -690,52 +747,29 @@ private[sources] class ZarrGroupScanBuilder(lay: ZarrGroupTableV2.Layout)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  private def countOnly(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  private var pushedAgg: Option[Seq[MetaAgg]] = None
 
-  override def supportCompletePushDown(agg: Aggregation): Boolean = countOnly(agg)
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    MetaAgg.parse(agg, lay.primaryDims.map(d => s"${d}_idx")).isDefined
 
-  override def pushAggregation(agg: Aggregation): Boolean =
-    if (countOnly(agg)) { countStars = agg.aggregateExpressions.length; true }
-    else false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    pushedAgg = MetaAgg.parse(agg, lay.primaryDims.map(d => s"${d}_idx"))
+    pushedAgg.isDefined
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
   override def build(): Scan =
-    if (countStars > 0) {
-      val rows = lay.primaryDims.indices.map { d =>
-        math.max(0L, math.min(hi(d).toLong, lay.shape(d) - 1L) -
-          math.max(lo(d).toLong, 0L) + 1)
-      }.product
-      new MetadataCountScan(s"zarr-group:${lay.dir}", rows, countStars)
-    } else new ZarrGroupScan(lay, lo.clone(), hi.clone(), required)
-}
-
-/** Shared metadata-only `count(*)` scan: one partition, one row, zero
-  * data reads (the row count is already known at plan time). */
-private[sources] class MetadataCountScan(what: String, rows: Long, nCounts: Int)
-    extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType((0 until nCounts).map(i =>
-      StructField(s"count_$i", LongType, nullable = false)))
-  override def description(): String =
-    s"MetadataCountScan($what, rows=$rows, data reads=0)"
-  override def toBatch: Batch = this
-  override def planInputPartitions(): Array[InputPartition] =
-    Array(ZarrCountPartition(Array.fill(nCounts)(rows)))
-  override def createReaderFactory(): PartitionReaderFactory =
-    new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val counts = partition.asInstanceOf[ZarrCountPartition].counts
-        new PartitionReader[InternalRow] {
-          private var done = false
-          override def next(): Boolean = { val r = !done; done = true; r }
-          override def get(): InternalRow = InternalRow.fromSeq(counts.toSeq)
-          override def close(): Unit = ()
-        }
-      }
+    pushedAgg match {
+      case Some(aggs) =>
+        val loC = lay.primaryDims.indices
+          .map(d => math.max(lo(d), 0)).toArray
+        val hiC = lay.primaryDims.indices
+          .map(d => math.min(hi(d).toLong, lay.shape(d) - 1L).toInt).toArray
+        new MetadataAggScan(s"zarr-group:${lay.dir}", aggs,
+          () => MetadataAggScan.denseRanges(aggs, loC, hiC))
+      case None => new ZarrGroupScan(lay, lo.clone(), hi.clone(), required)
     }
 }
 

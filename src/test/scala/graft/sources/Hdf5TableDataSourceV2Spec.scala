@@ -69,12 +69,12 @@ class Hdf5TableDataSourceV2Spec extends SparkSpec {
     val table = spark.read.format("hdf5table").option("var", "stats").load(path)
     val agg = table.groupBy().count()
     val plan = agg.queryExecution.executedPlan.toString
-    assert(plan.contains("MetadataCountScan"), s"metadata count scan missing:\n$plan")
+    assert(plan.contains("MetadataAggScan"), s"metadata count scan missing:\n$plan")
     assert(agg.head.getLong(0) == 5)
     assert(table.count() == 5)
     // a filter blocks the metadata answer — falls back to a real scan
     val f = table.filter(col("n_docs") > 10.0).groupBy().count()
-    assert(!f.queryExecution.executedPlan.toString.contains("MetadataCountScan"))
+    assert(!f.queryExecution.executedPlan.toString.contains("MetadataAggScan"))
     assert(f.head.getLong(0) == 3) // n_docs 120 / 45 / 300 pass the filter
   }
 

@@ -83,16 +83,38 @@ class NetCdfDataSourceV2Spec extends SparkSpec {
     val table = spark.read.format("netcdf").option("var", "sst").load(dir)
     val full = table.groupBy().count()
     val plan = full.queryExecution.executedPlan.toString
-    assert(plan.contains("NetCdfCountScan"), s"metadata count scan missing:\n$plan")
+    assert(plan.contains("MetadataAggScan"), s"metadata count scan missing:\n$plan")
     assert(full.head.getLong(0) == 10L * 3 * 4)
     assert(full.rdd.getNumPartitions <= 2, "one metadata partition, no chunk tasks")
     // a dim window still counts from metadata (ranges are dense + exact)
     val win = table.filter(col("t_idx").between(4, 7) && col("y") < 2).groupBy().count()
-    assert(win.queryExecution.executedPlan.toString.contains("NetCdfCountScan"))
+    assert(win.queryExecution.executedPlan.toString.contains("MetadataAggScan"))
     assert(win.head.getLong(0) == 4L * 2 * 4)
     // a VALUE predicate cannot be metadata-answered — falls back to a real scan
     val v = table.filter(col("value") > 3.0).groupBy().count()
-    assert(!v.queryExecution.executedPlan.toString.contains("NetCdfCountScan"))
+    assert(!v.queryExecution.executedPlan.toString.contains("MetadataAggScan"))
+  }
+
+  test("min/max of dim columns are answered from metadata too") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ncmm").toFile.getAbsolutePath
+    NetCDF4Source.write3D(grid(6, 3, 4), s"$dir/sst_000.nc", "sst",
+      shape = (6, 3, 4), timeChunk = 2)
+    NetCDF4Source.write3D(grid(4, 3, 4), s"$dir/sst_001.nc", "sst",
+      shape = (4, 3, 4), timeChunk = 2)
+    val table = spark.read.format("netcdf").option("var", "sst").load(dir)
+    val agg = table.agg(min("t_idx"), max("t_idx"), max("y"), count(lit(1)))
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("MetadataAggScan"), s"metadata agg scan missing:\n$plan")
+    val r = agg.head
+    assert((r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)) == (0, 9, 2, 120L))
+    // windowed extremes clamp to the window
+    val w = table.filter(col("t_idx").between(3, 7)).agg(min("t_idx"), max("t_idx"))
+    assert(w.queryExecution.executedPlan.toString.contains("MetadataAggScan"))
+    assert((w.head.getInt(0), w.head.getInt(1)) == (3, 7))
+    // min/max of the VALUE column needs data — real scan
+    val v = table.agg(max("value"))
+    assert(!v.queryExecution.executedPlan.toString.contains("MetadataAggScan"))
+    assert(v.head.getDouble(0) == grid(6, 3, 4).agg(max("value")).head.getDouble(0))
   }
 
   test("dim filters are exact without a residual post-scan filter") {

@@ -61,13 +61,17 @@ class ZarrDataSourceV2Spec extends SparkSpec {
     val table = spark.read.format("zarr").load(dir)
     val full = table.groupBy().count()
     val plan = full.queryExecution.executedPlan.toString
-    assert(plan.contains("ZarrCountScan"), s"metadata count scan missing:\n$plan")
+    assert(plan.contains("MetadataAggScan"), s"metadata count scan missing:\n$plan")
     assert(full.head.getLong(0) == 6L * 4 * 4)
     val win = table.filter(col("t_idx") >= 3 && col("x") < 2).groupBy().count()
-    assert(win.queryExecution.executedPlan.toString.contains("ZarrCountScan"))
+    assert(win.queryExecution.executedPlan.toString.contains("MetadataAggScan"))
     assert(win.head.getLong(0) == 3L * 4 * 2)
     val v = table.filter(!isnan(col("value"))).groupBy().count()
-    assert(!v.queryExecution.executedPlan.toString.contains("ZarrCountScan"))
+    assert(!v.queryExecution.executedPlan.toString.contains("MetadataAggScan"))
+    // min/max of dims ride the same metadata answer
+    val mm = table.filter(col("y") >= 1).agg(min("t_idx"), max("y"), max("x"))
+    assert(mm.queryExecution.executedPlan.toString.contains("MetadataAggScan"))
+    assert((mm.head.getInt(0), mm.head.getInt(1), mm.head.getInt(2)) == (0, 3, 3))
   }
 
   test("column pruning reaches the reader") {
@@ -140,11 +144,11 @@ class ZarrDataSourceV2Spec extends SparkSpec {
     val table = spark.read.format("zarr").load(groupDir)
     val full = table.groupBy().count()
     val plan = full.queryExecution.executedPlan.toString
-    assert(plan.contains("MetadataCountScan"), s"metadata count scan missing:\n$plan")
+    assert(plan.contains("MetadataAggScan"), s"metadata count scan missing:\n$plan")
     val expected = table.rdd.count() // via the real scan
     assert(full.head.getLong(0) == expected)
     val win = table.filter(col("time_idx") < 4).groupBy().count()
-    assert(win.queryExecution.executedPlan.toString.contains("MetadataCountScan"))
+    assert(win.queryExecution.executedPlan.toString.contains("MetadataAggScan"))
     assert(win.head.getLong(0) == expected / 8)
   }
 
