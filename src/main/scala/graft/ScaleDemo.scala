@@ -171,12 +171,20 @@ object ScaleDemo {
     // grid, then ONE appended day. The number that matters is the ratio:
     // the daily-ingest cost must not scale with the archive length.
     // "append-merge" = same probe with split/merge genealogy on (the
-    // merging-mode increment re-resolves only seam ∪ block)
-    if (method == "append" || method == "append-merge") {
+    // merging-mode increment re-resolves only seam ∪ block); "append-tfill"
+    // = the reference's production config (T_fill=4, submit_track.sh) via
+    // the watermark holdback — each day re-preprocesses only the held tail
+    // (~2·tFill+1 slices), never the archive
+    if (method == "append" || method == "append-merge" || method == "append-tfill") {
       val nDays = 365 * nYears
-      val histCfg = TrackConfig(rFill = 2, tFill = 0,
+      val tFillP = if (method == "append-tfill") 4 else 0
+      val histCfg = TrackConfig(rFill = 2, tFill = tFillP,
         areaFilterAbsolute = Some(100.0), overlapThreshold = 0.25,
         allowMerging = method == "append-merge", dropSmallestObject = false)
+      def ext(st: Option[IncrementalTracker.IncState],
+          flags: org.apache.spark.sql.DataFrame) =
+        if (tFillP > 0) IncrementalTracker.extendGapFill(st, flags, geom, spec, histCfg)
+        else IncrementalTracker.extend(st, flags, geom, spec, histCfg)
       val epoch0 = java.sql.Timestamp.valueOf("2000-01-01 00:00:00").getTime
       val cut = new java.sql.Timestamp(epoch0 + nDays.toLong * 86400000L)
       val all = timed(s"storm flags ${nDays + 1}d $ny×$nx") {
@@ -191,12 +199,12 @@ object ScaleDemo {
         Track.track(all, geom, spec, histCfg).idField.count()
       }
       val st = timed(s"incremental bootstrap ($nDays d history)") {
-        val (s, inc) = IncrementalTracker.extend(None, hist, geom, spec, histCfg)
+        val (s, inc) = ext(None, hist)
         inc.blockIds.count()
         s
       }
       timed("append 1 day") {
-        val (_, inc) = IncrementalTracker.extend(Some(st), day, geom, spec, histCfg)
+        val (_, inc) = ext(Some(st), day)
         println(s"[scale] appended cells = ${inc.blockIds.count()}, " +
           s"retroactive merges = ${inc.remap.count()}")
       }
