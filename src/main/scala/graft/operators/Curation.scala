@@ -269,4 +269,57 @@ object Curation {
           lit(Ipv4Re)).cast("long"))
       .withColumn("redacted", redacted)
   }
+
+  /** SemDeDup-style SEMANTIC deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space, then drop documents
+    * whose cosine similarity to another member of the SAME cluster
+    * exceeds `threshold`. Clustering first is the whole trick — pairwise
+    * work is O(Σ cellᵢ²) within cells instead of all-pairs over the
+    * corpus, which is what makes semantic dedup tractable at 100 TB.
+    *
+    * Determinism (oracle-exact, like [[graft.operators.Similarity.ivfTopK]]):
+    * centroids are the first `kCells` corpus vectors by `vec_id`;
+    * ties in the nearest-centroid argmin break on the lower cell; the
+    * survivor rule is greedy-by-id — a document is a duplicate iff a
+    * LOWER-id member of its cell is above threshold (`dup_of` = the
+    * smallest such id), so every near-dup group keeps its min-id
+    * representative, the same canonical rule the exact/minhash dedup
+    * paths use.
+    *
+    * Scale shape: centroid assignment is a zero-shuffle projection
+    * against broadcast centroid literals; the pair search is ONE shuffle
+    * of the corpus on the cell id (a self-join on `cell`), never an
+    * all-pairs product across cells.
+    *
+    * @return (vec_id, cell, dup_of, kept): `dup_of` null ⇔ `kept`. */
+  def semanticDedup(embeddings: DataFrame, kCells: Int = 16,
+      threshold: Double = 0.92): DataFrame = {
+    import graft.operators.Similarity.{cosine, dot}
+    val cents: Array[Seq[Double]] = embeddings
+      .filter(col("vec_id") < kCells)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect()
+      .sortBy(_.getLong(0))
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    require(cents.length == kCells, s"corpus has fewer than $kCells centroid rows")
+    def d2Arr(e: Column): Column = {
+      val selfDot = dot(e, e)
+      array(cents.indices.map { i =>
+        val c = typedlit(cents(i))
+        selfDot - lit(2.0) * dot(e, c) + dot(c, c)
+      }: _*)
+    }
+    val assigned = embeddings.select(col("vec_id").cast("long"), col("embedding"),
+      (array_position(d2Arr(col("embedding")), array_min(d2Arr(col("embedding")))) - 1)
+        .cast("int").as("cell"))
+    val dupOf = assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))
+      .filter(cosine(col("a.embedding"), col("b.embedding")) > threshold)
+      .groupBy(col("a.vec_id").as("vec_id"))
+      .agg(min(col("b.vec_id")).as("dup_of"))
+    assigned.join(dupOf, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cell").cast("long").as("cell"),
+        col("dup_of"), col("dup_of").isNull.as("kept"))
+  }
 }

@@ -225,6 +225,37 @@ object PipelineQueries extends QueryRegistry {
               FROM rk WHERE rn <= 10"""),
       "IVF ANN: deterministic 16-cell quantizer, 2-cell probe, exact in-cell rank"),
 
+    // ── semantic dedup (SemDeDup, arXiv:2303.09540) ───────────────────────
+    QueryDef("q86_semantic_dedup",
+      (s, d) => graft.operators.Curation.semanticDedup(emb(s, d),
+        kCells = 16, threshold = 0.4),
+      Some("""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+                   sd AS (SELECT vec_id, emb, list_dot_product(emb, emb) AS self_dot FROM e),
+                   cent AS (SELECT vec_id AS cid, emb AS ce,
+                                   list_dot_product(emb, emb) AS cdot
+                            FROM e WHERE vec_id < 16),
+                   dist AS (SELECT s.vec_id, c.cid,
+                                   s.self_dot - 2.0 * list_dot_product(s.emb, c.ce) + c.cdot AS d2
+                            FROM sd s CROSS JOIN cent c),
+                   assign AS (SELECT vec_id, cid FROM (
+                       SELECT vec_id, cid,
+                              row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+                       FROM dist) WHERE rn = 1),
+                   dup AS (SELECT a.vec_id, min(b.vec_id) AS dup_of
+                           FROM assign a JOIN e ea ON ea.vec_id = a.vec_id
+                                JOIN assign b ON b.cid = a.cid AND b.vec_id < a.vec_id
+                                JOIN e eb ON eb.vec_id = b.vec_id
+                           WHERE list_dot_product(ea.emb, eb.emb)
+                                   / (sqrt(list_dot_product(ea.emb, ea.emb))
+                                      * sqrt(list_dot_product(eb.emb, eb.emb))) > 0.4
+                           GROUP BY a.vec_id)
+              SELECT CAST(a.vec_id AS BIGINT) AS vec_id,
+                     CAST(a.cid AS BIGINT) AS cell,
+                     CAST(p.dup_of AS BIGINT) AS dup_of,
+                     p.dup_of IS NULL AS kept
+              FROM assign a LEFT JOIN dup p ON p.vec_id = a.vec_id"""),
+      "SemDeDup: cluster embeddings (deterministic 16-cell quantizer), drop within-cell cosine near-dups, min-id survivor"),
+
     // ── text: language id ──────────────────────────────────────────────────
     QueryDef("q36_langid",
       (s, d) => TextAnalysis.langId(docs(s, d)),

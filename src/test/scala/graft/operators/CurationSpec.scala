@@ -199,4 +199,30 @@ class CurationSpec extends SparkSpec {
     assert(pr.getDouble(0) >= 0.0 && pr.getDouble(1) < 1.0)
     assert(math.abs(pr.getDouble(2) - 0.5) < 0.1, s"mean=${pr.getDouble(2)} not ~0.5")
   }
+
+  test("semanticDedup: within-cell near-dups drop to the min-id survivor") {
+    // 20 hand-built 4-dim vectors: ids 0..15 are the (distinct) centroid
+    // rows; 16 duplicates 3 exactly, 17 is a near-copy of 5, 18 is the
+    // NEGATION of 7 (cosine -1: same cell by distance, never a dup),
+    // 19 is far from everything in its cell
+    def unit(i: Int): Seq[Float] = {
+      val v = Array.fill(4)(0.0f); v(i % 4) = 1.0f
+      v(3 - i % 4) = 0.3f * (i / 4); v.toSeq
+    }
+    val rows = (0 until 16).map(i => (i.toLong, unit(i))) ++ Seq(
+      (16L, unit(3)),
+      (17L, unit(5).map(x => x * 1.01f)),
+      (18L, unit(7).map(x => -x)),
+      (19L, Seq(0.9f, -0.9f, 0.9f, -0.9f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Curation.semanticDedup(df, kCells = 16, threshold = 0.95)
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.size == 20)
+    assert(out(16L) == ((3L, false)), "exact copy drops to its original")
+    assert(out(17L) == ((5L, false)), "near-copy drops to its original")
+    assert(out(18L)._2, "a negated vector shares the cell but is not a dup")
+    assert(out(19L)._2)
+    assert((0 until 16).forall(i => out(i.toLong)._2), "originals survive")
+  }
 }
