@@ -160,7 +160,12 @@ object IncrementalTracker {
     gapFillStep(state, Some(newFlags), geom, spec, cfg, flush = false)
 
   /** Finalize the slices still held back by [[extendGapFill]] — the end of
-    * the archive: with no data after them, their gap-fill status is final. */
+    * the archive: with no data after them, their gap-fill status is final.
+    * Appending MORE data after a flush is allowed but treats the flush
+    * point as a hard archive boundary: the flushed slices were finalized
+    * without future support, so a temporal gap can never be filled ACROSS
+    * the flush point (the one-shot batch over the concatenation could
+    * fill it). Flush only when the archive has genuinely ended. */
   def flushGapFill(state: Option[IncState], geom: DataFrame,
       spec: GridSpec, cfg: TrackConfig): (IncState, Increment) =
     gapFillStep(state, None, geom, spec, cfg, flush = true)

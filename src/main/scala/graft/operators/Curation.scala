@@ -294,24 +294,8 @@ object Curation {
     * @return (vec_id, cell, dup_of, kept): `dup_of` null ⇔ `kept`. */
   def semanticDedup(embeddings: DataFrame, kCells: Int = 16,
       threshold: Double = 0.92): DataFrame = {
-    import graft.operators.Similarity.{cosine, dot}
-    val cents: Array[Seq[Double]] = embeddings
-      .filter(col("vec_id") < kCells)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).map(_.toDouble))
-    require(cents.length == kCells, s"corpus has fewer than $kCells centroid rows")
-    def d2Arr(e: Column): Column = {
-      val selfDot = dot(e, e)
-      array(cents.indices.map { i =>
-        val c = typedlit(cents(i))
-        selfDot - lit(2.0) * dot(e, c) + dot(c, c)
-      }: _*)
-    }
-    val assigned = embeddings.select(col("vec_id").cast("long"), col("embedding"),
-      (array_position(d2Arr(col("embedding")), array_min(d2Arr(col("embedding")))) - 1)
-        .cast("int").as("cell"))
+    import graft.operators.Similarity.cosine
+    val assigned = Similarity.assignCells(embeddings, kCells)
     val dupOf = assigned.as("a")
       .join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("b.vec_id") < col("a.vec_id"))

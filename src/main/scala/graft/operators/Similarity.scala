@@ -96,8 +96,11 @@ object Similarity {
     * the float arithmetic is reproducible verbatim in the DuckDB oracle.
     *
     * @return (qid, vec_id, sim, rank) — exact cosine rank within probed cells. */
-  def ivfTopK(embeddings: DataFrame, queryPred: Column, kCells: Int = 16,
-      nprobe: Int = 2, k: Int = 10): DataFrame = {
+  /** Deterministic coarse-quantizer centroids: the first `kCells` corpus
+    * vectors by `vec_id` — shared by the IVF index and semantic dedup so
+    * the two stay cell-for-cell identical (and oracle-exact). */
+  private[operators] def centroidsOf(embeddings: DataFrame,
+      kCells: Int): Array[Seq[Double]] = {
     val cents: Array[Seq[Double]] = embeddings
       .filter(col("vec_id") < kCells)
       .select(col("vec_id").cast("long"), col("embedding"))
@@ -105,14 +108,33 @@ object Similarity {
       .sortBy(_.getLong(0))
       .map(_.getSeq[Float](1).map(_.toDouble))
     require(cents.length == kCells, s"corpus has fewer than $kCells centroid rows")
+    cents
+  }
 
-    def d2Arr(e: Column): Column = {
-      val selfDot = dot(e, e)
-      array(cents.indices.map { i =>
-        val c = typedlit(cents(i))
-        selfDot - lit(2.0) * dot(e, c) + dot(c, c)
-      }: _*)
-    }
+  /** Squared L2 distance of `e` to every centroid, as an array column. */
+  private[operators] def d2Array(cents: Array[Seq[Double]], e: Column): Column = {
+    val selfDot = dot(e, e)
+    array(cents.indices.map { i =>
+      val c = typedlit(cents(i))
+      selfDot - lit(2.0) * dot(e, c) + dot(c, c)
+    }: _*)
+  }
+
+  /** `(vec_id, embedding, cell)`: nearest-centroid assignment (ties break
+    * to the lower cell) — a zero-shuffle projection against broadcast
+    * centroid literals. */
+  def assignCells(embeddings: DataFrame, kCells: Int): DataFrame = {
+    val cents = centroidsOf(embeddings, kCells)
+    def d2(e: Column): Column = d2Array(cents, e)
+    embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+      (array_position(d2(col("embedding")), array_min(d2(col("embedding")))) - 1)
+        .cast("int").as("cell"))
+  }
+
+  def ivfTopK(embeddings: DataFrame, queryPred: Column, kCells: Int = 16,
+      nprobe: Int = 2, k: Int = 10): DataFrame = {
+    val cents = centroidsOf(embeddings, kCells)
+    def d2Arr(e: Column): Column = d2Array(cents, e)
 
     val assigned = embeddings.select(col("vec_id"), col("embedding"),
       (array_position(d2Arr(col("embedding")), array_min(d2Arr(col("embedding")))) - 1)

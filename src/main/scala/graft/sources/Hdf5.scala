@@ -444,6 +444,28 @@ private[sources] object Hdf5 {
     case _ => None // string/compound fills are not meaningful as a Double
   }
 
+  /** Raw DEFINED fill-value bytes of a dataset (message 0x0005) — the
+    * record-typed fill compound tables need ([[parseFillValue]] surfaces
+    * only scalar numerics). None when no fill is defined (the format's
+    * default fill is then all-zero bytes). */
+  def rawFillBytes(src: ByteSource, ohAddr: Long): Option[Array[Byte]] =
+    readMessages(src, ohAddr).find(_.typ == 0x0005).flatMap { m =>
+      val body = m.body
+      val version = body(0) & 0xff
+      val (present, sizeOff, dataOff) = version match {
+        case 1 | 2 => ((body(3) & 0xff) == 1 && body.length >= 8, 4, 8)
+        case 3 => ((body(1) & 0x20) != 0 && body.length >= 6, 2, 6)
+        case _ => (false, 0, 0)
+      }
+      if (!present) None
+      else {
+        val size = le(body).getInt(sizeOff)
+        if (size > 0 && body.length >= dataOff + size)
+          Some(java.util.Arrays.copyOfRange(body, dataOff, dataOff + size))
+        else None
+      }
+    }
+
   /** Attribute message (0x000C), versions 1–3. Returns name → value where
     * value is a String (fixed-length string type), Double (scalar numeric),
     * or Seq[Double]. Variable-length and shared-datatype attributes (global
@@ -1278,14 +1300,28 @@ private[sources] object Hdf5 {
     }
   }
 
+  // object-address → link-name maps are immutable per file — memoize per
+  // ByteSource so a chunked scan resolves refs with ONE superblock walk,
+  // not one per chunk (weak keys: entries die with their source)
+  private val refNamesCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[ByteSource, Map[Long, String]]())
+
   /** Decode `n` object references (file addresses of object headers) to
     * the referenced objects' root-group link names, "/<name>". An address
     * no root link points at fails with the address named. */
   def decodeRefs(data: Array[Byte], rt: RefType, n: Int,
       src: ByteSource): Array[String] = {
-    val (rootOh, _) = readSuperblock(src)
-    val byAddr: Map[Long, String] =
-      listDatasets(src, rootOh).map { case (name, oh) => oh -> s"/$name" }.toMap
+    val byAddr: Map[Long, String] = {
+      val cached = refNamesCache.get(src)
+      if (cached != null) cached
+      else {
+        val (rootOh, _) = readSuperblock(src)
+        val m = listDatasets(src, rootOh).map { case (name, oh) => oh -> s"/$name" }.toMap
+        refNamesCache.put(src, m)
+        m
+      }
+    }
     Array.tabulate(n) { i =>
       val addr = leVar(data, i * rt.size, math.min(rt.size, 8)).toLong
       if (addr == Undef || addr == 0L) "" // unset/null reference
@@ -1311,7 +1347,8 @@ private[sources] object Hdf5 {
       chunkDims: Option[Seq[Int]] = None, deflateLevel: Int = 4,
       attrs: Seq[(String, Any)] = Seq.empty, v4Index: Option[String] = None,
       denseAttrs: Boolean = false, typed: Option[TypedData] = None,
-      compressor: String = "deflate", elideDefaultChunks: Boolean = false)
+      compressor: String = "deflate", elideDefaultChunks: Boolean = false,
+      fillBytes: Option[Array[Byte]] = None)
 
   /** Non-f64 payload for a [[WriteVar]] (contiguous layout only): the
     * write-side dual of the string/vlen/compound READ paths, so round-trip
@@ -1867,7 +1904,8 @@ private[sources] object Hdf5 {
       val attrBytes =
         if (v.denseAttrs) 8 + 24 // one Attribute Info message
         else v.attrs.map(a => 8 + attrMessage(a._1, a._2).length).sum
-      val ohSize = 16 + (8 + 8 + v.dims.length * 8) + (8 + dtPadLen) + (8 + 8) +
+      val fillMsgLen = v.fillBytes.map(8 + _.length).getOrElse(8)
+      val ohSize = 16 + (8 + 8 + v.dims.length * 8) + (8 + dtPadLen) + (8 + fillMsgLen) +
         (8 + layoutBody) + (if (filterBody > 0) 8 + filterBody else 0) + attrBytes
       cursor += ohSize
       // dense attributes: heap of attribute messages + type-8 name index,
@@ -2080,7 +2118,14 @@ private[sources] object Hdf5 {
         case None => java.util.Arrays.copyOf(f64TypeBody, 24)
       })
       // fill value v2, undefined
-      msgs += 0x0005 -> Array[Byte](2, 2, 0, 0, 0, 0, 0, 0)
+      msgs += 0x0005 -> (v.fillBytes match {
+        case Some(fb) => // fill value v2, DEFINED: size + raw value bytes
+          val b = ByteBuffer.allocate(8 + fb.length).order(ByteOrder.LITTLE_ENDIAN)
+          b.put(2.toByte).put(2.toByte).put(2.toByte).put(1.toByte)
+          b.putInt(fb.length).put(fb)
+          b.array()
+        case None => Array[Byte](2, 2, 0, 0, 0, 0, 0, 0) // undefined
+      })
       // layout message: v3 (default) or v4 (typed chunk index)
       val filtered = chunked && !v.v4Index.contains("implicit")
       if (!chunked) {

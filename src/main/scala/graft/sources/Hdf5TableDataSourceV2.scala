@@ -59,7 +59,9 @@ private[sources] object Hdf5TableV2 {
     (path, varName)
   }
 
-  def compoundOf(path: String, varName: String): (Hdf5.Dataset, Hdf5.CompoundType) = {
+  /** (dataset, compound type, raw DEFINED fill record if any). */
+  def compoundOf(path: String,
+      varName: String): (Hdf5.Dataset, Hdf5.CompoundType, Option[Array[Byte]]) = {
     val spark = org.apache.spark.sql.SparkSession.active
     val src = new NetCDF4Source.HadoopSource(
       spark.sparkContext.hadoopConfiguration, path)
@@ -73,7 +75,7 @@ private[sources] object Hdf5TableV2 {
         s"$varName is not a compound dataset ($o) — use format(\"netcdf\") for numeric grids")
     }
     require(ds.dims.length == 1, s"$varName: compound tables are 1-D (got ${ds.dims})")
-    (ds, ct)
+    (ds, ct, Hdf5.rawFillBytes(src, oh).filter(_.length == ct.size))
   }
 
   def schemaOf(ct: Hdf5.CompoundType): StructType = StructType(ct.members.map(fieldOf))
@@ -158,7 +160,7 @@ private[sources] class Hdf5TableScan(path: String, varName: String,
 
   private def spark = org.apache.spark.sql.SparkSession.active
 
-  private lazy val meta: (Hdf5.Dataset, Hdf5.CompoundType) =
+  private lazy val meta: (Hdf5.Dataset, Hdf5.CompoundType, Option[Array[Byte]]) =
     Hdf5TableV2.compoundOf(path, varName)
 
   private lazy val required: StructType =
@@ -194,7 +196,7 @@ private[sources] class Hdf5TableScan(path: String, varName: String,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val (ds, ct) = meta
+    val (ds, ct, _) = meta
     val n = ds.dims.head
     val cap = limit.map(_.toLong).getOrElse(Long.MaxValue)
     val parts = ds.layout match {
@@ -239,12 +241,13 @@ private[sources] class Hdf5TableScan(path: String, varName: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new Hdf5TableReaderFactory(path, prunedCt, meta._1.filters,
+    new Hdf5TableReaderFactory(path, prunedCt, meta._1.filters, meta._3,
       new SerializableConfiguration(spark.sparkContext.hadoopConfiguration))
 }
 
 private[sources] class Hdf5TableReaderFactory(path: String,
     ct: Hdf5.CompoundType, filters: Seq[Hdf5.Filter],
+    fillRecord: Option[Array[Byte]],
     conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -255,7 +258,15 @@ private[sources] class Hdf5TableReaderFactory(path: String,
       case r: Hdf5TableRangePartition =>
         (src.read(r.addr, r.rows * ct.size), r.rows)
       case i: Hdf5TableInlinePartition => (i.data, i.rows)
-      case f: Hdf5TableFillPartition => (new Array[Byte](f.rows * ct.size), f.rows)
+      case f: Hdf5TableFillPartition =>
+        // a DEFINED fill-value record replicates per row; without one the
+        // format's default fill is all-zero bytes (0.0 / "")
+        val data = new Array[Byte](f.rows * ct.size)
+        fillRecord.foreach { fr =>
+          var i = 0
+          while (i < f.rows) { System.arraycopy(fr, 0, data, i * ct.size, ct.size); i += 1 }
+        }
+        (data, f.rows)
     }
     val cols: Seq[Array[_]] = Hdf5.decodeCompound(data, ct, rows, src).map(_._2)
     // nested compound members arrive as Seq[Any] per record → nested

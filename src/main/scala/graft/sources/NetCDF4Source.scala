@@ -191,14 +191,32 @@ object NetCDF4Source {
     val rdd = v.layout match {
       case Chunked(_, chunkDims, _) =>
         val cn = chunkDims.head
-        val kept = listChunks(src, v)
+        // enumerate EVERY chunk origin — HDF5 elides never-written chunks,
+        // but those rows still exist: absent chunks synthesize the DEFINED
+        // fill record (or the format's default all-zero record), mirroring
+        // the hdf5table DSv2 scan
+        val fillRec = Hdf5TableV2.compoundOf(path, varName)._3
+        val present = listChunks(src, v).map(c => c.offsets.head -> c).toMap
+        val units = (0L until n by cn).map(org => org -> present.get(org))
         spark.sparkContext
-          .parallelize(kept, math.min(128, math.max(1, kept.size)))
+          .parallelize(units, math.min(128, math.max(1, units.size)))
           .mapPartitions { it =>
             val s = new HadoopSource(conf.value, path)
-            it.flatMap { c =>
-              val data = defilter(s.read(c.addr, c.size), filters, c.filterMask)
-              rowsOf(data, math.min(cn.toLong, n - c.offsets.head).toInt, s)
+            it.flatMap { case (org, cOpt) =>
+              val count = math.min(cn.toLong, n - org).toInt
+              val data = cOpt match {
+                case Some(c) => defilter(s.read(c.addr, c.size), filters, c.filterMask)
+                case None =>
+                  val d = new Array[Byte](count * ct.size)
+                  fillRec.foreach { fr =>
+                    var i = 0
+                    while (i < count) {
+                      System.arraycopy(fr, 0, d, i * ct.size, ct.size); i += 1
+                    }
+                  }
+                  d
+              }
+              rowsOf(data, count, s)
             }
           }
       case Contiguous(addr, _) =>

@@ -320,11 +320,11 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
     val accepted = filters.filter {
       case EqualTo(a, v: Int) if dimOf(a) >= 0 =>
         val d = dimOf(a); lo(d) = math.max(lo(d), v); hi(d) = math.min(hi(d), v); true
-      case GreaterThan(a, v: Int) if dimOf(a) >= 0 =>
+      case GreaterThan(a, v: Int) if dimOf(a) >= 0 && v != Int.MaxValue =>
         val d = dimOf(a); lo(d) = math.max(lo(d), v + 1); true
       case GreaterThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
         val d = dimOf(a); lo(d) = math.max(lo(d), v); true
-      case LessThan(a, v: Int) if dimOf(a) >= 0 =>
+      case LessThan(a, v: Int) if dimOf(a) >= 0 && v != Int.MinValue =>
         val d = dimOf(a); hi(d) = math.min(hi(d), v - 1); true
       case LessThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
         val d = dimOf(a); hi(d) = math.min(hi(d), v); true

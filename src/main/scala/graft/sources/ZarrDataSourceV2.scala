@@ -206,14 +206,13 @@ private[sources] class ZarrTableV2(path: String) extends Table with SupportsRead
 private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 
   private val dims = Seq("t_idx", "y", "x")
   private val lo = Array.fill(3)(Int.MinValue)
   private val hi = Array.fill(3)(Int.MaxValue)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ZarrTableV2.fullSchema
-  private var countStars = 0
 
   private def dimOf(attr: String): Int = dims.indexOf(attr)
 
@@ -221,11 +220,11 @@ private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = 
     val accepted = filters.filter {
       case EqualTo(a, v: Int) if dimOf(a) >= 0 =>
         val d = dimOf(a); lo(d) = math.max(lo(d), v); hi(d) = math.min(hi(d), v); true
-      case GreaterThan(a, v: Int) if dimOf(a) >= 0 =>
+      case GreaterThan(a, v: Int) if dimOf(a) >= 0 && v != Int.MaxValue =>
         val d = dimOf(a); lo(d) = math.max(lo(d), v + 1); true
       case GreaterThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
         val d = dimOf(a); lo(d) = math.max(lo(d), v); true
-      case LessThan(a, v: Int) if dimOf(a) >= 0 =>
+      case LessThan(a, v: Int) if dimOf(a) >= 0 && v != Int.MinValue =>
         val d = dimOf(a); hi(d) = math.min(hi(d), v - 1); true
       case LessThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
         val d = dimOf(a); hi(d) = math.min(hi(d), v); true
@@ -487,12 +486,21 @@ private[sources] class ZarrMicroBatchStream(path: String, required: StructType,
     * (xarray's `to_zarr(append_dim=…)` writes `.zarray` first), so the
     * metadata shape can briefly promise slices whose data does not exist
     * yet — and the batch reader would synthesize fill for them, commit,
-    * and never re-read the real values. Cap the offered offset at the end
-    * of the last time-chunk row whose spatial chunks are ALL present; the
-    * in-flight tail is offered once its chunks land. Caveat: a trailing
-    * row that is entirely fill-elided on purpose parks the stream at its
-    * start — opt out with `.option("fillMissingTail", "true")` to trust
-    * the metadata shape (pre-cap behavior). */
+    * and never re-read the real values. The offered offset therefore
+    * covers time-chunk rows that are provably SETTLED:
+    *
+    *  - every row strictly before the newest row holding ANY chunk
+    *    (appends land in time order, so an active later row means the
+    *    earlier rows are done — their absent chunks are legitimate fill
+    *    elisions);
+    *  - the newest active row itself only once ALL its spatial chunks
+    *    exist (a partially-landed row is indistinguishable from one
+    *    mid-write).
+    *
+    * Residual caveat: a store whose FINAL row elides some chunks on
+    * purpose holds that one row back until a later append lands — opt out
+    * with `.option("fillMissingTail", "true")` to trust the metadata
+    * shape (pre-cap behavior). */
   override def latestOffset(): Offset = {
     val meta = metaNow()
     val ntMeta = meta.shape.head
@@ -509,14 +517,13 @@ private[sources] class ZarrMicroBatchStream(path: String, required: StructType,
           ZarrSource.parseChunkKey(meta, st.getPath.toString, 3)
             .map(ci => (ci(0), ci(1), ci(2)))
         }.toSet
-    val nRows = (ntMeta + ct - 1) / ct
     def fullRow(ci: Int): Boolean =
       (0 until nyC).forall(cj => (0 until nxC).forall(ck => present((ci, cj, ck))))
-    // rows BELOW a later full row are final (absent chunks there are
-    // legitimate fill elisions); only the trailing not-yet-full rows are
-    // treated as in-flight
-    val lastFull = (nRows - 1) to 0 by -1 collectFirst { case ci if fullRow(ci) => ci }
-    val cap = lastFull.map(ci => math.min(ntMeta, (ci + 1) * ct)).getOrElse(0)
+    val lastActive = present.map(_._1).maxOption.getOrElse(-1)
+    val capRow =
+      if (lastActive >= 0 && fullRow(lastActive)) lastActive
+      else lastActive - 1
+    val cap = if (capRow < 0) 0 else math.min(ntMeta, (capRow + 1) * ct)
     offsetFloor = math.max(offsetFloor, cap)
     ZarrNtOffset(offsetFloor)
   }
@@ -715,13 +722,12 @@ private[sources] class ZarrGroupTableV2(path: String) extends Table with Support
 private[sources] class ZarrGroupScanBuilder(lay: ZarrGroupTableV2.Layout)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
-  import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+  import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 
   private val lo = Array.fill(lay.primaryDims.length)(Int.MinValue)
   private val hi = Array.fill(lay.primaryDims.length)(Int.MaxValue)
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = lay.schema
-  private var countStars = 0
 
   private def dimOf(attr: String): Int =
     lay.primaryDims.indexWhere(d => s"${d}_idx" == attr)
@@ -730,11 +736,11 @@ private[sources] class ZarrGroupScanBuilder(lay: ZarrGroupTableV2.Layout)
     val accepted = filters.filter {
       case EqualTo(a, v: Int) if dimOf(a) >= 0 =>
         val d = dimOf(a); lo(d) = math.max(lo(d), v); hi(d) = math.min(hi(d), v); true
-      case GreaterThan(a, v: Int) if dimOf(a) >= 0 =>
+      case GreaterThan(a, v: Int) if dimOf(a) >= 0 && v != Int.MaxValue =>
         val d = dimOf(a); lo(d) = math.max(lo(d), v + 1); true
       case GreaterThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
         val d = dimOf(a); lo(d) = math.max(lo(d), v); true
-      case LessThan(a, v: Int) if dimOf(a) >= 0 =>
+      case LessThan(a, v: Int) if dimOf(a) >= 0 && v != Int.MinValue =>
         val d = dimOf(a); hi(d) = math.min(hi(d), v - 1); true
       case LessThanOrEqual(a, v: Int) if dimOf(a) >= 0 =>
         val d = dimOf(a); hi(d) = math.min(hi(d), v); true

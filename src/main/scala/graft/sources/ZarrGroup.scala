@@ -552,7 +552,15 @@ object ZarrGroup extends Serializable {
       }.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, d)) =>
         acc * nChunksPerDim(d) + c
       }
-      val prepared = df.select(
+      // rows outside the declared shape are DROPPED before the exchange:
+      // an out-of-range index would alias into a different valid chunk
+      // through the linear cid (the mixed-radix encode is only a bijection
+      // over the in-range grid)
+      val inRange = dims.indices.map { d =>
+        val g = col(s"${dimNames(d)}_idx")
+        g.isNotNull && g >= 0 && g < sizes(d)
+      }.reduce(_ && _)
+      val prepared = df.filter(inRange).select(
         (cidCol.cast("long").as("__cid") +:
           dimNames.map(dn => col(s"${dn}_idx").cast("int"))) ++
           valueCols.map(vc => col(vc).cast("double")): _*)

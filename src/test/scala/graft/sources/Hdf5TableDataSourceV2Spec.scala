@@ -122,6 +122,30 @@ class Hdf5TableDataSourceV2Spec extends SparkSpec {
     assert(got.rdd.getNumPartitions == 3)
   }
 
+  test("an elided chunk honors the DEFINED fill-value record") {
+    val path = tmpH5()
+    val n = 10
+    // rows 5..9 are all-zero → the 5-row chunk elides; the dataset's
+    // DEFINED fill record ("NA", -999.0) must come back for them, not the
+    // default zero bytes
+    val members: Seq[(String, Hdf5.CompoundCol)] = Seq(
+      "name" -> Hdf5.StrCol((0 until n).map(i => if (i < 5) s"d$i" else ""), 4),
+      "score" -> Hdf5.F64Col(Array.tabulate(n)(i => if (i < 5) i + 0.5 else 0.0)))
+    val fill = java.nio.ByteBuffer.allocate(12)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    fill.put("NA".getBytes); fill.position(4); fill.putDouble(-999.0)
+    val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar("t", Seq(n), Array.empty,
+      typed = Some(Hdf5.CompoundData(members)), chunkDims = Some(Seq(5)),
+      elideDefaultChunks = true, fillBytes = Some(fill.array()))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), bytes)
+    val got = spark.read.format("hdf5table").option("var", "t").load(path)
+    assert(got.count() == n)
+    val elided = got.filter(col("score") === -999.0).collect()
+    assert(elided.length == 5 && elided.forall(_.getString(0) == "NA"),
+      "absent chunk decodes as the DEFINED fill record")
+    assert(got.filter(col("name") === "d3").head.getDouble(1) == 3.5)
+  }
+
   test("a pandas to_hdf-style table (int64 index column, chunked) reads through SQL") {
     val path = tmpH5()
     val n = 12

@@ -72,6 +72,10 @@ class ZarrDataSourceV2Spec extends SparkSpec {
     val mm = table.filter(col("y") >= 1).agg(min("t_idx"), max("y"), max("x"))
     assert(mm.queryExecution.executedPlan.toString.contains("MetadataAggScan"))
     assert((mm.head.getInt(0), mm.head.getInt(1), mm.head.getInt(2)) == (0, 3, 3))
+    // boundary literals whose v±1 would overflow are NOT claimed as pushed
+    // (they stay post-scan filters) — the result must be empty, not "all"
+    assert(table.filter(col("t_idx") > Int.MaxValue).count() == 0)
+    assert(table.filter(col("x") < Int.MinValue).count() == 0)
   }
 
   test("column pruning reaches the reader") {

@@ -54,6 +54,41 @@ class ZarrStreamSpec extends SparkSpec {
     assert(sink().count() == 18 * ny * nx)
   }
 
+  test("sparse history streams; only the newest partial row is held") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_zstream3").toFile.getAbsolutePath
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_zstream3_ck").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_zstream3_out").toFile
+    val (ny, nx) = (2, 4)
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("zarr").load(dir)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def sink() = spark.read.parquet(out.getAbsolutePath)
+
+    // a coastal-mask shape: cells only at x < 2, so with (2, 2, 2) chunks
+    // every time-chunk row elides its x≥2 spatial chunk — no row is ever
+    // "fully present", but history must still stream
+    val sparse = grid(0, 8, ny, nx).filter(col("x") < 2)
+    ZarrSource.write3D(sparse, dir, shape = (8, ny, nx), chunks = (2, 2, 2))
+    runOnce()
+    // rows 0..2 (t 0..5) are settled (row 3 is the newest active row and
+    // is partial → held); fill cells for the elided chunks DO deliver
+    assert(sink().count() == 6 * ny * nx,
+      "sparse history before the newest active row streams (with fill)")
+    assert(sink().agg(max("t_idx")).head.getInt(0) == 5)
+
+    // more slices land → the previously-held row is now history
+    ZarrSource.write3D(grid(0, 12, ny, nx).filter(col("x") < 2), dir,
+      shape = (12, ny, nx), chunks = (2, 2, 2))
+    runOnce()
+    assert(sink().count() == 10 * ny * nx)
+    assert(sink().select("t_idx", "y", "x").distinct().count() == sink().count())
+  }
+
   test("a metadata-first append is held back until its chunks land") {
     val dir = java.nio.file.Files.createTempDirectory("graft_zstream2").toFile.getAbsolutePath
     val ckpt = java.nio.file.Files.createTempDirectory("graft_zstream2_ck").toFile

@@ -71,6 +71,28 @@ class ZarrWriteSpec2 extends SparkSpec {
       .filter(col("n_obs") =!= 3.0).count() == 0)
   }
 
+  test("rows outside the declared shape are dropped, never aliased into valid chunks") {
+    val dir = tmpDir()
+    // x_idx=5 is out of the declared 0..4 range: through the linear chunk
+    // id it would alias into a DIFFERENT valid chunk and silently corrupt
+    // an in-range cell — it must be dropped instead
+    val in = cells(2, 2, 5)
+      .union(Seq((0, 0, 5, 12345.0), (-1, 0, 0, 54321.0), (0, 9, 0, 77.0))
+        .toDF("time_idx", "y_idx", "x_idx", "sst"))
+    in.write.format("zarr")
+      .option("dims", "time:2,y:2,x:5").option("chunks", "1,2,5")
+      .option("cols", "sst")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.count() == 2 * 2 * 5)
+    assert(back.filter(col("sst").isin(12345.0, 54321.0, 77.0)).count() == 0,
+      "out-of-range rows must not land anywhere")
+    assert(back.join(cells(2, 2, 5).withColumnRenamed("sst", "expected"),
+      Seq("time_idx", "y_idx", "x_idx"))
+      .filter(col("sst") =!= col("expected")).count() == 0,
+      "in-range cells are exactly the declared grid")
+  }
+
   test("missing chunks/cols options fail with named errors") {
     val dir = tmpDir()
     val e = intercept[Exception](
