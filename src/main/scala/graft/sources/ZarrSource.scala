@@ -578,26 +578,55 @@ object ZarrSource extends Serializable {
           "dtype": "<f8", "compressor": $compJson, "fill_value": "NaN",
           "order": "C", "filters": null}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/.zarray"), zarray.getBytes)
+    // One Tungsten exchange on a linear chunk id + in-partition sort, then
+    // raw InternalRow consumption over the chunk runs — the encoder-free
+    // path the group writer and archive sink use (~3× the rows/s of a
+    // typed groupByKey, PERF.md). Out-of-shape rows are dropped: the
+    // mixed-radix cid is only a bijection over the declared grid.
     val spark = df.sparkSession
-    import spark.implicits._
-    df.select(col("t_idx").cast("int"), col("y").cast("int"), col("x").cast("int"),
-      col("value").cast("double"))
-      .as[(Int, Int, Int, Double)]
-      .groupByKey(r => (r._1 / ct, r._2 / cy, r._3 / cx))
-      .mapGroups { (key: (Int, Int, Int), it: Iterator[(Int, Int, Int, Double)]) =>
-        val (ci, cj, ck) = key
-        val buf = ByteBuffer.allocate(ct * cy * cx * 8).order(ByteOrder.LITTLE_ENDIAN)
-        var i = 0
-        while (i < ct * cy * cx) { buf.putDouble(i * 8, Double.NaN); i += 1 }
-        it.foreach { case (t, y, x, v) =>
-          val idx = (t - ci * ct) * cy * cx + (y - cj * cy) * cx + (x - ck * cx)
-          buf.putDouble(idx * 8, v)
+    val ncT = (nt + ct - 1) / ct; val ncY = (ny + cy - 1) / cy; val ncX = (nx + cx - 1) / cx
+    def chunkOf(c: org.apache.spark.sql.Column, w: Int) =
+      ((c.cast("long") - pmod(c.cast("long"), lit(w))) / w).cast("long")
+    val cid = (chunkOf(col("t_idx"), ct) * ncY + chunkOf(col("y"), cy)) * ncX +
+      chunkOf(col("x"), cx)
+    val prepared = df
+      .filter(col("t_idx").isNotNull && col("t_idx") >= 0 && col("t_idx") < nt &&
+        col("y").isNotNull && col("y") >= 0 && col("y") < ny &&
+        col("x").isNotNull && col("x") >= 0 && col("x") < nx)
+      .select(cid.as("__cid"), col("t_idx").cast("int"), col("y").cast("int"),
+        col("x").cast("int"), col("value").cast("double"))
+    val nParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val chunkLen = ct * cy * cx
+    prepared.repartition(nParts, col("__cid")).sortWithinPartitions("__cid")
+      .queryExecution.toRdd.mapPartitions { it =>
+        var curCid = Long.MinValue
+        var ci = 0; var cj = 0; var ck = 0
+        var buf: ByteBuffer = null
+        val written = Seq.newBuilder[String]
+        def flush(): Unit = if (buf != null) {
+          val payload = if (blosc) Blosc.compress(buf.array(), typesize = 8)
+            else buf.array()
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(s"$dir/$ci.$cj.$ck"), payload)
+          written += s"$ci.$cj.$ck"
+          buf = null
         }
-        val payload = if (blosc) Blosc.compress(buf.array(), typesize = 8)
-          else buf.array()
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$dir/$ci.$cj.$ck"), payload)
-        s"$ci.$cj.$ck"
+        it.foreach { r =>
+          val c = r.getLong(0)
+          if (c != curCid) {
+            flush()
+            curCid = c
+            ck = (c % ncX).toInt; cj = (c / ncX % ncY).toInt; ci = (c / ncX / ncY).toInt
+            buf = ByteBuffer.allocate(chunkLen * 8).order(ByteOrder.LITTLE_ENDIAN)
+            var i = 0
+            while (i < chunkLen) { buf.putDouble(i * 8, Double.NaN); i += 1 }
+          }
+          val idx = (r.getInt(1) - ci * ct) * cy * cx +
+            (r.getInt(2) - cj * cy) * cx + (r.getInt(3) - ck * cx)
+          if (!r.isNullAt(4)) buf.putDouble(idx * 8, r.getDouble(4))
+        }
+        flush()
+        written.result().iterator
       }
       .collect() // materialize writes
     ()
