@@ -5,14 +5,11 @@ package graft.marex
   * track.py:323–748) as plain case classes with eager validation.
   */
 
-/** Column-name mapping for gridded long-format fields
-  * (time, y, x, value) + the static geometry table (y, x, lat, lon, area). */
+/** Grid geometry. Fields use a FIXED long-format schema: gridded fields
+  * are `(time, y, x, value)`, unstructured fields `(time, cell, value)`,
+  * and the static geometry table `(y, x, lat, lon, area, valid)` —
+  * rename columns before calling the kernels (a `select` is free). */
 final case class GridSpec(
-    timeCol: String = "time",
-    yCol: String = "y",
-    xCol: String = "x",
-    cellCol: String = "cell", // unstructured grids
-    valueCol: String = "value",
     nx: Int = 0, // raster width (needed for periodic-lon kernels)
     ny: Int = 0,
     periodicX: Boolean = true) {
@@ -37,6 +34,8 @@ final case class DetectConfig(
   require(Seq("detrend_harmonic", "shifting_baseline", "fixed_baseline",
     "detrend_fixed_baseline").contains(methodAnomaly), s"bad methodAnomaly $methodAnomaly")
   require(Seq("global_extreme", "hobday_extreme").contains(methodExtreme))
+  require(Seq("exact", "approximate").contains(methodPercentile),
+    s"bad methodPercentile '$methodPercentile' (exact | approximate)")
   require(thresholdPercentile > 0 && thresholdPercentile < 100)
   require(windowDaysHobday % 2 == 1, "hobday window must be odd")
 }

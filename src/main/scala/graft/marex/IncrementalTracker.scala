@@ -130,9 +130,10 @@ object IncrementalTracker {
     * including slices whose objects preprocessing then erases, which stay
     * on the axis and separate what surrounds them. */
   def extend(state: Option[IncState], newFlags: DataFrame, geom: DataFrame,
-      spec: GridSpec, cfg: TrackConfig): (IncState, Increment) =
-    if (cfg.allowMerging) extendMerging(state, newFlags, geom, spec, cfg)
-    else extendNonMerging(state, newFlags, geom, spec, cfg)
+      spec: GridSpec, cfg: TrackConfig,
+      rawAxis: Option[Seq[Timestamp]] = None): (IncState, Increment) =
+    if (cfg.allowMerging) extendMerging(state, newFlags, geom, spec, cfg, rawAxis)
+    else extendNonMerging(state, newFlags, geom, spec, cfg, rawAxis)
 
   // ── temporal gap fill under appends (tFill > 0): watermark holdback ─────
 
@@ -235,9 +236,14 @@ object IncrementalTracker {
     val block = f3.join(finalTimes.toDF("time"), Seq("time")).localCheckpoint()
 
     // morphology + gap fill already applied — the inner extension labels,
-    // area-filters, and stitches exactly as the batch tracker would
+    // area-filters, and stitches exactly as the batch tracker would. The
+    // finalized RAW axis rides along explicitly: a slice whose objects
+    // preprocessing fully erased has no rows in `block` but must still
+    // occupy its timestep (it separates its neighbors, exactly as in the
+    // batch tracker).
     val innerCfg = cfg.copy(rFill = 0, tFill = 0)
-    val (st2, inc) = extend(baseState, block, geom, spec, innerCfg)
+    val (st2, inc) = extend(baseState, block, geom, spec, innerCfg,
+      rawAxis = Some(finalTimes))
     (st2.copy(held = Some(heldFrom(ctxTimes ++ finalTimes, procTimes.drop(nFinal)))),
       inc)
   }
@@ -251,7 +257,8 @@ object IncrementalTracker {
   }
 
   private def extendNonMerging(state: Option[IncState], newFlags: DataFrame,
-      geom: DataFrame, spec: GridSpec, cfg: TrackConfig): (IncState, Increment) = {
+      geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
+      rawAxis: Option[Seq[Timestamp]]): (IncState, Increment) = {
     requireShared(cfg)
     val spark = newFlags.sparkSession
     import spark.implicits._
@@ -261,14 +268,18 @@ object IncrementalTracker {
     def emptySeam = Seq.empty[(Int, Int, Long)].toDF("y", "x", "event_id")
     def noInc = Increment(emptyIds, emptyRemap, emptyMerges(spark))
 
-    // the raw axis: every input slice occupies a timestep, processed or not
-    val rawTimes = newFlags.select("time").distinct()
-      .orderBy("time").collect().map(_.getTimestamp(0))
+    // the raw axis: every input slice occupies a timestep, processed or
+    // not. A PRE-preprocessed block (extendGapFill) must pass the axis
+    // explicitly — slices its morphology fully erased carry no rows here
+    // but still separate their neighbors.
+    val rawTimes = rawAxis.map(_.toArray).getOrElse(
+      newFlags.select("time").distinct()
+        .orderBy("time").collect().map(_.getTimestamp(0)))
     if (rawTimes.isEmpty)
       return (state.getOrElse(IncState(emptySeam, 0L, 1L)), noInc)
     val axis = Some(rawTimes.toSeq.toDF("time"))
 
-    val cells = preprocessBlock(newFlags, geom, spec, cfg).select("time", "y", "x")
+    val cells = preprocessBlock(newFlags, geom, spec, cfg)
     if (cells.isEmpty) {
       // every slice erased: the block still advances the axis past the seam
       val st = state.getOrElse(IncState(emptySeam, 0L, 1L))
@@ -276,9 +287,11 @@ object IncrementalTracker {
     }
 
     // block-local space-time CCL over the RAW axis (erased interior slices
-    // keep separating their neighbors), ids offset into the fresh id range
+    // keep separating their neighbors), ids offset into the fresh id
+    // range; the stitch reuses preprocessBlock's per-slice gids instead of
+    // re-running the raster CCL
     val offset = state.map(_.nextEventId - 1).getOrElse(0L)
-    val local = Track.labelSpaceTime(cells, spec, timeAxis = axis)
+    val local = Track.labelSpaceTimeFromGids(cells, spec, timeAxis = axis)
       .withColumn("event_id", col("event_id") + offset)
       .localCheckpoint()
     val nIssued = local.agg(max("event_id")).head().getLong(0) - offset
@@ -350,7 +363,8 @@ object IncrementalTracker {
     * seam gid adopts the smallest old event id among them (others become
     * remap rows); components with no seam contact mint fresh event ids. */
   private def extendMerging(state: Option[IncState], newFlags: DataFrame,
-      geom: DataFrame, spec: GridSpec, cfg: TrackConfig): (IncState, Increment) = {
+      geom: DataFrame, spec: GridSpec, cfg: TrackConfig,
+      rawAxis: Option[Seq[Timestamp]]): (IncState, Increment) = {
     requireShared(cfg)
     require(!cfg.sequentialSplitMerge,
       "incremental merging tracking uses the batch-parallel split/merge " +
@@ -365,8 +379,9 @@ object IncrementalTracker {
     def freshState = IncState(emptySeam, 0L, 1L, 1L)
     def noInc = Increment(emptyIds, emptyRemap, emptyMerges(spark))
 
-    val rawTimes = newFlags.select("time").distinct()
-      .orderBy("time").collect().map(_.getTimestamp(0))
+    val rawTimes = rawAxis.map(_.toArray).getOrElse(
+      newFlags.select("time").distinct()
+        .orderBy("time").collect().map(_.getTimestamp(0)))
     if (rawTimes.isEmpty) return (state.getOrElse(freshState), noInc)
 
     val cells = preprocessBlock(newFlags, geom, spec, cfg)

@@ -87,10 +87,13 @@ private[marex] object SequentialSplitMerge {
         val ysum = cs.iterator.map(_ / nx).sum.toDouble
         val cy = ysum / cs.length
         val xs = cs.iterator.map(_ % nx).toArray
-        // wrap fix: objects with cells in BOTH the first and last 100 columns
-        // get their right-side x indices shifted by −nx before averaging
+        // wrap fix: a CONNECTED object crosses the periodic seam iff it
+        // holds cells at BOTH x=0 and x=nx−1 (the wrap adjacency) — the
+        // exact test at any nx; its right-side x indices shift by −nx
+        // before averaging. (A fixed edge band misfires on every object
+        // once nx ≤ 2×band.)
         val cx =
-          if (wrap && xs.exists(_ < 100) && xs.exists(_ >= nx - 100)) {
+          if (wrap && xs.contains(0) && xs.contains(nx - 1)) {
             val adj = xs.map(x => if (x > nx / 2) (x - nx).toDouble else x.toDouble)
             val m = adj.sum / adj.length
             if (m < 0) m + nx else m
@@ -265,7 +268,7 @@ private[marex] object SequentialSplitMerge {
         .map(r => Array[Long](r._1, r._2, r._3)) // mutable rows
       var converged = false
       var iter = 0
-      while (!converged && iter < 10) {
+      while (!converged && iter < cfg.maxInnerIter) {
         val merging = overlaps.groupBy(_(1)).filter(_._2.length > 1)
           .keys.toArray.sorted
         if (merging.isEmpty) converged = true

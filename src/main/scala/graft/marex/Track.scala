@@ -389,7 +389,12 @@ object Track {
             col("parents").cast("array<long>").as("parent_ids"),
             array(col("id_c").cast("long")).as("child_ids"),
             col("areas").as("overlap_areas"))
-        mergesAcc = iterCheckpoint(mergesAcc.unionByName(newMerges))
+        // a fragment re-contested in a later round supersedes its earlier
+        // record: keep only the NEWEST per (time, child) — matching the
+        // queue's sequential rename and the unstructured batch path
+        mergesAcc = iterCheckpoint(newMerges.unionByName(
+          mergesAcc.join(newMerges.select("time", "child_id"),
+            Seq("time", "child_id"), "left_anti")))
         val updated = untouched.select("time", "y", "x", "gid")
           .union(assigned.select("time", "y", "x", "gid"))
         // in replay mode `ids` stays seam-free (the slice re-injects per
@@ -411,9 +416,58 @@ object Track {
       case Some(s) => ids.unionByName(s)
       case None => ids
     }
-    (resolved, mergesAcc
+    // a parent recorded in round r can lose every cell to a later round's
+    // partitioning — repair drops PARENT references to gids absent from
+    // the final field (same pass the unstructured batch path runs).
+    // child_ids stay as recorded: this path hands every child cell a
+    // PARENT id by construction, so the historical child id legitimately
+    // never appears in the final field.
+    (resolved, repairGenealogy(mergesAcc, resolved, repairChildren = false)
       .withColumn("n_parents", size(col("parent_ids")).cast("long"))
       .withColumn("n_children", size(col("child_ids")).cast("long")), capture)
+  }
+
+  /** A gid recorded in round r's genealogy can lose every cell to a LATER
+    * round's partitioning and never reach the final field; a downstream
+    * join (e.g. [[mergeLedger]]'s gid → event map) would then silently
+    * drop it. Filter every parent (and, when `repairChildren`, child)
+    * reference down to gids that exist in the final field (keeping the
+    * parent ↔ overlap-area alignment), and drop records left with fewer
+    * than two parents — they are no longer merges. The merge table is
+    * #merge-events rows: driver-scale joins.
+    * @param repairChildren the unstructured path mints child FRAGMENT ids
+    *   that live in the final field, so dangling ones are repairable; the
+    *   gridded batch path renames child cells to parent ids by design —
+    *   its recorded child ids are historical and must pass through. */
+  private[marex] def repairGenealogy(merges: DataFrame, ids: DataFrame,
+      repairChildren: Boolean = true): DataFrame = {
+    val finalGids = ids.select(col("gid").cast("long").as("g")).distinct()
+    val parents = merges.select(col("time"), col("child_id"),
+        posexplode(arrays_zip(col("parent_ids"), col("overlap_areas"))).as(Seq("pos", "z")))
+      .select(col("time"), col("child_id"), col("pos"),
+        col("z.parent_ids").as("g"), col("z.overlap_areas").as("ov"))
+      .join(finalGids, Seq("g"), "left_semi")
+      .groupBy("time", "child_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("g"), col("ov")))).as("ps"))
+      .select(col("time"), col("child_id"),
+        expr("transform(ps, p -> p.g)").as("parent_ids"),
+        expr("transform(ps, p -> p.ov)").as("overlap_areas"))
+      .filter(size(col("parent_ids")) >= 2)
+    if (!repairChildren)
+      return parents.join(merges.select("time", "child_id", "child_ids"),
+          Seq("time", "child_id"))
+        .select("time", "child_id", "parent_ids", "child_ids", "overlap_areas")
+    val children = merges.select(col("time"), col("child_id"),
+        posexplode(col("child_ids")).as(Seq("pos", "g")))
+      .join(finalGids, Seq("g"), "left_semi")
+      .groupBy("time", "child_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("g")))).as("cs"))
+      .select(col("time"), col("child_id"),
+        expr("transform(cs, c -> c.g)").as("child_ids"))
+    parents.join(children, Seq("time", "child_id"), "left")
+      .select(col("time"), col("child_id"), col("parent_ids"),
+        coalesce(col("child_ids"), array().cast("array<long>")).as("child_ids"),
+        col("overlap_areas"))
   }
 
   /** T23 (true form): 3-D space-time connected-component labeling with
@@ -455,11 +509,22 @@ object Track {
   }
 
   def labelSpaceTime(flags: DataFrame, spec: GridSpec,
+      timeAxis: Option[DataFrame] = None): DataFrame =
+    labelSpaceTimeFromGids(
+      // the labeled field feeds the edge build, the component mapping, the
+      // event ordering AND the final join — without truncation the
+      // per-slice labeling kernel re-executes for each of them
+      globalIds(Raster.labelPerSlice(flags, spec)).localCheckpoint(),
+      spec, timeAxis)
+
+  /** [[labelSpaceTime]] over an ALREADY per-slice-labeled field
+    * `(time, y, x, gid)` — gids slice-unique. The batch track() path
+    * labels every slice during preprocessing; re-labeling here would be a
+    * second full raster pass over the field (area filtering only drops
+    * whole objects, never splits a component, so the preprocessing gids
+    * are exactly the per-slice labels this stitch needs). */
+  def labelSpaceTimeFromGids(gids: DataFrame, spec: GridSpec,
       timeAxis: Option[DataFrame] = None): DataFrame = {
-    // the labeled field feeds the edge build, the component mapping, the
-    // event ordering AND the final join — without truncation the per-slice
-    // labeling kernel re-executes for each of them
-    val gids = globalIds(Raster.labelPerSlice(flags, spec)).localCheckpoint()
     val idx = timeIndex(gids, timeAxis)
     val withIdx = gids.join(idx, "time")
     val b = fanNeighborhood(
@@ -648,7 +713,9 @@ object Track {
       } else {
         val spark = flags.sparkSession
         import spark.implicits._
-        (labelSpaceTime(resolved.select("time", "y", "x"), spec, axis)
+        // preprocessing already per-slice-labeled the field — stitch from
+        // those gids instead of a second full raster CCL pass
+        (labelSpaceTimeFromGids(resolved.select("time", "y", "x", "gid"), spec, axis)
            .localCheckpoint(),
          Seq.empty[(java.sql.Timestamp, Long, Seq[Long])]
            .toDF("time", "event_id", "sibling_event_ids"))

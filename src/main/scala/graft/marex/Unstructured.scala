@@ -31,12 +31,16 @@ object Unstructured {
     cur
   }
 
-  /** Erosion dual: a flagged cell survives iff itself and all mesh
-    * neighbors are flagged (one round); R rounds for radius R — identical
-    * to the reference's `~dilate^R(~x)` because single-hop erosion composes
-    * (erode₁^R = ~dilate₁^R(~·)). Cells with no outgoing edges survive on
-    * their own flag (empty neighborhood), matching the sparse matrix's
-    * identity diagonal. */
+  /** Erosion: a flagged cell survives iff itself and every cell on its
+    * OWN neighbour list is flagged (one round); R rounds for radius R.
+    * On a SYMMETRIC neighbour table this equals `~dilate^R(~x)`; on an
+    * asymmetric one (boundary truncation can make A list B without B
+    * listing A) the two differ, and the reference resolves the ambiguity
+    * this way — checking each cell's own row of the neighbour matrix —
+    * which the pinned mesh-fixture golden counts (99/99/10/9,
+    * GoldenTrackingSpec + q60) lock in. Cells with no outgoing edges
+    * survive on their own flag (empty neighborhood), matching the sparse
+    * matrix's identity diagonal. */
   def erode(flags: DataFrame, edges: DataFrame, rounds: Int): DataFrame = {
     var cur = flags.select("time", "cell").distinct()
     for (_ <- 1 to rounds) {

@@ -239,42 +239,9 @@ private[marex] object UnstructuredBatch {
       }
       iter += 1
     }
-    (ids, repairGenealogy(mergesAcc, ids)
+    (ids, Track.repairGenealogy(mergesAcc, ids)
       .withColumn("n_parents", size(col("parent_ids")).cast("long"))
       .withColumn("n_children", size(col("child_ids")).cast("long")))
   }
 
-  /** A gid recorded in round r's genealogy can lose every cell to a LATER
-    * round's partitioning and never reach the final field; a downstream
-    * join (e.g. [[Track.mergeLedger]]'s gid → event map) would then
-    * silently drop it. Filter every parent/child reference down to gids
-    * that exist in the final field (keeping the parent ↔ overlap-area
-    * alignment), and drop records left with fewer than two parents — they
-    * are no longer merges. The merge table is #merge-events rows, so these
-    * are driver-scale joins. */
-  private def repairGenealogy(merges: DataFrame, ids: DataFrame): DataFrame = {
-    val finalGids = ids.select(col("gid").cast("long").as("g")).distinct()
-    val parents = merges.select(col("time"), col("child_id"),
-        posexplode(arrays_zip(col("parent_ids"), col("overlap_areas"))).as(Seq("pos", "z")))
-      .select(col("time"), col("child_id"), col("pos"),
-        col("z.parent_ids").as("g"), col("z.overlap_areas").as("ov"))
-      .join(finalGids, Seq("g"), "left_semi")
-      .groupBy("time", "child_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("g"), col("ov")))).as("ps"))
-      .select(col("time"), col("child_id"),
-        expr("transform(ps, p -> p.g)").as("parent_ids"),
-        expr("transform(ps, p -> p.ov)").as("overlap_areas"))
-      .filter(size(col("parent_ids")) >= 2)
-    val children = merges.select(col("time"), col("child_id"),
-        posexplode(col("child_ids")).as(Seq("pos", "g")))
-      .join(finalGids, Seq("g"), "left_semi")
-      .groupBy("time", "child_id")
-      .agg(sort_array(collect_list(struct(col("pos"), col("g")))).as("cs"))
-      .select(col("time"), col("child_id"),
-        expr("transform(cs, c -> c.g)").as("child_ids"))
-    parents.join(children, Seq("time", "child_id"), "left")
-      .select(col("time"), col("child_id"), col("parent_ids"),
-        coalesce(col("child_ids"), array().cast("array<long>")).as("child_ids"),
-        col("overlap_areas"))
-  }
 }

@@ -47,16 +47,26 @@ object ZarrOutput {
     *                  fixture writes 2–25-step time chunks); spatial chunks
     *                  cap at 720×1440 so a 0.25° global grid stays one
     *                  spatial tile per time slab
-    * @param attrs     extra group attributes (merged over the defaults) */
+    * @param attrs     extra group attributes (merged over the defaults)
+    * @param timeAxis  the SOURCE FIELD's full time axis. Pass it whenever
+    *                  preprocessing can erase whole timesteps: a slice with
+    *                  no surviving events still occupies its index in the
+    *                  written time coordinate (the reference's to_zarr
+    *                  carries the full input axis), or downstream alignment
+    *                  against the source archive shifts by one from that
+    *                  day on. Default: derived from the result (complete
+    *                  only when every timestep kept at least one event). */
   def writeTrackResult(res: Track.TrackResult, geom: DataFrame, spec: GridSpec,
       dir: String, timeChunk: Int = 16, v3: Boolean = false,
-      attrs: Map[String, String] = Map.empty): Unit = {
+      attrs: Map[String, String] = Map.empty,
+      timeAxis: Option[Seq[java.sql.Timestamp]] = None): Unit = {
     val spark = res.idField.sparkSession
     import spark.implicits._
 
     // ── bounded driver-side axes ──
-    val times = res.idField.select("time").union(res.eventProps.select("time"))
-      .distinct().orderBy("time").as[java.sql.Timestamp].collect()
+    val times = timeAxis.map(_.toArray).getOrElse(
+      res.idField.select("time").union(res.eventProps.select("time"))
+        .distinct().orderBy("time").as[java.sql.Timestamp].collect())
     require(times.nonEmpty, "writeTrackResult: empty result (no timesteps)")
     val nt = times.length
     val timeIdxDf = broadcast(

@@ -11,6 +11,13 @@ class DetectSpec extends SparkSpec {
 
   private lazy val sst = SyntheticData.sstGridded(spark, nDays = 365 * 4, ny = 8, nx = 16).cache()
 
+  test("DetectConfig rejects a bad methodPercentile eagerly") {
+    val e = intercept[IllegalArgumentException](
+      DetectConfig(methodPercentile = "Exact"))
+    assert(e.getMessage.contains("methodPercentile"))
+    DetectConfig(methodPercentile = "approximate") // valid spellings pass
+  }
+
   test("fixed-baseline anomaly has near-zero per-pixel mean") {
     val anom = Detect.fixedBaselineAnomaly(sst)
     val worst = anom.groupBy("y", "x").agg(abs(avg("anomaly")).as("m"))

@@ -211,6 +211,30 @@ class IncrementalTrackerSpec extends SparkSpec {
     assert(inc.select("event_id").distinct().count() == 2)
   }
 
+  test("gap fill: a slice fully erased by morphology still separates events") {
+    val tcfg = cfg.copy(tFill = 2) // rFill = 1 (cfg default)
+    // squareA(t0) and squareC(t2) are spatially ADJACENT but share no
+    // pixel (no per-pixel time fill); t1 holds only a lone speck that the
+    // rFill=1 opening erases COMPLETELY. The erased slice must stay on
+    // the axis — t0 and t2 are then 2 index steps apart and the squares
+    // are TWO events, exactly as in batch. (Regression: the gap-fill
+    // wrapper used to hand the inner extension a pre-preprocessed block,
+    // so the erased slice vanished from its data-derived axis.)
+    def square(t: Int, x0: Int): Seq[(Timestamp, Int, Int)] =
+      for (dy <- 0 to 2; dx <- 0 to 2) yield (ts(t), 8 + dy, x0 + dx)
+    val flags = (square(0, 8) ++ Seq((ts(1), 20, 20)) ++ square(2, 11))
+      .toDF("time", "y", "x").cache()
+    val batch = Track.track(flags, geom, spec, tcfg).idField
+    assert(batch.select("event_id").distinct().count() == 2, "batch sanity")
+    // the erased slice lands at a BLOCK BOUNDARY too
+    val blocks = Seq(0 -> 2, 2 -> 3).map { case (a, b) =>
+      flags.filter(col("time") >= lit(ts(a)) && col("time") < lit(ts(b)))
+    }
+    val inc = trackWithGapFill(blocks, tcfg)
+    assertEquivalent(batch, inc)
+    assert(inc.select("event_id").distinct().count() == 2)
+  }
+
   test("merging mode: tFill=2 appends equal the one-shot batch tracker") {
     val tcfg = cfg.copy(tFill = 2, allowMerging = true)
     val flags = SyntheticData.stormFlags(spark, nDays = 24, ny = ny, nx = nx,

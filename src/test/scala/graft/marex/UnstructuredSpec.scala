@@ -27,6 +27,23 @@ class UnstructuredSpec extends SparkSpec {
     assert(e == Set(3, 4, 5))
   }
 
+  test("erosion checks a cell's OWN neighbour list (reference orientation)") {
+    // asymmetric table (boundary truncation): 0 lists 1; 1 lists 2; 2
+    // lists 1. The reference erodes against each cell's own row of the
+    // neighbour matrix — NOT the transpose — which the pinned mesh-golden
+    // counts lock in (changing this orientation flips the fixture's
+    // 99/99/10/9 to 98/98/11/9).
+    val asym = Seq((0, 1), (1, 2), (2, 1)).toDF("cell", "nbr")
+    def erode(cells: Set[Int]): Set[Int] =
+      Unstructured.erode(cells.map(c => (t0, c)).toSeq.toDF("time", "cell"), asym, 1)
+        .select("cell").collect().map(_.getInt(0)).toSet
+    // 0 survives iff its listed nbr 1 is flagged; 1 iff 2 is; 2 iff 1 is
+    assert(erode(Set(0, 1, 2)) == Set(0, 1, 2))
+    assert(erode(Set(0, 2)) == Set.empty, "0 and 2 each miss a listed neighbour")
+    assert(erode(Set(1, 2)) == Set(1, 2))
+    assert(erode(Set(0, 1)) == Set(0), "1 misses its listed neighbour 2")
+  }
+
   test("per-slice CCL separates two arcs, labels deterministic") {
     val flags = Seq(1, 2, 3, 7, 8).map(c => (t0, c)).toDF("time", "cell")
     val lab = Unstructured.labelPerSlice(flags, edges).collect()

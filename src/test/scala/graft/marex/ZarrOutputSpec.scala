@@ -220,6 +220,30 @@ class ZarrOutputSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(d)
   }
 
+  test("an erased timestep stays on the written time axis when the source axis is passed") {
+    // drop every event at one interior day from the result frames (what
+    // preprocessing does when a slice's objects are all filtered away)
+    val cut = res.idField.select("time").distinct().orderBy("time")
+      .collect().map(_.getTimestamp(0)).apply(5)
+    val holed = res.copy(
+      idField = res.idField.filter(col("time") =!= lit(cut)).localCheckpoint(),
+      eventProps = res.eventProps.filter(col("time") =!= lit(cut)).localCheckpoint())
+    val fullAxis = collide.select("time").distinct().orderBy("time")
+      .collect().map(_.getTimestamp(0)).toSeq
+    val d = java.nio.file.Files.createTempDirectory("zarr_track_axis").toFile
+    org.apache.commons.io.FileUtils.deleteQuietly(d)
+    ZarrOutput.writeTrackResult(holed, geom, spec0, d.getAbsolutePath,
+      timeAxis = Some(fullAxis))
+    val (_, t) = graft.sources.ZarrSource.readLocalND(s"${d.getAbsolutePath}/time")
+    assert(t.length == fullAxis.length,
+      "the written time coordinate carries the FULL source axis")
+    // the erased day exists as an all-background slab of the id cube
+    val idf = graft.sources.ZarrSource.read3D(spark,
+      s"${d.getAbsolutePath}/ID_field")
+    assert(idf.filter(col("t_idx") === 5).filter(col("value") =!= 0.0).count() == 0)
+    assert(idf.select("t_idx").distinct().count() == fullAxis.length)
+  }
+
   test("coordinate axes: lat/lon from geom, ID = 1..N, time epoch seconds") {
     val g = ZarrGroup.open(outDir, spark.sparkContext.hadoopConfiguration)
     val (_, lat) = graft.sources.ZarrSource.readLocalND(s"$outDir/lat")
