@@ -286,11 +286,17 @@ object Curation {
     * representative, the same canonical rule the exact/minhash dedup
     * paths use.
     *
-    * Scale shape: centroid assignment is a zero-shuffle projection
-    * against broadcast centroid literals; the pair search is ONE shuffle
-    * of the corpus on the cell id (a self-join on `cell`), never an
-    * all-pairs product across cells.
+    * Scale shape: centroid assignment is a broadcast centroid-TABLE join
+    * ([[graft.operators.Similarity.assignCells]] — plan size O(1) in
+    * `kCells`, corpus-sized shuffle); the pair search is ONE shuffle of
+    * the corpus on the cell id (a self-join on `cell`), never an
+    * all-pairs product across cells. Size `kCells` to the corpus with
+    * [[graft.operators.Similarity.autoCells]] (k ≈ n/1024; real SemDeDup
+    * uses ~10⁵ cells) so per-cell pair work stays O(targetCellSize²) —
+    * a fixed small k degrades the self-join toward O((n/k)²).
     *
+    * @param kCells number of quantizer cells; pass
+    *               `Similarity.autoCells(corpusSize)` at scale
     * @return (vec_id, cell, dup_of, kept): `dup_of` null ⇔ `kept`. */
   def semanticDedup(embeddings: DataFrame, kCells: Int = 16,
       threshold: Double = 0.92): DataFrame = {

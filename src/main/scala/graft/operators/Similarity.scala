@@ -75,75 +75,90 @@ object Similarity {
     embeddings.select(col("vec_id").cast("long"), bucket.as("bucket"))
   }
 
+  /** Deterministic coarse-quantizer centroid TABLE
+    * `(cell INT, __centroid, __cdot)`: the `kCells` corpus vectors with the
+    * smallest `vec_id` (reproducible across engines, unlike k-means
+    * iterations) — shared by the IVF index and semantic dedup so the two
+    * stay cell-for-cell identical (and oracle-exact).
+    *
+    * A broadcast DataFrame, NOT driver-collected literals: real SemDeDup
+    * runs ~10⁵ cells (arXiv:2303.09540 uses 1.1e5 on LAION), and a
+    * projection with one literal-array expression per centroid blows past
+    * Janino's 64 KB method limit orders of magnitude earlier — the join
+    * keeps the PLAN size O(1) in `kCells` while the broadcast carries the
+    * centroids as data. */
+  private[operators] def centroidTable(embeddings: DataFrame, kCells: Int): DataFrame = {
+    val t = embeddings.filter(col("vec_id") < kCells)
+      .select(col("vec_id").cast("int").as("cell"), col("embedding").as("__centroid"),
+        dot(col("embedding"), col("embedding")).as("__cdot"))
+    val n = t.count()
+    require(n == kCells, s"corpus has fewer than $kCells centroid rows (found $n)")
+    t
+  }
+
+  /** Pick `kCells` for a corpus of `n` vectors so within-cell pairwise work
+    * stays bounded: k = ⌈n / targetCellSize⌉ (clamped to [16, 2²⁰]). At a
+    * 1 B-document corpus and the default target this lands near the ~10⁵
+    * cells SemDeDup uses — pair work per cell is O(targetCellSize²) instead
+    * of the O((n/16)²) a fixed small k degrades to. */
+  def autoCells(n: Long, targetCellSize: Int = 1024): Int = {
+    require(n > 0 && targetCellSize > 0, s"need positive n/targetCellSize ($n/$targetCellSize)")
+    val ceil = n / targetCellSize + (if (n % targetCellSize == 0) 0 else 1) // no +k overflow
+    math.max(16L, math.min(1L << 20, ceil)).toInt
+  }
+
+  /** Squared L2 of the row's `embedding` to the joined `__centroid` via the
+    * dot identity |e−c|² = e·e − 2·e·c + c·c — bit-reproducible in the
+    * DuckDB oracle (float→double widening is exact, so a float centroid
+    * column and the former double literals dot identically). `__sd` is the
+    * precomputed e·e (once per vector, not once per centroid pair). */
+  private def d2Col: Column =
+    col("__sd") - lit(2.0) * dot(col("embedding"), col("__centroid")) + col("__cdot")
+
+  /** `(vec_id, embedding, cell)`: nearest-centroid assignment (ties break
+    * to the lower cell). One broadcast nested-loop join corpus × centroids
+    * (no literal blowup at any `kCells`) and ONE map-side-combined shuffle
+    * on `vec_id` for the argmin — `min(struct(d2, cell))` partially
+    * aggregates the k-fan-out back to one row per vector before the
+    * exchange, so shuffle volume is the corpus, independent of `kCells`. */
+  def assignCells(embeddings: DataFrame, kCells: Int): DataFrame =
+    assignWith(embeddings, centroidTable(embeddings, kCells))
+
+  private def assignWith(embeddings: DataFrame, cents: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("__sd"))
+      .crossJoin(broadcast(cents))
+      .groupBy("vec_id")
+      .agg(min(struct(d2Col.as("d2"), col("cell"))).as("__best"),
+        first(col("embedding")).as("embedding"))
+      .select(col("vec_id"), col("embedding"), col("__best.cell").as("cell"))
+
   /** IVF (inverted-file) ANN — the classic coarse-quantizer scale path.
     *
-    * The quantizer is deterministic: the `kCells` vectors with the smallest
-    * `vec_id` are the cell centroids (reproducible across engines, unlike
-    * k-means iterations). Every corpus vector is assigned to its nearest
+    * Every corpus vector is assigned to its nearest [[centroidTable]]
     * centroid by squared L2 (ties → smaller cell id); a query probes its
     * `nprobe` nearest cells and exact-cosine ranks only those candidates.
     *
-    * Scale shape: the centroid table is collected ONCE on the driver
-    * (kCells rows — a tiny dimension, same pattern as the LSH hyperplane
-    * literals) and inlined, so cell assignment is a zero-shuffle projection
-    * over the corpus — `array_position(d2s, array_min(d2s))` over a literal
-    * centroid array, all codegen'd. At 100 TB the assigned corpus would be
-    * written `bucketBy(cell)` so probes are partition-pruned scans touching
-    * nprobe/kCells of the data; here the probe is a broadcast join of the
-    * (small) query set against the assignment on `cell`.
-    *
-    * Distances use the dot-product identity |e−c|² = e·e − 2·e·c + c·c so
-    * the float arithmetic is reproducible verbatim in the DuckDB oracle.
+    * Scale shape: cell assignment is [[assignCells]] (broadcast centroid
+    * join, corpus-sized shuffle, plan O(1) in `kCells`). At 100 TB the
+    * assigned corpus would be written `bucketBy(cell)` so probes are
+    * partition-pruned scans touching nprobe/kCells of the data; here the
+    * probe is a broadcast join of the (small) query set against the
+    * assignment on `cell`. Size `kCells` with [[autoCells]].
     *
     * @return (qid, vec_id, sim, rank) — exact cosine rank within probed cells. */
-  /** Deterministic coarse-quantizer centroids: the first `kCells` corpus
-    * vectors by `vec_id` — shared by the IVF index and semantic dedup so
-    * the two stay cell-for-cell identical (and oracle-exact). */
-  private[operators] def centroidsOf(embeddings: DataFrame,
-      kCells: Int): Array[Seq[Double]] = {
-    val cents: Array[Seq[Double]] = embeddings
-      .filter(col("vec_id") < kCells)
-      .select(col("vec_id").cast("long"), col("embedding"))
-      .collect()
-      .sortBy(_.getLong(0))
-      .map(_.getSeq[Float](1).map(_.toDouble))
-    require(cents.length == kCells, s"corpus has fewer than $kCells centroid rows")
-    cents
-  }
-
-  /** Squared L2 distance of `e` to every centroid, as an array column. */
-  private[operators] def d2Array(cents: Array[Seq[Double]], e: Column): Column = {
-    val selfDot = dot(e, e)
-    array(cents.indices.map { i =>
-      val c = typedlit(cents(i))
-      selfDot - lit(2.0) * dot(e, c) + dot(c, c)
-    }: _*)
-  }
-
-  /** `(vec_id, embedding, cell)`: nearest-centroid assignment (ties break
-    * to the lower cell) — a zero-shuffle projection against broadcast
-    * centroid literals. */
-  def assignCells(embeddings: DataFrame, kCells: Int): DataFrame = {
-    val cents = centroidsOf(embeddings, kCells)
-    def d2(e: Column): Column = d2Array(cents, e)
-    embeddings.select(col("vec_id").cast("long").as("vec_id"), col("embedding"),
-      (array_position(d2(col("embedding")), array_min(d2(col("embedding")))) - 1)
-        .cast("int").as("cell"))
-  }
-
   def ivfTopK(embeddings: DataFrame, queryPred: Column, kCells: Int = 16,
       nprobe: Int = 2, k: Int = 10): DataFrame = {
-    val cents = centroidsOf(embeddings, kCells)
-    def d2Arr(e: Column): Column = d2Array(cents, e)
-
-    val assigned = embeddings.select(col("vec_id"), col("embedding"),
-      (array_position(d2Arr(col("embedding")), array_min(d2Arr(col("embedding")))) - 1)
-        .cast("int").as("cell"))
+    val cents = centroidTable(embeddings, kCells)
+    val assigned = assignWith(embeddings, cents)
 
     val wProbe = Window.partitionBy("qid").orderBy(col("d2"), col("cell"))
     val probes = embeddings.filter(queryPred)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
-        posexplode(d2Arr(col("embedding"))).as(Seq("cell", "d2")))
+      .select(col("vec_id").as("qid"), col("embedding"),
+        dot(col("embedding"), col("embedding")).as("__sd"))
+      .crossJoin(broadcast(cents))
+      .select(col("qid"), col("embedding").as("qe"), col("cell"), d2Col.as("d2"))
       .withColumn("rn", row_number().over(wProbe))
       .filter(col("rn") <= nprobe)
       .select(col("qid"), col("qe"), col("cell"))

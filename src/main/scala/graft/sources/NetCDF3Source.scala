@@ -269,8 +269,9 @@ object NetCDF3Source {
     head.putInt(begin)
     val headerBytes = java.util.Arrays.copyOf(head.array(), head.position())
 
+    val p = new org.apache.hadoop.fs.Path(path)
     val out = new java.io.BufferedOutputStream(
-      new java.io.FileOutputStream(path))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true))
     try {
       out.write(headerBytes)
       val empty = Array.fill(ny * nx)(Double.NaN)

@@ -487,9 +487,11 @@ object ZarrGroup extends Serializable {
     * ONE shuffle: cells group by chunk index once and every variable's chunk
     * file serializes inside the same task (vs a groupByKey per variable,
     * which would shuffle the cube V times). Write parallelism is the chunk
-    * grid — the same unit the readers scale by. Paths are plain-filesystem
-    * here (tests/local), like [[ZarrSource]]'s array writers; a production
-    * deployment would route through the Hadoop FS API.
+    * grid — the same unit the readers scale by. Every byte write — executor
+    * chunk files, driver coordinate/metadata emission — goes through the
+    * Hadoop FileSystem API ([[ZarrSource.putBytes]]), so on a multi-node
+    * cluster the store lands on the SHARED filesystem the readers will open,
+    * not on executor-local disks.
     *
     * @param compressor v2 chunk compression: `None` = raw chunks,
     *                   `Some("blosc")` = blosc-lz4 with byte shuffle (the
@@ -504,6 +506,13 @@ object ZarrGroup extends Serializable {
     private val members =
       scala.collection.mutable.ArrayBuffer[(String, Seq[Int], Seq[Int], Seq[String], Double)]()
     private var finished = false
+
+    // driver-side FS handle for coord/metadata emission (executor chunk
+    // writes carry their own SerializableConfiguration per arrays() call)
+    @transient private lazy val driverFs: org.apache.hadoop.fs.FileSystem =
+      new org.apache.hadoop.fs.Path(dir).getFileSystem(ZarrSource.driverHadoopConf())
+    private def put(rel: String, bytes: Array[Byte]): Unit =
+      ZarrSource.putBytes(driverFs, new org.apache.hadoop.fs.Path(dir, rel), bytes)
 
     private def addMember(n: String, sh: Seq[Int], ch: Seq[Int], dn: Seq[String],
         fill: Double): Unit = {
@@ -527,9 +536,9 @@ object ZarrGroup extends Serializable {
       val sizes = dims.map(_._2)
       val nd = dims.length
       valueCols.foreach(vc => addMember(vc, sizes, chunks, dimNames, fill))
-      new java.io.File(dir).mkdirs()
 
       val spark = df.sparkSession
+      val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
       val chunkLen = chunks.product
       val nV = valueCols.length
       val chB = chunks.toArray
@@ -538,7 +547,8 @@ object ZarrGroup extends Serializable {
       val isV3 = v3
       val fillB = fill
       val bloscB = !v3 && compressor.contains("blosc")
-      valueCols.foreach(vc => new java.io.File(s"$dir/$vc").mkdirs())
+      valueCols.foreach(vc =>
+        driverFs.mkdirs(new org.apache.hadoop.fs.Path(dir, vc)))
 
       // One Tungsten exchange keyed on the LINEAR chunk id, sorted within
       // partitions so each task streams chunk runs holding ONE chunk's
@@ -569,6 +579,7 @@ object ZarrGroup extends Serializable {
       val ndB = nd
       prepared.repartition(nParts, col("__cid")).sortWithinPartitions("__cid")
         .queryExecution.toRdd.mapPartitions { it =>
+          val fs = new org.apache.hadoop.fs.Path(dirB).getFileSystem(conf.value)
           var curCid = Long.MinValue
           val ci = new Array[Int](ndB)
           var bufs: Array[ByteBuffer] = null
@@ -582,9 +593,8 @@ object ZarrGroup extends Serializable {
                 ZarrSource.v3EncodeChain(bufs(vi).array(), Seq(ZarrSource.ZstdC))
               else if (bloscB) Blosc.compress(bufs(vi).array(), typesize = 8)
               else bufs(vi).array()
-              val f = new java.io.File(s"$dirB/${vcB(vi)}", rel)
-              f.getParentFile.mkdirs()
-              java.nio.file.Files.write(f.toPath, payload)
+              ZarrSource.putBytes(fs,
+                new org.apache.hadoop.fs.Path(s"$dirB/${vcB(vi)}", rel), payload)
               vi += 1
             }
             written += rel
@@ -625,16 +635,13 @@ object ZarrGroup extends Serializable {
     /** Write a 1-D coordinate axis driver-side (axes are metadata-sized). */
     def coord(name: String, values: Array[Double]): this.type = {
       addMember(name, Seq(values.length), Seq(values.length), Seq(name), Double.NaN)
-      val cDir = s"$dir/$name"
       val rel = if (v3) "c/0" else "0"
-      val f = new java.io.File(cDir, rel)
-      f.getParentFile.mkdirs()
       val buf = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
       values.foreach(buf.putDouble)
       val payload = if (v3) ZarrSource.v3EncodeChain(buf.array(), Seq(ZarrSource.ZstdC))
         else if (compressor.contains("blosc")) Blosc.compress(buf.array(), typesize = 8)
         else buf.array()
-      java.nio.file.Files.write(f.toPath, payload)
+      put(s"$name/$rel", payload)
       this
     }
 
@@ -699,23 +706,16 @@ object ZarrGroup extends Serializable {
           s"""{"zarr_format": 3, "node_type": "group", "attributes": $attrsJson,
               "consolidated_metadata": {"kind": "inline", "must_understand": false,
                 "metadata": {$consolidated}}}"""
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$dir/zarr.json"), groupJson.getBytes)
+        put("zarr.json", groupJson.getBytes)
         members.foreach { case (n, sh, ch, dn, fl) =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$dir/$n/zarr.json"),
-            v3ArrayJson(sh, ch, dn, fl).getBytes)
+          put(s"$n/zarr.json", v3ArrayJson(sh, ch, dn, fl).getBytes)
         }
       } else {
-        java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/.zgroup"),
-          """{"zarr_format": 2}""".getBytes)
-        java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/.zattrs"),
-          attrsJson.getBytes)
+        put(".zgroup", """{"zarr_format": 2}""".getBytes)
+        put(".zattrs", attrsJson.getBytes)
         members.foreach { case (n, sh, ch, dn, fl) =>
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$dir/$n/.zarray"), v2Zarray(sh, ch, fl).getBytes)
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$dir/$n/.zattrs"), v2Zattrs(dn).getBytes)
+          put(s"$n/.zarray", v2Zarray(sh, ch, fl).getBytes)
+          put(s"$n/.zattrs", v2Zattrs(dn).getBytes)
         }
         val entries = Seq(
           s"""".zgroup": {"zarr_format": 2}""",
@@ -726,8 +726,7 @@ object ZarrGroup extends Serializable {
           }
         val zmeta =
           s"""{"zarr_consolidated_format": 1, "metadata": {${entries.mkString(", ")}}}"""
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(s"$dir/.zmetadata"), zmeta.getBytes)
+        put(".zmetadata", zmeta.getBytes)
       }
     }
   }

@@ -418,12 +418,41 @@ object ZarrSource extends Serializable {
           s"unsupported zarr compressor '$other' (supported: none, zlib, blosc-lz4)")
     }
 
+  /** Write `bytes` to `path` through the Hadoop FileSystem API (create
+    * parents, overwrite) — the ONLY byte sink the zarr write layer uses.
+    * `fs.create` instead of `java.io.File`/`Files.write` because the writers
+    * run executor-side on real clusters: a local-file write there scatters
+    * chunks across executor-local disks and an `s3://`/`hdfs://` destination
+    * degrades to a literal local directory — which the fill-substituting
+    * readers then read back as silent fill values. */
+  private[graft] def putBytes(fs: org.apache.hadoop.fs.FileSystem,
+      path: org.apache.hadoop.fs.Path, bytes: Array[Byte]): Unit = {
+    // unwrap ChecksumFileSystem (the local `file:` FS): a zarr store must
+    // hold ONLY zarr keys — `.crc` sidecars would desync on any external
+    // mutation of the store (and confuse key-listing readers). hdfs/s3a
+    // checksum internally and pass through unchanged.
+    val target = fs match {
+      case c: org.apache.hadoop.fs.ChecksumFileSystem => c.getRawFileSystem
+      case other => other
+    }
+    val out = target.create(path, true)
+    try out.write(bytes) finally out.close()
+  }
+
+  /** The Hadoop configuration for driver-side metadata writes: the active
+    * session's (it carries `fs.*.impl` bindings and object-store
+    * credentials), or a bare one when no session exists (fixture tooling). */
+  private[graft] def driverHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
   /** Driver-side dense read of a small N-D zarr array (coordinate axes,
     * masks — things that are broadcast anyway). Returns the shape and the
     * C-order flat values; missing chunk files read as fill_value. Accepts
     * both v2 and v3 layouts. */
   def readLocalND(dir: String): (Seq[Int], Array[Double]) = {
-    val meta = readMetaAny(dir, new org.apache.hadoop.conf.Configuration())
+    val meta = readMetaAny(dir, driverHadoopConf())
     require(meta.order == "C", "only C-order zarr supported")
     val shape = meta.shape
     val chunks = meta.chunks
@@ -436,11 +465,18 @@ object ZarrSource extends Serializable {
       dims.foldLeft(Iterator(Seq.empty[Int])) { (acc, n) =>
         acc.flatMap(prefix => (0 until n).iterator.map(prefix :+ _))
       }
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val fs = dirP.getFileSystem(driverHadoopConf())
     for (ci <- gridIndices(nChunks)) {
-      val f = new java.io.File(dir, chunkKey(meta, ci))
-      if (f.exists()) {
-        val raw = decodeChunk(java.nio.file.Files.readAllBytes(f.toPath),
-          meta, chunks.product * bp)
+      val f = new org.apache.hadoop.fs.Path(dir, chunkKey(meta, ci))
+      val data =
+        try {
+          val in = fs.open(f)
+          try Some(org.apache.commons.io.IOUtils.toByteArray(in))
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
+      data.foreach { bytes =>
+        val raw = decodeChunk(bytes, meta, chunks.product * bp)
         val buf = ByteBuffer.wrap(raw).order(byteOrderOf(meta.dtype))
         val chunkLen = chunks.product
         val coords = new Array[Int](nd)
@@ -559,9 +595,11 @@ object ZarrSource extends Serializable {
 
   /** Distributed Zarr v2 writer (sink dual of [[read3D]]; ≙ the reference's
     * `to_zarr`, track.py:1748): one task per chunk serializes its cells into
-    * a raw little-endian <f8 chunk file. Missing cells become NaN. Paths are
-    * plain-filesystem here (tests/local); a production deployment would
-    * route the writes through the Hadoop FS API like the reader does. */
+    * a raw little-endian <f8 chunk file. Missing cells become NaN. All byte
+    * writes — executor chunk files and driver metadata — go through the
+    * Hadoop FileSystem API ([[putBytes]]) so the sink lands on the shared
+    * store (`file:`, `hdfs:`, `s3a:`) on a real multi-node cluster, exactly
+    * like the readers. */
   def write3D(df: DataFrame, dir: String, shape: (Int, Int, Int),
       chunks: (Int, Int, Int), compressor: Option[String] = None): Unit = {
     require(compressor.forall(_ == "blosc"),
@@ -569,7 +607,11 @@ object ZarrSource extends Serializable {
     val blosc = compressor.contains("blosc")
     val (nt, ny, nx) = shape
     val (ct, cy, cx) = chunks
-    new java.io.File(dir).mkdirs()
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = dirP.getFileSystem(conf.value)
+    driverFs.mkdirs(dirP)
     val compJson =
       if (blosc) """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
       else "null"
@@ -577,7 +619,7 @@ object ZarrSource extends Serializable {
       s"""{"zarr_format": 2, "shape": [$nt, $ny, $nx], "chunks": [$ct, $cy, $cx],
           "dtype": "<f8", "compressor": $compJson, "fill_value": "NaN",
           "order": "C", "filters": null}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/.zarray"), zarray.getBytes)
+    putBytes(driverFs, new org.apache.hadoop.fs.Path(dir, ".zarray"), zarray.getBytes)
     // One Tungsten exchange on a linear chunk id + in-partition sort, then
     // raw InternalRow consumption over the chunk runs — the encoder-free
     // path the group writer and archive sink use (~3× the rows/s of a
@@ -597,8 +639,10 @@ object ZarrSource extends Serializable {
         col("x").cast("int"), col("value").cast("double"))
     val nParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
     val chunkLen = ct * cy * cx
+    val dirB = dir
     prepared.repartition(nParts, col("__cid")).sortWithinPartitions("__cid")
       .queryExecution.toRdd.mapPartitions { it =>
+        val fs = new org.apache.hadoop.fs.Path(dirB).getFileSystem(conf.value)
         var curCid = Long.MinValue
         var ci = 0; var cj = 0; var ck = 0
         var buf: ByteBuffer = null
@@ -606,8 +650,7 @@ object ZarrSource extends Serializable {
         def flush(): Unit = if (buf != null) {
           val payload = if (blosc) Blosc.compress(buf.array(), typesize = 8)
             else buf.array()
-          java.nio.file.Files.write(
-            java.nio.file.Paths.get(s"$dir/$ci.$cj.$ck"), payload)
+          putBytes(fs, new org.apache.hadoop.fs.Path(dirB, s"$ci.$cj.$ck"), payload)
           written += s"$ci.$cj.$ck"
           buf = null
         }
@@ -657,7 +700,11 @@ object ZarrSource extends Serializable {
       require(ct % it0 == 0 && cy % iy0 == 0 && cx % ix0 == 0,
         s"inner chunk shape ($it0,$iy0,$ix0) must divide chunk shape $chunks")
     }
-    new java.io.File(dir).mkdirs()
+    val conf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sparkContext.hadoopConfiguration)
+    val dirP = new org.apache.hadoop.fs.Path(dir)
+    val driverFs = dirP.getFileSystem(conf.value)
+    driverFs.mkdirs(dirP)
     def chainJson(cs: Seq[V3Codec]): String = v3ChainJson(cs)
     val codecJson = innerChunks match {
       case None => chainJson(codecs)
@@ -677,10 +724,11 @@ object ZarrSource extends Serializable {
           "fill_value": "NaN",
           "codecs": [$codecJson],
           "attributes": {}}"""
-    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/zarr.json"), zarrJson.getBytes)
+    putBytes(driverFs, new org.apache.hadoop.fs.Path(dir, "zarr.json"), zarrJson.getBytes)
     def encodeChain(raw: Array[Byte]): Array[Byte] = v3EncodeChain(raw, codecs)
     val spark = df.sparkSession
     import spark.implicits._
+    val dirB = dir
     df.select(col("t_idx").cast("int"), col("y").cast("int"), col("x").cast("int"),
       col("value").cast("double"))
       .as[(Int, Int, Int, Double)]
@@ -726,9 +774,8 @@ object ZarrSource extends Serializable {
             body.write(index.array())
             body.toByteArray
         }
-        val f = new java.io.File(dir, s"c/$ci/$cj/$ck")
-        f.getParentFile.mkdirs()
-        java.nio.file.Files.write(f.toPath, payload)
+        val p = new org.apache.hadoop.fs.Path(dirB, s"c/$ci/$cj/$ck")
+        putBytes(p.getFileSystem(conf.value), p, payload)
         s"c/$ci/$cj/$ck"
       }
       .collect() // materialize writes

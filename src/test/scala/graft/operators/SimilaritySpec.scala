@@ -77,4 +77,64 @@ class SimilaritySpec extends SparkSpec {
     assert(b1 == b2)
     b1.values.foreach(v => assert(v >= 0 && v < 256))
   }
+
+  test("quantizer at kCells = 1024: no literal blowup, exact argmin, bounded cells") {
+    val n = 4096; val dim = 16; val k = 1024
+    val rnd = new scala.util.Random(42)
+    val vecs = Array.tabulate(n)(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+    val df = vecs.toSeq.toDF("vec_id", "embedding")
+
+    val assigned = Similarity.assignCells(df, k)
+    // the plan must be O(1) in kCells: a broadcast join against a centroid
+    // TABLE, not one literal-array expression per centroid (1024 cells ×
+    // 16 dims of inlined doubles would already exceed 100 KB of plan text
+    // and at SemDeDup's ~1e5 cells would fall out of codegen entirely)
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(plan.length < 50000, s"plan text is ${plan.length} chars — literal blowup?")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "cell assignment should be a broadcast join against the centroid table")
+
+    val got = assigned.select("vec_id", "cell").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // exact local replay of the same double arithmetic (float widening is exact)
+    def d2(e: Array[Float], c: Array[Float]): Double = {
+      var sd = 0.0; var dc = 0.0; var cd = 0.0
+      var i = 0
+      while (i < e.length) {
+        sd += e(i).toDouble * e(i).toDouble
+        dc += e(i).toDouble * c(i).toDouble
+        cd += c(i).toDouble * c(i).toDouble
+        i += 1
+      }
+      sd - 2.0 * dc + cd
+    }
+    val expected = vecs.map { case (id, e) =>
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        val d = d2(e, vecs(c)._2)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      id -> best
+    }.toMap
+    assert(got == expected, "distributed argmin diverges from local replay")
+    // each centroid is its own nearest centroid (d2 = 0 exactly)
+    (0 until k).foreach(i => assert(got(i.toLong) == i))
+    // per-cell population stays bounded — the within-cell self-join of
+    // semanticDedup is O(max_cell²), so this is the quantity that must not
+    // degrade toward O((n/16)²) at scale
+    val cellSizes = got.values.groupBy(identity).map(_._2.size)
+    assert(cellSizes.max <= 64,
+      s"max cell ${cellSizes.max} of $n rows — quantizer not spreading")
+  }
+
+  test("autoCells sizes the quantizer to the corpus") {
+    assert(Similarity.autoCells(100) == 16, "small corpora clamp to 16 cells")
+    assert(Similarity.autoCells(1024L * 1024) == 1024)
+    // a 1 B-document corpus lands near SemDeDup's ~1e5 clusters
+    val k1b = Similarity.autoCells(1000000000L)
+    assert(k1b >= 100000 && k1b <= (1 << 20), s"1B docs -> $k1b cells")
+    assert(Similarity.autoCells(Long.MaxValue) == (1 << 20), "hard upper clamp")
+  }
 }
