@@ -1183,6 +1183,81 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
-      "to_netcdf through SQL: df.write.format(\"netcdf\") distributed per-block archive sink + multi-file read-back")
+      "to_netcdf through SQL: df.write.format(\"netcdf\") distributed per-block archive sink + multi-file read-back"),
+
+    // ── UNSTRUCTURED (time, ncells) ingest: the 2-D DSv2 path ──────────────
+    // The reference's second first-class grid (ICON meshes, detect.py:18
+    // `extreme_events(time, ncells)`): a 2-D variable reads through
+    // format("netcdf") as (t_idx, cell, value) with cell-range pushdown.
+    // The oracle recomputes the aggregate straight from events, so any
+    // defect in the rank-2 header parse, the nx=1 normalization, the cell
+    // emission, or the pushed window mismatches.
+    QueryDef("q87_unstructured_ingest",
+      (s, d) => {
+        import graft.sources.NetCDF4Source
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            pmod(col("user_id"), lit(150)).cast("int").as("cell"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("value"))
+        val nt = 31; val nc = 150
+        val arr = Array.fill(nt * nc)(Double.NaN)
+        cells.collect().foreach { r =>
+          val t = r.getInt(0); val c = r.getInt(1)
+          if (t >= 0 && t < nt && c >= 0 && c < nc) arr(t * nc + c) = r.getDouble(2)
+        }
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q87.nc"
+        NetCDF4Source.writeVars(s, path, Seq(NetCDF4Source.VarSpec(
+          "ev", Seq(nt, nc), arr, chunkDims = Some(Seq(8, nc)))))
+        s.read.format("netcdf").option("var", "ev").load(path)
+          .filter(col("cell").between(10, 139) && !isnan(col("value")))
+          .groupBy(pmod(col("cell"), lit(15)).cast("long").as("grp"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("value") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 AS INT) AS cell,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2)
+              SELECT CAST(cell % 15 AS BIGINT) AS grp,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells WHERE cell BETWEEN 10 AND 139 GROUP BY 1"""),
+      "Unstructured (time, ncells) netcdf ingest: 2-D DSv2 read with cell-window pushdown"),
+
+    // ── connectivity ingest: neighbours(nv, ncells) → edge table ──────────
+    // track.py:1060–1089: the ICON triangular connectivity (1-based,
+    // nonpositive = no neighbor) becomes the tracker's pull-oriented
+    // (cell, nbr) edge list. Deterministic ring-mesh formula, reproduced
+    // verbatim by the oracle from range(); one zero-shuffle projection.
+    QueryDef("q88_connectivity_edges",
+      (s, d) => {
+        import graft.sources.NetCDF4Source
+        val nc = 200
+        val nbr = Array.tabulate(3 * nc) { j =>
+          val k = j / nc; val i = j % nc
+          k match {
+            case 0 => ((i + 1) % nc + 1).toDouble
+            case 1 => ((i + nc - 1) % nc + 1).toDouble
+            case _ => if (i + 10 < nc) (i + 10 + 1).toDouble else 0.0
+          }
+        }
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q88.nc"
+        NetCDF4Source.writeVars(s, path,
+          Seq(NetCDF4Source.VarSpec("neighbours", Seq(3, nc), nbr)))
+        graft.marex.UnstructuredIngest.connectivityEdges(
+          s.read.format("netcdf").option("var", "neighbours").load(path))
+      },
+      Some("""WITH c AS (SELECT CAST(range AS INT) AS i FROM range(200)),
+                   e AS (
+                SELECT CAST((i + 1) % 200 AS INT) AS cell, i AS nbr FROM c
+                UNION ALL SELECT CAST((i + 199) % 200 AS INT), i FROM c
+                UNION ALL SELECT CAST(i + 10 AS INT), i FROM c WHERE i + 10 < 200)
+              SELECT cell, CAST(nbr AS INT) AS nbr FROM e"""),
+      "Connectivity ingest: neighbours(nv, ncells) through the 2-D netcdf read → (cell, nbr) edges")
   )
 }

@@ -384,6 +384,24 @@ object NetCDF4Source {
     * file assembly is driver-side — a single HDF5 file is an inherently
     * serial sink, so this is for result exports that fit one machine;
     * parquet/zarr are the distributed-output paths. Missing cells → NaN. */
+  /** One f64 variable of a [[writeVars]] file: arbitrary rank, optional
+    * chunked+shuffle+deflate layout (None = contiguous). */
+  final case class VarSpec(name: String, dims: Seq[Int], values: Array[Double],
+      chunkDims: Option[Seq[Int]] = None)
+
+  /** Driver-side assembly of a simple multi-variable NetCDF-4/HDF5 file —
+    * the shape of an ICON GRID file (2-D `neighbours(nv, ncells)` next to
+    * 1-D `lat`/`lon`/`cell_areas`/`mask`) or any small mixed-rank export.
+    * For 3-D data cubes use [[write3D]]/[[writeArchive]]; for tables,
+    * [[writeCompoundTable]]. */
+  def writeVars(spark: SparkSession, path: String, vars: Seq[VarSpec]): Unit = {
+    val bytes = Hdf5.assemble(vars.map(v =>
+      Hdf5.WriteVar(v.name, v.dims, v.values, chunkDims = v.chunkDims)))
+    val p = new org.apache.hadoop.fs.Path(path)
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration).create(p, true)
+    try out.write(bytes) finally out.close()
+  }
+
   def write3D(df: DataFrame, path: String, varName: String,
       shape: (Int, Int, Int), timeChunk: Int = 8, deflateLevel: Int = 4,
       attrs: Seq[(String, Any)] = Seq.empty,

@@ -15,6 +15,11 @@ import org.apache.spark.util.SerializableConfiguration
   * `spark.read.format("netcdf").option("var", "sst").load(path)` yields
   * `(t_idx INT, y INT, x INT, value DOUBLE)` for a 3-D (time, y, x)
   * variable, dispatching NC3/NC4 on the file magic like [[NetCDFSource]].
+  * 2-D (time, cell) variables — the reference's UNSTRUCTURED ICON-mesh
+  * layout (detect.py:18 `extreme_events(time, ncells)`) — read as
+  * `(t_idx INT, cell INT, value DOUBLE)` with the same file/chunk pruning
+  * on `t_idx`/`cell` and the same metadata-only aggregates; the rank is
+  * probed from the first file and every file must agree.
   *
   * MULTI-FILE archives — the shape the reference documents
   * (`xr.open_mfdataset('sst_*.nc')`, user_guide.rst:82: one file per
@@ -40,7 +45,12 @@ class NetCdfDataSourceV2 extends TableProvider with DataSourceRegister {
   override def shortName(): String = "netcdf"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    NetCdfTableV2.fullSchema
+    if (options.containsKey("shape") || !options.containsKey("var"))
+      NetCdfTableV2.fullSchema // write intent / var error surfaces in getTable
+    else if (options.containsKey("rank"))
+      NetCdfTableV2.schemaFor(options.getInt("rank", 3))
+    else NetCdfTableV2.schemaFor(
+      NetCdfTableV2.rankOf(NetCdfTableV2.rawInputs(options), options.get("var")))
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: java.util.Map[String, String]): Table = {
@@ -54,7 +64,8 @@ class NetCdfDataSourceV2 extends TableProvider with DataSourceRegister {
     if (properties.containsKey("shape"))
       new NetCdfWritableTableV2(raw.head, varName,
         NetCdfWriteSpec.parse(new CaseInsensitiveStringMap(properties)))
-    else new NetCdfTableV2(raw, varName)
+    else new NetCdfTableV2(raw, varName,
+      Option(properties.get("rank")).map(_.toInt))
   }
 }
 
@@ -134,6 +145,31 @@ private[sources] object NetCdfTableV2 {
     StructField("x", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
+  /** 2-D (time, cell) variables — the UNSTRUCTURED-grid layout (ICON
+    * meshes, detect.py:18: `extreme_events(time, ncells)`): one flat cell
+    * axis instead of (y, x). Internally cell rides the y machinery with
+    * nx = 1, so file/chunk pruning, metadata aggregates, and streaming all
+    * behave identically; only the schema and pushdown dim names change. */
+  val cellSchema: StructType = StructType(Seq(
+    StructField("t_idx", IntegerType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  def schemaFor(rank: Int): StructType = if (rank == 2) cellSchema else fullSchema
+  def dimsFor(rank: Int): Seq[String] =
+    if (rank == 2) Seq("t_idx", "cell") else Seq("t_idx", "y", "x")
+
+  /** Rank of the variable (2 = (time, cell), 3 = (time, y, x)), probed
+    * from the FIRST file of the archive; every other file must agree
+    * (validated per file in the scan). An archive with no files yet (a
+    * stream watching an empty landing directory) defaults to 3 — pass
+    * `.option("rank", "2")` to stream an unstructured archive from
+    * before its first file. */
+  def rankOf(raw: Seq[String], varName: String): Int =
+    expand(raw, allowEmpty = true).headOption
+      .map(p => fileMeta(org.apache.spark.sql.SparkSession.active, p, varName)._1.rank)
+      .getOrElse(3)
+
   /** The raw load() inputs — pattern strings, NOT yet expanded, so
     * streaming reads can re-expand them as the archive grows. */
   def rawInputs(properties: java.util.Map[String, String]): Seq[String] =
@@ -200,8 +236,12 @@ private[sources] object NetCdfTableV2 {
         .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))._2
       val v = Hdf5.readDataset(src, varName, oh)
       val attrs = Hdf5.attributes(src, oh)
-      require(v.dims.length == 3, s"$varName is not 3-D in $path")
-      val Seq(nt, ny, nx) = v.dims.map(_.toInt)
+      require(v.dims.length == 3 || v.dims.length == 2,
+        s"$varName is ${v.dims.length}-D in $path — the netcdf table read " +
+          "supports 3-D (time, y, x) and 2-D (time, cell) variables")
+      val rank = v.dims.length
+      val ds = v.dims.map(_.toInt)
+      val (nt, ny, nx) = if (rank == 3) (ds(0), ds(1), ds(2)) else (ds(0), ds(1), 1)
       def num(k: String): Option[Double] = attrs.get(k).collect {
         case d: Double => d
         case s: Seq[_] if s.nonEmpty => s.head.asInstanceOf[Double]
@@ -217,9 +257,12 @@ private[sources] object NetCdfTableV2 {
         scale = num("scale_factor").getOrElse(1.0),
         offset = num("add_offset").getOrElse(0.0),
         fillRaw = num("_FillValue"),
-        elidedFill = v.fillValue.getOrElse(Double.NaN))
+        elidedFill = v.fillValue.getOrElse(Double.NaN), rank = rank)
       v.layout match {
-        case Hdf5.Chunked(_, cds, _) => (base.copy(chunkDims = cds), Some(v))
+        // 2-D chunk dims pad to (ct, cc, 1) so the planner's 3-axis walk is
+        // rank-agnostic (stored chunk OFFSETS pad the same way at lookup)
+        case Hdf5.Chunked(_, cds, _) =>
+          (base.copy(chunkDims = if (rank == 2) cds :+ 1 else cds), Some(v))
         case Hdf5.Contiguous(addr, _) =>
           (base.copy(sliceBase = addr,
             sliceStride = ny.toLong * nx * v.dtype.size), None)
@@ -231,10 +274,13 @@ private[sources] object NetCdfTableV2 {
       val h = NetCDF3Source.readHeader(spark, path)
       val v = h.vars.find(_.name == varName)
         .getOrElse(throw new IllegalArgumentException(s"no variable $varName in $path"))
-      require(v.dimIds.length == 3, s"$varName is not 3-D in $path")
+      require(v.dimIds.length == 3 || v.dimIds.length == 2,
+        s"$varName is ${v.dimIds.length}-D in $path — the netcdf table read " +
+          "supports 3-D (time, y, x) and 2-D (time, cell) variables")
+      val rank = v.dimIds.length
       val nt = if (v.isRecord(h.dims)) h.numRecs else h.dims(v.dimIds.head).size
       val ny = h.dims(v.dimIds(1)).size
-      val nx = h.dims(v.dimIds(2)).size
+      val nx = if (rank == 3) h.dims(v.dimIds(2)).size else 1
       // NC3 types map onto the HDF5 numeric model, big-endian
       val dtype = v.ncType match {
         case 1 => Hdf5.NumType("int", 1, littleEndian = false)
@@ -249,7 +295,8 @@ private[sources] object NetCdfTableV2 {
       val stride = if (v.isRecord(h.dims)) h.recSize else sliceBytes
       (NcDecodeMeta(nt, ny, nx, sliceBase = v.begin, sliceStride = stride,
         dtype = dtype, chunkDims = Seq.empty, filters = Seq.empty,
-        scale = 1.0, offset = 0.0, fillRaw = None, elidedFill = Double.NaN), None)
+        scale = 1.0, offset = 0.0, fillRaw = None, elidedFill = Double.NaN,
+        rank = rank), None)
     }
   }
 
@@ -258,14 +305,17 @@ private[sources] object NetCdfTableV2 {
     * must advance the global axis by exactly what was planned, even if the
     * file is still growing between two parses. */
   def partitionsOf(spark: org.apache.spark.sql.SparkSession, path: String,
-      varName: String, tOff: Int): (Seq[InputPartition], Int) = {
+      varName: String, tOff: Int, expectRank: Int = -1): (Seq[InputPartition], Int) = {
     val (m, dsOpt) = fileMeta(spark, path, varName)
+    require(expectRank < 0 || m.rank == expectRank,
+      s"$path holds a ${m.rank}-D '$varName' in a ${expectRank}-D stream — an " +
+        "archive cannot mix gridded (time,y,x) and unstructured (time,cell) files")
     val parts: Seq[InputPartition] = dsOpt match {
       case Some(ds) =>
         val src = new NetCDF4Source.HadoopSource(
           spark.sparkContext.hadoopConfiguration, path)
         val chunks = Hdf5.listChunks(src, ds)
-        val present = chunks.map(c => c.offsets.map(_.toInt) -> c).toMap
+        val present = chunks.map(c => c.offsets.map(_.toInt).padTo(3, 0) -> c).toMap // rank-2 offsets pad like chunkDims
         val orgs = for {
           ot <- 0 until m.nt by m.chunkDims.head
           oy <- 0 until m.ny by m.chunkDims(1)
@@ -288,31 +338,35 @@ private[sources] object NetCdfTableV2 {
   }
 }
 
-private[sources] class NetCdfTableV2(rawInputs: Seq[String], varName: String)
+private[sources] class NetCdfTableV2(rawInputs: Seq[String], varName: String,
+    rankOverride: Option[Int] = None)
     extends Table with SupportsRead {
+  private lazy val rank: Int =
+    rankOverride.getOrElse(NetCdfTableV2.rankOf(rawInputs, varName))
   override def name(): String = s"netcdf:${rawInputs.head}${
     if (rawInputs.size > 1) s" (+${rawInputs.size - 1})" else ""}#$varName"
-  override def schema(): StructType = NetCdfTableV2.fullSchema
+  override def schema(): StructType = NetCdfTableV2.schemaFor(rank)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new NetCdfScanBuilder(rawInputs, varName, options.getLong("fileMinAgeMs", 0L))
+    new NetCdfScanBuilder(rawInputs, varName, options.getLong("fileMinAgeMs", 0L), rank)
 }
 
 private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String,
-    minAgeMs: Long)
+    minAgeMs: Long, rank: Int = 3)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 
   // per-dimension pushed ranges: d0 = t_idx (prunes whole FILES, then
-  // chunks), d1 = y, d2 = x (prune spatial chunks within each file — the
-  // reference's regional lat/lon-window mode, track.py:5471)
-  private val dims = Seq("t_idx", "y", "x")
+  // chunks), d1 = y — or `cell` on an unstructured 2-D variable — and
+  // d2 = x (prune spatial chunks within each file — the reference's
+  // regional lat/lon-window mode, track.py:5471)
+  private val dims = NetCdfTableV2.dimsFor(rank)
   private val lo = Array.fill(3)(Int.MinValue)
   private val hi = Array.fill(3)(Int.MaxValue)
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = NetCdfTableV2.fullSchema
+  private var required: StructType = NetCdfTableV2.schemaFor(rank)
 
   private def dimOf(attr: String): Int = dims.indexOf(attr)
 
@@ -393,7 +447,8 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
           }.toArray
         })
       case None =>
-        new NetCdfScan(rawInputs, varName, lo.clone(), hi.clone(), required, minAgeMs)
+        new NetCdfScan(rawInputs, varName, lo.clone(), hi.clone(), required,
+          minAgeMs, rank)
     }
 }
 
@@ -416,10 +471,13 @@ private[sources] case class NcDecodeMeta(
     // NC4 chunked path
     chunkDims: Seq[Int], filters: Seq[Hdf5.Filter],
     // CF decode (identity: 1, 0, None) + dataset fill for elided chunks
-    scale: Double, offset: Double, fillRaw: Option[Double], elidedFill: Double)
+    scale: Double, offset: Double, fillRaw: Option[Double], elidedFill: Double,
+    // stored rank: 3 = (time, y, x), 2 = (time, cell) normalized to nx = 1
+    rank: Int = 3)
 
 private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
-    lo: Array[Int], hi: Array[Int], required: StructType, minAgeMs: Long = 0L)
+    lo: Array[Int], hi: Array[Int], required: StructType, minAgeMs: Long = 0L,
+    rank: Int = 3)
     extends Scan with Batch with SupportsReportStatistics {
 
   private def tLo = lo(0); private def tHi = hi(0)
@@ -430,7 +488,7 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new NetCdfMicroBatchStream(rawInputs, varName, required, minAgeMs)
+    new NetCdfMicroBatchStream(rawInputs, varName, required, minAgeMs, rank)
 
   /** Exact post-prune cell count (grids are dense), so Catalyst can pick
     * broadcast joins for small time/space windows over huge archives. */
@@ -473,6 +531,9 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
       // (the expensive part of huge NC4 files) is deferred until the file
       // survives the range prune in planInputPartitions.
       val (m, ds) = fileMeta(p)
+      require(m.rank == rank,
+        s"$p holds a ${m.rank}-D '$varName' in a ${rank}-D archive — an " +
+          "archive cannot mix gridded (time,y,x) and unstructured (time,cell) files")
       val r = (p, m, ds, off)
       off += m.nt
       r
@@ -484,7 +545,7 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
       off.toLong <= tHi && off.toLong + m.nt - 1 >= tLo }
 
   override def description(): String = {
-    val dimNames = Seq("t_idx", "y", "x")
+    val dimNames = NetCdfTableV2.dimsFor(rank).padTo(3, "x")
     val ranges = (0 until 3).collect {
       case d if lo(d) != Int.MinValue || hi(d) != Int.MaxValue =>
         s"${dimNames(d)} in [${lo(d)}, ${hi(d)}]"
@@ -505,7 +566,7 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
         case Some(ds) =>
           val chunks = Hdf5.listChunks(driverSource(path), ds)
           val ct = m.chunkDims.head
-          val present = chunks.map(c => c.offsets.map(_.toInt) -> c).toMap
+          val present = chunks.map(c => c.offsets.map(_.toInt).padTo(3, 0) -> c).toMap // rank-2 offsets pad like chunkDims
           // spatial chunks outside the pushed y/x window never plan — the
           // regional-query dual of the t-range file/chunk prune
           val orgs = for {
@@ -671,7 +732,7 @@ private[sources] object NcFileOffset {
   * `.tmp`-suffixed names always are, and `.option("fileMinAgeMs", ms)`
   * additionally holds back files modified within the last `ms`. */
 private[sources] class NetCdfMicroBatchStream(rawInputs: Seq[String],
-    varName: String, required: StructType, minAgeMs: Long)
+    varName: String, required: StructType, minAgeMs: Long, rank: Int = 3)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -734,7 +795,7 @@ private[sources] class NetCdfMicroBatchStream(rawInputs: Seq[String],
     val parts = Seq.newBuilder[InputPartition]
     fs.take(eo.n).zipWithIndex.foreach { case (p, i) =>
       if (i >= so.n) {
-        val (ps, nt) = NetCdfTableV2.partitionsOf(spark, p, varName, off)
+        val (ps, nt) = NetCdfTableV2.partitionsOf(spark, p, varName, off, rank)
         parts ++= ps
         ntCache.put(p, nt)
         off += nt
@@ -762,6 +823,7 @@ private[sources] abstract class NetCdfRowReader(columns: Array[String],
   private val codes: Array[Int] = columns.map {
     case "t_idx" => 0
     case "y" => 1
+    case "cell" => 1 // unstructured: the flat cell axis rides the y machinery
     case "x" => 2
     case "value" => 3
   }

@@ -148,6 +148,27 @@ private[sources] object ZarrTableV2 {
     StructField("x", IntegerType, nullable = false),
     StructField("value", DoubleType, nullable = false)))
 
+  /** 2-D (time, cell) arrays — the unstructured ICON-mesh layout
+    * (`extreme_events(time, ncells)`): one flat cell axis. Internally the
+    * cell axis rides the y machinery with nx = 1 (shapes/chunks pad), so
+    * chunk pruning, metadata aggregates, and the stream source behave
+    * identically; only the schema and pushdown dim names change. */
+  val cellSchema: StructType = StructType(Seq(
+    StructField("t_idx", IntegerType, nullable = false),
+    StructField("cell", IntegerType, nullable = false),
+    StructField("value", DoubleType, nullable = false)))
+
+  def schemaFor(rank: Int): StructType = if (rank == 2) cellSchema else fullSchema
+  def dimsFor(rank: Int): Seq[String] =
+    if (rank == 2) Seq("t_idx", "cell") else Seq("t_idx", "y", "x")
+
+  def rankOf(shape: Seq[Int], path: String): Int = {
+    require(shape.length == 2 || shape.length == 3,
+      s"zarr DSv2 expects a 3-D (time,y,x) or 2-D (time,cell) array at " +
+        s"$path, got shape ${shape.mkString("x")}")
+    shape.length
+  }
+
   /** Whether `path` is a zarr GROUP directory (v2 `.zgroup`/`.zmetadata` or
     * a v3 group `zarr.json`), as opposed to a bare array. */
   def isGroupPath(path: String): Boolean = {
@@ -187,12 +208,15 @@ private[sources] object ZarrTableV2 {
 }
 
 private[sources] class ZarrTableV2(path: String) extends Table with SupportsRead {
+  private lazy val rank: Int = ZarrTableV2.rankOf(
+    ZarrSource.readMetaAny(path, org.apache.spark.sql.SparkSession.active
+      .sparkContext.hadoopConfiguration).shape, path)
   override def name(): String = s"zarr:$path"
-  override def schema(): StructType = ZarrTableV2.fullSchema
+  override def schema(): StructType = ZarrTableV2.schemaFor(rank)
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ZarrScanBuilder(path, options.getBoolean("fillMissingTail", false))
+    new ZarrScanBuilder(path, options.getBoolean("fillMissingTail", false), rank)
 }
 
 /** Range predicates on ANY of `t_idx`/`y`/`x` prune whole chunk files on
@@ -203,16 +227,17 @@ private[sources] class ZarrTableV2(path: String) extends Table with SupportsRead
   * they are reported fully-pushed — no redundant post-scan filter — which
   * in turn lets `count(*)` over any dim window collapse to a pure
   * METADATA answer (grids are dense): zero chunk files are opened. */
-private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = false)
+private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = false,
+    rank: Int = 3)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates {
   import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 
-  private val dims = Seq("t_idx", "y", "x")
+  private val dims = ZarrTableV2.dimsFor(rank)
   private val lo = Array.fill(3)(Int.MinValue)
   private val hi = Array.fill(3)(Int.MaxValue)
   private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = ZarrTableV2.fullSchema
+  private var required: StructType = ZarrTableV2.schemaFor(rank)
 
   private def dimOf(attr: String): Int = dims.indexOf(attr)
 
@@ -264,12 +289,15 @@ private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = 
         new MetadataAggScan(s"zarr:$path", aggs, () => {
           val meta = ZarrSource.readMetaAny(path,
             org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-          require(meta.shape.length == 3, s"zarr agg scan expects 3-D, got ${meta.shape}")
+          require(meta.shape.length == rank,
+            s"zarr agg scan expects $rank-D, got ${meta.shape}")
           MetadataAggScan.denseRanges(aggs,
-            (0 until 3).map(d => math.max(loC(d), 0)).toArray,
-            (0 until 3).map(d => math.min(hiC(d).toLong, meta.shape(d) - 1L).toInt).toArray)
+            (0 until rank).map(d => math.max(loC(d), 0)).toArray,
+            (0 until rank).map(d =>
+              math.min(hiC(d).toLong, meta.shape(d) - 1L).toInt).toArray)
         })
-      case None => new ZarrScan(path, lo.clone(), hi.clone(), required, fillMissingTail)
+      case None =>
+        new ZarrScan(path, lo.clone(), hi.clone(), required, fillMissingTail, rank)
     }
 }
 
@@ -362,23 +390,24 @@ private[sources] case class ZarrChunkPartition(
     ci: Int, cj: Int, ck: Int, filePath: String) extends InputPartition // filePath "" → missing chunk
 
 private[sources] class ZarrScan(path: String, lo: Array[Int], hi: Array[Int],
-    required: StructType, fillMissingTail: Boolean = false)
+    required: StructType, fillMissingTail: Boolean = false, rank: Int = 3)
     extends Scan with Batch with SupportsReportStatistics {
 
-  private val dimNames = Seq("t_idx", "y", "x")
+  private val dimNames = ZarrTableV2.dimsFor(rank).padTo(3, "x")
 
   override def readSchema(): StructType = required
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new ZarrMicroBatchStream(path, required, fillMissingTail)
+    new ZarrMicroBatchStream(path, required, fillMissingTail, rank)
 
   /** Post-prune dense cell count + projected width, so Catalyst can
     * broadcast small windows of huge stores on its own. */
   override def estimateStatistics(): Statistics = {
     val meta = readDirMeta(org.apache.spark.sql.SparkSession.active)
+    val shape3 = meta.shape.padTo(3, 1)
     val rows = (0 until 3).map { d =>
-      math.max(0L, math.min(hi(d).toLong, meta.shape(d) - 1L) -
+      math.max(0L, math.min(hi(d).toLong, shape3(d) - 1L) -
         math.max(lo(d).toLong, 0L) + 1)
     }.product
     val bytes = math.max(1L, rows * math.max(required.defaultSize, 1))
@@ -402,22 +431,29 @@ private[sources] class ZarrScan(path: String, lo: Array[Int], hi: Array[Int],
   override def planInputPartitions(): Array[InputPartition] = {
     val spark = org.apache.spark.sql.SparkSession.active
     val meta = readDirMeta(spark)
+    val shape3 = meta.shape.padTo(3, 1)
+    val chunks3 = meta.chunks.padTo(3, 1)
     // per-dimension chunk prune: a chunk survives only if its index range
     // intersects the pushed range on EVERY dimension
     def keep(d: Int, c: Int): Boolean = {
-      val first = c.toLong * meta.chunks(d)
-      first <= math.min(hi(d).toLong, meta.shape(d) - 1L) &&
-        first + meta.chunks(d) - 1 >= math.max(lo(d).toLong, 0L)
+      val first = c.toLong * chunks3(d)
+      first <= math.min(hi(d).toLong, shape3(d) - 1L) &&
+        first + chunks3(d) - 1 >= math.max(lo(d).toLong, 0L)
     }
-    val nC = (0 until 3).map(d => (meta.shape(d) + meta.chunks(d) - 1) / meta.chunks(d))
+    val nC = (0 until 3).map(d => (shape3(d) + chunks3(d) - 1) / chunks3(d))
 
-    val glob = ZarrSource.chunkGlob(meta, path, 3)
+    // chunk KEYS carry the stored rank (a 2-D store names chunks "ci.cj" /
+    // "c/t/c"); indices pad to the 3-axis planner grid like the shape
+    val glob = ZarrSource.chunkGlob(meta, path, rank)
     val gp = new org.apache.hadoop.fs.Path(glob)
     val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val present = Option(fs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
       .flatMap { st =>
-        ZarrSource.parseChunkKey(meta, st.getPath.toString, 3)
-          .map { ci => (ci(0), ci(1), ci(2)) -> st.getPath.toString }
+        ZarrSource.parseChunkKey(meta, st.getPath.toString, rank)
+          .map { ci0 =>
+            val ci = ci0.padTo(3, 0)
+            (ci(0), ci(1), ci(2)) -> st.getPath.toString
+          }
       }.toMap
 
     (for {
@@ -430,7 +466,8 @@ private[sources] class ZarrScan(path: String, lo: Array[Int], hi: Array[Int],
 
   private def readDirMeta(spark: org.apache.spark.sql.SparkSession): ZarrSource.ZarrMeta = {
     val meta = ZarrSource.readMetaAny(path, spark.sparkContext.hadoopConfiguration)
-    require(meta.shape.length == 3, s"zarr DSv2 expects a 3-D array, got ${meta.shape}")
+    require(meta.shape.length == rank,
+      s"zarr DSv2 expects a $rank-D array at $path, got ${meta.shape}")
     require(meta.order == "C", "only C-order zarr supported")
     meta
   }
@@ -464,7 +501,7 @@ private[sources] case class ZarrStreamChunkPartition(ci: Int, cj: Int, ck: Int,
   * planned as their covering chunks, bounded to the fresh time range so a
   * partially-committed edge chunk never re-delivers old slices. */
 private[sources] class ZarrMicroBatchStream(path: String, required: StructType,
-    fillMissingTail: Boolean = false)
+    fillMissingTail: Boolean = false, rank: Int = 3)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
   import org.apache.spark.sql.connector.read.streaming.Offset
 
@@ -472,7 +509,8 @@ private[sources] class ZarrMicroBatchStream(path: String, required: StructType,
 
   private def metaNow(): ZarrSource.ZarrMeta = {
     val m = ZarrSource.readMetaAny(path, spark.sparkContext.hadoopConfiguration)
-    require(m.shape.length == 3, s"zarr stream expects a 3-D array, got ${m.shape}")
+    require(m.shape.length == rank,
+      s"zarr stream expects a $rank-D array at $path, got ${m.shape}")
     require(m.order == "C", "only C-order zarr supported")
     m
   }
@@ -505,17 +543,18 @@ private[sources] class ZarrMicroBatchStream(path: String, required: StructType,
     val meta = metaNow()
     val ntMeta = meta.shape.head
     if (fillMissingTail) return ZarrNtOffset(ntMeta)
-    val Seq(ct, cy, cx) = meta.chunks
-    val nyC = (meta.shape(1) + cy - 1) / cy
-    val nxC = (meta.shape(2) + cx - 1) / cx
-    val glob = ZarrSource.chunkGlob(meta, path, 3)
+    val shape3 = meta.shape.padTo(3, 1)
+    val Seq(ct, cy, cx) = meta.chunks.padTo(3, 1)
+    val nyC = (shape3(1) + cy - 1) / cy
+    val nxC = (shape3(2) + cx - 1) / cx
+    val glob = ZarrSource.chunkGlob(meta, path, rank)
     val gp = new org.apache.hadoop.fs.Path(glob)
     val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val present: Set[(Int, Int, Int)] =
       Option(fs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
         .flatMap { st =>
-          ZarrSource.parseChunkKey(meta, st.getPath.toString, 3)
-            .map(ci => (ci(0), ci(1), ci(2)))
+          ZarrSource.parseChunkKey(meta, st.getPath.toString, rank)
+            .map { ci0 => val ci = ci0.padTo(3, 0); (ci(0), ci(1), ci(2)) }
         }.toSet
     def fullRow(ci: Int): Boolean =
       (0 until nyC).forall(cj => (0 until nxC).forall(ck => present((ci, cj, ck))))
@@ -539,19 +578,22 @@ private[sources] class ZarrMicroBatchStream(path: String, required: StructType,
     val meta = metaNow()
     require(meta.shape.head >= e,
       s"zarr stream: the array shrank below the committed offset ($e > ${meta.shape.head})")
-    val Seq(_, ny, nx) = meta.shape
-    val Seq(ct, cy, cx) = meta.chunks
+    val Seq(_, ny, nx) = meta.shape.padTo(3, 1)
+    val Seq(ct, cy, cx) = meta.chunks.padTo(3, 1)
     val nyC = (ny + cy - 1) / cy
     val nxC = (nx + cx - 1) / cx
     def keepT(ci: Int): Boolean = ci * ct <= e - 1 && ci * ct + ct - 1 >= s
 
-    val glob = ZarrSource.chunkGlob(meta, path, 3)
+    val glob = ZarrSource.chunkGlob(meta, path, rank)
     val gp = new org.apache.hadoop.fs.Path(glob)
     val fs = gp.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val present = Option(fs.globStatus(gp)).map(_.toSeq).getOrElse(Seq.empty)
       .flatMap { st =>
-        ZarrSource.parseChunkKey(meta, st.getPath.toString, 3)
-          .map { ci => (ci(0), ci(1), ci(2)) -> st.getPath.toString }
+        ZarrSource.parseChunkKey(meta, st.getPath.toString, rank)
+          .map { ci0 =>
+            val ci = ci0.padTo(3, 0)
+            (ci(0), ci(1), ci(2)) -> st.getPath.toString
+          }
       }.toMap
 
     (for {
@@ -588,8 +630,10 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val part = partition.asInstanceOf[ZarrChunkPartition]
     new PartitionReader[InternalRow] {
-      private val Seq(nt, ny, nx) = meta.shape
-      private val Seq(ct, cy, cx) = meta.chunks
+      // a 2-D (time, cell) store pads to the 3-axis loop with nx = cx = 1;
+      // products are unchanged, so decode lengths and flat indexing hold
+      private val Seq(nt, ny, nx) = meta.shape.padTo(3, 1)
+      private val Seq(ct, cy, cx) = meta.chunks.padTo(3, 1)
       private val bp = ZarrSource.bytesPer(meta.dtype)
       private val t0 = math.max(lo(0), 0); private val t1 = math.min(hi(0), nt - 1)
       private val y0 = math.max(lo(1), 0); private val y1 = math.min(hi(1), ny - 1)
@@ -636,6 +680,7 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
         InternalRow.fromSeq(columns.toSeq.map {
           case "t_idx" => t
           case "y" => yy
+          case "cell" => yy // unstructured: flat cell axis rides y
           case "x" => xx
           case "value" => v
         })
