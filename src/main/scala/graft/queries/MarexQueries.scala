@@ -1258,6 +1258,55 @@ object MarexQueries extends QueryRegistry {
                 UNION ALL SELECT CAST((i + 199) % 200 AS INT), i FROM c
                 UNION ALL SELECT CAST(i + 10 AS INT), i FROM c WHERE i + 10 < 200)
               SELECT cell, CAST(nbr AS INT) AS nbr FROM e"""),
-      "Connectivity ingest: neighbours(nv, ncells) through the 2-D netcdf read → (cell, nbr) edges")
+      "Connectivity ingest: neighbours(nv, ncells) through the 2-D netcdf read → (cell, nbr) edges"),
+
+    // ── zarr append_dim=time through SQL: store-resize appends ────────────
+    // The write dual of the zarr STREAM source (to_zarr(append_dim="time"),
+    // helper.py:505): the q84 cube lands in TWO appends split at t=13 —
+    // deliberately NON-chunk-aligned (time chunk 8, so the second block
+    // merges into the straddling chunk holding t=8..12 in place) — and the
+    // oracle recomputes straight from events, so a defect in the resize,
+    // the block-local index shift, the edge-chunk merge, or the
+    // metadata-last ordering mismatches cell-for-cell.
+    QueryDef("q89_zarr_sql_append",
+      (s, d) => {
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("sst"))
+          .filter(col("time_idx").between(0, 30))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q89_za"
+        cells.filter(col("time_idx") <= 12).write.format("zarr")
+          .option("dims", "time:13,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst")
+          .mode("overwrite").save(dir)
+        cells.filter(col("time_idx") >= 13)
+          .withColumn("time_idx", col("time_idx") - 13)
+          .write.format("zarr")
+          .option("dims", "time:18,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst")
+          .mode("append").save(dir)
+        s.read.format("zarr").load(dir)
+          .filter(!isnan(col("sst")))
+          .groupBy(col("time_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("sst") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells WHERE t_idx BETWEEN 0 AND 30 GROUP BY t_idx"""),
+      "zarr append_dim=time through SQL: two store-resize appends ≡ one batch write")
   )
 }

@@ -103,11 +103,19 @@ private[sources] object ZarrWriteSpec {
   }
 }
 
-/** Write-intent table (`dims` option present): `append` creates a NEW
-  * store (failing if one exists), `overwrite` replaces it. The insert
-  * delegates to [[ZarrGroup.writeDataset]], whose chunk assembly runs in
-  * executor tasks (groupByKey on the chunk index) — the driver only
-  * writes group metadata. */
+/** Write-intent table (`dims` option present): `append` creates the store
+  * when absent and otherwise APPENDS along the first declared dimension —
+  * a store-resize in the `to_zarr(append_dim="time")` sense: the store's
+  * chunk grid and non-append dim sizes must match the declared ones, the
+  * first dims entry's size is the size of the NEW block (rows carry
+  * block-local 0-based indices), new-slice chunks land distributed (a
+  * straddling edge chunk merges in place), and `shape[0]` bumps LAST so a
+  * live reader — including the repo's own zarr stream source — never sees
+  * promised-but-unwritten slices. `overwrite` replaces the store. On
+  * append the store's v2/v3 flavor and fill win over the options. The
+  * insert delegates to [[ZarrGroup.writeDataset]]/[[ZarrGroup.appendDataset]],
+  * whose chunk assembly runs in executor tasks (one Tungsten exchange on
+  * the chunk index) — the driver only writes group metadata. */
 private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
     extends Table
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -130,12 +138,12 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(conf)
             if (overwrite) fs.delete(p, true)
-            else require(!fs.exists(p),
-              s"zarr store $path already exists — use mode(\"overwrite\") " +
-                "to replace it (in-place time appends are a store-resize " +
-                "operation, not a table insert)")
-            ZarrGroup.writeDataset(data, path, spec.dims, spec.chunks,
-              valueCols = spec.cols, v3 = spec.v3, fill = spec.fill)
+            if (!overwrite && fs.exists(p))
+              ZarrGroup.appendDataset(data, path, spec.dims, spec.chunks,
+                valueCols = spec.cols)
+            else
+              ZarrGroup.writeDataset(data, path, spec.dims, spec.chunks,
+                valueCols = spec.cols, v3 = spec.v3, fill = spec.fill)
           }
       }
     }

@@ -534,101 +534,11 @@ object ZarrGroup extends Serializable {
       require(valueCols.nonEmpty, "arrays() needs at least one value column")
       val dimNames = dims.map(_._1)
       val sizes = dims.map(_._2)
-      val nd = dims.length
       valueCols.foreach(vc => addMember(vc, sizes, chunks, dimNames, fill))
-
-      val spark = df.sparkSession
-      val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-      val chunkLen = chunks.product
-      val nV = valueCols.length
-      val chB = chunks.toArray
-      val vcB = valueCols.toArray
-      val dirB = dir
-      val isV3 = v3
-      val fillB = fill
-      val bloscB = !v3 && compressor.contains("blosc")
       valueCols.foreach(vc =>
         driverFs.mkdirs(new org.apache.hadoop.fs.Path(dir, vc)))
-
-      // One Tungsten exchange keyed on the LINEAR chunk id, sorted within
-      // partitions so each task streams chunk runs holding ONE chunk's
-      // buffers at a time — the same memory shape as the former typed
-      // groupByKey, minus the Row-encoder boxing (the encoder-free path
-      // measured ~3× the rows/s on the netcdf archive sink, PERF.md).
-      val nChunksPerDim = dims.indices.map(d => (sizes(d) + chunks(d) - 1) / chunks(d))
-      val cidCol = dims.indices.map { d =>
-        val g = col(s"${dimNames(d)}_idx").cast("long")
-        ((g - pmod(g, lit(chB(d)))) / chB(d)).cast("long")
-      }.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, d)) =>
-        acc * nChunksPerDim(d) + c
-      }
-      // rows outside the declared shape are DROPPED before the exchange:
-      // an out-of-range index would alias into a different valid chunk
-      // through the linear cid (the mixed-radix encode is only a bijection
-      // over the in-range grid)
-      val inRange = dims.indices.map { d =>
-        val g = col(s"${dimNames(d)}_idx")
-        g.isNotNull && g >= 0 && g < sizes(d)
-      }.reduce(_ && _)
-      val prepared = df.filter(inRange).select(
-        (cidCol.cast("long").as("__cid") +:
-          dimNames.map(dn => col(s"${dn}_idx").cast("int"))) ++
-          valueCols.map(vc => col(vc).cast("double")): _*)
-      val nParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
-      val ncB = nChunksPerDim.toArray
-      val ndB = nd
-      prepared.repartition(nParts, col("__cid")).sortWithinPartitions("__cid")
-        .queryExecution.toRdd.mapPartitions { it =>
-          val fs = new org.apache.hadoop.fs.Path(dirB).getFileSystem(conf.value)
-          var curCid = Long.MinValue
-          val ci = new Array[Int](ndB)
-          var bufs: Array[ByteBuffer] = null
-          val written = Seq.newBuilder[String]
-          def flush(): Unit = if (bufs != null) {
-            val rel = if (isV3) ("c" +: ci.map(_.toString)).mkString("/")
-              else ci.mkString(".")
-            var vi = 0
-            while (vi < nV) {
-              val payload = if (isV3)
-                ZarrSource.v3EncodeChain(bufs(vi).array(), Seq(ZarrSource.ZstdC))
-              else if (bloscB) Blosc.compress(bufs(vi).array(), typesize = 8)
-              else bufs(vi).array()
-              ZarrSource.putBytes(fs,
-                new org.apache.hadoop.fs.Path(s"$dirB/${vcB(vi)}", rel), payload)
-              vi += 1
-            }
-            written += rel
-            bufs = null
-          }
-          it.foreach { r =>
-            val cid = r.getLong(0)
-            if (cid != curCid) {
-              flush()
-              curCid = cid
-              var rem = cid
-              var d = ndB - 1
-              while (d >= 0) { ci(d) = (rem % ncB(d)).toInt; rem /= ncB(d); d -= 1 }
-              bufs = Array.fill(nV)(
-                ByteBuffer.allocate(chunkLen * 8).order(ByteOrder.LITTLE_ENDIAN))
-              bufs.foreach { b =>
-                var i = 0
-                while (i < chunkLen) { b.putDouble(i * 8, fillB); i += 1 }
-              }
-            }
-            var flat = 0
-            var d = 0
-            while (d < ndB) { flat = flat * chB(d) + (r.getInt(1 + d) - ci(d) * chB(d)); d += 1 }
-            var vi = 0
-            while (vi < nV) {
-              if (!r.isNullAt(1 + ndB + vi))
-                bufs(vi).putDouble(flat * 8, r.getDouble(1 + ndB + vi))
-              vi += 1
-            }
-          }
-          flush()
-          written.result().iterator
-        }
-        .collect() // materialize writes
+      writeChunkJob(df, dir, dimNames, sizes, chunks, valueCols, fill,
+        v3, blosc = !v3 && compressor.contains("blosc"))
       this
     }
 
@@ -762,5 +672,320 @@ object ZarrGroup extends Serializable {
     w.arrays(df, dims, chunks, valueCols, fill)
     coords.keys.toSeq.sorted.foreach(cn => w.coord(cn, coords(cn)))
     w.finish(attrs)
+  }
+
+  /** The distributed chunk-write job shared by [[GroupWriter.arrays]]
+    * (create) and [[appendDataset]] (store-resize append): ONE Tungsten
+    * exchange keyed on the LINEAR chunk id over the TOTAL grid, sorted
+    * within partitions so each task streams chunk runs holding ONE
+    * chunk's buffers at a time — the same memory shape as a typed
+    * groupByKey, minus the Row-encoder boxing (the encoder-free path
+    * measured ~3× the rows/s on the netcdf archive sink, PERF.md).
+    *
+    * Rows outside the declared shape are DROPPED before the exchange: an
+    * out-of-range index would alias into a different valid chunk through
+    * the linear cid (the mixed-radix encode is only a bijection over the
+    * in-range grid).
+    *
+    * Append mode (`offset0 > 0` or `initMetas` nonempty): dim-0 indices
+    * arrive LOCAL to the appended block (`0 until totalSizes(0) −
+    * offset0`) and shift by `offset0` onto the grown axis; a chunk whose
+    * file ALREADY EXISTS initializes from the store bytes instead of
+    * `fill`, so the edge chunk a non-chunk-aligned append straddles
+    * merges in place (executor-side read-modify-write — zarr's contract
+    * is one writer at a time per array, same as xarray's `to_zarr`). */
+  private[sources] def writeChunkJob(df: DataFrame, dir: String,
+      dimNames: Seq[String], totalSizes: Seq[Int], chunks: Seq[Int],
+      valueCols: Seq[String], fill: Double, v3: Boolean, blosc: Boolean,
+      offset0: Int = 0,
+      initMetas: Map[String, ZarrSource.ZarrMeta] = Map.empty): Unit = {
+    val spark = df.sparkSession
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val nd = dimNames.length
+    val chunkLen = chunks.product
+    val nV = valueCols.length
+    val chB = chunks.toArray
+    val vcB = valueCols.toArray
+    val dirB = dir
+    val isV3 = v3
+    val fillB = fill
+    val bloscB = blosc
+    val blockN0 = totalSizes.head - offset0
+    val initB: Array[ZarrSource.ZarrMeta] =
+      if (initMetas.isEmpty) null else valueCols.map(initMetas(_)).toArray
+
+    val nChunksPerDim = totalSizes.indices.map(d =>
+      (totalSizes(d) + chunks(d) - 1) / chunks(d))
+    val inRange = dimNames.indices.map { d =>
+      val g = col(s"${dimNames(d)}_idx")
+      g.isNotNull && g >= 0 && g < (if (d == 0) blockN0 else totalSizes(d))
+    }.reduce(_ && _)
+    def globalIdx(d: Int) = {
+      val g = col(s"${dimNames(d)}_idx").cast("int")
+      if (d == 0 && offset0 > 0) (g + lit(offset0)).cast("int") else g
+    }
+    val cidCol = dimNames.indices.map { d =>
+      val g = globalIdx(d).cast("long")
+      ((g - pmod(g, lit(chB(d)))) / chB(d)).cast("long")
+    }.zipWithIndex.foldLeft(lit(0L)) { case (acc, (c, d)) =>
+      acc * nChunksPerDim(d) + c
+    }
+    val prepared = df.filter(inRange).select(
+      (cidCol.cast("long").as("__cid") +:
+        dimNames.indices.map(d => globalIdx(d).as(s"__g$d"))) ++
+        valueCols.map(vc => col(vc).cast("double")): _*)
+    val nParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    val ncB = nChunksPerDim.toArray
+    val ndB = nd
+    prepared.repartition(nParts, col("__cid")).sortWithinPartitions("__cid")
+      .queryExecution.toRdd.mapPartitions { it =>
+        val fs = new org.apache.hadoop.fs.Path(dirB).getFileSystem(conf.value)
+        var curCid = Long.MinValue
+        val ci = new Array[Int](ndB)
+        var bufs: Array[ByteBuffer] = null
+        val written = Seq.newBuilder[String]
+        def flush(): Unit = if (bufs != null) {
+          val rel = if (isV3) ("c" +: ci.map(_.toString)).mkString("/")
+            else ci.mkString(".")
+          var vi = 0
+          while (vi < nV) {
+            val payload = if (isV3)
+              ZarrSource.v3EncodeChain(bufs(vi).array(), Seq(ZarrSource.ZstdC))
+            else if (bloscB) Blosc.compress(bufs(vi).array(), typesize = 8)
+            else bufs(vi).array()
+            ZarrSource.putBytes(fs,
+              new org.apache.hadoop.fs.Path(s"$dirB/${vcB(vi)}", rel), payload)
+            vi += 1
+          }
+          written += rel
+          bufs = null
+        }
+        it.foreach { r =>
+          val cid = r.getLong(0)
+          if (cid != curCid) {
+            flush()
+            curCid = cid
+            var rem = cid
+            var d = ndB - 1
+            while (d >= 0) { ci(d) = (rem % ncB(d)).toInt; rem /= ncB(d); d -= 1 }
+            bufs = Array.fill(nV)(
+              ByteBuffer.allocate(chunkLen * 8).order(ByteOrder.LITTLE_ENDIAN))
+            if (initB == null) bufs.foreach { b =>
+              var i = 0
+              while (i < chunkLen) { b.putDouble(i * 8, fillB); i += 1 }
+            } else {
+              // append: merge onto whatever the store already holds at this
+              // chunk index (fill pattern when the file is absent)
+              var vi = 0
+              while (vi < nV) {
+                val old = chunkValues(fs, s"$dirB/${vcB(vi)}", initB(vi), ci.toSeq)
+                var i = 0
+                while (i < chunkLen) { bufs(vi).putDouble(i * 8, old(i)); i += 1 }
+                vi += 1
+              }
+            }
+          }
+          var flat = 0
+          var d = 0
+          while (d < ndB) { flat = flat * chB(d) + (r.getInt(1 + d) - ci(d) * chB(d)); d += 1 }
+          var vi = 0
+          while (vi < nV) {
+            if (!r.isNullAt(1 + ndB + vi))
+              bufs(vi).putDouble(flat * 8, r.getDouble(1 + ndB + vi))
+            vi += 1
+          }
+        }
+        flush()
+        written.result().iterator
+      }
+      .collect() // materialize writes
+  }
+
+  /** Append a block along the FIRST (slowest-varying) dimension of an
+    * existing zarr GROUP — the write dual of the zarr STREAM source and
+    * the engine's `to_zarr(append_dim="time")` (helper.py:505): a
+    * store-RESIZE, not a table insert. The store's layout is validated
+    * against the declared one (chunks, non-append dim sizes, dtype,
+    * codec), new-slice chunks are written in the same distributed
+    * one-exchange job as a create (an edge chunk a non-chunk-aligned
+    * append straddles merges in place), and ONLY THEN does the metadata
+    * advertise the grown axis — chunks land before `shape[0]` bumps, so a
+    * live reader (the repo's own zarr stream source) never sees promised
+    * slices whose data is still in flight.
+    *
+    * @param dims      (name, size) per dimension in storage order; the
+    *                  FIRST entry's size is the size of the NEW BLOCK
+    *                  (rows carry block-local 0-based indices), the rest
+    *                  must equal the store's
+    * @param newCoords new coordinate values (length = block size) for
+    *                  every rank-1 member indexing the append dimension;
+    *                  REQUIRED for each such member — a coord left behind
+    *                  would break the group's dim consistency */
+  def appendDataset(df: DataFrame, dir: String, dims: Seq[(String, Int)],
+      chunks: Seq[Int], valueCols: Seq[String],
+      newCoords: Map[String, Array[Double]] = Map.empty): Unit = {
+    require(dims.nonEmpty && dims.length == chunks.length,
+      s"dims (${dims.length}) and chunks (${chunks.length}) must align")
+    require(valueCols.nonEmpty, "appendDataset needs at least one value column")
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val g = open(dir, conf)
+    val v3 = g.format == 3
+    val dimNames = dims.map(_._1)
+    val appendDim = dimNames.head
+    val nNew = dims.head._2
+    require(nNew > 0, s"append block along '$appendDim' must be non-empty")
+
+    val metas = valueCols.map { vc =>
+      val m = g.members.getOrElse(vc, throw new IllegalArgumentException(
+        s"no member '$vc' in zarr group $dir to append to " +
+          s"(have: ${g.members.keys.toSeq.sorted.mkString(", ")})"))
+      require(m.dims == dimNames,
+        s"member '$vc' has dims (${m.dims.mkString(", ")}) but the append " +
+          s"declares (${dimNames.mkString(", ")})")
+      require(m.meta.chunks == chunks,
+        s"member '$vc' is chunked ${m.meta.chunks.mkString("x")} but the " +
+          s"append declares ${chunks.mkString("x")} — appends reuse the " +
+          "store's chunk grid")
+      require(m.meta.shape.tail == dims.tail.map(_._2),
+        s"member '$vc' has shape ${m.meta.shape.mkString("x")} but the " +
+          s"append declares non-$appendDim sizes ${dims.tail.map(_._2).mkString("x")}")
+      require(m.meta.dtype == "<f8",
+        s"member '$vc' has dtype ${m.meta.dtype} — the append writer " +
+          "emits little-endian float64 ('<f8') only")
+      require(m.meta.order == "C", s"member '$vc' is not C-order")
+      if (v3) require(m.meta.v3Codecs == Seq(ZarrSource.ZstdC),
+        s"member '$vc' uses a v3 codec chain this writer cannot extend " +
+          s"(${m.meta.v3Codecs.mkString("→")}; supported: bytes→zstd)")
+      else require(m.meta.compressor.forall(_ == "blosc"),
+        s"member '$vc' uses v2 compressor '${m.meta.compressor.get}' " +
+          "(supported: raw, blosc)")
+      m.meta
+    }
+    val nt0 = metas.head.shape.head
+    require(metas.forall(_.shape.head == nt0),
+      s"appended members disagree on '$appendDim' length " +
+        s"(${valueCols.zip(metas.map(_.shape.head)).mkString(", ")})")
+
+    // every member spanning the append dim must grow with it
+    g.members.values.foreach { m =>
+      val isCoord = m.dims == Seq(appendDim)
+      if (m.dims.contains(appendDim) &&
+          !valueCols.contains(m.name) && !(isCoord && newCoords.contains(m.name)))
+        throw new IllegalArgumentException(
+          s"member '${m.name}' spans append dim '$appendDim' but is neither " +
+            "an appended value column nor given new coordinate values — " +
+            "appending would leave the group dimensionally inconsistent " +
+            "(SQL appends cannot carry coordinate values; use " +
+            "ZarrGroup.appendDataset directly for stores with a " +
+            s"'$appendDim' coordinate)")
+    }
+    newCoords.foreach { case (n, a) =>
+      val m = g.members.getOrElse(n, throw new IllegalArgumentException(
+        s"newCoords names '$n', which is not a member of $dir"))
+      require(m.dims == Seq(appendDim),
+        s"newCoords['$n'] must be a rank-1 coordinate over '$appendDim', " +
+          s"got dims (${m.dims.mkString(", ")})")
+      require(a.length == nNew,
+        s"newCoords['$n'] has ${a.length} values, append block has $nNew")
+      require(m.meta.dtype == "<f8",
+        s"coord '$n' has dtype ${m.meta.dtype} — '<f8' only")
+    }
+
+    // 1) data chunks, distributed; straddling edge chunks merge in place
+    writeChunkJob(df, dir, dimNames, (nt0 + nNew) +: dims.tail.map(_._2),
+      chunks, valueCols, fill = Double.NaN, v3 = v3,
+      blosc = metas.head.compressor.contains("blosc"), offset0 = nt0,
+      initMetas = valueCols.zip(metas).toMap)
+
+    // 2) extended coordinates (driver-side; axes are metadata-sized) —
+    //    rewritten as ONE chunk of the new full length, like a create
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    newCoords.toSeq.sortBy(_._1).foreach { case (n, a) =>
+      val m = g.members(n).meta
+      val merged = readWholeArray(fs, s"$dir/$n", m) ++ a
+      val buf = ByteBuffer.allocate(merged.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      merged.foreach(buf.putDouble)
+      val payload =
+        if (v3) ZarrSource.v3EncodeChain(buf.array(), Seq(ZarrSource.ZstdC))
+        else if (m.compressor.contains("blosc")) Blosc.compress(buf.array(), typesize = 8)
+        else buf.array()
+      ZarrSource.putBytes(fs,
+        new org.apache.hadoop.fs.Path(s"$dir/$n", if (v3) "c/0" else "0"), payload)
+    }
+
+    // 3) metadata LAST: only now does any reader see the grown axis
+    patchAppendMetadata(fs, dir, v3,
+      (valueCols.map(_ -> (nt0 + nNew)) ++
+        newCoords.keys.map(_ -> (nt0 + nNew))).toMap,
+      rechunk = newCoords.keys.map(n => n -> (nt0 + nNew)).toMap)
+  }
+
+  /** Patch `shape[0]` (and, for re-chunked coordinate axes, the chunk
+    * shape) of the named members' array metadata plus the consolidated
+    * group metadata — the FINAL step of [[appendDataset]]. Patching (a
+    * parse → targeted transform → re-render) preserves every other field
+    * byte-for-byte semantically: attributes, fill, codecs, and members
+    * this append never touched. */
+  private def patchAppendMetadata(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, v3: Boolean, newSize0: Map[String, Int],
+      rechunk: Map[String, Int]): Unit = {
+    def slurp(p: org.apache.hadoop.fs.Path): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in).mkString) finally in.close()
+      }
+    def patchArray(j: JValue, size0: Int, rechunkLen: Option[Int]): JValue = {
+      val s = j.transformField {
+        case ("shape", JArray(a)) => ("shape", JArray(JInt(size0) :: a.tail))
+      }
+      rechunkLen match {
+        case Some(len) => s.transformField {
+          case ("chunks", JArray(_)) => ("chunks", JArray(List(JInt(len))))
+          case ("chunk_shape", JArray(_)) => ("chunk_shape", JArray(List(JInt(len))))
+        }
+        case None => s
+      }
+    }
+    def rewrite(p: org.apache.hadoop.fs.Path, j: JValue): Unit =
+      ZarrSource.putBytes(fs, p, JsonMethods.compact(JsonMethods.render(j)).getBytes)
+
+    if (v3) {
+      newSize0.foreach { case (n, sz) =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$n", "zarr.json")
+        slurp(p).foreach(s =>
+          rewrite(p, patchArray(JsonMethods.parse(s), sz, rechunk.get(n))))
+      }
+      val gp = new org.apache.hadoop.fs.Path(dir, "zarr.json")
+      slurp(gp).foreach { s =>
+        val patched = JsonMethods.parse(s).transformField {
+          case ("metadata", JObject(entries)) => ("metadata", JObject(entries.map {
+            case (k, v) if newSize0.contains(k) =>
+              (k, patchArray(v, newSize0(k), rechunk.get(k)))
+            case e => e
+          }))
+        }
+        rewrite(gp, patched)
+      }
+    } else {
+      newSize0.foreach { case (n, sz) =>
+        val p = new org.apache.hadoop.fs.Path(s"$dir/$n", ".zarray")
+        slurp(p).foreach(s =>
+          rewrite(p, patchArray(JsonMethods.parse(s), sz, rechunk.get(n))))
+      }
+      val zm = new org.apache.hadoop.fs.Path(dir, ".zmetadata")
+      slurp(zm).foreach { s =>
+        val patched = JsonMethods.parse(s).transformField {
+          case ("metadata", JObject(entries)) => ("metadata", JObject(entries.map {
+            case (k, v) if k.endsWith("/.zarray") &&
+                newSize0.contains(k.stripSuffix("/.zarray")) =>
+              val n = k.stripSuffix("/.zarray")
+              (k, patchArray(v, newSize0(n), rechunk.get(n)))
+            case e => e
+          }))
+        }
+        rewrite(zm, patched)
+      }
+    }
   }
 }

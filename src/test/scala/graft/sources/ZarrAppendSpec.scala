@@ -1,0 +1,167 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+
+/** Zarr `append_dim=time` — the write dual of the zarr STREAM source and
+  * the engine's growing production stores (`to_zarr(append_dim="time")`,
+  * helper.py:505): `df.write.format("zarr").mode("append")` onto an
+  * existing store RESIZES it — new-slice chunks land distributed, a
+  * straddling edge chunk merges in place, and `shape[0]` bumps LAST so a
+  * live reader never sees promised-but-unwritten slices. */
+class ZarrAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String = "graft_zappend"): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def cells(nt: Int, ny: Int, nx: Int, tBase: Int = 0) =
+    (for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx)
+      yield (t, y, x, (t + tBase) * 100.0 + y * 10.0 + x))
+      .toDF("time_idx", "y_idx", "x_idx", "sst")
+
+  private def sqlWrite(df: org.apache.spark.sql.DataFrame, dir: String,
+      nt: Int, mode: String, chunks: String = "2,3,4",
+      dims: String = "", cols: String = "sst"): Unit =
+    df.write.format("zarr")
+      .option("dims", if (dims.nonEmpty) dims else s"time:$nt,y:3,x:4")
+      .option("chunks", chunks).option("cols", cols)
+      .mode(mode).save(dir)
+
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+  test("two appends == one batch write, chunk-aligned") {
+    val one = tmpDir(); val two = tmpDir()
+    sqlWrite(cells(8, 3, 4), one, 8, "overwrite")
+    sqlWrite(cells(4, 3, 4), two, 4, "append")
+    sqlWrite(cells(4, 3, 4, tBase = 4), two, 4, "append")
+    val a = spark.read.format("zarr").load(one)
+    val b = spark.read.format("zarr").load(two)
+    assert(b.count() == 8 * 3 * 4)
+    assert(a.join(b.withColumnRenamed("sst", "app"),
+      Seq("time_idx", "y_idx", "x_idx"), "full")
+      .filter(col("sst") =!= col("app") ||
+        col("sst").isNull || col("app").isNull).count() == 0,
+      "appended store must equal the single batch write cell-for-cell")
+  }
+
+  test("a non-chunk-aligned append merges the straddling edge chunk in place") {
+    val one = tmpDir(); val two = tmpDir()
+    // time chunk 2, first block 3 slices: chunk 1 holds (t=2, t=3) — the
+    // second append's t=3 must merge INTO the existing chunk-1 file
+    sqlWrite(cells(7, 3, 4), one, 7, "overwrite")
+    sqlWrite(cells(3, 3, 4), two, 3, "append")
+    sqlWrite(cells(4, 3, 4, tBase = 3), two, 4, "append")
+    val a = spark.read.format("zarr").load(one)
+    val b = spark.read.format("zarr").load(two)
+    assert(b.count() == 7 * 3 * 4)
+    assert(a.join(b.withColumnRenamed("sst", "app"),
+      Seq("time_idx", "y_idx", "x_idx"), "full")
+      .filter(col("sst") =!= col("app") ||
+        col("sst").isNull || col("app").isNull).count() == 0,
+      "slice t=2 (pre-existing half of the straddling chunk) and t=3..6 " +
+        "must all be exact after the merge")
+  }
+
+  test("v3 stores append identically") {
+    val dir = tmpDir()
+    cells(3, 3, 4).write.format("zarr")
+      .option("dims", "time:3,y:3,x:4").option("chunks", "2,3,4")
+      .option("cols", "sst").option("v3", "true")
+      .mode("overwrite").save(dir)
+    sqlWrite(cells(2, 3, 4, tBase = 3), dir, 2, "append")
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.count() == 5 * 3 * 4)
+    assert(back.filter(col("sst") =!=
+      col("time_idx") * 100.0 + col("y_idx") * 10.0 + col("x_idx")).count() == 0)
+  }
+
+  test("multi-variable stores append every member; sparse appends keep fill") {
+    val dir = tmpDir()
+    val withN = (df: org.apache.spark.sql.DataFrame) => df.withColumn("n_obs", lit(7.0))
+    sqlWrite(withN(cells(2, 3, 4)), dir, 2, "overwrite", cols = "sst,n_obs")
+    // appended block covers only y=0 → other cells of the new slices = fill
+    sqlWrite(withN(cells(2, 3, 4, tBase = 2)).filter(col("y_idx") === 0),
+      dir, 2, "append", cols = "sst,n_obs")
+    val back = spark.read.format("zarr").load(dir).cache()
+    assert(back.count() == 4 * 3 * 4)
+    assert(back.filter(col("time_idx") >= 2 && col("y_idx") =!= 0)
+      .filter(!isnan(col("sst")) || !isnan(col("n_obs"))).count() == 0,
+      "cells the append never covered read as fill")
+    assert(back.filter(col("time_idx") >= 2 && col("y_idx") === 0)
+      .filter(col("n_obs") =!= 7.0).count() == 0)
+    back.unpersist()
+  }
+
+  test("append validates layout with named errors") {
+    val dir = tmpDir()
+    sqlWrite(cells(2, 3, 4), dir, 2, "overwrite")
+    val eChunks = intercept[Exception](
+      sqlWrite(cells(2, 3, 4), dir, 2, "append", chunks = "1,3,4"))
+    assert(msgs(eChunks).exists(_.contains("chunk")), "chunk-grid mismatch is named")
+    val eDims = intercept[Exception](
+      sqlWrite(cells(2, 3, 5), dir, 2, "append", dims = "time:2,y:3,x:5",
+        chunks = "2,3,4"))
+    assert(msgs(eDims).exists(m => m.contains("shape") || m.contains("dims")),
+      "non-append dim size mismatch is named")
+    val eCol = intercept[Exception](
+      sqlWrite(cells(2, 3, 4).withColumnRenamed("sst", "other"), dir, 2,
+        "append", cols = "other"))
+    assert(msgs(eCol).exists(_.contains("no member")), "unknown member is named")
+    val eShort = intercept[Exception](
+      ZarrGroup.appendDataset(cells(2, 3, 4), dir,
+        Seq("time" -> 2, "y" -> 3, "x" -> 4), Seq(2, 3, 4), Seq.empty))
+    assert(msgs(eShort).exists(_.contains("value column")))
+  }
+
+  test("a time coordinate extends through appendDataset; SQL appends name the gap") {
+    val dir = tmpDir()
+    ZarrGroup.writeDataset(cells(2, 3, 4), dir,
+      Seq("time" -> 2, "y" -> 3, "x" -> 4), Seq(2, 3, 4), Seq("sst"),
+      coords = Map("time" -> Array(10.0, 11.0)))
+    // SQL append cannot carry coordinate values → named error, store intact
+    val e = intercept[Exception](sqlWrite(cells(2, 3, 4, 2), dir, 2, "append"))
+    assert(msgs(e).exists(_.contains("coordinate")))
+    // programmatic append extends the coord alongside the data
+    ZarrGroup.appendDataset(cells(2, 3, 4, tBase = 2), dir,
+      Seq("time" -> 2, "y" -> 3, "x" -> 4), Seq(2, 3, 4), Seq("sst"),
+      newCoords = Map("time" -> Array(12.0, 13.0)))
+    val g = ZarrGroup.open(dir, spark.sparkContext.hadoopConfiguration)
+    assert(g.members("time").meta.shape == Seq(4))
+    assert(g.members("sst").meta.shape == Seq(4, 3, 4))
+    val ds = ZarrGroup.readDataset(spark, dir)
+    val times = ds.select("time").distinct().as[Double].collect().sorted
+    assert(times.toSeq == Seq(10.0, 11.0, 12.0, 13.0))
+  }
+
+  test("the zarr stream source consumes appends live") {
+    val dir = tmpDir()
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_zappend_ck").toFile
+    val out = java.nio.file.Files.createTempDirectory("graft_zappend_out").toFile
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("zarr").option("var", "sst").load(dir)
+        .writeStream.outputMode("append").format("parquet")
+        .option("path", out.getAbsolutePath)
+        .option("checkpointLocation", ckpt.getAbsolutePath)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    sqlWrite(cells(3, 3, 4), dir, 3, "append")
+    runOnce()
+    assert(spark.read.parquet(out.getAbsolutePath).count() == 3 * 3 * 4)
+    sqlWrite(cells(4, 3, 4, tBase = 3), dir, 4, "append")
+    runOnce()
+    val all = spark.read.parquet(out.getAbsolutePath)
+    assert(all.count() == 7 * 3 * 4, "the appended slices stream exactly once")
+    assert(all.select("t_idx").distinct().count() == 7)
+    assert(all.filter(col("value") =!=
+      col("t_idx") * 100.0 + col("y") * 10.0 + col("x")).count() == 0,
+      "straddling-chunk slices merge without corrupting either side")
+  }
+}

@@ -36,7 +36,7 @@ class ZarrWriteSpec2 extends SparkSpec {
       .filter(col("sst") =!= col("expected")).count() == 0)
   }
 
-  test("append to an existing store fails; overwrite replaces it") {
+  test("append to an existing store grows the time axis; overwrite replaces it") {
     val dir = tmpDir()
     def write(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
       df.write.format("zarr")
@@ -44,12 +44,14 @@ class ZarrWriteSpec2 extends SparkSpec {
         .option("cols", "sst")
         .mode(mode).save(dir)
     write(cells(2, 2, 2), "append")
-    val e = intercept[Exception](write(cells(2, 2, 2), "append"))
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("already exists")))
+    write(cells(2, 2, 2).withColumn("sst", col("sst") + 500.0), "append")
+    val grown = spark.read.format("zarr").load(dir)
+    assert(grown.count() == 4 * 2 * 2, "append resizes shape[0], 2+2 slices")
+    assert(grown.filter(col("time_idx") >= 2)
+      .agg(min("sst")).head.getDouble(0) >= 500.0)
     write(cells(2, 2, 2).withColumn("sst", col("sst") + 1000.0), "overwrite")
     val back = spark.read.format("zarr").load(dir)
+    assert(back.count() == 2 * 2 * 2, "overwrite replaces, not appends")
     assert(back.agg(min("sst")).head.getDouble(0) >= 1000.0)
   }
 
