@@ -1307,6 +1307,41 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells WHERE t_idx BETWEEN 0 AND 30 GROUP BY t_idx"""),
-      "zarr append_dim=time through SQL: two store-resize appends ≡ one batch write")
+      "zarr append_dim=time through SQL: two store-resize appends ≡ one batch write"),
+
+    // ── df.write.format("hdf5table"): SQL symmetry for the tabular format ─
+    // The write dual of q81: the same doc_stats table lands through the
+    // DSv2 WRITE (wrapping writeCompoundTable) with the per-group stats as
+    // a NESTED STRUCT column — which must round-trip as a nested compound
+    // member — then reads back through the same format("hdf5table") scan.
+    // The oracle recomputes from parquet, so a defect in the write
+    // assembly, the nested member layout, or the read-back decode
+    // mismatches.
+    QueryDef("q90_hdf5table_sql_write",
+      (s, d) => {
+        val table = Tables.load(s, d, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(struct(
+            count(lit(1)).cast("double").as("n_docs"),
+            sum(col("n_chars")).cast("double").as("sum_chars")).as("stats"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q90.h5"
+        table.write.format("hdf5table").option("var", "doc_stats")
+          .option("chunkRows", "8")
+          .mode("overwrite").save(path)
+        s.read.format("hdf5table").option("var", "doc_stats").load(path)
+          .select(col("lang"), col("stats.sum_chars").as("sc"),
+            col("stats.n_docs").as("nd"))
+          .groupBy("lang")
+          .agg(sum(col("sc")).cast("long").as("sum_chars"),
+            sum(col("nd")).cast("long").as("n_docs"))
+      },
+      Some("""WITH t AS (
+                SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+                FROM documents GROUP BY 1, 2)
+              SELECT lang,
+                     CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+                     CAST(sum(n_docs) AS BIGINT) AS n_docs
+              FROM t GROUP BY lang"""),
+      "df.write.format(\"hdf5table\"): SQL compound-table write with nested STRUCT + read-back")
   )
 }

@@ -40,7 +40,12 @@ class Hdf5TableDataSourceV2 extends TableProvider
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (path, varName) = Hdf5TableV2.pathVar(options.asCaseSensitiveMap())
-    Hdf5TableV2.schemaOf(Hdf5TableV2.compoundOf(path, varName)._2)
+    // a missing file is WRITE intent (`df.write.format("hdf5table")` onto a
+    // fresh path): the table ACCEPT_ANY_SCHEMAs the incoming frame, so the
+    // inferred schema is moot — reads of a missing file still fail loudly,
+    // at scan time
+    try Hdf5TableV2.schemaOf(Hdf5TableV2.compoundOf(path, varName)._2)
+    catch { case _: java.io.FileNotFoundException => new StructType() }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -91,14 +96,60 @@ private[sources] object Hdf5TableV2 {
 }
 
 private[sources] class Hdf5TableV2(path: String, varName: String)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  import org.apache.spark.sql.connector.write._
+
   override def name(): String = s"hdf5table:$path#$varName"
   override def schema(): StructType =
-    Hdf5TableV2.schemaOf(Hdf5TableV2.compoundOf(path, varName)._2)
+    try Hdf5TableV2.schemaOf(Hdf5TableV2.compoundOf(path, varName)._2)
+    catch { case _: java.io.FileNotFoundException => new StructType() }
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new Hdf5TableScanBuilder(path, varName)
+
+  /** `df.write.format("hdf5table").option("var", name)` — SQL symmetry for
+    * the compound-table read (the q84/q85 dual for the tabular format),
+    * wrapping [[NetCDF4Source.writeCompoundTable]]: numerics → f64, LONG →
+    * i64, STRING → fixed-length sized to the data (or
+    * `.option("stringSizes", "name:bytes,…")`, dotted paths for nested
+    * members), STRUCT → nested compound. `overwrite` replaces the file;
+    * `append` creates it and errors if it exists — an HDF5 file is a
+    * single driver-side assembly (see writeCompoundTable's scaladoc), not
+    * an appendable store like zarr. Optional `.option("chunkRows", n)`
+    * chunks + deflates the table. */
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: org.apache.spark.sql.sources.InsertableRelation =
+          (data: org.apache.spark.sql.DataFrame, _: Boolean) => {
+            val opts = info.options
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(
+              data.sparkSession.sparkContext.hadoopConfiguration)
+            if (!overwrite && fs.exists(p)) throw new IllegalArgumentException(
+              s"$path already exists — an HDF5 file is a single-assembly " +
+                "sink (no in-place appends); use mode(\"overwrite\")")
+            val stringSizes = Option(opts.get("stringSizes")).map(_.split(",")
+              .map { part =>
+                part.split(":") match {
+                  case Array(n, sz) => n.trim -> sz.trim.toInt
+                  case _ => throw new IllegalArgumentException(
+                    s"malformed stringSizes entry '$part' (want name:bytes)")
+                }
+              }.toMap).getOrElse(Map.empty[String, Int])
+            NetCDF4Source.writeCompoundTable(data, path, varName,
+              stringSizes = stringSizes,
+              chunkRows = Option(opts.get("chunkRows")).map(_.toInt),
+              elideDefaultChunks = opts.getBoolean("elideDefaultChunks", false))
+          }
+      }
+    }
 }
 
 private[sources] class Hdf5TableScanBuilder(path: String, varName: String)

@@ -238,42 +238,58 @@ object NetCDF4Source {
   }
 
   /** Compound-table sink: the write dual of [[readCompoundTable]] (string
-    * columns → fixed-length members sized to the data, numerics → f64).
+    * columns → fixed-length members sized to the data, LONG → i64,
+    * other numerics → f64, STRUCT → nested compound, recursively).
     * Driver-side assembly like [[write3D]] — a single HDF5 file is an
-    * inherently serial sink, for bounded result exports only. */
+    * inherently serial sink, for bounded result exports only.
+    *
+    * @param stringSizes fixed member byte sizes per column name; nested
+    *                    members address by dotted path (`"outer.inner"`) */
   def writeCompoundTable(df: DataFrame, path: String, varName: String,
       stringSizes: Map[String, Int] = Map.empty,
       chunkRows: Option[Int] = None,
       elideDefaultChunks: Boolean = false): Unit = {
     import org.apache.spark.sql.types._
     val spark = df.sparkSession
-    val fields = df.schema.fields
     val rows = df.collect()
-    val cols: Seq[(String, Hdf5.CompoundCol)] = fields.zipWithIndex.map { case (f, i) =>
+
+    def columnOf(f: StructField, prefix: String, vals: Seq[Any]): Hdf5.CompoundCol =
       f.dataType match {
         case StringType =>
-          val vals = rows.map(r => Option(r.getString(i)).getOrElse("")).toSeq
-          val size = stringSizes.getOrElse(f.name,
-            math.max(1, if (vals.isEmpty) 1 else vals.map(_.getBytes("UTF-8").length).max))
-          f.name -> Hdf5.StrCol(vals, size)
+          val ss = vals.map(v => Option(v.asInstanceOf[String]).getOrElse(""))
+          val size = stringSizes.getOrElse(prefix,
+            math.max(1, if (ss.isEmpty) 1 else ss.map(_.getBytes("UTF-8").length).max))
+          Hdf5.StrCol(ss, size)
+        case LongType =>
+          Hdf5.I64Col(vals.map(v =>
+            if (v == null) 0L else v.asInstanceOf[Long]).toArray)
+        case st: StructType =>
+          // nulls at the struct level become all-null member rows
+          val inner = vals.map(_.asInstanceOf[org.apache.spark.sql.Row])
+          Hdf5.NestedCol(st.fields.zipWithIndex.map { case (m, j) =>
+            m.name -> columnOf(m, s"$prefix.${m.name}",
+              inner.map(r => if (r == null || r.isNullAt(j)) null else r.get(j)))
+          }.toSeq)
         case _ =>
-          val vals = rows.map { r =>
-            if (r.isNullAt(i)) Double.NaN
-            else r.get(i) match {
-              case d: Double => d
-              case fl: Float => fl.toDouble
-              case l: Long => l.toDouble
-              case in: Int => in.toDouble
-              case s: Short => s.toDouble
-              case b: Byte => b.toDouble
-              case bd: java.math.BigDecimal => bd.doubleValue
-              case o => throw new IllegalArgumentException(
-                s"column ${f.name}: unsupported type ${o.getClass.getName}")
-            }
-          }
-          f.name -> Hdf5.F64Col(vals)
+          Hdf5.F64Col(vals.map {
+            case null => Double.NaN
+            case d: Double => d
+            case fl: Float => fl.toDouble
+            case l: Long => l.toDouble
+            case in: Int => in.toDouble
+            case s: Short => s.toDouble
+            case b: Byte => b.toDouble
+            case bd: java.math.BigDecimal => bd.doubleValue
+            case o => throw new IllegalArgumentException(
+              s"column $prefix: unsupported type ${o.getClass.getName}")
+          }.toArray)
       }
-    }.toSeq
+
+    val cols: Seq[(String, Hdf5.CompoundCol)] =
+      df.schema.fields.zipWithIndex.map { case (f, i) =>
+        f.name -> columnOf(f, f.name,
+          rows.toSeq.map(r => if (r.isNullAt(i)) null else r.get(i)))
+      }.toSeq
     val bytes = Hdf5.assemble(Seq(WriteVar(varName, Seq(rows.length), Array.empty,
       typed = Some(Hdf5.CompoundData(cols)), chunkDims = chunkRows.map(Seq(_)),
       elideDefaultChunks = elideDefaultChunks)))
