@@ -1342,6 +1342,43 @@ object MarexQueries extends QueryRegistry {
                      CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
                      CAST(sum(n_docs) AS BIGINT) AS n_docs
               FROM t GROUP BY lang"""),
-      "df.write.format(\"hdf5table\"): SQL compound-table write with nested STRUCT + read-back")
+      "df.write.format(\"hdf5table\"): SQL compound-table write with nested STRUCT + read-back"),
+
+    // ── grouped metadata aggregates: per-day counts with zero data reads ──
+    // groupBy(t_idx).count() over a dense archive is a header fact per
+    // file (GroupedMetadataAggSpec plan-asserts the MetadataAggScan /
+    // "data reads=0"); here the VALUES are the gate: a 2-file archive
+    // with a y/x window and a t window straddling the file boundary must
+    // produce exactly the clamped-range products the oracle derives from
+    // range() — any defect in the per-file global-axis offsets, the
+    // window clamps, or the cross-file group merge mismatches.
+    QueryDef("q91_grouped_meta_count",
+      (s, d) => {
+        import graft.sources.NetCDF4Source
+        val dir = new java.io.File(
+          s"${System.getProperty("java.io.tmpdir")}/graft_q91_arch")
+        org.apache.commons.io.FileUtils.deleteQuietly(dir)
+        dir.mkdirs()
+        def file(path: String, nt: Int): Unit = NetCDF4Source.writeVars(s, path,
+          Seq(NetCDF4Source.VarSpec("sst", Seq(nt, 10, 15),
+            Array.fill(nt * 150)(1.0), chunkDims = Some(Seq(8, 10, 15)))))
+        file(s"$dir/sst_000.nc", 16)
+        file(s"$dir/sst_001.nc", 15)
+        s.read.format("netcdf").option("var", "sst").load(dir.getAbsolutePath)
+          .filter(col("t_idx").between(10, 25) &&
+            col("y").between(2, 6) && col("x") >= 5)
+          .groupBy("t_idx")
+          .agg(count(lit(1)).as("n_cells"),
+            min(col("y")).as("min_y"), max(col("x")).as("max_x"))
+          .select(col("t_idx").cast("long").as("t"), col("n_cells"),
+            col("min_y").cast("long").as("min_y"),
+            col("max_x").cast("long").as("max_x"))
+      },
+      Some("""SELECT CAST(range AS BIGINT) AS t,
+                     CAST(50 AS BIGINT) AS n_cells,
+                     CAST(2 AS BIGINT) AS min_y,
+                     CAST(14 AS BIGINT) AS max_x
+              FROM range(10, 26)"""),
+      "Grouped metadata aggregates: per-day counts over a multi-file archive, zero chunk reads")
   )
 }

@@ -183,10 +183,10 @@ private[sources] class Hdf5TableScanBuilder(path: String, varName: String)
     pushedAgg match {
       case Some(aggs) =>
         val lim = limit
-        new MetadataAggScan(s"hdf5table:$path#$varName", aggs, () => {
+        new MetadataAggScan(s"hdf5table:$path#$varName", Seq.empty, aggs, () => {
           val rows = math.min(Hdf5TableV2.compoundOf(path, varName)._1.dims.head,
             lim.map(_.toLong).getOrElse(Long.MaxValue))
-          aggs.map { case MetaCount => rows: Any; case _ => null }.toArray
+          Seq(aggs.map { case MetaCount => rows: Any; case _ => null }.toArray)
         })
       case None => new Hdf5TableScan(path, varName, required, limit)
     }

@@ -260,9 +260,10 @@ object NetCDF4Source {
           val size = stringSizes.getOrElse(prefix,
             math.max(1, if (ss.isEmpty) 1 else ss.map(_.getBytes("UTF-8").length).max))
           Hdf5.StrCol(ss, size)
-        case LongType =>
-          Hdf5.I64Col(vals.map(v =>
-            if (v == null) 0L else v.asInstanceOf[Long]).toArray)
+        case LongType if !vals.contains(null) =>
+          // exact i64 member; nullable longs fall through to f64, whose
+          // NaN is the only representable null
+          Hdf5.I64Col(vals.map(_.asInstanceOf[Long]).toArray)
         case st: StructType =>
           // nulls at the struct level become all-null member rows
           val inner = vals.map(_.asInstanceOf[org.apache.spark.sql.Row])

@@ -393,17 +393,46 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  private var pushedAgg: Option[Seq[MetaAgg]] = None
+  private var pushedAgg: Option[(Seq[Int], Seq[MetaAgg])] = None
 
-  /** `count(*)` / `min,max(<dim>)` (no grouping) over dense grids are
-    * header-metadata facts: the count sums the clamped (t × y × x) range
-    * product per kept file, and a dim's extremes come from the clamped
-    * bounds over CONTRIBUTING files — no data chunk is ever opened. */
+  /** Per-file archive-GLOBAL clamped bounds (t shifted by the file's
+    * offset onto the concatenated axis); empty files yield hi < lo. */
+  private def fileBlocks(): Seq[(Array[Int], Array[Int])] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    var off = 0L
+    NetCdfTableV2.expand(rawInputs).map { p =>
+      val m = NetCdfTableV2.fileMeta(spark, p, varName)._1
+      val t0 = math.max(lo(0).toLong, off)
+      val t1 = math.min(hi(0).toLong, off + m.nt - 1L)
+      val block = (
+        Array(t0.toInt, math.max(lo(1), 0), math.max(lo(2), 0)),
+        Array(if (t1 < t0) (t0 - 1).toInt else t1.toInt,
+          math.min(hi(1).toLong, m.ny - 1L).toInt,
+          math.min(hi(2).toLong, m.nx - 1L).toInt))
+      off += m.nt
+      block
+    }
+  }
+
+  /** `count(*)` / `min,max(<dim>)` — ungrouped or GROUPED BY dim columns —
+    * over dense grids are header-metadata facts: the count sums the
+    * clamped (t × y × x) range product per kept file (per group: over the
+    * non-group dims), and a dim's extremes come from the clamped bounds
+    * over CONTRIBUTING files — no data chunk is ever opened. A grouped
+    * push is declined past [[MetaAgg.MaxGroups]] driver-side rows; the
+    * header walk it needs to decide runs at most once per plan. */
+  private def metaAggsOf(agg: Aggregation): Option[(Seq[Int], Seq[MetaAgg])] =
+    MetaAgg.parseGrouped(agg, dims).filter { case (groups, _) =>
+      groups.isEmpty || fileBlocks().map { case (bLo, bHi) =>
+        MetadataAggScan.groupCardinality(groups, bLo, bHi)
+      }.sum <= MetaAgg.MaxGroups
+    }
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    MetaAgg.parse(agg, dims).isDefined
+    metaAggsOf(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    pushedAgg = MetaAgg.parse(agg, dims)
+    pushedAgg = metaAggsOf(agg)
     pushedAgg.isDefined
   }
 
@@ -412,40 +441,40 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
 
   override def build(): Scan =
     pushedAgg match {
-      case Some(aggs) =>
-        val loC = lo.clone(); val hiC = hi.clone()
-        new MetadataAggScan(s"netcdf:${rawInputs.head}#$varName", aggs, () => {
-          val spark = org.apache.spark.sql.SparkSession.active
-          var off = 0L
-          var rows = 0L
-          // extremes accumulate over files that CONTRIBUTE rows only
-          var tMin = Long.MaxValue; var tMax = Long.MinValue
-          var yMax = Int.MinValue; var xMax = Int.MinValue
-          NetCdfTableV2.expand(rawInputs).foreach { p =>
-            val m = NetCdfTableV2.fileMeta(spark, p, varName)._1
-            val lt0 = math.max(loC(0).toLong - off, 0L)
-            val lt1 = math.min(hiC(0).toLong - off, m.nt - 1L)
-            val y1 = math.min(hiC(1).toLong, m.ny - 1L)
-            val x1 = math.min(hiC(2).toLong, m.nx - 1L)
-            val yN = math.max(0L, y1 - math.max(loC(1).toLong, 0L) + 1)
-            val xN = math.max(0L, x1 - math.max(loC(2).toLong, 0L) + 1)
-            val n = math.max(0L, lt1 - lt0 + 1) * yN * xN
-            if (n > 0) {
-              rows += n
-              tMin = math.min(tMin, off + lt0); tMax = math.max(tMax, off + lt1)
-              yMax = math.max(yMax, y1.toInt); xMax = math.max(xMax, x1.toInt)
+      case Some((groups, aggs)) =>
+        new MetadataAggScan(s"netcdf:${rawInputs.head}#$varName",
+          groups.map(dims.padTo(3, "x")), aggs, () => {
+            if (groups.isEmpty) {
+              var rows = 0L
+              // extremes accumulate over files that CONTRIBUTE rows only
+              var tMin = Int.MaxValue; var tMax = Int.MinValue
+              var yMax = Int.MinValue; var xMax = Int.MinValue
+              fileBlocks().foreach { case (bLo, bHi) =>
+                val n = (0 until 3).map(d =>
+                  math.max(0L, bHi(d).toLong - bLo(d) + 1)).product
+                if (n > 0) {
+                  rows += n
+                  tMin = math.min(tMin, bLo(0)); tMax = math.max(tMax, bHi(0))
+                  yMax = math.max(yMax, bHi(1)); xMax = math.max(xMax, bHi(2))
+                }
+              }
+              Seq(aggs.map {
+                case MetaCount => rows: Any
+                case MetaMin(0) => if (rows == 0) null else tMin: Any
+                case MetaMax(0) => if (rows == 0) null else tMax: Any
+                case MetaMin(d) => if (rows == 0) null else math.max(lo(d), 0): Any
+                case MetaMax(1) => if (rows == 0) null else yMax: Any
+                case MetaMax(_) => if (rows == 0) null else xMax: Any
+              }.toArray)
+            } else {
+              val acc = scala.collection.mutable
+                .LinkedHashMap[List[Int], MetadataAggScan.GroupAcc]()
+              fileBlocks().foreach { case (bLo, bHi) =>
+                MetadataAggScan.accumulateBlock(acc, groups, bLo, bHi)
+              }
+              MetadataAggScan.emitGrouped(acc, groups, aggs)
             }
-            off += m.nt
-          }
-          aggs.map {
-            case MetaCount => rows: Any
-            case MetaMin(0) => if (rows == 0) null else tMin.toInt: Any
-            case MetaMax(0) => if (rows == 0) null else tMax.toInt: Any
-            case MetaMin(d) => if (rows == 0) null else math.max(loC(d), 0): Any
-            case MetaMax(1) => if (rows == 0) null else yMax: Any
-            case MetaMax(_) => if (rows == 0) null else xMax: Any
-          }.toArray
-        })
+          })
       case None =>
         new NetCdfScan(rawInputs, varName, lo.clone(), hi.clone(), required,
           minAgeMs, rank)

@@ -271,13 +271,29 @@ private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = 
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  /** `count(*)`, `min(<dim>)`, and `max(<dim>)` (no grouping) over a
-    * dense grid are all dataspace facts: the count is the product of the
-    * clamped dim ranges, and a dim's extremes ARE its clamped bounds. */
-  private var pushedAgg: Option[Seq[MetaAgg]] = None
+  /** `count(*)`, `min(<dim>)`, and `max(<dim>)` — ungrouped or GROUPED BY
+    * dim columns — over a dense grid are all dataspace facts: the count is
+    * the product of the clamped dim ranges (per group: of the non-group
+    * dims), and a dim's extremes ARE its clamped bounds. */
+  private var pushedAgg: Option[(Seq[Int], Seq[MetaAgg])] = None
 
-  private def metaAggsOf(agg: Aggregation): Option[Seq[MetaAgg]] =
-    MetaAgg.parse(agg, dims)
+  private def clampedBounds(): (Array[Int], Array[Int]) = {
+    val meta = ZarrSource.readMetaAny(path,
+      org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
+    require(meta.shape.length == rank,
+      s"zarr agg scan expects $rank-D, got ${meta.shape}")
+    ((0 until rank).map(d => math.max(lo(d), 0)).toArray,
+      (0 until rank).map(d =>
+        math.min(hi(d).toLong, meta.shape(d) - 1L).toInt).toArray)
+  }
+
+  private def metaAggsOf(agg: Aggregation): Option[(Seq[Int], Seq[MetaAgg])] =
+    MetaAgg.parseGrouped(agg, dims).filter { case (groups, _) =>
+      groups.isEmpty || {
+        val (loC, hiC) = clampedBounds()
+        MetadataAggScan.groupCardinality(groups, loC, hiC) <= MetaAgg.MaxGroups
+      }
+    }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     metaAggsOf(agg).isDefined
@@ -292,17 +308,16 @@ private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = 
 
   override def build(): Scan =
     pushedAgg match {
-      case Some(aggs) =>
-        val loC = lo.clone(); val hiC = hi.clone()
-        new MetadataAggScan(s"zarr:$path", aggs, () => {
-          val meta = ZarrSource.readMetaAny(path,
-            org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration)
-          require(meta.shape.length == rank,
-            s"zarr agg scan expects $rank-D, got ${meta.shape}")
-          MetadataAggScan.denseRanges(aggs,
-            (0 until rank).map(d => math.max(loC(d), 0)).toArray,
-            (0 until rank).map(d =>
-              math.min(hiC(d).toLong, meta.shape(d) - 1L).toInt).toArray)
+      case Some((groups, aggs)) =>
+        new MetadataAggScan(s"zarr:$path", groups.map(dims), aggs, () => {
+          val (loC, hiC) = clampedBounds()
+          if (groups.isEmpty) Seq(MetadataAggScan.denseRanges(aggs, loC, hiC))
+          else {
+            val acc = scala.collection.mutable
+              .LinkedHashMap[List[Int], MetadataAggScan.GroupAcc]()
+            MetadataAggScan.accumulateBlock(acc, groups, loC, hiC)
+            MetadataAggScan.emitGrouped(acc, groups, aggs)
+          }
         })
       case None =>
         new ZarrScan(path, lo.clone(), hi.clone(), required, fillMissingTail, rank)
@@ -321,43 +336,69 @@ private[sources] object MetaAgg {
 
   /** Parse an ungrouped aggregation whose every expression is CountStar or
     * Min/Max over one of `dims` — None when anything else appears. */
-  def parse(agg: Aggregation, dims: Seq[String]): Option[Seq[MetaAgg]] = {
+  def parse(agg: Aggregation, dims: Seq[String]): Option[Seq[MetaAgg]] =
+    parseGrouped(agg, dims).collect { case (Nil, aggs) => aggs }
+
+  /** Parse an aggregation GROUPED BY dim columns (possibly none) whose
+    * every aggregate is CountStar or Min/Max over a dim: a per-day (or
+    * per-row, per-column…) cell count over a dense grid is as
+    * metadata-answerable as the ungrouped total — `groupBy(t_idx).count()`
+    * over a 40-year archive must not read a single chunk. Returns the
+    * group dims (in groupBy order) and the aggregates; None when any
+    * grouping or aggregate expression is not a plain dim. */
+  def parseGrouped(agg: Aggregation, dims: Seq[String])
+      : Option[(Seq[Int], Seq[MetaAgg])] = {
     def dimOf(e: org.apache.spark.sql.connector.expressions.Expression): Int =
       e match {
         case r: NamedReference if r.fieldNames.length == 1 =>
           dims.indexOf(r.fieldNames.head)
         case _ => -1
       }
-    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) None
+    if (agg.aggregateExpressions.isEmpty) None
     else {
+      val groups = agg.groupByExpressions.toSeq.map(dimOf)
       val parsed = agg.aggregateExpressions.toSeq.map {
         case _: CountStar => Some(MetaCount)
         case m: Min if dimOf(m.column) >= 0 => Some(MetaMin(dimOf(m.column)))
         case m: Max if dimOf(m.column) >= 0 => Some(MetaMax(dimOf(m.column)))
         case _ => None
       }
-      if (parsed.forall(_.isDefined)) Some(parsed.flatten) else None
+      if (groups.forall(_ >= 0) && groups.distinct.length == groups.length &&
+          parsed.forall(_.isDefined))
+        Some((groups, parsed.flatten))
+      else None
     }
   }
+
+  /** Cap on the number of groups a metadata aggregate may materialize
+    * driver-side: a 40-year daily axis is ~1.5e4 rows, well under it; a
+    * per-CELL grouping of a global grid is not — such plans fall back to
+    * the normal (still chunk-pruned) scan. */
+  val MaxGroups: Long = 1L << 20
 }
 
-private[sources] case class ZarrCountPartition(values: Array[Any]) extends InputPartition
+private[sources] case class ZarrCountPartition(rows: Seq[Array[Any]]) extends InputPartition
 
 /** Metadata-only aggregate scan, shared by all four sources: one
-  * partition, one row, zero data reads. `compute` runs at planning time
-  * on the driver (metadata/header walks only) and yields the final
-  * value per aggregate expression. */
-private[sources] class MetadataAggScan(what: String, aggs: Seq[MetaAgg],
-    compute: () => Array[Any]) extends Scan with Batch {
+  * partition, one row per group (one total for an ungrouped aggregate),
+  * zero data reads. `compute` runs at planning time on the driver
+  * (metadata/header walks only); each emitted row carries the group dim
+  * values first (matching Spark's complete-pushdown output contract:
+  * grouping columns, then aggregate columns), then the aggregates. */
+private[sources] class MetadataAggScan(what: String, groupCols: Seq[String],
+    aggs: Seq[MetaAgg], compute: () => Seq[Array[Any]]) extends Scan with Batch {
 
-  override def readSchema(): StructType =
-    StructType(aggs.zipWithIndex.map {
-      case (MetaCount, i) => StructField(s"agg_$i", LongType, nullable = false)
-      case (_, i) => StructField(s"agg_$i", IntegerType, nullable = true)
-    })
+  override def readSchema(): StructType = StructType(
+    groupCols.map(n => StructField(n, IntegerType, nullable = false)) ++
+      aggs.zipWithIndex.map {
+        case (MetaCount, i) => StructField(s"agg_$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg_$i", IntegerType, nullable = true)
+      })
 
-  override def description(): String =
-    s"MetadataAggScan($what, ${aggs.mkString(",")}, data reads=0)"
+  override def description(): String = {
+    val g = if (groupCols.isEmpty) "" else s" groupBy=[${groupCols.mkString(",")}],"
+    s"MetadataAggScan($what,$g ${aggs.mkString(",")}, data reads=0)"
+  }
 
   override def toBatch: Batch = this
 
@@ -367,13 +408,14 @@ private[sources] class MetadataAggScan(what: String, aggs: Seq[MetaAgg],
   override def createReaderFactory(): PartitionReaderFactory =
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-        val values = partition.asInstanceOf[ZarrCountPartition].values
+        val rows = partition.asInstanceOf[ZarrCountPartition].rows
         new PartitionReader[InternalRow] {
-          private var done = false
-          override def next(): Boolean = { val r = !done; done = true; r }
+          private val it = rows.iterator
+          private var cur: Array[Any] = null
+          override def next(): Boolean = { val r = it.hasNext; if (r) cur = it.next(); r }
           override def get(): InternalRow =
             InternalRow.fromSeq(scala.collection.immutable.ArraySeq
-              .unsafeWrapArray(values))
+              .unsafeWrapArray(cur))
           override def close(): Unit = ()
         }
       }
@@ -392,6 +434,60 @@ private[sources] object MetadataAggScan {
       case MetaMax(d) => if (rows == 0) null else hi(d): Any
     }.toArray
   }
+
+  /** Per-group accumulator: row count + contributed bounds per dim. */
+  final class GroupAcc(nd: Int) {
+    var rows = 0L
+    val mn = Array.fill(nd)(Int.MaxValue)
+    val mx = Array.fill(nd)(Int.MinValue)
+  }
+
+  /** Fold one dense block (per-dim CLAMPED inclusive bounds) into the
+    * grouped accumulator: every combination of the group dims' in-block
+    * values gains `product(non-group block sizes)` rows. Multi-file
+    * archives call this once per file with archive-global bounds, so
+    * groups that span files merge naturally. */
+  def accumulateBlock(acc: scala.collection.mutable.LinkedHashMap[List[Int], GroupAcc],
+      groupDims: Seq[Int], lo: Array[Int], hi: Array[Int]): Unit = {
+    val nd = lo.length
+    if ((0 until nd).exists(d => hi(d) < lo(d))) return
+    val cnt = (0 until nd).filterNot(groupDims.contains)
+      .map(d => hi(d).toLong - lo(d) + 1).product
+    def loop(rem: List[Int], tuple: List[Int]): Unit = rem match {
+      case Nil =>
+        val key = tuple.reverse
+        val a = acc.getOrElseUpdate(key, new GroupAcc(nd))
+        a.rows += cnt
+        var d = 0
+        while (d < nd) {
+          a.mn(d) = math.min(a.mn(d), lo(d)); a.mx(d) = math.max(a.mx(d), hi(d))
+          d += 1
+        }
+      case d :: rest =>
+        var v = lo(d)
+        while (v <= hi(d)) { loop(rest, v :: tuple); v += 1 }
+    }
+    loop(groupDims.toList, Nil)
+  }
+
+  /** Emit grouped rows (group values first, then aggregates); min/max of
+    * a GROUP dim is the group's own value, of any other dim the bounds
+    * the group's contributing blocks spanned. */
+  def emitGrouped(acc: scala.collection.mutable.LinkedHashMap[List[Int], GroupAcc],
+      groupDims: Seq[Int], aggs: Seq[MetaAgg]): Seq[Array[Any]] =
+    acc.toSeq.map { case (key, a) =>
+      val kv = groupDims.zip(key).toMap
+      (key.map(v => v: Any) ++ aggs.map {
+        case MetaCount => a.rows: Any
+        case MetaMin(d) => kv.getOrElse(d, a.mn(d)): Any
+        case MetaMax(d) => kv.getOrElse(d, a.mx(d)): Any
+      }).toArray
+    }
+
+  /** Number of groups a grouped metadata aggregate would materialize. */
+  def groupCardinality(groupDims: Seq[Int], lo: Array[Int], hi: Array[Int]): Long =
+    groupDims.map(d => math.max(0L, hi(d).toLong - lo(d) + 1))
+      .foldLeft(1L)((a, b) => if (a > MetaAgg.MaxGroups) a else a * b)
 }
 
 private[sources] case class ZarrChunkPartition(
@@ -806,13 +902,27 @@ private[sources] class ZarrGroupScanBuilder(lay: ZarrGroupTableV2.Layout)
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  private var pushedAgg: Option[Seq[MetaAgg]] = None
+  private var pushedAgg: Option[(Seq[Int], Seq[MetaAgg])] = None
+
+  private def clampedBounds(): (Array[Int], Array[Int]) =
+    (lay.primaryDims.indices.map(d => math.max(lo(d), 0)).toArray,
+      lay.primaryDims.indices
+        .map(d => math.min(hi(d).toLong, lay.shape(d) - 1L).toInt).toArray)
+
+  private def metaAggsOf(agg: Aggregation): Option[(Seq[Int], Seq[MetaAgg])] =
+    MetaAgg.parseGrouped(agg, lay.primaryDims.map(d => s"${d}_idx"))
+      .filter { case (groups, _) =>
+        groups.isEmpty || {
+          val (loC, hiC) = clampedBounds()
+          MetadataAggScan.groupCardinality(groups, loC, hiC) <= MetaAgg.MaxGroups
+        }
+      }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    MetaAgg.parse(agg, lay.primaryDims.map(d => s"${d}_idx")).isDefined
+    metaAggsOf(agg).isDefined
 
   override def pushAggregation(agg: Aggregation): Boolean = {
-    pushedAgg = MetaAgg.parse(agg, lay.primaryDims.map(d => s"${d}_idx"))
+    pushedAgg = metaAggsOf(agg)
     pushedAgg.isDefined
   }
 
@@ -821,13 +931,18 @@ private[sources] class ZarrGroupScanBuilder(lay: ZarrGroupTableV2.Layout)
 
   override def build(): Scan =
     pushedAgg match {
-      case Some(aggs) =>
-        val loC = lay.primaryDims.indices
-          .map(d => math.max(lo(d), 0)).toArray
-        val hiC = lay.primaryDims.indices
-          .map(d => math.min(hi(d).toLong, lay.shape(d) - 1L).toInt).toArray
-        new MetadataAggScan(s"zarr-group:${lay.dir}", aggs,
-          () => MetadataAggScan.denseRanges(aggs, loC, hiC))
+      case Some((groups, aggs)) =>
+        val (loC, hiC) = clampedBounds()
+        new MetadataAggScan(s"zarr-group:${lay.dir}",
+          groups.map(d => s"${lay.primaryDims(d)}_idx"), aggs, () => {
+            if (groups.isEmpty) Seq(MetadataAggScan.denseRanges(aggs, loC, hiC))
+            else {
+              val acc = scala.collection.mutable
+                .LinkedHashMap[List[Int], MetadataAggScan.GroupAcc]()
+              MetadataAggScan.accumulateBlock(acc, groups, loC, hiC)
+              MetadataAggScan.emitGrouped(acc, groups, aggs)
+            }
+          })
       case None => new ZarrGroupScan(lay, lo.clone(), hi.clone(), required)
     }
 }
