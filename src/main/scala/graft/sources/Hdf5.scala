@@ -1055,8 +1055,13 @@ private[sources] object Hdf5 {
 
   // ── filters + decode ─────────────────────────────────────────────────────
 
-  /** Reverse the filter pipeline on one raw chunk. */
-  def defilter(raw: Array[Byte], filters: Seq[Filter], filterMask: Int): Array[Byte] = {
+  /** Reverse the filter pipeline on one raw chunk.
+    *
+    * @param expectedBytes the decoded chunk's byte size (cells × element
+    *                      size) — required by headerless codecs (szip),
+    *                      ignored by self-terminating ones. */
+  def defilter(raw: Array[Byte], filters: Seq[Filter], filterMask: Int,
+      expectedBytes: Int = -1): Array[Byte] = {
     var data = raw
     filters.zipWithIndex.reverse.foreach { case (f, i) =>
       if ((filterMask & (1 << i)) == 0) f.id match {
@@ -1127,8 +1132,13 @@ private[sources] object Hdf5 {
             p += compLen; o += origLen
           }
           data = out
+        case 4 => // szip: extended-Rice (CCSDS 121.0-B), headerless — the
+          // decoded size must come from the dataset's chunk geometry
+          require(expectedBytes > 0,
+            "szip chunk needs the decoded size from the caller (headerless stream)")
+          data = Szip.decompress(data, f.clientValues, expectedBytes)
         case id => throw new IllegalArgumentException(
-          s"unsupported HDF5 filter id $id (deflate/shuffle/fletcher32/zstd/lz4 only)")
+          s"unsupported HDF5 filter id $id (deflate/shuffle/fletcher32/szip/zstd/lz4 only)")
       }
     }
     data

@@ -305,7 +305,8 @@ private[sources] class Hdf5TableReaderFactory(path: String,
     lazy val src = new NetCDF4Source.HadoopSource(conf.value, path)
     val (data, rows) = partition match {
       case c: Hdf5TableChunkPartition =>
-        (Hdf5.defilter(src.read(c.addr, c.size), filters, c.filterMask), c.rows)
+        (Hdf5.defilter(src.read(c.addr, c.size), filters, c.filterMask,
+          c.rows * ct.size), c.rows)
       case r: Hdf5TableRangePartition =>
         (src.read(r.addr, r.rows * ct.size), r.rows)
       case i: Hdf5TableInlinePartition => (i.data, i.rows)

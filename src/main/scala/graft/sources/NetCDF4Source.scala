@@ -92,8 +92,9 @@ object NetCDF4Source {
         val acc = new Array[Double](n)
         java.util.Arrays.fill(acc, Double.NaN)
         listChunks(src, v).foreach { c =>
-          val vals = decode(defilter(src.read(c.addr, c.size), v.filters, c.filterMask),
-            v.dtype, chunkDims.map(_.toLong).product.toInt)
+          val chunkLen = chunkDims.map(_.toLong).product.toInt
+          val vals = decode(defilter(src.read(c.addr, c.size), v.filters,
+            c.filterMask, chunkLen * v.dtype.size), v.dtype, chunkLen)
           foreachCell(c.offsets, chunkDims, v.dims) { (flat, ci) => acc(flat) = vals(ci) }
         }
         acc
@@ -205,7 +206,8 @@ object NetCDF4Source {
             it.flatMap { case (org, cOpt) =>
               val count = math.min(cn.toLong, n - org).toInt
               val data = cOpt match {
-                case Some(c) => defilter(s.read(c.addr, c.size), filters, c.filterMask)
+                case Some(c) => defilter(s.read(c.addr, c.size), filters,
+                  c.filterMask, count * ct.size)
                 case None =>
                   val d = new Array[Byte](count * ct.size)
                   fillRec.foreach { fr =>
@@ -358,8 +360,9 @@ object NetCDF4Source {
           .mapPartitions { it =>
             val s = new HadoopSource(conf.value, path)
             it.flatMap { c =>
-              val vals = decode(defilter(s.read(c.addr, c.size), filters, c.filterMask),
-                dtype, cds.map(_.toLong).product.toInt)
+              val chunkLen = cds.map(_.toLong).product.toInt
+              val vals = decode(defilter(s.read(c.addr, c.size), filters,
+                c.filterMask, chunkLen * dtype.size), dtype, chunkLen)
               val rows = Seq.newBuilder[(Int, Int, Int, Double)]
               foreachCell(c.offsets, cds, dims) { (flat, ci) =>
                 val t = flat / (ny * nx)

@@ -659,7 +659,8 @@ private[sources] class NetCdfReaderFactory(columns: Array[String],
             val raw = try {
               val b = new Array[Byte](c.size); in.readFully(c.addr, b, 0, c.size); b
             } finally in.close()
-            Hdf5.decode(Hdf5.defilter(raw, m.filters, c.filterMask), m.dtype, n)
+            Hdf5.decode(Hdf5.defilter(raw, m.filters, c.filterMask,
+              n * m.dtype.size), m.dtype, n)
           }
         val Seq(ct, cy, cx) = m.chunkDims
         val y1 = math.min(yHi.toLong, m.ny - 1L); val x1 = math.min(xHi.toLong, m.nx - 1L)
