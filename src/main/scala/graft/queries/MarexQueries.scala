@@ -1379,6 +1379,49 @@ object MarexQueries extends QueryRegistry {
                      CAST(2 AS BIGINT) AS min_y,
                      CAST(14 AS BIGINT) AS max_x
               FROM range(10, 26)"""),
-      "Grouped metadata aggregates: per-day counts over a multi-file archive, zero chunk reads")
+      "Grouped metadata aggregates: per-day counts over a multi-file archive, zero chunk reads"),
+
+    // ── CF-packed i16 + szip: the layout real archives ship ───────────────
+    // The cube lands as raw shorts (scale_factor 0.01) szip-compressed
+    // (extended-Rice, filter 4) and reads back through format("netcdf"),
+    // whose CF decode restores physical values; cell means are snapped to
+    // the 0.01 grid BEFORE packing (HALF_UP, mirrored in the oracle), so
+    // the i16 quantization is exact and any defect in the packed-grid
+    // chunk gather, the szip encode/decode, the filter-4 pipeline message,
+    // or the CF decode mismatches the from-events recomputation.
+    QueryDef("q92_netcdf_packed_szip",
+      (s, d) => {
+        import graft.sources.NetCDF4Source
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("mean"))
+          .filter(col("t_idx").between(0, 30))
+          .select(col("t_idx"), col("y"), col("x"),
+            (round(col("mean") * 100.0, 0) / 100.0).as("value"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q92.nc"
+        new java.io.File(path).delete()
+        NetCDF4Source.write3D(cells, path, "sst", shape = (31, 10, 15),
+          timeChunk = 8, spatialChunks = Some((5, 5)),
+          pack = Some(NetCDF4Source.Pack(scale = 0.01)), compressor = "szip")
+        s.read.format("netcdf").option("var", "sst").load(path)
+          .filter(!isnan(col("value")) && col("t_idx").between(5, 25))
+          .groupBy(col("t_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(round(col("value") * 100.0, 0).cast("long")).as("sum_scaled"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(round(((CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*)) * 100.0) AS BIGINT) AS q
+                FROM events GROUP BY 1, CAST(user_id % 150 // 15 AS INT), CAST(user_id % 15 AS INT))
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     CAST(sum(q) AS BIGINT) AS sum_scaled
+              FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
+      "CF-packed i16 + szip netcdf write: quantized round-trip through the extended-Rice codec")
   )
 }

@@ -1377,6 +1377,13 @@ private[sources] object Hdf5 {
   final case class VlenSeqData(values: Seq[Array[Double]]) extends TypedData {
     def n: Int = values.length; def elemSize: Int = 16
   }
+  /** CF-PACKED signed-i16 grid (class 0, LE): the layout real archives
+    * actually ship — raw shorts + `scale_factor`/`add_offset`/`_FillValue`
+    * attributes — 4× smaller than f64 before compression. Any rank;
+    * chunked layouts gather per cell like the f64 path. */
+  final case class PackedGridData(values: Array[Short]) extends TypedData {
+    def n: Int = values.length; def elemSize: Int = 2
+  }
   sealed trait CompoundCol { def n: Int; def elemSize: Int }
   final case class F64Col(values: Array[Double]) extends CompoundCol {
     def n: Int = values.length; def elemSize: Int = 8
@@ -1427,6 +1434,12 @@ private[sources] object Hdf5 {
       // v1 class 9; vlen type = sequence (0); base = IEEE f64 LE
       b.put(0x19.toByte).put(0x00.toByte).put(0x00.toByte).put(0.toByte).putInt(16)
       b.put(f64TypeBody)
+      b.array()
+    case _: PackedGridData =>
+      // v1 class 0 fixed-point, signed LE, 2 bytes: bit offset 0, precision 16
+      val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(2)
+      b.putShort(0).putShort(16)
       b.array()
     case cd: CompoundData => compoundTypeBody(cd.members, cd.elemSize)
     case _: RefData =>
@@ -1500,6 +1513,10 @@ private[sources] object Hdf5 {
       values.zipWithIndex.foreach { case (a, i) =>
         b.putInt(a.length).putLong(gcolAddr).putInt(i + 1) // length in ELEMENTS
       }
+      b.array()
+    case PackedGridData(values) =>
+      val b = ByteBuffer.allocate(values.length * 2).order(ByteOrder.LITTLE_ENDIAN)
+      values.foreach(b.putShort)
       b.array()
     case cd: CompoundData =>
       val out = new Array[Byte](cd.n * cd.elemSize)
@@ -1791,6 +1808,17 @@ private[sources] object Hdf5 {
     final case class Plan(v: WriteVar, ohAddr: Long, dataAddr: Long,
         btAddr: Long, chunks: Seq[(Seq[Long], Array[Byte])],
         attrHeapAddr: Long = Undef, gcolAddr: Long = Undef)
+    /** szip write parameters for a chunk grid: NN + EC over LE samples,
+      * 16-pixel blocks, scanline = the fastest chunk dim (clamped). */
+    def szipClientFor(cd: Seq[Int], elemSize: Int): Seq[Int] = {
+      require(elemSize <= 4,
+        s"szip write supports <=32-bit samples (got $elemSize-byte) — " +
+          "pack to i16 first (PackedGridData)")
+      val ppb = 16
+      val pps = math.max(ppb, math.min(cd.last, 4096))
+      Seq(Szip.NnMask | Szip.EcMask | Szip.LsbMask | Szip.AllowK13Mask,
+        elemSize * 8, ppb, pps)
+    }
     def shuffleDeflate(raw: Array[Byte], level: Int,
         compressor: String = "deflate", es: Int = 8): Array[Byte] = {
       val chunkN = raw.length / es
@@ -1891,6 +1919,9 @@ private[sources] object Hdf5 {
                 s"${v.name}: chunked compounds use the v1 B-tree index")
               require(v.chunkDims.isEmpty || v.dims.length == 1,
                 s"${v.name}: chunked compound tables are 1-D")
+            case _: PackedGridData => // packed grids chunk like f64 grids
+              require(v.v4Index.isEmpty,
+                s"${v.name}: chunked packed grids use the v1 B-tree index")
             case _ => require(v.chunkDims.isEmpty && v.v4Index.isEmpty,
               s"${v.name}: typed payloads are contiguous-only")
           }
@@ -1910,7 +1941,10 @@ private[sources] object Hdf5 {
         case Some("bt2") => 5 + rank1 * 8 + 1 + 6 + 8
         case Some(o) => throw new IllegalArgumentException(s"v4Index $o")
       }
-      val filterBody = if (filtered) 8 + 16 + 16 else 0
+      val filterBody =
+        if (!filtered) 0
+        else if (v.compressor == "szip") 8 + 8 + 16 // one filter, 4 client ints
+        else 8 + 16 + 16 // shuffle + deflate/zstd
       val attrBytes =
         if (v.denseAttrs) 8 + 24 // one Attribute Info message
         else v.attrs.map(a => 8 + attrMessage(a._1, a._2).length).sum
@@ -1953,11 +1987,29 @@ private[sources] object Hdf5 {
             else (0L until v.dims(d).toLong by cd(d).toLong)
               .flatMap(o => origins(d + 1).map(o +: _))
           val chunkN = cd.map(_.toLong).product.toInt
-          // typed (compound) chunks slice the 1-D record bytes; f64 chunks
-          // gather from the row-major value grid
+          // typed (compound) chunks slice the 1-D record bytes — except
+          // packed GRIDS, which gather per cell like the f64 path; f64
+          // chunks gather from the row-major value grid
           val typedBytes = v.typed.map(typedDataBytes(_, Undef))
+          val gridGather = v.typed.exists(_.isInstanceOf[PackedGridData]) &&
+            v.dims.length > 1
           val rawChunks = origins(0).map { org =>
             val raw = typedBytes match {
+              case Some(all) if gridGather =>
+                val out = new Array[Byte](chunkN * elemSize) // edge pad: zeros
+                val idx = new Array[Int](v.dims.length)
+                var i = 0
+                while (i < chunkN) {
+                  var rem = i; var d = cd.length - 1
+                  while (d >= 0) { idx(d) = rem % cd(d); rem /= cd(d); d -= 1 }
+                  if (idx.indices.forall(d => org(d) + idx(d) < v.dims(d))) {
+                    var flat = 0L
+                    idx.indices.foreach(d => flat = flat * v.dims(d) + org(d) + idx(d))
+                    System.arraycopy(all, flat.toInt * elemSize, out, i * elemSize, elemSize)
+                  }
+                  i += 1
+                }
+                out
               case Some(all) =>
                 // 1-D record table: [org, org+chunkN) zero-padded at the edge
                 val start = org.head.toInt * elemSize
@@ -1991,11 +2043,15 @@ private[sources] object Hdf5 {
           val kept =
             if (v.elideDefaultChunks) rawChunks.filter(_._2.exists(_ != 0))
             else rawChunks
-          // shuffle (record/element size) then deflate — netCDF-4's
-          // default — unless the index type forbids filters (implicit)
+          // shuffle (record/element size) then deflate/zstd — netCDF-4's
+          // default — or headerless szip, which models samples itself (no
+          // shuffle); skipped when the index type forbids filters (implicit)
+          val szipClient =
+            if (v.compressor == "szip") szipClientFor(cd, elemSize) else Seq.empty
           val chunks = kept.map { case (org, raw) =>
-            (org, if (filtered) shuffleDeflate(raw, v.deflateLevel, v.compressor, elemSize)
-            else raw)
+            (org, if (!filtered) raw
+            else if (v.compressor == "szip") Szip.compress(raw, szipClient)
+            else shuffleDeflate(raw, v.deflateLevel, v.compressor, elemSize))
           }
           v.v4Index match {
             case None =>
@@ -2190,19 +2246,31 @@ private[sources] object Hdf5 {
         msgs += 0x0008 -> lb.array()
       }
       if (filtered) {
-        // filter pipeline v1: shuffle(2) then deflate(1) or zstd(32015)
-        val compId = v.compressor match {
-          case "deflate" => 1
-          case "zstd" => 32015
-          case o => throw new IllegalArgumentException(s"compressor $o")
-        }
         val es = v.typed.map(_.elemSize).getOrElse(8)
-        val fp = ByteBuffer.allocate(8 + 16 + 16).order(ByteOrder.LITTLE_ENDIAN)
-        fp.put(1.toByte).put(2.toByte).putShort(0).putInt(0)
-        fp.putShort(2).putShort(0).putShort(0).putShort(1).putInt(es).putInt(0) // shuffle
-        fp.putShort(compId.toShort).putShort(0).putShort(0).putShort(1)
-          .putInt(v.deflateLevel).putInt(0)
-        msgs += 0x000B -> fp.array()
+        if (v.compressor == "szip") {
+          // filter pipeline v1: szip(4) alone — it models samples itself
+          val cv = szipClientFor(v.chunkDims.get, es)
+          val pad = if (cv.length % 2 == 1) 4 else 0 // v1 pads odd counts
+          val fp = ByteBuffer.allocate(8 + 8 + cv.length * 4 + pad)
+            .order(ByteOrder.LITTLE_ENDIAN)
+          fp.put(1.toByte).put(1.toByte).putShort(0).putInt(0)
+          fp.putShort(4).putShort(0).putShort(0).putShort(cv.length.toShort)
+          cv.foreach(fp.putInt)
+          msgs += 0x000B -> fp.array()
+        } else {
+          // filter pipeline v1: shuffle(2) then deflate(1) or zstd(32015)
+          val compId = v.compressor match {
+            case "deflate" => 1
+            case "zstd" => 32015
+            case o => throw new IllegalArgumentException(s"compressor $o")
+          }
+          val fp = ByteBuffer.allocate(8 + 16 + 16).order(ByteOrder.LITTLE_ENDIAN)
+          fp.put(1.toByte).put(2.toByte).putShort(0).putInt(0)
+          fp.putShort(2).putShort(0).putShort(0).putShort(1).putInt(es).putInt(0) // shuffle
+          fp.putShort(compId.toShort).putShort(0).putShort(0).putShort(1)
+            .putInt(v.deflateLevel).putInt(0)
+          msgs += 0x000B -> fp.array()
+        }
       }
       if (v.denseAttrs) {
         // Attribute Info → heap + name index emitted right after this OH
