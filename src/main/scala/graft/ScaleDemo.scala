@@ -37,6 +37,8 @@ object ScaleDemo {
     // the gridded detect path sustains 4 M.
     val shufflePartitions = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", (methodArg match {
       case "unstructured" => math.max(cpus.toInt, (dimsNy * dimsNy * nYears / 1000000L).toInt)
+      case "zappend" => // args(0) = months of daily slices in ONE store
+        math.max(cpus.toInt, (dimsNy * dimsNx * (nYears * 30L + 3) / 4000000L).toInt)
       case _ => math.max(cpus.toInt, (dimsNy * dimsNx * 365L * nYears / 4000000L).toInt)
     }).toString)
     // At production grids the per-pixel dimension tables (climatology /
@@ -218,6 +220,53 @@ object ScaleDemo {
     // sink (write3D in a loop — the round-6 measurement), then
     // NetCDFSource.writeArchive, which shuffles once on the block id and
     // deflates + writes every file inside executor tasks.
+    // ── zappend: zarr store-resize append at the production grid ──────────
+    // `ScaleDemo 12 zappend 720 1440` = a YEAR of daily 0.25°-global slices
+    // in one zarr store (373 M cells/it behind the q89 surface), then ONE
+    // appended day through `mode("append")`. Two claims measured: the
+    // append cost is bounded by one day's chunks + the straddling edge
+    // chunk (NOT the archive — the create is the yardstick), and the
+    // metadata count(*) over the grown store still reads zero chunks.
+    if (method == "zappend") {
+      val days = nYears * 30 + 3 // +3 so the append STRADDLES a time chunk
+      val (tc, cy, cx) = (5, math.max(1, ny / 4), math.max(1, nx / 4))
+      val dir = new java.io.File(
+        s"${System.getProperty("java.io.tmpdir")}/graft_zappend_${ny}x$nx")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir)
+      def slab(nt: Int, base: Int): org.apache.spark.sql.DataFrame =
+        spark.range(nt.toLong * ny * nx).select(
+          (col("id") / (ny.toLong * nx)).cast("int").as("time_idx"),
+          (col("id") / nx % ny).cast("int").as("y_idx"),
+          (col("id") % nx).cast("int").as("x_idx"),
+          (sin((col("id") + lit(base.toLong * ny * nx)).cast("double") * 1e-3) * 10.0)
+            .as("sst"))
+      timed(s"CREATE $days×$ny×$nx (chunks $tc×$cy×$cx)") {
+        slab(days, 0).write.format("zarr")
+          .option("dims", s"time:$days,y:$ny,x:$nx")
+          .option("chunks", s"$tc,$cy,$cx").option("cols", "sst")
+          .mode("overwrite").save(dir.getAbsolutePath)
+      }
+      timed("APPEND 1 day (straddling edge chunk merges in place)") {
+        slab(1, days).write.format("zarr")
+          .option("dims", s"time:1,y:$ny,x:$nx")
+          .option("chunks", s"$tc,$cy,$cx").option("cols", "sst")
+          .mode("append").save(dir.getAbsolutePath)
+      }
+      val back = spark.read.format("zarr").load(dir.getAbsolutePath)
+      timed("metadata count(*) of the grown store") {
+        val n = back.count()
+        println(s"[scale] cells = $n (want ${(days + 1).toLong * ny * nx})")
+      }
+      timed("read back the appended day (pushed window)") {
+        val d = back.filter(col("time_idx") === days &&
+            col("y_idx") < 4 && col("x_idx") < 4)
+          .select(sum(abs(col("sst"))).as("s")).collect()(0).getDouble(0)
+        println(f"[scale] appended-day spot sum = $d%.6f (want > 0)")
+      }
+      spark.stop()
+      return
+    }
+
     if (method == "mfwrite") {
       import graft.sources.{NetCDF4Source, NetCDFSource}
       val months = nYears // args(0) = file count

@@ -81,19 +81,24 @@ object Similarity {
     * iterations) — shared by the IVF index and semantic dedup so the two
     * stay cell-for-cell identical (and oracle-exact).
     *
-    * A broadcast DataFrame, NOT driver-collected literals: real SemDeDup
+    * A broadcast-joined TABLE, NOT literal expressions: real SemDeDup
     * runs ~10⁵ cells (arXiv:2303.09540 uses 1.1e5 on LAION), and a
     * projection with one literal-array expression per centroid blows past
     * Janino's 64 KB method limit orders of magnitude earlier — the join
     * keeps the PLAN size O(1) in `kCells` while the broadcast carries the
-    * centroids as data. */
+    * centroids as data. Materialized ONCE into a LocalRelation (the same
+    * kCells rows a broadcast build would collect to the driver anyway), so
+    * the cardinality check plus every downstream crossJoin costs one
+    * source scan total instead of re-scanning the corpus per consumer. */
   private[operators] def centroidTable(embeddings: DataFrame, kCells: Int): DataFrame = {
     val t = embeddings.filter(col("vec_id") < kCells)
       .select(col("vec_id").cast("int").as("cell"), col("embedding").as("__centroid"),
         dot(col("embedding"), col("embedding")).as("__cdot"))
-    val n = t.count()
-    require(n == kCells, s"corpus has fewer than $kCells centroid rows (found $n)")
-    t
+    val rows = t.collect()
+    require(rows.length == kCells,
+      s"corpus has fewer than $kCells centroid rows (found ${rows.length})")
+    embeddings.sparkSession.createDataFrame(
+      java.util.Arrays.asList(rows: _*), t.schema)
   }
 
   /** Pick `kCells` for a corpus of `n` vectors so within-cell pairwise work

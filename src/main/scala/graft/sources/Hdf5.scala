@@ -1132,11 +1132,18 @@ private[sources] object Hdf5 {
             p += compLen; o += origLen
           }
           data = out
-        case 4 => // szip: extended-Rice (CCSDS 121.0-B), headerless — the
-          // decoded size must come from the dataset's chunk geometry
-          require(expectedBytes > 0,
-            "szip chunk needs the decoded size from the caller (headerless stream)")
-          data = Szip.decompress(data, f.clientValues, expectedBytes)
+        case 4 => // szip: H5Z__filter_szip prefixes every compressed chunk
+          // with the uncompressed byte count (UINT32ENCODE, little-endian);
+          // the Rice stream after it is headerless (CCSDS 121.0-B)
+          require(data.length >= 4,
+            s"szip chunk of ${data.length} bytes lacks the 4-byte stored-size header")
+          val stored = (data(0) & 0xff) | ((data(1) & 0xff) << 8) |
+            ((data(2) & 0xff) << 16) | ((data(3) & 0xff) << 24)
+          require(stored > 0 && (expectedBytes <= 0 || stored == expectedBytes),
+            s"szip stored uncompressed size $stored != chunk geometry size " +
+              s"$expectedBytes — refusing to guess (corrupt or unsupported layout)")
+          data = Szip.decompress(
+            java.util.Arrays.copyOfRange(data, 4, data.length), f.clientValues, stored)
         case id => throw new IllegalArgumentException(
           s"unsupported HDF5 filter id $id (deflate/shuffle/fletcher32/szip/zstd/lz4 only)")
       }
@@ -2050,8 +2057,18 @@ private[sources] object Hdf5 {
             if (v.compressor == "szip") szipClientFor(cd, elemSize) else Seq.empty
           val chunks = kept.map { case (org, raw) =>
             (org, if (!filtered) raw
-            else if (v.compressor == "szip") Szip.compress(raw, szipClient)
-            else shuffleDeflate(raw, v.deflateLevel, v.compressor, elemSize))
+            else if (v.compressor == "szip") {
+              // H5Z__filter_szip stores the uncompressed byte count ahead of
+              // the Rice stream (UINT32ENCODE, little-endian)
+              val body = Szip.compress(raw, szipClient)
+              val out = new Array[Byte](body.length + 4)
+              out(0) = raw.length.toByte
+              out(1) = (raw.length >>> 8).toByte
+              out(2) = (raw.length >>> 16).toByte
+              out(3) = (raw.length >>> 24).toByte
+              System.arraycopy(body, 0, out, 4, body.length)
+              out
+            } else shuffleDeflate(raw, v.deflateLevel, v.compressor, elemSize))
           }
           v.v4Index match {
             case None =>

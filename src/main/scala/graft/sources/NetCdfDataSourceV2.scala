@@ -395,21 +395,34 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
 
   private var pushedAgg: Option[(Seq[Int], Seq[MetaAgg])] = None
 
+  /** (nt, ny, nx) per archive file, header-parsed ONCE per builder:
+    * `supportCompletePushDown`, `pushAggregation` and the scan build all
+    * need the same walk, and Spark calls them in sequence — without the
+    * memo a grouped metadata aggregate over a multi-thousand-file archive
+    * would open and parse every header three times at planning. Safe to
+    * cache because file geometry is filter-independent (the lo/hi clamp
+    * below stays live). */
+  private lazy val fileGeometries: Seq[(Int, Int, Int)] = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    NetCdfTableV2.expand(rawInputs).map { p =>
+      val m = NetCdfTableV2.fileMeta(spark, p, varName)._1
+      (m.nt, m.ny, m.nx)
+    }
+  }
+
   /** Per-file archive-GLOBAL clamped bounds (t shifted by the file's
     * offset onto the concatenated axis); empty files yield hi < lo. */
   private def fileBlocks(): Seq[(Array[Int], Array[Int])] = {
-    val spark = org.apache.spark.sql.SparkSession.active
     var off = 0L
-    NetCdfTableV2.expand(rawInputs).map { p =>
-      val m = NetCdfTableV2.fileMeta(spark, p, varName)._1
+    fileGeometries.map { case (nt, ny, nx) =>
       val t0 = math.max(lo(0).toLong, off)
-      val t1 = math.min(hi(0).toLong, off + m.nt - 1L)
+      val t1 = math.min(hi(0).toLong, off + nt - 1L)
       val block = (
         Array(t0.toInt, math.max(lo(1), 0), math.max(lo(2), 0)),
         Array(if (t1 < t0) (t0 - 1).toInt else t1.toInt,
-          math.min(hi(1).toLong, m.ny - 1L).toInt,
-          math.min(hi(2).toLong, m.nx - 1L).toInt))
-      off += m.nt
+          math.min(hi(1).toLong, ny - 1L).toInt,
+          math.min(hi(2).toLong, nx - 1L).toInt))
+      off += nt
       block
     }
   }
@@ -423,9 +436,7 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
     * header walk it needs to decide runs at most once per plan. */
   private def metaAggsOf(agg: Aggregation): Option[(Seq[Int], Seq[MetaAgg])] =
     MetaAgg.parseGrouped(agg, dims).filter { case (groups, _) =>
-      groups.isEmpty || fileBlocks().map { case (bLo, bHi) =>
-        MetadataAggScan.groupCardinality(groups, bLo, bHi)
-      }.sum <= MetaAgg.MaxGroups
+      MetadataAggScan.withinBudget(groups, fileBlocks())
     }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -443,38 +454,8 @@ private[sources] class NetCdfScanBuilder(rawInputs: Seq[String], varName: String
     pushedAgg match {
       case Some((groups, aggs)) =>
         new MetadataAggScan(s"netcdf:${rawInputs.head}#$varName",
-          groups.map(dims.padTo(3, "x")), aggs, () => {
-            if (groups.isEmpty) {
-              var rows = 0L
-              // extremes accumulate over files that CONTRIBUTE rows only
-              var tMin = Int.MaxValue; var tMax = Int.MinValue
-              var yMax = Int.MinValue; var xMax = Int.MinValue
-              fileBlocks().foreach { case (bLo, bHi) =>
-                val n = (0 until 3).map(d =>
-                  math.max(0L, bHi(d).toLong - bLo(d) + 1)).product
-                if (n > 0) {
-                  rows += n
-                  tMin = math.min(tMin, bLo(0)); tMax = math.max(tMax, bHi(0))
-                  yMax = math.max(yMax, bHi(1)); xMax = math.max(xMax, bHi(2))
-                }
-              }
-              Seq(aggs.map {
-                case MetaCount => rows: Any
-                case MetaMin(0) => if (rows == 0) null else tMin: Any
-                case MetaMax(0) => if (rows == 0) null else tMax: Any
-                case MetaMin(d) => if (rows == 0) null else math.max(lo(d), 0): Any
-                case MetaMax(1) => if (rows == 0) null else yMax: Any
-                case MetaMax(_) => if (rows == 0) null else xMax: Any
-              }.toArray)
-            } else {
-              val acc = scala.collection.mutable
-                .LinkedHashMap[List[Int], MetadataAggScan.GroupAcc]()
-              fileBlocks().foreach { case (bLo, bHi) =>
-                MetadataAggScan.accumulateBlock(acc, groups, bLo, bHi)
-              }
-              MetadataAggScan.emitGrouped(acc, groups, aggs)
-            }
-          })
+          groups.map(dims.padTo(3, "x")), aggs,
+          () => MetadataAggScan.aggRows(groups, aggs, fileBlocks()))
       case None =>
         new NetCdfScan(rawInputs, varName, lo.clone(), hi.clone(), required,
           minAgeMs, rank)

@@ -289,10 +289,7 @@ private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = 
 
   private def metaAggsOf(agg: Aggregation): Option[(Seq[Int], Seq[MetaAgg])] =
     MetaAgg.parseGrouped(agg, dims).filter { case (groups, _) =>
-      groups.isEmpty || {
-        val (loC, hiC) = clampedBounds()
-        MetadataAggScan.groupCardinality(groups, loC, hiC) <= MetaAgg.MaxGroups
-      }
+      MetadataAggScan.withinBudget(groups, Seq(clampedBounds()))
     }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -309,16 +306,8 @@ private[sources] class ZarrScanBuilder(path: String, fillMissingTail: Boolean = 
   override def build(): Scan =
     pushedAgg match {
       case Some((groups, aggs)) =>
-        new MetadataAggScan(s"zarr:$path", groups.map(dims), aggs, () => {
-          val (loC, hiC) = clampedBounds()
-          if (groups.isEmpty) Seq(MetadataAggScan.denseRanges(aggs, loC, hiC))
-          else {
-            val acc = scala.collection.mutable
-              .LinkedHashMap[List[Int], MetadataAggScan.GroupAcc]()
-            MetadataAggScan.accumulateBlock(acc, groups, loC, hiC)
-            MetadataAggScan.emitGrouped(acc, groups, aggs)
-          }
-        })
+        new MetadataAggScan(s"zarr:$path", groups.map(dims), aggs,
+          () => MetadataAggScan.aggRows(groups, aggs, Seq(clampedBounds())))
       case None =>
         new ZarrScan(path, lo.clone(), hi.clone(), required, fillMissingTail, rank)
     }
@@ -423,18 +412,6 @@ private[sources] class MetadataAggScan(what: String, groupCols: Seq[String],
 }
 
 private[sources] object MetadataAggScan {
-  /** Aggregate values over a DENSE grid with clamped per-dim bounds:
-    * COUNT = the range product, MIN/MAX of a dim = its bounds (NULL on an
-    * empty range). */
-  def denseRanges(aggs: Seq[MetaAgg], lo: Array[Int], hi: Array[Int]): Array[Any] = {
-    val rows = lo.indices.map(d => math.max(0L, hi(d).toLong - lo(d) + 1)).product
-    aggs.map {
-      case MetaCount => rows: Any
-      case MetaMin(d) => if (rows == 0) null else lo(d): Any
-      case MetaMax(d) => if (rows == 0) null else hi(d): Any
-    }.toArray
-  }
-
   /** Per-group accumulator: row count + contributed bounds per dim. */
   final class GroupAcc(nd: Int) {
     var rows = 0L
@@ -488,6 +465,29 @@ private[sources] object MetadataAggScan {
   def groupCardinality(groupDims: Seq[Int], lo: Array[Int], hi: Array[Int]): Long =
     groupDims.map(d => math.max(0L, hi(d).toLong - lo(d) + 1))
       .foldLeft(1L)((a, b) => if (a > MetaAgg.MaxGroups) a else a * b)
+
+  /** The planning guard every dense scan builder applies before accepting
+    * a grouped pushdown: total group count across the per-file clamped
+    * `blocks` stays within [[MetaAgg.MaxGroups]] (ungrouped always fits —
+    * the thunk is not even forced). */
+  def withinBudget(groups: Seq[Int],
+      blocks: => Seq[(Array[Int], Array[Int])]): Boolean =
+    groups.isEmpty ||
+      blocks.map { case (l, h) => groupCardinality(groups, l, h) }
+        .sum <= MetaAgg.MaxGroups
+
+  /** Grouped-or-ungrouped metadata aggregate rows over per-file clamped
+    * dense blocks — the ONE compute all three dense scan builders share
+    * (single stores pass one block). An ungrouped aggregate over an empty
+    * window still emits its count-0/NULL-extremes row, matching SQL. */
+  def aggRows(groups: Seq[Int], aggs: Seq[MetaAgg],
+      blocks: Seq[(Array[Int], Array[Int])]): Seq[Array[Any]] = {
+    val acc = scala.collection.mutable.LinkedHashMap[List[Int], GroupAcc]()
+    blocks.foreach { case (l, h) => accumulateBlock(acc, groups, l, h) }
+    if (groups.isEmpty && acc.isEmpty)
+      Seq(aggs.map { case MetaCount => 0L: Any; case _ => null: Any }.toArray)
+    else emitGrouped(acc, groups, aggs)
+  }
 }
 
 private[sources] case class ZarrChunkPartition(
@@ -912,10 +912,7 @@ private[sources] class ZarrGroupScanBuilder(lay: ZarrGroupTableV2.Layout)
   private def metaAggsOf(agg: Aggregation): Option[(Seq[Int], Seq[MetaAgg])] =
     MetaAgg.parseGrouped(agg, lay.primaryDims.map(d => s"${d}_idx"))
       .filter { case (groups, _) =>
-        groups.isEmpty || {
-          val (loC, hiC) = clampedBounds()
-          MetadataAggScan.groupCardinality(groups, loC, hiC) <= MetaAgg.MaxGroups
-        }
+        MetadataAggScan.withinBudget(groups, Seq(clampedBounds()))
       }
 
   override def supportCompletePushDown(agg: Aggregation): Boolean =
@@ -934,15 +931,8 @@ private[sources] class ZarrGroupScanBuilder(lay: ZarrGroupTableV2.Layout)
       case Some((groups, aggs)) =>
         val (loC, hiC) = clampedBounds()
         new MetadataAggScan(s"zarr-group:${lay.dir}",
-          groups.map(d => s"${lay.primaryDims(d)}_idx"), aggs, () => {
-            if (groups.isEmpty) Seq(MetadataAggScan.denseRanges(aggs, loC, hiC))
-            else {
-              val acc = scala.collection.mutable
-                .LinkedHashMap[List[Int], MetadataAggScan.GroupAcc]()
-              MetadataAggScan.accumulateBlock(acc, groups, loC, hiC)
-              MetadataAggScan.emitGrouped(acc, groups, aggs)
-            }
-          })
+          groups.map(d => s"${lay.primaryDims(d)}_idx"), aggs,
+          () => MetadataAggScan.aggRows(groups, aggs, Seq((loC, hiC))))
       case None => new ZarrGroupScan(lay, lo.clone(), hi.clone(), required)
     }
 }

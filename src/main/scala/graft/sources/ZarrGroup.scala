@@ -538,7 +538,7 @@ object ZarrGroup extends Serializable {
       valueCols.foreach(vc =>
         driverFs.mkdirs(new org.apache.hadoop.fs.Path(dir, vc)))
       writeChunkJob(df, dir, dimNames, sizes, chunks, valueCols, fill,
-        v3, blosc = !v3 && compressor.contains("blosc"))
+        v3, blosc = Seq.fill(valueCols.length)(!v3 && compressor.contains("blosc")))
       this
     }
 
@@ -696,7 +696,7 @@ object ZarrGroup extends Serializable {
     * is one writer at a time per array, same as xarray's `to_zarr`). */
   private[sources] def writeChunkJob(df: DataFrame, dir: String,
       dimNames: Seq[String], totalSizes: Seq[Int], chunks: Seq[Int],
-      valueCols: Seq[String], fill: Double, v3: Boolean, blosc: Boolean,
+      valueCols: Seq[String], fill: Double, v3: Boolean, blosc: Seq[Boolean],
       offset0: Int = 0,
       initMetas: Map[String, ZarrSource.ZarrMeta] = Map.empty): Unit = {
     val spark = df.sparkSession
@@ -709,7 +709,9 @@ object ZarrGroup extends Serializable {
     val dirB = dir
     val isV3 = v3
     val fillB = fill
-    val bloscB = blosc
+    require(blosc.length == valueCols.length,
+      s"writeChunkJob: ${blosc.length} compressor flags for ${valueCols.length} columns")
+    val bloscB = blosc.toArray
     val blockN0 = totalSizes.head - offset0
     val initB: Array[ZarrSource.ZarrMeta] =
       if (initMetas.isEmpty) null else valueCols.map(initMetas(_)).toArray
@@ -751,7 +753,7 @@ object ZarrGroup extends Serializable {
           while (vi < nV) {
             val payload = if (isV3)
               ZarrSource.v3EncodeChain(bufs(vi).array(), Seq(ZarrSource.ZstdC))
-            else if (bloscB) Blosc.compress(bufs(vi).array(), typesize = 8)
+            else if (bloscB(vi)) Blosc.compress(bufs(vi).array(), typesize = 8)
             else bufs(vi).array()
             ZarrSource.putBytes(fs,
               new org.apache.hadoop.fs.Path(s"$dirB/${vcB(vi)}", rel), payload)
@@ -894,11 +896,15 @@ object ZarrGroup extends Serializable {
     // 1) data chunks, distributed; straddling edge chunks merge in place
     writeChunkJob(df, dir, dimNames, (nt0 + nNew) +: dims.tail.map(_._2),
       chunks, valueCols, fill = Double.NaN, v3 = v3,
-      blosc = metas.head.compressor.contains("blosc"), offset0 = nt0,
+      blosc = metas.map(_.compressor.contains("blosc")), offset0 = nt0,
       initMetas = valueCols.zip(metas).toMap)
 
     // 2) extended coordinates (driver-side; axes are metadata-sized) —
-    //    rewritten as ONE chunk of the new full length, like a create
+    //    rewritten as ONE chunk of the new full length, like a create.
+    //    Until step 3 lands the chunk is LARGER than the advertised axis;
+    //    readers slice oversized rank-1 chunks to the metadata length
+    //    (ZarrSource.decodeChunk), so a live reader — or a retry after a
+    //    crash between 2 and 3 — still sees the exact pre-append view
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     newCoords.toSeq.sortBy(_._1).foreach { case (n, a) =>
       val m = g.members(n).meta

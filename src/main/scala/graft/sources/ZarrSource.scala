@@ -257,18 +257,32 @@ object ZarrSource extends Serializable {
 
   /** Decode a chunk file's bytes to the raw C-order cell bytes, whatever
     * the format: v2 compressor or v3 codec chain (applied in reverse —
-    * trailing crc32c verified and stripped first). */
+    * trailing crc32c verified and stripped first).
+    *
+    * Rank-1 (coordinate) chunks tolerate decoding to MORE bytes than the
+    * metadata advertises, keeping the prefix: [[ZarrGroup.appendDataset]]
+    * grows the coordinate chunk BEFORE its metadata patch lands (step 2 vs
+    * 3), so a live reader — or anyone after a crash between the two — sees
+    * an oversized chunk under the old shape; slicing restores exactly the
+    * pre-append view and makes append retries safe. Data chunks (rank ≥ 2)
+    * and short decodes stay strict errors. */
   private[sources] def decodeChunk(data: Array[Byte], meta: ZarrMeta,
-      rawLen: Int): Array[Byte] =
-    if (meta.format == 2) decompress(data, meta.compressor, rawLen)
+      rawLen: Int): Array[Byte] = {
+    val oversizeOk = meta.shape.length == 1
+    val out = if (meta.format == 2) decompress(data, meta.compressor, rawLen, oversizeOk)
     else meta.shard match {
-      case None => decodeV3Chain(data, meta.v3Codecs, rawLen)
+      case None => decodeV3Chain(data, meta.v3Codecs, rawLen, oversizeOk)
       case Some(s) => assembleShard(data, meta, s, rawLen)
     }
+    if (oversizeOk && out.length > rawLen) java.util.Arrays.copyOf(out, rawLen)
+    else out
+  }
 
-  /** Apply a v3 bytes→bytes codec chain in reverse (decode direction). */
+  /** Apply a v3 bytes→bytes codec chain in reverse (decode direction).
+    * `oversizeOk` permits a decode LARGER than `rawLen` (caller slices) —
+    * the append-in-flight coordinate case documented on [[decodeChunk]]. */
   private[sources] def decodeV3Chain(data: Array[Byte], codecs: Seq[V3Codec],
-      rawLen: Int): Array[Byte] = {
+      rawLen: Int, oversizeOk: Boolean = false): Array[Byte] = {
     var cur = data
     codecs.reverse.foreach {
       case Crc32cC =>
@@ -296,11 +310,18 @@ object ZarrSource extends Serializable {
         } finally in.close()
         cur = out
       case ZstdC =>
-        cur = com.github.luben.zstd.Zstd.decompress(cur, rawLen)
+        cur =
+          if (!oversizeOk) com.github.luben.zstd.Zstd.decompress(cur, rawLen)
+          else {
+            val sz = com.github.luben.zstd.Zstd.getFrameContentSize(cur)
+            require(sz >= rawLen && sz <= Int.MaxValue,
+              s"zstd chunk frame declares $sz bytes, expected >= $rawLen")
+            com.github.luben.zstd.Zstd.decompress(cur, sz.toInt)
+          }
       case BloscC =>
         cur = Blosc.decompress(cur)
     }
-    if (cur.length != rawLen)
+    if (cur.length != rawLen && !(oversizeOk && cur.length > rawLen))
       throw new java.io.IOException(
         s"zarr v3 chunk decoded to ${cur.length} bytes, expected $rawLen")
     cur
@@ -384,7 +405,8 @@ object ZarrSource extends Serializable {
     out
   }
 
-  private[sources] def decompress(data: Array[Byte], compressor: Option[String], rawLen: Int): Array[Byte] =
+  private[sources] def decompress(data: Array[Byte], compressor: Option[String], rawLen: Int,
+      oversizeOk: Boolean = false): Array[Byte] =
     compressor match {
       case None => data
       case Some("zlib") =>
@@ -409,7 +431,7 @@ object ZarrSource extends Serializable {
         out
       case Some("blosc") =>
         val out = Blosc.decompress(data)
-        if (out.length != rawLen)
+        if (out.length != rawLen && !(oversizeOk && out.length > rawLen))
           throw new java.io.IOException(
             s"blosc chunk decoded to ${out.length} bytes, expected $rawLen")
         out

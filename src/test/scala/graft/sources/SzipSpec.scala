@@ -132,18 +132,24 @@ class SzipSpec extends AnyFunSuite {
     assert(Szip.decompress(raw, c, 64).toSeq == raw.toSeq)
   }
 
-  test("defilter dispatches filter id 4 with the caller's decoded size") {
+  test("defilter strips H5Z__filter_szip's 4-byte stored-size header") {
     val vals = (0 until 96).map(i => (i * 5L) % 251)
     val cvals = Seq(Szip.NnMask | Szip.EcMask | Szip.MsbMask, 8, 8, 32)
     val raw = pack(vals, 8, lsb = false)
-    val comp = Szip.compress(raw, cvals)
+    // the real filter UINT32ENCODEs the uncompressed byte count (LE) ahead
+    // of the headerless Rice stream — build the chunk exactly as HDF5 does
+    val body = Szip.compress(raw, cvals)
+    val comp = Array[Byte](96, 0, 0, 0) ++ body
     val got = Hdf5.defilter(comp, Seq(Hdf5.Filter(4, cvals)), 0, expectedBytes = 96)
     assert(got.toSeq == raw.toSeq)
+    // the stored size alone drives the decode when geometry is absent
+    assert(Hdf5.defilter(comp, Seq(Hdf5.Filter(4, cvals)), 0).toSeq == raw.toSeq)
     // masked-out szip filter (failed on write) passes through untouched
     assert(Hdf5.defilter(raw, Seq(Hdf5.Filter(4, cvals)), 1, 96).toSeq == raw.toSeq)
-    // headerless codec without the size is a named error
+    // a stored size that disagrees with the chunk geometry is a named error
     val e = intercept[IllegalArgumentException](
-      Hdf5.defilter(comp, Seq(Hdf5.Filter(4, cvals)), 0))
+      Hdf5.defilter(Array[Byte](95, 0, 0, 0) ++ body,
+        Seq(Hdf5.Filter(4, cvals)), 0, expectedBytes = 96))
     assert(e.getMessage.contains("szip"))
   }
 

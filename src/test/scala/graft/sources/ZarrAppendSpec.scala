@@ -164,4 +164,70 @@ class ZarrAppendSpec extends SparkSpec {
       col("t_idx") * 100.0 + col("y") * 10.0 + col("x")).count() == 0,
       "straddling-chunk slices merge without corrupting either side")
   }
+
+  test("a v2 raw/blosc member mix appends each with its own compressor") {
+    val dir = tmpDir()
+    val df = cells(2, 3, 4).withColumn("sb", col("sst") * 2)
+      .withColumnRenamed("sst", "sa")
+    ZarrGroup.writeDataset(df, dir,
+      Seq("time" -> 2, "y" -> 3, "x" -> 4), Seq(2, 3, 4), Seq("sa", "sb"))
+    // convert member 'sb' to blosc in place, as a foreign writer could have:
+    // recompress its chunk files and patch its .zarray (walk path — drop
+    // the consolidated metadata so the patched member metadata is read)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(dir, "sb")).toSeq
+      .filter(_.getPath.getName.matches("[0-9.]+")).foreach { st =>
+        val in = fs.open(st.getPath)
+        val raw = try {
+          val b = new Array[Byte](st.getLen.toInt); in.readFully(b); b
+        } finally in.close()
+        ZarrSource.putBytes(fs, st.getPath, Blosc.compress(raw, typesize = 8))
+      }
+    val za = new org.apache.hadoop.fs.Path(s"$dir/sb", ".zarray")
+    val zin = fs.open(za)
+    val zs = try scala.io.Source.fromInputStream(zin).mkString finally zin.close()
+    assert(zs.contains("\"compressor\": null"), s"unexpected .zarray shape: $zs")
+    ZarrSource.putBytes(fs, za, zs.replace("\"compressor\": null",
+      """"compressor": {"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}""")
+      .getBytes("UTF-8"))
+    fs.delete(new org.apache.hadoop.fs.Path(dir, ".zmetadata"), false)
+
+    ZarrGroup.appendDataset(df, dir,
+      Seq("time" -> 2, "y" -> 3, "x" -> 4), Seq(2, 3, 4), Seq("sa", "sb"))
+    val back = ZarrGroup.readDataset(spark, dir)
+    assert(back.count() == 4 * 3 * 4)
+    assert(back.filter(col("sb") =!= col("sa") * 2).count() == 0,
+      "appended chunks of the blosc member must be BLOSC, of the raw member raw")
+  }
+
+  test("an oversized coordinate chunk reads as the pre-append view (crash window)") {
+    val dir = tmpDir()
+    cellsWithCoordV3(dir)
+    // simulate a crash between appendDataset's coord grow (step 2) and its
+    // metadata patch (step 3): the coord chunk holds 4 values, shape says 2
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buf = java.nio.ByteBuffer.allocate(4 * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    Seq(10.0, 11.0, 12.0, 13.0).foreach(buf.putDouble)
+    ZarrSource.putBytes(fs, new org.apache.hadoop.fs.Path(s"$dir/time", "c/0"),
+      ZarrSource.v3EncodeChain(buf.array(), Seq(ZarrSource.ZstdC)))
+    val times0 = ZarrGroup.readDataset(spark, dir)
+      .select("time").distinct().as[Double].collect().sorted
+    assert(times0.toSeq == Seq(10.0, 11.0),
+      "before the metadata patch lands the store must read as pre-append")
+    // the retried append completes on top of the half-landed coord
+    ZarrGroup.appendDataset(cells(2, 3, 4, tBase = 2), dir,
+      Seq("time" -> 2, "y" -> 3, "x" -> 4), Seq(2, 3, 4), Seq("sst"),
+      newCoords = Map("time" -> Array(12.0, 13.0)))
+    val times1 = ZarrGroup.readDataset(spark, dir)
+      .select("time").distinct().as[Double].collect().sorted
+    assert(times1.toSeq == Seq(10.0, 11.0, 12.0, 13.0))
+  }
+
+  private def cellsWithCoordV3(dir: String): Unit =
+    ZarrGroup.writeDataset(cells(2, 3, 4), dir,
+      Seq("time" -> 2, "y" -> 3, "x" -> 4), Seq(2, 3, 4), Seq("sst"),
+      coords = Map("time" -> Array(10.0, 11.0)), v3 = true)
 }
