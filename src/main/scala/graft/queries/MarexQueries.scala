@@ -1422,6 +1422,54 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      CAST(sum(q) AS BIGINT) AS sum_scaled
               FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
-      "CF-packed i16 + szip netcdf write: quantized round-trip through the extended-Rice codec")
+      "CF-packed i16 + szip netcdf write: quantized round-trip through the extended-Rice codec"),
+
+    // ── sharded v3 zarr through SQL: the object-count lever at 100 TB ─────
+    QueryDef("q93_zarr_sharded_write",
+      (s, d) => {
+        // q84's write with `sharding_indexed`: each OUTER chunk stores as
+        // ONE object of zstd inner chunks + a crc32c end-index (all-fill
+        // inner chunks elided). At archive scale this is the object-count
+        // control — a 100 TB store keeps task granularity at the outer
+        // chunk while holding 64–1000× fewer objects. The query verifies
+        // the store IS sharded (object count = outer-chunk count, not
+        // inner) before handing the read-back to the oracle.
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("sst"))
+          .filter(col("time_idx").between(0, 30))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q93_zsw"
+        cells.write.format("zarr")
+          .option("dims", "time:31,y:10,x:15").option("chunks", "8,10,15")
+          .option("shard", "2,5,15").option("v3", "true")
+          .option("cols", "sst")
+          .mode("overwrite").save(dir)
+        val objs = Option(new java.io.File(dir, "sst/c").listFiles()).toSeq.flatten
+          .flatMap(t => Option(t.listFiles()).toSeq.flatten)
+          .flatMap(y => Option(y.listFiles()).toSeq.flatten).size
+        require(objs == 4, s"sharded store must hold 4 outer-chunk objects, found $objs")
+        s.read.format("zarr").load(dir)
+          .filter(!isnan(col("sst")) && col("time_idx") >= 10)
+          .groupBy(col("time_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("sst") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells WHERE t_idx BETWEEN 10 AND 30 GROUP BY t_idx"""),
+      "sharded v3 zarr SQL write: one object per outer chunk, elided fill, read back exactly")
   )
 }

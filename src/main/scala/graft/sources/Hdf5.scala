@@ -80,9 +80,17 @@ private[sources] object Hdf5 {
 
   /** OBJECT reference (class 7, reference type 0): each element is the
     * file address of the referenced object's header. Reads resolve the
-    * address back to the object's link name ("/<name>"); region
-    * references (type 1) stay a named error. */
+    * address back to the object's link name ("/<name>"). */
   final case class RefType(size: Int) extends DType
+
+  /** DATASET REGION reference (class 7, reference type 1): each element is
+    * a (global heap collection address, object index) pair; the GCOL
+    * object holds the referenced dataset's object-header address followed
+    * by the serialized dataspace selection (H5S v1: all / points /
+    * hyperslab block list). Reads render the canonical string
+    * `"/<name> hyperslab (s…)-(e…);…"` / `"… points (p…);…"` / `"… all"`
+    * (`""` for a null reference). */
+  final case class RegionRefType(size: Int) extends DType
 
   final case class Filter(id: Int, clientValues: Seq[Int])
 
@@ -322,10 +330,13 @@ private[sources] object Hdf5 {
         }
         (CompoundType(size, members), p - off)
       case 7 => // reference: bits 0–3 = reference type
-        require((bits0 & 0x0f) == 0,
-          s"unsupported reference type ${bits0 & 0x0f} (object references only; " +
-            "region references are not supported)")
-        (RefType(size), 8)
+        (bits0 & 0x0f) match {
+          case 0 => (RefType(size), 8)
+          case 1 => (RegionRefType(size), 8)
+          case t => throw new IllegalArgumentException(
+            s"unsupported reference type $t (object and dataset-region " +
+              "references only)")
+        }
       case c => throw new IllegalArgumentException(
         s"unsupported datatype class $c (fixed-point, float, string, vlen string, " +
           "compound, object reference)")
@@ -1296,6 +1307,14 @@ private[sources] object Hdf5 {
             i += 1
           }
           m.name -> decodeRefs(cells, rt, n, src)
+        case rr: RegionRefType =>
+          val cells = new Array[Byte](n * rr.size)
+          var i = 0
+          while (i < n) {
+            System.arraycopy(data, i * ct.size + m.offset, cells, i * rr.size, rr.size)
+            i += 1
+          }
+          m.name -> decodeRegionRefs(cells, rr, n, src)
         case nc: CompoundType =>
           // nested record: re-pack the member's bytes densely, recurse,
           // then transpose to one Seq per record (declaration order)
@@ -1324,26 +1343,94 @@ private[sources] object Hdf5 {
     java.util.Collections.synchronizedMap(
       new java.util.WeakHashMap[ByteSource, Map[Long, String]]())
 
+  private def refNames(src: ByteSource): Map[Long, String] = {
+    val cached = refNamesCache.get(src)
+    if (cached != null) cached
+    else {
+      val (rootOh, _) = readSuperblock(src)
+      val m = listDatasets(src, rootOh).map { case (name, oh) => oh -> s"/$name" }.toMap
+      refNamesCache.put(src, m)
+      m
+    }
+  }
+
   /** Decode `n` object references (file addresses of object headers) to
     * the referenced objects' root-group link names, "/<name>". An address
     * no root link points at fails with the address named. */
   def decodeRefs(data: Array[Byte], rt: RefType, n: Int,
       src: ByteSource): Array[String] = {
-    val byAddr: Map[Long, String] = {
-      val cached = refNamesCache.get(src)
-      if (cached != null) cached
-      else {
-        val (rootOh, _) = readSuperblock(src)
-        val m = listDatasets(src, rootOh).map { case (name, oh) => oh -> s"/$name" }.toMap
-        refNamesCache.put(src, m)
-        m
-      }
-    }
+    val byAddr = refNames(src)
     Array.tabulate(n) { i =>
       val addr = leVar(data, i * rt.size, math.min(rt.size, 8)).toLong
       if (addr == Undef || addr == 0L) "" // unset/null reference
       else byAddr.getOrElse(addr, throw new IllegalArgumentException(
         f"object reference points at 0x$addr%x, which is not a root-group object"))
+    }
+  }
+
+  /** Decode `n` DATASET REGION references to canonical strings
+    * `"/<name> <selection>"` — the GCOL object behind each element holds
+    * the target's object-header address + the serialized H5S selection.
+    * `""` = null reference (heap address 0/undef). */
+  def decodeRegionRefs(data: Array[Byte], rr: RegionRefType, n: Int,
+      src: ByteSource): Array[String] = {
+    val byAddr = refNames(src)
+    val gcols = scala.collection.mutable.Map[Long, Map[Int, Array[Byte]]]()
+    Array.tabulate(n) { i =>
+      val heapAddr = leVar(data, i * rr.size, 8).toLong
+      val idx = leVar(data, i * rr.size + 8, 4).toInt
+      if (heapAddr == Undef || heapAddr == 0L) ""
+      else {
+        val objs = gcols.getOrElseUpdate(heapAddr, globalHeapCollection(src, heapAddr))
+        val obj = objs.getOrElse(idx, throw new IllegalArgumentException(
+          f"region reference names object $idx of the collection at 0x$heapAddr%x, " +
+            s"which holds ${objs.size}"))
+        require(obj.length >= 8 + 8,
+          s"region-reference heap object of ${obj.length} bytes is shorter than " +
+            "an object address + selection header")
+        val ohAddr = leVar(obj, 0, 8).toLong
+        val target = byAddr.getOrElse(ohAddr, throw new IllegalArgumentException(
+          f"region reference points at 0x$ohAddr%x, which is not a root-group object"))
+        s"$target ${selectionString(obj, 8)}"
+      }
+    }
+  }
+
+  /** Render a serialized H5S dataspace selection (the form region
+    * references embed): `type(u32) version(u32)` then the v1 body. */
+  private def selectionString(b: Array[Byte], off: Int): String = {
+    def u32(p: Int): Int = leVar(b, off + p, 4).toInt
+    val selType = u32(0)
+    val version = u32(4)
+    selType match {
+      case 0 => "none"
+      case 3 => "all"
+      case 1 => // points, v1: pad, len, rank, npoints, then u32 coords
+        require(version == 1,
+          s"point-selection serialization version $version (v1 only)")
+        val rank = u32(16); val np = u32(20)
+        require(rank >= 1 && rank <= 32 && np >= 0 &&
+          off + 24 + 4L * rank * np <= b.length,
+          s"point selection (rank $rank, $np points) overruns the heap object")
+        "points " + (0 until np).map { p =>
+          (0 until rank).map(d => u32(24 + (p * rank + d) * 4)).mkString("(", ",", ")")
+        }.mkString(";")
+      case 2 => // hyperslab, v1: pad, len, rank, nblocks, then start+end u32s
+        require(version == 1,
+          s"hyperslab serialization version $version (v1 only — 64-bit " +
+            "selections use v2+)")
+        val rank = u32(16); val nb = u32(20)
+        require(rank >= 1 && rank <= 32 && nb >= 0 &&
+          off + 24 + 8L * rank * nb <= b.length,
+          s"hyperslab selection (rank $rank, $nb blocks) overruns the heap object")
+        "hyperslab " + (0 until nb).map { k =>
+          val base = 24 + k * 8 * rank
+          val s0 = (0 until rank).map(d => u32(base + d * 4)).mkString("(", ",", ")")
+          val e0 = (0 until rank).map(d => u32(base + (rank + d) * 4)).mkString("(", ",", ")")
+          s"$s0-$e0"
+        }.mkString(";")
+      case t => throw new IllegalArgumentException(
+        s"unknown dataspace selection type $t in region reference")
     }
   }
 
@@ -1422,6 +1509,55 @@ private[sources] object Hdf5 {
     def n: Int = targets.length; def elemSize: Int = 8
   }
 
+  /** A dataspace selection for a region reference (serialized as H5S v1). */
+  sealed trait RegionSel
+  /** Block list: per block, inclusive start and opposite-corner coords. */
+  final case class HyperSel(blocks: Seq[(Seq[Int], Seq[Int])]) extends RegionSel {
+    blocks.foreach { case (s, e) =>
+      require(s.nonEmpty && s.length == e.length,
+        s"hyperslab block start/end ranks differ: $s vs $e")
+    }
+  }
+  final case class PointSel(points: Seq[Seq[Int]]) extends RegionSel {
+    require(points.nonEmpty && points.map(_.length).distinct.size == 1,
+      "point selection needs >= 1 point, all of one rank")
+  }
+  case object AllSel extends RegionSel
+
+  /** DATASET-REGION-reference dataset (class 7 type 1): each element names
+    * a sibling dataset plus a dataspace selection into it; `None` writes a
+    * null reference. Elements are (GCOL address, object index) pairs; the
+    * heap objects carry the target's header address + the serialized
+    * selection. */
+  final case class RegionRefData(targets: Seq[Option[(String, RegionSel)]])
+      extends TypedData {
+    def n: Int = targets.length; def elemSize: Int = 12
+  }
+
+  /** Serialize a selection in the v1 form [[selectionString]] reads back. */
+  private def serializeSelection(sel: RegionSel): Array[Byte] = sel match {
+    case AllSel =>
+      val b = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(3).putInt(1).putInt(0).putInt(0)
+      b.array()
+    case PointSel(pts) =>
+      val rank = pts.head.length
+      val b = ByteBuffer.allocate(24 + 4 * rank * pts.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(1).putInt(1).putInt(0).putInt(8 + 4 * rank * pts.length)
+      b.putInt(rank).putInt(pts.length)
+      pts.foreach(_.foreach(b.putInt))
+      b.array()
+    case HyperSel(blocks) =>
+      val rank = blocks.head._1.length
+      val b = ByteBuffer.allocate(24 + 8 * rank * blocks.length)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(2).putInt(1).putInt(0).putInt(8 + 8 * rank * blocks.length)
+      b.putInt(rank).putInt(blocks.length)
+      blocks.foreach { case (s, e) => s.foreach(b.putInt); e.foreach(b.putInt) }
+      b.array()
+  }
+
   /** Datatype message body for a typed payload (writer side). */
   private def typedDtBody(t: TypedData): Array[Byte] = t match {
     case FixedStrData(_, size) =>
@@ -1453,6 +1589,11 @@ private[sources] object Hdf5 {
       // v1 class 7; reference type 0 (object) — no extra properties
       val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
       b.put(0x17.toByte).put(0x00.toByte).put(0.toByte).put(0.toByte).putInt(8)
+      b.array()
+    case _: RegionRefData =>
+      // v1 class 7; reference type 1 (dataset region); 12-byte elements
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x17.toByte).put(0x01.toByte).put(0.toByte).put(0.toByte).putInt(12)
       b.array()
   }
 
@@ -1529,6 +1670,15 @@ private[sources] object Hdf5 {
       val out = new Array[Byte](cd.n * cd.elemSize)
       fillCompound(cd.members, out, 0, cd.elemSize)
       out
+    case RegionRefData(targets) =>
+      // non-null elements index the GCOL objects 1..k in order
+      val b = ByteBuffer.allocate(targets.length * 12).order(ByteOrder.LITTLE_ENDIAN)
+      var gi = 0
+      targets.foreach {
+        case None => b.putLong(0L).putInt(0)
+        case Some(_) => gi += 1; b.putLong(gcolAddr).putInt(gi)
+      }
+      b.array()
     case _: RefData => throw new IllegalStateException(
       "RefData bytes need the object-address map — emitted via refDataBytes")
   }
@@ -1982,6 +2132,12 @@ private[sources] object Hdf5 {
               val a = cursor
               cursor += gcolTotal(vals.map(_.length * 8))
               a
+            case Some(RegionRefData(targets)) =>
+              val a = cursor
+              cursor += gcolTotal(targets.flatten.map {
+                case (_, sel) => 8 + serializeSelection(sel).length
+              })
+              a
             case _ => Undef
           }
           Plan(v, ohAddr, dataAddr, Undef, Seq.empty, gcolAddr = gcolAddr)
@@ -2339,6 +2495,19 @@ private[sources] object Hdf5 {
                   val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
                   a.foreach(bb.putDouble)
                   bb.array()
+                }))
+              case RegionRefData(targets) =>
+                require(pos == p.gcolAddr, s"gcol drift at ${v.name}")
+                out.write(buildGcol(targets.flatten.map { case (name, sel) =>
+                  val ohA = plans.find(_.v.name == name)
+                    .getOrElse(throw new IllegalArgumentException(
+                      s"${v.name}: region-reference target '$name' is not a " +
+                        "dataset in this file")).ohAddr
+                  val sb = serializeSelection(sel)
+                  val o = ByteBuffer.allocate(8 + sb.length)
+                    .order(ByteOrder.LITTLE_ENDIAN)
+                  o.putLong(ohA).put(sb)
+                  o.array()
                 }))
               case _ => ()
             }

@@ -74,10 +74,13 @@ class ZarrDataSourceV2 extends TableProvider with DataSourceRegister {
   * the reference's `to_zarr` (marEx track.py:1748), delegating to the
   * distributed [[ZarrGroup.writeDataset]] chunk writer. */
 private[sources] final case class ZarrWriteSpec(dims: Seq[(String, Int)],
-    chunks: Seq[Int], cols: Seq[String], fill: Double, v3: Boolean) {
+    chunks: Seq[Int], cols: Seq[String], fill: Double, v3: Boolean,
+    shard: Option[Seq[Int]] = None) {
   require(dims.length == chunks.length,
     s"dims (${dims.length}) and chunks (${chunks.length}) must align")
   require(cols.nonEmpty, "zarr write needs .option(\"cols\", <value columns>)")
+  require(shard.isEmpty || v3,
+    """.option("shard", …) writes zarr v3 sharding_indexed — requires .option("v3", "true")""")
   def schema: StructType = StructType(
     dims.map { case (n, _) => StructField(s"${n}_idx", IntegerType, nullable = false) } ++
       cols.map(c => StructField(c, DoubleType, nullable = true)))
@@ -99,7 +102,8 @@ private[sources] object ZarrWriteSpec {
     val cols = req("cols").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
     ZarrWriteSpec(dims, chunks, cols,
       Option(options.get("fill")).map(_.toDouble).getOrElse(Double.NaN),
-      options.getBoolean("v3", false))
+      options.getBoolean("v3", false),
+      Option(options.get("shard")).map(_.split(",").toSeq.map(_.trim.toInt)))
   }
 }
 
@@ -143,7 +147,8 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
                 valueCols = spec.cols)
             else
               ZarrGroup.writeDataset(data, path, spec.dims, spec.chunks,
-                valueCols = spec.cols, v3 = spec.v3, fill = spec.fill)
+                valueCols = spec.cols, v3 = spec.v3, fill = spec.fill,
+                shard = spec.shard)
           }
       }
     }

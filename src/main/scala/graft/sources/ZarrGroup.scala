@@ -499,12 +499,14 @@ object ZarrGroup extends Serializable {
     *                   fixtures use). Ignored for v3, whose chain is the
     *                   zarr-python-3 default `bytes → zstd`. */
   final class GroupWriter(dir: String, v3: Boolean = false,
-      compressor: Option[String] = None) {
+      compressor: Option[String] = None, shard: Option[Seq[Int]] = None) {
     require(compressor.forall(_ == "blosc"),
       s"unsupported v2 write compressor '${compressor.get}' (supported: blosc)")
-    // member name -> (shape, chunks, dims, fill)
-    private val members =
-      scala.collection.mutable.ArrayBuffer[(String, Seq[Int], Seq[Int], Seq[String], Double)]()
+    require(shard.isEmpty || v3,
+      "sharding_indexed is a zarr v3 feature — set v3 = true to shard")
+    // member name -> (shape, chunks, dims, fill, inner shard shape)
+    private val members = scala.collection.mutable
+      .ArrayBuffer[(String, Seq[Int], Seq[Int], Seq[String], Double, Option[Seq[Int]])]()
     private var finished = false
 
     // driver-side FS handle for coord/metadata emission (executor chunk
@@ -515,10 +517,10 @@ object ZarrGroup extends Serializable {
       ZarrSource.putBytes(driverFs, new org.apache.hadoop.fs.Path(dir, rel), bytes)
 
     private def addMember(n: String, sh: Seq[Int], ch: Seq[Int], dn: Seq[String],
-        fill: Double): Unit = {
+        fill: Double, sInner: Option[Seq[Int]] = None): Unit = {
       require(!finished, "GroupWriter already finished")
       require(!members.exists(_._1 == n), s"duplicate group member '$n'")
-      members += ((n, sh, ch, dn, fill))
+      members += ((n, sh, ch, dn, fill, sInner))
     }
 
     /** Write `valueCols` as data arrays over `dims` from a long-format
@@ -534,11 +536,19 @@ object ZarrGroup extends Serializable {
       require(valueCols.nonEmpty, "arrays() needs at least one value column")
       val dimNames = dims.map(_._1)
       val sizes = dims.map(_._2)
-      valueCols.foreach(vc => addMember(vc, sizes, chunks, dimNames, fill))
+      shard.foreach { inner =>
+        require(inner.length == chunks.length,
+          s"shard inner shape (${inner.length}) and chunks (${chunks.length}) must align")
+        require(inner.indices.forall(d => inner(d) > 0 && chunks(d) % inner(d) == 0),
+          s"shard inner shape ${inner.mkString("x")} must divide " +
+            s"chunk shape ${chunks.mkString("x")}")
+      }
+      valueCols.foreach(vc => addMember(vc, sizes, chunks, dimNames, fill, shard))
       valueCols.foreach(vc =>
         driverFs.mkdirs(new org.apache.hadoop.fs.Path(dir, vc)))
       writeChunkJob(df, dir, dimNames, sizes, chunks, valueCols, fill,
-        v3, blosc = Seq.fill(valueCols.length)(!v3 && compressor.contains("blosc")))
+        v3, blosc = Seq.fill(valueCols.length)(!v3 && compressor.contains("blosc")),
+        shard = shard)
       this
     }
 
@@ -570,7 +580,7 @@ object ZarrGroup extends Serializable {
       finished = true
       // a dim name must mean one size everywhere it appears
       val dimSizes = scala.collection.mutable.Map[String, Int]()
-      members.foreach { case (n, sh, _, dn, _) =>
+      members.foreach { case (n, sh, _, dn, _, _) =>
         dn.zip(sh).foreach { case (d, s) =>
           dimSizes.get(d) match {
             case Some(prev) => require(prev == s,
@@ -594,43 +604,54 @@ object ZarrGroup extends Serializable {
             "compressor": $v2Compressor, "fill_value": ${fillJson(fill)}, "order": "C", "filters": null}"""
       def v2Zattrs(dimsOf: Seq[String]): String =
         s"""{"_ARRAY_DIMENSIONS": [${dimsOf.map(jsonStr).mkString(", ")}]}"""
-      def v3ArrayJson(shape: Seq[Int], chk: Seq[Int], dimsOf: Seq[String], fill: Double): String =
+      def v3ArrayJson(shape: Seq[Int], chk: Seq[Int], dimsOf: Seq[String],
+          fill: Double, sInner: Option[Seq[Int]]): String = {
+        val codecJson = sInner match {
+          case None => ZarrSource.v3ChainJson(Seq(ZarrSource.ZstdC))
+          case Some(inner) =>
+            s"""{"name": "sharding_indexed", "configuration": {
+                "chunk_shape": [${inner.mkString(", ")}],
+                "codecs": [${ZarrSource.v3ChainJson(Seq(ZarrSource.ZstdC))}],
+                "index_codecs": [{"name": "bytes", "configuration": {"endian": "little"}}, {"name": "crc32c"}],
+                "index_location": "end"}}"""
+        }
         s"""{"zarr_format": 3, "node_type": "array",
             "shape": [${shape.mkString(", ")}],
             "data_type": "float64",
             "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chk.mkString(", ")}]}},
             "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
             "fill_value": ${fillJson(fill)},
-            "codecs": [${ZarrSource.v3ChainJson(Seq(ZarrSource.ZstdC))}],
+            "codecs": [$codecJson],
             "dimension_names": [${dimsOf.map(jsonStr).mkString(", ")}],
             "attributes": {}}"""
+      }
       val attrsJson = JsonMethods.compact(JsonMethods.render(JObject(
         (attrs.view.mapValues(JString(_): JValue).toList ++ jsonAttrs.obj)
           .sortBy(_._1))))
 
       if (v3) {
-        val consolidated = members.map { case (n, sh, ch, dn, fl) =>
-          s"${jsonStr(n)}: ${v3ArrayJson(sh, ch, dn, fl)}"
+        val consolidated = members.map { case (n, sh, ch, dn, fl, si) =>
+          s"${jsonStr(n)}: ${v3ArrayJson(sh, ch, dn, fl, si)}"
         }.mkString(", ")
         val groupJson =
           s"""{"zarr_format": 3, "node_type": "group", "attributes": $attrsJson,
               "consolidated_metadata": {"kind": "inline", "must_understand": false,
                 "metadata": {$consolidated}}}"""
         put("zarr.json", groupJson.getBytes)
-        members.foreach { case (n, sh, ch, dn, fl) =>
-          put(s"$n/zarr.json", v3ArrayJson(sh, ch, dn, fl).getBytes)
+        members.foreach { case (n, sh, ch, dn, fl, si) =>
+          put(s"$n/zarr.json", v3ArrayJson(sh, ch, dn, fl, si).getBytes)
         }
       } else {
         put(".zgroup", """{"zarr_format": 2}""".getBytes)
         put(".zattrs", attrsJson.getBytes)
-        members.foreach { case (n, sh, ch, dn, fl) =>
+        members.foreach { case (n, sh, ch, dn, fl, _) =>
           put(s"$n/.zarray", v2Zarray(sh, ch, fl).getBytes)
           put(s"$n/.zattrs", v2Zattrs(dn).getBytes)
         }
         val entries = Seq(
           s"""".zgroup": {"zarr_format": 2}""",
           s"""".zattrs": $attrsJson""") ++
-          members.flatMap { case (n, sh, ch, dn, fl) => Seq(
+          members.flatMap { case (n, sh, ch, dn, fl, _) => Seq(
             s"${jsonStr(s"$n/.zarray")}: ${v2Zarray(sh, ch, fl)}",
             s"${jsonStr(s"$n/.zattrs")}: ${v2Zattrs(dn)}")
           }
@@ -662,13 +683,14 @@ object ZarrGroup extends Serializable {
       chunks: Seq[Int], valueCols: Seq[String],
       coords: Map[String, Array[Double]] = Map.empty,
       attrs: Map[String, String] = Map.empty, v3: Boolean = false,
-      compressor: Option[String] = None, fill: Double = Double.NaN): Unit = {
+      compressor: Option[String] = None, fill: Double = Double.NaN,
+      shard: Option[Seq[Int]] = None): Unit = {
     coords.foreach { case (n, a) =>
       val sz = dims.toMap.getOrElse(n,
         throw new IllegalArgumentException(s"coord '$n' names no dimension"))
       require(a.length == sz, s"coord '$n' has ${a.length} values, dim has $sz")
     }
-    val w = new GroupWriter(dir, v3, compressor)
+    val w = new GroupWriter(dir, v3, compressor, shard)
     w.arrays(df, dims, chunks, valueCols, fill)
     coords.keys.toSeq.sorted.foreach(cn => w.coord(cn, coords(cn)))
     w.finish(attrs)
@@ -698,7 +720,8 @@ object ZarrGroup extends Serializable {
       dimNames: Seq[String], totalSizes: Seq[Int], chunks: Seq[Int],
       valueCols: Seq[String], fill: Double, v3: Boolean, blosc: Seq[Boolean],
       offset0: Int = 0,
-      initMetas: Map[String, ZarrSource.ZarrMeta] = Map.empty): Unit = {
+      initMetas: Map[String, ZarrSource.ZarrMeta] = Map.empty,
+      shard: Option[Seq[Int]] = None): Unit = {
     val spark = df.sparkSession
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val nd = dimNames.length
@@ -712,6 +735,7 @@ object ZarrGroup extends Serializable {
     require(blosc.length == valueCols.length,
       s"writeChunkJob: ${blosc.length} compressor flags for ${valueCols.length} columns")
     val bloscB = blosc.toArray
+    val shardB: Array[Int] = shard.map(_.toArray).orNull
     val blockN0 = totalSizes.head - offset0
     val initB: Array[ZarrSource.ZarrMeta] =
       if (initMetas.isEmpty) null else valueCols.map(initMetas(_)).toArray
@@ -751,7 +775,9 @@ object ZarrGroup extends Serializable {
             else ci.mkString(".")
           var vi = 0
           while (vi < nV) {
-            val payload = if (isV3)
+            val payload = if (isV3 && shardB != null)
+              shardObject(bufs(vi), chB, shardB, fillB)
+            else if (isV3)
               ZarrSource.v3EncodeChain(bufs(vi).array(), Seq(ZarrSource.ZstdC))
             else if (bloscB(vi)) Blosc.compress(bufs(vi).array(), typesize = 8)
             else bufs(vi).array()
@@ -801,6 +827,62 @@ object ZarrGroup extends Serializable {
         written.result().iterator
       }
       .collect() // materialize writes
+  }
+
+  /** Assemble one `sharding_indexed` stored object from a full outer-chunk
+    * cell buffer (C-order doubles over `chunks`): inner chunks of shape
+    * `inner` in C-order, each `bytes → zstd` encoded, all-fill inner
+    * chunks ELIDED (offset = nbytes = −1), then the little-endian
+    * `(offset, nbytes)` u64 index + its crc32c at the END — exactly the
+    * layout [[ZarrSource.assembleShard]] reads back. Sharding is the
+    * object-count lever at archive scale: the task granularity stays the
+    * outer chunk while the store holds 1/∏(chunks/inner) as many objects
+    * as a plain layout, and a reader of a small window still fetches only
+    * the inner chunks its index says exist. */
+  private def shardObject(buf: ByteBuffer, chunks: Array[Int],
+      inner: Array[Int], fill: Double): Array[Byte] = {
+    val nd = chunks.length
+    val grid = Array.tabulate(nd)(d => chunks(d) / inner(d))
+    val nInner = grid.product
+    val innerLen = inner.product
+    val fillBits = java.lang.Double.doubleToLongBits(fill)
+    val body = new java.io.ByteArrayOutputStream()
+    val index = ByteBuffer.allocate(16 * nInner + 4).order(ByteOrder.LITTLE_ENDIAN)
+    val ki = new Array[Int](nd)
+    val di = new Array[Int](nd)
+    var k = 0
+    while (k < nInner) {
+      var rem = k
+      var d = nd - 1
+      while (d >= 0) { ki(d) = rem % grid(d); rem /= grid(d); d -= 1 }
+      val innerRaw = ByteBuffer.allocate(innerLen * 8).order(ByteOrder.LITTLE_ENDIAN)
+      var allFill = true
+      var c = 0
+      while (c < innerLen) {
+        var r2 = c
+        d = nd - 1
+        while (d >= 0) { di(d) = r2 % inner(d); r2 /= inner(d); d -= 1 }
+        var flat = 0
+        d = 0
+        while (d < nd) { flat = flat * chunks(d) + ki(d) * inner(d) + di(d); d += 1 }
+        val v = buf.getDouble(flat * 8)
+        if (java.lang.Double.doubleToLongBits(v) != fillBits) allFill = false
+        innerRaw.putDouble(c * 8, v)
+        c += 1
+      }
+      if (allFill) { index.putLong(-1L); index.putLong(-1L) }
+      else {
+        val enc = ZarrSource.v3EncodeChain(innerRaw.array(), Seq(ZarrSource.ZstdC))
+        index.putLong(body.size().toLong); index.putLong(enc.length.toLong)
+        body.write(enc)
+      }
+      k += 1
+    }
+    val crc = new java.util.zip.CRC32C
+    crc.update(index.array(), 0, 16 * nInner)
+    index.putInt(crc.getValue.toInt)
+    body.write(index.array())
+    body.toByteArray
   }
 
   /** Append a block along the FIRST (slowest-varying) dimension of an
@@ -855,6 +937,9 @@ object ZarrGroup extends Serializable {
         s"member '$vc' has dtype ${m.meta.dtype} — the append writer " +
           "emits little-endian float64 ('<f8') only")
       require(m.meta.order == "C", s"member '$vc' is not C-order")
+      require(m.meta.shard.isEmpty,
+        s"member '$vc' uses sharding_indexed — appends onto sharded stores " +
+          "are not supported (rewrite the store, or create it unsharded)")
       if (v3) require(m.meta.v3Codecs == Seq(ZarrSource.ZstdC),
         s"member '$vc' uses a v3 codec chain this writer cannot extend " +
           s"(${m.meta.v3Codecs.mkString("→")}; supported: bytes→zstd)")

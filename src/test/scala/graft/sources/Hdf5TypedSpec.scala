@@ -204,11 +204,83 @@ class Hdf5TypedSpec extends AnyFunSuite {
     val body = Array[Byte](0x18, 0, 0, 0, 4, 0, 0, 0) // class 8 (enum)
     val e = intercept[IllegalArgumentException](Hdf5.parseDatatype(body))
     assert(e.getMessage.contains("class 8"))
-    // object references (class 7 type 0) now parse; REGION references stay
-    // a named error
+    // reference types 0 (object) and 1 (dataset region) both parse;
+    // anything else names the type
     val region = Array[Byte](0x17, 0x01, 0, 0, 12, 0, 0, 0)
-    val e2 = intercept[IllegalArgumentException](Hdf5.parseDatatype(region))
-    assert(e2.getMessage.contains("region"))
+    assert(Hdf5.parseDatatype(region) == Hdf5.RegionRefType(12))
+    val refT2 = Array[Byte](0x17, 0x02, 0, 0, 12, 0, 0, 0)
+    val e2 = intercept[IllegalArgumentException](Hdf5.parseDatatype(refT2))
+    assert(e2.getMessage.contains("reference type 2"))
+  }
+
+  // ── dataset region references (class 7 type 1) ───────────────────────────
+
+  test("region references round-trip: hyperslab, points, all, null") {
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("grid", Seq(4, 6), Array.tabulate(24)(_.toDouble)),
+      Hdf5.WriteVar("axis", Seq(5), Array.tabulate(5)(_ * 2.0)),
+      Hdf5.WriteVar("regions", Seq(4), Array.empty,
+        typed = Some(Hdf5.RegionRefData(Seq(
+          Some(("grid", Hdf5.HyperSel(Seq(
+            (Seq(0, 2), Seq(1, 4)), (Seq(3, 0), Seq(3, 5)))))),
+          Some(("axis", Hdf5.PointSel(Seq(Seq(1), Seq(3))))),
+          Some(("grid", Hdf5.AllSel)),
+          None))))))
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == "regions").get._2
+    val ds = Hdf5.readDataset(s, "regions", oh)
+    val rr = ds.dtype.asInstanceOf[Hdf5.RegionRefType]
+    assert(rr.size == 12)
+    val Hdf5.Contiguous(addr, size) = ds.layout: @unchecked
+    val refs = Hdf5.decodeRegionRefs(s.read(addr, size.toInt), rr, 4, s)
+    assert(refs.toSeq == Seq(
+      "/grid hyperslab (0,2)-(1,4);(3,0)-(3,5)",
+      "/axis points (1);(3)",
+      "/grid all",
+      ""))
+  }
+
+  test("region references inside compounds decode like any member; bad shapes name themselves") {
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("grid", Seq(2, 2), Array(1.0, 2.0, 3.0, 4.0)),
+      Hdf5.WriteVar("roi", Seq(2), Array.empty,
+        typed = Some(Hdf5.RegionRefData(Seq(
+          Some(("grid", Hdf5.HyperSel(Seq((Seq(0, 0), Seq(0, 1)))))),
+          Some(("grid", Hdf5.PointSel(Seq(Seq(1, 1)))))))))))
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == "roi").get._2
+    val ds = Hdf5.readDataset(s, "roi", oh)
+    val rr = ds.dtype.asInstanceOf[Hdf5.RegionRefType]
+    val Hdf5.Contiguous(addr, size) = ds.layout: @unchecked
+    assert(Hdf5.decodeRegionRefs(s.read(addr, size.toInt), rr, 2, s).toSeq ==
+      Seq("/grid hyperslab (0,0)-(0,1)", "/grid points (1,1)"))
+    // an unknown target fails at assembly with the name
+    val e = intercept[IllegalArgumentException](Hdf5.assemble(Seq(
+      Hdf5.WriteVar("r", Seq(1), Array.empty,
+        typed = Some(Hdf5.RegionRefData(Seq(
+          Some(("nope", Hdf5.AllSel)))))))))
+    assert(e.getMessage.contains("nope"))
+    // a v2 (64-bit) hyperslab serialization is a NAMED error, not a
+    // misread: hand-build a GCOL holding (grid's header address, a
+    // type-2/version-4 selection) appended past the file's end
+    val gridOh = Hdf5.listDatasets(s, rootOh).find(_._1 == "grid").get._2
+    val payload = ByteBuffer.allocate(24).order(ByteOrder.LITTLE_ENDIAN)
+    payload.putLong(gridOh).putInt(2).putInt(4).putInt(0).putInt(0)
+    val gcol = ByteBuffer.allocate(16 + 16 + 24 + 16)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    gcol.put("GCOL".getBytes).put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    gcol.putLong(gcol.capacity().toLong)
+    gcol.putShort(1).putShort(1).putInt(0).putLong(24L)
+    gcol.put(payload.array())
+    val heapAddr = bytes.length.toLong
+    val s2 = src(bytes ++ gcol.array())
+    val el = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    el.putLong(heapAddr).putInt(1)
+    val e2 = intercept[IllegalArgumentException](
+      Hdf5.decodeRegionRefs(el.array(), Hdf5.RegionRefType(12), 1, s2))
+    assert(e2.getMessage.contains("version 4"))
   }
 
   // ── registered plugin filters: zstd (32015) and lz4 (32004) ─────────────

@@ -104,4 +104,78 @@ class ZarrWriteSpec2 extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(m => m.contains("chunks") || m.contains("cols")))
   }
+
+  test("sharded v3 write: one object per OUTER chunk, reads back cell-exact") {
+    val dir = tmpDir()
+    val in = cells(6, 4, 6)
+    in.write.format("zarr")
+      .option("dims", "time:6,y:4,x:6").option("chunks", "2,4,6")
+      .option("shard", "1,2,3").option("v3", "true")
+      .option("cols", "sst").mode("overwrite").save(dir)
+    // the store holds one object per outer chunk (3 along time), not one
+    // per inner chunk (3 × 2 × 2 × 2 = 24) — the object-count lever
+    val sstDir = new java.io.File(dir, "sst")
+    val objs = new java.io.File(sstDir, "c").listFiles().flatMap(t =>
+      t.listFiles().flatMap(_.listFiles())).map(_.length())
+    assert(objs.length == 3, s"want 3 shard objects, got ${objs.length}")
+    // each object ends with the (offset, nbytes) index + crc32c for 8 inner chunks
+    assert(objs.forall(_ >= 8 * 16 + 4))
+    val meta = new String(java.nio.file.Files.readAllBytes(
+      new java.io.File(sstDir, "zarr.json").toPath))
+    assert(meta.contains("sharding_indexed") && meta.contains("index_location"))
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.count() == 6 * 4 * 6)
+    assert(back.join(in.withColumnRenamed("sst", "expected"),
+      Seq("time_idx", "y_idx", "x_idx"))
+      .filter(col("sst") =!= col("expected")).count() == 0)
+    // appends onto sharded stores are a named error, store intact
+    val e = intercept[Exception](
+      cells(1, 4, 6).write.format("zarr")
+        .option("dims", "time:1,y:4,x:6").option("chunks", "2,4,6")
+        .option("cols", "sst").mode("append").save(dir))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("shard")))
+    assert(spark.read.format("zarr").load(dir).count() == 6 * 4 * 6)
+  }
+
+  test("sharded write elides all-fill inner chunks from the object") {
+    val dir = tmpDir()
+    // only the first time slice carries data: inner chunks of slice t=1
+    // inside the same outer chunk are pure fill and must be elided
+    cells(1, 4, 4).write.format("zarr")
+      .option("dims", "time:2,y:4,x:4").option("chunks", "2,4,4")
+      .option("shard", "1,4,4").option("v3", "true")
+      .option("cols", "sst").mode("overwrite").save(dir)
+    val obj = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "sst/c/0/0/0").toPath)
+    val idx = java.nio.ByteBuffer.wrap(obj).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    val base = obj.length - (2 * 16 + 4)
+    assert(idx.getLong(base) == 0L && idx.getLong(base + 8) > 0L,
+      "t=0 inner chunk stored")
+    assert(idx.getLong(base + 16) == -1L && idx.getLong(base + 24) == -1L,
+      "t=1 inner chunk elided")
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.filter(col("time_idx") === 1 && !isnan(col("sst"))).count() == 0,
+      "elided inner chunks read back as fill")
+    assert(back.filter(col("time_idx") === 0 && isnan(col("sst"))).count() == 0)
+  }
+
+  test("shard without v3, or a non-dividing inner shape, fail by name") {
+    val dir = tmpDir()
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e1 = intercept[Exception](
+      cells(2, 2, 2).write.format("zarr")
+        .option("dims", "time:2,y:2,x:2").option("chunks", "2,2,2")
+        .option("shard", "1,2,2").option("cols", "sst")
+        .mode("overwrite").save(dir))
+    assert(msgs(e1).exists(_.contains("v3")))
+    val e2 = intercept[Exception](
+      cells(2, 2, 2).write.format("zarr")
+        .option("dims", "time:2,y:2,x:2").option("chunks", "2,2,2")
+        .option("shard", "1,2,3").option("v3", "true").option("cols", "sst")
+        .mode("overwrite").save(dir))
+    assert(msgs(e2).exists(_.contains("divide")))
+  }
 }
