@@ -65,11 +65,13 @@ private[sources] object Hdf5 {
     * global heap collection. */
   final case class VlenStrType(utf8: Boolean) extends DType { def size: Int = 16 }
 
-  /** Variable-length SEQUENCE (class 9, vlen type 0) of a numeric base —
-    * ragged per-element arrays (e.g. per-station sample lists). Same
+  /** Variable-length SEQUENCE (class 9, vlen type 0) — ragged per-element
+    * arrays (e.g. per-station sample lists, per-document tag lists). Same
     * 16-byte element encoding as vlen strings; the heap object holds
-    * `length` packed base-type values. */
-  final case class VlenSeqType(base: NumType) extends DType { def size: Int = 16 }
+    * `length` packed base-type values. Numeric bases decode via
+    * [[decodeVlenSeqs]], string bases (fixed or vlen) via
+    * [[decodeVlenStrSeqs]]; compound bases stay a named error. */
+  final case class VlenSeqType(base: DType) extends DType { def size: Int = 16 }
 
   final case class CompoundMember(name: String, offset: Int, dtype: DType)
 
@@ -289,9 +291,11 @@ private[sources] object Hdf5 {
         val (base, baseLen) = parseDatatypeAt(body, off + 8)
         if ((bits0 & 0x0f) == 1) (VlenStrType(utf8 = (bits1 & 0x0f) == 1), 8 + baseLen)
         else base match {
-          case nt: NumType => (VlenSeqType(nt), 8 + baseLen)
+          case b @ (_: NumType | _: StrType | _: VlenStrType) =>
+            (VlenSeqType(b), 8 + baseLen)
           case o => throw new IllegalArgumentException(
-            s"unsupported vlen sequence base datatype $o — numeric bases only")
+            s"unsupported vlen sequence base datatype $o — numeric and " +
+              "string bases only")
         }
       case 6 => // compound: member count in class bit field bits 0–15
         val nMembers = bits0 | (bits1 << 8)
@@ -1249,7 +1253,10 @@ private[sources] object Hdf5 {
   def decodeVlenSeqs(data: Array[Byte], dt: DType, n: Int,
       src: ByteSource): Array[Array[Double]] = {
     val base = dt match {
-      case VlenSeqType(b) => b
+      case VlenSeqType(b: NumType) => b
+      case VlenSeqType(o) => throw new IllegalArgumentException(
+        s"vlen sequence base $o is not numeric — string bases decode via " +
+          "decodeVlenStrSeqs")
       case o => throw new IllegalArgumentException(s"not a vlen sequence datatype: $o")
     }
     val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
@@ -1263,6 +1270,37 @@ private[sources] object Hdf5 {
         val col = cache.getOrElseUpdate(addr, globalHeapCollection(src, addr))
         decode(col.getOrElse(idx, throw new IllegalArgumentException(
           s"vlen element points at missing global heap object $idx@$addr")), base, len)
+      }
+    }
+  }
+
+  /** Decode `n` vlen-sequence elements whose BASE is a string type into
+    * ragged string lists (h5py's list-of-tags shapes): a fixed-string base
+    * packs `length` size-byte cells in the heap object (NUL-trimmed); a
+    * vlen-string base packs `length` 16-byte vlen descriptors that resolve
+    * through their own collections (nested indirection). */
+  def decodeVlenStrSeqs(data: Array[Byte], dt: DType, n: Int,
+      src: ByteSource): Array[Seq[String]] = {
+    val base = dt match {
+      case VlenSeqType(b @ (_: StrType | _: VlenStrType)) => b
+      case o => throw new IllegalArgumentException(
+        s"not a string-base vlen sequence datatype: $o")
+    }
+    val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+    val b = le(data)
+    Array.tabulate(n) { i =>
+      val len = b.getInt(i * 16)
+      val addr = b.getLong(i * 16 + 4)
+      val idx = b.getInt(i * 16 + 12)
+      if (addr == Undef || addr == 0L || len == 0) Seq.empty[String]
+      else {
+        val col = cache.getOrElseUpdate(addr, globalHeapCollection(src, addr))
+        val obj = col.getOrElse(idx, throw new IllegalArgumentException(
+          s"vlen element points at missing global heap object $idx@$addr"))
+        require(obj.length >= len.toLong * base.size,
+          s"vlen string sequence of $len × ${base.size}-byte cells overruns " +
+            s"its ${obj.length}-byte heap object")
+        decodeStrings(obj, base, len, src).toSeq
       }
     }
   }
@@ -1471,6 +1509,15 @@ private[sources] object Hdf5 {
   final case class VlenSeqData(values: Seq[Array[Double]]) extends TypedData {
     def n: Int = values.length; def elemSize: Int = 16
   }
+  /** Vlen sequence of FIXED strings (class 9 type 0 over a class-3 base):
+    * ragged per-element string lists; each heap object packs the list's
+    * strings in `strSize`-byte NUL-padded cells. */
+  final case class VlenStrSeqData(values: Seq[Seq[String]], strSize: Int)
+      extends TypedData {
+    values.flatten.foreach(s => require(s.getBytes("UTF-8").length <= strSize,
+      s"string '$s' exceeds the fixed base size $strSize"))
+    def n: Int = values.length; def elemSize: Int = 16
+  }
   /** CF-PACKED signed-i16 grid (class 0, LE): the layout real archives
     * actually ship — raw shorts + `scale_factor`/`add_offset`/`_FillValue`
     * attributes — 4× smaller than f64 before compression. Any rank;
@@ -1578,6 +1625,12 @@ private[sources] object Hdf5 {
       b.put(0x19.toByte).put(0x00.toByte).put(0x00.toByte).put(0.toByte).putInt(16)
       b.put(f64TypeBody)
       b.array()
+    case VlenStrSeqData(_, strSize) =>
+      val b = ByteBuffer.allocate(8 + 8).order(ByteOrder.LITTLE_ENDIAN)
+      // v1 class 9; vlen type = sequence (0); base = fixed UTF-8 string
+      b.put(0x19.toByte).put(0x00.toByte).put(0x00.toByte).put(0.toByte).putInt(16)
+      b.put(0x13.toByte).put(0x10.toByte).put(0.toByte).put(0.toByte).putInt(strSize)
+      b.array()
     case _: PackedGridData =>
       // v1 class 0 fixed-point, signed LE, 2 bytes: bit offset 0, precision 16
       val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
@@ -1660,6 +1713,12 @@ private[sources] object Hdf5 {
       val b = ByteBuffer.allocate(values.length * 16).order(ByteOrder.LITTLE_ENDIAN)
       values.zipWithIndex.foreach { case (a, i) =>
         b.putInt(a.length).putLong(gcolAddr).putInt(i + 1) // length in ELEMENTS
+      }
+      b.array()
+    case VlenStrSeqData(values, _) =>
+      val b = ByteBuffer.allocate(values.length * 16).order(ByteOrder.LITTLE_ENDIAN)
+      values.zipWithIndex.foreach { case (a, i) =>
+        b.putInt(a.length).putLong(gcolAddr).putInt(i + 1)
       }
       b.array()
     case PackedGridData(values) =>
@@ -2132,6 +2191,10 @@ private[sources] object Hdf5 {
               val a = cursor
               cursor += gcolTotal(vals.map(_.length * 8))
               a
+            case Some(VlenStrSeqData(vals, strSize)) =>
+              val a = cursor
+              cursor += gcolTotal(vals.map(_.length * strSize))
+              a
             case Some(RegionRefData(targets)) =>
               val a = cursor
               cursor += gcolTotal(targets.flatten.map {
@@ -2495,6 +2558,17 @@ private[sources] object Hdf5 {
                   val bb = ByteBuffer.allocate(a.length * 8).order(ByteOrder.LITTLE_ENDIAN)
                   a.foreach(bb.putDouble)
                   bb.array()
+                }))
+              case VlenStrSeqData(vals, strSize) =>
+                require(pos == p.gcolAddr, s"gcol drift at ${v.name}")
+                out.write(buildGcol(vals.map { seq =>
+                  val cells = new Array[Byte](seq.length * strSize)
+                  seq.zipWithIndex.foreach { case (str, k) =>
+                    val sb = str.getBytes("UTF-8")
+                    System.arraycopy(sb, 0, cells, k * strSize,
+                      math.min(sb.length, strSize))
+                  }
+                  cells
                 }))
               case RegionRefData(targets) =>
                 require(pos == p.gcolAddr, s"gcol drift at ${v.name}")

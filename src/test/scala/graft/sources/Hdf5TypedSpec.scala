@@ -148,6 +148,60 @@ class Hdf5TypedSpec extends AnyFunSuite {
     assert(got.map(_.toSeq).toSeq == values.map(_.toSeq))
   }
 
+  test("vlen sequences of FIXED strings round-trip ragged tag lists") {
+    val values = Seq(Seq("en", "news"), Seq.empty[String], Seq("code"),
+      Seq("a", "bb", "ccc", "dd"))
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("tags", Seq(values.length), Array.empty,
+        typed = Some(Hdf5.VlenStrSeqData(values, strSize = 4)))))
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == "tags").get._2
+    val ds = Hdf5.readDataset(s, "tags", oh)
+    assert(ds.dtype == Hdf5.VlenSeqType(Hdf5.StrType(4, utf8 = true)))
+    val Hdf5.Contiguous(addr, size) = ds.layout: @unchecked
+    val got = Hdf5.decodeVlenStrSeqs(s.read(addr, size.toInt), ds.dtype, 4, s)
+    assert(got.toSeq == values)
+    // the numeric decoder refuses string bases BY NAME (never misreads)
+    val e = intercept[IllegalArgumentException](
+      Hdf5.decodeVlenSeqs(s.read(addr, size.toInt), ds.dtype, 4, s))
+    assert(e.getMessage.contains("decodeVlenStrSeqs"))
+    // an oversized base string fails at construction
+    val e2 = intercept[IllegalArgumentException](
+      Hdf5.VlenStrSeqData(Seq(Seq("too-long")), strSize = 4))
+    assert(e2.getMessage.contains("too-long"))
+  }
+
+  test("vlen sequences of VLEN strings decode through nested indirection") {
+    // no writer for the nested form — hand-build the descriptors: a file
+    // carrying the inner vlen strings' GCOL via a VlenStrData dataset,
+    // then an outer heap object packing two of its 16-byte descriptors
+    val inner = Seq("alpha", "beta-long-string", "c")
+    val bytes = Hdf5.assemble(Seq(
+      Hdf5.WriteVar("strs", Seq(inner.length), Array.empty,
+        typed = Some(Hdf5.VlenStrData(inner)))))
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val oh = Hdf5.listDatasets(s, rootOh).find(_._1 == "strs").get._2
+    val ds = Hdf5.readDataset(s, "strs", oh)
+    val Hdf5.Contiguous(addr, _) = ds.layout: @unchecked
+    val innerDescs = s.read(addr, inner.length * 16)
+    // outer heap object = descriptors of "alpha" and "c"
+    val outerObj = new Array[Byte](32)
+    System.arraycopy(innerDescs, 0, outerObj, 0, 16)
+    System.arraycopy(innerDescs, 32, outerObj, 16, 16)
+    val gcol = ByteBuffer.allocate(16 + 16 + 32 + 16).order(ByteOrder.LITTLE_ENDIAN)
+    gcol.put("GCOL".getBytes).put(1.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    gcol.putLong(gcol.capacity().toLong)
+    gcol.putShort(1).putShort(1).putInt(0).putLong(32L).put(outerObj)
+    val s2 = src(bytes ++ gcol.array())
+    val el = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    el.putInt(2).putLong(bytes.length.toLong).putInt(1)
+    val dt = Hdf5.VlenSeqType(Hdf5.VlenStrType(utf8 = true))
+    val got = Hdf5.decodeVlenStrSeqs(el.array(), dt, 1, s2)
+    assert(got.toSeq == Seq(Seq("alpha", "c")))
+  }
+
   // ── compound datasets (class 6) ──────────────────────────────────────────
 
   test("compound dataset (f64 + fixed-string members) round-trips column-wise") {
