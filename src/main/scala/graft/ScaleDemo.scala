@@ -39,6 +39,8 @@ object ScaleDemo {
       case "unstructured" => math.max(cpus.toInt, (dimsNy * dimsNy * nYears / 1000000L).toInt)
       case "zappend" => // args(0) = months of daily slices in ONE store
         math.max(cpus.toInt, (dimsNy * dimsNx * (nYears * 30L + 3) / 4000000L).toInt)
+      case "zshard" => // args(0) = months of daily slices, written twice
+        math.max(cpus.toInt, (dimsNy * dimsNx * nYears * 30L / 4000000L).toInt)
       case _ => math.max(cpus.toInt, (dimsNy * dimsNx * 365L * nYears / 4000000L).toInt)
     }).toString)
     // At production grids the per-pixel dimension tables (climatology /
@@ -262,6 +264,69 @@ object ScaleDemo {
             col("y_idx") < 4 && col("x_idx") < 4)
           .select(sum(abs(col("sst"))).as("s")).collect()(0).getDouble(0)
         println(f"[scale] appended-day spot sum = $d%.6f (want > 0)")
+      }
+      spark.stop()
+      return
+    }
+
+    // ── zshard: sharding_indexed as the object-count lever, measured ─────
+    // `ScaleDemo 1 zshard 720 1440` = one month of daily 0.25°-global
+    // slices at the SAME read granularity (1-day 1/16-hemisphere tiles)
+    // written twice: plain v3 with that granularity as the chunk grid
+    // (one object per tile) vs sharded (the tiles as inner chunks of
+    // 5-day full-tile outer objects). Same cells, same codec, same
+    // window-read selectivity; the sharded store holds 80× fewer
+    // objects — at a 100 TB archive that is the difference between 10⁸
+    // and 10⁶ store objects.
+    if (method == "zshard") {
+      val days = nYears * 30
+      val (tc, cy, cx) = (5, math.max(1, ny / 4), math.max(1, nx / 4))
+      val (it0, iy0, ix0) = (1, math.max(1, cy / 4), math.max(1, cx / 4))
+      def slab(): org.apache.spark.sql.DataFrame =
+        spark.range(days.toLong * ny * nx).select(
+          (col("id") / (ny.toLong * nx)).cast("int").as("time_idx"),
+          (col("id") / nx % ny).cast("int").as("y_idx"),
+          (col("id") % nx).cast("int").as("x_idx"),
+          (sin(col("id").cast("double") * 1e-3) * 10.0).as("sst"))
+      def countObjs(dir: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else 1L
+        walk(new java.io.File(dir, "sst/c"))
+      }
+      val plain = s"${System.getProperty("java.io.tmpdir")}/graft_zshard_plain"
+      val sharded = s"${System.getProperty("java.io.tmpdir")}/graft_zshard_sharded"
+      Seq(plain, sharded).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      timed(s"plain v3 write $days×$ny×$nx (chunks $it0×$iy0×$ix0 = the read tiles)") {
+        slab().write.format("zarr")
+          .option("dims", s"time:$days,y:$ny,x:$nx")
+          .option("chunks", s"$it0,$iy0,$ix0").option("v3", "true")
+          .option("cols", "sst").mode("overwrite").save(plain)
+      }
+      timed(s"sharded v3 write (outer $tc×$cy×$cx objects of $it0×$iy0×$ix0 inner tiles)") {
+        slab().write.format("zarr")
+          .option("dims", s"time:$days,y:$ny,x:$nx")
+          .option("chunks", s"$tc,$cy,$cx")
+          .option("shard", s"$it0,$iy0,$ix0").option("v3", "true")
+          .option("cols", "sst").mode("overwrite").save(sharded)
+      }
+      println(s"[scale] objects: plain = ${countObjs(plain)}, " +
+        s"sharded = ${countObjs(sharded)} " +
+        s"(${(tc / it0) * (cy / iy0) * (cx / ix0)}× fewer, same tile granularity)")
+      timed("regional window count, sharded store (pushed 1 tile × 3 days)") {
+        val n = spark.read.format("zarr").load(sharded)
+          .filter(col("time_idx") < 3 && col("y_idx") < iy0 && col("x_idx") < ix0)
+          .count()
+        println(s"[scale] window cells = $n")
+      }
+      timed("full equality plain ≡ sharded") {
+        val a = spark.read.format("zarr").load(plain)
+        val b = spark.read.format("zarr").load(sharded)
+          .withColumnRenamed("sst", "s2")
+        val bad = a.join(b, Seq("time_idx", "y_idx", "x_idx"))
+          .filter(abs(col("sst") - col("s2")) > 0).count()
+        println(s"[scale] mismatched cells = $bad (want 0)")
       }
       spark.stop()
       return

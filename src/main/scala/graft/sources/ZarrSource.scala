@@ -81,6 +81,20 @@ object ZarrSource extends Serializable {
       case _ => Double.NaN
     }
     val order = (j \ "order").extractOrElse[String]("C")
+    // v2 pre-compression filters (delta, fixedscaleoffset, …) transform the
+    // cell bytes BEFORE the compressor: ignoring one would decompress fine
+    // and then read transformed bytes as raw values — silent wrong data.
+    // No filter is supported, so any non-empty chain is a named error.
+    (j \ "filters") match {
+      case JNull | JNothing | JArray(Nil) => ()
+      case JArray(fs) =>
+        val ids = fs.map(f => (f \ "id").extractOrElse[String]("?"))
+        throw new IllegalArgumentException(
+          s"zarr v2 filters [${ids.mkString(", ")}] are not supported — " +
+            "refusing to misread filtered chunks (supported: filters null/[])")
+      case other => throw new IllegalArgumentException(
+        s"malformed zarr v2 'filters' entry: $other")
+    }
     ZarrMeta(shape, chunks, dtype, comp, fill, order)
   }
 

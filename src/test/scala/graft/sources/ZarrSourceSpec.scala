@@ -92,4 +92,19 @@ class ZarrSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("blosc") ||
       e.getCause != null && e.getCause.getMessage.contains("blosc"))
   }
+
+  test("v2 pre-compression filters are a NAMED refusal, never a misread") {
+    // a delta filter transforms cell bytes before the compressor: ignoring
+    // it would decode garbage silently — the metadata parse must throw
+    val e = intercept[IllegalArgumentException](ZarrSource.readMeta(
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+         "compressor": null, "fill_value": "NaN", "order": "C",
+         "filters": [{"id": "delta", "dtype": "<f8"}]}"""))
+    assert(e.getMessage.contains("delta"))
+    // null and [] both mean "no filters"
+    assert(ZarrSource.readMeta(
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+         "compressor": null, "fill_value": 0, "order": "C",
+         "filters": []}""").shape == Seq(4))
+  }
 }
