@@ -1157,6 +1157,12 @@ private[sources] object Hdf5 {
           require(stored > 0 && (expectedBytes <= 0 || stored == expectedBytes),
             s"szip stored uncompressed size $stored != chunk geometry size " +
               s"$expectedBytes — refusing to guess (corrupt or unsupported layout)")
+          // geometry absent → the untrusted header alone sizes the decode;
+          // cap it so a corrupt field cannot drive a multi-GiB allocation
+          // (HDF5 chunks are MBs; the lz4 branch bounds-checks likewise)
+          require(expectedBytes > 0 || stored <= (1 << 28),
+            s"szip stored uncompressed size $stored with no chunk geometry " +
+              "to validate against exceeds the 256 MiB plausibility cap")
           data = Szip.decompress(
             java.util.Arrays.copyOfRange(data, 4, data.length), f.clientValues, stored)
         case id => throw new IllegalArgumentException(
@@ -1231,22 +1237,35 @@ private[sources] object Hdf5 {
           new String(data, i * size, len, "UTF-8")
         }
       case VlenStrType(_) =>
-        val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
-        val b = le(data)
-        Array.tabulate(n) { i =>
-          val len = b.getInt(i * 16)
-          val addr = b.getLong(i * 16 + 4)
-          val idx = b.getInt(i * 16 + 12)
-          if (addr == Undef || addr == 0L || len == 0) ""
-          else {
-            val col = cache.getOrElseUpdate(addr, globalHeapCollection(src, addr))
-            val bytes = col.getOrElse(idx, throw new IllegalArgumentException(
-              s"vlen element points at missing global heap object $idx@$addr"))
+        vlenElements(data, n, src).map {
+          case (len, Some(bytes)) =>
             new String(bytes, 0, math.min(len, bytes.length), "UTF-8")
-          }
+          case _ => ""
         }
       case o => throw new IllegalArgumentException(s"not a string datatype: $o")
     }
+
+  /** Walk `n` 16-byte vlen descriptors (length, GCOL address, object
+    * index) to (declared length, heap object bytes) — `None` for a
+    * null/empty element. ONE positioned read per distinct collection; a
+    * descriptor naming a missing object fails with both ids. Shared by
+    * the vlen string / numeric-sequence / string-sequence decoders. */
+  private def vlenElements(data: Array[Byte], n: Int,
+      src: ByteSource): Array[(Int, Option[Array[Byte]])] = {
+    val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
+    val b = le(data)
+    Array.tabulate(n) { i =>
+      val len = b.getInt(i * 16)
+      val addr = b.getLong(i * 16 + 4)
+      val idx = b.getInt(i * 16 + 12)
+      if (addr == Undef || addr == 0L || len == 0) (0, None)
+      else {
+        val col = cache.getOrElseUpdate(addr, globalHeapCollection(src, addr))
+        (len, Some(col.getOrElse(idx, throw new IllegalArgumentException(
+          s"vlen element points at missing global heap object $idx@$addr"))))
+      }
+    }
+  }
 
   /** Decode `n` vlen-sequence elements into ragged double arrays (the heap
     * object of element i holds its `length` packed base-type values). */
@@ -1259,18 +1278,9 @@ private[sources] object Hdf5 {
           "decodeVlenStrSeqs")
       case o => throw new IllegalArgumentException(s"not a vlen sequence datatype: $o")
     }
-    val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
-    val b = le(data)
-    Array.tabulate(n) { i =>
-      val len = b.getInt(i * 16)
-      val addr = b.getLong(i * 16 + 4)
-      val idx = b.getInt(i * 16 + 12)
-      if (addr == Undef || addr == 0L || len == 0) Array.emptyDoubleArray
-      else {
-        val col = cache.getOrElseUpdate(addr, globalHeapCollection(src, addr))
-        decode(col.getOrElse(idx, throw new IllegalArgumentException(
-          s"vlen element points at missing global heap object $idx@$addr")), base, len)
-      }
+    vlenElements(data, n, src).map {
+      case (len, Some(obj)) => decode(obj, base, len)
+      case _ => Array.emptyDoubleArray
     }
   }
 
@@ -1286,22 +1296,13 @@ private[sources] object Hdf5 {
       case o => throw new IllegalArgumentException(
         s"not a string-base vlen sequence datatype: $o")
     }
-    val cache = scala.collection.mutable.Map.empty[Long, Map[Int, Array[Byte]]]
-    val b = le(data)
-    Array.tabulate(n) { i =>
-      val len = b.getInt(i * 16)
-      val addr = b.getLong(i * 16 + 4)
-      val idx = b.getInt(i * 16 + 12)
-      if (addr == Undef || addr == 0L || len == 0) Seq.empty[String]
-      else {
-        val col = cache.getOrElseUpdate(addr, globalHeapCollection(src, addr))
-        val obj = col.getOrElse(idx, throw new IllegalArgumentException(
-          s"vlen element points at missing global heap object $idx@$addr"))
+    vlenElements(data, n, src).map {
+      case (len, Some(obj)) =>
         require(obj.length >= len.toLong * base.size,
           s"vlen string sequence of $len × ${base.size}-byte cells overruns " +
             s"its ${obj.length}-byte heap object")
         decodeStrings(obj, base, len, src).toSeq
-      }
+      case _ => Seq.empty[String]
     }
   }
 
@@ -1560,14 +1561,18 @@ private[sources] object Hdf5 {
   sealed trait RegionSel
   /** Block list: per block, inclusive start and opposite-corner coords. */
   final case class HyperSel(blocks: Seq[(Seq[Int], Seq[Int])]) extends RegionSel {
+    require(blocks.nonEmpty, "hyperslab selection needs >= 1 block")
+    require(blocks.map(_._1.length).distinct.size == 1,
+      "hyperslab blocks must share one rank")
     blocks.foreach { case (s, e) =>
       require(s.nonEmpty && s.length == e.length,
         s"hyperslab block start/end ranks differ: $s vs $e")
     }
   }
   final case class PointSel(points: Seq[Seq[Int]]) extends RegionSel {
-    require(points.nonEmpty && points.map(_.length).distinct.size == 1,
-      "point selection needs >= 1 point, all of one rank")
+    require(points.nonEmpty && points.map(_.length).distinct == Seq(points.head.length)
+      && points.head.nonEmpty,
+      "point selection needs >= 1 point, all of one rank >= 1")
   }
   case object AllSel extends RegionSel
 
@@ -1709,16 +1714,16 @@ private[sources] object Hdf5 {
         b.putInt(s.getBytes("UTF-8").length).putLong(gcolAddr).putInt(i + 1)
       }
       b.array()
-    case VlenSeqData(values) =>
-      val b = ByteBuffer.allocate(values.length * 16).order(ByteOrder.LITTLE_ENDIAN)
-      values.zipWithIndex.foreach { case (a, i) =>
-        b.putInt(a.length).putLong(gcolAddr).putInt(i + 1) // length in ELEMENTS
+    case t @ (_: VlenSeqData | _: VlenStrSeqData) =>
+      // vlen descriptors: length in ELEMENTS, collection address, index
+      val lens = t match {
+        case VlenSeqData(vs) => vs.map(_.length)
+        case VlenStrSeqData(vs, _) => vs.map(_.length)
+        case _ => Seq.empty
       }
-      b.array()
-    case VlenStrSeqData(values, _) =>
-      val b = ByteBuffer.allocate(values.length * 16).order(ByteOrder.LITTLE_ENDIAN)
-      values.zipWithIndex.foreach { case (a, i) =>
-        b.putInt(a.length).putLong(gcolAddr).putInt(i + 1)
+      val b = ByteBuffer.allocate(lens.length * 16).order(ByteOrder.LITTLE_ENDIAN)
+      lens.zipWithIndex.foreach { case (len, i) =>
+        b.putInt(len).putLong(gcolAddr).putInt(i + 1)
       }
       b.array()
     case PackedGridData(values) =>

@@ -142,9 +142,14 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(conf)
             if (overwrite) fs.delete(p, true)
-            if (!overwrite && fs.exists(p))
+            if (!overwrite && fs.exists(p)) {
+              require(spec.shard.isEmpty,
+                """.option("shard", …) on mode("append") — appends reuse the """ +
+                  "store's existing layout and sharded stores cannot be " +
+                  "appended to; drop the option (or overwrite)")
               ZarrGroup.appendDataset(data, path, spec.dims, spec.chunks,
                 valueCols = spec.cols)
+            }
             else
               ZarrGroup.writeDataset(data, path, spec.dims, spec.chunks,
                 valueCols = spec.cols, v3 = spec.v3, fill = spec.fill,

@@ -837,8 +837,9 @@ object ZarrGroup extends Serializable {
     * layout [[ZarrSource.assembleShard]] reads back. Sharding is the
     * object-count lever at archive scale: the task granularity stays the
     * outer chunk while the store holds 1/∏(chunks/inner) as many objects
-    * as a plain layout, and a reader of a small window still fetches only
-    * the inner chunks its index says exist. */
+    * as a plain layout. Readers prune at outer-object granularity and
+    * decode the present inner chunks the index records — elided all-fill
+    * inner chunks cost nothing. */
   private def shardObject(buf: ByteBuffer, chunks: Array[Int],
       inner: Array[Int], fill: Double): Array[Byte] = {
     val nd = chunks.length

@@ -324,14 +324,15 @@ object ZarrSource extends Serializable {
         } finally in.close()
         cur = out
       case ZstdC =>
+        // oversize tolerance needs the DECLARED frame size; frames without
+        // one (streaming encoders) keep the strict exact-size decode they
+        // always had — only a declared-larger frame takes the grown path
+        val declared =
+          if (oversizeOk) com.github.luben.zstd.Zstd.getFrameContentSize(cur) else -1L
         cur =
-          if (!oversizeOk) com.github.luben.zstd.Zstd.decompress(cur, rawLen)
-          else {
-            val sz = com.github.luben.zstd.Zstd.getFrameContentSize(cur)
-            require(sz >= rawLen && sz <= Int.MaxValue,
-              s"zstd chunk frame declares $sz bytes, expected >= $rawLen")
-            com.github.luben.zstd.Zstd.decompress(cur, sz.toInt)
-          }
+          if (declared > rawLen && declared <= Int.MaxValue)
+            com.github.luben.zstd.Zstd.decompress(cur, declared.toInt)
+          else com.github.luben.zstd.Zstd.decompress(cur, rawLen)
       case BloscC =>
         cur = Blosc.decompress(cur)
     }

@@ -177,5 +177,17 @@ class ZarrWriteSpec2 extends SparkSpec {
         .option("shard", "1,2,3").option("v3", "true").option("cols", "sst")
         .mode("overwrite").save(dir))
     assert(msgs(e2).exists(_.contains("divide")))
+    // a shard option on an APPEND is named too, never silently dropped
+    cells(2, 2, 2).write.format("zarr")
+      .option("dims", "time:2,y:2,x:2").option("chunks", "2,2,2")
+      .option("v3", "true").option("cols", "sst").mode("overwrite").save(dir)
+    val e3 = intercept[Exception](
+      cells(1, 2, 2).write.format("zarr")
+        .option("dims", "time:1,y:2,x:2").option("chunks", "2,2,2")
+        .option("shard", "1,2,2").option("v3", "true").option("cols", "sst")
+        .mode("append").save(dir))
+    assert(msgs(e3).exists(_.contains("shard")))
+    assert(spark.read.format("zarr").load(dir).count() == 2 * 2 * 2,
+      "the rejected append leaves the store untouched")
   }
 }
