@@ -759,13 +759,31 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
           val p = new org.apache.hadoop.fs.Path(part.filePath)
           val fs = p.getFileSystem(conf.value)
           val in = fs.open(p)
-          val bytes = try {
-            val st = fs.getFileStatus(p)
-            val b = new Array[Byte](st.getLen.toInt)
-            in.readFully(0, b, 0, b.length)
-            b
+          try {
+            val len = fs.getFileStatus(p).getLen
+            meta.shard match {
+              case Some(s) =>
+                // sharded object: positioned reads fetch the index + ONLY
+                // the inner chunks the pushed window intersects — cells of
+                // skipped inner chunks stay fill, and the cell walk below
+                // never leaves the window, so the padding is unobservable
+                val nd = s.innerChunks.length
+                val loL = Array(t0 - part.ci * ct, y0 - part.cj * cy,
+                  x0 - part.ck * cx).map(math.max(0, _)).take(nd)
+                val hiL = Array(math.min(t1 - part.ci * ct, ct - 1),
+                  math.min(y1 - part.cj * cy, cy - 1),
+                  math.min(x1 - part.ck * cx, cx - 1)).take(nd)
+                ZarrSource.readShardWindow((off, n) => {
+                  val b = new Array[Byte](n)
+                  in.readFully(off, b, 0, n)
+                  b
+                }, len, meta, s, ct * cy * cx * bp, loL, hiL)
+              case None =>
+                val b = new Array[Byte](len.toInt)
+                in.readFully(0, b, 0, b.length)
+                ZarrSource.decodeChunk(b, meta, ct * cy * cx * bp)
+            }
           } finally in.close()
-          ZarrSource.decodeChunk(bytes, meta, ct * cy * cx * bp)
         }
       private val buf =
         if (raw == null) null

@@ -837,9 +837,10 @@ object ZarrGroup extends Serializable {
     * layout [[ZarrSource.assembleShard]] reads back. Sharding is the
     * object-count lever at archive scale: the task granularity stays the
     * outer chunk while the store holds 1/∏(chunks/inner) as many objects
-    * as a plain layout. Readers prune at outer-object granularity and
-    * decode the present inner chunks the index records — elided all-fill
-    * inner chunks cost nothing. */
+    * as a plain layout, and the array scan byte-range-reads only the
+    * inner chunks a pushed window intersects
+    * ([[ZarrSource.readShardWindow]]); elided all-fill inner chunks cost
+    * nothing. */
   private def shardObject(buf: ByteBuffer, chunks: Array[Int],
       inner: Array[Int], fill: Double): Array[Byte] = {
     val nd = chunks.length

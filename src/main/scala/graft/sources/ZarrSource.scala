@@ -356,13 +356,28 @@ object ZarrSource extends Serializable {
     b.array()
   }
 
-  /** Decode a `sharding_indexed` stored object into the full outer-chunk
-    * C-order buffer: verify + read the (offset, nbytes) index, decode each
-    * present inner chunk through the inner codec chain, scatter it into
-    * place, and fill elided inner chunks with the fill value. Downstream
-    * cell walks then treat shards exactly like plain chunks. */
+  /** Decode a fully-loaded `sharding_indexed` stored object into the full
+    * outer-chunk C-order buffer — [[readShardWindow]] over the byte array
+    * with an unbounded window. */
   private def assembleShard(data: Array[Byte], meta: ZarrMeta, s: ShardSpec,
-      rawLen: Int): Array[Byte] = {
+      rawLen: Int): Array[Byte] =
+    readShardWindow((off, len) => java.util.Arrays.copyOfRange(
+      data, off.toInt, off.toInt + len), data.length, meta, s, rawLen,
+      Array.fill(s.innerChunks.length)(0),
+      meta.chunks.map(_ - 1).toArray)
+
+  /** Materialize a sharded outer chunk from POSITIONED reads: fetch the
+    * (offset, nbytes) index (head or tail, crc32c-verified when declared),
+    * then fetch + decode + scatter ONLY the present inner chunks
+    * intersecting the outer-chunk-LOCAL inclusive cell window
+    * `[loL, hiL]`; cells of skipped or elided inner chunks stay fill
+    * (callers bound their cell walks by the same window, so fill padding
+    * outside it is never observed). Bytes read = index + needed inner
+    * chunks — the byte-range access pattern object stores reward: a
+    * 1-tile window over an 80-tile shard reads ~1/80 of the object. */
+  private[sources] def readShardWindow(read: (Long, Int) => Array[Byte],
+      objLen: Long, meta: ZarrMeta, s: ShardSpec, rawLen: Int,
+      loL: Array[Int], hiL: Array[Int]): Array[Byte] = {
     val bp = bytesPer(meta.dtype)
     val inner = s.innerChunks
     val nd = inner.length
@@ -370,13 +385,14 @@ object ZarrSource extends Serializable {
     val nInner = grid.product
     val innerLen = inner.product
     val innerBytes = innerLen * bp
+    require(loL.length == nd && hiL.length == nd,
+      s"shard window rank ${loL.length} != array rank $nd")
 
     // index: 16 bytes per inner chunk (+4 crc32c), at file start or end
     val idxEnc = 16 * nInner + (if (s.indexCrc) 4 else 0)
-    require(data.length >= idxEnc, s"shard shorter than its index ($idxEnc bytes)")
+    require(objLen >= idxEnc, s"shard shorter than its index ($idxEnc bytes)")
     val idxRaw = decodeV3Chain(
-      if (s.indexAtEnd) java.util.Arrays.copyOfRange(data, data.length - idxEnc, data.length)
-      else java.util.Arrays.copyOfRange(data, 0, idxEnc),
+      read(if (s.indexAtEnd) objLen - idxEnc else 0L, idxEnc),
       if (s.indexCrc) Seq(Crc32cC) else Nil, 16 * nInner)
     val idx = ByteBuffer.wrap(idxRaw).order(ByteOrder.LITTLE_ENDIAN)
 
@@ -386,21 +402,27 @@ object ZarrSource extends Serializable {
     var o = 0
     while (o < rawLen) { System.arraycopy(fp, 0, out, o, bp); o += bp }
 
-    // scatter each present inner chunk; contiguous runs along the last dim
+    // scatter each needed present inner chunk; contiguous runs along the
+    // last dim
     val rowElems = inner(nd - 1)
     val nRows = innerLen / rowElems
     val gi = new Array[Int](nd); val ei = new Array[Int](nd)
     var k = 0
     while (k < nInner) {
+      var r = k; var d = nd - 1
+      while (d >= 0) { gi(d) = r % grid(d); r /= grid(d); d -= 1 }
+      var wanted = true
+      d = 0
+      while (d < nd && wanted) {
+        val c0 = gi(d) * inner(d)
+        if (c0 > hiL(d) || c0 + inner(d) - 1 < loL(d)) wanted = false
+        d += 1
+      }
       val off = idx.getLong(k * 16); val nb = idx.getLong(k * 16 + 8)
-      if (off != -1L || nb != -1L) {
-        require(off >= 0 && nb > 0 && off + nb <= data.length,
-          s"shard inner chunk $k out of bounds: offset=$off nbytes=$nb len=${data.length}")
-        val raw = decodeV3Chain(
-          java.util.Arrays.copyOfRange(data, off.toInt, (off + nb).toInt),
-          s.innerCodecs, innerBytes)
-        var r = k; var d = nd - 1
-        while (d >= 0) { gi(d) = r % grid(d); r /= grid(d); d -= 1 }
+      if (wanted && (off != -1L || nb != -1L)) {
+        require(off >= 0 && nb > 0 && off + nb <= objLen,
+          s"shard inner chunk $k out of bounds: offset=$off nbytes=$nb len=$objLen")
+        val raw = decodeV3Chain(read(off, nb.toInt), s.innerCodecs, innerBytes)
         var row = 0
         while (row < nRows) {
           var rem = row; var dd = nd - 2

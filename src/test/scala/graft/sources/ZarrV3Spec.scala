@@ -170,6 +170,64 @@ class ZarrV3Spec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("a windowed shard read fetches the index + ONLY intersecting inner chunks") {
+    import spark.implicits._
+    val df = (for (t <- 0 until 4; y <- 0 until 4; x <- 0 until 4)
+      yield (t, y, x, (t * 10000 + y * 100 + x).toDouble)).toDF("t_idx", "y", "x", "value")
+    val dir = Files.createTempDirectory("graft_zarr3_shw").toString + "/arr"
+    ZarrSource.write3DV3(df, dir, shape = (4, 4, 4), chunks = (4, 4, 4),
+      codecs = Seq(ZarrSource.ZstdC), innerChunks = Some((1, 2, 4)))
+    val meta = ZarrSource.readMetaAny(dir, spark.sparkContext.hadoopConfiguration)
+    val s = meta.shard.get
+    val obj = java.nio.file.Files.readAllBytes(
+      new java.io.File(dir, "c/0/0/0").toPath)
+    // count the bytes each selective read fetches
+    var fetched = 0L; var calls = 0
+    val counting = (off: Long, n: Int) => {
+      fetched += n; calls += 1
+      java.util.Arrays.copyOfRange(obj, off.toInt, off.toInt + n)
+    }
+    val rawLen = 4 * 4 * 4 * 8
+    // window = one 1×2×4 inner tile: index + exactly ONE inner chunk read
+    val out = ZarrSource.readShardWindow(counting, obj.length, meta, s, rawLen,
+      Array(1, 0, 0), Array(1, 1, 3))
+    val idxEnc = 16 * 8 + 4
+    assert(calls == 2, s"index + one inner chunk, got $calls reads")
+    assert(fetched < idxEnc + obj.length / 4,
+      s"selective read fetched $fetched of ${obj.length} object bytes")
+    // the windowed cells are exact; cells OUTSIDE the window are fill
+    val bb = ByteBuffer.wrap(out).order(ByteOrder.LITTLE_ENDIAN)
+    def cell(t: Int, y: Int, x: Int): Double = bb.getDouble(((t * 4 + y) * 4 + x) * 8)
+    for (y <- 0 until 2; x <- 0 until 4)
+      assert(cell(1, y, x) == 10000.0 + y * 100 + x)
+    assert(cell(0, 0, 0).isNaN && cell(3, 3, 3).isNaN,
+      "cells of skipped inner chunks stay fill")
+    // the full window reproduces the whole chunk (assembleShard parity)
+    fetched = 0; calls = 0
+    val full = ZarrSource.readShardWindow(counting, obj.length, meta, s, rawLen,
+      Array(0, 0, 0), Array(3, 3, 3))
+    for (t <- 0 until 4; y <- 0 until 4; x <- 0 until 4)
+      assert(ByteBuffer.wrap(full).order(ByteOrder.LITTLE_ENDIAN)
+        .getDouble(((t * 4 + y) * 4 + x) * 8) == t * 10000.0 + y * 100 + x)
+  }
+
+  test("DSv2 windowed reads over a sharded store match the plain layout") {
+    import spark.implicits._
+    val df = (for (t <- 0 until 6; y <- 0 until 4; x <- 0 until 4)
+      yield (t, y, x, (t * 10000 + y * 100 + x).toDouble)).toDF("t_idx", "y", "x", "value")
+    val base = Files.createTempDirectory("graft_zarr3_shq").toString
+    ZarrSource.write3DV3(df, s"$base/plain", shape = (6, 4, 4), chunks = (3, 4, 4),
+      codecs = Seq(ZarrSource.ZstdC))
+    ZarrSource.write3DV3(df, s"$base/sharded", shape = (6, 4, 4), chunks = (3, 4, 4),
+      codecs = Seq(ZarrSource.ZstdC), innerChunks = Some((1, 2, 2)))
+    def window(dir: String) = spark.read.format("zarr").load(dir)
+      .filter(col("t_idx").between(2, 4) && col("y") < 2 && col("x") >= 1)
+      .select("t_idx", "y", "x", "value")
+    val a = window(s"$base/plain").collect().map(_.toSeq).toSet
+    val b = window(s"$base/sharded").collect().map(_.toSeq).toSet
+    assert(a == b && a.size == 3 * 2 * 3)
+  }
+
   test("hand-written shard with index at start decodes correctly") {
     // 1 outer chunk (2,2,2), inner (1,2,2) → 2 inner chunks, raw f4 cells,
     // index_location start — written by hand so a symmetric writer/reader
