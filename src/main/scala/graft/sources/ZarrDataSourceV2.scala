@@ -1067,8 +1067,17 @@ private[sources] class ZarrGroupReaderFactory(dir: String, shape: Array[Int],
     new PartitionReader[InternalRow] {
       private val nd = shape.length
       private val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+      // chunk-local window from the pushed dim ranges (Long arithmetic:
+      // unbounded ranges carry Int.MinValue/MaxValue sentinels); sharded
+      // members byte-range-read only the inner chunks it intersects
+      private val loL = Array.tabulate(nd)(d =>
+        math.max(0L, lo(d).toLong - ci(d).toLong * chunks(d)).toInt)
+      private val hiL = Array.tabulate(nd)(d =>
+        math.min(chunks(d) - 1L, hi(d).toLong - ci(d).toLong * chunks(d)).toInt)
       private val perVar: Seq[Array[Double]] =
-        primaryVars.map { case (n, m) => ZarrGroup.chunkValues(fs, s"$dir/$n", m, ci) }
+        primaryVars.map { case (n, m) =>
+          ZarrGroup.chunkValuesWindow(fs, s"$dir/$n", m, ci, loL, hiL)
+        }
       private val n = chunks.product
       private val gidx = new Array[Int](nd)
       private var i = -1

@@ -244,6 +244,41 @@ object ZarrGroup extends Serializable {
     }
   }
 
+  /** [[chunkValues]] with a pushed chunk-LOCAL cell window: a SHARDED
+    * member byte-range-reads only its index + the inner chunks the window
+    * intersects ([[ZarrSource.readShardWindow]]); plain members load whole
+    * (the chunk file IS the fetch granularity there). Cells outside the
+    * window may be fill — callers bound their walks by the same window. */
+  private[sources] def chunkValuesWindow(fs: org.apache.hadoop.fs.FileSystem,
+      arrayDir: String, meta: ZarrSource.ZarrMeta, ci: Seq[Int],
+      loL: Array[Int], hiL: Array[Int]): Array[Double] =
+    meta.shard match {
+      case None => chunkValues(fs, arrayDir, meta, ci)
+      case Some(s) =>
+        val bp = ZarrSource.bytesPer(meta.dtype)
+        val chunkLen = meta.chunks.product
+        val p = new org.apache.hadoop.fs.Path(arrayDir, ZarrSource.chunkKey(meta, ci))
+        val decoded =
+          try {
+            val in = fs.open(p)
+            try {
+              val len = fs.getFileStatus(p).getLen
+              Some(ZarrSource.readShardWindow((off, n) => {
+                val b = new Array[Byte](n)
+                in.readFully(off, b, 0, n)
+                b
+              }, len, meta, s, chunkLen * bp, loL, hiL))
+            } finally in.close()
+          } catch { case _: java.io.FileNotFoundException => None }
+        decoded match {
+          case None => Array.fill(chunkLen)(meta.fillValue)
+          case Some(raw) =>
+            val buf = ByteBuffer.wrap(raw).order(ZarrSource.byteOrderOf(meta.dtype))
+            Array.tabulate(chunkLen)(i =>
+              ZarrSource.cellValue(raw, buf, meta.dtype, i, bp))
+        }
+    }
+
   /** Materialize one WHOLE member array into a C-order `Array[Double]` —
     * for metadata-sized arrays only (coordinate axes, small masks): the
     * DataSourceV2 group scan resolves coordinate values and lower-rank

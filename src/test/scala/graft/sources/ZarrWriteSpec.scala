@@ -128,6 +128,13 @@ class ZarrWriteSpec2 extends SparkSpec {
     assert(back.join(in.withColumnRenamed("sst", "expected"),
       Seq("time_idx", "y_idx", "x_idx"))
       .filter(col("sst") =!= col("expected")).count() == 0)
+    // a pushed window over the sharded GROUP store byte-range-reads only
+    // its inner chunks — values must still be cell-exact inside the window
+    val win = back.filter(col("time_idx") === 3 && col("y_idx") < 2 &&
+      col("x_idx").between(3, 5))
+    assert(win.count() == 2 * 3)
+    assert(win.filter(col("sst") =!=
+      col("time_idx") * 100.0 + col("y_idx") * 10.0 + col("x_idx")).count() == 0)
     // appends onto sharded stores are a named error, store intact
     val e = intercept[Exception](
       cells(1, 4, 6).write.format("zarr")
