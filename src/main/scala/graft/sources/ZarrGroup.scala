@@ -457,7 +457,19 @@ object ZarrGroup extends Serializable {
       .mapPartitions { it =>
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
         it.flatMap { ci =>
-          val perVar = varMetas.map { case (n, m) => chunkValues(fs, s"$dir/$n", m, ci) }
+          // chunk-local window from the pushed ranges: sharded members
+          // byte-range-read only the inner chunks it intersects
+          val loL = Array.tabulate(nd) { d =>
+            rangesB.get(primaryDims(d)).fold(0) { case (l, _) =>
+              math.max(0L, l.toLong - ci(d).toLong * chunks(d)).toInt }
+          }
+          val hiL = Array.tabulate(nd) { d =>
+            rangesB.get(primaryDims(d)).fold(chunks(d) - 1) { case (_, h) =>
+              math.min(chunks(d) - 1L, h.toLong - ci(d).toLong * chunks(d)).toInt }
+          }
+          val perVar = varMetas.map { case (n, m) =>
+            chunkValuesWindow(fs, s"$dir/$n", m, ci, loL, hiL)
+          }
           val chunkLen = chunks.product
           val coords = new Array[Int](nd)
           (0 until chunkLen).iterator.flatMap { i =>

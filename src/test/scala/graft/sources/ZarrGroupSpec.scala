@@ -195,6 +195,26 @@ class ZarrGroupSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteQuietly(dir)
   }
 
+  test("readDataset ranges over a SHARDED member stay cell-exact") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("zgroup_shardrange").toFile
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+    val cells = (for (t <- 0 until 8; x <- 0 until 4)
+      yield (t, x, t * 10.0 + x)).toDF("time_idx", "x_idx", "v")
+    ZarrGroup.writeDataset(cells, dir.getAbsolutePath,
+      dims = Seq("time" -> 8, "x" -> 4), chunks = Seq(4, 4), valueCols = Seq("v"),
+      v3 = true, shard = Some(Seq(1, 2)))
+    // a range interior to one outer chunk: the windowed shard read decodes
+    // only the intersecting 1×2 inner tiles, never the rest of the object
+    val got = ZarrGroup.readDataset(spark, dir.getAbsolutePath,
+      ranges = Map("time" -> (5, 6), "x" -> (2, 3)))
+    assert(got.count() == 2 * 2)
+    assert(got.filter(col("v") =!= col("time_idx") * 10 + col("x_idx")).count() == 0)
+    // and an unbounded read of the same store is complete
+    assert(ZarrGroup.readDataset(spark, dir.getAbsolutePath).count() == 8 * 4)
+    org.apache.commons.io.FileUtils.deleteQuietly(dir)
+  }
+
   test("missing chunk files read as fill (write_empty_chunks=False semantics)") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("zgroup_fill").toFile
