@@ -767,17 +767,12 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
                 // the inner chunks the pushed window intersects — cells of
                 // skipped inner chunks stay fill, and the cell walk below
                 // never leaves the window, so the padding is unobservable
-                val nd = s.innerChunks.length
-                val loL = Array(t0 - part.ci * ct, y0 - part.cj * cy,
-                  x0 - part.ck * cx).map(math.max(0, _)).take(nd)
-                val hiL = Array(math.min(t1 - part.ci * ct, ct - 1),
-                  math.min(y1 - part.cj * cy, cy - 1),
-                  math.min(x1 - part.ck * cx, cx - 1)).take(nd)
-                ZarrSource.readShardWindow((off, n) => {
-                  val b = new Array[Byte](n)
-                  in.readFully(off, b, 0, n)
-                  b
-                }, len, meta, s, ct * cy * cx * bp, loL, hiL)
+                val (loL, hiL) = ZarrSource.localWindow(
+                  Array(t0, y0, x0), Array(t1, y1, x1),
+                  Seq(part.ci, part.cj, part.ck), Seq(ct, cy, cx),
+                  s.innerChunks.length)
+                ZarrSource.readShardWindow(ZarrSource.positionedReader(in),
+                  len, meta, s, ct * cy * cx * bp, loL, hiL)
               case None =>
                 val b = new Array[Byte](len.toInt)
                 in.readFully(0, b, 0, b.length)
@@ -1067,16 +1062,12 @@ private[sources] class ZarrGroupReaderFactory(dir: String, shape: Array[Int],
     new PartitionReader[InternalRow] {
       private val nd = shape.length
       private val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
-      // chunk-local window from the pushed dim ranges (Long arithmetic:
-      // unbounded ranges carry Int.MinValue/MaxValue sentinels); sharded
-      // members byte-range-read only the inner chunks it intersects
-      private val loL = Array.tabulate(nd)(d =>
-        math.max(0L, lo(d).toLong - ci(d).toLong * chunks(d)).toInt)
-      private val hiL = Array.tabulate(nd)(d =>
-        math.min(chunks(d) - 1L, hi(d).toLong - ci(d).toLong * chunks(d)).toInt)
+      // chunk-local window from the pushed dim ranges; sharded members
+      // byte-range-read only the inner chunks it intersects
+      private val window = ZarrSource.localWindow(lo, hi, ci, chunks.toSeq, nd)
       private val perVar: Seq[Array[Double]] =
         primaryVars.map { case (n, m) =>
-          ZarrGroup.chunkValuesWindow(fs, s"$dir/$n", m, ci, loL, hiL)
+          ZarrGroup.chunkValuesWindow(fs, s"$dir/$n", m, ci, window._1, window._2)
         }
       private val n = chunks.product
       private val gidx = new Array[Int](nd)

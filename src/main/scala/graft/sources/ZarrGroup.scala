@@ -238,9 +238,7 @@ object ZarrGroup extends Serializable {
     data match {
       case None => Array.fill(chunkLen)(meta.fillValue)
       case Some(d) =>
-        val raw = ZarrSource.decodeChunk(d, meta, chunkLen * bp)
-        val buf = ByteBuffer.wrap(raw).order(ZarrSource.byteOrderOf(meta.dtype))
-        Array.tabulate(chunkLen)(i => ZarrSource.cellValue(raw, buf, meta.dtype, i, bp))
+        cellsOf(ZarrSource.decodeChunk(d, meta, chunkLen * bp), meta, chunkLen, bp)
     }
   }
 
@@ -248,7 +246,11 @@ object ZarrGroup extends Serializable {
     * member byte-range-reads only its index + the inner chunks the window
     * intersects ([[ZarrSource.readShardWindow]]); plain members load whole
     * (the chunk file IS the fetch granularity there). Cells outside the
-    * window may be fill — callers bound their walks by the same window. */
+    * window may be fill — callers bound their walks by the same window.
+    * Sharded chunks cost TWO round-trips (status for the end-index offset,
+    * then open) vs the plain path's one — the price of locating a tail
+    * index; full-window reads still collapse to one sequential object
+    * fetch inside readShardWindow. */
   private[sources] def chunkValuesWindow(fs: org.apache.hadoop.fs.FileSystem,
       arrayDir: String, meta: ZarrSource.ZarrMeta, ci: Seq[Int],
       loL: Array[Int], hiL: Array[Int]): Array[Double] =
@@ -260,24 +262,23 @@ object ZarrGroup extends Serializable {
         val p = new org.apache.hadoop.fs.Path(arrayDir, ZarrSource.chunkKey(meta, ci))
         val decoded =
           try {
+            val len = fs.getFileStatus(p).getLen // FNF here = elided chunk
             val in = fs.open(p)
-            try {
-              val len = fs.getFileStatus(p).getLen
-              Some(ZarrSource.readShardWindow((off, n) => {
-                val b = new Array[Byte](n)
-                in.readFully(off, b, 0, n)
-                b
-              }, len, meta, s, chunkLen * bp, loL, hiL))
-            } finally in.close()
+            try Some(ZarrSource.readShardWindow(ZarrSource.positionedReader(in),
+              len, meta, s, chunkLen * bp, loL, hiL))
+            finally in.close()
           } catch { case _: java.io.FileNotFoundException => None }
         decoded match {
           case None => Array.fill(chunkLen)(meta.fillValue)
-          case Some(raw) =>
-            val buf = ByteBuffer.wrap(raw).order(ZarrSource.byteOrderOf(meta.dtype))
-            Array.tabulate(chunkLen)(i =>
-              ZarrSource.cellValue(raw, buf, meta.dtype, i, bp))
+          case Some(raw) => cellsOf(raw, meta, chunkLen, bp)
         }
     }
+
+  private def cellsOf(raw: Array[Byte], meta: ZarrSource.ZarrMeta,
+      chunkLen: Int, bp: Int): Array[Double] = {
+    val buf = ByteBuffer.wrap(raw).order(ZarrSource.byteOrderOf(meta.dtype))
+    Array.tabulate(chunkLen)(i => ZarrSource.cellValue(raw, buf, meta.dtype, i, bp))
+  }
 
   /** Materialize one WHOLE member array into a C-order `Array[Double]` —
     * for metadata-sized arrays only (coordinate axes, small masks): the
@@ -456,17 +457,14 @@ object ZarrGroup extends Serializable {
         spark.sparkContext.defaultParallelism * 4)))
       .mapPartitions { it =>
         val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf.value)
+        val loG = Array.tabulate(nd)(d =>
+          rangesB.get(primaryDims(d)).fold(Int.MinValue)(_._1))
+        val hiG = Array.tabulate(nd)(d =>
+          rangesB.get(primaryDims(d)).fold(Int.MaxValue)(_._2))
         it.flatMap { ci =>
           // chunk-local window from the pushed ranges: sharded members
           // byte-range-read only the inner chunks it intersects
-          val loL = Array.tabulate(nd) { d =>
-            rangesB.get(primaryDims(d)).fold(0) { case (l, _) =>
-              math.max(0L, l.toLong - ci(d).toLong * chunks(d)).toInt }
-          }
-          val hiL = Array.tabulate(nd) { d =>
-            rangesB.get(primaryDims(d)).fold(chunks(d) - 1) { case (_, h) =>
-              math.min(chunks(d) - 1L, h.toLong - ci(d).toLong * chunks(d)).toInt }
-          }
+          val (loL, hiL) = ZarrSource.localWindow(loG, hiG, ci, chunks, nd)
           val perVar = varMetas.map { case (n, m) =>
             chunkValuesWindow(fs, s"$dir/$n", m, ci, loL, hiL)
           }

@@ -364,7 +364,26 @@ object ZarrSource extends Serializable {
     readShardWindow((off, len) => java.util.Arrays.copyOfRange(
       data, off.toInt, off.toInt + len), data.length, meta, s, rawLen,
       Array.fill(s.innerChunks.length)(0),
-      meta.chunks.map(_ - 1).toArray)
+      meta.chunks.map(_ - 1).toArray, alreadyLoaded = true)
+
+  /** Positioned-read thunk over an opened Hadoop stream — the byte
+    * provider every shard-window read site shares. */
+  private[sources] def positionedReader(
+      in: org.apache.hadoop.fs.FSDataInputStream): (Long, Int) => Array[Byte] =
+    (off, n) => {
+      val b = new Array[Byte](n)
+      in.readFully(off, b, 0, n)
+      b
+    }
+
+  /** Chunk-LOCAL inclusive window of pushed GLOBAL bounds — Long-safe
+    * against the Int.MinValue/MaxValue sentinels unbounded ranges carry. */
+  private[sources] def localWindow(lo: Array[Int], hi: Array[Int],
+      ci: Seq[Int], chunks: Seq[Int], nd: Int): (Array[Int], Array[Int]) = (
+    Array.tabulate(nd)(d =>
+      math.max(0L, lo(d).toLong - ci(d).toLong * chunks(d)).toInt),
+    Array.tabulate(nd)(d =>
+      math.min(chunks(d) - 1L, hi(d).toLong - ci(d).toLong * chunks(d)).toInt))
 
   /** Materialize a sharded outer chunk from POSITIONED reads: fetch the
     * (offset, nbytes) index (head or tail, crc32c-verified when declared),
@@ -374,10 +393,25 @@ object ZarrSource extends Serializable {
     * (callers bound their cell walks by the same window, so fill padding
     * outside it is never observed). Bytes read = index + needed inner
     * chunks — the byte-range access pattern object stores reward: a
-    * 1-tile window over an 80-tile shard reads ~1/80 of the object. */
-  private[sources] def readShardWindow(read: (Long, Int) => Array[Byte],
+    * 1-tile window over an 80-tile shard reads ~1/80 of the object. A
+    * window covering the WHOLE chunk collapses to ONE sequential
+    * whole-object fetch instead of per-inner-chunk round-trips, so full
+    * scans keep their single-read-per-object cost. Every PRESENT index
+    * entry is bounds-validated, windowed or not — a corrupt entry fails
+    * the first read that touches the shard, not the first that windows
+    * onto the bad tile. */
+  private[sources] def readShardWindow(read0: (Long, Int) => Array[Byte],
       objLen: Long, meta: ZarrMeta, s: ShardSpec, rawLen: Int,
-      loL: Array[Int], hiL: Array[Int]): Array[Byte] = {
+      loL: Array[Int], hiL: Array[Int], alreadyLoaded: Boolean = false): Array[Byte] = {
+    val fullWindow = meta.chunks.indices.forall(d =>
+      loL(d) <= 0 && hiL(d) >= meta.chunks(d) - 1)
+    val read: (Long, Int) => Array[Byte] =
+      if (alreadyLoaded || !fullWindow) read0
+      else {
+        require(objLen <= Int.MaxValue, s"shard object of $objLen bytes")
+        val whole = read0(0L, objLen.toInt)
+        (off, n) => java.util.Arrays.copyOfRange(whole, off.toInt, off.toInt + n)
+      }
     val bp = bytesPer(meta.dtype)
     val inner = s.innerChunks
     val nd = inner.length
@@ -419,9 +453,10 @@ object ZarrSource extends Serializable {
         d += 1
       }
       val off = idx.getLong(k * 16); val nb = idx.getLong(k * 16 + 8)
-      if (wanted && (off != -1L || nb != -1L)) {
-        require(off >= 0 && nb > 0 && off + nb <= objLen,
-          s"shard inner chunk $k out of bounds: offset=$off nbytes=$nb len=$objLen")
+      val present = off != -1L || nb != -1L
+      if (present) require(off >= 0 && nb > 0 && off + nb <= objLen,
+        s"shard inner chunk $k out of bounds: offset=$off nbytes=$nb len=$objLen")
+      if (wanted && present) {
         val raw = decodeV3Chain(read(off, nb.toInt), s.innerCodecs, innerBytes)
         var row = 0
         while (row < nRows) {
