@@ -1470,6 +1470,59 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells WHERE t_idx BETWEEN 10 AND 30 GROUP BY t_idx"""),
-      "sharded v3 zarr SQL write: one object per outer chunk, elided fill, read back exactly")
+      "sharded v3 zarr SQL write: one object per outer chunk, elided fill, read back exactly"),
+
+    // ── region writes: to_zarr(region=…)-style in-place backfill ──────────
+    QueryDef("q94_zarr_region_write",
+      (s, d) => {
+        // create q84's store, then REGION-correct days 10..19 in place
+        // (doubled values; rows carry region-local indices): a chunk-merge
+        // upsert that must leave every cell outside the window — including
+        // the straddled chunks' other slices — byte-stable, and never
+        // resize. The oracle recomputes the final state from events.
+        def cells0 = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("sst"))
+          .filter(col("time_idx").between(0, 30))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q94_zrw"
+        cells0.write.format("zarr")
+          .option("dims", "time:31,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst")
+          .mode("overwrite").save(dir)
+        cells0.filter(col("time_idx").between(10, 19))
+          .select((col("time_idx") - 10).as("time_idx"), col("y_idx"),
+            col("x_idx"), (col("sst") * 2.0).as("sst"))
+          .write.format("zarr")
+          .option("dims", "time:10,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst").option("region", "10")
+          .mode("append").save(dir)
+        s.read.format("zarr").load(dir)
+          .filter(!isnan(col("sst")))
+          .groupBy(col("time_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("sst") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3),
+              corrected AS (
+                SELECT t_idx,
+                       CASE WHEN t_idx BETWEEN 10 AND 19 THEN value * 2.0
+                            ELSE value END AS value
+                FROM cells WHERE t_idx BETWEEN 0 AND 30)
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM corrected GROUP BY t_idx"""),
+      "to_zarr(region=…) in-place backfill: windowed chunk-merge upsert, no resize, oracle-exact")
   )
 }

@@ -75,12 +75,17 @@ class ZarrDataSourceV2 extends TableProvider with DataSourceRegister {
   * distributed [[ZarrGroup.writeDataset]] chunk writer. */
 private[sources] final case class ZarrWriteSpec(dims: Seq[(String, Int)],
     chunks: Seq[Int], cols: Seq[String], fill: Double, v3: Boolean,
-    shard: Option[Seq[Int]] = None) {
+    shard: Option[Seq[Int]] = None, region: Option[Int] = None) {
   require(dims.length == chunks.length,
     s"dims (${dims.length}) and chunks (${chunks.length}) must align")
   require(cols.nonEmpty, "zarr write needs .option(\"cols\", <value columns>)")
   require(shard.isEmpty || v3,
     """.option("shard", …) writes zarr v3 sharding_indexed — requires .option("v3", "true")""")
+  require(region.isEmpty || shard.isEmpty,
+    """.option("region", …) and .option("shard", …) are mutually exclusive —"""
+      + " region writes merge into an existing unsharded store")
+  region.foreach(r => require(r >= 0,
+    s""".option("region", $r) — the region start must be >= 0"""))
   def schema: StructType = StructType(
     dims.map { case (n, _) => StructField(s"${n}_idx", IntegerType, nullable = false) } ++
       cols.map(c => StructField(c, DoubleType, nullable = true)))
@@ -103,7 +108,8 @@ private[sources] object ZarrWriteSpec {
     ZarrWriteSpec(dims, chunks, cols,
       Option(options.get("fill")).map(_.toDouble).getOrElse(Double.NaN),
       options.getBoolean("v3", false),
-      Option(options.get("shard")).map(_.split(",").toSeq.map(_.trim.toInt)))
+      Option(options.get("shard")).map(_.split(",").toSeq.map(_.trim.toInt)),
+      Option(options.get("region")).map(_.trim.toInt))
   }
 }
 
@@ -147,13 +153,21 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
                 """.option("shard", …) on mode("append") — appends reuse the """ +
                   "store's existing layout and sharded stores cannot be " +
                   "appended to; drop the option (or overwrite)")
-              ZarrGroup.appendDataset(data, path, spec.dims, spec.chunks,
-                valueCols = spec.cols)
-            }
-            else
+              spec.region match {
+                case Some(r0) => ZarrGroup.regionWrite(data, path, spec.dims,
+                  spec.chunks, valueCols = spec.cols, regionStart = r0)
+                case None => ZarrGroup.appendDataset(data, path, spec.dims,
+                  spec.chunks, valueCols = spec.cols)
+              }
+            } else {
+              require(spec.region.isEmpty,
+                """.option("region", …) overwrites a window of an EXISTING """ +
+                  s"store, but $path does not exist (or overwrite mode " +
+                  "deleted it) — create it first, then region-write")
               ZarrGroup.writeDataset(data, path, spec.dims, spec.chunks,
                 valueCols = spec.cols, v3 = spec.v3, fill = spec.fill,
                 shard = spec.shard)
+            }
           }
       }
     }

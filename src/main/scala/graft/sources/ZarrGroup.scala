@@ -932,6 +932,83 @@ object ZarrGroup extends Serializable {
     body.toByteArray
   }
 
+  /** One member's layout validation for the in-place write paths
+    * ([[appendDataset]], [[regionWrite]]): dims/chunks/non-first-dim
+    * sizes/dtype/order/codec must match the declared layout exactly, and
+    * sharded members are rejected by name. */
+  private def validateWritableMember(g: ZGroup, dir: String, vc: String,
+      dimNames: Seq[String], chunks: Seq[Int], v3: Boolean,
+      what: String): ZarrSource.ZarrMeta = {
+    val m = g.members.getOrElse(vc, throw new IllegalArgumentException(
+      s"no member '$vc' in zarr group $dir to $what to " +
+        s"(have: ${g.members.keys.toSeq.sorted.mkString(", ")})"))
+    require(m.dims == dimNames,
+      s"member '$vc' has dims (${m.dims.mkString(", ")}) but the $what " +
+        s"declares (${dimNames.mkString(", ")})")
+    require(m.meta.chunks == chunks,
+      s"member '$vc' is chunked ${m.meta.chunks.mkString("x")} but the " +
+        s"$what declares ${chunks.mkString("x")} — in-place writes reuse " +
+        "the store's chunk grid")
+    require(m.meta.dtype == "<f8",
+      s"member '$vc' has dtype ${m.meta.dtype} — the $what writer " +
+        "emits little-endian float64 ('<f8') only")
+    require(m.meta.order == "C", s"member '$vc' is not C-order")
+    require(m.meta.shard.isEmpty,
+      s"member '$vc' uses sharding_indexed — ${what}s onto sharded stores " +
+        "are not supported (rewrite the store, or create it unsharded)")
+    if (v3) require(m.meta.v3Codecs == Seq(ZarrSource.ZstdC),
+      s"member '$vc' uses a v3 codec chain this writer cannot extend " +
+        s"(${m.meta.v3Codecs.mkString("→")}; supported: bytes→zstd)")
+    else require(m.meta.compressor.forall(_ == "blosc"),
+      s"member '$vc' uses v2 compressor '${m.meta.compressor.get}' " +
+        "(supported: raw, blosc)")
+    m.meta
+  }
+
+  /** Overwrite a WINDOW along the FIRST dimension of an existing zarr
+    * GROUP in place — the write dual of xarray's `to_zarr(region=…)`
+    * backfill: a chunk-merge UPSERT, not a resize. Incoming rows carry
+    * region-LOCAL 0-based first-dim indices (like an append block); every
+    * touched chunk initializes from the store's bytes, so cells inside
+    * the region ABSENT from `df` keep their stored values, and a chunk
+    * the region straddles keeps its out-of-region slices exactly. The
+    * metadata is untouched (the shape does not change), so live readers
+    * only ever see chunk-level mixes of old and new values inside the
+    * declared window — the visibility semantics xarray region writes
+    * have.
+    *
+    * @param dims  (name, size) per dimension; the FIRST entry's size is
+    *              the REGION length, the rest must equal the store's
+    * @param regionStart first-dim index the region starts at (inclusive);
+    *              `regionStart + length` must stay within the store */
+  def regionWrite(df: DataFrame, dir: String, dims: Seq[(String, Int)],
+      chunks: Seq[Int], valueCols: Seq[String], regionStart: Int): Unit = {
+    require(dims.nonEmpty && dims.length == chunks.length,
+      s"dims (${dims.length}) and chunks (${chunks.length}) must align")
+    require(valueCols.nonEmpty, "regionWrite needs at least one value column")
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val g = open(dir, conf)
+    val v3 = g.format == 3
+    val dimNames = dims.map(_._1)
+    val nLen = dims.head._2
+    val metas = valueCols.map { vc =>
+      val m = validateWritableMember(g, dir, vc, dimNames, chunks, v3, "region write")
+      require(m.shape.tail == dims.tail.map(_._2),
+        s"member '$vc' has shape ${m.shape.mkString("x")} but the region " +
+          s"write declares non-${dimNames.head} sizes ${dims.tail.map(_._2).mkString("x")}")
+      m
+    }
+    val nt0 = metas.head.shape.head
+    require(regionStart >= 0 && nLen > 0 && regionStart.toLong + nLen <= nt0,
+      s"region [${regionStart}, ${regionStart + nLen}) along '${dimNames.head}' " +
+        s"leaves the store's [0, $nt0) — region writes never resize " +
+        "(append for growth)")
+    writeChunkJob(df, dir, dimNames, (regionStart + nLen) +: dims.tail.map(_._2),
+      chunks, valueCols, fill = Double.NaN, v3 = v3,
+      blosc = metas.map(_.compressor.contains("blosc")), offset0 = regionStart,
+      initMetas = valueCols.zip(metas).toMap)
+  }
+
   /** Append a block along the FIRST (slowest-varying) dimension of an
     * existing zarr GROUP — the write dual of the zarr STREAM source and
     * the engine's `to_zarr(append_dim="time")` (helper.py:505): a
@@ -967,33 +1044,11 @@ object ZarrGroup extends Serializable {
     require(nNew > 0, s"append block along '$appendDim' must be non-empty")
 
     val metas = valueCols.map { vc =>
-      val m = g.members.getOrElse(vc, throw new IllegalArgumentException(
-        s"no member '$vc' in zarr group $dir to append to " +
-          s"(have: ${g.members.keys.toSeq.sorted.mkString(", ")})"))
-      require(m.dims == dimNames,
-        s"member '$vc' has dims (${m.dims.mkString(", ")}) but the append " +
-          s"declares (${dimNames.mkString(", ")})")
-      require(m.meta.chunks == chunks,
-        s"member '$vc' is chunked ${m.meta.chunks.mkString("x")} but the " +
-          s"append declares ${chunks.mkString("x")} — appends reuse the " +
-          "store's chunk grid")
-      require(m.meta.shape.tail == dims.tail.map(_._2),
-        s"member '$vc' has shape ${m.meta.shape.mkString("x")} but the " +
+      val m = validateWritableMember(g, dir, vc, dimNames, chunks, v3, "append")
+      require(m.shape.tail == dims.tail.map(_._2),
+        s"member '$vc' has shape ${m.shape.mkString("x")} but the " +
           s"append declares non-$appendDim sizes ${dims.tail.map(_._2).mkString("x")}")
-      require(m.meta.dtype == "<f8",
-        s"member '$vc' has dtype ${m.meta.dtype} — the append writer " +
-          "emits little-endian float64 ('<f8') only")
-      require(m.meta.order == "C", s"member '$vc' is not C-order")
-      require(m.meta.shard.isEmpty,
-        s"member '$vc' uses sharding_indexed — appends onto sharded stores " +
-          "are not supported (rewrite the store, or create it unsharded)")
-      if (v3) require(m.meta.v3Codecs == Seq(ZarrSource.ZstdC),
-        s"member '$vc' uses a v3 codec chain this writer cannot extend " +
-          s"(${m.meta.v3Codecs.mkString("→")}; supported: bytes→zstd)")
-      else require(m.meta.compressor.forall(_ == "blosc"),
-        s"member '$vc' uses v2 compressor '${m.meta.compressor.get}' " +
-          "(supported: raw, blosc)")
-      m.meta
+      m
     }
     val nt0 = metas.head.shape.head
     require(metas.forall(_.shape.head == nt0),

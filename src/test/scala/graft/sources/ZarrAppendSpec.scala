@@ -230,4 +230,59 @@ class ZarrAppendSpec extends SparkSpec {
     ZarrGroup.writeDataset(cells(2, 3, 4), dir,
       Seq("time" -> 2, "y" -> 3, "x" -> 4), Seq(2, 3, 4), Seq("sst"),
       coords = Map("time" -> Array(10.0, 11.0)), v3 = true)
+
+  test("region writes overwrite a window in place; the rest stays byte-stable") {
+    val dir = tmpDir()
+    sqlWrite(cells(8, 3, 4), dir, 8, "overwrite")
+    // overwrite t=3..5 (straddles chunks [2,3] and [4,5]) with new values;
+    // incoming rows carry region-LOCAL indices 0..2
+    val corrected = cells(3, 3, 4).withColumn("sst", col("sst") + 100000.0)
+    corrected.write.format("zarr")
+      .option("dims", "time:3,y:3,x:4").option("chunks", "2,3,4")
+      .option("cols", "sst").option("region", "3")
+      .mode("append").save(dir)
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.count() == 8 * 3 * 4, "region writes never resize")
+    // inside the region: the corrected values (local t + 100000)
+    assert(back.filter(col("time_idx").between(3, 5))
+      .filter(col("sst") =!= (col("time_idx") - 3) * 100.0 +
+        col("y_idx") * 10.0 + col("x_idx") + 100000.0).count() == 0)
+    // outside: original values, including the straddled chunks' other slices
+    assert(back.filter(!col("time_idx").between(3, 5))
+      .filter(col("sst") =!= col("time_idx") * 100.0 +
+        col("y_idx") * 10.0 + col("x_idx")).count() == 0)
+  }
+
+  test("region-absent cells keep stored values; invalid regions are named") {
+    val dir = tmpDir()
+    sqlWrite(cells(4, 3, 4), dir, 4, "overwrite")
+    // a SPARSE correction: only cell (local t=0, y=0, x=0) arrives — every
+    // other cell of the region keeps its stored value (chunk-merge upsert)
+    import spark.implicits._
+    Seq((0, 0, 0, -1.0)).toDF("time_idx", "y_idx", "x_idx", "sst")
+      .write.format("zarr")
+      .option("dims", "time:1,y:3,x:4").option("chunks", "2,3,4")
+      .option("cols", "sst").option("region", "1")
+      .mode("append").save(dir)
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.filter(col("time_idx") === 1 && col("y_idx") === 0 &&
+      col("x_idx") === 0).head().getDouble(3) == -1.0)
+    assert(back.filter(col("sst") =!= col("time_idx") * 100.0 +
+      col("y_idx") * 10.0 + col("x_idx")).count() == 1,
+      "exactly the one corrected cell differs")
+    // a region leaving the store is a named error, store untouched
+    val e = intercept[Exception](
+      cells(2, 3, 4).write.format("zarr")
+        .option("dims", "time:2,y:3,x:4").option("chunks", "2,3,4")
+        .option("cols", "sst").option("region", "3")
+        .mode("append").save(dir))
+    assert(msgs(e).exists(_.contains("resize")))
+    // region + missing store is a named error too
+    val e2 = intercept[Exception](
+      cells(1, 3, 4).write.format("zarr")
+        .option("dims", "time:1,y:3,x:4").option("chunks", "2,3,4")
+        .option("cols", "sst").option("region", "0")
+        .mode("append").save(tmpDir()))
+    assert(msgs(e2).exists(_.contains("does not exist")))
+  }
 }
