@@ -975,7 +975,9 @@ object ZarrGroup extends Serializable {
     * metadata is untouched (the shape does not change), so live readers
     * only ever see chunk-level mixes of old and new values inside the
     * declared window — the visibility semantics xarray region writes
-    * have.
+    * have. The zarr STREAM source keys its offset on `shape[0]`, so a
+    * region correction does NOT re-deliver the corrected slices — streams
+    * carry appends, batch reads see corrections, exactly as with xarray.
     *
     * @param dims  (name, size) per dimension; the FIRST entry's size is
     *              the REGION length, the rest must equal the store's
