@@ -147,6 +147,12 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
             val conf = data.sparkSession.sparkContext.hadoopConfiguration
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(conf)
+            // region is append-mode-only: reject BEFORE any delete — an
+            // overwrite+region mode slip must never cost the store
+            require(spec.region.isEmpty || !overwrite,
+              """.option("region", …) corrects a window of an existing """ +
+                "store and requires mode(\"append\") — mode(\"overwrite\") " +
+                "would delete the store you are trying to correct")
             if (overwrite) fs.delete(p, true)
             if (!overwrite && fs.exists(p)) {
               require(spec.shard.isEmpty,
@@ -162,8 +168,8 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
             } else {
               require(spec.region.isEmpty,
                 """.option("region", …) overwrites a window of an EXISTING """ +
-                  s"store, but $path does not exist (or overwrite mode " +
-                  "deleted it) — create it first, then region-write")
+                  s"store, but $path does not exist — create it first, " +
+                  "then region-write")
               ZarrGroup.writeDataset(data, path, spec.dims, spec.chunks,
                 valueCols = spec.cols, v3 = spec.v3, fill = spec.fill,
                 shard = spec.shard)

@@ -937,14 +937,18 @@ object ZarrGroup extends Serializable {
     * sizes/dtype/order/codec must match the declared layout exactly, and
     * sharded members are rejected by name. */
   private def validateWritableMember(g: ZGroup, dir: String, vc: String,
-      dimNames: Seq[String], chunks: Seq[Int], v3: Boolean,
+      dims: Seq[(String, Int)], chunks: Seq[Int], v3: Boolean,
       what: String): ZarrSource.ZarrMeta = {
+    val dimNames = dims.map(_._1)
     val m = g.members.getOrElse(vc, throw new IllegalArgumentException(
       s"no member '$vc' in zarr group $dir to $what to " +
         s"(have: ${g.members.keys.toSeq.sorted.mkString(", ")})"))
     require(m.dims == dimNames,
       s"member '$vc' has dims (${m.dims.mkString(", ")}) but the $what " +
         s"declares (${dimNames.mkString(", ")})")
+    require(m.meta.shape.tail == dims.tail.map(_._2),
+      s"member '$vc' has shape ${m.meta.shape.mkString("x")} but the $what " +
+        s"declares non-${dimNames.head} sizes ${dims.tail.map(_._2).mkString("x")}")
     require(m.meta.chunks == chunks,
       s"member '$vc' is chunked ${m.meta.chunks.mkString("x")} but the " +
         s"$what declares ${chunks.mkString("x")} — in-place writes reuse " +
@@ -993,14 +997,12 @@ object ZarrGroup extends Serializable {
     val v3 = g.format == 3
     val dimNames = dims.map(_._1)
     val nLen = dims.head._2
-    val metas = valueCols.map { vc =>
-      val m = validateWritableMember(g, dir, vc, dimNames, chunks, v3, "region write")
-      require(m.shape.tail == dims.tail.map(_._2),
-        s"member '$vc' has shape ${m.shape.mkString("x")} but the region " +
-          s"write declares non-${dimNames.head} sizes ${dims.tail.map(_._2).mkString("x")}")
-      m
-    }
+    val metas = valueCols.map(vc =>
+      validateWritableMember(g, dir, vc, dims, chunks, v3, "region write"))
     val nt0 = metas.head.shape.head
+    require(metas.forall(_.shape.head == nt0),
+      s"region-written members disagree on '${dimNames.head}' length " +
+        s"(${valueCols.zip(metas.map(_.shape.head)).mkString(", ")})")
     require(regionStart >= 0 && nLen > 0 && regionStart.toLong + nLen <= nt0,
       s"region [${regionStart}, ${regionStart + nLen}) along '${dimNames.head}' " +
         s"leaves the store's [0, $nt0) — region writes never resize " +
@@ -1045,13 +1047,8 @@ object ZarrGroup extends Serializable {
     val nNew = dims.head._2
     require(nNew > 0, s"append block along '$appendDim' must be non-empty")
 
-    val metas = valueCols.map { vc =>
-      val m = validateWritableMember(g, dir, vc, dimNames, chunks, v3, "append")
-      require(m.shape.tail == dims.tail.map(_._2),
-        s"member '$vc' has shape ${m.shape.mkString("x")} but the " +
-          s"append declares non-$appendDim sizes ${dims.tail.map(_._2).mkString("x")}")
-      m
-    }
+    val metas = valueCols.map(vc =>
+      validateWritableMember(g, dir, vc, dims, chunks, v3, "append"))
     val nt0 = metas.head.shape.head
     require(metas.forall(_.shape.head == nt0),
       s"appended members disagree on '$appendDim' length " +

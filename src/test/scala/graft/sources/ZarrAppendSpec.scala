@@ -284,5 +284,15 @@ class ZarrAppendSpec extends SparkSpec {
         .option("cols", "sst").option("region", "0")
         .mode("append").save(tmpDir()))
     assert(msgs(e2).exists(_.contains("does not exist")))
+    // region + mode("overwrite") is rejected BEFORE any delete: the
+    // store the user is trying to correct must survive the mode slip
+    val e3 = intercept[Exception](
+      cells(1, 3, 4).write.format("zarr")
+        .option("dims", "time:1,y:3,x:4").option("chunks", "2,3,4")
+        .option("cols", "sst").option("region", "0")
+        .mode("overwrite").save(dir))
+    assert(msgs(e3).exists(_.contains("append")))
+    assert(spark.read.format("zarr").load(dir).count() == 4 * 3 * 4,
+      "the store survives an overwrite+region mode slip intact")
   }
 }
