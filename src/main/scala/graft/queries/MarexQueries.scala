@@ -1523,6 +1523,54 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM corrected GROUP BY t_idx"""),
-      "to_zarr(region=…) in-place backfill: windowed chunk-merge upsert, no resize, oracle-exact")
+      "to_zarr(region=…) in-place backfill: windowed chunk-merge upsert, no resize, oracle-exact"),
+
+    // ── netcdf archive APPEND: landing new block files through SQL ────────
+    QueryDef("q95_netcdf_archive_append",
+      (s, d) => {
+        // q85's archive built in TWO SQL writes: days 0..19 at create,
+        // days 20..29 landed by mode("append") as a new block file whose
+        // name continues the prefix numbering (rows carry block-set-local
+        // t_idx). The read-back must equal q85's one-shot build — any
+        // defect in the numbering continuation, the name-ordered global
+        // axis, or the appended block's assembly mismatches the oracle.
+        def cells0 = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("value"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q95_nca"
+        cells0.filter(col("t_idx").between(0, 19))
+          .write.format("netcdf").option("var", "sst")
+          .option("shape", "20:10:15").option("blockNt", "10")
+          .option("timeChunk", "4")
+          .mode("overwrite").save(dir)
+        cells0.filter(col("t_idx").between(20, 29))
+          .select((col("t_idx") - 20).as("t_idx"), col("y"), col("x"), col("value"))
+          .write.format("netcdf").option("var", "sst")
+          .option("shape", "10:10:15").option("blockNt", "10")
+          .option("timeChunk", "4")
+          .mode("append").save(dir)
+        s.read.format("netcdf").option("var", "sst").load(dir)
+          .filter(col("t_idx").between(5, 25) && !isnan(col("value")))
+          .groupBy(col("t_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("value") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
+      "netcdf archive append through SQL: landed block files continue the name-ordered axis")
   )
 }

@@ -529,7 +529,8 @@ object NetCDFSource {
   def writeArchive(df: DataFrame, dir: String, varName: String,
       shape: (Int, Int, Int), blockNt: Int, timeChunk: Int = 8,
       deflateLevel: Int = 4, prefix: String = "sst",
-      spatialChunks: Option[(Int, Int)] = None): Seq[String] = {
+      spatialChunks: Option[(Int, Int)] = None,
+      blockOffset: Int = 0): Seq[String] = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val (nt, ny, nx) = shape
     require(blockNt > 0 && nt > 0, s"need positive blockNt/nt (got $blockNt/$nt)")
@@ -550,7 +551,7 @@ object NetCDFSource {
       val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar(varB, Seq(bnt, nyB, nxB), values,
         chunkDims = Some(Seq(math.min(tcB, bnt), math.min(cy, nyB), math.min(cx, nxB))),
         deflateLevel = dlB)))
-      val name = f"${pxB}_$b%05d.nc"
+      val name = f"${pxB}_${blockOffset + b}%05d.nc"
       val p = new org.apache.hadoop.fs.Path(s"$dirB/$name")
       val fs = p.getFileSystem(conf.value)
       val out = fs.create(p, true)
@@ -591,7 +592,7 @@ object NetCDFSource {
       }.collect().toSet
     // empty blocks never reach a task — fill them on the driver
     val filled = (0 until nBlocks).map { b =>
-      val name = f"${prefix}_$b%05d.nc"
+      val name = f"${prefix}_${blockOffset + b}%05d.nc"
       if (!written(name)) writeBlock(b, blockArray(b))
       name
     }

@@ -124,14 +124,44 @@ private[sources] class NetCdfWritableTableV2(dir: String, varName: String,
             val p = new org.apache.hadoop.fs.Path(dir)
             val fs = p.getFileSystem(conf)
             if (overwrite) fs.delete(p, true)
-            else require(!fs.exists(p) || fs.listStatus(p).forall(_.isDirectory),
-              s"netcdf archive $dir already holds files — use mode(\"overwrite\") " +
-                "to replace it (live archives grow by LANDING new files, " +
-                "not by table inserts)")
+            val existing =
+              if (overwrite || !fs.exists(p)) Seq.empty[String]
+              else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.getName)
+                .filterNot(n => n.startsWith(".") || n.startsWith("_")) // sidecars/markers
+            // append onto a live archive = LAND new block files whose names
+            // continue the prefix numbering (so they sort AFTER every
+            // committed file — the multi-file reader's axis and the stream
+            // source's name-keyed offset both stay monotone). The declared
+            // shape is the NEW block set; rows carry block-set-local t_idx.
+            val blockOffset =
+              if (existing.isEmpty) 0
+              else {
+                val pat = s"${java.util.regex.Pattern.quote(spec.prefix)}_(\\d+)\\.nc".r
+                val idxs = existing.map {
+                  case pat(i) => i.toInt
+                  case other => throw new IllegalArgumentException(
+                    s"netcdf archive $dir holds '$other', which does not match " +
+                      s"the '${spec.prefix}_<NNNNN>.nc' naming this append would " +
+                      "continue — appended files must sort after every existing " +
+                      "one; pass the archive's own prefix")
+                }
+                val m = NetCdfTableV2.fileMeta(data.sparkSession,
+                  s"$dir/${existing.max}", varName)._1
+                require(m.ny == spec.ny && m.nx == spec.nx,
+                  s"netcdf archive $dir is ${m.ny}×${m.nx} spatially but the " +
+                    s"append declares ${spec.ny}×${spec.nx}")
+                val next = idxs.max + 1
+                val nNew = (spec.nt + spec.blockNt - 1) / spec.blockNt
+                require(next + nNew <= 100000,
+                  s"append would number blocks past ${next + nNew - 1}, " +
+                    "breaking the 5-digit name ordering")
+                next
+              }
             NetCDFSource.writeArchive(data, dir, varName,
               shape = (spec.nt, spec.ny, spec.nx), blockNt = spec.blockNt,
               timeChunk = spec.timeChunk, deflateLevel = spec.deflate,
-              prefix = spec.prefix, spatialChunks = spec.spatialChunks)
+              prefix = spec.prefix, spatialChunks = spec.spatialChunks,
+              blockOffset = blockOffset)
             ()
           }
       }

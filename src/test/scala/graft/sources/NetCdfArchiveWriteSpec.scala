@@ -50,20 +50,52 @@ class NetCdfArchiveWriteSpec extends SparkSpec {
     assert(back.count() == 8 * 3 * 4)
     assert(back.join(in.withColumnRenamed("value", "expected"), Seq("t_idx", "y", "x"))
       .filter(col("value") =!= col("expected")).count() == 0)
-    // append to an existing archive is a named error (archives grow by
-    // landing files, not by inserts); overwrite replaces
-    val e = intercept[Exception](
-      in.write.format("netcdf").option("var", "sst")
-        .option("shape", "8:3:4").mode("append").save(dir))
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("already holds files")))
     in.withColumn("value", col("value") + 100.0)
       .write.format("netcdf").option("var", "sst")
       .option("shape", "8:3:4").option("blockNt", "8")
       .mode("overwrite").save(dir)
     val again = spark.read.format("netcdf").option("var", "sst").load(dir)
     assert(again.agg(min("value")).head.getDouble(0) >= 100.0)
+  }
+
+  test("mode(\"append\") lands new block files that continue the archive") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfw5").toFile.getAbsolutePath
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    grid(8, 3, 4).write.format("netcdf").option("var", "sst")
+      .option("shape", "8:3:4").option("blockNt", "4")
+      .mode("overwrite").save(dir)
+    // the appended block set carries block-set-LOCAL t_idx 0..3; its file
+    // must number after the committed ones so the name-ordered axis grows
+    grid(4, 3, 4).withColumn("value", col("value") + 1000.0)
+      .write.format("netcdf").option("var", "sst")
+      .option("shape", "4:3:4").option("blockNt", "4")
+      .mode("append").save(dir)
+    val names = new java.io.File(dir).listFiles().map(_.getName)
+      .filterNot(_.startsWith(".")).sorted // drop Hadoop .crc sidecars
+    assert(names.toSeq == Seq("part_00000.nc", "part_00001.nc", "part_00002.nc"))
+    val back = spark.read.format("netcdf").option("var", "sst").load(dir)
+    assert(back.count() == 12 * 3 * 4)
+    assert(back.filter(col("t_idx") >= 8)
+      .filter(col("value") =!= (col("t_idx") - 8) * 5.0 + col("y") * 0.5 +
+        col("x") * 0.125 + 1000.0).count() == 0,
+      "appended slices ride the global axis after the committed ones")
+    assert(back.filter(col("t_idx") < 8)
+      .filter(col("value") =!= col("t_idx") * 5.0 + col("y") * 0.5 +
+        col("x") * 0.125).count() == 0, "committed slices untouched")
+    // a prefix that does not match the archive's naming is a named error
+    val e = intercept[Exception](
+      grid(4, 3, 4).write.format("netcdf").option("var", "sst")
+        .option("shape", "4:3:4").option("prefix", "other")
+        .mode("append").save(dir))
+    assert(msgs(e).exists(_.contains("naming")))
+    // a spatial-shape mismatch is a named error too
+    val e2 = intercept[Exception](
+      grid(4, 2, 4).write.format("netcdf").option("var", "sst")
+        .option("shape", "4:2:4").mode("append").save(dir))
+    assert(msgs(e2).exists(_.contains("spatially")))
+    assert(spark.read.format("netcdf").option("var", "sst").load(dir)
+      .count() == 12 * 3 * 4, "failed appends leave the archive intact")
   }
 
   test("out-of-range rows are dropped, ragged tail block sizes correctly") {
