@@ -428,6 +428,38 @@ object NetCDF4Source {
     * compression. NaN (and out-of-i16-range results, which would silently
     * alias) map to `fillRaw`; the CF decode on every read path restores
     * physical values and NaN. */
+  /** One grid variable's WriteVar: CF-PACKED signed-i16 when `pack` is
+    * set (raw shorts + `scale_factor`/`add_offset`/`_FillValue` attrs —
+    * required for szip, whose samples are ≤32-bit), plain f64 otherwise.
+    * Shared by [[write3D]] and the distributed [[writeArchive]] sink so
+    * single files and multi-file archives ship the same layouts. */
+  private[sources] def gridVar(varName: String, dims: Seq[Int], values: Array[Double],
+      chunkDims: Seq[Int], deflateLevel: Int, compressor: String,
+      pack: Option[Pack], attrs: Seq[(String, Any)]): WriteVar = pack match {
+    case Some(pk) =>
+      val raw = values.map { v =>
+        if (v.isNaN) pk.fillRaw
+        else {
+          val q = math.rint((v - pk.offset) / pk.scale)
+          if (q < Short.MinValue || q > Short.MaxValue) pk.fillRaw
+          else q.toShort
+        }
+      }
+      WriteVar(varName, dims, Array.empty,
+        chunkDims = Some(chunkDims), deflateLevel = deflateLevel,
+        compressor = compressor, typed = Some(Hdf5.PackedGridData(raw)),
+        attrs = attrs ++ Seq(
+          "scale_factor" -> pk.scale, "add_offset" -> pk.offset,
+          "_FillValue" -> pk.fillRaw.toDouble))
+    case None =>
+      require(compressor != "szip",
+        "szip write needs <=32-bit samples — pass pack=Some(Pack(...)) to " +
+          "store CF-packed i16")
+      WriteVar(varName, dims, values,
+        chunkDims = Some(chunkDims), deflateLevel = deflateLevel,
+        compressor = compressor, attrs = attrs)
+  }
+
   final case class Pack(scale: Double, offset: Double = 0.0,
       fillRaw: Short = Short.MinValue)
 
@@ -450,31 +482,9 @@ object NetCDF4Source {
           values(t * ny * nx + y * nx + x) = v
       }
     val (cy, cx) = spatialChunks.getOrElse((ny, nx))
-    val wv = pack match {
-      case Some(pk) =>
-        val raw = values.map { v =>
-          if (v.isNaN) pk.fillRaw
-          else {
-            val q = math.rint((v - pk.offset) / pk.scale)
-            if (q < Short.MinValue || q > Short.MaxValue) pk.fillRaw
-            else q.toShort
-          }
-        }
-        WriteVar(varName, Seq(nt, ny, nx), Array.empty,
-          chunkDims = Some(Seq(math.min(timeChunk, nt), math.min(cy, ny), math.min(cx, nx))),
-          deflateLevel = deflateLevel, compressor = compressor,
-          typed = Some(Hdf5.PackedGridData(raw)),
-          attrs = attrs ++ Seq(
-            "scale_factor" -> pk.scale, "add_offset" -> pk.offset,
-            "_FillValue" -> pk.fillRaw.toDouble))
-      case None =>
-        require(compressor != "szip",
-          "szip write needs <=32-bit samples — pass pack=Some(Pack(...)) to " +
-            "store CF-packed i16")
-        WriteVar(varName, Seq(nt, ny, nx), values,
-          chunkDims = Some(Seq(math.min(timeChunk, nt), math.min(cy, ny), math.min(cx, nx))),
-          deflateLevel = deflateLevel, compressor = compressor, attrs = attrs)
-    }
+    val wv = gridVar(varName, Seq(nt, ny, nx), values,
+      Seq(math.min(timeChunk, nt), math.min(cy, ny), math.min(cx, nx)),
+      deflateLevel, compressor, pack, attrs)
     val bytes = Hdf5.assemble(Seq(wv))
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -530,7 +540,8 @@ object NetCDFSource {
       shape: (Int, Int, Int), blockNt: Int, timeChunk: Int = 8,
       deflateLevel: Int = 4, prefix: String = "sst",
       spatialChunks: Option[(Int, Int)] = None,
-      blockOffset: Int = 0): Seq[String] = {
+      blockOffset: Int = 0, pack: Option[NetCDF4Source.Pack] = None,
+      compressor: String = "deflate"): Seq[String] = {
     import org.apache.spark.sql.functions.{col, lit, pmod}
     val (nt, ny, nx) = shape
     require(blockNt > 0 && nt > 0, s"need positive blockNt/nt (got $blockNt/$nt)")
@@ -548,9 +559,10 @@ object NetCDFSource {
     def writeBlock(b: Int, values: Array[Double]): String = {
       val bt0 = b * bNt
       val bnt = math.min(bNt, ntB - bt0)
-      val bytes = Hdf5.assemble(Seq(Hdf5.WriteVar(varB, Seq(bnt, nyB, nxB), values,
-        chunkDims = Some(Seq(math.min(tcB, bnt), math.min(cy, nyB), math.min(cx, nxB))),
-        deflateLevel = dlB)))
+      val bytes = Hdf5.assemble(Seq(NetCDF4Source.gridVar(varB,
+        Seq(bnt, nyB, nxB), values,
+        Seq(math.min(tcB, bnt), math.min(cy, nyB), math.min(cx, nxB)),
+        dlB, compressor, pack, Seq.empty)))
       val name = f"${pxB}_${blockOffset + b}%05d.nc"
       val p = new org.apache.hadoop.fs.Path(s"$dirB/$name")
       val fs = p.getFileSystem(conf.value)

@@ -78,7 +78,8 @@ class NetCdfDataSourceV2 extends TableProvider with DataSourceRegister {
   * executor tasks) — the write dual of the multi-file read. */
 private[sources] final case class NetCdfWriteSpec(nt: Int, ny: Int, nx: Int,
     blockNt: Int, timeChunk: Int, spatialChunks: Option[(Int, Int)],
-    deflate: Int, prefix: String) {
+    deflate: Int, prefix: String,
+    pack: Option[NetCDF4Source.Pack] = None, compressor: String = "deflate") {
   require(nt > 0 && ny > 0 && nx > 0, s"shape must be positive (got $nt:$ny:$nx)")
   require(blockNt > 0, s"blockNt must be positive (got $blockNt)")
 }
@@ -98,7 +99,17 @@ private[sources] object NetCdfWriteSpec {
         val Seq(cy, cx) = ints(s, 2, "spatialChunks"); (cy, cx)
       },
       deflate = Option(options.get("deflate")).map(_.toInt).getOrElse(4),
-      prefix = Option(options.get("prefix")).getOrElse("part"))
+      prefix = Option(options.get("prefix")).getOrElse("part"),
+      // `pack` = "scale[:offset[:fillRaw]]" → CF-packed signed-i16 blocks
+      pack = Option(options.get("pack")).map { s =>
+        val parts = s.split(":").toSeq.map(_.trim)
+        require(parts.nonEmpty && parts.length <= 3,
+          s"malformed pack '$s' (want scale[:offset[:fillRaw]])")
+        NetCDF4Source.Pack(parts(0).toDouble,
+          if (parts.length > 1) parts(1).toDouble else 0.0,
+          if (parts.length > 2) parts(2).toShort else Short.MinValue)
+      },
+      compressor = Option(options.get("compressor")).getOrElse("deflate"))
   }
 }
 
@@ -161,7 +172,8 @@ private[sources] class NetCdfWritableTableV2(dir: String, varName: String,
               shape = (spec.nt, spec.ny, spec.nx), blockNt = spec.blockNt,
               timeChunk = spec.timeChunk, deflateLevel = spec.deflate,
               prefix = spec.prefix, spatialChunks = spec.spatialChunks,
-              blockOffset = blockOffset)
+              blockOffset = blockOffset, pack = spec.pack,
+              compressor = spec.compressor)
             ()
           }
       }

@@ -98,6 +98,37 @@ class NetCdfArchiveWriteSpec extends SparkSpec {
       .count() == 12 * 3 * 4, "failed appends leave the archive intact")
   }
 
+  test("CF-packed i16 + szip archives write distributed, CF-decode on read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mfw6").toFile.getAbsolutePath
+    // quantize at 0.25: every grid value is an exact multiple, so the
+    // packed round-trip is exact (no half-boundary ambiguity)
+    val in = grid(8, 3, 4)
+    in.write.format("netcdf").option("var", "sst")
+      .option("shape", "8:3:4").option("blockNt", "4").option("timeChunk", "2")
+      .option("pack", "0.125").option("compressor", "szip")
+      .mode("overwrite").save(dir)
+    val back = spark.read.format("netcdf").option("var", "sst").load(dir)
+    assert(back.count() == 8 * 3 * 4)
+    assert(back.join(in.withColumnRenamed("value", "expected"), Seq("t_idx", "y", "x"))
+      .filter(col("value") =!= col("expected")).count() == 0,
+      "scale 0.125 packs every t*5 + y*0.5 + x*0.125 value exactly")
+    // appends inherit the declared layout: land one more packed block
+    grid(4, 3, 4).write.format("netcdf").option("var", "sst")
+      .option("shape", "4:3:4").option("blockNt", "4")
+      .option("pack", "0.125").option("compressor", "szip")
+      .mode("append").save(dir)
+    assert(spark.read.format("netcdf").option("var", "sst").load(dir)
+      .count() == 12 * 3 * 4)
+    // szip without pack stays the named error on the archive path too
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception](
+      grid(4, 3, 4).write.format("netcdf").option("var", "sst")
+        .option("shape", "4:3:4").option("compressor", "szip")
+        .mode("append").save(dir))
+    assert(msgs(e).exists(_.contains("szip")))
+  }
+
   test("out-of-range rows are dropped, ragged tail block sizes correctly") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mfw3").toFile.getAbsolutePath
     val in = grid(9, 2, 2) // block 2 holds only t 8 (ragged)
