@@ -546,6 +546,10 @@ object NetCDFSource {
     val (nt, ny, nx) = shape
     require(blockNt > 0 && nt > 0, s"need positive blockNt/nt (got $blockNt/$nt)")
     val nBlocks = (nt + blockNt - 1) / blockNt
+    require(blockOffset >= 0 && blockOffset.toLong + nBlocks <= 100000,
+      s"blocks ${blockOffset}..${blockOffset.toLong + nBlocks - 1} overflow the " +
+        "5-digit %05d naming — past 99999 the name order stops being the " +
+        "time order")
     val spark = df.sparkSession
     import spark.implicits._
     val conf = new org.apache.spark.util.SerializableConfiguration(

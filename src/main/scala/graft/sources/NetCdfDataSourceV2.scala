@@ -82,6 +82,13 @@ private[sources] final case class NetCdfWriteSpec(nt: Int, ny: Int, nx: Int,
     pack: Option[NetCDF4Source.Pack] = None, compressor: String = "deflate") {
   require(nt > 0 && ny > 0 && nx > 0, s"shape must be positive (got $nt:$ny:$nx)")
   require(blockNt > 0, s"blockNt must be positive (got $blockNt)")
+  // fail on the DRIVER at plan time, not in an executor task after the
+  // full block shuffle has already run
+  require(Set("deflate", "zstd", "szip").contains(compressor),
+    s"unsupported netcdf write compressor '$compressor' (deflate, zstd, szip)")
+  require(compressor != "szip" || pack.nonEmpty,
+    "szip write needs <=32-bit samples — add .option(\"pack\", " +
+      "\"scale[:offset[:fillRaw]]\") to store CF-packed i16")
 }
 
 private[sources] object NetCdfWriteSpec {
@@ -103,11 +110,19 @@ private[sources] object NetCdfWriteSpec {
       // `pack` = "scale[:offset[:fillRaw]]" → CF-packed signed-i16 blocks
       pack = Option(options.get("pack")).map { s =>
         val parts = s.split(":").toSeq.map(_.trim)
-        require(parts.nonEmpty && parts.length <= 3,
-          s"malformed pack '$s' (want scale[:offset[:fillRaw]])")
-        NetCDF4Source.Pack(parts(0).toDouble,
-          if (parts.length > 1) parts(1).toDouble else 0.0,
-          if (parts.length > 2) parts(2).toShort else Short.MinValue)
+        val parsed = try {
+          require(parts.nonEmpty && parts.length <= 3 && parts.head.nonEmpty)
+          NetCDF4Source.Pack(parts(0).toDouble,
+            if (parts.length > 1) parts(1).toDouble else 0.0,
+            if (parts.length > 2) parts(2).toShort else Short.MinValue)
+        } catch {
+          case _: IllegalArgumentException => throw new IllegalArgumentException(
+            s"malformed pack '$s' (want scale[:offset[:fillRaw]], numeric)")
+        }
+        require(parsed.scale > 0 && parsed.scale.isFinite,
+          s"pack scale ${parsed.scale} must be a positive finite number — " +
+            "scale 0 would map every value to the fill")
+        parsed
       },
       compressor = Option(options.get("compressor")).getOrElse("deflate"))
   }
@@ -147,27 +162,39 @@ private[sources] class NetCdfWritableTableV2(dir: String, varName: String,
             val blockOffset =
               if (existing.isEmpty) 0
               else {
-                val pat = s"${java.util.regex.Pattern.quote(spec.prefix)}_(\\d+)\\.nc".r
+                // EXACTLY the writer's 5-digit shape: part_9.nc would match
+                // a loose \d+ and then part_00010.nc sorts BETWEEN part_0
+                // and part_1 — silently remapping the name-ordered axis
+                val pat = s"${java.util.regex.Pattern.quote(spec.prefix)}_(\\d{5})\\.nc".r
                 val idxs = existing.map {
                   case pat(i) => i.toInt
                   case other => throw new IllegalArgumentException(
                     s"netcdf archive $dir holds '$other', which does not match " +
-                      s"the '${spec.prefix}_<NNNNN>.nc' naming this append would " +
-                      "continue — appended files must sort after every existing " +
-                      "one; pass the archive's own prefix")
+                      s"the '${spec.prefix}_<NNNNN>.nc' (5-digit) naming this " +
+                      "append would continue — appended files must sort after " +
+                      "every existing one; pass the archive's own prefix")
                 }
                 val m = NetCdfTableV2.fileMeta(data.sparkSession,
                   s"$dir/${existing.max}", varName)._1
+                require(m.rank == 3,
+                  s"netcdf archive $dir holds ${m.rank}-D (time, cell) files — " +
+                    "the archive append writes 3-D (time, y, x) blocks only")
                 require(m.ny == spec.ny && m.nx == spec.nx,
                   s"netcdf archive $dir is ${m.ny}×${m.nx} spatially but the " +
                     s"append declares ${spec.ny}×${spec.nx}")
-                val next = idxs.max + 1
-                val nNew = (spec.nt + spec.blockNt - 1) / spec.blockNt
-                require(next + nNew <= 100000,
-                  s"append would number blocks past ${next + nNew - 1}, " +
-                    "breaking the 5-digit name ordering")
-                next
+                idxs.max + 1
               }
+            // an append whose rows ALL fall outside [0, nt) is a forgotten
+            // local shift (t_idx must be block-set-local), not a request
+            // for all-fill padding — an EMPTY frame still pads explicitly
+            if (blockOffset > 0 && !data.isEmpty)
+              require(!data.filter(
+                  org.apache.spark.sql.functions.col("t_idx").isNotNull &&
+                  org.apache.spark.sql.functions.col("t_idx")
+                    .between(0, spec.nt - 1)).isEmpty,
+                s"append carries no rows with t_idx in [0, ${spec.nt}) — rows " +
+                  "must use block-set-LOCAL indices (subtract the archive's " +
+                  "current length), or pass an empty frame to pad fill blocks")
             NetCDFSource.writeArchive(data, dir, varName,
               shape = (spec.nt, spec.ny, spec.nx), blockNt = spec.blockNt,
               timeChunk = spec.timeChunk, deflateLevel = spec.deflate,

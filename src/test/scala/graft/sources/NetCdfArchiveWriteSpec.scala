@@ -14,6 +14,9 @@ class NetCdfArchiveWriteSpec extends SparkSpec {
     (for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx)
       yield (t, y, x, t * 5.0 + y * 0.5 + x * 0.125)).toDF("t_idx", "y", "x", "value")
 
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
   test("archive write round-trips through the multi-file reader") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mfw").toFile.getAbsolutePath
     val in = grid(10, 3, 4)
@@ -60,8 +63,6 @@ class NetCdfArchiveWriteSpec extends SparkSpec {
 
   test("mode(\"append\") lands new block files that continue the archive") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mfw5").toFile.getAbsolutePath
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     grid(8, 3, 4).write.format("netcdf").option("var", "sst")
       .option("shape", "8:3:4").option("blockNt", "4")
       .mode("overwrite").save(dir)
@@ -96,12 +97,30 @@ class NetCdfArchiveWriteSpec extends SparkSpec {
     assert(msgs(e2).exists(_.contains("spatially")))
     assert(spark.read.format("netcdf").option("var", "sst").load(dir)
       .count() == 12 * 3 * 4, "failed appends leave the archive intact")
+    // forgetting the block-set-local shift (archive-global t_idx) is a
+    // named error, not a silent all-fill landing
+    val e3 = intercept[Exception](
+      grid(16, 3, 4).filter(col("t_idx") >= 12)
+        .write.format("netcdf").option("var", "sst")
+        .option("shape", "4:3:4").option("blockNt", "4")
+        .mode("append").save(dir))
+    assert(msgs(e3).exists(_.contains("LOCAL")))
+    // a hand-landed non-5-digit name would sort wrong after the append's
+    // next file — reject by name before writing anything
+    java.nio.file.Files.copy(
+      new java.io.File(dir, "part_00000.nc").toPath,
+      new java.io.File(dir, "part_0.nc").toPath)
+    val e4 = intercept[Exception](
+      grid(4, 3, 4).write.format("netcdf").option("var", "sst")
+        .option("shape", "4:3:4").option("blockNt", "4")
+        .mode("append").save(dir))
+    assert(msgs(e4).exists(_.contains("5-digit")))
   }
 
   test("CF-packed i16 + szip archives write distributed, CF-decode on read") {
     val dir = java.nio.file.Files.createTempDirectory("graft_mfw6").toFile.getAbsolutePath
-    // quantize at 0.25: every grid value is an exact multiple, so the
-    // packed round-trip is exact (no half-boundary ambiguity)
+    // quantize at 0.125: every grid value (t*5 + y*0.5 + x*0.125) is an
+    // exact multiple, so the packed round-trip is exact
     val in = grid(8, 3, 4)
     in.write.format("netcdf").option("var", "sst")
       .option("shape", "8:3:4").option("blockNt", "4").option("timeChunk", "2")
@@ -112,16 +131,20 @@ class NetCdfArchiveWriteSpec extends SparkSpec {
     assert(back.join(in.withColumnRenamed("value", "expected"), Seq("t_idx", "y", "x"))
       .filter(col("value") =!= col("expected")).count() == 0,
       "scale 0.125 packs every t*5 + y*0.5 + x*0.125 value exactly")
-    // appends inherit the declared layout: land one more packed block
-    grid(4, 3, 4).write.format("netcdf").option("var", "sst")
+    // appends inherit the declared layout: land one more packed block —
+    // its VALUES must decode exactly, not just count
+    grid(4, 3, 4).withColumn("value", col("value") + 0.25)
+      .write.format("netcdf").option("var", "sst")
       .option("shape", "4:3:4").option("blockNt", "4")
       .option("pack", "0.125").option("compressor", "szip")
       .mode("append").save(dir)
-    assert(spark.read.format("netcdf").option("var", "sst").load(dir)
-      .count() == 12 * 3 * 4)
+    val grown = spark.read.format("netcdf").option("var", "sst").load(dir)
+    assert(grown.count() == 12 * 3 * 4)
+    assert(grown.filter(col("t_idx") >= 8)
+      .filter(col("value") =!= (col("t_idx") - 8) * 5.0 + col("y") * 0.5 +
+        col("x") * 0.125 + 0.25).count() == 0,
+      "the appended packed block's scale/offset attrs and szip payload decode exactly")
     // szip without pack stays the named error on the archive path too
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     val e = intercept[Exception](
       grid(4, 3, 4).write.format("netcdf").option("var", "sst")
         .option("shape", "4:3:4").option("compressor", "szip")
