@@ -168,6 +168,30 @@ class ZarrWriteSpec2 extends SparkSpec {
     assert(back.filter(col("time_idx") === 0 && isnan(col("sst"))).count() == 0)
   }
 
+  test("rank-2 (time, cell) unstructured stores write and append through SQL") {
+    val dir = tmpDir()
+    val mesh = (for (t <- 0 until 4; c <- 0 until 6)
+      yield (t, c, t * 10.0 + c)).toDF("time_idx", "cell_idx", "flags")
+    mesh.write.format("zarr")
+      .option("dims", "time:4,cell:6").option("chunks", "2,6")
+      .option("cols", "flags").mode("overwrite").save(dir)
+    val back = spark.read.format("zarr").load(dir)
+    assert(back.columns.toSeq == Seq("time_idx", "cell_idx", "flags"))
+    assert(back.count() == 4 * 6)
+    assert(back.join(mesh.withColumnRenamed("flags", "e"),
+      Seq("time_idx", "cell_idx")).filter(col("flags") =!= col("e")).count() == 0)
+    // the 2-D store appends along time like any other
+    (for (t <- 0 until 2; c <- 0 until 6)
+      yield (t, c, (t + 4) * 10.0 + c)).toDF("time_idx", "cell_idx", "flags")
+      .write.format("zarr")
+      .option("dims", "time:2,cell:6").option("chunks", "2,6")
+      .option("cols", "flags").mode("append").save(dir)
+    val grown = spark.read.format("zarr").load(dir)
+    assert(grown.count() == 6 * 6)
+    assert(grown.filter(col("flags") =!=
+      col("time_idx") * 10.0 + col("cell_idx")).count() == 0)
+  }
+
   test("shard without v3, or a non-dividing inner shape, fail by name") {
     val dir = tmpDir()
     def msgs(t: Throwable): Seq[String] =
