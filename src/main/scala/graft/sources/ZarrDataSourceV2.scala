@@ -75,7 +75,16 @@ class ZarrDataSourceV2 extends TableProvider with DataSourceRegister {
   * distributed [[ZarrGroup.writeDataset]] chunk writer. */
 private[sources] final case class ZarrWriteSpec(dims: Seq[(String, Int)],
     chunks: Seq[Int], cols: Seq[String], fill: Double, v3: Boolean,
-    shard: Option[Seq[Int]] = None, region: Option[Int] = None) {
+    shard: Option[Seq[Int]] = None, region: Option[Int] = None,
+    pack: Option[ZarrGroup.Pack] = None,
+    coords: Seq[(String, Double, Double)] = Nil) {
+  /** Evenly-spaced coordinate values per declared coord, sized `n`. */
+  def coordValues(n: Map[String, Int]): Map[String, Array[Double]] =
+    coords.map { case (name, start, step) =>
+      val sz = n.getOrElse(name, throw new IllegalArgumentException(
+        s"coords option names '$name', which is not a declared dimension"))
+      name -> Array.tabulate(sz)(i => start + i * step)
+    }.toMap
   require(dims.length == chunks.length,
     s"dims (${dims.length}) and chunks (${chunks.length}) must align")
   require(cols.nonEmpty, "zarr write needs .option(\"cols\", <value columns>)")
@@ -84,6 +93,9 @@ private[sources] final case class ZarrWriteSpec(dims: Seq[(String, Int)],
   require(region.isEmpty || shard.isEmpty,
     """.option("region", …) and .option("shard", …) are mutually exclusive —"""
       + " region writes merge into an existing unsharded store")
+  require(pack.isEmpty || (shard.isEmpty && region.isEmpty),
+    """.option("pack", …) writes a CF-packed int16 store at CREATE time —"""
+      + " it cannot combine with shard or region")
   region.foreach(r => require(r >= 0,
     s""".option("region", $r) — the region start must be >= 0"""))
   def schema: StructType = StructType(
@@ -105,11 +117,36 @@ private[sources] object ZarrWriteSpec {
     }
     val chunks = req("chunks").split(",").toSeq.map(_.trim.toInt)
     val cols = req("cols").split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    // pack = "scale[:offset[:fillRaw]]" — CF-packed int16 output, the dual
+    // of the netcdf writer's Pack and of the reader's mask_and_scale decode
+    val pack = Option(options.get("pack")).map { s =>
+      s.split(":").map(_.trim) match {
+        case Array(sc) => ZarrGroup.Pack(sc.toDouble)
+        case Array(sc, off) => ZarrGroup.Pack(sc.toDouble, off.toDouble)
+        case Array(sc, off, fr) =>
+          ZarrGroup.Pack(sc.toDouble, off.toDouble, fr.toShort)
+        case _ => throw new IllegalArgumentException(
+          s"malformed pack option '$s' (want scale[:offset[:fillRaw]])")
+      }
+    }
+    // coords = "name:start:step[;name:start:step…]" — evenly-spaced
+    // coordinate values derived from the declared (or appended) axis
+    // length. This is how a SQL append extends a time coordinate: the
+    // reference's to_zarr always writes one, and a daily axis is exactly
+    // start+i*step. Irregular axes use ZarrGroup.writeDataset/appendDataset.
+    val coords = Option(options.get("coords")).toSeq
+      .flatMap(_.split(";").toSeq).map { part =>
+        part.split(":").map(_.trim) match {
+          case Array(n, start, step) => (n, start.toDouble, step.toDouble)
+          case _ => throw new IllegalArgumentException(
+            s"malformed coords entry '$part' (want name:start:step)")
+        }
+      }
     ZarrWriteSpec(dims, chunks, cols,
       Option(options.get("fill")).map(_.toDouble).getOrElse(Double.NaN),
       options.getBoolean("v3", false),
       Option(options.get("shard")).map(_.split(",").toSeq.map(_.trim.toInt)),
-      Option(options.get("region")).map(_.trim.toInt))
+      Option(options.get("region")).map(_.trim.toInt), pack, coords)
   }
 }
 
@@ -156,14 +193,35 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
             if (overwrite) fs.delete(p, true)
             if (!overwrite && fs.exists(p)) {
               require(spec.shard.isEmpty,
-                """.option("shard", …) on mode("append") — appends reuse the """ +
-                  "store's existing layout and sharded stores cannot be " +
-                  "appended to; drop the option (or overwrite)")
+                """.option("shard", …) applies at store CREATION — appends """ +
+                  "reuse the store's existing layout (sharded stores append " +
+                  "fine without the option); drop it rather than have it " +
+                  "silently ignored")
+              require(spec.pack.isEmpty,
+                """.option("pack", …) applies at store CREATION — appends """ +
+                  "reuse the store's existing dtype; drop the option " +
+                  "(packed stores cannot be appended to)")
               spec.region match {
-                case Some(r0) => ZarrGroup.regionWrite(data, path, spec.dims,
-                  spec.chunks, valueCols = spec.cols, regionStart = r0)
-                case None => ZarrGroup.appendDataset(data, path, spec.dims,
-                  spec.chunks, valueCols = spec.cols)
+                case Some(r0) =>
+                  require(spec.coords.isEmpty,
+                    """.option("coords", …) extends an axis — region writes """ +
+                      "never resize, so they cannot carry coordinate values")
+                  ZarrGroup.regionWrite(data, path, spec.dims,
+                    spec.chunks, valueCols = spec.cols, regionStart = r0)
+                case None =>
+                  // appends may extend the store's coordinates: the block's
+                  // coord values derive from start:step over the BLOCK
+                  // length (only append-dim coords make sense here — the
+                  // others already exist at full length)
+                  spec.coords.foreach { case (n, _, _) =>
+                    require(n == spec.dims.head._1,
+                      s"coords option names '$n', but an append can only " +
+                        s"extend the append-dim coordinate " +
+                        s"('${spec.dims.head._1}')")
+                  }
+                  ZarrGroup.appendDataset(data, path, spec.dims,
+                    spec.chunks, valueCols = spec.cols,
+                    newCoords = spec.coordValues(Map(spec.dims.head)))
               }
             } else {
               require(spec.region.isEmpty,
@@ -172,7 +230,8 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
                   "then region-write")
               ZarrGroup.writeDataset(data, path, spec.dims, spec.chunks,
                 valueCols = spec.cols, v3 = spec.v3, fill = spec.fill,
-                shard = spec.shard)
+                shard = spec.shard, pack = spec.pack,
+                coords = spec.coordValues(spec.dims.toMap))
             }
           }
       }
@@ -814,9 +873,11 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
           yy = part.cj * cy + (i / cx) % cy
           xx = part.ck * cx + i % cx
           if (t >= t0 && t <= t1 && yy >= y0 && yy <= y1 && xx >= x0 && xx <= x1) {
+            // CF decode at emission (scale_factor/add_offset/_FillValue),
+            // exactly like the netcdf scan — raw stored values never leak
             v =
-              if (raw == null) meta.fillValue
-              else ZarrSource.cellValue(raw, buf, meta.dtype, i, bp)
+              if (raw == null) meta.decodedFill
+              else meta.cfDecode(ZarrSource.cellValue(raw, buf, meta.dtype, i, bp))
             return true
           }
         }
@@ -1045,7 +1106,8 @@ private[sources] class ZarrGroupScan(lay: ZarrGroupTableV2.Layout,
         s"member '$name' (${meta.shape.mkString("×")} cells) is too large to " +
           s"materialize in the zarr group scan — read it with " +
           s"ZarrGroup.readDataset, which broadcast-joins lower-rank variables")
-      ZarrGroup.readWholeArray(fs, s"${lay.dir}/$name", meta)
+      val a = ZarrGroup.readWholeArray(fs, s"${lay.dir}/$name", meta)
+      if (meta.cf.isEmpty) a else a.map(meta.cfDecode)
     }
     // resolve each required column ONCE; unprojected variables never load
     val primaryNeeded = required.fieldNames.filter(n =>
@@ -1087,7 +1149,10 @@ private[sources] class ZarrGroupReaderFactory(dir: String, shape: Array[Int],
       private val window = ZarrSource.localWindow(lo, hi, ci, chunks.toSeq, nd)
       private val perVar: Seq[Array[Double]] =
         primaryVars.map { case (n, m) =>
-          ZarrGroup.chunkValuesWindow(fs, s"$dir/$n", m, ci, window._1, window._2)
+          val vs = ZarrGroup.chunkValuesWindow(fs, s"$dir/$n", m, ci,
+            window._1, window._2)
+          if (m.cf.isEmpty) vs
+          else { var i = 0; while (i < vs.length) { vs(i) = m.cfDecode(vs(i)); i += 1 }; vs }
         }
       private val n = chunks.product
       private val gidx = new Array[Int](nd)

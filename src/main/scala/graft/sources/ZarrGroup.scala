@@ -59,6 +59,34 @@ object ZarrGroup extends Serializable {
 
   private implicit val fmts: Formats = DefaultFormats
 
+  /** CF packing spec for the zarr WRITE path (dual of [[ZarrSource.CfAttrs]]
+    * on read, mirroring the netcdf writer's `NetCDF4Source.Pack`): physical
+    * doubles land as little-endian int16 via
+    * `raw = rint((v − offset) / scale)`, NaN as `fillRaw`, and the member's
+    * attributes carry `scale_factor`/`add_offset`/`_FillValue` so ANY
+    * CF-aware reader (xarray `mask_and_scale`, this repo's scan) restores
+    * physical values. i2 is the packing real archives actually keep
+    * (satellite/CMIP conversions); a physical value that quantizes outside
+    * i16 raises rather than silently wrapping. */
+  final case class Pack(scale: Double, offset: Double = 0.0,
+      fillRaw: Short = Short.MinValue) extends Serializable {
+    require(scale != 0.0 && !scale.isNaN, "pack scale must be non-zero")
+    def toRaw(v: Double): Short =
+      if (v.isNaN) fillRaw
+      else {
+        val q = math.rint((v - offset) / scale)
+        if (q < Short.MinValue || q > Short.MaxValue || q.isNaN)
+          throw new IllegalArgumentException(
+            f"value $v%.6g packs to $q%.0f, outside int16 — widen scale " +
+              f"(= $scale%.6g) or offset (= $offset%.6g)")
+        val s = q.toInt.toShort
+        if (s == fillRaw) throw new IllegalArgumentException(
+          f"value $v%.6g packs to the _FillValue raw code $fillRaw — " +
+            "choose a fillRaw outside the data range")
+        s
+      }
+  }
+
   /** Bound on the sub-group walk in the listed (non-consolidated) discovery
     * fallbacks — real hierarchies are 1–2 levels; a runaway store (or a
     * filesystem loop) stops cleanly instead of recursing forever. */
@@ -80,6 +108,17 @@ object ZarrGroup extends Serializable {
 
   private def stripDims(o: JObject): JObject =
     JObject(o.obj.filterNot(_._1 == "_ARRAY_DIMENSIONS"))
+
+  /** Finalize one member's meta: fold CF packed-data attributes in (v2
+    * members carry them in `.zattrs`; v3 parses them inside readMetaV3
+    * already, but consolidated v2 entries do not) and mark dimension
+    * coordinates (`lat(lat)`) — only THEY tolerate the append-crash-window
+    * oversized chunk decode ([[ZarrSource.decodeChunk]]). */
+  private def memberMeta(name: String, meta: ZarrSource.ZarrMeta,
+      dims: Seq[String], attrs: JObject): ZarrSource.ZarrMeta =
+    meta.copy(
+      cf = meta.cf.orElse(ZarrSource.CfAttrs.fromJson(attrs)),
+      coordLike = dims == Seq(name))
 
   /** Open a zarr group, preferring consolidated metadata (a single
     * metadata read — at 100 TB a store can hold thousands of members and a
@@ -130,7 +169,8 @@ object ZarrGroup extends Serializable {
                     a.map(_.extract[String])
                   case _ => defaultDims(meta.shape.length)
                 }
-                Some(name -> GroupVar(name, meta, dims, asObj(m \ "attributes")))
+                val at = asObj(m \ "attributes")
+                Some(name -> GroupVar(name, memberMeta(name, meta, dims, at), dims, at))
             }
           }.toMap
           ZGroup(3, consolidated = true, groupAttrs, members)
@@ -153,7 +193,8 @@ object ZarrGroup extends Serializable {
                         a.map(_.extract[String])
                       case _ => defaultDims(meta.shape.length)
                     }
-                    Seq(name -> GroupVar(name, meta, dims, asObj(cj \ "attributes")))
+                    val at = asObj(cj \ "attributes")
+                    Seq(name -> GroupVar(name, memberMeta(name, meta, dims, at), dims, at))
                   case "group" => walk(st.getPath, name + "/", depth + 1)
                   case _ => Seq.empty
                 }
@@ -180,7 +221,8 @@ object ZarrGroup extends Serializable {
         val attrs = asObj(byKey.getOrElse(s"$name/.zattrs", JObject()))
         val dims = dimsFromAttrs(attrs, meta.shape.length)
           .getOrElse(defaultDims(meta.shape.length))
-        name -> GroupVar(name, meta, dims, stripDims(attrs))
+        name -> GroupVar(name, memberMeta(name, meta, dims, attrs), dims,
+          stripDims(attrs))
       }.toMap
       ZGroup(2, consolidated = true, groupAttrs, members)
     } else if (fs.exists(v2Root)) {
@@ -201,7 +243,8 @@ object ZarrGroup extends Serializable {
             val attrs = if (fs.exists(ap)) asObj(JsonMethods.parse(slurp(ap))) else JObject()
             val dims = dimsFromAttrs(attrs, meta.shape.length)
               .getOrElse(defaultDims(meta.shape.length))
-            Seq(name -> GroupVar(name, meta, dims, stripDims(attrs)))
+            Seq(name -> GroupVar(name, memberMeta(name, meta, dims, attrs),
+              dims, stripDims(attrs)))
           } else if (fs.exists(zg)) walk(st.getPath, name + "/", depth + 1)
           else Seq.empty
         }
@@ -389,7 +432,7 @@ object ZarrGroup extends Serializable {
               d += 1
             }
             if (inBounds && inRanges(dims, ranges, global)) {
-              global(nd) = vals(i); Some(Row.fromSeq(global.toSeq))
+              global(nd) = meta.cfDecode(vals(i)); Some(Row.fromSeq(global.toSeq))
             } else None
           }
         }
@@ -484,7 +527,9 @@ object ZarrGroup extends Serializable {
             }
             if (inBounds && inRanges(primaryDims, rangesB, cells)) {
               var vi = 0
-              while (vi < perVar.length) { cells(nd + vi) = perVar(vi)(i); vi += 1 }
+              while (vi < perVar.length) {
+                cells(nd + vi) = varMetas(vi)._2.cfDecode(perVar(vi)(i)); vi += 1
+              }
               Some(Row.fromSeq(cells.toSeq))
             } else None
           }
@@ -549,9 +594,10 @@ object ZarrGroup extends Serializable {
       s"unsupported v2 write compressor '${compressor.get}' (supported: blosc)")
     require(shard.isEmpty || v3,
       "sharding_indexed is a zarr v3 feature — set v3 = true to shard")
-    // member name -> (shape, chunks, dims, fill, inner shard shape)
-    private val members = scala.collection.mutable
-      .ArrayBuffer[(String, Seq[Int], Seq[Int], Seq[String], Double, Option[Seq[Int]])]()
+    private final case class Member(name: String, shape: Seq[Int],
+      chunks: Seq[Int], dims: Seq[String], fill: Double,
+      shardInner: Option[Seq[Int]], pack: Option[Pack])
+    private val members = scala.collection.mutable.ArrayBuffer[Member]()
     private var finished = false
 
     // driver-side FS handle for coord/metadata emission (executor chunk
@@ -562,10 +608,11 @@ object ZarrGroup extends Serializable {
       ZarrSource.putBytes(driverFs, new org.apache.hadoop.fs.Path(dir, rel), bytes)
 
     private def addMember(n: String, sh: Seq[Int], ch: Seq[Int], dn: Seq[String],
-        fill: Double, sInner: Option[Seq[Int]] = None): Unit = {
+        fill: Double, sInner: Option[Seq[Int]] = None,
+        pack: Option[Pack] = None): Unit = {
       require(!finished, "GroupWriter already finished")
-      require(!members.exists(_._1 == n), s"duplicate group member '$n'")
-      members += ((n, sh, ch, dn, fill, sInner))
+      require(!members.exists(_.name == n), s"duplicate group member '$n'")
+      members += Member(n, sh, ch, dn, fill, sInner, pack)
     }
 
     /** Write `valueCols` as data arrays over `dims` from a long-format
@@ -575,10 +622,17 @@ object ZarrGroup extends Serializable {
       * background exactly — absent CHUNKS then read back as fill too, no
       * densify pass needed on write). */
     def arrays(df: DataFrame, dims: Seq[(String, Int)], chunks: Seq[Int],
-        valueCols: Seq[String], fill: Double = Double.NaN): this.type = {
+        valueCols: Seq[String], fill: Double = Double.NaN,
+        pack: Option[Pack] = None): this.type = {
       require(dims.nonEmpty && dims.length == chunks.length,
         s"dims (${dims.length}) and chunks (${chunks.length}) must align")
       require(valueCols.nonEmpty, "arrays() needs at least one value column")
+      require(pack.isEmpty || shard.isEmpty,
+        "packed (int16) + sharding_indexed writes are not supported — " +
+          "pick one (packed plain chunks, or sharded float64)")
+      require(pack.isEmpty || fill.isNaN,
+        "packed writes fix the background to NaN (stored as the raw " +
+          "_FillValue code) — drop the custom fill")
       val dimNames = dims.map(_._1)
       val sizes = dims.map(_._2)
       shard.foreach { inner =>
@@ -588,12 +642,14 @@ object ZarrGroup extends Serializable {
           s"shard inner shape ${inner.mkString("x")} must divide " +
             s"chunk shape ${chunks.mkString("x")}")
       }
-      valueCols.foreach(vc => addMember(vc, sizes, chunks, dimNames, fill, shard))
+      val memberFill = pack.fold(fill)(_.fillRaw.toDouble)
+      valueCols.foreach(vc =>
+        addMember(vc, sizes, chunks, dimNames, memberFill, shard, pack))
       valueCols.foreach(vc =>
         driverFs.mkdirs(new org.apache.hadoop.fs.Path(dir, vc)))
       writeChunkJob(df, dir, dimNames, sizes, chunks, valueCols, fill,
         v3, blosc = Seq.fill(valueCols.length)(!v3 && compressor.contains("blosc")),
-        shard = shard)
+        shard = shard, pack = pack)
       this
     }
 
@@ -625,11 +681,11 @@ object ZarrGroup extends Serializable {
       finished = true
       // a dim name must mean one size everywhere it appears
       val dimSizes = scala.collection.mutable.Map[String, Int]()
-      members.foreach { case (n, sh, _, dn, _, _) =>
-        dn.zip(sh).foreach { case (d, s) =>
+      members.foreach { m =>
+        m.dims.zip(m.shape).foreach { case (d, s) =>
           dimSizes.get(d) match {
             case Some(prev) => require(prev == s,
-              s"dim '$d' is $s in member '$n' but $prev elsewhere")
+              s"dim '$d' is $s in member '${m.name}' but $prev elsewhere")
             case None => dimSizes(d) = s
           }
         }
@@ -639,19 +695,28 @@ object ZarrGroup extends Serializable {
         if (f.isNaN) "\"NaN\""
         else if (f == f.floor && math.abs(f) < 1e15) f.toLong.toString
         else f.toString
+      def numJson(d: Double): String =
+        if (d == d.floor && math.abs(d) < 1e15) d.toLong.toString else d.toString
+      // CF packing attributes a packed member carries so ANY mask_and_scale
+      // reader (xarray, this repo's scans) restores physical values
+      def cfEntries(m: Member): Seq[String] = m.pack.toSeq.flatMap { pk =>
+        Seq(s""""scale_factor": ${numJson(pk.scale)}""",
+          s""""add_offset": ${numJson(pk.offset)}""",
+          s""""_FillValue": ${pk.fillRaw}""")
+      }
       val v2Compressor =
         if (compressor.contains("blosc"))
           """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
         else "null"
-      def v2Zarray(shape: Seq[Int], chk: Seq[Int], fill: Double): String =
-        s"""{"zarr_format": 2, "shape": [${shape.mkString(", ")}],
-            "chunks": [${chk.mkString(", ")}], "dtype": "<f8",
-            "compressor": $v2Compressor, "fill_value": ${fillJson(fill)}, "order": "C", "filters": null}"""
-      def v2Zattrs(dimsOf: Seq[String]): String =
-        s"""{"_ARRAY_DIMENSIONS": [${dimsOf.map(jsonStr).mkString(", ")}]}"""
-      def v3ArrayJson(shape: Seq[Int], chk: Seq[Int], dimsOf: Seq[String],
-          fill: Double, sInner: Option[Seq[Int]]): String = {
-        val codecJson = sInner match {
+      def v2Zarray(m: Member): String =
+        s"""{"zarr_format": 2, "shape": [${m.shape.mkString(", ")}],
+            "chunks": [${m.chunks.mkString(", ")}], "dtype": "${if (m.pack.isDefined) "<i2" else "<f8"}",
+            "compressor": $v2Compressor, "fill_value": ${fillJson(m.fill)}, "order": "C", "filters": null}"""
+      def v2Zattrs(m: Member): String =
+        (s""""_ARRAY_DIMENSIONS": [${m.dims.map(jsonStr).mkString(", ")}]""" +:
+          cfEntries(m)).mkString("{", ", ", "}")
+      def v3ArrayJson(m: Member): String = {
+        val codecJson = m.shardInner match {
           case None => ZarrSource.v3ChainJson(Seq(ZarrSource.ZstdC))
           case Some(inner) =>
             s"""{"name": "sharding_indexed", "configuration": {
@@ -661,44 +726,42 @@ object ZarrGroup extends Serializable {
                 "index_location": "end"}}"""
         }
         s"""{"zarr_format": 3, "node_type": "array",
-            "shape": [${shape.mkString(", ")}],
-            "data_type": "float64",
-            "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${chk.mkString(", ")}]}},
+            "shape": [${m.shape.mkString(", ")}],
+            "data_type": "${if (m.pack.isDefined) "int16" else "float64"}",
+            "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [${m.chunks.mkString(", ")}]}},
             "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
-            "fill_value": ${fillJson(fill)},
+            "fill_value": ${fillJson(m.fill)},
             "codecs": [$codecJson],
-            "dimension_names": [${dimsOf.map(jsonStr).mkString(", ")}],
-            "attributes": {}}"""
+            "dimension_names": [${m.dims.map(jsonStr).mkString(", ")}],
+            "attributes": ${cfEntries(m).mkString("{", ", ", "}")}}"""
       }
       val attrsJson = JsonMethods.compact(JsonMethods.render(JObject(
         (attrs.view.mapValues(JString(_): JValue).toList ++ jsonAttrs.obj)
           .sortBy(_._1))))
 
       if (v3) {
-        val consolidated = members.map { case (n, sh, ch, dn, fl, si) =>
-          s"${jsonStr(n)}: ${v3ArrayJson(sh, ch, dn, fl, si)}"
+        val consolidated = members.map { m =>
+          s"${jsonStr(m.name)}: ${v3ArrayJson(m)}"
         }.mkString(", ")
         val groupJson =
           s"""{"zarr_format": 3, "node_type": "group", "attributes": $attrsJson,
               "consolidated_metadata": {"kind": "inline", "must_understand": false,
                 "metadata": {$consolidated}}}"""
         put("zarr.json", groupJson.getBytes)
-        members.foreach { case (n, sh, ch, dn, fl, si) =>
-          put(s"$n/zarr.json", v3ArrayJson(sh, ch, dn, fl, si).getBytes)
-        }
+        members.foreach(m => put(s"${m.name}/zarr.json", v3ArrayJson(m).getBytes))
       } else {
         put(".zgroup", """{"zarr_format": 2}""".getBytes)
         put(".zattrs", attrsJson.getBytes)
-        members.foreach { case (n, sh, ch, dn, fl, _) =>
-          put(s"$n/.zarray", v2Zarray(sh, ch, fl).getBytes)
-          put(s"$n/.zattrs", v2Zattrs(dn).getBytes)
+        members.foreach { m =>
+          put(s"${m.name}/.zarray", v2Zarray(m).getBytes)
+          put(s"${m.name}/.zattrs", v2Zattrs(m).getBytes)
         }
         val entries = Seq(
           s"""".zgroup": {"zarr_format": 2}""",
           s"""".zattrs": $attrsJson""") ++
-          members.flatMap { case (n, sh, ch, dn, fl, _) => Seq(
-            s"${jsonStr(s"$n/.zarray")}: ${v2Zarray(sh, ch, fl)}",
-            s"${jsonStr(s"$n/.zattrs")}: ${v2Zattrs(dn)}")
+          members.flatMap { m => Seq(
+            s"${jsonStr(s"${m.name}/.zarray")}: ${v2Zarray(m)}",
+            s"${jsonStr(s"${m.name}/.zattrs")}: ${v2Zattrs(m)}")
           }
         val zmeta =
           s"""{"zarr_consolidated_format": 1, "metadata": {${entries.mkString(", ")}}}"""
@@ -729,14 +792,14 @@ object ZarrGroup extends Serializable {
       coords: Map[String, Array[Double]] = Map.empty,
       attrs: Map[String, String] = Map.empty, v3: Boolean = false,
       compressor: Option[String] = None, fill: Double = Double.NaN,
-      shard: Option[Seq[Int]] = None): Unit = {
+      shard: Option[Seq[Int]] = None, pack: Option[Pack] = None): Unit = {
     coords.foreach { case (n, a) =>
       val sz = dims.toMap.getOrElse(n,
         throw new IllegalArgumentException(s"coord '$n' names no dimension"))
       require(a.length == sz, s"coord '$n' has ${a.length} values, dim has $sz")
     }
     val w = new GroupWriter(dir, v3, compressor, shard)
-    w.arrays(df, dims, chunks, valueCols, fill)
+    w.arrays(df, dims, chunks, valueCols, fill, pack)
     coords.keys.toSeq.sorted.foreach(cn => w.coord(cn, coords(cn)))
     w.finish(attrs)
   }
@@ -754,19 +817,22 @@ object ZarrGroup extends Serializable {
     * the linear cid (the mixed-radix encode is only a bijection over the
     * in-range grid).
     *
-    * Append mode (`offset0 > 0` or `initMetas` nonempty): dim-0 indices
-    * arrive LOCAL to the appended block (`0 until totalSizes(0) −
-    * offset0`) and shift by `offset0` onto the grown axis; a chunk whose
-    * file ALREADY EXISTS initializes from the store bytes instead of
-    * `fill`, so the edge chunk a non-chunk-aligned append straddles
-    * merges in place (executor-side read-modify-write — zarr's contract
-    * is one writer at a time per array, same as xarray's `to_zarr`). */
+    * Append mode (`offset0 > 0` or `initMetas` nonempty): indices along
+    * dim `appendAt` arrive LOCAL to the appended block
+    * (`0 until totalSizes(appendAt) − offset0`) and shift by `offset0`
+    * onto the grown axis — `appendAt` is usually 0 (time-major layouts)
+    * but e.g. the track output's `centroid(component, time, ID)` grows
+    * its MIDDLE axis; a chunk whose file ALREADY EXISTS initializes from
+    * the store bytes instead of `fill`, so the edge chunk a
+    * non-chunk-aligned append straddles merges in place (executor-side
+    * read-modify-write — zarr's contract is one writer at a time per
+    * array, same as xarray's `to_zarr`). */
   private[sources] def writeChunkJob(df: DataFrame, dir: String,
       dimNames: Seq[String], totalSizes: Seq[Int], chunks: Seq[Int],
       valueCols: Seq[String], fill: Double, v3: Boolean, blosc: Seq[Boolean],
-      offset0: Int = 0,
+      offset0: Int = 0, appendAt: Int = 0,
       initMetas: Map[String, ZarrSource.ZarrMeta] = Map.empty,
-      shard: Option[Seq[Int]] = None): Unit = {
+      shard: Option[Seq[Int]] = None, pack: Option[Pack] = None): Unit = {
     val spark = df.sparkSession
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val nd = dimNames.length
@@ -781,7 +847,12 @@ object ZarrGroup extends Serializable {
       s"writeChunkJob: ${blosc.length} compressor flags for ${valueCols.length} columns")
     val bloscB = blosc.toArray
     val shardB: Array[Int] = shard.map(_.toArray).orNull
-    val blockN0 = totalSizes.head - offset0
+    val packB: Pack = pack.orNull
+    require(packB == null || (shardB == null && initMetas.isEmpty),
+      "packed writes are create-only plain-chunk writes")
+    require(appendAt >= 0 && appendAt < dimNames.length,
+      s"appendAt=$appendAt outside the ${dimNames.length}-dim tuple")
+    val blockN0 = totalSizes(appendAt) - offset0
     val initB: Array[ZarrSource.ZarrMeta] =
       if (initMetas.isEmpty) null else valueCols.map(initMetas(_)).toArray
 
@@ -789,11 +860,11 @@ object ZarrGroup extends Serializable {
       (totalSizes(d) + chunks(d) - 1) / chunks(d))
     val inRange = dimNames.indices.map { d =>
       val g = col(s"${dimNames(d)}_idx")
-      g.isNotNull && g >= 0 && g < (if (d == 0) blockN0 else totalSizes(d))
+      g.isNotNull && g >= 0 && g < (if (d == appendAt) blockN0 else totalSizes(d))
     }.reduce(_ && _)
     def globalIdx(d: Int) = {
       val g = col(s"${dimNames(d)}_idx").cast("int")
-      if (d == 0 && offset0 > 0) (g + lit(offset0)).cast("int") else g
+      if (d == appendAt && offset0 > 0) (g + lit(offset0)).cast("int") else g
     }
     val cidCol = dimNames.indices.map { d =>
       val g = globalIdx(d).cast("long")
@@ -815,6 +886,14 @@ object ZarrGroup extends Serializable {
         val ci = new Array[Int](ndB)
         var bufs: Array[ByteBuffer] = null
         val written = Seq.newBuilder[String]
+        // pack the assembled double buffer to raw little-endian int16 (the
+        // CF layout real archives keep); per-chunk CPU inside the task
+        def packed(b: ByteBuffer): Array[Byte] = {
+          val out = ByteBuffer.allocate(chunkLen * 2).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < chunkLen) { out.putShort(i * 2, packB.toRaw(b.getDouble(i * 8))); i += 1 }
+          out.array()
+        }
         def flush(): Unit = if (bufs != null) {
           val rel = if (isV3) ("c" +: ci.map(_.toString)).mkString("/")
             else ci.mkString(".")
@@ -822,8 +901,12 @@ object ZarrGroup extends Serializable {
           while (vi < nV) {
             val payload = if (isV3 && shardB != null)
               shardObject(bufs(vi), chB, shardB, fillB)
+            else if (isV3 && packB != null)
+              ZarrSource.v3EncodeChain(packed(bufs(vi)), Seq(ZarrSource.ZstdC))
             else if (isV3)
               ZarrSource.v3EncodeChain(bufs(vi).array(), Seq(ZarrSource.ZstdC))
+            else if (packB != null && bloscB(vi)) Blosc.compress(packed(bufs(vi)), typesize = 2)
+            else if (packB != null) packed(bufs(vi))
             else if (bloscB(vi)) Blosc.compress(bufs(vi).array(), typesize = 8)
             else bufs(vi).array()
             ZarrSource.putBytes(fs,
@@ -956,6 +1039,16 @@ object ZarrGroup extends Serializable {
     require(m.meta.dtype == "<f8",
       s"member '$vc' has dtype ${m.meta.dtype} — the $what writer " +
         "emits little-endian float64 ('<f8') only")
+    require(m.meta.cf.isEmpty,
+      s"member '$vc' declares CF packing attributes (scale_factor/" +
+        s"add_offset/_FillValue) — in-place ${what}s write raw values and " +
+        "would mix physical and packed data; rewrite the store unpacked")
+    require(m.meta.v2Filters.isEmpty,
+      s"member '$vc' carries a v2 filter chain — in-place ${what}s write " +
+        "unfiltered chunks and would corrupt the store")
+    require(m.meta.transpose.isEmpty,
+      s"member '$vc' uses the transpose codec — in-place ${what}s write " +
+        "C-order chunks and would corrupt the store")
     require(m.meta.order == "C", s"member '$vc' is not C-order")
     require(m.meta.shard.isEmpty,
       s"member '$vc' uses sharding_indexed — ${what}s onto sharded stores " +
@@ -1038,34 +1131,128 @@ object ZarrGroup extends Serializable {
       newCoords: Map[String, Array[Double]] = Map.empty): Unit = {
     require(dims.nonEmpty && dims.length == chunks.length,
       s"dims (${dims.length}) and chunks (${chunks.length}) must align")
-    require(valueCols.nonEmpty, "appendDataset needs at least one value column")
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    // sanity-check the DECLARED non-append sizes against the store before
+    // delegating (a mis-declared layout must fail by name, not write)
+    val g = open(dir, df.sparkSession.sparkContext.hadoopConfiguration)
+    valueCols.foreach { vc =>
+      g.members.get(vc).foreach { m =>
+        require(m.meta.shape.tail == dims.tail.map(_._2),
+          s"member '$vc' has shape ${m.meta.shape.mkString("x")} but the " +
+            s"append declares non-${dims.head._1} sizes " +
+            s"${dims.tail.map(_._2).mkString("x")}")
+      }
+    }
+    appendGroupDataset(dir, dims.head._1, dims.head._2,
+      Seq(AppendBlock(df, dims.map(_._1), chunks, valueCols)), newCoords)
+  }
+
+  /** One block of a multi-tuple group append: a long-format DataFrame with
+    * `<dim>_idx` columns (append-dim indices BLOCK-local, 0-based), the
+    * member dim-name tuple in storage order, its chunk shape, and the
+    * member columns it appends. */
+  final case class AppendBlock(df: DataFrame, dimNames: Seq[String],
+      chunks: Seq[Int], valueCols: Seq[String])
+
+  /** Append a block of `nNew` slices along `appendDim` across EVERY dim
+    * tuple of an existing group at once — the shape of the reference's own
+    * track output ([[graft.marex.ZarrOutput.writeTrackResult]]:
+    * `ID_field(time,lat,lon)`, `area(time,ID)`,
+    * `centroid(component,time,ID)`, a `time` coordinate): one
+    * [[writeChunkJob]] per tuple (the append dim may sit at ANY position —
+    * `centroid` grows its middle axis), then the extended coordinates, then
+    * ONE metadata patch so every member's grown axis becomes visible
+    * together — a live reader never sees a half-grown group.
+    *
+    * Sharded (`sharding_indexed`) members append too: new slices land as
+    * NEW shard objects and a straddled edge shard is read-merged and
+    * rewritten in place (the byte-range index machinery reads it; the
+    * writer re-shards the merged outer chunk) — the recommended 100 TB
+    * layout can grow. Every member spanning `appendDim` must be covered by
+    * some block or by `newCoords`, or the append aborts by name before any
+    * byte lands. */
+  def appendGroupDataset(dir: String, appendDim: String, nNew: Int,
+      blocks: Seq[AppendBlock],
+      newCoords: Map[String, Array[Double]] = Map.empty): Unit = {
+    require(nNew > 0, s"append block along '$appendDim' must be non-empty")
+    require(blocks.nonEmpty, "appendGroupDataset needs at least one block")
+    val spark = blocks.head.df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
     val g = open(dir, conf)
     val v3 = g.format == 3
-    val dimNames = dims.map(_._1)
-    val appendDim = dimNames.head
-    val nNew = dims.head._2
-    require(nNew > 0, s"append block along '$appendDim' must be non-empty")
 
-    val metas = valueCols.map(vc =>
-      validateWritableMember(g, dir, vc, dims, chunks, v3, "append"))
-    val nt0 = metas.head.shape.head
-    require(metas.forall(_.shape.head == nt0),
-      s"appended members disagree on '$appendDim' length " +
-        s"(${valueCols.zip(metas.map(_.shape.head)).mkString(", ")})")
+    val allCols = blocks.flatMap(_.valueCols)
+    require(allCols.distinct.length == allCols.length,
+      s"a member appears in more than one append block: " +
+        allCols.diff(allCols.distinct).distinct.mkString(", "))
+
+    // ── validate every appended member BEFORE any byte lands ──
+    final case class MInfo(meta: ZarrSource.ZarrMeta, appendAt: Int)
+    val infos: Map[String, MInfo] = blocks.flatMap { b =>
+      require(b.dimNames.length == b.chunks.length,
+        s"block dims (${b.dimNames.length}) and chunks (${b.chunks.length}) must align")
+      require(b.valueCols.nonEmpty, "append block needs at least one value column")
+      val at = b.dimNames.indexOf(appendDim)
+      require(at >= 0, s"block (${b.dimNames.mkString(",")}) does not span " +
+        s"append dim '$appendDim'")
+      b.valueCols.map { vc =>
+        val m = g.members.getOrElse(vc, throw new IllegalArgumentException(
+          s"no member '$vc' in zarr group $dir to append to " +
+            s"(have: ${g.members.keys.toSeq.sorted.mkString(", ")})"))
+        require(m.dims == b.dimNames,
+          s"member '$vc' has dims (${m.dims.mkString(", ")}) but the append " +
+            s"declares (${b.dimNames.mkString(", ")})")
+        require(m.meta.chunks == b.chunks,
+          s"member '$vc' is chunked ${m.meta.chunks.mkString("x")} but the " +
+            s"append declares ${b.chunks.mkString("x")} — appends reuse " +
+            "the store's chunk grid")
+        require(m.meta.dtype == "<f8",
+          s"member '$vc' has dtype ${m.meta.dtype} — the append writer " +
+            "emits little-endian float64 ('<f8') only")
+        require(m.meta.cf.isEmpty,
+          s"member '$vc' declares CF packing attributes — appends write " +
+            "raw values and would mix physical and packed data")
+        require(m.meta.v2Filters.isEmpty,
+          s"member '$vc' carries a v2 filter chain — appends write " +
+            "unfiltered chunks and would corrupt the store")
+        require(m.meta.transpose.isEmpty,
+          s"member '$vc' uses the transpose codec — appends write C-order " +
+            "chunks and would corrupt the store")
+        require(m.meta.order == "C", s"member '$vc' is not C-order")
+        m.meta.shard match {
+          case Some(s) =>
+            require(v3 && m.meta.v3Codecs.isEmpty &&
+              s.innerCodecs == Seq(ZarrSource.ZstdC) && s.indexCrc && s.indexAtEnd,
+              s"member '$vc' uses a sharding layout this writer cannot " +
+                s"extend (inner ${s.innerCodecs.mkString("→")}; supported: " +
+                "bytes→zstd inner chunks, crc32c end-index)")
+          case None =>
+            if (v3) require(m.meta.v3Codecs == Seq(ZarrSource.ZstdC),
+              s"member '$vc' uses a v3 codec chain this writer cannot extend " +
+                s"(${m.meta.v3Codecs.mkString("→")}; supported: bytes→zstd)")
+            else require(m.meta.compressor.forall(_ == "blosc"),
+              s"member '$vc' uses v2 compressor '${m.meta.compressor.get}' " +
+                "(supported: raw, blosc)")
+        }
+        vc -> MInfo(m.meta, at)
+      }
+    }.toMap
+    val nt0s = infos.map { case (vc, i) => vc -> i.meta.shape(i.appendAt) }
+    val nt0 = nt0s.head._2
+    require(nt0s.values.forall(_ == nt0),
+      s"appended members disagree on '$appendDim' length (${nt0s.mkString(", ")})")
 
     // every member spanning the append dim must grow with it
     g.members.values.foreach { m =>
       val isCoord = m.dims == Seq(appendDim)
       if (m.dims.contains(appendDim) &&
-          !valueCols.contains(m.name) && !(isCoord && newCoords.contains(m.name)))
+          !infos.contains(m.name) && !(isCoord && newCoords.contains(m.name)))
         throw new IllegalArgumentException(
           s"member '${m.name}' spans append dim '$appendDim' but is neither " +
             "an appended value column nor given new coordinate values — " +
             "appending would leave the group dimensionally inconsistent " +
-            "(SQL appends cannot carry coordinate values; use " +
-            "ZarrGroup.appendDataset directly for stores with a " +
-            s"'$appendDim' coordinate)")
+            "(append all its tuples together: appendGroupDataset takes one " +
+            "block per dim tuple, and coordinates ride newCoords / the SQL " +
+            "'coords' option)")
     }
     newCoords.foreach { case (n, a) =>
       val m = g.members.getOrElse(n, throw new IllegalArgumentException(
@@ -1079,16 +1266,36 @@ object ZarrGroup extends Serializable {
         s"coord '$n' has dtype ${m.meta.dtype} — '<f8' only")
     }
 
-    // 1) data chunks, distributed; straddling edge chunks merge in place
-    writeChunkJob(df, dir, dimNames, (nt0 + nNew) +: dims.tail.map(_._2),
-      chunks, valueCols, fill = Double.NaN, v3 = v3,
-      blosc = metas.map(_.compressor.contains("blosc")), offset0 = nt0,
-      initMetas = valueCols.zip(metas).toMap)
+    // 1) data chunks, distributed — one exchange per dim tuple; straddling
+    //    edge chunks (sharded or plain) merge in place
+    blocks.foreach { b =>
+      val metas = b.valueCols.map(vc => infos(vc).meta)
+      val at = infos(b.valueCols.head).appendAt
+      val shards = metas.map(_.shard.map(_.innerChunks))
+      require(shards.distinct.length == 1,
+        s"block members disagree on sharding (${b.valueCols.mkString(", ")}) — " +
+          "append them in separate blocks")
+      val fills = metas.map(_.fillValue)
+      shards.head.foreach { _ =>
+        require(fills.distinct.length == 1 ||
+            fills.forall(_.isNaN),
+          "sharded block members must share one fill value (it drives " +
+            "all-fill inner-chunk elision)")
+      }
+      val totalSizes = b.dimNames.indices.map(d =>
+        if (d == at) nt0 + nNew else metas.head.shape(d))
+      writeChunkJob(b.df, dir, b.dimNames, totalSizes, b.chunks, b.valueCols,
+        fill = fills.head, v3 = v3,
+        blosc = metas.map(_.compressor.contains("blosc")),
+        offset0 = nt0, appendAt = at,
+        initMetas = b.valueCols.zip(metas).toMap,
+        shard = shards.head)
+    }
 
     // 2) extended coordinates (driver-side; axes are metadata-sized) —
     //    rewritten as ONE chunk of the new full length, like a create.
     //    Until step 3 lands the chunk is LARGER than the advertised axis;
-    //    readers slice oversized rank-1 chunks to the metadata length
+    //    readers slice oversized COORDINATE chunks to the metadata length
     //    (ZarrSource.decodeChunk), so a live reader — or a retry after a
     //    crash between 2 and 3 — still sees the exact pre-append view
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
@@ -1105,21 +1312,24 @@ object ZarrGroup extends Serializable {
         new org.apache.hadoop.fs.Path(s"$dir/$n", if (v3) "c/0" else "0"), payload)
     }
 
-    // 3) metadata LAST: only now does any reader see the grown axis
+    // 3) metadata LAST, one patch for the whole group: only now does any
+    //    reader see the grown axes, all together
     patchAppendMetadata(fs, dir, v3,
-      (valueCols.map(_ -> (nt0 + nNew)) ++
-        newCoords.keys.map(_ -> (nt0 + nNew))).toMap,
+      (infos.map { case (vc, i) => vc -> (i.appendAt, nt0 + nNew) } ++
+        newCoords.keys.map(_ -> (0, nt0 + nNew))).toMap,
       rechunk = newCoords.keys.map(n => n -> (nt0 + nNew)).toMap)
   }
 
-  /** Patch `shape[0]` (and, for re-chunked coordinate axes, the chunk
-    * shape) of the named members' array metadata plus the consolidated
-    * group metadata — the FINAL step of [[appendDataset]]. Patching (a
-    * parse → targeted transform → re-render) preserves every other field
+  /** Patch one shape entry — `shape[pos]`, pos per member (the append dim
+    * can sit anywhere in a member's tuple) — and, for re-chunked
+    * coordinate axes, the chunk shape, of the named members' array
+    * metadata plus the consolidated group metadata — the FINAL step of
+    * [[appendDataset]]/[[appendGroupDataset]]. Patching (a parse →
+    * targeted transform → re-render) preserves every other field
     * byte-for-byte semantically: attributes, fill, codecs, and members
     * this append never touched. */
   private def patchAppendMetadata(fs: org.apache.hadoop.fs.FileSystem,
-      dir: String, v3: Boolean, newSize0: Map[String, Int],
+      dir: String, v3: Boolean, newSizes: Map[String, (Int, Int)],
       rechunk: Map[String, Int]): Unit = {
     def slurp(p: org.apache.hadoop.fs.Path): Option[String] =
       if (!fs.exists(p)) None
@@ -1127,9 +1337,10 @@ object ZarrGroup extends Serializable {
         val in = fs.open(p)
         try Some(scala.io.Source.fromInputStream(in).mkString) finally in.close()
       }
-    def patchArray(j: JValue, size0: Int, rechunkLen: Option[Int]): JValue = {
+    def patchArray(j: JValue, pos: Int, size: Int, rechunkLen: Option[Int]): JValue = {
       val s = j.transformField {
-        case ("shape", JArray(a)) => ("shape", JArray(JInt(size0) :: a.tail))
+        case ("shape", JArray(a)) =>
+          ("shape", JArray(a.updated(pos, JInt(size))))
       }
       rechunkLen match {
         case Some(len) => s.transformField {
@@ -1143,36 +1354,38 @@ object ZarrGroup extends Serializable {
       ZarrSource.putBytes(fs, p, JsonMethods.compact(JsonMethods.render(j)).getBytes)
 
     if (v3) {
-      newSize0.foreach { case (n, sz) =>
+      newSizes.foreach { case (n, (pos, sz)) =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/$n", "zarr.json")
         slurp(p).foreach(s =>
-          rewrite(p, patchArray(JsonMethods.parse(s), sz, rechunk.get(n))))
+          rewrite(p, patchArray(JsonMethods.parse(s), pos, sz, rechunk.get(n))))
       }
       val gp = new org.apache.hadoop.fs.Path(dir, "zarr.json")
       slurp(gp).foreach { s =>
         val patched = JsonMethods.parse(s).transformField {
           case ("metadata", JObject(entries)) => ("metadata", JObject(entries.map {
-            case (k, v) if newSize0.contains(k) =>
-              (k, patchArray(v, newSize0(k), rechunk.get(k)))
+            case (k, v) if newSizes.contains(k) =>
+              val (pos, sz) = newSizes(k)
+              (k, patchArray(v, pos, sz, rechunk.get(k)))
             case e => e
           }))
         }
         rewrite(gp, patched)
       }
     } else {
-      newSize0.foreach { case (n, sz) =>
+      newSizes.foreach { case (n, (pos, sz)) =>
         val p = new org.apache.hadoop.fs.Path(s"$dir/$n", ".zarray")
         slurp(p).foreach(s =>
-          rewrite(p, patchArray(JsonMethods.parse(s), sz, rechunk.get(n))))
+          rewrite(p, patchArray(JsonMethods.parse(s), pos, sz, rechunk.get(n))))
       }
       val zm = new org.apache.hadoop.fs.Path(dir, ".zmetadata")
       slurp(zm).foreach { s =>
         val patched = JsonMethods.parse(s).transformField {
           case ("metadata", JObject(entries)) => ("metadata", JObject(entries.map {
             case (k, v) if k.endsWith("/.zarray") &&
-                newSize0.contains(k.stripSuffix("/.zarray")) =>
+                newSizes.contains(k.stripSuffix("/.zarray")) =>
               val n = k.stripSuffix("/.zarray")
-              (k, patchArray(v, newSize0(n), rechunk.get(n)))
+              val (pos, sz) = newSizes(n)
+              (k, patchArray(v, pos, sz, rechunk.get(n)))
             case e => e
           }))
         }

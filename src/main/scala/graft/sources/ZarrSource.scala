@@ -12,8 +12,13 @@ import org.json4s.jackson.JsonMethods
   * (marEx reads/writes zarr throughout, e.g. detect.py:409, track.py:1748;
   * zarr-python ≥3 / current xarray write the v3 layout by default).
   *
-  * Scope: C-order arrays, either endianness, dtypes f4 f8 i4 i8 and the
-  * 1-byte family. v2 chunk compression: raw, zlib, or blosc-lz4
+  * Scope: C-order arrays, either endianness, dtypes f4 f8 i4 i8 u4 i2 u2
+  * and the 1-byte family, with CF `scale_factor`/`add_offset`/`_FillValue`
+  * decode from `.zattrs` / v3 attributes (the `mask_and_scale` behavior of
+  * the reference's `xr.open_zarr` entry point,
+  * tests/test_gridded_preprocessing.py:20 — packed i2 satellite/CMIP
+  * conversions read back as physical values). v2 chunk compression: raw,
+  * zlib, or blosc-lz4
   * (byte-shuffle, split/memcpy frames — [[Blosc]]); that covers the
   * reference's own fixtures (zarr v2 default blosc/lz4/shuffle=1) and
   * `compressor=zlib/None`. v3 codec chains: `bytes` (either endian) +
@@ -53,16 +58,82 @@ object ZarrSource extends Serializable {
   final case class ShardSpec(innerChunks: Seq[Int], innerCodecs: Seq[V3Codec],
       indexCrc: Boolean, indexAtEnd: Boolean)
 
+  /** CF packed-data attributes (`scale_factor`/`add_offset`/`_FillValue`
+    * from `.zattrs` / v3 `attributes`): raw stored values decode to
+    * physical ones exactly as `xr.open_zarr`'s default `mask_and_scale`
+    * does — the reference's own entry point
+    * (tests/test_gridded_preprocessing.py:20) — and exactly as this repo's
+    * netcdf scan already does. `_FillValue` compares in RAW space and maps
+    * to NaN BEFORE scaling. */
+  final case class CfAttrs(scale: Double, offset: Double,
+      fillRaw: Option[Double]) extends Serializable {
+    def decode(raw: Double): Double =
+      if (fillRaw.exists(f => f == raw || (f.isNaN && raw.isNaN))) Double.NaN
+      else raw * scale + offset
+  }
+
+  object CfAttrs {
+    /** Parse CF attributes from a `.zattrs` / v3 `attributes` JSON object;
+      * None when no packing/masking is declared (the common case — zero
+      * overhead on unpacked stores). */
+    def fromJson(attrs: JValue): Option[CfAttrs] = {
+      def num(k: String): Option[Double] = (attrs \ k) match {
+        case JDouble(d) => Some(d)
+        case JInt(i) => Some(i.toDouble)
+        case JLong(i) => Some(i.toDouble)
+        case _ => None
+      }
+      val scale = num("scale_factor").getOrElse(1.0)
+      val offset = num("add_offset").getOrElse(0.0)
+      val fill = num("_FillValue")
+      // identity transforms (xarray stamps `_FillValue: NaN` on plain float
+      // arrays) are NOT packing: NaN already reads as NaN
+      if (scale == 1.0 && offset == 0.0 && fill.forall(_.isNaN)) None
+      else Some(CfAttrs(scale, offset, fill))
+    }
+  }
+
+  /** A zarr v2 pre-compression FILTER (numcodecs): transforms cell bytes
+    * BEFORE the compressor on write, so decode reverses it after
+    * decompression. The two filters real v2 archives actually carry are
+    * supported; everything else stays a named error ([[readMeta]]). */
+  sealed trait V2Filter extends Serializable {
+    /** dtype code of the bytes AS STORED (the filter's `astype`). */
+    def astype: String
+  }
+  /** numcodecs `delta`: stored values are consecutive differences in
+    * `astype` space; decode is a cumulative sum back to `dtype`. */
+  final case class DeltaF(dtype: String, astype: String) extends V2Filter
+  /** numcodecs `fixedscaleoffset`: stored = round((x − offset) × scale)
+    * in `astype`; decode x = stored / scale + offset. */
+  final case class FixedScaleOffsetF(scale: Double, offset: Double,
+      dtype: String, astype: String) extends V2Filter
+
   /** Unified v2/v3 metadata. `dtype` is always a v2-style code whose
     * prefix carries endianness (`<f8`, `>i4`, `|b1`) — for v3 the prefix
     * comes from the `bytes` codec. `keyPrefix`/`keySep` describe chunk-file
     * naming: v2 = ("", "."); v3 default encoding = ("c", "/" or "."); v3
-    * "v2" encoding = ("", sep). */
+    * "v2" encoding = ("", sep). `cf` carries the CF packed-data decode;
+    * `coordLike` marks a rank-1 group member indexing its own dimension —
+    * ONLY those tolerate oversized chunk decodes (the append crash window
+    * on [[decodeChunk]]); 1-D DATA variables keep the strict size check.
+    * `v2Filters` is the parsed pre-compression filter chain (write
+    * order). */
   final case class ZarrMeta(
       shape: Seq[Int], chunks: Seq[Int], dtype: String,
       compressor: Option[String], fillValue: Double, order: String,
       format: Int = 2, keyPrefix: String = "", keySep: String = ".",
-      v3Codecs: Seq[V3Codec] = Nil, shard: Option[ShardSpec] = None)
+      v3Codecs: Seq[V3Codec] = Nil, shard: Option[ShardSpec] = None,
+      cf: Option[CfAttrs] = None, coordLike: Boolean = false,
+      v2Filters: Seq[V2Filter] = Nil, transpose: Option[Seq[Int]] = None) {
+    /** Raw stored value → physical value (identity on unpacked stores). */
+    def cfDecode(raw: Double): Double = cf match {
+      case None => raw
+      case Some(c) => c.decode(raw)
+    }
+    /** The fill value as a READER should surface it (CF-decoded). */
+    def decodedFill: Double = cfDecode(fillValue)
+  }
 
   /** Parse `.zarray` metadata (JSON; json4s ships with Spark). */
   def readMeta(zarrayJson: String): ZarrMeta = {
@@ -81,21 +152,42 @@ object ZarrSource extends Serializable {
       case _ => Double.NaN
     }
     val order = (j \ "order").extractOrElse[String]("C")
-    // v2 pre-compression filters (delta, fixedscaleoffset, …) transform the
-    // cell bytes BEFORE the compressor: ignoring one would decompress fine
-    // and then read transformed bytes as raw values — silent wrong data.
-    // No filter is supported, so any non-empty chain is a named error.
-    (j \ "filters") match {
-      case JNull | JNothing | JArray(Nil) => ()
+    // v2 pre-compression filters transform the cell bytes BEFORE the
+    // compressor: ignoring one would decompress fine and then read
+    // transformed bytes as raw values — silent wrong data. The two
+    // numcodecs filters real archives actually carry (delta,
+    // fixedscaleoffset) are DECODED; any other id stays a named error.
+    val v2Filters: Seq[V2Filter] = (j \ "filters") match {
+      case JNull | JNothing | JArray(Nil) => Nil
       case JArray(fs) =>
-        val ids = fs.map(f => (f \ "id").extractOrElse[String]("?"))
-        throw new IllegalArgumentException(
-          s"zarr v2 filters [${ids.mkString(", ")}] are not supported — " +
-            "refusing to misread filtered chunks (supported: filters null/[])")
+        fs.map { f =>
+          def str(k: String, dflt: String): String =
+            (f \ k) match { case JString(s) => s; case _ => dflt }
+          def num(k: String): Option[Double] = (f \ k) match {
+            case JDouble(d) => Some(d)
+            case JInt(i) => Some(i.toDouble)
+            case JLong(i) => Some(i.toDouble)
+            case _ => None
+          }
+          (f \ "id").extractOrElse[String]("?") match {
+            case "delta" =>
+              val dt = str("dtype", dtype)
+              DeltaF(dt, str("astype", dt))
+            case "fixedscaleoffset" =>
+              val dt = str("dtype", dtype)
+              FixedScaleOffsetF(
+                num("scale").getOrElse(throw new IllegalArgumentException(
+                  "fixedscaleoffset filter missing 'scale'")),
+                num("offset").getOrElse(0.0), dt, str("astype", dt))
+            case other => throw new IllegalArgumentException(
+              s"zarr v2 filter '$other' is not supported — refusing to " +
+                "misread filtered chunks (supported: delta, fixedscaleoffset)")
+          }
+        }
       case other => throw new IllegalArgumentException(
         s"malformed zarr v2 'filters' entry: $other")
     }
-    ZarrMeta(shape, chunks, dtype, comp, fill, order)
+    ZarrMeta(shape, chunks, dtype, comp, fill, order, v2Filters = v2Filters)
   }
 
   /** Parse v3 `zarr.json` array metadata into the unified [[ZarrMeta]]. */
@@ -135,9 +227,11 @@ object ZarrSource extends Serializable {
     // codec chain: exactly one array→bytes codec ("bytes"), which sets
     // endianness; everything after it is bytes→bytes. A top-level
     // `sharding_indexed` wraps an inner chain instead.
-    def parseChain(cs: List[JValue], allowShard: Boolean): (Boolean, Seq[V3Codec], Option[ShardSpec]) = {
+    def parseChain(cs: List[JValue], allowShard: Boolean)
+        : (Boolean, Seq[V3Codec], Option[ShardSpec], Option[Seq[Int]]) = {
       var little = true
       var shard: Option[ShardSpec] = None
+      var transpose: Option[Seq[Int]] = None
       val flat = cs.flatMap { c =>
         (c \ "name").extract[String] match {
           case "bytes" | "endian" =>
@@ -148,16 +242,21 @@ object ZarrSource extends Serializable {
           case "zstd" => Some(ZstdC)
           case "blosc" => Some(BloscC)
           case "crc32c" => Some(Crc32cC)
-          case "transpose" => throw new IllegalArgumentException(
-            "zarr v3 'transpose' codec not supported (rewrite in C order)")
+          case "transpose" =>
+            // array→array: stored cells are the chunk with axes permuted;
+            // decode un-permutes AFTER the byte chain ([[decodeChunk]])
+            require(allowShard, "transpose inside sharding_indexed not supported")
+            transpose = Some((c \ "configuration" \ "order").extract[Seq[Int]])
+            None
           case "sharding_indexed" if allowShard =>
             val cfg = c \ "configuration"
             val inner = (cfg \ "chunk_shape").extract[Seq[Int]]
-            val (innerLittle, innerCodecs, innerShard) = (cfg \ "codecs") match {
+            val (innerLittle, innerCodecs, innerShard, innerT) = (cfg \ "codecs") match {
               case JArray(ics) => parseChain(ics, allowShard = false)
-              case _ => (true, Nil, None)
+              case _ => (true, Nil, None, None)
             }
             require(innerShard.isEmpty, "nested sharding not supported")
+            require(innerT.isEmpty, "transpose inside sharding_indexed not supported")
             little = innerLittle
             val idxCrc = (cfg \ "index_codecs") match {
               case JArray(ics) => ics.exists(ic => (ic \ "name").extract[String] == "crc32c")
@@ -172,11 +271,17 @@ object ZarrSource extends Serializable {
             s"unsupported zarr v3 codec '$other'")
         }
       }
-      (little, flat, shard)
+      (little, flat, shard, transpose)
     }
-    val (little, codecs, shard) = (j \ "codecs") match {
+    val (little, codecs, shard, transposeOrd) = (j \ "codecs") match {
       case JArray(cs) => parseChain(cs, allowShard = true)
-      case _ => (true, Nil, None)
+      case _ => (true, Nil, None, None)
+    }
+    transposeOrd.foreach { ord =>
+      require(shard.isEmpty, "transpose + sharding_indexed not supported")
+      require(ord.sorted == shape.indices.toSeq,
+        s"transpose order ${ord.mkString(",")} is not a permutation of " +
+          s"0..${shape.length - 1}")
     }
     shard.foreach { s =>
       require(s.innerChunks.length == chunks.length &&
@@ -191,6 +296,9 @@ object ZarrSource extends Serializable {
       case "float32" => pre + "f4"
       case "int64" => pre + "i8"
       case "int32" => pre + "i4"
+      case "uint32" => pre + "u4"
+      case "int16" => pre + "i2"
+      case "uint16" => pre + "u2"
       case "bool" => "|b1"
       case "int8" => "|i1"
       case "uint8" => "|u1"
@@ -198,11 +306,13 @@ object ZarrSource extends Serializable {
         s"unsupported zarr v3 data_type '$other'")
     }
     ZarrMeta(shape, chunks, dtype, None, fill, "C",
-      format = 3, keyPrefix = kp, keySep = ks, v3Codecs = codecs, shard = shard)
+      format = 3, keyPrefix = kp, keySep = ks, v3Codecs = codecs, shard = shard,
+      cf = CfAttrs.fromJson(j \ "attributes"), transpose = transposeOrd)
   }
 
   /** Read a directory's array metadata: v3 `zarr.json` if present, else v2
-    * `.zarray`, via the Hadoop FS API (works on any supported filesystem). */
+    * `.zarray` (+ CF attributes from its `.zattrs` sidecar, when present),
+    * via the Hadoop FS API (works on any supported filesystem). */
   def readMetaAny(dir: String, conf: org.apache.hadoop.conf.Configuration): ZarrMeta = {
     val d = new org.apache.hadoop.fs.Path(dir)
     val fs = d.getFileSystem(conf)
@@ -212,12 +322,18 @@ object ZarrSource extends Serializable {
     }
     val v3 = new org.apache.hadoop.fs.Path(dir, "zarr.json")
     if (fs.exists(v3)) readMetaV3(slurp(v3))
-    else readMeta(slurp(new org.apache.hadoop.fs.Path(dir, ".zarray")))
+    else {
+      val meta = readMeta(slurp(new org.apache.hadoop.fs.Path(dir, ".zarray")))
+      val za = new org.apache.hadoop.fs.Path(dir, ".zattrs")
+      if (!fs.exists(za)) meta
+      else meta.copy(cf = CfAttrs.fromJson(JsonMethods.parse(slurp(za))))
+    }
   }
 
   private[sources] def bytesPer(dtype: String): Int = dtype.substring(1) match {
-    case "f4" | "i4" => 4
+    case "f4" | "i4" | "u4" => 4
     case "f8" | "i8" => 8
+    case "i2" | "u2" => 2
     case "b1" | "i1" | "u1" => 1
     case _ => throw new IllegalArgumentException(s"unsupported zarr dtype $dtype")
   }
@@ -225,14 +341,19 @@ object ZarrSource extends Serializable {
   private[sources] def byteOrderOf(dtype: String): ByteOrder =
     if (dtype.startsWith(">")) ByteOrder.BIG_ENDIAN else ByteOrder.LITTLE_ENDIAN
 
-  /** Decode one numeric cell from a chunk's raw bytes. */
+  /** Decode one numeric cell from a chunk's raw bytes (RAW stored value —
+    * callers apply [[ZarrMeta.cfDecode]] at emission). */
   private[sources] def cellValue(raw: Array[Byte], buf: ByteBuffer, dtype: String,
       i: Int, bp: Int): Double = dtype.substring(1) match {
     case "f4" => buf.getFloat(i * bp).toDouble
     case "f8" => buf.getDouble(i * bp)
     case "i4" => buf.getInt(i * bp).toDouble
     case "i8" => buf.getLong(i * bp).toDouble
-    case _ => (raw(i) & 0xff).toDouble
+    case "u4" => (buf.getInt(i * bp) & 0xffffffffL).toDouble
+    case "i2" => buf.getShort(i * bp).toDouble
+    case "u2" => (buf.getShort(i * bp) & 0xffff).toDouble
+    case "i1" => raw(i).toDouble // numpy |i1 is signed
+    case _ => (raw(i) & 0xff).toDouble // b1, u1
   }
 
   /** Chunk-file path (relative to the array dir) for grid index `ci`. */
@@ -273,23 +394,160 @@ object ZarrSource extends Serializable {
     * the format: v2 compressor or v3 codec chain (applied in reverse —
     * trailing crc32c verified and stripped first).
     *
-    * Rank-1 (coordinate) chunks tolerate decoding to MORE bytes than the
-    * metadata advertises, keeping the prefix: [[ZarrGroup.appendDataset]]
-    * grows the coordinate chunk BEFORE its metadata patch lands (step 2 vs
-    * 3), so a live reader — or anyone after a crash between the two — sees
-    * an oversized chunk under the old shape; slicing restores exactly the
-    * pre-append view and makes append retries safe. Data chunks (rank ≥ 2)
-    * and short decodes stay strict errors. */
+    * COORDINATE chunks (rank-1 group members indexing their own dimension,
+    * `meta.coordLike`) tolerate decoding to MORE bytes than the metadata
+    * advertises, keeping the prefix: [[ZarrGroup.appendDataset]] grows the
+    * coordinate chunk BEFORE its metadata patch lands (step 2 vs 3), so a
+    * live reader — or anyone after a crash between the two — sees an
+    * oversized chunk under the old shape; slicing restores exactly the
+    * pre-append view and makes append retries safe. The tolerance is
+    * scoped to coordinates because only they are grown ahead of metadata;
+    * 1-D DATA variables, data chunks (rank ≥ 2), and short decodes stay
+    * strict errors — a corrupt too-long data chunk must raise, not
+    * silently truncate. */
   private[sources] def decodeChunk(data: Array[Byte], meta: ZarrMeta,
       rawLen: Int): Array[Byte] = {
-    val oversizeOk = meta.shape.length == 1
-    val out = if (meta.format == 2) decompress(data, meta.compressor, rawLen, oversizeOk)
+    val oversizeOk = meta.shape.length == 1 && meta.coordLike &&
+      meta.v2Filters.isEmpty
+    if (meta.format == 2 && meta.v2Filters.nonEmpty) {
+      // filtered chunks store the LAST filter's astype: decompress at the
+      // stored element size, then reverse the filter chain back to dtype
+      val nCells = rawLen / bytesPer(meta.dtype)
+      val storedLen = nCells * bytesPer(meta.v2Filters.last.astype)
+      return undoV2Filters(
+        decompress(data, meta.compressor, storedLen), meta, nCells)
+    }
+    val out0 = if (meta.format == 2) decompress(data, meta.compressor, rawLen, oversizeOk)
     else meta.shard match {
       case None => decodeV3Chain(data, meta.v3Codecs, rawLen, oversizeOk)
       case Some(s) => assembleShard(data, meta, s, rawLen)
     }
+    val out = meta.transpose match {
+      case Some(ord) => unTranspose(out0, meta, ord)
+      case None => out0
+    }
     if (oversizeOk && out.length > rawLen) java.util.Arrays.copyOf(out, rawLen)
     else out
+  }
+
+  /** Undo the v3 `transpose` codec: stored bytes are the chunk with axes
+    * permuted (`stored = chunk.transpose(order)`, C-order) — scatter each
+    * stored cell back to its logical C-order position. */
+  private def unTranspose(stored: Array[Byte], meta: ZarrMeta,
+      ord: Seq[Int]): Array[Byte] = {
+    val bp = bytesPer(meta.dtype)
+    val nd = ord.length
+    val storedShape = Array.tabulate(nd)(i => meta.chunks(ord(i)))
+    val n = meta.chunks.product
+    require(stored.length == n * bp,
+      s"transposed chunk holds ${stored.length} bytes, expected ${n * bp}")
+    val out = new Array[Byte](stored.length)
+    val si = new Array[Int](nd)
+    val li = new Array[Int](nd)
+    var s = 0
+    while (s < n) {
+      var rem = s
+      var d = nd - 1
+      while (d >= 0) { si(d) = rem % storedShape(d); rem /= storedShape(d); d -= 1 }
+      d = 0
+      while (d < nd) { li(ord(d)) = si(d); d += 1 }
+      var flat = 0
+      d = 0
+      while (d < nd) { flat = flat * meta.chunks(d) + li(d); d += 1 }
+      System.arraycopy(stored, s * bp, out, flat * bp, bp)
+      s += 1
+    }
+    out
+  }
+
+  private def isIntCode(dt: String): Boolean = dt.substring(1) match {
+    case "i1" | "i2" | "i4" | "i8" | "u1" | "u2" | "u4" | "b1" => true
+    case _ => false
+  }
+
+  /** Integer cell read/write at dtype-code granularity — the delta filter's
+    * canonical payload is i8 nanosecond timestamps, where a double-space
+    * cumulative sum would lose precision past 2^53. */
+  private def intAt(raw: Array[Byte], buf: ByteBuffer, dt: String, i: Int): Long =
+    dt.substring(1) match {
+      case "i8" => buf.getLong(i * 8)
+      case "i4" => buf.getInt(i * 4).toLong
+      case "u4" => buf.getInt(i * 4) & 0xffffffffL
+      case "i2" => buf.getShort(i * 2).toLong
+      case "u2" => (buf.getShort(i * 2) & 0xffff).toLong
+      case "i1" => raw(i).toLong
+      case _ => (raw(i) & 0xff).toLong
+    }
+
+  private def putIntAt(out: Array[Byte], buf: ByteBuffer, dt: String, i: Int,
+      v: Long): Unit = dt.substring(1) match {
+    case "i8" => buf.putLong(i * 8, v)
+    case "i4" | "u4" => buf.putInt(i * 4, v.toInt)
+    case "i2" | "u2" => buf.putShort(i * 2, v.toShort)
+    case _ => out(i) = v.toByte
+  }
+
+  private def putValAt(out: Array[Byte], buf: ByteBuffer, dt: String, i: Int,
+      v: Double): Unit = dt.substring(1) match {
+    case "f8" => buf.putDouble(i * 8, v)
+    case "f4" => buf.putFloat(i * 4, v.toFloat)
+    case "i8" => buf.putLong(i * 8, math.rint(v).toLong)
+    case "i4" | "u4" => buf.putInt(i * 4, math.rint(v).toInt)
+    case "i2" | "u2" => buf.putShort(i * 2, math.rint(v).toShort)
+    case _ => out(i) = math.rint(v).toByte
+  }
+
+  /** Reverse a v2 filter chain (decode direction — last filter first):
+    * each step reads `nCells` values in the filter's `astype` and emits
+    * them in its `dtype`, which is the next step's astype (or the array's
+    * dtype at the end of the chain). */
+  private[sources] def undoV2Filters(stored: Array[Byte], meta: ZarrMeta,
+      nCells: Int): Array[Byte] = {
+    var cur = stored
+    meta.v2Filters.reverse.foreach { f =>
+      val at = f.astype
+      val (dt, outBytes) = f match {
+        case DeltaF(d, _) => (d, nCells * bytesPer(d))
+        case FixedScaleOffsetF(_, _, d, _) => (d, nCells * bytesPer(d))
+      }
+      require(cur.length == nCells * bytesPer(at),
+        s"filtered zarr chunk holds ${cur.length} bytes, expected " +
+          s"${nCells * bytesPer(at)} ($at × $nCells)")
+      val in = ByteBuffer.wrap(cur).order(byteOrderOf(at))
+      val out = new Array[Byte](outBytes)
+      val ob = ByteBuffer.wrap(out).order(byteOrderOf(dt))
+      f match {
+        case DeltaF(d, _) if isIntCode(at) && isIntCode(d) =>
+          var acc = 0L
+          var i = 0
+          while (i < nCells) {
+            acc += intAt(cur, in, at, i)
+            putIntAt(out, ob, d, i, acc)
+            i += 1
+          }
+        case DeltaF(d, _) =>
+          var acc = 0.0
+          var i = 0
+          while (i < nCells) {
+            acc += cellValue(cur, in, at, i, bytesPer(at))
+            putValAt(out, ob, d, i, acc)
+            i += 1
+          }
+        case FixedScaleOffsetF(scale, offset, d, _) =>
+          var i = 0
+          while (i < nCells) {
+            putValAt(out, ob, d, i,
+              cellValue(cur, in, at, i, bytesPer(at)) / scale + offset)
+            i += 1
+          }
+      }
+      cur = out
+    }
+    require(cur.length == nCells * bytesPer(meta.dtype),
+      s"filter chain decoded to ${cur.length} bytes, expected " +
+        s"${nCells * bytesPer(meta.dtype)} — the first filter's dtype " +
+        s"(${meta.v2Filters.head}) must match the array dtype ${meta.dtype}")
+    cur
   }
 
   /** Apply a v3 bytes→bytes codec chain in reverse (decode direction).
@@ -351,6 +609,8 @@ object ZarrSource extends Serializable {
       case "f4" => b.putFloat(meta.fillValue.toFloat)
       case "i8" => b.putLong(meta.fillValue.toLong)
       case "i4" => b.putInt(meta.fillValue.toInt)
+      case "u4" => b.putInt(meta.fillValue.toLong.toInt)
+      case "i2" | "u2" => b.putShort(meta.fillValue.toInt.toShort)
       case _ => b.put(meta.fillValue.toInt.toByte)
     }
     b.array()
@@ -480,7 +740,13 @@ object ZarrSource extends Serializable {
   private[sources] def decompress(data: Array[Byte], compressor: Option[String], rawLen: Int,
       oversizeOk: Boolean = false): Array[Byte] =
     compressor match {
-      case None => data
+      case None =>
+        // raw chunks are strict too (v2 stores full-size chunks, edges
+        // included) — except the coordinate append-crash-window oversize
+        if (data.length != rawLen && !(oversizeOk && data.length > rawLen))
+          throw new java.io.IOException(
+            s"raw zarr chunk holds ${data.length} bytes, expected $rawLen")
+        data
       case Some("zlib") =>
         val inf = new Inflater()
         inf.setInput(data)
@@ -552,7 +818,7 @@ object ZarrSource extends Serializable {
     val chunks = meta.chunks
     val nd = shape.length
     val bp = bytesPer(meta.dtype)
-    val out = Array.fill(shape.product)(meta.fillValue)
+    val out = Array.fill(shape.product)(meta.decodedFill)
     val nChunks = shape.indices.map(d => (shape(d) + chunks(d) - 1) / chunks(d))
     // iterate the full chunk grid; absent files keep fill_value
     def gridIndices(dims: Seq[Int]): Iterator[Seq[Int]] =
@@ -589,7 +855,8 @@ object ZarrSource extends Serializable {
             else flat = flat * shape(d) + g
             d += 1
           }
-          if (inBounds) out(flat.toInt) = cellValue(raw, buf, meta.dtype, i, bp)
+          if (inBounds) out(flat.toInt) =
+            meta.cfDecode(cellValue(raw, buf, meta.dtype, i, bp))
           i += 1
         }
       }
@@ -654,7 +921,7 @@ object ZarrSource extends Serializable {
       ck <- 0 until (nx + cx - 1) / cx
       if !present((ci, cj, ck))
     } yield (ci, cj, ck)
-    val fill = meta.fillValue
+    val fill = meta.decodedFill
     val missingRows = spark.sparkContext
       .parallelize(missing, math.max(1, math.min(missing.size, 32)))
       .flatMap { case (ci, cj, ck) =>
@@ -679,7 +946,7 @@ object ZarrSource extends Serializable {
         val y = cj * cy + (i / cx) % cy
         val x = ck * cx + i % cx
         if (t < nt && y < ny && x < nx && t >= t0 && t <= t1)
-          out += ((t, y, x, cellValue(raw, buf, dtype, i, bp)))
+          out += ((t, y, x, metaB.cfDecode(cellValue(raw, buf, dtype, i, bp))))
         i += 1
       }
       out

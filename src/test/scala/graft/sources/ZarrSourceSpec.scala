@@ -93,14 +93,21 @@ class ZarrSourceSpec extends SparkSpec {
       e.getCause != null && e.getCause.getMessage.contains("blosc"))
   }
 
-  test("v2 pre-compression filters are a NAMED refusal, never a misread") {
-    // a delta filter transforms cell bytes before the compressor: ignoring
-    // it would decode garbage silently — the metadata parse must throw
+  test("unknown v2 filters are a NAMED refusal, never a misread") {
+    // a filter transforms cell bytes before the compressor: ignoring one
+    // would decode garbage silently — delta and fixedscaleoffset DECODE
+    // (ZarrV2FiltersSpec), every other id must throw at the metadata parse
     val e = intercept[IllegalArgumentException](ZarrSource.readMeta(
       """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
          "compressor": null, "fill_value": "NaN", "order": "C",
-         "filters": [{"id": "delta", "dtype": "<f8"}]}"""))
-    assert(e.getMessage.contains("delta"))
+         "filters": [{"id": "bitround", "keepbits": 7}]}"""))
+    assert(e.getMessage.contains("bitround"))
+    // the supported filters parse into the decode chain
+    val m = ZarrSource.readMeta(
+      """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",
+         "compressor": null, "fill_value": "NaN", "order": "C",
+         "filters": [{"id": "delta", "dtype": "<f8"}]}""")
+    assert(m.v2Filters == Seq(ZarrSource.DeltaF("<f8", "<f8")))
     // null and [] both mean "no filters"
     assert(ZarrSource.readMeta(
       """{"zarr_format": 2, "shape": [4], "chunks": [4], "dtype": "<f8",

@@ -1,0 +1,77 @@
+package graft.sources
+
+import java.nio.{ByteBuffer, ByteOrder}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** zarr v3 `transpose` codec decode: stored chunks hold the cells with
+  * axes permuted (`chunk.transpose(order)` in C order); the reader
+  * scatters them back. F-order archives (`order="F"` conversions) are the
+  * real-world producer. */
+class ZarrTransposeSpec extends SparkSpec {
+
+  private def tmpDir(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft_ztr").toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  private def fs = new org.apache.hadoop.fs.Path("/")
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def put(dir: String, rel: String, bytes: Array[Byte]): Unit =
+    ZarrSource.putBytes(fs, new org.apache.hadoop.fs.Path(dir, rel), bytes)
+
+  test("a transpose(2,1,0) store reads back in logical order (DSv2 scan)") {
+    val dir = tmpDir()
+    // logical (time=2, y=2, x=3); stored = transpose → (x, y, time)
+    put(dir, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 2, 3],
+          "data_type": "float64",
+          "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2, 3]}},
+          "chunk_key_encoding": {"name": "default", "configuration": {"separator": "/"}},
+          "fill_value": "NaN",
+          "codecs": [
+            {"name": "transpose", "configuration": {"order": [2, 1, 0]}},
+            {"name": "bytes", "configuration": {"endian": "little"}},
+            {"name": "zstd", "configuration": {"level": 3}}],
+          "attributes": {}}""".getBytes)
+    def logical(t: Int, y: Int, x: Int): Double = t * 100.0 + y * 10.0 + x
+    // stored C-order over (x, y, t): stored[x][y][t] = logical[t][y][x]
+    val buf = ByteBuffer.allocate(12 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    for (x <- 0 until 3; y <- 0 until 2; t <- 0 until 2)
+      buf.putDouble(logical(t, y, x))
+    put(dir, "c/0/0/0",
+      ZarrSource.v3EncodeChain(buf.array(), Seq(ZarrSource.ZstdC)))
+    val rows = spark.read.format("zarr").load(dir)
+      .orderBy("t_idx", "y", "x").collect()
+    assert(rows.length == 12)
+    rows.foreach { r =>
+      assert(r.getDouble(3) == logical(r.getInt(0), r.getInt(1), r.getInt(2)),
+        s"cell (${r.getInt(0)},${r.getInt(1)},${r.getInt(2)}) = ${r.getDouble(3)}")
+    }
+    // pruning still planned on LOGICAL dims
+    val plan = spark.read.format("zarr").load(dir)
+      .filter(col("t_idx") === 1).queryExecution.executedPlan.toString
+    assert(plan.contains("t_idx in [1, 1]"), plan)
+  }
+
+  test("a non-permutation order fails by name; appends onto transpose stores too") {
+    val dir = tmpDir()
+    put(dir, "zarr.json",
+      """{"zarr_format": 3, "node_type": "array", "shape": [2, 2],
+          "data_type": "float64",
+          "chunk_grid": {"name": "regular", "configuration": {"chunk_shape": [2, 2]}},
+          "fill_value": "NaN",
+          "codecs": [
+            {"name": "transpose", "configuration": {"order": [0, 0]}},
+            {"name": "bytes", "configuration": {"endian": "little"}}],
+          "attributes": {}}""".getBytes)
+    val e = intercept[IllegalArgumentException] {
+      ZarrSource.readMetaAny(dir, spark.sparkContext.hadoopConfiguration)
+    }
+    assert(e.getMessage.contains("permutation"))
+  }
+}

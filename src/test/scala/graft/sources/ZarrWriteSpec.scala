@@ -135,15 +135,12 @@ class ZarrWriteSpec2 extends SparkSpec {
     assert(win.count() == 2 * 3)
     assert(win.filter(col("sst") =!=
       col("time_idx") * 100.0 + col("y_idx") * 10.0 + col("x_idx")).count() == 0)
-    // appends onto sharded stores are a named error, store intact
-    val e = intercept[Exception](
-      cells(1, 4, 6).write.format("zarr")
-        .option("dims", "time:1,y:4,x:6").option("chunks", "2,4,6")
-        .option("cols", "sst").mode("append").save(dir))
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("shard")))
-    assert(spark.read.format("zarr").load(dir).count() == 6 * 4 * 6)
+    // sharded stores APPEND (ZarrGroupAppendSpec covers object-count and
+    // edge-shard semantics): one more slice grows the axis to 7
+    cells(1, 4, 6).write.format("zarr")
+      .option("dims", "time:1,y:4,x:6").option("chunks", "2,4,6")
+      .option("cols", "sst").mode("append").save(dir)
+    assert(spark.read.format("zarr").load(dir).count() == 7 * 4 * 6)
   }
 
   test("sharded write elides all-fill inner chunks from the object") {
