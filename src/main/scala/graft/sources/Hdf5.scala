@@ -1976,6 +1976,285 @@ private[sources] object Hdf5 {
     * table — the storage every netCDF-4 group with more than 8 links uses —
     * so round-trips exercise the dense read path. `WriteVar.denseAttrs`
     * does the same for a variable's attributes (Attribute Info message). */
+  /** [[ByteSource]] over an in-memory file image (append patching). */
+  private final class ArraySource(bytes: Array[Byte]) extends ByteSource {
+    def read(off: Long, len: Int): Array[Byte] = {
+      require(off >= 0 && off + len <= bytes.length,
+        s"read [$off, ${off + len}) outside file of ${bytes.length} bytes")
+      java.util.Arrays.copyOfRange(bytes, off.toInt, off.toInt + len)
+    }
+  }
+
+  /** File offsets of each message BODY in a V1 object header (the format
+    * this library writes), following continuation blocks — the lookup the
+    * in-place append patches need: dataspace dims and the layout message's
+    * B-tree address are fixed-width fields overwritten in place. */
+  private def v1MessageOffsets(src: ByteSource, addr: Long): Seq[(Int, Long, Int)] = {
+    val probe = src.read(addr, 16)
+    require((probe(0) & 0xff) == 1,
+      s"in-place append supports v1 object headers only (version ${probe(0)} at $addr)")
+    val b = le(probe)
+    val nMsgs = b.getShort(2) & 0xffff
+    val headerSize = b.getInt(8)
+    val out = Seq.newBuilder[(Int, Long, Int)]
+    var remaining = nMsgs
+    var blocks = List((addr + 16, headerSize.toLong))
+    while (remaining > 0 && blocks.nonEmpty) {
+      val (off, len) = blocks.head
+      blocks = blocks.tail
+      val block = src.read(off, len.toInt)
+      val bb = le(block)
+      var p = 0
+      while (remaining > 0 && p + 8 <= len) {
+        val typ = bb.getShort(p) & 0xffff
+        val size = bb.getShort(p + 2) & 0xffff
+        if (typ == 0x0010) {
+          val cb = le(java.util.Arrays.copyOfRange(block, p + 8, p + 8 + size))
+          blocks = blocks :+ ((cb.getLong(0), cb.getLong(8)))
+        } else out += ((typ, off + p + 8, size))
+        remaining -= 1
+        p += 8 + size
+      }
+    }
+    out.result()
+  }
+
+  /** Encode rows into stored compound records honoring the STORED member
+    * offsets and types (not the writer's packed order) — each row aligns
+    * positionally with `ct.members`, nested compounds recurse. */
+  def encodeCompoundRecords(ct: CompoundType, rows: Seq[Seq[Any]]): Array[Byte] = {
+    val out = new Array[Byte](rows.length * ct.size)
+    def putMember(base: Int, m: CompoundMember, v: Any): Unit = m.dtype match {
+      case NumType("float", 8, le0) =>
+        val b = ByteBuffer.allocate(8)
+          .order(if (le0) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+        b.putDouble(v match {
+          case null => Double.NaN
+          case d: Double => d
+          case f: Float => f.toDouble
+          case l: Long => l.toDouble
+          case i: Int => i.toDouble
+          case o => throw new IllegalArgumentException(
+            s"member '${m.name}': cannot encode ${o.getClass.getName} as f64")
+        })
+        System.arraycopy(b.array(), 0, out, base + m.offset, 8)
+      case NumType(k, 8, le0) if k == "int" || k == "uint" =>
+        val b = ByteBuffer.allocate(8)
+          .order(if (le0) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+        b.putLong(v match {
+          case l: Long => l
+          case i: Int => i.toLong
+          case d: Double if d == d.floor => d.toLong
+          case o => throw new IllegalArgumentException(
+            s"member '${m.name}': cannot encode ${if (o == null) "null" else o.getClass.getName} as i64")
+        })
+        System.arraycopy(b.array(), 0, out, base + m.offset, 8)
+      case StrType(size, _) =>
+        val sb = Option(v).fold("")(_.toString).getBytes("UTF-8")
+        require(sb.length <= size,
+          s"member '${m.name}': string of ${sb.length} bytes exceeds the " +
+            s"stored fixed size $size")
+        System.arraycopy(sb, 0, out, base + m.offset, sb.length)
+      case nc: CompoundType =>
+        val inner: Seq[Any] = v match {
+          case null => Seq.fill(nc.members.length)(null)
+          case r: org.apache.spark.sql.Row => r.toSeq
+          case s: scala.collection.Seq[_] => s.toSeq
+          case o => throw new IllegalArgumentException(
+            s"member '${m.name}': nested compound needs a Row/Seq, got ${o.getClass.getName}")
+        }
+        require(inner.length == nc.members.length,
+          s"member '${m.name}': ${inner.length} values for ${nc.members.length} nested members")
+        nc.members.zip(inner).foreach { case (im, iv) =>
+          putMember(base + m.offset, im, iv)
+        }
+      case o => throw new IllegalArgumentException(
+        s"member '${m.name}': appends support f64/i64/fixed-string/nested " +
+          s"members (got $o)")
+    }
+    rows.zipWithIndex.foreach { case (row, i) =>
+      require(row.length == ct.members.length,
+        s"row $i has ${row.length} values for ${ct.members.length} members")
+      ct.members.zip(row).foreach { case (m, v) => putMember(i * ct.size, m, v) }
+    }
+    out
+  }
+
+  /** Re-apply a parsed filter pipeline in WRITE order (the inverse of
+    * [[defilter]]) for the pipelines this library writes on compound
+    * tables: optional shuffle (2) + deflate (1) / zstd (32015), or none. */
+  private def refilter(raw: Array[Byte], filters: Seq[Filter]): Array[Byte] = {
+    var data = raw
+    filters.foreach { f =>
+      f.id match {
+        case 2 =>
+          val es = f.clientValues.head
+          if (es > 1 && data.length % es == 0) {
+            val n = data.length / es
+            val sh = new Array[Byte](data.length)
+            var b = 0
+            while (b < es) {
+              var i = 0
+              while (i < n) { sh(b * n + i) = data(i * es + b); i += 1 }
+              b += 1
+            }
+            data = sh
+          }
+        case 1 =>
+          val level = f.clientValues.headOption.getOrElse(4)
+          val defl = new Deflater(level)
+          defl.setInput(data); defl.finish()
+          val cbuf = new java.io.ByteArrayOutputStream(data.length)
+          val tmp = new Array[Byte](65536)
+          while (!defl.finished()) cbuf.write(tmp, 0, defl.deflate(tmp))
+          defl.end()
+          data = cbuf.toByteArray
+        case 32015 =>
+          data = com.github.luben.zstd.Zstd.compress(data,
+            f.clientValues.headOption.getOrElse(3))
+        case other => throw new IllegalArgumentException(
+          s"append cannot re-apply filter $other (supported: shuffle + " +
+            "deflate/zstd) — rewrite the table instead")
+      }
+    }
+    data
+  }
+
+  /** IN-PLACE append onto a chunked compound table — the PyTables
+    * `table.append()` shape: extend the record dimension of an existing
+    * 1-D compound dataset. Operates on the full FILE IMAGE (an HDF5 file
+    * is a single-assembly sink in this library — the create collects
+    * driver-side too; tables are bounded result exports, not the 100 TB
+    * cube path) and returns the patched image:
+    *
+    *  1. the straddled partial edge chunk (if the old row count is not a
+    *     chunk multiple) is defiltered at its FULL stored geometry,
+    *     overlaid with the first new records, refiltered, and lands at
+    *     the old EOF — its previous bytes become dead space, exactly as
+    *     libhdf5 leaves free space on chunk reallocation;
+    *  2. the remaining records land as new full-geometry chunks;
+    *  3. a NEW v1 B-tree leaf (old entries + replacements + additions,
+    *     key-ordered) lands after them, and the layout message's B-tree
+    *     address, the dataspace's dims[0], and the superblock EOF are
+    *     patched in place — all fixed-width fields.
+    *
+    * Old chunk bytes are never re-encoded; a reader of the pre-append
+    * image sees the exact old table (the metadata patch is last in the
+    * byte stream, though the caller's file swap is what makes it atomic).
+    *
+    * @param rows one Seq[Any] per appended record, positionally aligned
+    *             with the stored compound members */
+  def appendCompoundTable(file: Array[Byte], varName: String,
+      rows: Seq[Seq[Any]]): Array[Byte] = {
+    require(rows.nonEmpty, "appendCompoundTable: no rows to append")
+    val src = new ArraySource(file)
+    val (rootOh, _) = readSuperblock(src)
+    val ohAddr = listDatasets(src, rootOh).find(_._1 == varName)
+      .getOrElse(throw new IllegalArgumentException(
+        s"no dataset $varName to append to"))._2
+    val ds = readDataset(src, varName, ohAddr)
+    val ct = ds.dtype match {
+      case c: CompoundType => c
+      case o => throw new IllegalArgumentException(
+        s"$varName is not a compound table ($o)")
+    }
+    require(ds.dims.length == 1, s"$varName: compound tables are 1-D")
+    val layout = ds.layout match {
+      case c: Chunked if c.index == BTreeV1 => c
+      case c: Chunked => throw new IllegalArgumentException(
+        s"$varName uses chunk index ${c.index} — appends support the v1 " +
+          "B-tree index (the PyTables/netCDF-4 default)")
+      case o => throw new IllegalArgumentException(
+        s"$varName is $o — only CHUNKED tables can grow; rewrite with " +
+          ".option(\"chunkRows\", …) to make it appendable")
+    }
+    val cn = layout.chunkDims.head
+    val fullChunkBytes = cn * ct.size
+    val nOld = ds.dims.head
+    val k = rows.length
+    val recBytes = encodeCompoundRecords(ct, rows)
+    val fillRec = rawFillBytes(src, ohAddr).filter(_.length == ct.size)
+
+    val out = new java.io.ByteArrayOutputStream(file.length + recBytes.length * 2)
+    out.write(file, 0, file.length)
+    def pos: Long = out.size().toLong
+
+    // entry map: chunk origin -> (nbytes, filterMask, addr)
+    val entries = scala.collection.mutable.SortedMap[Long, (Int, Int, Long)]()
+    btreeV1Chunks(src, layout).foreach { c =>
+      entries(c.offsets.head) = (c.size, c.filterMask, c.addr)
+    }
+    val firstOrg = nOld / cn * cn // chunk holding the first appended row
+    var org = firstOrg
+    while (org < nOld + k) {
+      val raw = new Array[Byte](fullChunkBytes)
+      if (org < nOld) entries.get(org) match {
+        case Some((sz, mask, addr)) =>
+          // defilter at the FULL stored geometry (stored chunks are always
+          // full-size, the dataspace edge notwithstanding)
+          val old = defilter(src.read(addr, sz), ds.filters, mask, fullChunkBytes)
+          System.arraycopy(old, 0, raw, 0, math.min(old.length, fullChunkBytes))
+        case None =>
+          fillRec.foreach { fr =>
+            var i = 0
+            while (i < cn) { System.arraycopy(fr, 0, raw, i * ct.size, ct.size); i += 1 }
+          }
+      }
+      val lo = math.max(org, nOld)
+      val hi = math.min(org + cn, nOld + k)
+      var r = lo
+      while (r < hi) {
+        System.arraycopy(recBytes, ((r - nOld) * ct.size).toInt,
+          raw, ((r - org) * ct.size).toInt, ct.size)
+        r += 1
+      }
+      val enc = refilter(raw, ds.filters)
+      entries(org) = (enc.length, 0, pos)
+      out.write(enc, 0, enc.length)
+      org += cn
+    }
+
+    // new single-leaf v1 B-tree with every entry, key-ordered
+    val btAddr2 = pos
+    def u16b(v: Int): Array[Byte] =
+      ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
+    def u32b(v: Int): Array[Byte] =
+      ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
+    def u64b(v: Long): Array[Byte] =
+      ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
+    out.write("TREE".getBytes); out.write(Array[Byte](1, 0))
+    out.write(u16b(entries.size), 0, 2)
+    out.write(u64b(Undef), 0, 8); out.write(u64b(Undef), 0, 8)
+    entries.foreach { case (o, (sz, mask, addr)) =>
+      out.write(u32b(sz), 0, 4); out.write(u32b(mask), 0, 4)
+      out.write(u64b(o), 0, 8); out.write(u64b(0L), 0, 8)
+      out.write(u64b(addr), 0, 8)
+    }
+    out.write(u32b(0), 0, 4); out.write(u32b(0), 0, 4)
+    out.write(u64b(nOld + k), 0, 8)
+    out.write(u64b(ct.size.toLong), 0, 8)
+
+    // fixed-width in-place patches: dataspace dims[0], layout B-tree
+    // address, superblock EOF
+    val patched = out.toByteArray
+    def patch(at: Long, bytes: Array[Byte]): Unit =
+      System.arraycopy(bytes, 0, patched, at.toInt, bytes.length)
+    val offs = v1MessageOffsets(src, ohAddr)
+    val dsOff = offs.find(_._1 == 0x0001).getOrElse(
+      throw new IllegalStateException(s"$varName: no dataspace message"))._2
+    require((patched(dsOff.toInt) & 0xff) == 1 && (patched(dsOff.toInt + 2) & 0xff) == 0,
+      s"$varName: append patches v1 dataspaces without maxdims " +
+        s"(version ${patched(dsOff.toInt)}, flags ${patched(dsOff.toInt + 2)})")
+    patch(dsOff + 8, u64b(nOld + k))
+    val loOff = offs.find(_._1 == 0x0008).getOrElse(
+      throw new IllegalStateException(s"$varName: no layout message"))._2
+    require((patched(loOff.toInt) & 0xff) == 3 && (patched(loOff.toInt + 1) & 0xff) == 2,
+      s"$varName: append patches v3 chunked layout messages only")
+    patch(loOff + 2 + 1, u64b(btAddr2)) // version, class, rank, then address
+    patch(40L, u64b(patched.length.toLong)) // superblock v0 EOF
+    patched
+  }
+
   def assemble(vars: Seq[WriteVar], denseRoot: Boolean = false): Array[Byte] = {
     require(vars.nonEmpty && vars.map(_.name).distinct.size == vars.size)
     val sorted = vars.sortBy(_.name) // symbol tables are name-ordered
@@ -2036,7 +2315,12 @@ private[sources] object Hdf5 {
         s"szip write supports <=32-bit samples (got $elemSize-byte) — " +
           "pack to i16 first (PackedGridData)")
       val ppb = 16
-      val pps = math.max(ppb, math.min(cd.last, 4096))
+      // clamp to szlib's SZ_MAX_PIXELS_PER_SCANLINE (2048), snapping the
+      // clamped value to a pixels_per_block multiple exactly as
+      // H5Z_set_local does — scanlines above 2048 round-trip through THIS
+      // codec but real szip-linked readers (h5py/netCDF-4) reject them
+      val pps = if (cd.last > 2048) 2048 / ppb * ppb
+        else math.max(ppb, cd.last)
       Seq(Szip.NnMask | Szip.EcMask | Szip.LsbMask | Szip.AllowK13Mask,
         elemSize * 8, ppb, pps)
     }

@@ -117,10 +117,13 @@ private[sources] class Hdf5TableV2(path: String, varName: String)
     * i64, STRING → fixed-length sized to the data (or
     * `.option("stringSizes", "name:bytes,…")`, dotted paths for nested
     * members), STRUCT → nested compound. `overwrite` replaces the file;
-    * `append` creates it and errors if it exists — an HDF5 file is a
-    * single driver-side assembly (see writeCompoundTable's scaladoc), not
-    * an appendable store like zarr. Optional `.option("chunkRows", n)`
-    * chunks + deflates the table. */
+    * `append` creates it when absent and otherwise EXTENDS the chunked
+    * table along the record dimension — PyTables' `append=True`
+    * ([[NetCDF4Source.appendCompoundTable]]): columns match stored members
+    * by name, old chunk bytes are untouched, the edge chunk merges, and a
+    * contiguous (unchunked) table rejects the append by name. Optional
+    * `.option("chunkRows", n)` chunks + deflates the table (and makes it
+    * appendable). */
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder with SupportsTruncate {
       private var overwrite = false
@@ -132,21 +135,22 @@ private[sources] class Hdf5TableV2(path: String, varName: String)
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(
               data.sparkSession.sparkContext.hadoopConfiguration)
-            if (!overwrite && fs.exists(p)) throw new IllegalArgumentException(
-              s"$path already exists — an HDF5 file is a single-assembly " +
-                "sink (no in-place appends); use mode(\"overwrite\")")
-            val stringSizes = Option(opts.get("stringSizes")).map(_.split(",")
-              .map { part =>
-                part.split(":") match {
-                  case Array(n, sz) => n.trim -> sz.trim.toInt
-                  case _ => throw new IllegalArgumentException(
-                    s"malformed stringSizes entry '$part' (want name:bytes)")
-                }
-              }.toMap).getOrElse(Map.empty[String, Int])
-            NetCDF4Source.writeCompoundTable(data, path, varName,
-              stringSizes = stringSizes,
-              chunkRows = Option(opts.get("chunkRows")).map(_.toInt),
-              elideDefaultChunks = opts.getBoolean("elideDefaultChunks", false))
+            if (!overwrite && fs.exists(p))
+              NetCDF4Source.appendCompoundTable(data, path, varName)
+            else {
+              val stringSizes = Option(opts.get("stringSizes")).map(_.split(",")
+                .map { part =>
+                  part.split(":") match {
+                    case Array(n, sz) => n.trim -> sz.trim.toInt
+                    case _ => throw new IllegalArgumentException(
+                      s"malformed stringSizes entry '$part' (want name:bytes)")
+                  }
+                }.toMap).getOrElse(Map.empty[String, Int])
+              NetCDF4Source.writeCompoundTable(data, path, varName,
+                stringSizes = stringSizes,
+                chunkRows = Option(opts.get("chunkRows")).map(_.toInt),
+                elideDefaultChunks = opts.getBoolean("elideDefaultChunks", false))
+            }
           }
       }
     }
@@ -192,9 +196,12 @@ private[sources] class Hdf5TableScanBuilder(path: String, varName: String)
     }
 }
 
-/** One stored chunk (`addr >= 0`) or a contiguous/compact row range. */
+/** One stored chunk (`addr >= 0`) or a contiguous/compact row range.
+  * `chunkRows` is the FULL chunk geometry — stored chunks are always
+  * full-size even when the dataspace edge clamps `rows`, and filters
+  * (szip in particular) validate against the stored geometry. */
 private[sources] case class Hdf5TableChunkPartition(orgRow: Long, rows: Int,
-    addr: Long, size: Int, filterMask: Int) extends InputPartition
+    chunkRows: Int, addr: Long, size: Int, filterMask: Int) extends InputPartition
 private[sources] case class Hdf5TableRangePartition(addr: Long, orgRow: Long,
     rows: Int) extends InputPartition
 private[sources] case class Hdf5TableInlinePartition(data: Array[Byte],
@@ -263,7 +270,8 @@ private[sources] class Hdf5TableScan(path: String, varName: String,
         (0L until n by cn).iterator.map { org =>
           val rows = math.min(cn, n - org).toInt
           present.get(org) match {
-            case Some(c) => Hdf5TableChunkPartition(org, rows, c.addr, c.size, c.filterMask)
+            case Some(c) => Hdf5TableChunkPartition(org, rows, cn.toInt,
+              c.addr, c.size, c.filterMask)
             case None => Hdf5TableFillPartition(org, rows)
           }
         }
@@ -305,8 +313,10 @@ private[sources] class Hdf5TableReaderFactory(path: String,
     lazy val src = new NetCDF4Source.HadoopSource(conf.value, path)
     val (data, rows) = partition match {
       case c: Hdf5TableChunkPartition =>
+        // defilter at the FULL chunk geometry — stored chunks are always
+        // full-size; only c.rows records are decoded below
         (Hdf5.defilter(src.read(c.addr, c.size), filters, c.filterMask,
-          c.rows * ct.size), c.rows)
+          c.chunkRows * ct.size), c.rows)
       case r: Hdf5TableRangePartition =>
         (src.read(r.addr, r.rows * ct.size), r.rows)
       case i: Hdf5TableInlinePartition => (i.data, i.rows)

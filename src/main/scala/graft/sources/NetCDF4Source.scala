@@ -206,8 +206,10 @@ object NetCDF4Source {
             it.flatMap { case (org, cOpt) =>
               val count = math.min(cn.toLong, n - org).toInt
               val data = cOpt match {
+                // full chunk geometry: stored chunks are full-size even at
+                // the dataspace edge; only `count` records decode below
                 case Some(c) => defilter(s.read(c.addr, c.size), filters,
-                  c.filterMask, count * ct.size)
+                  c.filterMask, (cn * ct.size).toInt)
                 case None =>
                   val d = new Array[Byte](count * ct.size)
                   fillRec.foreach { fr =>
@@ -300,6 +302,44 @@ object NetCDF4Source {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(bytes) finally out.close()
+  }
+
+  /** Append rows onto an existing CHUNKED compound table — the PyTables
+    * `append=True` shape ([[Hdf5.appendCompoundTable]]): the record
+    * dimension grows, old chunk bytes are never re-encoded, the straddled
+    * edge chunk merges, and a new single-leaf chunk B-tree replaces the
+    * old (which becomes dead space, as libhdf5 leaves on reallocation).
+    * The dataframe's columns are matched BY NAME to the stored members
+    * (any order; all must be present). Transport note: an HDF5 file is a
+    * single byte stream with interior fixed-width patches, and Hadoop
+    * filesystems have no positioned write — the patched image is staged
+    * to a sibling temp file and renamed over, so a crash never leaves a
+    * half-patched table. Like the create, this is a driver-side sink for
+    * bounded result exports, not the 100 TB cube path. */
+  def appendCompoundTable(df: DataFrame, path: String, varName: String): Unit = {
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val (_, ct, _) = Hdf5TableV2.compoundOf(path, varName)
+    val storedNames = ct.members.map(_.name)
+    val missing = storedNames.filterNot(df.columns.contains)
+    require(missing.isEmpty,
+      s"append frame is missing stored members: ${missing.mkString(", ")} " +
+        s"(table $varName has: ${storedNames.mkString(", ")})")
+    val rows = df.selectExpr(storedNames.map(n => s"`$n`"): _*)
+      .collect().toSeq.map(_.toSeq)
+    val fileBytes = {
+      val in = fs.open(p)
+      try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
+    }
+    val patched = Hdf5.appendCompoundTable(fileBytes, varName, rows)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".__append_tmp")
+    val out = fs.create(tmp, true)
+    try out.write(patched) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(
+      s"failed to move appended table into place ($tmp -> $p)")
   }
 
   /** Row-major iteration over the in-range cells of one chunk:

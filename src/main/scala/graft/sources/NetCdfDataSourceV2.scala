@@ -186,15 +186,25 @@ private[sources] class NetCdfWritableTableV2(dir: String, varName: String,
               }
             // an append whose rows ALL fall outside [0, nt) is a forgotten
             // local shift (t_idx must be block-set-local), not a request
-            // for all-fill padding — an EMPTY frame still pads explicitly
-            if (blockOffset > 0 && !data.isEmpty)
-              require(!data.filter(
-                  org.apache.spark.sql.functions.col("t_idx").isNotNull &&
+            // for all-fill padding — an EMPTY frame still pads explicitly.
+            // The happy path costs ONE limit(1) probe (an in-range row
+            // short-circuits); only the failure path — no in-range rows —
+            // pays a second probe to tell "empty frame, pad explicitly"
+            // from "all rows out of range, forgotten local shift"
+            if (blockOffset > 0) {
+              val inRange = data.filter(
+                org.apache.spark.sql.functions.col("t_idx").isNotNull &&
                   org.apache.spark.sql.functions.col("t_idx")
-                    .between(0, spec.nt - 1)).isEmpty,
-                s"append carries no rows with t_idx in [0, ${spec.nt}) — rows " +
-                  "must use block-set-LOCAL indices (subtract the archive's " +
-                  "current length), or pass an empty frame to pad fill blocks")
+                    .between(0, spec.nt - 1))
+                .select(org.apache.spark.sql.functions.lit(1))
+                .limit(1).collect()
+              if (inRange.isEmpty)
+                require(data.select(org.apache.spark.sql.functions.lit(1))
+                    .limit(1).collect().isEmpty,
+                  s"append carries no rows with t_idx in [0, ${spec.nt}) — rows " +
+                    "must use block-set-LOCAL indices (subtract the archive's " +
+                    "current length), or pass an empty frame to pad fill blocks")
+            }
             NetCDFSource.writeArchive(data, dir, varName,
               shape = (spec.nt, spec.ny, spec.nx), blockNt = spec.blockNt,
               timeChunk = spec.timeChunk, deflateLevel = spec.deflate,

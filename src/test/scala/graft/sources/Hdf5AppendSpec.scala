@@ -1,0 +1,127 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** `df.write.format("hdf5table").mode("append")` — PyTables' `append=True`:
+  * extend a CHUNKED compound table along the record dimension in place
+  * (old chunk bytes untouched, edge chunk merged, new single-leaf chunk
+  * B-tree, fixed-width metadata patches). */
+class Hdf5AppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpFile(): String = {
+    val f = java.io.File.createTempFile("graft_h5app", ".h5")
+    f.delete()
+    f.getAbsolutePath
+  }
+
+  private def docs(from: Int, until: Int) =
+    (from until until).map(i => (i.toLong, s"doc_$i", i * 1.5))
+      .toDF("id", "name", "score")
+
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+  test("append == one-shot write, edge chunk merged (rows not a chunk multiple)") {
+    val one = tmpFile(); val two = tmpFile()
+    docs(0, 11).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "4").option("stringSizes", "name:8")
+      .mode("overwrite").save(one)
+    // 6 rows (chunk 4 → edge chunk holds 2), then 5 more (merge into it)
+    // declared string size, like a PyTables itemsize — appends must fit it
+    docs(0, 6).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "4").option("stringSizes", "name:8")
+      .mode("overwrite").save(two)
+    docs(6, 11).write.format("hdf5table").option("var", "t")
+      .mode("append").save(two)
+    val a = spark.read.format("hdf5table").option("var", "t").load(one)
+      .orderBy("id").collect()
+    val b = spark.read.format("hdf5table").option("var", "t").load(two)
+      .orderBy("id").collect()
+    assert(b.length == 11)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq,
+      "the appended table must equal the one-shot write record-for-record")
+  }
+
+  test("three appends chain; count stays metadata-answerable") {
+    val p = tmpFile()
+    docs(0, 3).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "4").option("stringSizes", "name:8")
+      .mode("overwrite").save(p)
+    docs(3, 8).write.format("hdf5table").option("var", "t").mode("append").save(p)
+    docs(8, 9).write.format("hdf5table").option("var", "t").mode("append").save(p)
+    docs(9, 20).write.format("hdf5table").option("var", "t").mode("append").save(p)
+    val df = spark.read.format("hdf5table").option("var", "t").load(p)
+    assert(df.count() == 20)
+    val plan = df.groupBy().count().queryExecution.executedPlan.toString
+    assert(plan.contains("data reads=0"),
+      s"count over the grown table must stay metadata-only: $plan")
+    assert(df.orderBy("id").select("name").as[String].collect()
+      .toSeq == (0 until 20).map(i => s"doc_$i"))
+  }
+
+  test("nested STRUCT members and column reorder survive the append") {
+    val p = tmpFile()
+    val mk = (from: Int, until: Int) => (from until until)
+      .map(i => (s"k$i", (i.toDouble, i * 10.0))).toDF("key", "stats")
+      .select(col("key"), struct(col("stats._1").as("a"),
+        col("stats._2").as("b")).as("stats"))
+    mk(0, 5).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "3").mode("overwrite").save(p)
+    // append with the FRAME's columns in the opposite order — members
+    // match by name
+    mk(5, 9).select(col("stats"), col("key"))
+      .write.format("hdf5table").option("var", "t").mode("append").save(p)
+    val back = spark.read.format("hdf5table").option("var", "t").load(p)
+      .select(col("key"), col("stats.a").as("a"), col("stats.b").as("b"))
+      .orderBy("a").collect()
+    assert(back.length == 9)
+    back.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getString(0) == s"k$i" && r.getDouble(1) == i.toDouble &&
+        r.getDouble(2) == i * 10.0)
+    }
+  }
+
+  test("a string longer than the stored fixed size fails by name") {
+    val p = tmpFile()
+    docs(0, 4).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "4").mode("overwrite").save(p)
+    val e = intercept[Exception] {
+      Seq((99L, "a_name_far_longer_than_doc_N", 1.0))
+        .toDF("id", "name", "score")
+        .write.format("hdf5table").option("var", "t").mode("append").save(p)
+    }
+    assert(msgs(e).exists(_.contains("fixed size")), s"got: ${msgs(e)}")
+  }
+
+  test("appending onto a CONTIGUOUS table fails by name (not silently rewrites)") {
+    val p = tmpFile()
+    docs(0, 4).write.format("hdf5table").option("var", "t")
+      .mode("overwrite").save(p) // no chunkRows → contiguous
+    val e = intercept[Exception] {
+      docs(4, 6).write.format("hdf5table").option("var", "t")
+        .mode("append").save(p)
+    }
+    assert(msgs(e).exists(m => m.contains("CHUNKED") || m.contains("chunkRows")),
+      s"got: ${msgs(e)}")
+  }
+
+  test("old chunk bytes are byte-identical after an aligned append") {
+    val p = tmpFile()
+    docs(0, 8).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "4").option("stringSizes", "name:8")
+      .mode("overwrite").save(p)
+    val before = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    docs(8, 12).write.format("hdf5table").option("var", "t")
+      .mode("append").save(p)
+    val after = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    assert(after.length > before.length)
+    // the only in-place differences in the old image are the three
+    // fixed-width patches (dims, B-tree address, superblock EOF)
+    val diffs = (0 until before.length).filter(i => before(i) != after(i))
+    assert(diffs.nonEmpty && diffs.size <= 24,
+      s"expected <=24 patched bytes in the old image, found ${diffs.size}")
+  }
+}

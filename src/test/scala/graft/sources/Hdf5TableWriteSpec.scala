@@ -60,15 +60,17 @@ class Hdf5TableWriteSpec extends SparkSpec {
     assert(r.getString(2) == "pacific" && r.getString(3) == "bb")
   }
 
-  test("append onto an existing file fails by name; overwrite replaces") {
+  test("append onto a CONTIGUOUS file fails by name; overwrite replaces") {
     val path = tmpFile()
     val in = Seq(("x", 1.0)).toDF("k", "v")
+    // no chunkRows → contiguous layout: only CHUNKED tables can grow
+    // (Hdf5AppendSpec covers the chunked append=True path)
     in.write.format("hdf5table").option("var", "t").mode("append").save(path)
     def msgs(t: Throwable): Seq[String] =
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     val e = intercept[Exception](
       in.write.format("hdf5table").option("var", "t").mode("append").save(path))
-    assert(msgs(e).exists(_.contains("single-assembly")))
+    assert(msgs(e).exists(m => m.contains("CHUNKED") || m.contains("chunkRows")))
     Seq(("y", 2.0)).toDF("k", "v").write.format("hdf5table").option("var", "t")
       .mode("overwrite").save(path)
     val back = spark.read.format("hdf5table").option("var", "t").load(path)
