@@ -44,6 +44,23 @@ object Bench {
       warmTries += 1
     }
     val coldCache = warm1 > 2.0 * warm2 && warm1 - warm2 > 0.5
+    // Warm-up FLOOR self-gate: even a hot-cache capture is not comparable
+    // when the host itself is degraded (round 8's artifact of record read
+    // 0.32 s warm-ups vs the 0.21 s healthy floor and inflated every
+    // constant-work query ~1.9×). The floor is the documented healthy
+    // sf0.1 lineitem-count time; a warm read above 1.5× it retries after a
+    // pause, and a capture that STAYS above it carries `degraded_host` so
+    // it can be rejected as the round record instead of quietly becoming
+    // it. Other SF dirs opt in via SPARK_GRAFT_WARM_FLOOR.
+    val floor = sys.env.get("SPARK_GRAFT_WARM_FLOOR").map(_.toDouble)
+      .orElse(if (sfDir.contains("sf0.1")) Some(0.21) else None)
+    var degradedTries = 0
+    while (floor.exists(f => math.min(warm1, warm2) > 1.5 * f) && degradedTries < 3) {
+      Thread.sleep(15000)
+      warm1 = timedCount(); warm2 = timedCount()
+      degradedTries += 1
+    }
+    val degradedHost = floor.exists(f => math.min(warm1, warm2) > 1.5 * f)
     // q55/q60/q72 replay the reference's FIXED-SIZE golden fixtures
     // regardless of SF — correctness regression locks, not scale benchmarks;
     // including them would add a constant ~60 s to every SF's total and
@@ -67,7 +84,8 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       f""""load_avg_start":$loadAvg%.2f,"contended":$contended,""" +
-      f""""warmup_first_s":$warm1%.3f,"warmup_second_s":$warm2%.3f,"cold_cache":$coldCache}""")
+      f""""warmup_first_s":$warm1%.3f,"warmup_second_s":$warm2%.3f,""" +
+      f""""cold_cache":$coldCache,"degraded_host":$degradedHost}""")
     spark.stop()
   }
 }

@@ -1571,6 +1571,192 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
-      "netcdf archive append through SQL: landed block files continue the name-ordered axis")
+      "netcdf archive append through SQL: landed block files continue the name-ordered axis"),
+
+    // ── CF-packed i2 ZARR: the dual of q92 for the reference's native
+    // format. The cube lands as raw little-endian shorts (scale 0.01,
+    // _FillValue for NaN) via .option("pack", …) and reads back through
+    // format("zarr"), whose CF decode (scale_factor/add_offset/_FillValue
+    // from .zattrs — xr.open_zarr's default mask_and_scale) restores
+    // physical values. Cell means are snapped to the 0.01 grid BEFORE
+    // packing (mirrored in the oracle) so the i16 quantization is exact;
+    // any defect in the pack encode, the i2 chunk decode, the raw-space
+    // fill masking, or the attrs round-trip mismatches the recompute. ──────
+    QueryDef("q96_zarr_packed_cf",
+      (s, d) => {
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q96_zcf"
+        Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("mean"))
+          .filter(col("time_idx").between(0, 30))
+          .select(col("time_idx"), col("y_idx"), col("x_idx"),
+            (round(col("mean") * 100.0, 0) / 100.0).as("sst"))
+          .write.format("zarr")
+          .option("dims", "time:31,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst").option("pack", "0.01")
+          .mode("overwrite").save(dir)
+        s.read.format("zarr").load(dir)
+          .filter(!isnan(col("sst")) && col("time_idx").between(5, 25))
+          .groupBy(col("time_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(round(col("sst") * 100.0, 0).cast("long")).as("sum_scaled"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(round(((CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*)) * 100.0) AS BIGINT) AS q
+                FROM events GROUP BY 1, CAST(user_id % 150 // 15 AS INT), CAST(user_id % 15 AS INT))
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     CAST(sum(q) AS BIGINT) AS sum_scaled
+              FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
+      "CF-packed i2 zarr write + mask_and_scale read-back: the packed layout real zarr archives keep"),
+
+    // ── SQL appends onto COORDINATE-carrying stores: the reference's own
+    // to_zarr layout always writes a time axis; `.option("coords",
+    // "time:start:step")` lets the SQL append extend it alongside the data
+    // (delegating to appendDataset's newCoords). The gate groups by the
+    // COORDINATE VALUE read back from the store, so a defect in the coord
+    // extension, the crash-window slicing, the re-chunked axis patch, or
+    // the block-local index shift mismatches the from-events recompute. ───
+    QueryDef("q97_zarr_append_coords",
+      (s, d) => {
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("sst"))
+          .filter(col("time_idx").between(0, 30))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q97_zac"
+        cells.filter(col("time_idx") <= 12).write.format("zarr")
+          .option("dims", "time:13,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst").option("coords", "time:20000:1")
+          .mode("overwrite").save(dir)
+        cells.filter(col("time_idx") >= 13)
+          .withColumn("time_idx", col("time_idx") - 13)
+          .write.format("zarr")
+          .option("dims", "time:18,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst").option("coords", "time:20013:1")
+          .mode("append").save(dir)
+        s.read.format("zarr").load(dir)
+          .filter(!isnan(col("sst")))
+          .groupBy(col("time").cast("long").as("t_coord"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("sst") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(20000 + t_idx AS BIGINT) AS t_coord,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells WHERE t_idx BETWEEN 0 AND 30 GROUP BY t_idx"""),
+      "SQL append extends the time COORDINATE: group-by-coordinate read-back ≡ from-events recompute"),
+
+    // ── appends onto SHARDED stores: the recommended 100 TB layout can
+    // grow. q93's cube lands in TWO SQL writes — a chunk-aligned sharded
+    // create (t 0..15) and an append (t 16..30) whose new slices become
+    // NEW shard objects (count asserted: 4 outer chunks of time-chunk 8
+    // cover 31 days) — and the byte-range shard read-back must equal the
+    // from-events recompute. ──────────────────────────────────────────────
+    QueryDef("q98_zarr_sharded_append",
+      (s, d) => {
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("sst"))
+          .filter(col("time_idx").between(0, 30))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q98_zsa"
+        cells.filter(col("time_idx") <= 15).write.format("zarr")
+          .option("dims", "time:16,y:10,x:15").option("chunks", "8,10,15")
+          .option("shard", "2,5,15").option("v3", "true")
+          .option("cols", "sst")
+          .mode("overwrite").save(dir)
+        cells.filter(col("time_idx") >= 16)
+          .withColumn("time_idx", col("time_idx") - 16)
+          .write.format("zarr")
+          .option("dims", "time:15,y:10,x:15").option("chunks", "8,10,15")
+          .option("cols", "sst")
+          .mode("append").save(dir)
+        val objs = Option(new java.io.File(dir, "sst/c").listFiles()).toSeq.flatten
+          .flatMap(t => Option(t.listFiles()).toSeq.flatten)
+          .flatMap(y => Option(y.listFiles()).toSeq.flatten).size
+        require(objs == 4, s"grown sharded store must hold 4 outer-chunk objects, found $objs")
+        s.read.format("zarr").load(dir)
+          .filter(!isnan(col("sst")))
+          .groupBy(col("time_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("sst") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells WHERE t_idx BETWEEN 0 AND 30 GROUP BY t_idx"""),
+      "sharded store append through SQL: new shard objects only, object count asserted, oracle-exact"),
+
+    // ── hdf5table mode("append"): PyTables append=True through SQL. q90's
+    // doc_stats table lands in TWO writes — a chunked create (chunkRows 8,
+    // deliberately NOT a multiple of the first batch's row count, so the
+    // append must merge the straddled edge chunk) and an append of the
+    // remaining groups — and reads back through the same format scan. Any
+    // defect in the record encoding against the stored member layout, the
+    // edge-chunk merge, the regrown B-tree, or the dims/EOF patches
+    // mismatches the from-parquet recompute. ──────────────────────────────
+    QueryDef("q99_hdf5table_append",
+      (s, d) => {
+        val table = Tables.load(s, d, "documents")
+          .groupBy(col("lang"), col("source"))
+          .agg(struct(
+            count(lit(1)).cast("double").as("n_docs"),
+            sum(col("n_chars")).cast("double").as("sum_chars")).as("stats"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q99.h5"
+        new java.io.File(path).delete()
+        val langs = table.select("lang").distinct()
+          .orderBy("lang").collect().map(_.getString(0))
+        val (first, rest) = langs.splitAt(math.max(1, langs.length / 2))
+        table.filter(col("lang").isin(first.toSeq: _*))
+          .write.format("hdf5table").option("var", "doc_stats")
+          .option("chunkRows", "8").option("stringSizes", "lang:16,source:32")
+          .mode("overwrite").save(path)
+        table.filter(col("lang").isin(rest.toSeq: _*))
+          .write.format("hdf5table").option("var", "doc_stats")
+          .mode("append").save(path)
+        s.read.format("hdf5table").option("var", "doc_stats").load(path)
+          .select(col("lang"), col("stats.sum_chars").as("sc"),
+            col("stats.n_docs").as("nd"))
+          .groupBy("lang")
+          .agg(sum(col("sc")).cast("long").as("sum_chars"),
+            sum(col("nd")).cast("long").as("n_docs"))
+      },
+      Some("""WITH t AS (
+                SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+                FROM documents GROUP BY 1, 2)
+              SELECT lang,
+                     CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
+                     CAST(sum(n_docs) AS BIGINT) AS n_docs
+              FROM t GROUP BY lang"""),
+      "hdf5table mode(append): PyTables append=True — edge-chunk merge + regrown B-tree, oracle-exact")
   )
 }
