@@ -1306,6 +1306,32 @@ private[sources] object Hdf5 {
     }
   }
 
+  /** Decode `n` vlen-sequence elements whose BASE is a COMPOUND type into
+    * ragged record lists (ragged tables-of-records, e.g. per-station event
+    * logs): heap object i holds `length` packed base records; each record
+    * surfaces as a Seq of member values in declaration order. */
+  def decodeVlenCompoundSeqs(data: Array[Byte], dt: DType, n: Int,
+      src: ByteSource): Array[Seq[Seq[Any]]] = {
+    val base = dt match {
+      case VlenSeqType(c: CompoundType) => c
+      case o => throw new IllegalArgumentException(
+        s"not a compound-base vlen sequence datatype: $o")
+    }
+    vlenElements(data, n, src).map {
+      case (len, Some(obj)) =>
+        require(obj.length >= len.toLong * base.size,
+          s"vlen compound sequence of $len × ${base.size}-byte records " +
+            s"overruns its ${obj.length}-byte heap object")
+        val cols = decodeCompound(obj, base, len, src).map(_._2)
+        (0 until len).map(i => cols.map {
+          case ds: Array[Double] => ds(i)
+          case ss: Array[String] => ss(i)
+          case o: Array[_] => o(i)
+        }: Seq[Any])
+      case _ => Seq.empty[Seq[Any]]
+    }
+  }
+
   /** Column-wise decode of `n` compound records: member name → either
     * `Array[Double]` (numeric members), `Array[String]` (string AND
     * object-reference members — refs resolve to "/<name>"), or — NESTED
@@ -1436,17 +1462,20 @@ private[sources] object Hdf5 {
   }
 
   /** Render a serialized H5S dataspace selection (the form region
-    * references embed): `type(u32) version(u32)` then the v1 body. */
-  private def selectionString(b: Array[Byte], off: Int): String = {
+    * references embed): `type(u32) version(u32)` then the version body —
+    * v1 (32-bit coords) and v2 (64-bit: point lists with an encode-size
+    * byte; hyperslabs as ONE regular start/stride/count/block tuple, which
+    * libhdf5 writes for selections past 2^32 or under `libver='latest'`).
+    * Small regular v2 hyperslabs render as the expanded block list so both
+    * encodings of the same region read identically. */
+  private[sources] def selectionString(b: Array[Byte], off: Int): String = {
     def u32(p: Int): Int = leVar(b, off + p, 4).toInt
     val selType = u32(0)
     val version = u32(4)
     selType match {
       case 0 => "none"
       case 3 => "all"
-      case 1 => // points, v1: pad, len, rank, npoints, then u32 coords
-        require(version == 1,
-          s"point-selection serialization version $version (v1 only)")
+      case 1 if version == 1 => // points v1: pad, len, rank, npoints, u32 coords
         val rank = u32(16); val np = u32(20)
         require(rank >= 1 && rank <= 32 && np >= 0 &&
           off + 24 + 4L * rank * np <= b.length,
@@ -1454,10 +1483,23 @@ private[sources] object Hdf5 {
         "points " + (0 until np).map { p =>
           (0 until rank).map(d => u32(24 + (p * rank + d) * 4)).mkString("(", ",", ")")
         }.mkString(";")
-      case 2 => // hyperslab, v1: pad, len, rank, nblocks, then start+end u32s
-        require(version == 1,
-          s"hyperslab serialization version $version (v1 only — 64-bit " +
-            "selections use v2+)")
+      case 1 if version == 2 =>
+        // points v2 (64-bit capable): enc-size(u8), rank(u32), then
+        // num-points + coords in enc-size units
+        val enc = b(off + 8) & 0xff
+        require(enc == 2 || enc == 4 || enc == 8,
+          s"point-selection v2 encode size $enc (want 2/4/8)")
+        val rank = u32(9)
+        val np = leVar(b, off + 13, enc)
+        require(rank >= 1 && rank <= 32 && np >= 0 &&
+          off + 13 + enc + enc.toLong * rank * np <= b.length,
+          s"point selection v2 (rank $rank, $np points) overruns the heap object")
+        "points " + (0L until np).map { p =>
+          (0 until rank).map(d =>
+            leVar(b, off + 13 + enc + ((p * rank + d) * enc).toInt, enc))
+            .mkString("(", ",", ")")
+        }.mkString(";")
+      case 2 if version == 1 => // hyperslab v1: pad, len, rank, nblocks, u32 start+end
         val rank = u32(16); val nb = u32(20)
         require(rank >= 1 && rank <= 32 && nb >= 0 &&
           off + 24 + 8L * rank * nb <= b.length,
@@ -1468,6 +1510,41 @@ private[sources] object Hdf5 {
           val e0 = (0 until rank).map(d => u32(base + (rank + d) * 4)).mkString("(", ",", ")")
           s"$s0-$e0"
         }.mkString(";")
+      case 2 if version == 2 =>
+        // hyperslab v2: ONE regular hyperslab — flags(u8), length(u32),
+        // rank(u32), then start/stride/count/block, u64 × rank each
+        val rank = u32(13)
+        require(rank >= 1 && rank <= 32 &&
+          off + 17 + 4L * 8 * rank <= b.length,
+          s"hyperslab selection v2 (rank $rank) overruns the heap object")
+        def arr(which: Int): Seq[Long] =
+          (0 until rank).map(d => leVar(b, off + 17 + (which * rank + d) * 8, 8))
+        val (start, stride, count, block) = (arr(0), arr(1), arr(2), arr(3))
+        val nBlocks = count.product
+        if (nBlocks <= 64) {
+          // expand to the v1-style block list so small regular selections
+          // render identically to their v1 encoding
+          def expand(d: Int, acc: Seq[(Seq[Long], Seq[Long])])
+              : Seq[(Seq[Long], Seq[Long])] =
+            if (d == rank) acc
+            else expand(d + 1,
+              acc.flatMap { case (ss, ee) =>
+                (0L until count(d)).map { c =>
+                  val st = start(d) + c * stride(d)
+                  (ss :+ st, ee :+ (st + block(d) - 1))
+                }
+              })
+          "hyperslab " + expand(0, Seq((Seq.empty[Long], Seq.empty[Long])))
+            .map { case (ss, ee) =>
+              ss.mkString("(", ",", ")") + "-" + ee.mkString("(", ",", ")")
+            }.mkString(";")
+        } else
+          s"hyperslab-regular start=${start.mkString("(", ",", ")")} " +
+            s"stride=${stride.mkString("(", ",", ")")} " +
+            s"count=${count.mkString("(", ",", ")")} " +
+            s"block=${block.mkString("(", ",", ")")}"
+      case 1 | 2 => throw new IllegalArgumentException(
+        s"dataspace selection type $selType version $version (v1/v2 only)")
       case t => throw new IllegalArgumentException(
         s"unknown dataspace selection type $t in region reference")
     }

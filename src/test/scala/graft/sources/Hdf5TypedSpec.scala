@@ -295,6 +295,76 @@ class Hdf5TypedSpec extends AnyFunSuite {
       ""))
   }
 
+  test("H5S v2 (64-bit) selections decode: regular hyperslab + wide points") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hyperslab v2: one regular (start/stride/count/block) tuple, u64 × rank
+    // — start=(1,2), stride=(4,5), count=(2,2), block=(2,3) expands to the
+    // 4-block list its v1 encoding would carry
+    val hs = ByteBuffer.allocate(17 + 4 * 8 * 2).order(ByteOrder.LITTLE_ENDIAN)
+    hs.putInt(2).putInt(2) // type, version
+    hs.put(0.toByte).putInt(0).putInt(2) // flags, length, rank
+    Seq(1L, 2L, 4L, 5L, 2L, 2L, 2L, 3L).foreach(hs.putLong) // start,stride,count,block
+    assert(Hdf5.selectionString(hs.array(), 0) ==
+      "hyperslab (1,2)-(2,4);(1,7)-(2,9);(5,2)-(6,4);(5,7)-(6,9)")
+    // a LARGE regular selection renders compactly instead of exploding
+    val big = ByteBuffer.allocate(17 + 4 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    big.putInt(2).putInt(2).put(0.toByte).putInt(0).putInt(1)
+    Seq(0L, 10L, 1000000L, 5L).foreach(big.putLong)
+    assert(Hdf5.selectionString(big.array(), 0).startsWith("hyperslab-regular "))
+    // points v2: enc-size 8, coords past 2^32
+    val pt = ByteBuffer.allocate(13 + 8 + 2 * 8).order(ByteOrder.LITTLE_ENDIAN)
+    pt.putInt(1).putInt(2)
+    pt.put(8.toByte).putInt(1).putLong(2L) // enc, rank, npoints
+    pt.putLong(5000000000L).putLong(7L)
+    assert(Hdf5.selectionString(pt.array(), 0) == "points (5000000000);(7)")
+    // unknown versions still fail by name
+    val bad = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+    bad.putInt(2).putInt(4)
+    val e = intercept[IllegalArgumentException](Hdf5.selectionString(bad.array(), 0))
+    assert(e.getMessage.contains("version 4"))
+  }
+
+  test("compound-base vlen sequences decode to ragged record lists") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // hand-built GCOL at "file offset" 1000: obj1 = 2 records of
+    // {a f64, b f64}, obj2 = 1 record
+    def rec(vs: Double*): Array[Byte] = {
+      val b = ByteBuffer.allocate(vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      vs.foreach(b.putDouble); b.array()
+    }
+    val objs = Seq(rec(1.0, 2.0, 3.0, 4.0), rec(5.0, 6.0))
+    val gcolSize = 16L + objs.map(o => 16 + (o.length + 7) / 8 * 8).sum + 16
+    val g = ByteBuffer.allocate(gcolSize.toInt).order(ByteOrder.LITTLE_ENDIAN)
+    g.put("GCOL".getBytes).put(1.toByte).put(0.toByte).putShort(0)
+    g.putLong(gcolSize)
+    objs.zipWithIndex.foreach { case (o, i) =>
+      g.putShort((i + 1).toShort).putShort(1).putInt(0).putLong(o.length.toLong)
+      g.put(o)
+    }
+    val fileImage = new Array[Byte](1000 + gcolSize.toInt)
+    System.arraycopy(g.array(), 0, fileImage, 1000, gcolSize.toInt)
+    val stub: Hdf5.ByteSource = (off: Long, len: Int) =>
+      java.util.Arrays.copyOfRange(fileImage, off.toInt, off.toInt + len)
+    // element descriptors: len u32, GCOL addr u64, object index u32
+    val desc = ByteBuffer.allocate(3 * 16).order(ByteOrder.LITTLE_ENDIAN)
+    desc.putInt(2).putLong(1000L).putInt(1) // 2 records
+    desc.putInt(1).putLong(1000L).putInt(2) // 1 record
+    desc.putInt(0).putLong(0L).putInt(0)    // null element
+    val ct = Hdf5.CompoundType(16, Seq(
+      Hdf5.CompoundMember("a", 0, Hdf5.NumType("float", 8, littleEndian = true)),
+      Hdf5.CompoundMember("b", 8, Hdf5.NumType("float", 8, littleEndian = true))))
+    val out = Hdf5.decodeVlenCompoundSeqs(desc.array(),
+      Hdf5.VlenSeqType(ct), 3, stub)
+    assert(out(0) == Seq(Seq(1.0, 2.0), Seq(3.0, 4.0)))
+    assert(out(1) == Seq(Seq(5.0, 6.0)))
+    assert(out(2).isEmpty)
+    // non-compound bases still name themselves
+    val e = intercept[IllegalArgumentException](
+      Hdf5.decodeVlenCompoundSeqs(desc.array(),
+        Hdf5.VlenSeqType(Hdf5.NumType("float", 8, littleEndian = true)), 1, stub))
+    assert(e.getMessage.contains("compound-base"))
+  }
+
   test("region references inside compounds decode like any member; bad shapes name themselves") {
     val bytes = Hdf5.assemble(Seq(
       Hdf5.WriteVar("grid", Seq(2, 2), Array(1.0, 2.0, 3.0, 4.0)),
