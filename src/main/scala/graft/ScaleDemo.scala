@@ -39,7 +39,7 @@ object ScaleDemo {
       case "unstructured" => math.max(cpus.toInt, (dimsNy * dimsNy * nYears / 1000000L).toInt)
       case "zappend" => // args(0) = months of daily slices in ONE store
         math.max(cpus.toInt, (dimsNy * dimsNx * (nYears * 30L + 3) / 4000000L).toInt)
-      case "zshard" => // args(0) = months of daily slices, written twice
+      case "zshard" | "zgrow" => // args(0) = months of daily slices
         math.max(cpus.toInt, (dimsNy * dimsNx * nYears * 30L / 4000000L).toInt)
       case _ => math.max(cpus.toInt, (dimsNy * dimsNx * 365L * nYears / 4000000L).toInt)
     }).toString)
@@ -327,6 +327,86 @@ object ScaleDemo {
         val bad = a.join(b, Seq("time_idx", "y_idx", "x_idx"))
           .filter(abs(col("sst") - col("s2")) > 0).count()
         println(s"[scale] mismatched cells = $bad (want 0)")
+      }
+      spark.stop()
+      return
+    }
+
+    if (method == "zgrow") {
+      // Round-9 probe: the two growth paths a production archive exercises
+      // monthly — (a) APPEND onto the recommended SHARDED layout (new month
+      // = new shard objects; chunk-aligned), (b) the CF-packed i2 layout's
+      // size vs f8. args(0) = months in the base store; ny/nx the grid.
+      val months = nYears
+      val days = months * 30
+      val (tc, cy, cx) = (5, math.max(1, ny / 4), math.max(1, nx / 4))
+      val (it0, iy0, ix0) = (1, math.max(1, cy / 4), math.max(1, cx / 4))
+      def slab(t0: Int, nt: Int): org.apache.spark.sql.DataFrame =
+        spark.range(nt.toLong * ny * nx).select(
+          (col("id") / (ny.toLong * nx)).cast("int").as("time_idx"),
+          (col("id") / nx % ny).cast("int").as("y_idx"),
+          (col("id") % nx).cast("int").as("x_idx"),
+          (sin((col("id") + lit(t0.toLong * ny * nx)).cast("double") * 1e-3) * 10.0).as("sst"))
+      def countObjs(dir: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else 1L
+        walk(new java.io.File(dir, "sst/c"))
+      }
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_zgrow_$ny"
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(store))
+      timed(s"sharded base write $days×$ny×$nx (outer $tc×$cy×$cx)") {
+        slab(0, days).write.format("zarr")
+          .option("dims", s"time:$days,y:$ny,x:$nx")
+          .option("chunks", s"$tc,$cy,$cx")
+          .option("shard", s"$it0,$iy0,$ix0").option("v3", "true")
+          .option("cols", "sst").mode("overwrite").save(store)
+      }
+      val objs0 = countObjs(store)
+      timed(s"sharded APPEND of one 30-day month (aligned: new objects only)") {
+        slab(days, 30).write.format("zarr")
+          .option("dims", s"time:30,y:$ny,x:$nx")
+          .option("chunks", s"$tc,$cy,$cx")
+          .option("cols", "sst").mode("append").save(store)
+      }
+      val objs1 = countObjs(store)
+      println(s"[scale] shard objects $objs0 -> $objs1 " +
+        s"(+${objs1 - objs0}; expected +${(30 / tc) * 16})")
+      timed("windowed read of ONLY the appended month (pushed)") {
+        val n = spark.read.format("zarr").load(store)
+          .filter(col("time_idx") >= days).count()
+        println(s"[scale] appended cells = $n (want ${30L * ny * nx})")
+      }
+      // (b) packed-i2 vs f8: one month each, same chunking
+      def dirBytes(d: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else f.length()
+        walk(new java.io.File(d))
+      }
+      val f8 = s"${System.getProperty("java.io.tmpdir")}/graft_zgrow_f8"
+      val i2 = s"${System.getProperty("java.io.tmpdir")}/graft_zgrow_i2"
+      Seq(f8, i2).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      timed(s"one month f8 (blosc) vs CF-packed i2 (blosc)") {
+        slab(0, 30).write.format("zarr")
+          .option("dims", s"time:30,y:$ny,x:$nx").option("chunks", s"$tc,$cy,$cx")
+          .option("cols", "sst").mode("overwrite").save(f8)
+        slab(0, 30).write.format("zarr")
+          .option("dims", s"time:30,y:$ny,x:$nx").option("chunks", s"$tc,$cy,$cx")
+          .option("cols", "sst").option("pack", "0.001")
+          .mode("overwrite").save(i2)
+      }
+      println(f"[scale] bytes: f8 = ${dirBytes(f8)}%,d, packed i2 = ${dirBytes(i2)}%,d " +
+        f"(${dirBytes(f8).toDouble / dirBytes(i2)}%.1fx smaller)")
+      timed("packed month reads back CF-decoded within the quantization step") {
+        val bad = spark.read.format("zarr").load(i2)
+          .select(col("time_idx").as("bt"), col("y_idx").as("by"),
+            col("x_idx").as("bx"), col("sst").as("b"))
+          .join(slab(0, 30), col("time_idx") === col("bt") &&
+            col("y_idx") === col("by") && col("x_idx") === col("bx"))
+          .filter(abs(col("sst") - col("b")) > 0.00051).count()
+        println(s"[scale] out-of-tolerance cells = $bad (want 0)")
       }
       spark.stop()
       return
