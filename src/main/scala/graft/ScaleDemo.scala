@@ -388,17 +388,19 @@ object ScaleDemo {
       val i2 = s"${System.getProperty("java.io.tmpdir")}/graft_zgrow_i2"
       Seq(f8, i2).foreach(d =>
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
-      timed(s"one month f8 (blosc) vs CF-packed i2 (blosc)") {
+      timed(s"one month f8 vs CF-packed i2, both blosc-lz4-compressed") {
         slab(0, 30).write.format("zarr")
           .option("dims", s"time:30,y:$ny,x:$nx").option("chunks", s"$tc,$cy,$cx")
-          .option("cols", "sst").mode("overwrite").save(f8)
+          .option("cols", "sst").option("compressor", "blosc")
+          .mode("overwrite").save(f8)
         slab(0, 30).write.format("zarr")
           .option("dims", s"time:30,y:$ny,x:$nx").option("chunks", s"$tc,$cy,$cx")
           .option("cols", "sst").option("pack", "0.001")
+          .option("compressor", "blosc")
           .mode("overwrite").save(i2)
       }
-      println(f"[scale] bytes: f8 = ${dirBytes(f8)}%,d, packed i2 = ${dirBytes(i2)}%,d " +
-        f"(${dirBytes(f8).toDouble / dirBytes(i2)}%.1fx smaller)")
+      println(f"[scale] bytes (blosc): f8 = ${dirBytes(f8)}%,d, packed i2 = ${dirBytes(i2)}%,d " +
+        f"(${dirBytes(f8).toDouble / dirBytes(i2)}%.1fx smaller after compression)")
       timed("packed month reads back CF-decoded within the quantization step") {
         val bad = spark.read.format("zarr").load(i2)
           .select(col("time_idx").as("bt"), col("y_idx").as("by"),

@@ -1520,7 +1520,10 @@ private[sources] object Hdf5 {
         def arr(which: Int): Seq[Long] =
           (0 until rank).map(d => leVar(b, off + 17 + (which * rank + d) * 8, 8))
         val (start, stride, count, block) = (arr(0), arr(1), arr(2), arr(3))
-        val nBlocks = count.product
+        // counts are UNTRUSTED file u64s: an overflowing product could wrap
+        // under the expand threshold and loop unboundedly — clamp per-dim
+        val nBlocks =
+          if (count.exists(c => c < 0 || c > 64)) Long.MaxValue else count.product
         if (nBlocks <= 64) {
           // expand to the v1-style block list so small regular selections
           // render identically to their v1 encoding
@@ -2291,7 +2294,12 @@ private[sources] object Hdf5 {
       org += cn
     }
 
-    // new single-leaf v1 B-tree with every entry, key-ordered
+    // new single-leaf v1 B-tree with every entry, key-ordered; the
+    // entries-used field is u16 — far beyond any bounded-export table,
+    // but a silent wrap would corrupt the index
+    require(entries.size <= 0xffff,
+      s"appended table holds ${entries.size} chunks — beyond the " +
+        "single-leaf B-tree this writer maintains; rewrite with larger chunkRows")
     val btAddr2 = pos
     def u16b(v: Int): Array[Byte] =
       ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()

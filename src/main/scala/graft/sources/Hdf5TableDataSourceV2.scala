@@ -135,9 +135,16 @@ private[sources] class Hdf5TableV2(path: String, varName: String)
             val p = new org.apache.hadoop.fs.Path(path)
             val fs = p.getFileSystem(
               data.sparkSession.sparkContext.hadoopConfiguration)
-            if (!overwrite && fs.exists(p))
+            if (!overwrite && fs.exists(p)) {
+              // creation-time layout options would be silently dropped on
+              // an append — reject them by name (mirrors the zarr sink)
+              Seq("stringSizes", "chunkRows", "elideDefaultChunks").foreach { k =>
+                require(!opts.containsKey(k),
+                  s""".option("$k", …) applies at table CREATION — appends """ +
+                    "reuse the stored layout; drop the option")
+              }
               NetCDF4Source.appendCompoundTable(data, path, varName)
-            else {
+            } else {
               val stringSizes = Option(opts.get("stringSizes")).map(_.split(",")
                 .map { part =>
                   part.split(":") match {

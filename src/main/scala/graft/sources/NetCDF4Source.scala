@@ -353,19 +353,32 @@ object NetCDF4Source {
     require(missing.isEmpty,
       s"append frame is missing stored members: ${missing.mkString(", ")} " +
         s"(table $varName has: ${storedNames.mkString(", ")})")
-    val rows = df.selectExpr(storedNames.map(n => s"`$n`"): _*)
+    // reorder to the STORED member order at EVERY nesting level — the
+    // record encoder is positional, and a frame whose struct fields sit in
+    // a different order than the stored nested members would otherwise
+    // silently swap same-typed values
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions.{col, struct}
+    def colFor(m: Hdf5.CompoundMember, path0: String): Column = m.dtype match {
+      case nc: Hdf5.CompoundType =>
+        struct(nc.members.map(im =>
+          colFor(im, s"$path0.`${im.name}`").as(im.name)): _*)
+      case _ => col(path0)
+    }
+    val rows = df.select(ct.members.map(m => colFor(m, s"`${m.name}`")): _*)
       .collect().toSeq.map(_.toSeq)
     val fileBytes = {
       val in = fs.open(p)
       try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     }
     val patched = Hdf5.appendCompoundTable(fileBytes, varName, rows)
+    // stage + ATOMIC overwrite-rename: a delete-then-rename would leave NO
+    // table at all to a crash between the two steps
     val tmp = new org.apache.hadoop.fs.Path(path + ".__append_tmp")
     val out = fs.create(tmp, true)
     try out.write(patched) finally out.close()
-    fs.delete(p, false)
-    if (!fs.rename(tmp, p)) throw new java.io.IOException(
-      s"failed to move appended table into place ($tmp -> $p)")
+    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Row-major iteration over the in-range cells of one chunk:

@@ -77,7 +77,11 @@ private[sources] final case class ZarrWriteSpec(dims: Seq[(String, Int)],
     chunks: Seq[Int], cols: Seq[String], fill: Double, v3: Boolean,
     shard: Option[Seq[Int]] = None, region: Option[Int] = None,
     pack: Option[ZarrGroup.Pack] = None,
-    coords: Seq[(String, Double, Double)] = Nil) {
+    coords: Seq[(String, Double, Double)] = Nil,
+    compressor: Option[String] = None) {
+  require(compressor.isEmpty || !v3,
+    """.option("compressor", …) selects the v2 chunk compressor — v3 stores"""
+      + " always write the zarr-python-3 default bytes→zstd chain")
   /** Evenly-spaced coordinate values per declared coord, sized `n`. */
   def coordValues(n: Map[String, Int]): Map[String, Array[Double]] =
     coords.map { case (name, start, step) =>
@@ -146,7 +150,8 @@ private[sources] object ZarrWriteSpec {
       Option(options.get("fill")).map(_.toDouble).getOrElse(Double.NaN),
       options.getBoolean("v3", false),
       Option(options.get("shard")).map(_.split(",").toSeq.map(_.trim.toInt)),
-      Option(options.get("region")).map(_.trim.toInt), pack, coords)
+      Option(options.get("region")).map(_.trim.toInt), pack, coords,
+      Option(options.get("compressor")).map(_.trim))
   }
 }
 
@@ -201,6 +206,9 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
                 """.option("pack", …) applies at store CREATION — appends """ +
                   "reuse the store's existing dtype; drop the option " +
                   "(packed stores cannot be appended to)")
+              require(spec.compressor.isEmpty,
+                """.option("compressor", …) applies at store CREATION — """ +
+                  "appends honor each member's stored compressor; drop the option")
               spec.region match {
                 case Some(r0) =>
                   require(spec.coords.isEmpty,
@@ -231,7 +239,8 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
               ZarrGroup.writeDataset(data, path, spec.dims, spec.chunks,
                 valueCols = spec.cols, v3 = spec.v3, fill = spec.fill,
                 shard = spec.shard, pack = spec.pack,
-                coords = spec.coordValues(spec.dims.toMap))
+                coords = spec.coordValues(spec.dims.toMap),
+                compressor = spec.compressor)
             }
           }
       }

@@ -1132,7 +1132,9 @@ object ZarrGroup extends Serializable {
     require(dims.nonEmpty && dims.length == chunks.length,
       s"dims (${dims.length}) and chunks (${chunks.length}) must align")
     // sanity-check the DECLARED non-append sizes against the store before
-    // delegating (a mis-declared layout must fail by name, not write)
+    // delegating (a mis-declared layout must fail by name, not write) —
+    // the ONE metadata open is shared with appendGroupDataset (on an
+    // object store the consolidated open exists to be the one round-trip)
     val g = open(dir, df.sparkSession.sparkContext.hadoopConfiguration)
     valueCols.foreach { vc =>
       g.members.get(vc).foreach { m =>
@@ -1143,7 +1145,8 @@ object ZarrGroup extends Serializable {
       }
     }
     appendGroupDataset(dir, dims.head._1, dims.head._2,
-      Seq(AppendBlock(df, dims.map(_._1), chunks, valueCols)), newCoords)
+      Seq(AppendBlock(df, dims.map(_._1), chunks, valueCols)), newCoords,
+      preOpened = Some(g))
   }
 
   /** One block of a multi-tuple group append: a long-format DataFrame with
@@ -1172,12 +1175,13 @@ object ZarrGroup extends Serializable {
     * byte lands. */
   def appendGroupDataset(dir: String, appendDim: String, nNew: Int,
       blocks: Seq[AppendBlock],
-      newCoords: Map[String, Array[Double]] = Map.empty): Unit = {
+      newCoords: Map[String, Array[Double]] = Map.empty,
+      preOpened: Option[ZGroup] = None): Unit = {
     require(nNew > 0, s"append block along '$appendDim' must be non-empty")
     require(blocks.nonEmpty, "appendGroupDataset needs at least one block")
     val spark = blocks.head.df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
-    val g = open(dir, conf)
+    val g = preOpened.getOrElse(open(dir, conf))
     val v3 = g.format == 3
 
     val allCols = blocks.flatMap(_.valueCols)

@@ -84,6 +84,42 @@ class Hdf5AppendSpec extends SparkSpec {
     }
   }
 
+  test("INNER struct fields reordered in the frame still land by NAME") {
+    val p = tmpFile()
+    val mk = (from: Int, until: Int) => (from until until)
+      .map(i => (i.toLong, (i * 1.0, i * 100.0))).toDF("id", "s")
+      .select(col("id"), struct(col("s._1").as("a"), col("s._2").as("b")).as("s"))
+    mk(0, 4).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "4").mode("overwrite").save(p)
+    // same member NAMES, opposite INNER order — a positional encoder would
+    // silently swap a and b (both f64, no type error to catch it)
+    (4 until 7).map(i => (i.toLong, (i * 100.0, i * 1.0))).toDF("id", "s")
+      .select(col("id"), struct(col("s._1").as("b"), col("s._2").as("a")).as("s"))
+      .write.format("hdf5table").option("var", "t").mode("append").save(p)
+    val back = spark.read.format("hdf5table").option("var", "t").load(p)
+      .select(col("id"), col("s.a").as("a"), col("s.b").as("b"))
+      .orderBy("id").collect()
+    assert(back.length == 7)
+    back.foreach { r =>
+      val i = r.getDouble(0) // i64 members surface as DOUBLE columns
+      assert(r.getDouble(1) == i * 1.0 && r.getDouble(2) == i * 100.0,
+        s"record $i: a=${r.getDouble(1)} b=${r.getDouble(2)} — inner fields swapped?")
+    }
+  }
+
+  test("creation-time layout options on an append fail by name") {
+    val p = tmpFile()
+    docs(0, 4).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "4").option("stringSizes", "name:8")
+      .mode("overwrite").save(p)
+    val e = intercept[Exception] {
+      docs(4, 6).write.format("hdf5table").option("var", "t")
+        .option("stringSizes", "name:64")
+        .mode("append").save(p)
+    }
+    assert(msgs(e).exists(_.contains("CREATION")), s"got: ${msgs(e)}")
+  }
+
   test("a string longer than the stored fixed size fails by name") {
     val p = tmpFile()
     docs(0, 4).write.format("hdf5table").option("var", "t")
