@@ -1757,6 +1757,85 @@ object MarexQueries extends QueryRegistry {
                      CAST(sum(sum_chars) AS BIGINT) AS sum_chars,
                      CAST(sum(n_docs) AS BIGINT) AS n_docs
               FROM t GROUP BY lang"""),
-      "hdf5table mode(append): PyTables append=True — edge-chunk merge + regrown B-tree, oracle-exact")
+      "hdf5table mode(append): PyTables append=True — edge-chunk merge + regrown B-tree, oracle-exact"),
+
+    // ── multi-tuple group append: the writeTrackResult shape through the
+    // oracle. A store holding BOTH a (time,y,x) cube and a (time,ID) table
+    // plus a time coordinate is built in a create + one appendGroupDataset
+    // call growing every tuple together; the gate groups by the COORDINATE
+    // value and mixes members, so a defect in either tuple's block-local
+    // shift, the single metadata patch, or the coord extension mismatches
+    // the from-events recompute. ──────────────────────────────────────────
+    QueryDef("q100_zarr_group_append",
+      (s, d) => {
+        import graft.sources.ZarrGroup
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("sst"))
+          .filter(col("time_idx").between(0, 30))
+        val acc = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            pmod(col("user_id"), lit(5)).cast("int").as("ID_idx"))
+          .agg(sum(round(col("value") * 100.0, 0).cast("long")).cast("double").as("acc"))
+          .filter(col("time_idx").between(0, 30))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q100_zga"
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+        val w = new ZarrGroup.GroupWriter(dir)
+        w.arrays(cells.filter(col("time_idx") <= 12),
+          Seq("time" -> 13, "y" -> 10, "x" -> 15), Seq(8, 5, 15), Seq("sst"))
+        w.arrays(acc.filter(col("time_idx") <= 12),
+          Seq("time" -> 13, "ID" -> 5), Seq(8, 5), Seq("acc"))
+        w.coord("time", Array.tabulate(13)(20000.0 + _))
+        w.finish()
+        ZarrGroup.appendGroupDataset(dir, "time", 18, Seq(
+          ZarrGroup.AppendBlock(
+            cells.filter(col("time_idx") >= 13)
+              .withColumn("time_idx", col("time_idx") - 13),
+            Seq("time", "y", "x"), Seq(8, 5, 15), Seq("sst")),
+          ZarrGroup.AppendBlock(
+            acc.filter(col("time_idx") >= 13)
+              .withColumn("time_idx", col("time_idx") - 13),
+            Seq("time", "ID"), Seq(8, 5), Seq("acc"))),
+          newCoords = Map("time" -> Array.tabulate(18)(20013.0 + _)))
+        val g = ZarrGroup.open(dir, s.sparkContext.hadoopConfiguration)
+        val times = ZarrGroup.readVar(s, dir, g, "time")
+        val sstT = ZarrGroup.readVar(s, dir, g, "sst")
+          .filter(!isnan(col("sst")))
+          .groupBy("time_idx")
+          .agg(count(lit(1)).as("n_cells"),
+            sum(round(col("sst") * 100.0, 0).cast("long")).as("sum_sst_e2"))
+        val accT = ZarrGroup.readVar(s, dir, g, "acc")
+          .filter(!isnan(col("acc")))
+          .groupBy("time_idx")
+          .agg(sum(col("acc").cast("long")).as("sum_acc"))
+        sstT.join(accT, Seq("time_idx"))
+          .join(times, Seq("time_idx"))
+          .select(col("time").cast("long").as("t_coord"), col("n_cells"),
+            col("sum_sst_e2"), col("sum_acc"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3),
+              c AS (SELECT t_idx, count(*) AS n_cells,
+                           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_sst_e2
+                    FROM cells WHERE t_idx BETWEEN 0 AND 30 GROUP BY t_idx),
+              a AS (SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                           CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS BIGINT) AS sum_acc
+                    FROM events
+                    WHERE CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) BETWEEN 0 AND 30
+                    GROUP BY 1)
+              SELECT CAST(20000 + c.t_idx AS BIGINT) AS t_coord,
+                     c.n_cells, c.sum_sst_e2, a.sum_acc
+              FROM c JOIN a ON a.t_idx = c.t_idx"""),
+      "multi-tuple group append (writeTrackResult shape): both tuples + coord grow together, oracle-exact")
   )
 }
