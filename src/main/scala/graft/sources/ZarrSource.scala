@@ -54,9 +54,12 @@ object ZarrSource extends Serializable {
     * file start or end and is protected by its own codec chain (crc32c by
     * default — verified). This is Zarr v3's object-count control at scale:
     * a 100 TB store keeps chunk-grid parallelism without creating billions
-    * of small objects. */
+    * of small objects. `innerShard` carries a NESTED sharding_indexed
+    * chain (each inner chunk is itself a shard object) — read-supported to
+    * arbitrary depth; this library writes one level. */
   final case class ShardSpec(innerChunks: Seq[Int], innerCodecs: Seq[V3Codec],
-      indexCrc: Boolean, indexAtEnd: Boolean)
+      indexCrc: Boolean, indexAtEnd: Boolean,
+      innerShard: Option[ShardSpec] = None)
 
   /** CF packed-data attributes (`scale_factor`/`add_offset`/`_FillValue`
     * from `.zattrs` / v3 `attributes`): raw stored values decode to
@@ -248,25 +251,31 @@ object ZarrSource extends Serializable {
             require(allowShard, "transpose inside sharding_indexed not supported")
             transpose = Some((c \ "configuration" \ "order").extract[Seq[Int]])
             None
-          case "sharding_indexed" if allowShard =>
+          case "sharding_indexed" =>
+            // nested sharding parses recursively (an inner chunk that is
+            // itself a shard object); reads support arbitrary depth
             val cfg = c \ "configuration"
             val inner = (cfg \ "chunk_shape").extract[Seq[Int]]
             val (innerLittle, innerCodecs, innerShard, innerT) = (cfg \ "codecs") match {
-              case JArray(ics) => parseChain(ics, allowShard = false)
+              case JArray(ics) => parseChain(ics, allowShard = true)
               case _ => (true, Nil, None, None)
             }
-            require(innerShard.isEmpty, "nested sharding not supported")
             require(innerT.isEmpty, "transpose inside sharding_indexed not supported")
+            innerShard.foreach { ns =>
+              require(ns.innerChunks.length == inner.length &&
+                ns.innerChunks.indices.forall(d => inner(d) % ns.innerChunks(d) == 0),
+                s"nested shard inner shape ${ns.innerChunks} must divide $inner")
+              require(innerCodecs.isEmpty,
+                "codecs outside a nested sharding_indexed not supported")
+            }
             little = innerLittle
             val idxCrc = (cfg \ "index_codecs") match {
               case JArray(ics) => ics.exists(ic => (ic \ "name").extract[String] == "crc32c")
               case _ => true // spec default index chain is bytes+crc32c
             }
             val atEnd = (cfg \ "index_location").extractOrElse[String]("end") == "end"
-            shard = Some(ShardSpec(inner, innerCodecs, idxCrc, atEnd))
+            shard = Some(ShardSpec(inner, innerCodecs, idxCrc, atEnd, innerShard))
             None
-          case "sharding_indexed" => throw new IllegalArgumentException(
-            "nested sharding not supported")
           case other => throw new IllegalArgumentException(
             s"unsupported zarr v3 codec '$other'")
         }
@@ -717,7 +726,19 @@ object ZarrSource extends Serializable {
       if (present) require(off >= 0 && nb > 0 && off + nb <= objLen,
         s"shard inner chunk $k out of bounds: offset=$off nbytes=$nb len=$objLen")
       if (wanted && present) {
-        val raw = decodeV3Chain(read(off, nb.toInt), s.innerCodecs, innerBytes)
+        val innerData = read(off, nb.toInt)
+        val raw = s.innerShard match {
+          case None => decodeV3Chain(innerData, s.innerCodecs, innerBytes)
+          case Some(ns) =>
+            // NESTED sharding: the inner chunk is ITSELF a shard object —
+            // assemble it fully (this level's grid already applied the
+            // window selectivity) with the inner shape as the chunk grid
+            readShardWindow((o, n) => java.util.Arrays.copyOfRange(
+              innerData, o.toInt, o.toInt + n), innerData.length.toLong,
+              meta.copy(chunks = s.innerChunks), ns, innerBytes,
+              Array.fill(nd)(0), s.innerChunks.map(_ - 1).toArray,
+              alreadyLoaded = true)
+        }
         var row = 0
         while (row < nRows) {
           var rem = row; var dd = nd - 2

@@ -276,18 +276,28 @@ class ZarrV3Spec extends SparkSpec {
     assert(chain(e).exists(c => c.getMessage != null && c.getMessage.contains("crc32c")))
   }
 
-  test("nested sharding is rejected with a clear error") {
+  test("nested sharding PARSES (reads in ZarrNestedShardSpec); a non-dividing nest fails by name") {
     val dir = Files.createTempDirectory("graft_zarr3_nest").toString
     val nested =
       """{"name": "sharding_indexed", "configuration": {
           "chunk_shape": [1, 2, 2],
-          "codecs": [{"name": "sharding_indexed", "configuration": {"chunk_shape": [1, 1, 1], "codecs": []}}],
+          "codecs": [{"name": "sharding_indexed", "configuration": {
+            "chunk_shape": [1, 1, 1],
+            "codecs": [{"name": "bytes", "configuration": {"endian": "little"}}],
+            "index_location": "end"}}],
           "index_location": "end"}}"""
     Files.write(java.nio.file.Paths.get(s"$dir/zarr.json"),
       metaJson(Seq(2, 2, 2), Seq(2, 2, 2), "float32", nested).getBytes)
+    val m = ZarrSource.readMetaAny(dir, spark.sparkContext.hadoopConfiguration)
+    assert(m.shard.exists(_.innerShard.exists(_.innerChunks == Seq(1, 1, 1))))
+    // a nested shape that does not divide its parent is a named error
+    val dir2 = Files.createTempDirectory("graft_zarr3_nest2").toString
+    Files.write(java.nio.file.Paths.get(s"$dir2/zarr.json"),
+      metaJson(Seq(2, 2, 2), Seq(2, 2, 2), "float32",
+        nested.replace("[1, 1, 1]", "[1, 2, 3]")).getBytes)
     val e = intercept[IllegalArgumentException] {
-      ZarrSource.read3D(spark, dir)
+      ZarrSource.readMetaAny(dir2, spark.sparkContext.hadoopConfiguration)
     }
-    assert(e.getMessage.contains("nested sharding"))
+    assert(e.getMessage.contains("divide"))
   }
 }
