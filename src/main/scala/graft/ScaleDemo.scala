@@ -265,6 +265,10 @@ object ScaleDemo {
           .select(sum(abs(col("sst"))).as("s")).collect()(0).getDouble(0)
         println(f"[scale] appended-day spot sum = $d%.6f (want > 0)")
       }
+      timed(s"FULL-store value scan (${(days + 1).toLong * ny * nx} cells)") {
+        val s0 = back.select(sum(abs(col("sst"))).as("s")).collect()(0).getDouble(0)
+        println(f"[scale] full-scan sum = $s0%.3f")
+      }
       spark.stop()
       return
     }

@@ -893,14 +893,34 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
         false
       }
 
-      override def get(): InternalRow =
-        InternalRow.fromSeq(columns.toSeq.map {
-          case "t_idx" => t
-          case "y" => yy
-          case "cell" => yy // unstructured: flat cell axis rides y
-          case "x" => xx
-          case "value" => v
-        })
+      // the scan's inner loop: column dispatch resolved ONCE (no per-row
+      // string matching / Seq allocation) into a reused row buffer —
+      // Spark's scan-exec projection copies each row out, so reuse is the
+      // standard V2 reader pattern
+      private val colCodes: Array[Int] = columns.map {
+        case "t_idx" => 0
+        case "y" | "cell" => 1 // unstructured: flat cell axis rides y
+        case "x" => 2
+        case "value" => 3
+        case other => throw new IllegalStateException(s"unknown column $other")
+      }
+      private val rowVals = new Array[Any](colCodes.length)
+      private val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rowVals)
+
+      override def get(): InternalRow = {
+        var k = 0
+        while (k < colCodes.length) {
+          rowVals(k) = colCodes(k) match {
+            case 0 => t
+            case 1 => yy
+            case 2 => xx
+            case _ => v
+          }
+          k += 1
+        }
+        row
+      }
 
       override def close(): Unit = ()
     }
@@ -1184,22 +1204,34 @@ private[sources] class ZarrGroupReaderFactory(dir: String, shape: Array[Int],
         false
       }
 
-      override def get(): InternalRow =
-        InternalRow.fromSeq(cols.toSeq.map {
-          case ZGDimIdx(d) => gidx(d)
-          case ZGCoord(d, values) => values(gidx(d))
-          case ZGPrimary(k) => perVar(k)(i)
-          case ZGSecondary(dimPos, strides, sshape, values) =>
-            var flat = 0L
-            var ok = true
-            var d = 0
-            while (d < dimPos.length && ok) {
-              val g = gidx(dimPos(d))
-              if (g >= sshape(d)) ok = false else flat += g * strides(d)
-              d += 1
-            }
-            if (ok) values(flat.toInt) else null
-        })
+      // reused row buffer — the column plan (`cols`) is already resolved
+      // per-reader; only the VALUES change per row
+      private val rowVals = new Array[Any](cols.length)
+      private val row = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rowVals)
+
+      override def get(): InternalRow = {
+        var c = 0
+        while (c < cols.length) {
+          rowVals(c) = cols(c) match {
+            case ZGDimIdx(d) => gidx(d)
+            case ZGCoord(d, values) => values(gidx(d))
+            case ZGPrimary(k) => perVar(k)(i)
+            case ZGSecondary(dimPos, strides, sshape, values) =>
+              var flat = 0L
+              var ok = true
+              var d = 0
+              while (d < dimPos.length && ok) {
+                val g = gidx(dimPos(d))
+                if (g >= sshape(d)) ok = false else flat += g * strides(d)
+                d += 1
+              }
+              if (ok) values(flat.toInt) else null
+          }
+          c += 1
+        }
+        row
+      }
 
       override def close(): Unit = ()
     }
