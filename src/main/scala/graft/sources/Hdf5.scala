@@ -1521,9 +1521,10 @@ private[sources] object Hdf5 {
           (0 until rank).map(d => leVar(b, off + 17 + (which * rank + d) * 8, 8))
         val (start, stride, count, block) = (arr(0), arr(1), arr(2), arr(3))
         // counts are UNTRUSTED file u64s: an overflowing product could wrap
-        // under the expand threshold and loop unboundedly — clamp per-dim
-        val nBlocks =
-          if (count.exists(c => c < 0 || c > 64)) Long.MaxValue else count.product
+        // under the expand threshold and loop unboundedly — saturate the
+        // fold itself (per-dim clamping alone still wraps at rank ≥ 11)
+        val nBlocks = count.foldLeft(1L)((a, c) =>
+          if (c < 0 || c > 64 || a > 64) 65L else a * c)
         if (nBlocks <= 64) {
           // expand to the v1-style block list so small regular selections
           // render identically to their v1 encoding

@@ -339,9 +339,12 @@ object NetCDF4Source {
     * (any order; all must be present). Transport note: an HDF5 file is a
     * single byte stream with interior fixed-width patches, and Hadoop
     * filesystems have no positioned write — the patched image is staged
-    * to a sibling temp file and renamed over, so a crash never leaves a
-    * half-patched table. Like the create, this is a driver-side sink for
-    * bounded result exports, not the 100 TB cube path. */
+    * to a sibling temp file and swapped in with the original parked at
+    * `<path>.__append_old` until the swap lands, so a crash never leaves
+    * a half-patched table and a COMPLETE copy always exists under a
+    * well-known name (rename is not atomic-overwrite on every FS). Like
+    * the create, this is a driver-side sink for bounded result exports,
+    * not the 100 TB cube path. */
   def appendCompoundTable(df: DataFrame, path: String, varName: String): Unit = {
     val spark = df.sparkSession
     val conf = spark.sparkContext.hadoopConfiguration
@@ -372,13 +375,30 @@ object NetCDF4Source {
       try org.apache.commons.io.IOUtils.toByteArray(in) finally in.close()
     }
     val patched = Hdf5.appendCompoundTable(fileBytes, varName, rows)
-    // stage + ATOMIC overwrite-rename: a delete-then-rename would leave NO
-    // table at all to a crash between the two steps
+    // Staged swap with NO data-loss window. Plain Hadoop FileSystem rename
+    // is not atomic-overwrite everywhere (the local FS deletes-then-renames
+    // internally; FileContext needs AbstractFileSystem bindings many
+    // connectors lack), so atomicity cannot be promised — what CAN be is
+    // that a complete table always exists under a well-known name:
+    //   1. the full patched image lands as <path>.__append_tmp;
+    //   2. the original moves aside to <path>.__append_old;
+    //   3. tmp renames into place; 4. the aside copy is deleted.
+    // A crash before 3 leaves the ORIGINAL (at path or .__append_old) and
+    // possibly the complete new image at .__append_tmp; a crash after 3
+    // leaves the appended table live. Readers of a missing `path` fail
+    // loudly and both recovery copies are complete tables — never a
+    // half-patched one.
     val tmp = new org.apache.hadoop.fs.Path(path + ".__append_tmp")
+    val aside = new org.apache.hadoop.fs.Path(path + ".__append_old")
     val out = fs.create(tmp, true)
     try out.write(patched) finally out.close()
-    val fc = org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
-    fc.rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    fs.delete(aside, false)
+    if (!fs.rename(p, aside)) throw new java.io.IOException(
+      s"failed to stage the original table aside ($p -> $aside)")
+    if (!fs.rename(tmp, p)) throw new java.io.IOException(
+      s"failed to move the appended table into place ($tmp -> $p) — the " +
+        s"original is intact at $aside")
+    fs.delete(aside, false)
   }
 
   /** Row-major iteration over the in-range cells of one chunk:

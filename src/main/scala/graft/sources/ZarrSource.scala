@@ -230,7 +230,7 @@ object ZarrSource extends Serializable {
     // codec chain: exactly one array→bytes codec ("bytes"), which sets
     // endianness; everything after it is bytes→bytes. A top-level
     // `sharding_indexed` wraps an inner chain instead.
-    def parseChain(cs: List[JValue], allowShard: Boolean)
+    def parseChain(cs: List[JValue])
         : (Boolean, Seq[V3Codec], Option[ShardSpec], Option[Seq[Int]]) = {
       var little = true
       var shard: Option[ShardSpec] = None
@@ -247,8 +247,8 @@ object ZarrSource extends Serializable {
           case "crc32c" => Some(Crc32cC)
           case "transpose" =>
             // array→array: stored cells are the chunk with axes permuted;
-            // decode un-permutes AFTER the byte chain ([[decodeChunk]])
-            require(allowShard, "transpose inside sharding_indexed not supported")
+            // decode un-permutes AFTER the byte chain ([[decodeChunk]]);
+            // transpose INSIDE a shard is rejected at the shard parse
             transpose = Some((c \ "configuration" \ "order").extract[Seq[Int]])
             None
           case "sharding_indexed" =>
@@ -257,7 +257,7 @@ object ZarrSource extends Serializable {
             val cfg = c \ "configuration"
             val inner = (cfg \ "chunk_shape").extract[Seq[Int]]
             val (innerLittle, innerCodecs, innerShard, innerT) = (cfg \ "codecs") match {
-              case JArray(ics) => parseChain(ics, allowShard = true)
+              case JArray(ics) => parseChain(ics)
               case _ => (true, Nil, None, None)
             }
             require(innerT.isEmpty, "transpose inside sharding_indexed not supported")
@@ -283,7 +283,7 @@ object ZarrSource extends Serializable {
       (little, flat, shard, transpose)
     }
     val (little, codecs, shard, transposeOrd) = (j \ "codecs") match {
-      case JArray(cs) => parseChain(cs, allowShard = true)
+      case JArray(cs) => parseChain(cs)
       case _ => (true, Nil, None, None)
     }
     transposeOrd.foreach { ord =>
