@@ -1692,9 +1692,14 @@ object MarexQueries extends QueryRegistry {
           .option("dims", "time:15,y:10,x:15").option("chunks", "8,10,15")
           .option("cols", "sst")
           .mode("append").save(dir)
-        val objs = Option(new java.io.File(dir, "sst/c").listFiles()).toSeq.flatten
-          .flatMap(t => Option(t.listFiles()).toSeq.flatten)
-          .flatMap(y => Option(y.listFiles()).toSeq.flatten).size
+        // count stored shard objects through the STORE's FileSystem (the
+        // gate must behave identically on hdfs/s3a, not just file:)
+        val shardFs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val objIt = shardFs.listFiles(
+          new org.apache.hadoop.fs.Path(dir, "sst/c"), true)
+        var objs = 0
+        while (objIt.hasNext) { if (objIt.next().isFile) objs += 1 }
         require(objs == 4, s"grown sharded store must hold 4 outer-chunk objects, found $objs")
         s.read.format("zarr").load(dir)
           .filter(!isnan(col("sst")))
@@ -1836,6 +1841,130 @@ object MarexQueries extends QueryRegistry {
               SELECT CAST(20000 + c.t_idx AS BIGINT) AS t_coord,
                      c.n_cells, c.sum_sst_e2, a.sum_acc
               FROM c JOIN a ON a.t_idx = c.t_idx"""),
-      "multi-tuple group append (writeTrackResult shape): both tuples + coord grow together, oracle-exact")
+      "multi-tuple group append (writeTrackResult shape): both tuples + coord grow together, oracle-exact"),
+
+    // ── pack-aware appends: the CF-packed i2 layout (q96's — the repo's
+    // own measured recommendation, 6.7× smaller than f8) GROWS via SQL
+    // mode("append"). The cube lands in two writes — a packed create
+    // (t 0..12, so the time-chunk-8 grid leaves a PARTIAL edge chunk) and
+    // an append carrying NO pack option (the STORE's scale/offset/fill
+    // attrs drive the quantization) whose first slices merge into the
+    // straddled edge IN RAW SPACE (committed codes copy bit-for-bit, never
+    // re-quantize) — and the mask_and_scale read-back must equal the
+    // one-shot from-events recompute. ─────────────────────────────────────
+    QueryDef("q101_zarr_packed_append",
+      (s, d) => {
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("mean"))
+          .filter(col("time_idx").between(0, 30))
+          .select(col("time_idx"), col("y_idx"), col("x_idx"),
+            (round(col("mean") * 100.0, 0) / 100.0).as("sst"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q101_zpa"
+        cells.filter(col("time_idx") <= 12).write.format("zarr")
+          .option("dims", "time:13,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst").option("pack", "0.01")
+          .mode("overwrite").save(dir)
+        cells.filter(col("time_idx") >= 13)
+          .withColumn("time_idx", col("time_idx") - 13)
+          .write.format("zarr")
+          .option("dims", "time:18,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst")
+          .mode("append").save(dir)
+        s.read.format("zarr").load(dir)
+          .filter(!isnan(col("sst")) && col("time_idx").between(5, 25))
+          .groupBy(col("time_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(round(col("sst") * 100.0, 0).cast("long")).as("sum_scaled"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(round(((CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*)) * 100.0) AS BIGINT) AS q
+                FROM events GROUP BY 1, CAST(user_id % 150 // 15 AS INT), CAST(user_id % 15 AS INT))
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     CAST(sum(q) AS BIGINT) AS sum_scaled
+              FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
+      "CF-packed store GROWS: packed create + attr-driven packed append ≡ one-shot recompute"),
+
+    // ── int64 time-coordinate appends: real `to_zarr` stores carry i8
+    // time axes (xarray's default "hours since …" datetime64 encoding).
+    // The store is created through SQL, its time axis hand-rewritten as a
+    // raw '<i8' member (the foreign-store fixture — consolidated metadata
+    // dropped so the listing discovery sees it), and an SQL append with
+    // `.option("coords", …)` must extend the axis AS int64 (the chunk is
+    // re-read raw and sign-checked) while the group read-back grouped by
+    // the coordinate VALUE equals the from-events recompute. ──────────────
+    QueryDef("q102_zarr_i8_coord_append",
+      (s, d) => {
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("sst"))
+          .filter(col("time_idx").between(0, 30))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q102_zi8"
+        cells.filter(col("time_idx") <= 12).write.format("zarr")
+          .option("dims", "time:13,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst").option("coords", "time:438000:24")
+          .mode("overwrite").save(dir)
+        // hand-written i8 fixture: rewrite the time axis as raw int64
+        // "hours since 1900" values, through the store's FileSystem
+        val fsQ = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        graft.sources.ZarrSource.putBytes(fsQ,
+          new org.apache.hadoop.fs.Path(dir, "time/.zarray"),
+          """{"zarr_format": 2, "shape": [13], "chunks": [13],
+            | "dtype": "<i8", "compressor": null, "fill_value": -1,
+            | "order": "C", "filters": null}""".stripMargin.getBytes)
+        val tb = java.nio.ByteBuffer.allocate(13 * 8)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 13).foreach(i => tb.putLong(438000L + 24L * i))
+        graft.sources.ZarrSource.putBytes(fsQ,
+          new org.apache.hadoop.fs.Path(dir, "time/0"), tb.array())
+        fsQ.delete(new org.apache.hadoop.fs.Path(dir, ".zmetadata"), false)
+        cells.filter(col("time_idx") >= 13)
+          .withColumn("time_idx", col("time_idx") - 13)
+          .write.format("zarr")
+          .option("dims", "time:18,y:10,x:15").option("chunks", "8,5,15")
+          .option("cols", "sst").option("coords", s"time:${438000 + 24 * 13}:24")
+          .mode("append").save(dir)
+        // the extended axis must STILL be raw little-endian int64
+        val cin = fsQ.open(new org.apache.hadoop.fs.Path(dir, "time/0"))
+        val cBytes = try org.apache.commons.io.IOUtils.toByteArray(cin) finally cin.close()
+        require(cBytes.length == 31 * 8,
+          s"i8 coord chunk must hold 31 longs, got ${cBytes.length} bytes")
+        val cb = java.nio.ByteBuffer.wrap(cBytes)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        (0 until 31).foreach { i =>
+          require(cb.getLong(i * 8) == 438000L + 24L * i,
+            s"i8 coord value drift at $i: ${cb.getLong(i * 8)}")
+        }
+        s.read.format("zarr").load(dir)
+          .filter(!isnan(col("sst")))
+          .groupBy(col("time").cast("long").as("t_coord"))
+          .agg(count(lit(1)).as("n_cells"),
+            round(sum(round(col("sst") * 100.0, 0).cast("long")
+              .cast("double")) / 100.0, 2).as("sum_val"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 150 // 15 AS INT) AS y,
+                       CAST(user_id % 15 AS INT) AS x,
+                       (CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*) AS value
+                FROM events GROUP BY 1, 2, 3)
+              SELECT CAST(438000 + 24 * t_idx AS BIGINT) AS t_coord,
+                     count(*) AS n_cells,
+                     round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
+              FROM cells WHERE t_idx BETWEEN 0 AND 30 GROUP BY t_idx"""),
+      "int64 time-coordinate append: hand-written '<i8' axis fixture grows through SQL, values sign-checked raw")
   )
 }

@@ -204,8 +204,9 @@ private[sources] class ZarrWritableTableV2(path: String, spec: ZarrWriteSpec)
                   "silently ignored")
               require(spec.pack.isEmpty,
                 """.option("pack", …) applies at store CREATION — appends """ +
-                  "reuse the store's existing dtype; drop the option " +
-                  "(packed stores cannot be appended to)")
+                  "quantize with the STORE's own scale/offset/fill " +
+                  "attributes; drop the option (a CF-packed store appends " +
+                  "fine without it)")
               require(spec.compressor.isEmpty,
                 """.option("compressor", …) applies at store CREATION — """ +
                   "appends honor each member's stored compressor; drop the option")

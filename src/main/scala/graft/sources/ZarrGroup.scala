@@ -848,8 +848,8 @@ object ZarrGroup extends Serializable {
     val bloscB = blosc.toArray
     val shardB: Array[Int] = shard.map(_.toArray).orNull
     val packB: Pack = pack.orNull
-    require(packB == null || (shardB == null && initMetas.isEmpty),
-      "packed writes are create-only plain-chunk writes")
+    require(packB == null || shardB == null,
+      "packed (int16) + sharding_indexed writes are not supported")
     require(appendAt >= 0 && appendAt < dimNames.length,
       s"appendAt=$appendAt outside the ${dimNames.length}-dim tuple")
     val blockN0 = totalSizes(appendAt) - offset0
@@ -886,12 +886,16 @@ object ZarrGroup extends Serializable {
         val ci = new Array[Int](ndB)
         var bufs: Array[ByteBuffer] = null
         val written = Seq.newBuilder[String]
-        // pack the assembled double buffer to raw little-endian int16 (the
-        // CF layout real archives keep); per-chunk CPU inside the task
+        // PACKED chunks buffer in RAW space (each cell an exact int16 code
+        // as a double): quantization happens ONCE, at insert, on NEW
+        // values only — an append's merge copies a straddled edge chunk's
+        // committed codes bit-for-bit (chunkValues reads raw), so growing
+        // a packed store can never re-quantize (drift) existing data.
+        // Narrowing to int16 bytes is then a cast; per-chunk CPU in-task.
         def packed(b: ByteBuffer): Array[Byte] = {
           val out = ByteBuffer.allocate(chunkLen * 2).order(ByteOrder.LITTLE_ENDIAN)
           var i = 0
-          while (i < chunkLen) { out.putShort(i * 2, packB.toRaw(b.getDouble(i * 8))); i += 1 }
+          while (i < chunkLen) { out.putShort(i * 2, b.getDouble(i * 8).toInt.toShort); i += 1 }
           out.array()
         }
         def flush(): Unit = if (bufs != null) {
@@ -927,8 +931,10 @@ object ZarrGroup extends Serializable {
             bufs = Array.fill(nV)(
               ByteBuffer.allocate(chunkLen * 8).order(ByteOrder.LITTLE_ENDIAN))
             if (initB == null) bufs.foreach { b =>
+              // packed buffers hold raw codes: background = the fill CODE
+              val f = if (packB != null) packB.fillRaw.toDouble else fillB
               var i = 0
-              while (i < chunkLen) { b.putDouble(i * 8, fillB); i += 1 }
+              while (i < chunkLen) { b.putDouble(i * 8, f); i += 1 }
             } else {
               // append: merge onto whatever the store already holds at this
               // chunk index (fill pattern when the file is absent)
@@ -946,8 +952,11 @@ object ZarrGroup extends Serializable {
           while (d < ndB) { flat = flat * chB(d) + (r.getInt(1 + d) - ci(d) * chB(d)); d += 1 }
           var vi = 0
           while (vi < nV) {
-            if (!r.isNullAt(1 + ndB + vi))
-              bufs(vi).putDouble(flat * 8, r.getDouble(1 + ndB + vi))
+            if (!r.isNullAt(1 + ndB + vi)) {
+              val v = r.getDouble(1 + ndB + vi)
+              bufs(vi).putDouble(flat * 8,
+                if (packB != null) packB.toRaw(v).toDouble else v)
+            }
             vi += 1
           }
         }
@@ -1015,13 +1024,39 @@ object ZarrGroup extends Serializable {
     body.toByteArray
   }
 
+  /** Derive the [[Pack]] an in-place write must quantize with from a
+    * CF-packed int16 member's stored attributes — or reject, BY NAME, any
+    * packing this writer cannot reproduce: a missing `_FillValue` (absent
+    * cells would have no raw code), a fill code outside int16, or a
+    * metadata `fill_value` disagreeing with the attribute (absent chunks
+    * decode with `fill_value`, written cells mask on `_FillValue` — they
+    * must be the same code or a gap reads differently before and after the
+    * write). */
+  private def packAttrs(vc: String, meta: ZarrSource.ZarrMeta,
+      what: String): Pack = {
+    val cf = meta.cf.getOrElse(throw new IllegalArgumentException(
+      s"member '$vc' is int16 but declares no CF packing attributes " +
+        s"(scale_factor/add_offset/_FillValue) — ${what}s quantize with " +
+        "the store's own packing and cannot invent one"))
+    val fr = cf.fillRaw.getOrElse(throw new IllegalArgumentException(
+      s"member '$vc' is int16-packed but declares no _FillValue — " +
+        s"${what}s need the raw fill code to represent absent cells"))
+    require(fr == math.rint(fr) && fr >= Short.MinValue && fr <= Short.MaxValue,
+      s"member '$vc' declares _FillValue $fr, not an int16 raw code")
+    require(meta.fillValue == fr,
+      s"member '$vc' has metadata fill_value ${meta.fillValue} but CF " +
+        s"_FillValue $fr — ${what}s need them equal (an absent chunk " +
+        "decodes with fill_value, a written cell masks on _FillValue)")
+    Pack(cf.scale, cf.offset, fr.toShort)
+  }
+
   /** One member's layout validation for the in-place write paths
     * ([[appendDataset]], [[regionWrite]]): dims/chunks/non-first-dim
     * sizes/dtype/order/codec must match the declared layout exactly, and
     * sharded members are rejected by name. */
   private def validateWritableMember(g: ZGroup, dir: String, vc: String,
       dims: Seq[(String, Int)], chunks: Seq[Int], v3: Boolean,
-      what: String): ZarrSource.ZarrMeta = {
+      what: String): (ZarrSource.ZarrMeta, Option[Pack]) = {
     val dimNames = dims.map(_._1)
     val m = g.members.getOrElse(vc, throw new IllegalArgumentException(
       s"no member '$vc' in zarr group $dir to $what to " +
@@ -1036,13 +1071,20 @@ object ZarrGroup extends Serializable {
       s"member '$vc' is chunked ${m.meta.chunks.mkString("x")} but the " +
         s"$what declares ${chunks.mkString("x")} — in-place writes reuse " +
         "the store's chunk grid")
-    require(m.meta.dtype == "<f8",
-      s"member '$vc' has dtype ${m.meta.dtype} — the $what writer " +
-        "emits little-endian float64 ('<f8') only")
-    require(m.meta.cf.isEmpty,
-      s"member '$vc' declares CF packing attributes (scale_factor/" +
-        s"add_offset/_FillValue) — in-place ${what}s write raw values and " +
-        "would mix physical and packed data; rewrite the store unpacked")
+    // raw float64, or CF-packed int16 quantized with the STORE's own
+    // scale/offset/fill (packAttrs rejects unreproducible packings by name)
+    val pk: Option[Pack] = m.meta.dtype match {
+      case "<f8" =>
+        require(m.meta.cf.isEmpty,
+          s"member '$vc' is float64 yet declares CF packing attributes " +
+            s"(scale_factor/add_offset/_FillValue) — in-place ${what}s " +
+            "write raw values and would mix physical and scaled data")
+        None
+      case "<i2" => Some(packAttrs(vc, m.meta, what))
+      case other => throw new IllegalArgumentException(
+        s"member '$vc' has dtype $other — in-place ${what}s support raw " +
+          "float64 ('<f8') and CF-packed int16 ('<i2') members only")
+    }
     require(m.meta.v2Filters.isEmpty,
       s"member '$vc' carries a v2 filter chain — in-place ${what}s write " +
         "unfiltered chunks and would corrupt the store")
@@ -1059,7 +1101,7 @@ object ZarrGroup extends Serializable {
     else require(m.meta.compressor.forall(_ == "blosc"),
       s"member '$vc' uses v2 compressor '${m.meta.compressor.get}' " +
         "(supported: raw, blosc)")
-    m.meta
+    (m.meta, pk)
   }
 
   /** Overwrite a WINDOW along the FIRST dimension of an existing zarr
@@ -1090,8 +1132,14 @@ object ZarrGroup extends Serializable {
     val v3 = g.format == 3
     val dimNames = dims.map(_._1)
     val nLen = dims.head._2
-    val metas = valueCols.map(vc =>
+    val metaPacks = valueCols.map(vc =>
       validateWritableMember(g, dir, vc, dims, chunks, v3, "region write"))
+    val metas = metaPacks.map(_._1)
+    val packs = metaPacks.map(_._2)
+    require(packs.distinct.length == 1,
+      s"region-written members (${valueCols.mkString(", ")}) disagree on " +
+        "CF packing — write packed and unpacked (or differently-packed) " +
+        "members in separate calls")
     val nt0 = metas.head.shape.head
     require(metas.forall(_.shape.head == nt0),
       s"region-written members disagree on '${dimNames.head}' length " +
@@ -1103,7 +1151,7 @@ object ZarrGroup extends Serializable {
     writeChunkJob(df, dir, dimNames, (regionStart + nLen) +: dims.tail.map(_._2),
       chunks, valueCols, fill = Double.NaN, v3 = v3,
       blosc = metas.map(_.compressor.contains("blosc")), offset0 = regionStart,
-      initMetas = valueCols.zip(metas).toMap)
+      initMetas = valueCols.zip(metas).toMap, pack = packs.head)
   }
 
   /** Append a block along the FIRST (slowest-varying) dimension of an
@@ -1172,7 +1220,18 @@ object ZarrGroup extends Serializable {
     * writer re-shards the merged outer chunk) — the recommended 100 TB
     * layout can grow. Every member spanning `appendDim` must be covered by
     * some block or by `newCoords`, or the append aborts by name before any
-    * byte lands. */
+    * byte lands.
+    *
+    * CF-PACKED members (`<i2` + `scale_factor`/`add_offset`/`_FillValue` —
+    * the 6.7×-smaller layout the repo's own write path recommends and real
+    * satellite/CMIP conversions keep) append too: new physical values
+    * quantize with the STORE's scale/offset/fill into raw int16 chunks,
+    * and the whole merge runs in RAW space — a straddled edge chunk's
+    * committed cells are copied bit-for-bit, never re-quantized, so an
+    * append can never drift previously-written data. Only a store whose
+    * packing this writer cannot reproduce (no `_FillValue`, a fill code
+    * outside int16, a metadata `fill_value` disagreeing with the raw fill
+    * code) is rejected, by name. */
   def appendGroupDataset(dir: String, appendDim: String, nNew: Int,
       blocks: Seq[AppendBlock],
       newCoords: Map[String, Array[Double]] = Map.empty,
@@ -1190,7 +1249,8 @@ object ZarrGroup extends Serializable {
         allCols.diff(allCols.distinct).distinct.mkString(", "))
 
     // ── validate every appended member BEFORE any byte lands ──
-    final case class MInfo(meta: ZarrSource.ZarrMeta, appendAt: Int)
+    final case class MInfo(meta: ZarrSource.ZarrMeta, appendAt: Int,
+        pack: Option[Pack])
     val infos: Map[String, MInfo] = blocks.flatMap { b =>
       require(b.dimNames.length == b.chunks.length,
         s"block dims (${b.dimNames.length}) and chunks (${b.chunks.length}) must align")
@@ -1209,12 +1269,22 @@ object ZarrGroup extends Serializable {
           s"member '$vc' is chunked ${m.meta.chunks.mkString("x")} but the " +
             s"append declares ${b.chunks.mkString("x")} — appends reuse " +
             "the store's chunk grid")
-        require(m.meta.dtype == "<f8",
-          s"member '$vc' has dtype ${m.meta.dtype} — the append writer " +
-            "emits little-endian float64 ('<f8') only")
-        require(m.meta.cf.isEmpty,
-          s"member '$vc' declares CF packing attributes — appends write " +
-            "raw values and would mix physical and packed data")
+        // raw float64 appends as-is; CF-packed int16 appends by quantizing
+        // with the STORE's own scale/offset/fill (packAttrs rejects any
+        // packing this writer cannot reproduce, by name)
+        val pk: Option[Pack] = m.meta.dtype match {
+          case "<f8" =>
+            require(m.meta.cf.isEmpty,
+              s"member '$vc' is float64 yet declares CF packing attributes " +
+                "— appends write raw values and would mix physical and " +
+                "scaled data; drop the scale_factor/add_offset or repack " +
+                "the store as int16")
+            None
+          case "<i2" => Some(packAttrs(vc, m.meta, "append"))
+          case other => throw new IllegalArgumentException(
+            s"member '$vc' has dtype $other — appends support raw float64 " +
+              "('<f8') and CF-packed int16 ('<i2') members only")
+        }
         require(m.meta.v2Filters.isEmpty,
           s"member '$vc' carries a v2 filter chain — appends write " +
             "unfiltered chunks and would corrupt the store")
@@ -1224,6 +1294,10 @@ object ZarrGroup extends Serializable {
         require(m.meta.order == "C", s"member '$vc' is not C-order")
         m.meta.shard match {
           case Some(s) =>
+            require(pk.isEmpty,
+              s"member '$vc' is both CF-packed and sharded — this writer " +
+                "supports packed plain chunks or sharded float64, not both " +
+                "(matching the create path)")
             require(v3 && m.meta.v3Codecs.isEmpty &&
               s.innerCodecs == Seq(ZarrSource.ZstdC) && s.indexCrc && s.indexAtEnd,
               s"member '$vc' uses a sharding layout this writer cannot " +
@@ -1237,7 +1311,7 @@ object ZarrGroup extends Serializable {
               s"member '$vc' uses v2 compressor '${m.meta.compressor.get}' " +
                 "(supported: raw, blosc)")
         }
-        vc -> MInfo(m.meta, at)
+        vc -> MInfo(m.meta, at, pk)
       }
     }.toMap
     val nt0s = infos.map { case (vc, i) => vc -> i.meta.shape(i.appendAt) }
@@ -1266,8 +1340,15 @@ object ZarrGroup extends Serializable {
           s"got dims (${m.dims.mkString(", ")})")
       require(a.length == nNew,
         s"newCoords['$n'] has ${a.length} values, append block has $nNew")
-      require(m.meta.dtype == "<f8",
-        s"coord '$n' has dtype ${m.meta.dtype} — '<f8' only")
+      // '<i8' covers the int64 time axes real `to_zarr` stores keep
+      // (xarray's default "hours since …" datetime64 encoding)
+      require(m.meta.dtype == "<f8" || m.meta.dtype == "<i8",
+        s"coord '$n' has dtype ${m.meta.dtype} — '<f8' and '<i8' only")
+      if (m.meta.dtype == "<i8") a.foreach { v =>
+        require(v == math.rint(v) && math.abs(v) <= 9.007199254740992e15,
+          s"coord '$n' is stored as int64 ('<i8') but appended value $v " +
+            "is not an exactly-representable integer")
+      }
     }
 
     // 1) data chunks, distributed — one exchange per dim tuple; straddling
@@ -1279,6 +1360,11 @@ object ZarrGroup extends Serializable {
       require(shards.distinct.length == 1,
         s"block members disagree on sharding (${b.valueCols.mkString(", ")}) — " +
           "append them in separate blocks")
+      val packs = b.valueCols.map(vc => infos(vc).pack)
+      require(packs.distinct.length == 1,
+        s"block members (${b.valueCols.mkString(", ")}) disagree on CF " +
+          "packing — append packed and unpacked (or differently-packed) " +
+          "members in separate blocks")
       val fills = metas.map(_.fillValue)
       shards.head.foreach { _ =>
         require(fills.distinct.length == 1 ||
@@ -1293,7 +1379,7 @@ object ZarrGroup extends Serializable {
         blosc = metas.map(_.compressor.contains("blosc")),
         offset0 = nt0, appendAt = at,
         initMetas = b.valueCols.zip(metas).toMap,
-        shard = shards.head)
+        shard = shards.head, pack = packs.head)
     }
 
     // 2) extended coordinates (driver-side; axes are metadata-sized) —
@@ -1307,13 +1393,33 @@ object ZarrGroup extends Serializable {
       val m = g.members(n).meta
       val merged = readWholeArray(fs, s"$dir/$n", m) ++ a
       val buf = ByteBuffer.allocate(merged.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      merged.foreach(buf.putDouble)
+      if (m.dtype == "<i8") merged.foreach(v => buf.putLong(v.toLong))
+      else merged.foreach(buf.putDouble)
       val payload =
         if (v3) ZarrSource.v3EncodeChain(buf.array(), Seq(ZarrSource.ZstdC))
         else if (m.compressor.contains("blosc")) Blosc.compress(buf.array(), typesize = 8)
         else buf.array()
-      ZarrSource.putBytes(fs,
-        new org.apache.hadoop.fs.Path(s"$dir/$n", if (v3) "c/0" else "0"), payload)
+      // Staged swap, like NetCDF4Source.appendCompoundTable: putBytes is a
+      // plain truncating create, so writing the canonical key directly
+      // would leave a TRUNCATED coord chunk if this JVM dies mid-write —
+      // unreadable by the strict short-decode check. Instead the extended
+      // chunk lands complete under a temp key, the original steps aside,
+      // and two renames swap it in; at every instant a COMPLETE coord
+      // chunk exists under a well-known name (canonical, .__grow_tmp, or
+      // .__grow_old) for deterministic recovery.
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$n", if (v3) "c/0" else "0")
+      val tmp = dst.suffix(".__grow_tmp")
+      val old = dst.suffix(".__grow_old")
+      ZarrSource.putBytes(fs, tmp, payload)
+      fs.delete(old, false)
+      val hadOld = fs.exists(dst) && {
+        if (!fs.rename(dst, old)) throw new java.io.IOException(
+          s"could not step coord chunk $dst aside to $old")
+        true
+      }
+      if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+        s"could not swap extended coord chunk $tmp into place at $dst")
+      if (hadOld) fs.delete(old, false)
     }
 
     // 3) metadata LAST, one patch for the whole group: only now does any

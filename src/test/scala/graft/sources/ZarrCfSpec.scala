@@ -171,24 +171,26 @@ class ZarrCfSpec extends SparkSpec {
     }
   }
 
-  test("appends onto CF-packed members fail by name") {
+  test("appends onto CF-packed members quantize with the STORE's packing (round 10)") {
+    // round 9 rejected this by name; round 10 lifts it — the recommended
+    // 6.7×-smaller packed layout grows, quantizing new slices with the
+    // store's own scale/offset/fill (see ZarrPackedAppendSpec for the
+    // edge-merge and error-path coverage)
     val dir = tmpDir()
-    val cells = (for (t <- 0 until 2; y <- 0 until 2; x <- 0 until 2)
-      yield (t, y, x, t * 1.0)).toDF("time_idx", "y_idx", "x_idx", "sst")
-    cells.write.format("zarr")
+    def cells(tBase: Int) = (for (t <- 0 until 2; y <- 0 until 2; x <- 0 until 2)
+      yield (t, y, x, (t + tBase) * 1.0)).toDF("time_idx", "y_idx", "x_idx", "sst")
+    cells(0).write.format("zarr")
       .option("dims", "time:2,y:2,x:2").option("chunks", "2,2,2")
       .option("cols", "sst").option("pack", "0.01")
       .mode("overwrite").save(dir)
-    val e = intercept[Exception] {
-      cells.write.format("zarr")
-        .option("dims", "time:2,y:2,x:2").option("chunks", "2,2,2")
-        .option("cols", "sst")
-        .mode("append").save(dir)
-    }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(m => m.contains("<i2") || m.contains("packing")),
-      s"append onto a packed store must fail by name, got: ${msgs(e)}")
+    cells(2).write.format("zarr")
+      .option("dims", "time:2,y:2,x:2").option("chunks", "2,2,2")
+      .option("cols", "sst")
+      .mode("append").save(dir)
+    val ds = spark.read.format("zarr").load(dir)
+    assert(ds.count() == 4 * 2 * 2)
+    assert(ds.filter(col("sst") =!= col("time_idx").cast("double")).count() == 0,
+      "grown packed store must mask_and_scale-decode every slice")
   }
 
   test("a 1-D DATA variable keeps the strict decode (oversize tolerance is coord-only)") {

@@ -1,0 +1,236 @@
+package graft.sources
+
+import java.nio.ByteBuffer
+import java.nio.ByteOrder
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Round-10 append surfaces: CF-PACKED stores grow via `mode("append")`
+  * (the repo's own recommended 6.7×-smaller archive layout — new physical
+  * values quantize with the STORE's scale/offset/fill, committed raw codes
+  * merge bit-for-bit), packed region corrections, and int64 (`<i8`) time
+  * coordinates (xarray's default "hours since …" datetime64 encoding) on
+  * the append path. Reference behavior: `xr.open_zarr` + `to_zarr(
+  * append_dim=…)` over converted CMIP/OSTIA stores
+  * (tests/test_gridded_preprocessing.py:20, helper.py:505). */
+class ZarrPackedAppendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String = "graft_zpak"): String = {
+    val d = java.nio.file.Files.createTempDirectory(prefix).toFile
+    d.delete()
+    d.getAbsolutePath
+  }
+
+  /** Cell values on the exact 0.01 grid so int16 quantization is lossless
+    * and read-back equality is exact. */
+  private def cells(nt: Int, ny: Int, nx: Int, tBase: Int = 0) =
+    (for (t <- 0 until nt; y <- 0 until ny; x <- 0 until nx)
+      yield (t, y, x, (t + tBase) * 1.0 + y * 0.1 + x * 0.01))
+      .toDF("time_idx", "y_idx", "x_idx", "sst")
+
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
+  private def packedWrite(df: org.apache.spark.sql.DataFrame, dir: String,
+      nt: Int, mode: String): Unit =
+    df.write.format("zarr")
+      .option("dims", s"time:$nt,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("pack", "0.01")
+      .mode(mode).save(dir)
+
+  test("SQL append onto a CF-packed store ≡ one-shot packed write") {
+    val grown = tmpDir()
+    val oneShot = tmpDir()
+    // create t∈[0,3) (edge chunk at t=2 is PARTIAL: time chunk 2), then
+    // grow by 5 — the first appended slice merges into the straddled edge
+    packedWrite(cells(3, 2, 4), grown, 3, "overwrite")
+    // the append carries NO pack option: the store's own attrs drive it
+    cells(5, 2, 4, tBase = 3).write.format("zarr")
+      .option("dims", "time:5,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst")
+      .mode("append").save(grown)
+    packedWrite(cells(8, 2, 4), oneShot, 8, "overwrite")
+    val a = spark.read.format("zarr").load(grown)
+      .select("time_idx", "y_idx", "x_idx", "sst").collect().toSet
+    val b = spark.read.format("zarr").load(oneShot)
+      .select("time_idx", "y_idx", "x_idx", "sst").collect().toSet
+    assert(a == b, "grown packed store must read back ≡ one-shot packed write")
+    assert(a.size == 8 * 2 * 4)
+  }
+
+  test("packed append straddling an edge chunk keeps committed codes bit-for-bit") {
+    val dir = tmpDir()
+    packedWrite(cells(3, 2, 4), dir, 3, "overwrite")
+    val before = spark.read.format("zarr").load(dir)
+      .filter(col("time_idx") < 3).collect().toSet
+    cells(2, 2, 4, tBase = 3).write.format("zarr")
+      .option("dims", "time:2,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst")
+      .mode("append").save(dir)
+    val after = spark.read.format("zarr").load(dir)
+      .filter(col("time_idx") < 3).collect().toSet
+    assert(before == after,
+      "the straddled edge chunk's committed slices must survive the merge exactly")
+  }
+
+  test("packed append represents absent cells as the raw fill code (NaN read-back)") {
+    val dir = tmpDir()
+    packedWrite(cells(2, 2, 4), dir, 2, "overwrite")
+    // append a block with a HOLE at (0, 0, 0) and an explicit NaN at (0, 0, 1)
+    val block = cells(1, 2, 4, tBase = 2)
+      .filter(!(col("time_idx") === 0 && col("y_idx") === 0 && col("x_idx") === 0))
+      .withColumn("sst", when(col("y_idx") === 0 && col("x_idx") === 1,
+        lit(Double.NaN)).otherwise(col("sst")))
+    block.write.format("zarr")
+      .option("dims", "time:1,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst")
+      .mode("append").save(dir)
+    val last = spark.read.format("zarr").load(dir).filter(col("time_idx") === 2)
+    assert(last.filter(isnan(col("sst"))).count() == 2,
+      "the hole and the explicit NaN must both read back as NaN")
+    assert(last.filter(!isnan(col("sst"))).count() == 2 * 4 - 2)
+  }
+
+  test("packed region write corrects a window without disturbing its surroundings") {
+    val dir = tmpDir()
+    packedWrite(cells(6, 2, 4), dir, 6, "overwrite")
+    // correct t∈[2,4): +100 on the 0.01 grid, still exactly quantizable
+    cells(2, 2, 4, tBase = 2)
+      .withColumn("sst", col("sst") + 100.0)
+      .write.format("zarr")
+      .option("dims", "time:2,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("region", "2")
+      .mode("append").save(dir)
+    val ds = spark.read.format("zarr").load(dir)
+    assert(ds.filter(col("time_idx").between(2, 3) && col("sst") < 100.0).count() == 0,
+      "the corrected window must carry the new values")
+    assert(ds.filter((col("time_idx") < 2 || col("time_idx") > 3) && col("sst") >= 100.0)
+      .count() == 0, "slices outside the region must be untouched")
+    assert(ds.count() == 6 * 2 * 4)
+  }
+
+  test("a packed member without _FillValue fails the append by name") {
+    val dir = tmpDir()
+    packedWrite(cells(2, 2, 4), dir, 2, "overwrite")
+    // hand-strip the CF attrs (a foreign store with bare int16 data) and
+    // drop the consolidated metadata so the patched member attrs are seen
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "sst", ".zattrs"),
+      """{"_ARRAY_DIMENSIONS": ["time", "y", "x"]}""".getBytes)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, ".zmetadata"))
+    val e = intercept[Exception] {
+      cells(1, 2, 4, tBase = 2).write.format("zarr")
+        .option("dims", "time:1,y:2,x:4").option("chunks", "2,2,4")
+        .option("cols", "sst")
+        .mode("append").save(dir)
+    }
+    assert(msgs(e).exists(_.contains("CF packing attributes")), s"got: ${msgs(e)}")
+  }
+
+  test("a fill_value / _FillValue disagreement fails the append by name") {
+    val dir = tmpDir()
+    packedWrite(cells(2, 2, 4), dir, 2, "overwrite")
+    val za = java.nio.file.Paths.get(dir, "sst", ".zarray")
+    val patched = new String(java.nio.file.Files.readAllBytes(za))
+      .replace("-32768", "0")
+    java.nio.file.Files.write(za, patched.getBytes)
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, ".zmetadata"))
+    val e = intercept[Exception] {
+      cells(1, 2, 4, tBase = 2).write.format("zarr")
+        .option("dims", "time:1,y:2,x:4").option("chunks", "2,2,4")
+        .option("cols", "sst")
+        .mode("append").save(dir)
+    }
+    assert(msgs(e).exists(_.contains("_FillValue")), s"got: ${msgs(e)}")
+  }
+
+  test("the pack option on an append is still rejected by name (store attrs win)") {
+    val dir = tmpDir()
+    packedWrite(cells(2, 2, 4), dir, 2, "overwrite")
+    val e = intercept[Exception] {
+      cells(1, 2, 4, tBase = 2).write.format("zarr")
+        .option("dims", "time:1,y:2,x:4").option("chunks", "2,2,4")
+        .option("cols", "sst").option("pack", "0.01")
+        .mode("append").save(dir)
+    }
+    assert(msgs(e).exists(_.contains("store CREATION")), s"got: ${msgs(e)}")
+  }
+
+  // ── int64 time coordinates ───────────────────────────────────────────
+
+  /** Rewrite the store's `time` coordinate as a raw (uncompressed) `<i8`
+    * axis — the hand-written fixture shape real `to_zarr` stores carry for
+    * datetime64 axes — and drop `.zmetadata` so the listing discovery sees
+    * the patched member metadata. */
+  private def makeTimeCoordI8(dir: String, values: Seq[Long]): Unit = {
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "time", ".zarray"),
+      s"""{"zarr_format": 2, "shape": [${values.length}],
+         | "chunks": [${values.length}], "dtype": "<i8",
+         | "compressor": null, "fill_value": -1, "order": "C",
+         | "filters": null}""".stripMargin.getBytes)
+    val buf = ByteBuffer.allocate(values.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+    values.foreach(buf.putLong)
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "time", "0"), buf.array())
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dir, ".zmetadata"))
+  }
+
+  test("appends extend an int64 ('<i8') time coordinate") {
+    val dir = tmpDir()
+    cells(3, 2, 4).write.format("zarr")
+      .option("dims", "time:3,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("coords", "time:438000:24")
+      .mode("overwrite").save(dir)
+    makeTimeCoordI8(dir, Seq(438000L, 438024L, 438048L))
+    cells(2, 2, 4, tBase = 3).write.format("zarr")
+      .option("dims", "time:2,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("coords", "time:438072:24")
+      .mode("append").save(dir)
+    // the coord chunk must STILL be little-endian longs (not silently
+    // rewritten as doubles): decode it raw
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "time", "0"))
+    assert(raw.length == 5 * 8)
+    val lb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    assert((0 until 5).map(i => lb.getLong(i * 8)) ==
+      Seq(438000L, 438024L, 438048L, 438072L, 438096L))
+    val ds = ZarrGroup.readDataset(spark, dir)
+    assert(ds.count() == 5 * 2 * 4)
+    val times = ds.select("time").distinct().as[Double].collect().sorted
+    assert(times.toSeq == Seq(438000.0, 438024.0, 438048.0, 438072.0, 438096.0))
+  }
+
+  test("a non-integral value appended onto an '<i8' coordinate fails by name") {
+    val dir = tmpDir()
+    cells(2, 2, 4).write.format("zarr")
+      .option("dims", "time:2,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("coords", "time:0:1")
+      .mode("overwrite").save(dir)
+    makeTimeCoordI8(dir, Seq(0L, 1L))
+    val e = intercept[Exception] {
+      ZarrGroup.appendDataset(cells(1, 2, 4, tBase = 2), dir,
+        Seq("time" -> 1, "y" -> 2, "x" -> 4), Seq(2, 2, 4), Seq("sst"),
+        newCoords = Map("time" -> Array(2.5)))
+    }
+    assert(msgs(e).exists(_.contains("int64")), s"got: ${msgs(e)}")
+  }
+
+  test("the extended coord chunk swaps in staged — no temp keys linger") {
+    val dir = tmpDir()
+    cells(2, 2, 4).write.format("zarr")
+      .option("dims", "time:2,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("coords", "time:10:1")
+      .mode("overwrite").save(dir)
+    cells(1, 2, 4, tBase = 2).write.format("zarr")
+      .option("dims", "time:1,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("coords", "time:12:1")
+      .mode("append").save(dir)
+    val keys = new java.io.File(dir, "time").list().toSet
+    assert(!keys.exists(_.contains("__grow")),
+      s"staging keys must be cleaned up, got: $keys")
+    val times = ZarrGroup.readDataset(spark, dir)
+      .select("time").distinct().as[Double].collect().sorted
+    assert(times.toSeq == Seq(10.0, 11.0, 12.0))
+  }
+}
