@@ -1491,8 +1491,13 @@ private[sources] object Hdf5 {
           s"point-selection v2 encode size $enc (want 2/4/8)")
         val rank = u32(9)
         val np = leVar(b, off + 13, enc)
+        // np is an UNTRUSTED file u64: `enc*rank*np` can wrap negative and
+        // pass a product-form bound while the render loop below runs ~2^62
+        // iterations — use a division-form bound instead (same hardening
+        // as the v2 hyperslab's saturating count fold)
         require(rank >= 1 && rank <= 32 && np >= 0 &&
-          off + 13 + enc + enc.toLong * rank * np <= b.length,
+          off + 13 + enc <= b.length &&
+          np <= (b.length - off - 13 - enc) / (enc.toLong * rank),
           s"point selection v2 (rank $rank, $np points) overruns the heap object")
         "points " + (0L until np).map { p =>
           (0 until rank).map(d =>
@@ -2229,6 +2234,15 @@ private[sources] object Hdf5 {
       rows: Seq[Seq[Any]]): Array[Byte] = {
     require(rows.nonEmpty, "appendCompoundTable: no rows to append")
     val src = new ArraySource(file)
+    // the fixed-width EOF patch below lands at byte 40, which is the EOF
+    // field of a VERSION-0 superblock ONLY — v1 straddles free-space/EOF
+    // at 36/44 and v2/v3 keep a checksummed root-OH address there, so
+    // patching those would silently corrupt the image. readSuperblock
+    // accepts v0–v3; appends must not.
+    require((file(8) & 0xff) == 0,
+      s"$varName lives in a superblock-v${file(8) & 0xff} file — appends " +
+        "patch the v0 superblock EOF field (the PyTables/h5py default); " +
+        "rewrite the table to make it appendable")
     val (rootOh, _) = readSuperblock(src)
     val ohAddr = listDatasets(src, rootOh).find(_._1 == varName)
       .getOrElse(throw new IllegalArgumentException(
@@ -2295,12 +2309,15 @@ private[sources] object Hdf5 {
       org += cn
     }
 
-    // new single-leaf v1 B-tree with every entry, key-ordered; the
-    // entries-used field is u16 — far beyond any bounded-export table,
-    // but a silent wrap would corrupt the index
-    require(entries.size <= 0xffff,
-      s"appended table holds ${entries.size} chunks — beyond the " +
-        "single-leaf B-tree this writer maintains; rewrite with larger chunkRows")
+    // new single-leaf v1 B-tree with every entry, key-ordered. libhdf5
+    // caps v1 B-tree node children at 2*K, and a v0 superblock carries no
+    // indexed-storage-K field, so h5py/PyTables — the interop target this
+    // append claims — assume K=32: a leaf beyond 64 entries reads fine
+    // HERE but fails to open there. Cap at their bound, not our u16 one.
+    require(entries.size <= 64,
+      s"appended table holds ${entries.size} chunks — beyond the 64-entry " +
+        "(2×K, K=32 default) single-leaf v1 B-tree libhdf5 accepts; " +
+        "rewrite with larger chunkRows")
     val btAddr2 = pos
     def u16b(v: Int): Array[Byte] =
       ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()

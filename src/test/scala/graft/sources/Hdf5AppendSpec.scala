@@ -160,4 +160,37 @@ class Hdf5AppendSpec extends SparkSpec {
     assert(diffs.nonEmpty && diffs.size <= 24,
       s"expected <=24 patched bytes in the old image, found ${diffs.size}")
   }
+
+  test("a non-v0 superblock fails the append by name BEFORE any patch") {
+    // the EOF patch lands at byte 40, an offset only a v0 superblock keeps
+    // the EOF at — a v1/v2 image would be silently corrupted there
+    val p = tmpFile()
+    docs(0, 4).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "4").option("stringSizes", "name:8")
+      .mode("overwrite").save(p)
+    val img = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+    img(8) = 2 // forge the superblock version byte
+    val e = intercept[Exception] {
+      Hdf5.appendCompoundTable(img, "t", Seq(Seq(9L, "doc_9", 1.0)))
+    }
+    assert(msgs(e).exists(_.contains("superblock")), s"got: ${msgs(e)}")
+  }
+
+  test("an append growing past 64 chunks fails by name (libhdf5 2*K leaf bound)") {
+    val p = tmpFile()
+    docs(0, 60).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "1").option("stringSizes", "name:8")
+      .mode("overwrite").save(p)
+    val e = intercept[Exception] {
+      docs(60, 70).write.format("hdf5table").option("var", "t")
+        .mode("append").save(p)
+    }
+    assert(msgs(e).exists(m => m.contains("64") && m.contains("chunkRows")),
+      s"got: ${msgs(e)}")
+    // up to the bound still works
+    docs(60, 64).write.format("hdf5table").option("var", "t")
+      .mode("append").save(p)
+    assert(spark.read.format("hdf5table").option("var", "t").load(p)
+      .count() == 64)
+  }
 }

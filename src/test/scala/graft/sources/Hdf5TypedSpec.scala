@@ -322,6 +322,13 @@ class Hdf5TypedSpec extends AnyFunSuite {
     bad.putInt(2).putInt(4)
     val e = intercept[IllegalArgumentException](Hdf5.selectionString(bad.array(), 0))
     assert(e.getMessage.contains("version 4"))
+    // an UNTRUSTED u64 npoints whose byte-size product wraps negative must
+    // fail the bound, not loop ~2^62 iterations rendering the selection
+    val wrap = ByteBuffer.allocate(13 + 8).order(ByteOrder.LITTLE_ENDIAN)
+    wrap.putInt(1).putInt(2)
+    wrap.put(8.toByte).putInt(2).putLong(0x4000000000000000L) // enc, rank, np=2^62
+    val e2 = intercept[IllegalArgumentException](Hdf5.selectionString(wrap.array(), 0))
+    assert(e2.getMessage.contains("overruns"), e2.getMessage)
   }
 
   test("compound-base vlen sequences decode to ragged record lists") {
