@@ -1965,6 +1965,99 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      round(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0, 2) AS sum_val
               FROM cells WHERE t_idx BETWEEN 0 AND 30 GROUP BY t_idx"""),
-      "int64 time-coordinate append: hand-written '<i8' axis fixture grows through SQL, values sign-checked raw")
+      "int64 time-coordinate append: hand-written '<i8' axis fixture grows through SQL, values sign-checked raw"),
+
+    // ── PyTables vector columns (HDF5 class-10 array members): a compound
+    // table whose `stats` member is a FIXED-SHAPE f64 vector per record —
+    // the `Float64Col(shape=(k,))` layout — built as a foreign fixture via
+    // the writer dual and ingested through `format("hdf5table")` as an
+    // ArrayType column. The gate compares per-element reads against the
+    // from-parquet recompute, so a defect in the class-10 parse, the
+    // member-offset stride, or the ArrayData conversion mismatches. ───────
+    QueryDef("q103_hdf5table_vector",
+      (s, d) => {
+        val agg = Tables.load(s, d, "documents")
+          .groupBy("lang")
+          .agg(count(lit(1)).cast("double").as("n_docs"),
+            sum(col("n_chars")).cast("double").as("sum_chars"))
+          .orderBy("lang")
+          .collect() // driver-side: one record per language (bounded)
+        val langs = agg.map(_.getString(0)).toSeq
+        val vecs = agg.map(r => Array(r.getDouble(1), r.getDouble(2))).toSeq
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q103.h5"
+        val img = graft.sources.Hdf5.assemble(Seq(graft.sources.Hdf5.WriteVar(
+          "doc_stats", Seq(langs.length), Array.empty,
+          typed = Some(graft.sources.Hdf5.CompoundData(Seq(
+            "lang" -> graft.sources.Hdf5.StrCol(langs, 16),
+            "stats" -> graft.sources.Hdf5.ArrayCol(vecs, Seq(2))))))))
+        val fsQ = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        graft.sources.ZarrSource.putBytes(fsQ,
+          new org.apache.hadoop.fs.Path(path), img)
+        s.read.format("hdf5table").option("var", "doc_stats").load(path)
+          .select(col("lang"),
+            col("stats").getItem(0).cast("long").as("n_docs"),
+            col("stats").getItem(1).cast("long").as("sum_chars"))
+      },
+      Some("""SELECT lang,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_chars) AS BIGINT) AS sum_chars
+              FROM documents GROUP BY lang"""),
+      "PyTables vector columns: class-10 array members ingest as ArrayType, element reads oracle-exact"),
+
+    // ── netCDF-4 CF flag variables (HDF5 class-8 enums): a flag grid
+    // derived from events lands as an ENUM dataset (codes over an i4 base
+    // with a name map IN THE TYPE), and `format("netcdf")` ingests it with
+    // the map surfaced as value-column metadata. The gate resolves codes
+    // to flag NAMES through that metadata and groups by name, so a defect
+    // in the class-8 parse (base walk, name padding, code decode) or the
+    // metadata plumbing mismatches the recompute. ─────────────────────────
+    QueryDef("q104_netcdf_enum_flags",
+      (s, d) => {
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg(sum(round(col("value") * 100.0, 0).cast("long")).as("q"))
+          .filter(col("time_idx").between(0, 30))
+          .collect() // driver-side: the 31×10×15 flag grid is metadata-sized
+        val codes = Array.fill(31 * 10 * 15)(0) // absent cells stay "clear"
+        cells.foreach { r =>
+          val flat = (r.getInt(0) * 10 + r.getInt(1)) * 15 + r.getInt(2)
+          codes(flat) = if (r.getLong(3) <= 0L) 1 else 4
+        }
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q104.h5"
+        val img = graft.sources.Hdf5.assemble(Seq(graft.sources.Hdf5.WriteVar(
+          "flags", Seq(31, 10, 15), Array.empty,
+          typed = Some(graft.sources.Hdf5.EnumGridData(codes,
+            Seq("clear", "cloudy", "ice"), Seq(0L, 1L, 4L))))))
+        val fsQ = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        graft.sources.ZarrSource.putBytes(fsQ,
+          new org.apache.hadoop.fs.Path(path), img)
+        val df = s.read.format("netcdf").option("var", "flags").load(path)
+        val meta = df.schema("value").metadata
+        val names = meta.getStringArray("enum_names")
+          .zip(meta.getLongArray("enum_values"))
+        require(names.toSeq == Seq(("clear", 0L), ("cloudy", 1L), ("ice", 4L)),
+          s"enum map must ride the value column metadata, got ${names.toSeq}")
+        val flagCol = names.foldLeft(lit("unknown")) { case (acc, (nm, cd)) =>
+          when(col("value") === cd.toDouble, lit(nm)).otherwise(acc)
+        }
+        df.groupBy(flagCol.as("flag")).agg(count(lit(1)).as("n"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CASE WHEN sum(CAST(round(value * 100.0) AS BIGINT)) <= 0
+                            THEN 'cloudy' ELSE 'ice' END AS flag
+                FROM events GROUP BY 1, CAST(user_id % 150 // 15 AS INT), CAST(user_id % 15 AS INT)),
+              coded AS (SELECT flag FROM cells WHERE t_idx BETWEEN 0 AND 30)
+              SELECT flag, n FROM (
+                SELECT flag, count(*) AS n FROM coded GROUP BY flag
+                UNION ALL
+                SELECT 'clear' AS flag, 31 * 10 * 15 - count(*) AS n FROM coded
+              ) WHERE n > 0"""),
+      "netCDF-4 CF flag variables: class-8 enum decode + name-map metadata, grouped-by-flag-name oracle-exact")
   )
 }

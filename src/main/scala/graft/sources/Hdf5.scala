@@ -35,7 +35,7 @@ import java.util.zip.{Deflater, Inflater}
   *
   * All addresses/lengths are 8-byte (the library default); UNDEF = -1.
   */
-private[sources] object Hdf5 {
+private[graft] object Hdf5 {
 
   val Undef: Long = -1L
   val Signature: Array[Byte] =
@@ -93,6 +93,22 @@ private[sources] object Hdf5 {
     * `"/<name> hyperslab (s…)-(e…);…"` / `"… points (p…);…"` / `"… all"`
     * (`""` for a null reference). */
   final case class RegionRefType(size: Int) extends DType
+
+  /** ENUMERATION (class 8): named codes over a fixed-point base — what
+    * netCDF-4 writes for CF flag variables (the reference ingests such
+    * files via `xr.open_dataset`, detect.py:409). Cells decode AS the
+    * base integers; the name↔code map rides to readers as column
+    * metadata (`enum_names`/`enum_values`), the enum analogue of CF
+    * `flag_meanings`/`flag_values`. */
+  final case class EnumType(base: NumType, names: Seq[String],
+      values: Seq[Long]) extends DType { def size: Int = base.size }
+
+  /** ARRAY compound member (class 10): a fixed-shape array inside a
+    * record — PyTables' vector columns (`Float64Col(shape=(k,))`).
+    * Numeric bases decode to one `Array[Double]` per record (Spark
+    * `ArrayType(DoubleType)`). */
+  final case class ArrayMemberType(base: NumType, dims: Seq[Int])
+      extends DType { def size: Int = base.size * dims.product }
 
   final case class Filter(id: Int, clientValues: Seq[Int])
 
@@ -341,9 +357,46 @@ private[sources] object Hdf5 {
             s"unsupported reference type $t (object and dataset-region " +
               "references only)")
         }
+      case 8 => // enumeration: base type, then names + codes
+        val nMembers = bits0 | (bits1 << 8)
+        val (base, baseLen) = parseDatatypeAt(body, off + 8)
+        val bt = base match {
+          case nt @ NumType("int" | "uint", _, _) => nt
+          case o => throw new IllegalArgumentException(
+            s"enum base datatype must be fixed-point, got $o")
+        }
+        var p = off + 8 + baseLen
+        val names = (0 until nMembers).map { _ =>
+          var e = p
+          while (body(e) != 0) e += 1
+          val nm = new String(body, p, e - p, "UTF-8")
+          // v1/v2 names are NUL-terminated padded to ×8; v3 unpadded
+          p = if (version == 3) e + 1 else p + ((e - p) / 8 * 8 + 8)
+          nm
+        }
+        val values = (0 until nMembers).map { i =>
+          decode(java.util.Arrays.copyOfRange(body,
+            p + i * bt.size, p + (i + 1) * bt.size), bt, 1)(0).toLong
+        }
+        p += nMembers * bt.size
+        (EnumType(bt, names, values), p - off)
+      case 10 => // array: rank, [reserved ×3 v2], dims, [perm v2], base
+        val rank = body(off + 8) & 0xff
+        var p = off + 9
+        if (version == 2) p += 3
+        val dims = (0 until rank).map(i => b.getInt(p + i * 4))
+        p += 4 * rank
+        if (version == 2) p += 4 * rank // permutation indices (identity in practice)
+        val (base, baseLen) = parseDatatypeAt(body, p)
+        base match {
+          case nt: NumType => (ArrayMemberType(nt, dims), p - off + baseLen)
+          case o => throw new IllegalArgumentException(
+            s"array datatype over non-numeric base $o — numeric bases only")
+        }
       case c => throw new IllegalArgumentException(
-        s"unsupported datatype class $c (fixed-point, float, string, vlen string, " +
-          "compound, object reference)")
+        s"unsupported datatype class $c (fixed-point, float, string, vlen, " +
+          "compound, reference, enum, array; bitfield/opaque/time stay " +
+          "named errors)")
     }
   }
 
@@ -1175,6 +1228,7 @@ private[sources] object Hdf5 {
   def decode(data: Array[Byte], dt: DType, n: Int): Array[Double] = {
     val t = dt match {
       case nt: NumType => nt
+      case et: EnumType => et.base // enum cells ARE their base integers
       case o => throw new IllegalArgumentException(
         s"non-numeric dataset ($o) — use decodeStrings/decodeCompound")
     }
@@ -1345,7 +1399,11 @@ private[sources] object Hdf5 {
     }
     ct.members.map { m =>
       m.dtype match {
-        case nt: NumType =>
+        case t @ (_: NumType | _: EnumType) =>
+          val nt = t match {
+            case nm: NumType => nm
+            case e: EnumType => e.base
+          }
           val cell = new Array[Byte](nt.size)
           val out = new Array[Double](n)
           var i = 0
@@ -1355,6 +1413,15 @@ private[sources] object Hdf5 {
             i += 1
           }
           m.name -> out
+        case at: ArrayMemberType =>
+          // PyTables vector column: one fixed-shape numeric array per
+          // record, flattened C-order (rank ≥ 2 keeps the flat order)
+          val m2 = at.dims.product
+          m.name -> Array.tabulate[Array[Double]](n) { i =>
+            val cell = new Array[Byte](at.size)
+            System.arraycopy(data, i * ct.size + m.offset, cell, 0, at.size)
+            decode(cell, at.base, m2)
+          }
         case st @ (_: StrType | _: VlenStrType) =>
           val es = st.size
           val cells = new Array[Byte](n * es)
@@ -1612,9 +1679,31 @@ private[sources] object Hdf5 {
   final case class PackedGridData(values: Array[Short]) extends TypedData {
     def n: Int = values.length; def elemSize: Int = 2
   }
+  /** ENUM dataset (class 8 over i4 LE): named codes — the netCDF-4 CF
+    * flag-variable shape. `codes` are the stored cells; `names`/`codeOf`
+    * define the map (every stored code must be in it). */
+  final case class EnumGridData(codes: Array[Int], names: Seq[String],
+      codeOf: Seq[Long]) extends TypedData {
+    require(names.length == codeOf.length && names.nonEmpty,
+      "enum needs aligned, non-empty names/codes")
+    codes.foreach(c => require(codeOf.contains(c.toLong),
+      s"stored code $c is not in the enum map (${codeOf.mkString(", ")})"))
+    def n: Int = codes.length; def elemSize: Int = 4
+  }
   sealed trait CompoundCol { def n: Int; def elemSize: Int }
   final case class F64Col(values: Array[Double]) extends CompoundCol {
     def n: Int = values.length; def elemSize: Int = 8
+  }
+  /** ARRAY member (class 10 v2 over f64 LE): a fixed-shape vector per
+    * record — PyTables `Float64Col(shape=(k,))`. Values are flat C-order,
+    * `dims.product` doubles each. */
+  final case class ArrayCol(values: Seq[Array[Double]], dims: Seq[Int])
+      extends CompoundCol {
+    require(dims.nonEmpty && dims.forall(_ > 0),
+      s"array member dims must be positive (${dims.mkString("x")})")
+    values.foreach(v => require(v.length == dims.product,
+      s"array member cell holds ${v.length} values, dims say ${dims.product}"))
+    def n: Int = values.length; def elemSize: Int = 8 * dims.product
   }
   final case class StrCol(values: Seq[String], size: Int) extends CompoundCol {
     def n: Int = values.length; def elemSize: Int = size
@@ -1728,6 +1817,25 @@ private[sources] object Hdf5 {
       b.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(2)
       b.putShort(0).putShort(16)
       b.array()
+    case EnumGridData(_, names, codeOf) =>
+      // v1 class 8 over signed i4 LE; names NUL-terminated padded ×8
+      // (the v1/v2 layout), then the i4 codes
+      val nameBlocks = names.map { nm =>
+        val nb = nm.getBytes("UTF-8")
+        java.util.Arrays.copyOf(nb, nb.length / 8 * 8 + 8)
+      }
+      val b = ByteBuffer.allocate(8 + 12 + nameBlocks.map(_.length).sum +
+        4 * codeOf.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.put(0x18.toByte) // v1, class 8
+        .put((names.length & 0xff).toByte)
+        .put(((names.length >> 8) & 0xff).toByte)
+        .put(0.toByte).putInt(4)
+      // base: v1 class 0 fixed-point, signed LE, 4 bytes
+      b.put(0x10.toByte).put(0x08.toByte).put(0.toByte).put(0.toByte).putInt(4)
+      b.putShort(0).putShort(32)
+      nameBlocks.foreach(b.put)
+      codeOf.foreach(v => b.putInt(v.toInt))
+      b.array()
     case cd: CompoundData => compoundTypeBody(cd.members, cd.elemSize)
     case _: RefData =>
       // v1 class 7; reference type 0 (object) — no extra properties
@@ -1761,6 +1869,18 @@ private[sources] object Hdf5 {
           case StrCol(_, size) =>
             val sb = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
             sb.put(0x13.toByte).put(0x10.toByte).put(0.toByte).put(0.toByte).putInt(size)
+            sb.array()
+          case ac: ArrayCol =>
+            // v2 class 10: rank, reserved ×3, dims u32, identity perm, f64 base
+            val rank = ac.dims.length
+            val sb = ByteBuffer.allocate(8 + 4 + 8 * rank + f64TypeBody.length)
+              .order(ByteOrder.LITTLE_ENDIAN)
+            sb.put(0x2A.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+              .putInt(ac.elemSize)
+            sb.put((rank & 0xff).toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+            ac.dims.foreach(sb.putInt)
+            ac.dims.indices.foreach(sb.putInt) // permutation: identity
+            sb.put(f64TypeBody)
             sb.array()
           case nc: NestedCol => compoundTypeBody(nc.members, nc.elemSize)
         }
@@ -1816,6 +1936,10 @@ private[sources] object Hdf5 {
       val b = ByteBuffer.allocate(values.length * 2).order(ByteOrder.LITTLE_ENDIAN)
       values.foreach(b.putShort)
       b.array()
+    case EnumGridData(codes, _, _) =>
+      val b = ByteBuffer.allocate(codes.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      codes.foreach(b.putInt)
+      b.array()
     case cd: CompoundData =>
       val out = new Array[Byte](cd.n * cd.elemSize)
       fillCompound(cd.members, out, 0, cd.elemSize)
@@ -1857,6 +1981,12 @@ private[sources] object Hdf5 {
             val sb = s.getBytes("UTF-8")
             require(sb.length <= size, s"string '$s' exceeds fixed size $size")
             System.arraycopy(sb, 0, out, i * es + off, math.min(sb.length, size))
+          }
+        case ac: ArrayCol =>
+          val b = ByteBuffer.allocate(ac.elemSize).order(ByteOrder.LITTLE_ENDIAN)
+          ac.values.zipWithIndex.foreach { case (vs, i) =>
+            b.clear(); vs.foreach(b.putDouble)
+            System.arraycopy(b.array(), 0, out, i * es + off, ac.elemSize)
           }
         case nc: NestedCol => fillCompound(nc.members, out, off, es)
       }

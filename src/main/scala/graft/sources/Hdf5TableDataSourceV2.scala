@@ -89,6 +89,16 @@ private[sources] object Hdf5TableV2 {
     * STRUCT (recursively the same mapping). */
   private def fieldOf(m: Hdf5.CompoundMember): StructField = m.dtype match {
     case _: Hdf5.NumType => StructField(m.name, DoubleType, nullable = false)
+    case e: Hdf5.EnumType =>
+      // codes surface as DOUBLE like every numeric member; the name map
+      // rides the column metadata (the enum analogue of CF flag_meanings)
+      StructField(m.name, DoubleType, nullable = false,
+        new MetadataBuilder().putStringArray("enum_names", e.names.toArray)
+          .putLongArray("enum_values", e.values.toArray).build())
+    case _: Hdf5.ArrayMemberType =>
+      // PyTables vector column: fixed-shape per record, flat C-order
+      StructField(m.name, ArrayType(DoubleType, containsNull = false),
+        nullable = false)
     case nc: Hdf5.CompoundType =>
       StructField(m.name, StructType(nc.members.map(fieldOf)), nullable = false)
     case _ => StructField(m.name, StringType, nullable = false)
@@ -342,6 +352,8 @@ private[sources] class Hdf5TableReaderFactory(path: String,
     // InternalRows (strings as UTF8String at every depth)
     def toInternal(v: Any): Any = v match {
       case s: String => UTF8String.fromString(s)
+      case arr: Array[Double] => // array member cell → ArrayData
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(arr)
       case seq: scala.collection.Seq[_] => InternalRow.fromSeq(seq.toSeq.map(toInternal))
       case o => o
     }

@@ -196,6 +196,12 @@ object NetCDF4Source {
     val n = v.dims.head
     def fieldOf(m: CompoundMember): StructField = m.dtype match {
       case _: NumType => StructField(m.name, DoubleType, nullable = false)
+      case e: Hdf5.EnumType => StructField(m.name, DoubleType, nullable = false,
+        new MetadataBuilder().putStringArray("enum_names", e.names.toArray)
+          .putLongArray("enum_values", e.values.toArray).build())
+      case _: Hdf5.ArrayMemberType =>
+        StructField(m.name, ArrayType(DoubleType, containsNull = false),
+          nullable = false)
       case nc: CompoundType =>
         StructField(m.name, StructType(nc.members.map(fieldOf)), nullable = false)
       case _ => StructField(m.name, StringType, nullable = false)
@@ -207,11 +213,13 @@ object NetCDF4Source {
       val cols = decodeCompound(data, ct, count, s).map(_._2)
       def external(x: Any): Any = x match {
         case seq: scala.collection.Seq[_] => Row.fromSeq(seq.toSeq.map(external))
+        case arr: Array[Double] => arr.toSeq // array member cell → ArrayType
         case o => o
       }
       (0 until count).iterator.map(i => Row.fromSeq(cols.map {
         case ds: Array[Double] => ds(i)
         case ss: Array[String] => ss(i)
+        case aa: Array[Array[Double]] => aa(i).toSeq
         case o: Array[_] => external(o(i))
       }))
     }

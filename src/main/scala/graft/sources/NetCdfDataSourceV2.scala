@@ -249,6 +249,26 @@ private[sources] object NetCdfTableV2 {
       .map(p => fileMeta(org.apache.spark.sql.SparkSession.active, p, varName)._1.rank)
       .getOrElse(3)
 
+  /** The variable's enum map when its datatype is class-8 enum (what
+    * netCDF-4 writes for CF flag variables) — surfaced as value-column
+    * metadata by [[NetCdfTableV2.schema]]. NC3 files (no enums) and
+    * non-enum variables answer None. */
+  def enumOf(raw: Seq[String], varName: String): Option[Hdf5.EnumType] =
+    expand(raw, allowEmpty = true).headOption.flatMap { p =>
+      val src: Hdf5.ByteSource = new NetCDF4Source.HadoopSource(
+        org.apache.spark.sql.SparkSession.active.sparkContext.hadoopConfiguration, p)
+      if (!src.read(0L, 8).sameElements(Hdf5.Signature)) None
+      else {
+        val (rootOh, _) = Hdf5.readSuperblock(src)
+        Hdf5.listDatasets(src, rootOh).find(_._1 == varName).flatMap {
+          case (_, oh) => Hdf5.readDataset(src, varName, oh).dtype match {
+            case e: Hdf5.EnumType => Some(e)
+            case _ => None
+          }
+        }
+      }
+    }
+
   /** The raw load() inputs — pattern strings, NOT yet expanded, so
     * streaming reads can re-expand them as the archive grows. */
   def rawInputs(properties: java.util.Map[String, String]): Seq[String] =
@@ -327,6 +347,9 @@ private[sources] object NetCdfTableV2 {
       }
       val ntype = v.dtype match {
         case n: Hdf5.NumType => n
+        // CF flag variables: enum cells decode as their fixed-point base;
+        // the name map rides the table schema's value-column metadata
+        case e: Hdf5.EnumType => e.base
         case o => throw new IllegalArgumentException(
           s"$varName has non-numeric datatype $o — the netcdf DSv2 table read " +
             "is numeric; use NetCDF4Source.readLocalStrings/readCompoundTable")
@@ -424,7 +447,18 @@ private[sources] class NetCdfTableV2(rawInputs: Seq[String], varName: String,
     rankOverride.getOrElse(NetCdfTableV2.rankOf(rawInputs, varName))
   override def name(): String = s"netcdf:${rawInputs.head}${
     if (rawInputs.size > 1) s" (+${rawInputs.size - 1})" else ""}#$varName"
-  override def schema(): StructType = NetCdfTableV2.schemaFor(rank)
+  override def schema(): StructType = {
+    val base = NetCdfTableV2.schemaFor(rank)
+    // enum variables carry their name map on the value column —
+    // df.schema("value").metadata resolves codes to CF flag labels
+    NetCdfTableV2.enumOf(rawInputs, varName).fold(base) { e =>
+      StructType(base.map(f =>
+        if (f.name == "value") f.copy(metadata = new MetadataBuilder()
+          .putStringArray("enum_names", e.names.toArray)
+          .putLongArray("enum_values", e.values.toArray).build())
+        else f))
+    }
+  }
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

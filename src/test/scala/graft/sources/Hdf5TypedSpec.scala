@@ -255,9 +255,10 @@ class Hdf5TypedSpec extends AnyFunSuite {
   }
 
   test("unsupported datatype classes error with the class named") {
-    val body = Array[Byte](0x18, 0, 0, 0, 4, 0, 0, 0) // class 8 (enum)
+    // class 8 (enum) lifted in round 10 — class 4 (bitfield) stays named
+    val body = Array[Byte](0x14, 0, 0, 0, 4, 0, 0, 0)
     val e = intercept[IllegalArgumentException](Hdf5.parseDatatype(body))
-    assert(e.getMessage.contains("class 8"))
+    assert(e.getMessage.contains("class 4"))
     // reference types 0 (object) and 1 (dataset region) both parse;
     // anything else names the type
     val region = Array[Byte](0x17, 0x01, 0, 0, 12, 0, 0, 0)
