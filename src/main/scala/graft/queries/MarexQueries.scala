@@ -2058,6 +2058,54 @@ object MarexQueries extends QueryRegistry {
                 UNION ALL
                 SELECT 'clear' AS flag, 31 * 10 * 15 - count(*) AS n FROM coded
               ) WHERE n > 0"""),
-      "netCDF-4 CF flag variables: class-8 enum decode + name-map metadata, grouped-by-flag-name oracle-exact")
+      "netCDF-4 CF flag variables: class-8 enum decode + name-map metadata, grouped-by-flag-name oracle-exact"),
+
+    // ── the COMPOSED 100 TB layout: CF-packed int16 inner chunks INSIDE
+    // sharding_indexed objects — the byte lever (6.7× smaller) and the
+    // object-count lever (1/∏(chunks/inner) objects) together — created
+    // and GROWN through SQL. The cube lands as a packed sharded create
+    // plus an attr-driven append (new slices = new shard objects, the
+    // straddled edge shard read-merges in raw space), and the byte-range
+    // shard read-back must equal the from-events recompute. ───────────────
+    QueryDef("q105_zarr_packed_sharded_append",
+      (s, d) => {
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x_idx"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("mean"))
+          .filter(col("time_idx").between(0, 30))
+          .select(col("time_idx"), col("y_idx"), col("x_idx"),
+            (round(col("mean") * 100.0, 0) / 100.0).as("sst"))
+        val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q105_zps"
+        cells.filter(col("time_idx") <= 12).write.format("zarr")
+          .option("dims", "time:13,y:10,x:15").option("chunks", "8,10,15")
+          .option("shard", "2,5,15").option("v3", "true")
+          .option("cols", "sst").option("pack", "0.01")
+          .mode("overwrite").save(dir)
+        cells.filter(col("time_idx") >= 13)
+          .withColumn("time_idx", col("time_idx") - 13)
+          .write.format("zarr")
+          .option("dims", "time:18,y:10,x:15").option("chunks", "8,10,15")
+          .option("cols", "sst")
+          .mode("append").save(dir)
+        s.read.format("zarr").load(dir)
+          .filter(!isnan(col("sst")) && col("time_idx").between(5, 25))
+          .groupBy(col("time_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(round(col("sst") * 100.0, 0).cast("long")).as("sum_scaled"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(round(((CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*)) * 100.0) AS BIGINT) AS q
+                FROM events GROUP BY 1, CAST(user_id % 150 // 15 AS INT), CAST(user_id % 15 AS INT))
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     CAST(sum(q) AS BIGINT) AS sum_scaled
+              FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
+      "the composed 100 TB layout: packed int16 INSIDE sharded objects, created + grown through SQL, oracle-exact")
   )
 }

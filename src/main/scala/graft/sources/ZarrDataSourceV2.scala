@@ -97,9 +97,10 @@ private[sources] final case class ZarrWriteSpec(dims: Seq[(String, Int)],
   require(region.isEmpty || shard.isEmpty,
     """.option("region", …) and .option("shard", …) are mutually exclusive —"""
       + " region writes merge into an existing unsharded store")
-  require(pack.isEmpty || (shard.isEmpty && region.isEmpty),
+  require(pack.isEmpty || region.isEmpty,
     """.option("pack", …) writes a CF-packed int16 store at CREATE time —"""
-      + " it cannot combine with shard or region")
+      + " region writes quantize with the STORE's own attributes instead;"
+      + " drop the option (pack + shard COMPOSE at create: int16 inner chunks)")
   region.foreach(r => require(r >= 0,
     s""".option("region", $r) — the region start must be >= 0"""))
   def schema: StructType = StructType(

@@ -627,9 +627,6 @@ object ZarrGroup extends Serializable {
       require(dims.nonEmpty && dims.length == chunks.length,
         s"dims (${dims.length}) and chunks (${chunks.length}) must align")
       require(valueCols.nonEmpty, "arrays() needs at least one value column")
-      require(pack.isEmpty || shard.isEmpty,
-        "packed (int16) + sharding_indexed writes are not supported — " +
-          "pick one (packed plain chunks, or sharded float64)")
       require(pack.isEmpty || fill.isNaN,
         "packed writes fix the background to NaN (stored as the raw " +
           "_FillValue code) — drop the custom fill")
@@ -848,8 +845,6 @@ object ZarrGroup extends Serializable {
     val bloscB = blosc.toArray
     val shardB: Array[Int] = shard.map(_.toArray).orNull
     val packB: Pack = pack.orNull
-    require(packB == null || shardB == null,
-      "packed (int16) + sharding_indexed writes are not supported")
     require(appendAt >= 0 && appendAt < dimNames.length,
       s"appendAt=$appendAt outside the ${dimNames.length}-dim tuple")
     val blockN0 = totalSizes(appendAt) - offset0
@@ -904,7 +899,8 @@ object ZarrGroup extends Serializable {
           var vi = 0
           while (vi < nV) {
             val payload = if (isV3 && shardB != null)
-              shardObject(bufs(vi), chB, shardB, fillB)
+              shardObject(bufs(vi), chB, shardB,
+                if (packB != null) packB.fillRaw.toDouble else fillB, packB)
             else if (isV3 && packB != null)
               ZarrSource.v3EncodeChain(packed(bufs(vi)), Seq(ZarrSource.ZstdC))
             else if (isV3)
@@ -977,9 +973,12 @@ object ZarrGroup extends Serializable {
     * as a plain layout, and the array scan byte-range-reads only the
     * inner chunks a pushed window intersects
     * ([[ZarrSource.readShardWindow]]); elided all-fill inner chunks cost
-    * nothing. */
+    * nothing. With `pack` set the buffer holds RAW int16 codes (as
+    * doubles) and inner chunks narrow to little-endian shorts — sharding
+    * and CF packing COMPOSE: the 100 TB layout gets both the byte lever
+    * and the object-count lever. */
   private def shardObject(buf: ByteBuffer, chunks: Array[Int],
-      inner: Array[Int], fill: Double): Array[Byte] = {
+      inner: Array[Int], fill: Double, pack: Pack = null): Array[Byte] = {
     val nd = chunks.length
     val grid = Array.tabulate(nd)(d => chunks(d) / inner(d))
     val nInner = grid.product
@@ -994,7 +993,8 @@ object ZarrGroup extends Serializable {
       var rem = k
       var d = nd - 1
       while (d >= 0) { ki(d) = rem % grid(d); rem /= grid(d); d -= 1 }
-      val innerRaw = ByteBuffer.allocate(innerLen * 8).order(ByteOrder.LITTLE_ENDIAN)
+      val es = if (pack != null) 2 else 8
+      val innerRaw = ByteBuffer.allocate(innerLen * es).order(ByteOrder.LITTLE_ENDIAN)
       var allFill = true
       var c = 0
       while (c < innerLen) {
@@ -1006,7 +1006,8 @@ object ZarrGroup extends Serializable {
         while (d < nd) { flat = flat * chunks(d) + ki(d) * inner(d) + di(d); d += 1 }
         val v = buf.getDouble(flat * 8)
         if (java.lang.Double.doubleToLongBits(v) != fillBits) allFill = false
-        innerRaw.putDouble(c * 8, v)
+        if (pack != null) innerRaw.putShort(c * 2, v.toInt.toShort)
+        else innerRaw.putDouble(c * 8, v)
         c += 1
       }
       if (allFill) { index.putLong(-1L); index.putLong(-1L) }
@@ -1294,10 +1295,6 @@ object ZarrGroup extends Serializable {
         require(m.meta.order == "C", s"member '$vc' is not C-order")
         m.meta.shard match {
           case Some(s) =>
-            require(pk.isEmpty,
-              s"member '$vc' is both CF-packed and sharded — this writer " +
-                "supports packed plain chunks or sharded float64, not both " +
-                "(matching the create path)")
             require(v3 && m.meta.v3Codecs.isEmpty &&
               s.innerCodecs == Seq(ZarrSource.ZstdC) && s.indexCrc && s.indexAtEnd,
               s"member '$vc' uses a sharding layout this writer cannot " +

@@ -216,6 +216,69 @@ class ZarrPackedAppendSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("int64")), s"got: ${msgs(e)}")
   }
 
+  // ── packed + sharded: BOTH archive levers compose ───────────────────────
+
+  test("packed + sharded create reads back exactly (int16 inner chunks)") {
+    val dir = tmpDir()
+    cells(4, 4, 4).write.format("zarr")
+      .option("dims", "time:4,y:4,x:4").option("chunks", "4,4,4")
+      .option("shard", "2,2,4").option("v3", "true")
+      .option("cols", "sst").option("pack", "0.01")
+      .mode("overwrite").save(dir)
+    val ds = spark.read.format("zarr").load(dir)
+    assert(ds.count() == 4 * 4 * 4)
+    assert(ds.filter(round(col("sst") * 100.0, 0).cast("long") =!=
+      (col("time_idx") * 100L + col("y_idx") * 10L + col("x_idx"))).count() == 0,
+      "packed sharded cells must mask_and_scale-decode exactly on the 0.01 grid")
+    // the shard object must actually hold i2 inner chunks: one object for
+    // the whole 4x4x4 outer chunk, well under the f64 equivalent
+    val obj = new java.io.File(dir, "sst/c/0/0/0")
+    assert(obj.isFile, "one shard object per outer chunk")
+  }
+
+  test("packed + sharded append ≡ one-shot; new slices land as new shard objects") {
+    val grown = tmpDir()
+    val oneShot = tmpDir()
+    def write(df: org.apache.spark.sql.DataFrame, dir: String, nt: Int,
+        mode: String, packed: Boolean): Unit = {
+      val w = df.write.format("zarr")
+        .option("dims", s"time:$nt,y:4,x:4").option("chunks", "2,4,4")
+        .option("cols", "sst")
+      val w2 = if (mode == "overwrite")
+        w.option("shard", "1,2,4").option("v3", "true").option("pack", "0.01")
+      else w
+      w2.mode(mode).save(dir)
+    }
+    write(cells(2, 4, 4), grown, 2, "overwrite", packed = true)
+    write(cells(4, 4, 4, tBase = 2), grown, 4, "append", packed = false)
+    write(cells(6, 4, 4), oneShot, 6, "overwrite", packed = true)
+    val a = spark.read.format("zarr").load(grown)
+      .select("time_idx", "y_idx", "x_idx", "sst").collect().toSet
+    val b = spark.read.format("zarr").load(oneShot)
+      .select("time_idx", "y_idx", "x_idx", "sst").collect().toSet
+    assert(a == b && a.size == 6 * 4 * 4,
+      "grown packed sharded store must read back ≡ one-shot")
+    // 3 outer time chunks (chunk 2 over 6 slices) → 3 shard objects
+    val objs = Option(new java.io.File(grown, "sst/c").listFiles()).toSeq.flatten
+      .flatMap(t => Option(t.listFiles()).toSeq.flatten)
+      .flatMap(y => Option(y.listFiles()).toSeq.flatten)
+    assert(objs.size == 3, s"expected 3 shard objects, got ${objs.size}")
+  }
+
+  test("packed sharded bytes are ~4x smaller than f64 sharded (the point)") {
+    val packed = tmpDir(); val plain = tmpDir()
+    def write(dir: String, pack: Boolean): Unit = {
+      val w = cells(4, 4, 4).write.format("zarr")
+        .option("dims", "time:4,y:4,x:4").option("chunks", "4,4,4")
+        .option("shard", "2,2,4").option("v3", "true").option("cols", "sst")
+      (if (pack) w.option("pack", "0.01") else w).mode("overwrite").save(dir)
+    }
+    write(packed, pack = true); write(plain, pack = false)
+    def size(dir: String) = new java.io.File(dir, "sst/c/0/0/0").length()
+    assert(size(packed) < size(plain),
+      s"packed shard (${size(packed)} B) must be smaller than f64 (${size(plain)} B)")
+  }
+
   test("the extended coord chunk swaps in staged — no temp keys linger") {
     val dir = tmpDir()
     cells(2, 2, 4).write.format("zarr")
