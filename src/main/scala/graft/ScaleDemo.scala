@@ -41,6 +41,8 @@ object ScaleDemo {
         math.max(cpus.toInt, (dimsNy * dimsNx * (nYears * 30L + 3) / 4000000L).toInt)
       case "zshard" | "zgrow" => // args(0) = months of daily slices
         math.max(cpus.toInt, (dimsNy * dimsNx * nYears * 30L / 4000000L).toInt)
+      case "feed" => // args(0) = base days; total = 2× base
+        math.max(cpus.toInt, (dimsNy * dimsNx * nYears * 2L / 4000000L).toInt)
       case _ => math.max(cpus.toInt, (dimsNy * dimsNx * 365L * nYears / 4000000L).toInt)
     }).toString)
     // At production grids the per-pixel dimension tables (climatology /
@@ -212,6 +214,106 @@ object ScaleDemo {
         println(s"[scale] appended cells = ${inc.blockIds.count()}, " +
           s"retroactive merges = ${inc.remap.count()}")
       }
+      spark.stop()
+      return
+    }
+
+    // ── feed: the round-10 production recipe end-to-end at the 0.25° grid ──
+    // `ScaleDemo 10 feed 720 1440` = a 10-day storm field lands in a
+    // CF-PACKED + SHARDED zarr store (the composed archive layout: int16
+    // inner chunks inside sharding_indexed objects — the byte lever AND
+    // the object-count lever, q105's shape), then TWO 5-day satellite
+    // appends each flow `mode("append")` → `readStream("zarr")` →
+    // StreamingTracker. Claims measured: per-append ingest cost is bounded
+    // by the appended days (never the archive), the stream delivers
+    // exactly the new slices, and the final streamed labeling equals a
+    // batch re-track of the whole store.
+    if (method == "feed") {
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.streaming.StreamingTracker
+      val baseDays = nYears // args(0) = days in the base store
+      val appendDays = math.max(1, baseDays / 2)
+      val totalDays = baseDays + 2 * appendDays
+      val epoch = "2000-01-01"
+      val feedCfg = TrackConfig(rFill = 2, tFill = 0,
+        areaFilterAbsolute = Some(100.0), overlapThreshold = 0.25,
+        allowMerging = false, dropSmallestObject = false)
+      val all = timed(s"storm flags ${totalDays}d $ny×$nx") {
+        val f = SyntheticData.stormFlags(spark, nDays = totalDays, ny = ny, nx = nx)
+          .localCheckpoint()
+        println(s"[scale] flag rows = ${f.count()}")
+        f
+      }
+      def slab(t0: Int, days: Int): org.apache.spark.sql.DataFrame = all
+        .withColumn("time_idx",
+          datediff(to_date(col("time")), lit(epoch)).cast("int") - t0)
+        .filter(col("time_idx").between(0, days - 1))
+        .select(col("time_idx"), col("y").as("y_idx"), col("x").as("x_idx"),
+          lit(1.0).as("sst"))
+      val store = s"${System.getProperty("java.io.tmpdir")}/graft_feed_$ny"
+      val ckpt = s"${System.getProperty("java.io.tmpdir")}/graft_feed_ck_$ny"
+      val sink = s"${System.getProperty("java.io.tmpdir")}/graft_feed_sink_$ny"
+      Seq(store, ckpt, sink).foreach(d =>
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(d)))
+      val (tc, iy, ix) = (5, ny / 4, nx / 4)
+      timed(s"packed+sharded base create ${baseDays}×$ny×$nx") {
+        slab(0, baseDays).write.format("zarr")
+          .option("dims", s"time:$baseDays,y:$ny,x:$nx")
+          .option("chunks", s"$tc,$ny,$nx")
+          .option("shard", s"1,$iy,$ix").option("v3", "true")
+          .option("cols", "sst").option("pack", "0.01")
+          .mode("overwrite").save(store)
+      }
+      def dirBytes(d: String): Long = {
+        def walk(f: java.io.File): Long =
+          if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.map(walk).sum
+          else f.length()
+        walk(new java.io.File(d))
+      }
+      println(f"[scale] packed sharded store = ${dirBytes(store)}%,d bytes " +
+        f"(f8 dense would be ${baseDays.toLong * ny * nx * 8}%,d)")
+      val tracker = new StreamingTracker(geom, spec, feedCfg, sink)
+      def flagsOf(df: org.apache.spark.sql.DataFrame) = df
+        .filter(col("value") > 0.5 && !isnan(col("value")))
+        .select(expr(s"timestampadd(DAY, t_idx, TIMESTAMP '$epoch 00:00:00')").as("time"),
+          col("y"), col("x"))
+      def runOnce(label: String): Unit = timed(label) {
+        val q = spark.readStream.format("zarr").load(s"$store/sst")
+          .writeStream
+          .foreachBatch((b: org.apache.spark.sql.DataFrame, id: Long) =>
+            tracker.processBatch(flagsOf(b), id))
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+      }
+      runOnce(s"stream ingest of the base ($baseDays d)")
+      (0 until 2).foreach { i =>
+        val t0 = baseDays + i * appendDays
+        timed(s"satellite append #${i + 1} ($appendDays d)") {
+          slab(t0, appendDays).write.format("zarr")
+            .option("dims", s"time:$appendDays,y:$ny,x:$nx")
+            .option("chunks", s"$tc,$ny,$nx")
+            .option("cols", "sst")
+            .mode("append").save(store)
+        }
+        runOnce(s"stream ingest of append #${i + 1} ($appendDays d)")
+      }
+      val streamed = StreamingTracker.resolvedIdField(spark, sink).localCheckpoint()
+      val nStreamed = streamed.count()
+      val batch = timed(s"batch re-track of the full store ($totalDays d)") {
+        Track.track(
+          flagsOf(spark.read.format("zarr").load(s"$store/sst")),
+          geom, spec, feedCfg).idField.localCheckpoint()
+      }
+      val nBatch = batch.count()
+      val joined = batch.select(col("time"), col("y"), col("x"), col("event_id").as("b"))
+        .join(streamed.select(col("time"), col("y"), col("x"), col("event_id").as("i")),
+          Seq("time", "y", "x")).select("b", "i").distinct()
+      val nPairs = joined.count()
+      val bijective = joined.select("b").distinct().count() == nPairs &&
+        joined.select("i").distinct().count() == nPairs
+      println(s"[scale] streamed cells = $nStreamed, batch cells = $nBatch, " +
+        s"id map bijective = $bijective (want counts equal, true)")
       spark.stop()
       return
     }
@@ -405,6 +507,20 @@ object ScaleDemo {
       }
       println(f"[scale] bytes (blosc): f8 = ${dirBytes(f8)}%,d, packed i2 = ${dirBytes(i2)}%,d " +
         f"(${dirBytes(f8).toDouble / dirBytes(i2)}%.1fx smaller after compression)")
+      // (c) round-10: the packed store GROWS — mode("append") quantizes
+      // with the STORE's own attrs; cost bounded by the month's chunks
+      timed("packed APPEND of one 30-day month onto the i2 store") {
+        // no pack/compressor options: the STORE's attrs drive both
+        slab(30, 30).write.format("zarr")
+          .option("dims", s"time:30,y:$ny,x:$nx").option("chunks", s"$tc,$cy,$cx")
+          .option("cols", "sst")
+          .mode("append").save(i2)
+      }
+      timed("grown packed store reads back CF-decoded (both months)") {
+        val n = spark.read.format("zarr").load(i2)
+          .filter(!isnan(col("sst"))).count()
+        println(s"[scale] grown packed cells = $n (want ${60L * ny * nx})")
+      }
       timed("packed month reads back CF-decoded within the quantization step") {
         val bad = spark.read.format("zarr").load(i2)
           .select(col("time_idx").as("bt"), col("y_idx").as("by"),
