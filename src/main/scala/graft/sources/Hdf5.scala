@@ -368,12 +368,20 @@ private[graft] object Hdf5 {
         var p = off + 8 + baseLen
         val names = (0 until nMembers).map { _ =>
           var e = p
-          while (body(e) != 0) e += 1
+          // bound the NUL scan: a truncated foreign image must fail by
+          // name, not with an index exception deep in the walk
+          while (e < body.length && body(e) != 0) e += 1
+          require(e < body.length,
+            s"enum member name at $p overruns the datatype message " +
+              s"(${body.length} bytes) — truncated enum datatype")
           val nm = new String(body, p, e - p, "UTF-8")
           // v1/v2 names are NUL-terminated padded to ×8; v3 unpadded
           p = if (version == 3) e + 1 else p + ((e - p) / 8 * 8 + 8)
           nm
         }
+        require(p + nMembers.toLong * bt.size <= body.length,
+          s"enum value table at $p ($nMembers × ${bt.size} B) overruns " +
+            s"the datatype message (${body.length} bytes)")
         val values = (0 until nMembers).map { i =>
           decode(java.util.Arrays.copyOfRange(body,
             p + i * bt.size, p + (i + 1) * bt.size), bt, 1)(0).toLong
@@ -382,6 +390,7 @@ private[graft] object Hdf5 {
         (EnumType(bt, names, values), p - off)
       case 10 => // array: rank, [reserved ×3 v2], dims, [perm v2], base
         val rank = body(off + 8) & 0xff
+        require(rank >= 1 && rank <= 32, s"array datatype rank $rank (want 1..32)")
         var p = off + 9
         if (version == 2) p += 3
         val dims = (0 until rank).map(i => b.getInt(p + i * 4))
@@ -389,7 +398,20 @@ private[graft] object Hdf5 {
         if (version == 2) p += 4 * rank // permutation indices (identity in practice)
         val (base, baseLen) = parseDatatypeAt(body, p)
         base match {
-          case nt: NumType => (ArrayMemberType(nt, dims), p - off + baseLen)
+          case nt: NumType =>
+            // dims are UNTRUSTED file u32s: reject non-positive or
+            // size-field-inconsistent shapes by name, before any
+            // Int-overflowing product reaches an array allocation
+            require(dims.forall(_ > 0),
+              s"array datatype dims ${dims.mkString("x")} must be positive")
+            // saturating fold: a wrapped product must FAIL the size check,
+            // not wrap back onto it (same hardening as the H5S v2 counts)
+            val cells = dims.foldLeft(1L)((a, d) =>
+              if (a > Int.MaxValue) a else a * d)
+            require(cells <= Int.MaxValue && cells * nt.size == size.toLong,
+              s"array datatype dims ${dims.mkString("x")} × ${nt.size} B " +
+                s"disagree with the declared element size $size")
+            (ArrayMemberType(nt, dims), p - off + baseLen)
           case o => throw new IllegalArgumentException(
             s"array datatype over non-numeric base $o — numeric bases only")
         }
@@ -3115,6 +3137,15 @@ private[graft] object Hdf5 {
       } else v.v4Index match {
         case None =>
           require(pos == p.btAddr)
+          // the same libhdf5 interop bound the APPEND path enforces: a v1
+          // B-tree node holds at most 2*K children, and the v0 superblock
+          // this writer emits carries no indexed-storage-K field, so
+          // h5py/PyTables assume K=32 — a single leaf past 64 entries
+          // reads fine HERE but fails to open there
+          require(p.chunks.size <= 64,
+            s"${v.name}: ${p.chunks.size} chunks exceed the 64-entry " +
+              "(2×K, K=32 default) single-leaf v1 chunk B-tree libhdf5 " +
+              "accepts — use larger chunks (chunkRows/timeChunk)")
           val keySize = 8 + (v.dims.length + 1) * 8
           var dataAddr = p.btAddr + 24 + p.chunks.size * (keySize + 8) + keySize
           out.write("TREE".getBytes); out.write(Array[Byte](1, 0)); out.write(u16(p.chunks.size))

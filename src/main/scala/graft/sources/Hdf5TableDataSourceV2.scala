@@ -93,8 +93,7 @@ private[sources] object Hdf5TableV2 {
       // codes surface as DOUBLE like every numeric member; the name map
       // rides the column metadata (the enum analogue of CF flag_meanings)
       StructField(m.name, DoubleType, nullable = false,
-        new MetadataBuilder().putStringArray("enum_names", e.names.toArray)
-          .putLongArray("enum_values", e.values.toArray).build())
+        NetCDF4Source.enumMetadata(e))
     case _: Hdf5.ArrayMemberType =>
       // PyTables vector column: fixed-shape per record, flat C-order
       StructField(m.name, ArrayType(DoubleType, containsNull = false),

@@ -182,6 +182,16 @@ object NetCDF4Source {
     * parsed once on the driver; chunked tables fan out one task per chunk
     * batch (like parquet row-groups), contiguous tables split into
     * fixed-size row ranges — both scale with the file, not the driver. */
+  /** The ONE encoding of an enum's name/code map as Spark column metadata
+    * (`enum_names`/`enum_values` — the enum analogue of CF
+    * `flag_meanings`/`flag_values`), shared by every source that surfaces
+    * enum-typed data. */
+  private[sources] def enumMetadata(
+      e: Hdf5.EnumType): org.apache.spark.sql.types.Metadata =
+    new org.apache.spark.sql.types.MetadataBuilder()
+      .putStringArray("enum_names", e.names.toArray)
+      .putLongArray("enum_values", e.values.toArray).build()
+
   def readCompoundTable(spark: SparkSession, path: String,
       varName: String): DataFrame = {
     import org.apache.spark.sql.Row
@@ -196,9 +206,8 @@ object NetCDF4Source {
     val n = v.dims.head
     def fieldOf(m: CompoundMember): StructField = m.dtype match {
       case _: NumType => StructField(m.name, DoubleType, nullable = false)
-      case e: Hdf5.EnumType => StructField(m.name, DoubleType, nullable = false,
-        new MetadataBuilder().putStringArray("enum_names", e.names.toArray)
-          .putLongArray("enum_values", e.values.toArray).build())
+      case e: Hdf5.EnumType =>
+        StructField(m.name, DoubleType, nullable = false, enumMetadata(e))
       case _: Hdf5.ArrayMemberType =>
         StructField(m.name, ArrayType(DoubleType, containsNull = false),
           nullable = false)

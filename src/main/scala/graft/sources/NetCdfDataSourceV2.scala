@@ -447,15 +447,17 @@ private[sources] class NetCdfTableV2(rawInputs: Seq[String], varName: String,
     rankOverride.getOrElse(NetCdfTableV2.rankOf(rawInputs, varName))
   override def name(): String = s"netcdf:${rawInputs.head}${
     if (rawInputs.size > 1) s" (+${rawInputs.size - 1})" else ""}#$varName"
+  // memoized like `rank`: Spark calls Table.schema() repeatedly during
+  // planning, and the enum probe is a driver-side metadata walk
+  private lazy val enumInfo: Option[Hdf5.EnumType] =
+    NetCdfTableV2.enumOf(rawInputs, varName)
   override def schema(): StructType = {
     val base = NetCdfTableV2.schemaFor(rank)
     // enum variables carry their name map on the value column —
     // df.schema("value").metadata resolves codes to CF flag labels
-    NetCdfTableV2.enumOf(rawInputs, varName).fold(base) { e =>
+    enumInfo.fold(base) { e =>
       StructType(base.map(f =>
-        if (f.name == "value") f.copy(metadata = new MetadataBuilder()
-          .putStringArray("enum_names", e.names.toArray)
-          .putLongArray("enum_values", e.values.toArray).build())
+        if (f.name == "value") f.copy(metadata = NetCDF4Source.enumMetadata(e))
         else f))
     }
   }

@@ -323,6 +323,47 @@ object ZarrGroup extends Serializable {
     Array.tabulate(chunkLen)(i => ZarrSource.cellValue(raw, buf, meta.dtype, i, bp))
   }
 
+  /** Materialize a rank-1 `<i8` axis as LONGS — the int64 dual of
+    * [[readWholeArray]] for the append's coordinate merge: committed
+    * values round-tripped through Double silently drift past 2^53
+    * (nanosecond-epoch time axes live there), so the merge reads raw
+    * codes and never converts. Metadata-sized axes only. */
+  private[sources] def readWholeAxisI8(fs: org.apache.hadoop.fs.FileSystem,
+      arrayDir: String, meta: ZarrSource.ZarrMeta): Array[Long] = {
+    require(meta.shape.length == 1 && meta.dtype == "<i8",
+      s"readWholeAxisI8 wants a rank-1 '<i8' axis, got " +
+        s"${meta.dtype} rank ${meta.shape.length}")
+    val n = meta.shape.head
+    val cl = meta.chunks.head
+    val out = new Array[Long](n)
+    var c0 = 0
+    var ci = 0
+    while (c0 < n) {
+      val take = math.min(cl, n - c0)
+      val p = new org.apache.hadoop.fs.Path(arrayDir,
+        ZarrSource.chunkKey(meta, Seq(ci)))
+      val data =
+        try {
+          val in = fs.open(p)
+          try Some(org.apache.commons.io.IOUtils.toByteArray(in))
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
+      data match {
+        case None =>
+          var i = 0
+          while (i < take) { out(c0 + i) = meta.fillValue.toLong; i += 1 }
+        case Some(d) =>
+          val raw = ZarrSource.decodeChunk(d, meta, cl * 8)
+          val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+          var i = 0
+          while (i < take) { out(c0 + i) = b.getLong(i * 8); i += 1 }
+      }
+      c0 += cl
+      ci += 1
+    }
+    out
+  }
+
   /** Materialize one WHOLE member array into a C-order `Array[Double]` —
     * for metadata-sized arrays only (coordinate axes, small masks): the
     * DataSourceV2 group scan resolves coordinate values and lower-rank
@@ -1388,35 +1429,60 @@ object ZarrGroup extends Serializable {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     newCoords.toSeq.sortBy(_._1).foreach { case (n, a) =>
       val m = g.members(n).meta
-      val merged = readWholeArray(fs, s"$dir/$n", m) ++ a
-      val buf = ByteBuffer.allocate(merged.length * 8).order(ByteOrder.LITTLE_ENDIAN)
-      if (m.dtype == "<i8") merged.foreach(v => buf.putLong(v.toLong))
-      else merged.foreach(buf.putDouble)
-      val payload =
-        if (v3) ZarrSource.v3EncodeChain(buf.array(), Seq(ZarrSource.ZstdC))
-        else if (m.compressor.contains("blosc")) Blosc.compress(buf.array(), typesize = 8)
-        else buf.array()
-      // Staged swap, like NetCDF4Source.appendCompoundTable: putBytes is a
-      // plain truncating create, so writing the canonical key directly
-      // would leave a TRUNCATED coord chunk if this JVM dies mid-write —
-      // unreadable by the strict short-decode check. Instead the extended
-      // chunk lands complete under a temp key, the original steps aside,
-      // and two renames swap it in; at every instant a COMPLETE coord
-      // chunk exists under a well-known name (canonical, .__grow_tmp, or
-      // .__grow_old) for deterministic recovery.
       val dst = new org.apache.hadoop.fs.Path(s"$dir/$n", if (v3) "c/0" else "0")
       val tmp = dst.suffix(".__grow_tmp")
       val old = dst.suffix(".__grow_old")
-      ZarrSource.putBytes(fs, tmp, payload)
-      fs.delete(old, false)
-      val hadOld = fs.exists(dst) && {
-        if (!fs.rename(dst, old)) throw new java.io.IOException(
-          s"could not step coord chunk $dst aside to $old")
-        true
+      // RECOVERY FIRST: a prior append that died between its two renames
+      // left the canonical key missing and the pristine original stepped
+      // aside at .__grow_old — restore it BEFORE reading the axis, or the
+      // merge below would build on chunkValues' missing-chunk fill pattern
+      // and the delete at the end would destroy the only real copy.
+      if (!fs.exists(dst) && fs.exists(old)) {
+        if (!fs.rename(old, dst)) throw new java.io.IOException(
+          s"could not restore stepped-aside coord chunk $old to $dst")
       }
-      if (!fs.rename(tmp, dst)) throw new java.io.IOException(
-        s"could not swap extended coord chunk $tmp into place at $dst")
-      if (hadOld) fs.delete(old, false)
+      fs.delete(tmp, false) // a stale temp from any prior crash is garbage
+      // existing int64 axes merge as LONGS end-to-end: a double round-trip
+      // would silently drift committed values past 2^53 (nanosecond-epoch
+      // time axes live there)
+      val payloadRaw: Array[Byte] =
+        if (m.dtype == "<i8") {
+          val merged = readWholeAxisI8(fs, s"$dir/$n", m) ++ a.map(_.toLong)
+          val buf = ByteBuffer.allocate(merged.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+          merged.foreach(buf.putLong)
+          buf.array()
+        } else {
+          val merged = readWholeArray(fs, s"$dir/$n", m) ++ a
+          val buf = ByteBuffer.allocate(merged.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+          merged.foreach(buf.putDouble)
+          buf.array()
+        }
+      val payload =
+        if (v3) ZarrSource.v3EncodeChain(payloadRaw, Seq(ZarrSource.ZstdC))
+        else if (m.compressor.contains("blosc")) Blosc.compress(payloadRaw, typesize = 8)
+        else payloadRaw
+      // Staged swap, like NetCDF4Source.appendCompoundTable: putBytes is a
+      // plain truncating create, so writing the canonical key directly
+      // would leave a TRUNCATED coord chunk if this JVM dies mid-write —
+      // unreadable by the strict short-decode check. The extended chunk
+      // lands complete under a temp key; a direct rename is tried first
+      // (zero-window atomic overwrite where the FS supports it), else the
+      // original steps aside and two renames swap — a COMPLETE chunk
+      // always exists under a well-known name, and the dst-missing window
+      // between the two renames is healed by the recovery block above on
+      // the next append.
+      ZarrSource.putBytes(fs, tmp, payload)
+      if (!fs.rename(tmp, dst)) {
+        fs.delete(old, false)
+        val hadOld = fs.exists(dst) && {
+          if (!fs.rename(dst, old)) throw new java.io.IOException(
+            s"could not step coord chunk $dst aside to $old")
+          true
+        }
+        if (!fs.rename(tmp, dst)) throw new java.io.IOException(
+          s"could not swap extended coord chunk $tmp into place at $dst")
+        if (hadOld) fs.delete(old, false)
+      }
     }
 
     // 3) metadata LAST, one patch for the whole group: only now does any

@@ -279,6 +279,59 @@ class ZarrPackedAppendSpec extends SparkSpec {
       s"packed shard (${size(packed)} B) must be smaller than f64 (${size(plain)} B)")
   }
 
+  test("a crash between the coord-swap renames is healed by the next append") {
+    val dir = tmpDir()
+    cells(2, 2, 4).write.format("zarr")
+      .option("dims", "time:2,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("coords", "time:10:1")
+      .mode("overwrite").save(dir)
+    cells(1, 2, 4, tBase = 2).write.format("zarr")
+      .option("dims", "time:1,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("coords", "time:12:1")
+      .mode("append").save(dir)
+    // simulate the JVM dying between rename(dst→old) and rename(tmp→dst):
+    // the canonical coord chunk is missing, the pristine axis sits aside
+    val coord = java.nio.file.Paths.get(dir, "time", "0")
+    java.nio.file.Files.move(coord,
+      java.nio.file.Paths.get(dir, "time", "0.__grow_old"))
+    // the NEXT append must restore the stepped-aside original BEFORE
+    // reading the axis — otherwise it would merge the fill pattern and
+    // then delete the only real copy
+    cells(1, 2, 4, tBase = 3).write.format("zarr")
+      .option("dims", "time:1,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("coords", "time:13:1")
+      .mode("append").save(dir)
+    val times = ZarrGroup.readDataset(spark, dir)
+      .select("time").distinct().as[Double].collect().sorted
+    assert(times.toSeq == Seq(10.0, 11.0, 12.0, 13.0),
+      "recovery must preserve every committed coordinate value")
+    val keys = new java.io.File(dir, "time").list().toSet
+    assert(!keys.exists(_.contains("__grow")),
+      s"recovery must clean the staging keys, got: $keys")
+  }
+
+  test("int64 coord values past 2^53 merge without double-rounding drift") {
+    val dir = tmpDir()
+    cells(2, 2, 4).write.format("zarr")
+      .option("dims", "time:2,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("coords", "time:0:1")
+      .mode("overwrite").save(dir)
+    // a nanosecond-epoch axis: values ~1.6e18, NOT representable in Double
+    val ns0 = 1600000000000000001L
+    val ns1 = 1600000086400000001L // +1 day, still odd (Double would round)
+    makeTimeCoordI8(dir, Seq(ns0, ns1))
+    ZarrGroup.appendDataset(cells(1, 2, 4, tBase = 2), dir,
+      Seq("time" -> 1, "y" -> 2, "x" -> 4), Seq(2, 2, 4), Seq("sst"),
+      newCoords = Map("time" -> Array(3.0)))
+    val raw = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dir, "time", "0"))
+    val lb = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    assert(lb.getLong(0) == ns0 && lb.getLong(8) == ns1,
+      s"committed int64 values must merge bit-exact, got " +
+        s"${lb.getLong(0)}, ${lb.getLong(8)}")
+    assert(lb.getLong(16) == 3L)
+  }
+
   test("the extended coord chunk swaps in staged — no temp keys linger") {
     val dir = tmpDir()
     cells(2, 2, 4).write.format("zarr")
