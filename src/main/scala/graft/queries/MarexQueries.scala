@@ -2106,6 +2106,45 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      CAST(sum(q) AS BIGINT) AS sum_scaled
               FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
-      "the composed 100 TB layout: packed int16 INSIDE sharded objects, created + grown through SQL, oracle-exact")
+      "the composed 100 TB layout: packed int16 INSIDE sharded objects, created + grown through SQL, oracle-exact"),
+
+    // ── EMBEDDING tables as PyTables vector columns: the `embeddings`
+    // table (id, Array[Float], label) lands in hdf5table with the
+    // embedding as a class-10 f64 VECTOR member — the layout PyTables
+    // keeps for `Float64Col(shape=(64,))` — in TWO writes (create +
+    // mode("append"), so the vector encode runs through BOTH the assembler
+    // and the append's stored-member encoder), and reads back as an
+    // ArrayType column whose per-element scaled sums must equal the
+    // from-parquet recompute. ─────────────────────────────────────────────
+    QueryDef("q106_hdf5table_embeddings",
+      (s, d) => {
+        val emb = Tables.load(s, d, "embeddings")
+          .select(col("vec_id").cast("long").as("vec_id"),
+            col("embedding").cast("array<double>").as("embedding"),
+            col("label").cast("double").as("label"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q106.h5"
+        new java.io.File(path).delete()
+        emb.filter(pmod(col("vec_id"), lit(2)) === 0)
+          .write.format("hdf5table").option("var", "vectors")
+          .option("chunkRows", "64")
+          .mode("overwrite").save(path)
+        emb.filter(pmod(col("vec_id"), lit(2)) === 1)
+          .write.format("hdf5table").option("var", "vectors")
+          .mode("append").save(path)
+        val q = (x: org.apache.spark.sql.Column) =>
+          round(x * 1000.0, 0).cast("long")
+        s.read.format("hdf5table").option("var", "vectors").load(path)
+          .select(col("label"),
+            aggregate(col("embedding"), lit(0L), (a, x) => a + q(x) * q(x)).as("ssq"))
+          .groupBy(col("label").cast("long").as("label"))
+          .agg(count(lit(1)).as("n_vecs"), sum(col("ssq")).as("sum_q"))
+      },
+      Some("""SELECT CAST(label AS BIGINT) AS label,
+                     count(*) AS n_vecs,
+                     CAST(sum(list_sum(list_transform(embedding,
+                       x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
+                          * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS sum_q
+              FROM embeddings GROUP BY 1"""),
+      "embedding tables as PyTables vector columns: class-10 write + append + ArrayType read, oracle-exact")
   )
 }

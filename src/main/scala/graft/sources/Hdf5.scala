@@ -2306,9 +2306,37 @@ private[graft] object Hdf5 {
         nc.members.zip(inner).foreach { case (im, iv) =>
           putMember(base + m.offset, im, iv)
         }
+      case at @ ArrayMemberType(NumType("float", 8, le0), _) =>
+        // vector member (PyTables Float64Col(shape)) — the embedding-table
+        // append path; the cell must carry exactly the stored shape
+        val cells: Seq[Double] = v match {
+          case s: scala.collection.Seq[_] => s.map {
+            case d: Double => d
+            case f: Float => f.toDouble
+            case l: Long => l.toDouble
+            case i: Int => i.toDouble
+            case null => Double.NaN
+            case o => throw new IllegalArgumentException(
+              s"member '${m.name}': cannot encode ${o.getClass.getName} " +
+                "inside a vector member")
+          }.toSeq
+          case null => throw new IllegalArgumentException(
+            s"member '${m.name}': null array cells are not representable " +
+              "in a fixed-shape vector member")
+          case o => throw new IllegalArgumentException(
+            s"member '${m.name}': vector member needs a Seq, got ${o.getClass.getName}")
+        }
+        val n0 = at.dims.product
+        require(cells.length == n0,
+          s"member '${m.name}': ${cells.length} values for the stored " +
+            s"${at.dims.mkString("x")} vector shape")
+        val b = ByteBuffer.allocate(n0 * 8)
+          .order(if (le0) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
+        cells.foreach(b.putDouble)
+        System.arraycopy(b.array(), 0, out, base + m.offset, n0 * 8)
       case o => throw new IllegalArgumentException(
-        s"member '${m.name}': appends support f64/i64/fixed-string/nested " +
-          s"members (got $o)")
+        s"member '${m.name}': appends support f64/i64/fixed-string/nested/" +
+          s"f64-vector members (got $o)")
     }
     rows.zipWithIndex.foreach { case (row, i) =>
       require(row.length == ct.members.length,

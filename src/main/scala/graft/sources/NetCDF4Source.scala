@@ -318,6 +318,29 @@ object NetCDF4Source {
             m.name -> columnOf(m, s"$prefix.${m.name}",
               inner.map(r => if (r == null || r.isNullAt(j)) null else r.get(j)))
           }.toSeq)
+        case ArrayType(et, _) if et == DoubleType || et == FloatType ||
+            et == IntegerType || et == LongType =>
+          // PyTables vector column (class-10 array member): every record
+          // carries one fixed-shape numeric array — the embedding-table
+          // layout; ragged inputs fail by name (pad/truncate upstream)
+          val arrs = vals.map {
+            case null => null
+            case s: scala.collection.Seq[_] => s.map {
+              case d: Double => d
+              case fl: Float => fl.toDouble
+              case l: Long => l.toDouble
+              case in: Int => in.toDouble
+              case null => Double.NaN
+            }.toArray
+          }
+          require(arrs.forall(_ != null),
+            s"column $prefix: null array cells are not representable in a " +
+              "fixed-shape vector member — fill upstream")
+          val lens = arrs.map(_.length).distinct
+          require(lens.length == 1 && lens.head > 0,
+            s"column $prefix: vector members need ONE fixed length, got " +
+              s"${lens.sorted.take(5).mkString(", ")}${if (lens.length > 5) ", …" else ""}")
+          Hdf5.ArrayCol(arrs, Seq(lens.head))
         case _ =>
           Hdf5.F64Col(vals.map {
             case null => Double.NaN

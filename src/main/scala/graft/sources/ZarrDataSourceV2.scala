@@ -96,7 +96,9 @@ private[sources] final case class ZarrWriteSpec(dims: Seq[(String, Int)],
     """.option("shard", …) writes zarr v3 sharding_indexed — requires .option("v3", "true")""")
   require(region.isEmpty || shard.isEmpty,
     """.option("region", …) and .option("shard", …) are mutually exclusive —"""
-      + " region writes merge into an existing unsharded store")
+      + " shard applies at store CREATION; a region write discovers and"
+      + " reuses the existing store's layout (sharded stores take regions"
+      + " fine without the option)")
   require(pack.isEmpty || region.isEmpty,
     """.option("pack", …) writes a CF-packed int16 store at CREATE time —"""
       + " region writes quantize with the STORE's own attributes instead;"

@@ -1134,15 +1134,24 @@ object ZarrGroup extends Serializable {
       s"member '$vc' uses the transpose codec — in-place ${what}s write " +
         "C-order chunks and would corrupt the store")
     require(m.meta.order == "C", s"member '$vc' is not C-order")
-    require(m.meta.shard.isEmpty,
-      s"member '$vc' uses sharding_indexed — ${what}s onto sharded stores " +
-        "are not supported (rewrite the store, or create it unsharded)")
-    if (v3) require(m.meta.v3Codecs == Seq(ZarrSource.ZstdC),
-      s"member '$vc' uses a v3 codec chain this writer cannot extend " +
-        s"(${m.meta.v3Codecs.mkString("→")}; supported: bytes→zstd)")
-    else require(m.meta.compressor.forall(_ == "blosc"),
-      s"member '$vc' uses v2 compressor '${m.meta.compressor.get}' " +
-        "(supported: raw, blosc)")
+    m.meta.shard match {
+      case Some(s) =>
+        // sharded members take in-place corrections too (round 10): the
+        // touched shard read-merges and rewrites whole, like an append's
+        // straddled edge — same supported layout as the append path
+        require(v3 && m.meta.v3Codecs.isEmpty &&
+          s.innerCodecs == Seq(ZarrSource.ZstdC) && s.indexCrc && s.indexAtEnd,
+          s"member '$vc' uses a sharding layout this writer cannot " +
+            s"rewrite (inner ${s.innerCodecs.mkString("→")}; supported: " +
+            "bytes→zstd inner chunks, crc32c end-index)")
+      case None =>
+        if (v3) require(m.meta.v3Codecs == Seq(ZarrSource.ZstdC),
+          s"member '$vc' uses a v3 codec chain this writer cannot extend " +
+            s"(${m.meta.v3Codecs.mkString("→")}; supported: bytes→zstd)")
+        else require(m.meta.compressor.forall(_ == "blosc"),
+          s"member '$vc' uses v2 compressor '${m.meta.compressor.get}' " +
+            "(supported: raw, blosc)")
+    }
     (m.meta, pk)
   }
 
@@ -1182,6 +1191,10 @@ object ZarrGroup extends Serializable {
       s"region-written members (${valueCols.mkString(", ")}) disagree on " +
         "CF packing — write packed and unpacked (or differently-packed) " +
         "members in separate calls")
+    val shards = metas.map(_.shard.map(_.innerChunks))
+    require(shards.distinct.length == 1,
+      s"region-written members (${valueCols.mkString(", ")}) disagree on " +
+        "sharding — write them in separate calls")
     val nt0 = metas.head.shape.head
     require(metas.forall(_.shape.head == nt0),
       s"region-written members disagree on '${dimNames.head}' length " +
@@ -1191,9 +1204,13 @@ object ZarrGroup extends Serializable {
         s"leaves the store's [0, $nt0) — region writes never resize " +
         "(append for growth)")
     writeChunkJob(df, dir, dimNames, (regionStart + nLen) +: dims.tail.map(_._2),
-      chunks, valueCols, fill = Double.NaN, v3 = v3,
+      chunks, valueCols,
+      fill = if (packs.head.isDefined) packs.head.get.fillRaw.toDouble
+        else metas.head.fillValue,
+      v3 = v3,
       blosc = metas.map(_.compressor.contains("blosc")), offset0 = regionStart,
-      initMetas = valueCols.zip(metas).toMap, pack = packs.head)
+      initMetas = valueCols.zip(metas).toMap, pack = packs.head,
+      shard = shards.head)
   }
 
   /** Append a block along the FIRST (slowest-varying) dimension of an

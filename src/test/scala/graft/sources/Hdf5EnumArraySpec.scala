@@ -126,6 +126,47 @@ class Hdf5EnumArraySpec extends SparkSpec {
       Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0))
   }
 
+  test("ArrayType columns write + append as vector members through SQL") {
+    import spark.implicits._
+    val path = tmpH5()
+    val mk = (from: Int, until: Int) => (from until until)
+      .map(i => (i.toLong, Seq(i * 1.0, i * 2.0, i * 3.0))).toDF("id", "emb")
+    mk(0, 5).write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "4").mode("overwrite").save(path)
+    mk(5, 9).write.format("hdf5table").option("var", "t")
+      .mode("append").save(path)
+    val got = spark.read.format("hdf5table").option("var", "t").load(path)
+      .orderBy("id")
+      .select(col("id"), col("emb").getItem(2)).collect()
+    assert(got.map(r => (r.getDouble(0).toLong, r.getDouble(1))).toSeq ==
+      (0 until 9).map(i => (i.toLong, i * 3.0)))
+  }
+
+  test("ragged vector cells and shape-mismatched appends fail by name") {
+    import spark.implicits._
+    val path = tmpH5()
+    val e = intercept[Exception] {
+      Seq((1L, Seq(1.0, 2.0)), (2L, Seq(1.0, 2.0, 3.0)))
+        .toDF("id", "emb").write.format("hdf5table").option("var", "t")
+        .mode("overwrite").save(path)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("fixed length")), s"got: ${msgs(e)}")
+    Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "emb")
+      .write.format("hdf5table").option("var", "t")
+      .option("chunkRows", "4").mode("overwrite").save(path)
+    val e2 = intercept[Exception] {
+      Seq((2L, Seq(1.0, 2.0))).toDF("id", "emb")
+        .write.format("hdf5table").option("var", "t")
+        .mode("append").save(path)
+    }
+    assert(msgs(e2).exists(_.contains("vector shape")), s"got: ${msgs(e2)}")
+  }
+
+  private def msgs(t: Throwable): Seq[String] =
+    Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+
   test("remaining datatype classes stay named errors") {
     // class 4 (bitfield), v1 header byte 0x14, hand-built message
     val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)

@@ -279,6 +279,45 @@ class ZarrPackedAppendSpec extends SparkSpec {
       s"packed shard (${size(packed)} B) must be smaller than f64 (${size(plain)} B)")
   }
 
+  test("region corrections land on SHARDED stores (the composed layout included)") {
+    // f8 sharded: correct t∈[2,4) of a 6-slice store
+    val dir = tmpDir()
+    cells(6, 2, 4).write.format("zarr")
+      .option("dims", "time:6,y:2,x:4").option("chunks", "2,2,4")
+      .option("shard", "1,2,4").option("v3", "true")
+      .option("cols", "sst")
+      .mode("overwrite").save(dir)
+    cells(2, 2, 4, tBase = 2).withColumn("sst", col("sst") + 100.0)
+      .write.format("zarr")
+      .option("dims", "time:2,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("region", "2")
+      .mode("append").save(dir)
+    val ds = spark.read.format("zarr").load(dir)
+    assert(ds.count() == 6 * 2 * 4)
+    assert(ds.filter(col("time_idx").between(2, 3) && col("sst") < 100.0).count() == 0)
+    assert(ds.filter((col("time_idx") < 2 || col("time_idx") > 3) &&
+      col("sst") >= 100.0).count() == 0,
+      "slices outside the region must be untouched (straddled shard merged)")
+
+    // packed + sharded: the recommended archive layout takes corrections too
+    val dir2 = tmpDir()
+    cells(6, 2, 4).write.format("zarr")
+      .option("dims", "time:6,y:2,x:4").option("chunks", "2,2,4")
+      .option("shard", "1,2,4").option("v3", "true")
+      .option("cols", "sst").option("pack", "0.01")
+      .mode("overwrite").save(dir2)
+    cells(2, 2, 4, tBase = 2).withColumn("sst", col("sst") + 100.0)
+      .write.format("zarr")
+      .option("dims", "time:2,y:2,x:4").option("chunks", "2,2,4")
+      .option("cols", "sst").option("region", "2")
+      .mode("append").save(dir2)
+    val ds2 = spark.read.format("zarr").load(dir2)
+    assert(ds2.count() == 6 * 2 * 4)
+    assert(ds2.filter(col("time_idx").between(2, 3) && col("sst") < 100.0).count() == 0)
+    assert(ds2.filter((col("time_idx") < 2 || col("time_idx") > 3) &&
+      col("sst") >= 100.0).count() == 0)
+  }
+
   test("a crash between the coord-swap renames is healed by the next append") {
     val dir = tmpDir()
     cells(2, 2, 4).write.format("zarr")
