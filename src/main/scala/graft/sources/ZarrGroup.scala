@@ -891,6 +891,22 @@ object ZarrGroup extends Serializable {
     val blockN0 = totalSizes(appendAt) - offset0
     val initB: Array[ZarrSource.ZarrMeta] =
       if (initMetas.isEmpty) null else valueCols.map(initMetas(_)).toArray
+    // chunk-key encoding: creates use this writer's layout ("." for v2,
+    // "c/" for v3); in-place writes MUST keep the store's own (via
+    // ZarrSource.chunkKey) — a "."-keyed write into a "/"-separated store
+    // (or a "c/"-keyed write into a v3 "v2"-encoded store) would leave
+    // chunks its readers never find
+    val relOf: Seq[Int] => String =
+      if (initB == null) {
+        if (v3) ci => ("c" +: ci.map(_.toString)).mkString("/")
+        else ci => ci.mkString(".")
+      } else {
+        val encs = initB.map(m => (m.keyPrefix, m.keySep)).distinct
+        require(encs.length == 1,
+          s"members disagree on the chunk-key encoding (${encs.mkString(", ")})")
+        val m0 = initB.head
+        ci => ZarrSource.chunkKey(m0, ci)
+      }
 
     val nChunksPerDim = totalSizes.indices.map(d =>
       (totalSizes(d) + chunks(d) - 1) / chunks(d))
@@ -935,8 +951,7 @@ object ZarrGroup extends Serializable {
           out.array()
         }
         def flush(): Unit = if (bufs != null) {
-          val rel = if (isV3) ("c" +: ci.map(_.toString)).mkString("/")
-            else ci.mkString(".")
+          val rel = relOf(ci.toSeq)
           var vi = 0
           while (vi < nV) {
             val payload = if (isV3 && shardB != null)

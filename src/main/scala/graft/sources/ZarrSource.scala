@@ -152,9 +152,25 @@ object ZarrSource extends Serializable {
     val fill = (j \ "fill_value") match {
       case JDouble(d) => d
       case JInt(i) => i.toDouble
+      // the v2 spec encodes non-finite fills as strings
+      case JString("Infinity") => Double.PositiveInfinity
+      case JString("-Infinity") => Double.NegativeInfinity
       case _ => Double.NaN
     }
     val order = (j \ "order").extractOrElse[String]("C")
+    // zarr-python ≥2.8 stores may key chunks "t/y/x" instead of "t.y.x"
+    // (the object-store-friendly layout xarray's to_zarr exposes via
+    // `dimension_separator`); IGNORING it would FileNotFound every chunk
+    // and silently read the whole array as fill
+    val sep = (j \ "dimension_separator") match {
+      case JString(s) =>
+        require(s == "." || s == "/",
+          s"zarr v2 dimension_separator '$s' (want '.' or '/')")
+        s
+      case JNull | JNothing => "."
+      case other => throw new IllegalArgumentException(
+        s"malformed zarr v2 'dimension_separator': $other")
+    }
     // v2 pre-compression filters transform the cell bytes BEFORE the
     // compressor: ignoring one would decompress fine and then read
     // transformed bytes as raw values — silent wrong data. The two
@@ -190,7 +206,8 @@ object ZarrSource extends Serializable {
       case other => throw new IllegalArgumentException(
         s"malformed zarr v2 'filters' entry: $other")
     }
-    ZarrMeta(shape, chunks, dtype, comp, fill, order, v2Filters = v2Filters)
+    ZarrMeta(shape, chunks, dtype, comp, fill, order, keySep = sep,
+      v2Filters = v2Filters)
   }
 
   /** Parse v3 `zarr.json` array metadata into the unified [[ZarrMeta]]. */
