@@ -24,9 +24,26 @@ object NetCDF3Source {
 
   final case class Dim(name: String, size: Int) // size 0 → record dim
   final case class Var(name: String, dimIds: Seq[Int], ncType: Int,
-      vsize: Long, begin: Long) {
+      vsize: Long, begin: Long, attrs: Map[String, Any] = Map.empty) {
     def isRecord(dims: Seq[Dim]): Boolean =
       dimIds.nonEmpty && dims(dimIds.head).size == 0
+    /** One numeric attribute (CF packing attrs arrive as 1-element arrays). */
+    def numAttr(k: String): Option[Double] = attrs.get(k).collect {
+      case d: Double => d
+      case f: Float => f.toDouble
+      case i: Int => i.toDouble
+      case s: Short => s.toDouble
+      case b: Byte => b.toDouble
+      case l: Long => l.toDouble
+      case seq: Seq[_] if seq.nonEmpty => seq.head match {
+        case d: Double => d
+        case f: Float => f.toDouble
+        case i: Int => i.toDouble
+        case s: Short => s.toDouble
+        case b: Byte => b.toDouble
+        case l: Long => l.toDouble
+      }
+    }
   }
   final case class Header(version: Int, numRecs: Int, dims: Seq[Dim],
       vars: Seq[Var], attrs: Map[String, Any]) {
@@ -111,11 +128,14 @@ object NetCDF3Source {
       val nm = r.name()
       val nd = r.int()
       val ids = (0 until nd).map(_ => r.int())
-      r.attrList() // per-var attrs (units etc.) — parsed, not yet surfaced
+      // per-var attrs surface on the Var: the CF packing trio
+      // (scale_factor/add_offset/_FillValue) drives the decode — classic
+      // archives (ERA5-style downloads) ship i2-packed
+      val vattrs = r.attrList()
       val t = r.int()
       val vsize = r.int().toLong & 0xffffffffL
       val begin = if (version == 1) r.int().toLong & 0xffffffffL else buf.getLong()
-      Var(nm, ids, t, vsize, begin)
+      Var(nm, ids, t, vsize, begin, vattrs)
     }
     Header(version, numRecs, dims, vars, gatts)
   }
@@ -197,6 +217,11 @@ object NetCDF3Source {
     val stride = if (v.isRecord(h.dims)) h.recSize else sliceBytes
     val begin = v.begin
     val ncType = v.ncType
+    // CF packing attrs — same mask_and_scale decode as the DSv2 scan, so
+    // a packed classic archive never surfaces raw codes
+    val scale = v.numAttr("scale_factor").getOrElse(1.0)
+    val offset = v.numAttr("add_offset").getOrElse(0.0)
+    val fillRaw = v.numAttr("_FillValue").orElse(v.numAttr("missing_value"))
     val (t0, t1) = timeRange.getOrElse((0, nt - 1))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -211,7 +236,13 @@ object NetCDF3Source {
           val raw = new Array[Byte](sliceBytes.toInt)
           in.readFully(begin + t * stride, raw, 0, raw.length)
           val vals = decode(raw, ncType, ny * nx)
-          (0 until ny * nx).iterator.map(i => (t, i / nx, i % nx, vals(i)))
+          (0 until ny * nx).iterator.map { i =>
+            val r = vals(i)
+            val phys =
+              if (fillRaw.exists(f => f == r || (f.isNaN && r.isNaN))) Double.NaN
+              else r * scale + offset
+            (t, i / nx, i % nx, phys)
+          }
         }
         new Iterator[(Int, Int, Int, Double)] {
           def hasNext: Boolean = { val h2 = rows.hasNext; if (!h2) in.close(); h2 }
@@ -221,15 +252,20 @@ object NetCDF3Source {
       .toDF("t_idx", "y", "x", "value")
   }
 
-  /** Classic NetCDF-3 (CDF-1) writer for a single 3-D double variable with
-    * a record time dimension — the sink dual of [[read3D]] (≙ the
+  /** Classic NetCDF-3 (CDF-1) writer for a single 3-D variable with a
+    * record time dimension — the sink dual of [[read3D]] (≙ the
     * reference's `to_netcdf`). Cells are gathered per record; missing cells
-    * become NaN. Driver-side file assembly (one header + sequential
-    * records): classic NetCDF is a single contiguous file, so the write
-    * itself is inherently serial — the per-record cell gathering is the
-    * distributed part. */
+    * become NaN (packed: the raw fill code). With `pack` set the variable
+    * lands as CF-packed big-endian NC_SHORT + the `scale_factor`/
+    * `add_offset`/`_FillValue` attribute trio — the layout classic
+    * archives (ERA5-style downloads) actually ship; `fillAttr` selects the
+    * legacy `missing_value` spelling when a consumer needs it. Driver-side
+    * file assembly (one header + sequential records): classic NetCDF is a
+    * single contiguous file, so the write itself is inherently serial —
+    * the per-record cell gathering is the distributed part. */
   def write3D(df: DataFrame, path: String, varName: String,
-      shape: (Int, Int, Int)): Unit = {
+      shape: (Int, Int, Int), pack: Option[NetCDF4Source.Pack] = None,
+      fillAttr: String = "_FillValue"): Unit = {
     val (nt, ny, nx) = shape
     import org.apache.spark.sql.functions._
     val spark = df.sparkSession
@@ -261,9 +297,22 @@ object NetCDF3Source {
     head.putInt(0x0B).putInt(1) // var_list
     head.put(nameBytes(varName))
     head.putInt(3).putInt(0).putInt(1).putInt(2) // 3 dims: time, y, x
-    head.putInt(0).putInt(0) // no var attrs
-    head.putInt(NcDouble)
-    val vsize = ny * nx * 8
+    pack match {
+      case None => head.putInt(0).putInt(0) // no var attrs
+      case Some(pk) =>
+        // the CF packing trio; doubles for scale/offset, NC_SHORT fill
+        head.putInt(0x0C).putInt(3)
+        head.put(nameBytes("scale_factor")).putInt(NcDouble).putInt(1)
+          .putDouble(pk.scale)
+        head.put(nameBytes("add_offset")).putInt(NcDouble).putInt(1)
+          .putDouble(pk.offset)
+        head.put(nameBytes(fillAttr)).putInt(NcShort).putInt(1)
+          .putShort(pk.fillRaw).putShort(0) // 2-byte value + pad to ×4
+    }
+    head.putInt(if (pack.isDefined) NcShort else NcDouble)
+    // per the spec, record vsize rounds UP to a 4-byte boundary
+    val payload = ny * nx * (if (pack.isDefined) 2 else 8)
+    val vsize = (payload + 3) / 4 * 4
     head.putInt(vsize)
     val begin = head.position() + 4
     head.putInt(begin)
@@ -278,7 +327,20 @@ object NetCDF3Source {
       for (t <- 0 until nt) {
         val arr = recs.getOrElse(t, empty)
         val bb = ByteBuffer.allocate(vsize).order(ByteOrder.BIG_ENDIAN)
-        arr.foreach(bb.putDouble)
+        pack match {
+          case None => arr.foreach(bb.putDouble)
+          case Some(pk) => arr.foreach { v =>
+            // same quantization as NetCDF4Source.gridVar: NaN and
+            // out-of-i16 values map to the fill code, never alias
+            bb.putShort(
+              if (v.isNaN) pk.fillRaw
+              else {
+                val q = math.rint((v - pk.offset) / pk.scale)
+                if (q < Short.MinValue || q > Short.MaxValue) pk.fillRaw
+                else q.toShort
+              })
+          }
+        }
         out.write(bb.array())
       }
     } finally out.close()

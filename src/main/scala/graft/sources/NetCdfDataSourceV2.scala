@@ -358,7 +358,8 @@ private[sources] object NetCdfTableV2 {
         dtype = ntype, chunkDims = Seq.empty, filters = v.filters,
         scale = num("scale_factor").getOrElse(1.0),
         offset = num("add_offset").getOrElse(0.0),
-        fillRaw = num("_FillValue"),
+        // missing_value is the legacy fill spelling xarray also honors
+        fillRaw = num("_FillValue").orElse(num("missing_value")),
         elidedFill = v.fillValue.getOrElse(Double.NaN), rank = rank)
       v.layout match {
         // 2-D chunk dims pad to (ct, cc, 1) so the planner's 3-axis walk is
@@ -395,9 +396,16 @@ private[sources] object NetCdfTableV2 {
       }
       val sliceBytes = ny.toLong * nx * dtype.size
       val stride = if (v.isRecord(h.dims)) h.recSize else sliceBytes
+      // classic files carry the SAME CF packing trio as NC4 — ERA5-style
+      // downloads ship i2-packed; ignoring scale_factor would silently
+      // read raw codes as physical values. `missing_value` is the legacy
+      // fill spelling xarray also honors.
       (NcDecodeMeta(nt, ny, nx, sliceBase = v.begin, sliceStride = stride,
         dtype = dtype, chunkDims = Seq.empty, filters = Seq.empty,
-        scale = 1.0, offset = 0.0, fillRaw = None, elidedFill = Double.NaN,
+        scale = v.numAttr("scale_factor").getOrElse(1.0),
+        offset = v.numAttr("add_offset").getOrElse(0.0),
+        fillRaw = v.numAttr("_FillValue").orElse(v.numAttr("missing_value")),
+        elidedFill = Double.NaN,
         rank = rank), None)
     }
   }

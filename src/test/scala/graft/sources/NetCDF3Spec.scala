@@ -68,4 +68,57 @@ class NetCDF3Spec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](NetCDF3Source.readHeader(spark, p2))
     assert(e2.getMessage.contains("NetCDF-4"))
   }
+
+  test("CF-packed classic files decode physical values (ERA5-download shape)") {
+    // values on the 0.25 grid so i16 quantization is exact; one hole
+    val path = tmpNc()
+    val df = (for (t <- 0 until 3; y <- 0 until 3; x <- 0 until 4
+        if !(t == 1 && y == 1 && x == 1))
+      yield (t, y, x, t * 1.0 + y * 0.25 + x * 0.25))
+      .toDF("t_idx", "y", "x", "value")
+    NetCDF3Source.write3D(df, path, "sst", shape = (3, 3, 4),
+      pack = Some(NetCDF4Source.Pack(scale = 0.25)))
+    val h = NetCDF3Source.readHeader(spark, path)
+    assert(h.vars.head.ncType == 3, "the variable must be stored as NC_SHORT")
+    assert(h.vars.head.numAttr("scale_factor").contains(0.25))
+    // utility read: CF-decoded
+    val ds = NetCDF3Source.read3D(spark, path, "sst")
+    assert(ds.filter(isnan(col("value"))).count() == 1, "the hole reads NaN")
+    assert(ds.filter(!isnan(col("value")) && col("value") =!=
+      col("t_idx") * 1.0 + col("y") * 0.25 + col("x") * 0.25).count() == 0,
+      "packed classic cells must decode to physical values, not raw codes")
+    // DSv2 read: same decode
+    val sql = spark.read.format("netcdf").option("var", "sst").load(path)
+    assert(sql.filter(isnan(col("value"))).count() == 1)
+    assert(sql.filter(!isnan(col("value")) && col("value") =!=
+      col("t_idx") * 1.0 + col("y") * 0.25 + col("x") * 0.25).count() == 0)
+  }
+
+  test("the legacy missing_value spelling masks like _FillValue") {
+    val path = tmpNc()
+    val df = (for (t <- 0 until 2; y <- 0 until 2; x <- 0 until 2
+        if !(t == 0 && y == 0 && x == 0))
+      yield (t, y, x, t * 1.0)).toDF("t_idx", "y", "x", "value")
+    NetCDF3Source.write3D(df, path, "sst", shape = (2, 2, 2),
+      pack = Some(NetCDF4Source.Pack(scale = 0.5)),
+      fillAttr = "missing_value")
+    val sql = spark.read.format("netcdf").option("var", "sst").load(path)
+    assert(sql.filter(isnan(col("value"))).count() == 1,
+      "missing_value-coded cells must mask to NaN")
+    assert(sql.filter(!isnan(col("value")) &&
+      col("value") =!= col("t_idx") * 1.0).count() == 0)
+  }
+
+  test("an odd-cell packed record pads its vsize to the 4-byte boundary") {
+    val path = tmpNc()
+    val df = (for (t <- 0 until 2; y <- 0 until 1; x <- 0 until 3)
+      yield (t, y, x, x * 1.0)).toDF("t_idx", "y", "x", "value")
+    NetCDF3Source.write3D(df, path, "sst", shape = (2, 1, 3),
+      pack = Some(NetCDF4Source.Pack(scale = 1.0)))
+    // 3 shorts = 6 bytes -> vsize 8; the second record must still align
+    val ds = NetCDF3Source.read3D(spark, path, "sst")
+    assert(ds.count() == 6)
+    assert(ds.filter(col("value") =!= col("x").cast("double")).count() == 0,
+      "records after a padded one must decode from the padded stride")
+  }
 }
