@@ -2145,6 +2145,46 @@ object MarexQueries extends QueryRegistry {
                        x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)
                           * CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)))) AS BIGINT) AS sum_q
               FROM embeddings GROUP BY 1"""),
-      "embedding tables as PyTables vector columns: class-10 write + append + ArrayType read, oracle-exact")
+      "embedding tables as PyTables vector columns: class-10 write + append + ArrayType read, oracle-exact"),
+
+    // ── CF-packed CLASSIC (NetCDF-3) files: the ERA5-download shape —
+    // int16 records + scale_factor/add_offset/_FillValue in a CDF-1
+    // header. The cube lands via the packed classic write dual and reads
+    // back through the SAME `format("netcdf")` scan as q92's NC4 file,
+    // whose classic branch now drives mask_and_scale from the per-variable
+    // attributes (round-10 fix: it used to read raw codes silently). ──────
+    QueryDef("q107_netcdf3_packed",
+      (s, d) => {
+        import graft.sources.{NetCDF3Source, NetCDF4Source}
+        val cells = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
+            pmod(col("user_id"), lit(15)).cast("int").as("x"))
+          .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
+            / count(lit(1))).as("mean"))
+          .filter(col("t_idx").between(0, 30))
+          .select(col("t_idx"), col("y"), col("x"),
+            (round(col("mean") * 100.0, 0) / 100.0).as("value"))
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q107.nc"
+        new java.io.File(path).delete()
+        NetCDF3Source.write3D(cells, path, "sst", shape = (31, 10, 15),
+          pack = Some(NetCDF4Source.Pack(scale = 0.01)))
+        s.read.format("netcdf").option("var", "sst").load(path)
+          .filter(!isnan(col("value")) && col("t_idx").between(5, 25))
+          .groupBy(col("t_idx").cast("long").as("t"))
+          .agg(count(lit(1)).as("n_cells"),
+            sum(round(col("value") * 100.0, 0).cast("long")).as("sum_scaled"))
+      },
+      Some("""WITH cells AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(round(((CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE) / 100.0)
+                         / count(*)) * 100.0) AS BIGINT) AS q
+                FROM events GROUP BY 1, CAST(user_id % 150 // 15 AS INT), CAST(user_id % 15 AS INT))
+              SELECT CAST(t_idx AS BIGINT) AS t,
+                     count(*) AS n_cells,
+                     CAST(sum(q) AS BIGINT) AS sum_scaled
+              FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
+      "CF-packed CLASSIC netcdf (ERA5-download shape): attr-driven mask_and_scale on the NC3 branch, oracle-exact")
   )
 }
