@@ -27,28 +27,35 @@ object NetCDF3Source {
       vsize: Long, begin: Long, attrs: Map[String, Any] = Map.empty) {
     def isRecord(dims: Seq[Dim]): Boolean =
       dimIds.nonEmpty && dims(dimIds.head).size == 0
-    /** One numeric attribute (CF packing attrs arrive as 1-element arrays). */
-    def numAttr(k: String): Option[Double] = attrs.get(k).collect {
-      case d: Double => d
-      case f: Float => f.toDouble
-      case i: Int => i.toDouble
-      case s: Short => s.toDouble
-      case b: Byte => b.toDouble
-      case l: Long => l.toDouble
-      case seq: Seq[_] if seq.nonEmpty => seq.head match {
-        case d: Double => d
-        case f: Float => f.toDouble
-        case i: Int => i.toDouble
-        case s: Short => s.toDouble
-        case b: Byte => b.toDouble
-        case l: Long => l.toDouble
-      }
+    /** Bytes of ONE record slab (record vars) / the whole variable
+      * (fixed vars), UNPADDED — recomputed from the shape, never trusted
+      * from the stored `vsize` (writers disagree on padding conventions). */
+    def payloadBytes(dims: Seq[Dim]): Long = {
+      val counted = if (isRecord(dims)) dimIds.tail else dimIds
+      counted.map(dims(_).size.toLong).product * typeBytes(ncType)
     }
+    /** One numeric attribute — [[Reader.attrValues]] normalizes every
+      * numeric NC type to `Seq[Double]` (NC_CHAR to String). */
+    def numAttr(k: String): Option[Double] = attrs.get(k).collect {
+      case seq: Seq[_] if seq.nonEmpty => seq.head
+    }.collect { case d: Double => d }
   }
   final case class Header(version: Int, numRecs: Int, dims: Seq[Dim],
       vars: Seq[Var], attrs: Map[String, Any]) {
-    /** Sum of record-variable vsizes = byte stride of one record. */
-    lazy val recSize: Long = vars.filter(_.isRecord(dims)).map(_.vsize).sum
+    /** Byte stride of one record, RECOMPUTED from the variable shapes
+      * (never summed from the stored `vsize` fields, whose padding
+      * convention varies by writer): each record slab pads to ×4 — EXCEPT
+      * the classic-format special case of exactly ONE record variable of
+      * type byte/char/short, whose slabs pack TIGHTLY (netCDF-C applies
+      * it; summing padded vsizes there strides past every record after
+      * the first — silent wrong data on e.g. odd-cell int16 grids). */
+    lazy val recSize: Long = {
+      val recVars = vars.filter(_.isRecord(dims))
+      if (recVars.length == 1 &&
+          Seq(NcByte, NcChar, NcShort).contains(recVars.head.ncType))
+        recVars.head.payloadBytes(dims)
+      else recVars.map(v => (v.payloadBytes(dims) + 3) / 4 * 4).sum
+    }
   }
 
   private val NcByte = 1; private val NcChar = 2; private val NcShort = 3
@@ -221,7 +228,10 @@ object NetCDF3Source {
     // a packed classic archive never surfaces raw codes
     val scale = v.numAttr("scale_factor").getOrElse(1.0)
     val offset = v.numAttr("add_offset").getOrElse(0.0)
-    val fillRaw = v.numAttr("_FillValue").orElse(v.numAttr("missing_value"))
+    // BOTH fill spellings mask when a legacy archive carries them with
+    // different codes, matching xarray
+    val fillRaws = Seq(v.numAttr("_FillValue"),
+      v.numAttr("missing_value")).flatten.distinct
     val (t0, t1) = timeRange.getOrElse((0, nt - 1))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -239,7 +249,7 @@ object NetCDF3Source {
           (0 until ny * nx).iterator.map { i =>
             val r = vals(i)
             val phys =
-              if (fillRaw.exists(f => f == r || (f.isNaN && r.isNaN))) Double.NaN
+              if (fillRaws.exists(f => f == r || (f.isNaN && r.isNaN))) Double.NaN
               else r * scale + offset
             (t, i / nx, i % nx, phys)
           }
@@ -310,9 +320,12 @@ object NetCDF3Source {
           .putShort(pk.fillRaw).putShort(0) // 2-byte value + pad to ×4
     }
     head.putInt(if (pack.isDefined) NcShort else NcDouble)
-    // per the spec, record vsize rounds UP to a 4-byte boundary
+    // record vsize rounds UP to a 4-byte boundary — EXCEPT the classic
+    // special case this writer hits when packing: exactly ONE record
+    // variable of type byte/char/short packs its record slabs TIGHTLY
+    // (netCDF-C behavior; padding here would misalign its readers)
     val payload = ny * nx * (if (pack.isDefined) 2 else 8)
-    val vsize = (payload + 3) / 4 * 4
+    val vsize = if (pack.isDefined) payload else (payload + 3) / 4 * 4
     head.putInt(vsize)
     val begin = head.position() + 4
     head.putInt(begin)

@@ -71,10 +71,12 @@ object NetCDF4Source {
     }
     val scale = num("scale_factor").getOrElse(1.0)
     val offset = num("add_offset").getOrElse(0.0)
-    val fill = num("_FillValue")
-    if (scale == 1.0 && offset == 0.0 && fill.isEmpty) identity
+    // BOTH fill spellings mask when a legacy archive carries them with
+    // different codes (_FillValue + missing_value), matching xarray
+    val fills = Seq(num("_FillValue"), num("missing_value")).flatten.distinct
+    if (scale == 1.0 && offset == 0.0 && fills.isEmpty) identity
     else (raw: Double) =>
-      if (fill.exists(f => f == raw || (f.isNaN && raw.isNaN))) Double.NaN
+      if (fills.exists(f => f == raw || (f.isNaN && raw.isNaN))) Double.NaN
       else raw * scale + offset
   }
 
@@ -336,6 +338,9 @@ object NetCDF4Source {
           require(arrs.forall(_ != null),
             s"column $prefix: null array cells are not representable in a " +
               "fixed-shape vector member — fill upstream")
+          require(arrs.nonEmpty,
+            s"column $prefix: cannot infer the vector length from an " +
+              "empty frame — the member shape is part of the stored type")
           val lens = arrs.map(_.length).distinct
           require(lens.length == 1 && lens.head > 0,
             s"column $prefix: vector members need ONE fixed length, got " +

@@ -358,8 +358,9 @@ private[sources] object NetCdfTableV2 {
         dtype = ntype, chunkDims = Seq.empty, filters = v.filters,
         scale = num("scale_factor").getOrElse(1.0),
         offset = num("add_offset").getOrElse(0.0),
-        // missing_value is the legacy fill spelling xarray also honors
-        fillRaw = num("_FillValue").orElse(num("missing_value")),
+        // missing_value is the legacy fill spelling xarray also honors;
+        // BOTH mask when present with different codes
+        fillRaws = Seq(num("_FillValue"), num("missing_value")).flatten.distinct,
         elidedFill = v.fillValue.getOrElse(Double.NaN), rank = rank)
       v.layout match {
         // 2-D chunk dims pad to (ct, cc, 1) so the planner's 3-axis walk is
@@ -404,7 +405,8 @@ private[sources] object NetCdfTableV2 {
         dtype = dtype, chunkDims = Seq.empty, filters = Seq.empty,
         scale = v.numAttr("scale_factor").getOrElse(1.0),
         offset = v.numAttr("add_offset").getOrElse(0.0),
-        fillRaw = v.numAttr("_FillValue").orElse(v.numAttr("missing_value")),
+        fillRaws = Seq(v.numAttr("_FillValue"),
+          v.numAttr("missing_value")).flatten.distinct,
         elidedFill = Double.NaN,
         rank = rank), None)
     }
@@ -604,7 +606,9 @@ private[sources] case class NcDecodeMeta(
     // NC4 chunked path
     chunkDims: Seq[Int], filters: Seq[Hdf5.Filter],
     // CF decode (identity: 1, 0, None) + dataset fill for elided chunks
-    scale: Double, offset: Double, fillRaw: Option[Double], elidedFill: Double,
+    // BOTH fill spellings mask when a legacy archive carries them with
+    // different codes (_FillValue + missing_value), matching xarray
+    scale: Double, offset: Double, fillRaws: Seq[Double], elidedFill: Double,
     // stored rank: 3 = (time, y, x), 2 = (time, cell) normalized to nx = 1
     rank: Int = 3)
 
@@ -742,9 +746,9 @@ private[sources] class NetCdfReaderFactory(columns: Array[String],
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     def cfOf(m: NcDecodeMeta): Double => Double =
-      if (m.scale == 1.0 && m.offset == 0.0 && m.fillRaw.isEmpty) identity
+      if (m.scale == 1.0 && m.offset == 0.0 && m.fillRaws.isEmpty) identity
       else (raw: Double) =>
-        if (m.fillRaw.exists(f => f == raw || (f.isNaN && raw.isNaN))) Double.NaN
+        if (m.fillRaws.exists(f => f == raw || (f.isNaN && raw.isNaN))) Double.NaN
         else raw * m.scale + m.offset
 
     def open(path: String): org.apache.hadoop.fs.FSDataInputStream = {

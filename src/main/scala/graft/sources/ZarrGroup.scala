@@ -1210,6 +1210,15 @@ object ZarrGroup extends Serializable {
     require(shards.distinct.length == 1,
       s"region-written members (${valueCols.mkString(", ")}) disagree on " +
         "sharding — write them in separate calls")
+    // same guard as the append path: the fill drives all-fill inner-chunk
+    // ELISION, so sharded members must agree on it or a member whose cells
+    // equal another's fill would elide and read back wrong
+    shards.head.foreach { _ =>
+      val fills = metas.map(_.fillValue)
+      require(fills.distinct.length == 1 || fills.forall(_.isNaN),
+        "sharded region-written members must share one fill value (it " +
+          "drives all-fill inner-chunk elision) — write them in separate calls")
+    }
     val nt0 = metas.head.shape.head
     require(metas.forall(_.shape.head == nt0),
       s"region-written members disagree on '${dimNames.head}' length " +
@@ -1461,7 +1470,11 @@ object ZarrGroup extends Serializable {
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
     newCoords.toSeq.sortBy(_._1).foreach { case (n, a) =>
       val m = g.members(n).meta
-      val dst = new org.apache.hadoop.fs.Path(s"$dir/$n", if (v3) "c/0" else "0")
+      // the coord chunk key honors the STORE's encoding, like relOf on the
+      // data chunks — a v3 store with chunk_key_encoding "v2" keys its
+      // axis "0", not "c/0"
+      val dst = new org.apache.hadoop.fs.Path(s"$dir/$n",
+        ZarrSource.chunkKey(m, Seq(0)))
       val tmp = dst.suffix(".__grow_tmp")
       val old = dst.suffix(".__grow_old")
       // RECOVERY FIRST: a prior append that died between its two renames

@@ -150,8 +150,6 @@ class Hdf5EnumArraySpec extends SparkSpec {
         .toDF("id", "emb").write.format("hdf5table").option("var", "t")
         .mode("overwrite").save(path)
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("fixed length")), s"got: ${msgs(e)}")
     Seq((1L, Seq(1.0, 2.0, 3.0))).toDF("id", "emb")
       .write.format("hdf5table").option("var", "t")

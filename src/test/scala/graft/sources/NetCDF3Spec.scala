@@ -109,16 +109,30 @@ class NetCDF3Spec extends SparkSpec {
       col("value") =!= col("t_idx") * 1.0).count() == 0)
   }
 
-  test("an odd-cell packed record pads its vsize to the 4-byte boundary") {
+  test("a single short record variable packs records TIGHTLY (classic special case)") {
+    // the classic-format spec: with exactly ONE record variable of type
+    // byte/char/short, record slabs are NOT padded to 4 bytes — netCDF-C
+    // readers recompute recsize with this rule, so padding here would
+    // shift every record after the first by 2 bytes on odd-cell grids
     val path = tmpNc()
-    val df = (for (t <- 0 until 2; y <- 0 until 1; x <- 0 until 3)
-      yield (t, y, x, x * 1.0)).toDF("t_idx", "y", "x", "value")
-    NetCDF3Source.write3D(df, path, "sst", shape = (2, 1, 3),
+    val df = (for (t <- 0 until 3; y <- 0 until 1; x <- 0 until 3)
+      yield (t, y, x, t * 10.0 + x)).toDF("t_idx", "y", "x", "value")
+    NetCDF3Source.write3D(df, path, "sst", shape = (3, 1, 3),
       pack = Some(NetCDF4Source.Pack(scale = 1.0)))
-    // 3 shorts = 6 bytes -> vsize 8; the second record must still align
+    val h = NetCDF3Source.readHeader(spark, path)
+    assert(h.recSize == 6, s"3 shorts pack tightly, got recSize ${h.recSize}")
+    // the file ends exactly at header + 3 tight records
+    val fileLen = new java.io.File(path).length()
+    assert(fileLen == h.vars.head.begin + 3 * 6,
+      s"no padding bytes may follow a tight record (len $fileLen)")
     val ds = NetCDF3Source.read3D(spark, path, "sst")
-    assert(ds.count() == 6)
-    assert(ds.filter(col("value") =!= col("x").cast("double")).count() == 0,
-      "records after a padded one must decode from the padded stride")
+    assert(ds.count() == 9)
+    assert(ds.filter(col("value") =!=
+      col("t_idx") * 10.0 + col("x")).count() == 0,
+      "records after the first must decode from the TIGHT stride")
+    // and through the DSv2 scan
+    val sql = spark.read.format("netcdf").option("var", "sst").load(path)
+    assert(sql.filter(col("value") =!=
+      col("t_idx") * 10.0 + col("x")).count() == 0)
   }
 }

@@ -320,4 +320,22 @@ class NetCDF4Spec extends SparkSpec {
       NetCDF4Source.readCompoundTable(spark, path, "sst"))
     assert(e.getMessage.contains("not compound"))
   }
+
+  test("_FillValue AND missing_value both mask when carried with different codes") {
+    // legacy archives routinely carry BOTH spellings with different
+    // codes; xarray masks both — so does this scan
+    val path = tmpNc()
+    val df = (for (t <- 0 until 2; y <- 0 until 2; x <- 0 until 2)
+      yield (t, y, x,
+        if (t == 0 && y == 0 && x == 0) -77.0 // quantizes to the legacy code
+        else t * 10.0)).toDF("t_idx", "y", "x", "value")
+    NetCDF4Source.write3D(df, path, "sst", shape = (2, 2, 2), timeChunk = 2,
+      pack = Some(NetCDF4Source.Pack(scale = 1.0)),
+      attrs = Seq("missing_value" -> -77.0))
+    val sql = spark.read.format("netcdf").option("var", "sst").load(path)
+    assert(sql.filter(isnan(col("value"))).count() == 1,
+      "the missing_value-coded cell must mask alongside _FillValue")
+    assert(sql.filter(!isnan(col("value")) &&
+      col("value") =!= col("t_idx") * 10.0).count() == 0)
+  }
 }
