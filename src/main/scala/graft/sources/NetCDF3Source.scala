@@ -228,10 +228,20 @@ object NetCDF3Source {
     // a packed classic archive never surfaces raw codes
     val scale = v.numAttr("scale_factor").getOrElse(1.0)
     val offset = v.numAttr("add_offset").getOrElse(0.0)
+    // `_Unsigned = "true"`: signed-stored cells (and their fill codes)
+    // reinterpret as unsigned — the classic-format convention
+    val uBias = if (v.attrs.get("_Unsigned").collect { case s: String => s }
+        .exists(_.equalsIgnoreCase("true")))
+      v.ncType match {
+        case NcByte => 256.0; case NcShort => 65536.0
+        case NcInt => 4294967296.0; case _ => 0.0
+      }
+    else 0.0
+    def unsign(f: Double): Double = if (uBias > 0 && f < 0) f + uBias else f
     // BOTH fill spellings mask when a legacy archive carries them with
     // different codes, matching xarray
     val fillRaws = Seq(v.numAttr("_FillValue"),
-      v.numAttr("missing_value")).flatten.distinct
+      v.numAttr("missing_value")).flatten.map(unsign).distinct
     val (t0, t1) = timeRange.getOrElse((0, nt - 1))
     val conf = new org.apache.spark.util.SerializableConfiguration(
       spark.sparkContext.hadoopConfiguration)
@@ -247,7 +257,7 @@ object NetCDF3Source {
           in.readFully(begin + t * stride, raw, 0, raw.length)
           val vals = decode(raw, ncType, ny * nx)
           (0 until ny * nx).iterator.map { i =>
-            val r = vals(i)
+            val r = unsign(vals(i))
             val phys =
               if (fillRaws.exists(f => f == r || (f.isNaN && r.isNaN))) Double.NaN
               else r * scale + offset

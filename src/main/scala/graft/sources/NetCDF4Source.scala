@@ -61,10 +61,23 @@ object NetCDF4Source {
     attributes(src, findVarOh(src, path, varName))
   }
 
+  /** CF `_Unsigned = "true"`: data STORED in a signed type decodes as
+    * unsigned — the classic-format workaround (NC3 has no unsigned types)
+    * that netCDF-C keeps through nccopy conversions, honored by xarray's
+    * mask_and_scale. Ignoring it reads every value past the signed
+    * midpoint as negative — silent wrong data. */
+  private[sources] def unsignedOf(dt: Hdf5.NumType,
+      attrs: Map[String, Any]): Hdf5.NumType = {
+    val flag = attrs.get("_Unsigned").collect { case s: String => s }
+      .exists(_.equalsIgnoreCase("true"))
+    if (flag && dt.kind == "int" && dt.size <= 4) dt.copy(kind = "uint") else dt
+  }
+
   /** CF packed-data decode: raw → physical. Most real NC4 archives store
     * int16/byte data with `scale_factor`/`add_offset`; `_FillValue`
     * compares in RAW space and maps to NaN. Identity when none are set. */
-  private def cfDecoder(attrs: Map[String, Any]): Double => Double = {
+  private def cfDecoder(attrs: Map[String, Any],
+      uBias: Double = 0.0): Double => Double = {
     def num(k: String): Option[Double] = attrs.get(k).collect {
       case d: Double => d
       case s: Seq[_] if s.nonEmpty => s.head.asInstanceOf[Double]
@@ -72,8 +85,11 @@ object NetCDF4Source {
     val scale = num("scale_factor").getOrElse(1.0)
     val offset = num("add_offset").getOrElse(0.0)
     // BOTH fill spellings mask when a legacy archive carries them with
-    // different codes (_FillValue + missing_value), matching xarray
-    val fills = Seq(num("_FillValue"), num("missing_value")).flatten.distinct
+    // different codes (_FillValue + missing_value), matching xarray; the
+    // codes reinterpret under the _Unsigned bias or they'd never match
+    // the (already-unsigned) decoded cells
+    val fills = Seq(num("_FillValue"), num("missing_value")).flatten
+      .map(f => if (uBias > 0 && f < 0) f + uBias else f).distinct
     if (scale == 1.0 && offset == 0.0 && fills.isEmpty) identity
     else (raw: Double) =>
       if (fills.exists(f => f == raw || (f.isNaN && raw.isNaN))) Double.NaN
@@ -483,13 +499,22 @@ object NetCDF4Source {
     val src = source(spark, path)
     val oh = findVarOh(src, path, varName)
     val v = readDataset(src, varName, oh)
-    val cf = if (unpack) cfDecoder(attributes(src, oh)) else identity[Double] _
+    val varAttrs = attributes(src, oh)
     require(v.dims.length == 3, s"$varName is not 3-D")
     val Seq(nt, nyL, nxL) = v.dims
     val ny = nyL.toInt; val nx = nxL.toInt
     val (t0, t1) = timeRange.getOrElse((0, nt.toInt - 1))
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-    val dtype = v.dtype
+    val dtype = v.dtype match {
+      case n: Hdf5.NumType => unsignedOf(n, varAttrs)
+      case o => o
+    }
+    val uBias = (v.dtype, dtype) match {
+      case (a: Hdf5.NumType, b: Hdf5.NumType) if a.kind != b.kind =>
+        math.pow(2.0, 8.0 * b.size)
+      case _ => 0.0
+    }
+    val cf = if (unpack) cfDecoder(varAttrs, uBias) else identity[Double] _
     val filters = v.filters
     val dims = v.dims
 

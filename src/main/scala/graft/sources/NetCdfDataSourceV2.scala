@@ -345,22 +345,29 @@ private[sources] object NetCdfTableV2 {
         case d: Double => d
         case s: Seq[_] if s.nonEmpty => s.head.asInstanceOf[Double]
       }
-      val ntype = v.dtype match {
-        case n: Hdf5.NumType => n
+      val rawType = v.dtype match {
         // CF flag variables: enum cells decode as their fixed-point base;
         // the name map rides the table schema's value-column metadata
+        case n: Hdf5.NumType => n
         case e: Hdf5.EnumType => e.base
         case o => throw new IllegalArgumentException(
           s"$varName has non-numeric datatype $o — the netcdf DSv2 table read " +
             "is numeric; use NetCDF4Source.readLocalStrings/readCompoundTable")
       }
+      // `_Unsigned = "true"`: signed-stored data decodes as unsigned (the
+      // nccopy-converted-archive convention xarray honors); the fill codes
+      // reinterpret under the same bias or they would never match
+      val ntype = NetCDF4Source.unsignedOf(rawType, attrs)
+      val uBias = if (ntype ne rawType) math.pow(2.0, 8.0 * ntype.size) else 0.0
+      def unsign(f: Double): Double = if (uBias > 0 && f < 0) f + uBias else f
       val base = NcDecodeMeta(nt, ny, nx, sliceBase = -1L, sliceStride = 0L,
         dtype = ntype, chunkDims = Seq.empty, filters = v.filters,
         scale = num("scale_factor").getOrElse(1.0),
         offset = num("add_offset").getOrElse(0.0),
         // missing_value is the legacy fill spelling xarray also honors;
         // BOTH mask when present with different codes
-        fillRaws = Seq(num("_FillValue"), num("missing_value")).flatten.distinct,
+        fillRaws = Seq(num("_FillValue"), num("missing_value"))
+          .flatten.map(unsign).distinct,
         elidedFill = v.fillValue.getOrElse(Double.NaN), rank = rank)
       v.layout match {
         // 2-D chunk dims pad to (ct, cc, 1) so the planner's 3-axis walk is
@@ -385,8 +392,10 @@ private[sources] object NetCdfTableV2 {
       val nt = if (v.isRecord(h.dims)) h.numRecs else h.dims(v.dimIds.head).size
       val ny = h.dims(v.dimIds(1)).size
       val nx = if (rank == 3) h.dims(v.dimIds(2)).size else 1
-      // NC3 types map onto the HDF5 numeric model, big-endian
-      val dtype = v.ncType match {
+      // NC3 types map onto the HDF5 numeric model, big-endian;
+      // `_Unsigned = "true"` flips signed-stored data to unsigned (the
+      // classic-format convention — NC3 has no unsigned types)
+      val dtype0 = v.ncType match {
         case 1 => Hdf5.NumType("int", 1, littleEndian = false)
         case 2 => Hdf5.NumType("uint", 1, littleEndian = false)
         case 3 => Hdf5.NumType("int", 2, littleEndian = false)
@@ -395,6 +404,9 @@ private[sources] object NetCdfTableV2 {
         case 6 => Hdf5.NumType("float", 8, littleEndian = false)
         case t => throw new IllegalArgumentException(s"unknown nc_type $t")
       }
+      val dtype = NetCDF4Source.unsignedOf(dtype0, v.attrs)
+      val uBias3 = if (dtype ne dtype0) math.pow(2.0, 8.0 * dtype.size) else 0.0
+      def unsign3(f: Double): Double = if (uBias3 > 0 && f < 0) f + uBias3 else f
       val sliceBytes = ny.toLong * nx * dtype.size
       val stride = if (v.isRecord(h.dims)) h.recSize else sliceBytes
       // classic files carry the SAME CF packing trio as NC4 — ERA5-style
@@ -406,7 +418,7 @@ private[sources] object NetCdfTableV2 {
         scale = v.numAttr("scale_factor").getOrElse(1.0),
         offset = v.numAttr("add_offset").getOrElse(0.0),
         fillRaws = Seq(v.numAttr("_FillValue"),
-          v.numAttr("missing_value")).flatten.distinct,
+          v.numAttr("missing_value")).flatten.map(unsign3).distinct,
         elidedFill = Double.NaN,
         rank = rank), None)
     }

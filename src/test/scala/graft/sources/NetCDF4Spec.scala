@@ -338,4 +338,31 @@ class NetCDF4Spec extends SparkSpec {
     assert(sql.filter(!isnan(col("value")) &&
       col("value") =!= col("t_idx") * 10.0).count() == 0)
   }
+
+  test("_Unsigned = \"true\" decodes signed-stored cells as unsigned") {
+    // the classic-format workaround nccopy keeps: i16-stored data whose
+    // values live past the signed midpoint; ignoring the attr reads them
+    // negative. Raw shorts -32768/-1 must surface as 32768/65535, and the
+    // _FillValue code reinterprets under the same bias.
+    val path = tmpNc()
+    val raw = Array[Short](0, 1, -1, -32768, 32767, -2)
+    val img = Hdf5.assemble(Seq(Hdf5.WriteVar("counts", Seq(3, 1, 2),
+      Array.empty, typed = Some(Hdf5.PackedGridData(raw)),
+      attrs = Seq("_Unsigned" -> "true", "_FillValue" -> -2.0))))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), img)
+    val df = spark.read.format("netcdf").option("var", "counts").load(path)
+      .orderBy("t_idx", "y", "x")
+    val got = df.select("value").collect().map(r =>
+      if (r.isNullAt(0)) Double.NaN else r.getDouble(0))
+    assert(got(0) == 0.0 && got(1) == 1.0)
+    assert(got(2) == 65535.0, s"raw -1 must read 65535, got ${got(2)}")
+    assert(got(3) == 32768.0, s"raw -32768 must read 32768, got ${got(3)}")
+    assert(got(4) == 32767.0)
+    assert(got(5).isNaN, "the fill code must mask under the unsigned bias")
+    // utility read path applies the same reinterpretation, fill included
+    val ds = NetCDF4Source.read3D(spark, path, "counts")
+    assert(ds.filter(col("value") === 65535.0).count() == 1)
+    assert(ds.filter(isnan(col("value"))).count() == 1,
+      "the utility path must mask the biased fill code too")
+  }
 }
