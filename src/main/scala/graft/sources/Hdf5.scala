@@ -562,7 +562,11 @@ private[graft] object Hdf5 {
     * heap machinery) are skipped — none of the CF-convention attributes the
     * ingest needs (`scale_factor`, `add_offset`, `_FillValue`, `units`) are
     * written that way by netcdf-c/h5py. */
-  def parseAttribute(body: Array[Byte]): Option[(String, Any)] = {
+  def parseAttribute(body: Array[Byte]): Option[(String, Any)] =
+    parseAttribute(body, None)
+
+  def parseAttribute(body: Array[Byte],
+      srcOpt: Option[ByteSource]): Option[(String, Any)] = {
     val version = body(0) & 0xff
     val b = le(body)
     if (version < 1 || version > 3) return None
@@ -591,7 +595,15 @@ private[graft] object Hdf5 {
         val t = parseDatatype(dtBody)
         val vals = decode(java.util.Arrays.copyOfRange(body, p, p + n * t.size), t, n)
         Some(name -> (if (n == 1) vals(0) else vals.toSeq))
-      case _ => None // vlen / compound / reference — not needed for ingest
+      case 9 if (dtBody(1) & 0x0f) == 1 && srcOpt.isDefined =>
+        // VLEN STRING attribute — h5py's default encoding for str attrs,
+        // load-bearing since `_Unsigned = "true"` rides one; resolved
+        // through its GCOL exactly like vlen string data
+        val vt = parseDatatype(dtBody)
+        val ss = decodeStrings(
+          java.util.Arrays.copyOfRange(body, p, p + n * 16), vt, n, srcOpt.get)
+        Some(name -> (if (n == 1) ss(0) else ss.toSeq))
+      case _ => None // vlen seqs / compound / reference — not needed for ingest
     }
   }
 
@@ -601,7 +613,8 @@ private[graft] object Hdf5 {
   def attributes(src: ByteSource, ohAddr: Long): Map[String, Any] = {
     val msgs = readMessages(src, ohAddr)
     val compact = msgs.filter(_.typ == 0x000C)
-      .flatMap(m => try parseAttribute(m.body) catch { case _: Exception => None })
+      .flatMap(m => try parseAttribute(m.body, Some(src))
+        catch { case _: Exception => None })
     // dense storage (Attribute Info message, > max_compact attributes):
     // attribute messages live in a fractal heap keyed by a name-hash B-tree
     val dense = msgs.filter(_.typ == 0x0015).flatMap { m =>
@@ -625,7 +638,7 @@ private[graft] object Hdf5 {
       // semantics: bit 0 = constant (fine to read), bit 1 = shared (the
       // heap ID then points into the SOHM heap, not the attribute heap)
       if ((r(idLen) & 0x02) != 0) None // shared message — skip
-      else try parseAttribute(heap.obj(java.util.Arrays.copyOf(r, idLen)))
+      else try parseAttribute(heap.obj(java.util.Arrays.copyOf(r, idLen)), Some(src))
       catch { case _: Exception => None }
     }
   }

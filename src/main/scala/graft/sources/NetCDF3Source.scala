@@ -229,15 +229,18 @@ object NetCDF3Source {
     val scale = v.numAttr("scale_factor").getOrElse(1.0)
     val offset = v.numAttr("add_offset").getOrElse(0.0)
     // `_Unsigned = "true"`: signed-stored cells (and their fill codes)
-    // reinterpret as unsigned — the classic-format convention
-    val uBias = if (v.attrs.get("_Unsigned").collect { case s: String => s }
-        .exists(_.equalsIgnoreCase("true")))
-      v.ncType match {
-        case NcByte => 256.0; case NcShort => 65536.0
-        case NcInt => 4294967296.0; case _ => 0.0
+    // reinterpret as unsigned — the classic-format convention; the bias
+    // derivation is the ONE in NetCDF4Source (shared with the DSv2)
+    val uBias = {
+      val dt0 = v.ncType match {
+        case NcByte => Hdf5.NumType("int", 1, littleEndian = false)
+        case NcShort => Hdf5.NumType("int", 2, littleEndian = false)
+        case NcInt => Hdf5.NumType("int", 4, littleEndian = false)
+        case _ => Hdf5.NumType("float", 8, littleEndian = false)
       }
-    else 0.0
-    def unsign(f: Double): Double = if (uBias > 0 && f < 0) f + uBias else f
+      NetCDF4Source.unsignedBias(dt0, NetCDF4Source.unsignedOf(dt0, v.attrs))
+    }
+    def unsign(f: Double): Double = NetCDF4Source.unsign(uBias)(f)
     // BOTH fill spellings mask when a legacy archive carries them with
     // different codes, matching xarray
     val fillRaws = Seq(v.numAttr("_FillValue"),

@@ -70,8 +70,26 @@ object NetCDF4Source {
       attrs: Map[String, Any]): Hdf5.NumType = {
     val flag = attrs.get("_Unsigned").collect { case s: String => s }
       .exists(_.equalsIgnoreCase("true"))
-    if (flag && dt.kind == "int" && dt.size <= 4) dt.copy(kind = "uint") else dt
+    if (flag && dt.kind == "int") {
+      // uint64 has no exact Double representation — refuse BY NAME rather
+      // than read top-bit-set values as negatives
+      require(dt.size <= 4,
+        s"_Unsigned on a ${dt.size * 8}-bit integer variable — uint64 " +
+          "cannot be represented exactly; convert the variable first")
+      dt.copy(kind = "uint")
+    } else dt
   }
+
+  /** The additive bias `unsignedOf`'s reinterpretation implies: raw codes
+    * and FILL codes read from signed attrs shift by 2^bits when negative.
+    * One definition — every path that flips a dtype derives its bias
+    * here. */
+  private[sources] def unsignedBias(raw: Hdf5.NumType,
+      reinterpreted: Hdf5.NumType): Double =
+    if (reinterpreted ne raw) math.pow(2.0, 8.0 * reinterpreted.size) else 0.0
+
+  private[sources] def unsign(bias: Double)(f: Double): Double =
+    if (bias > 0 && f < 0) f + bias else f
 
   /** CF packed-data decode: raw → physical. Most real NC4 archives store
     * int16/byte data with `scale_factor`/`add_offset`; `_FillValue`
@@ -505,13 +523,15 @@ object NetCDF4Source {
     val ny = nyL.toInt; val nx = nxL.toInt
     val (t0, t1) = timeRange.getOrElse((0, nt.toInt - 1))
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    // _Unsigned is PART of mask_and_scale (xarray's UnsignedIntegerCoder):
+    // `unpack = false` returns the stored SIGNED raw codes, so a caller
+    // repacking raws round-trips the original bytes
     val dtype = v.dtype match {
-      case n: Hdf5.NumType => unsignedOf(n, varAttrs)
+      case n: Hdf5.NumType if unpack => unsignedOf(n, varAttrs)
       case o => o
     }
     val uBias = (v.dtype, dtype) match {
-      case (a: Hdf5.NumType, b: Hdf5.NumType) if a.kind != b.kind =>
-        math.pow(2.0, 8.0 * b.size)
+      case (a: Hdf5.NumType, b: Hdf5.NumType) => unsignedBias(a, b)
       case _ => 0.0
     }
     val cf = if (unpack) cfDecoder(varAttrs, uBias) else identity[Double] _

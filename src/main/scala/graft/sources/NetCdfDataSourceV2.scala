@@ -358,17 +358,20 @@ private[sources] object NetCdfTableV2 {
       // nccopy-converted-archive convention xarray honors); the fill codes
       // reinterpret under the same bias or they would never match
       val ntype = NetCDF4Source.unsignedOf(rawType, attrs)
-      val uBias = if (ntype ne rawType) math.pow(2.0, 8.0 * ntype.size) else 0.0
-      def unsign(f: Double): Double = if (uBias > 0 && f < 0) f + uBias else f
+      val unsign = NetCDF4Source.unsign(
+        NetCDF4Source.unsignedBias(rawType, ntype)) _
       val base = NcDecodeMeta(nt, ny, nx, sliceBase = -1L, sliceStride = 0L,
         dtype = ntype, chunkDims = Seq.empty, filters = v.filters,
         scale = num("scale_factor").getOrElse(1.0),
         offset = num("add_offset").getOrElse(0.0),
         // missing_value is the legacy fill spelling xarray also honors;
-        // BOTH mask when present with different codes
+        // BOTH mask when present with different codes. The ELIDED-chunk
+        // fill biases too, or an unallocated chunk of an _Unsigned
+        // variable would surface the signed code as data instead of
+        // masking like its stored siblings
         fillRaws = Seq(num("_FillValue"), num("missing_value"))
           .flatten.map(unsign).distinct,
-        elidedFill = v.fillValue.getOrElse(Double.NaN), rank = rank)
+        elidedFill = v.fillValue.map(unsign).getOrElse(Double.NaN), rank = rank)
       v.layout match {
         // 2-D chunk dims pad to (ct, cc, 1) so the planner's 3-axis walk is
         // rank-agnostic (stored chunk OFFSETS pad the same way at lookup)
@@ -405,8 +408,8 @@ private[sources] object NetCdfTableV2 {
         case t => throw new IllegalArgumentException(s"unknown nc_type $t")
       }
       val dtype = NetCDF4Source.unsignedOf(dtype0, v.attrs)
-      val uBias3 = if (dtype ne dtype0) math.pow(2.0, 8.0 * dtype.size) else 0.0
-      def unsign3(f: Double): Double = if (uBias3 > 0 && f < 0) f + uBias3 else f
+      val unsign3 = NetCDF4Source.unsign(
+        NetCDF4Source.unsignedBias(dtype0, dtype)) _
       val sliceBytes = ny.toLong * nx * dtype.size
       val stride = if (v.isRecord(h.dims)) h.recSize else sliceBytes
       // classic files carry the SAME CF packing trio as NC4 — ERA5-style

@@ -467,4 +467,40 @@ class Hdf5TypedSpec extends AnyFunSuite {
       Hdf5.defilter(Array[Byte](1, 2, 3), Seq(Hdf5.Filter(307, Seq.empty)), 0))
     assert(e.getMessage.contains("filter id 307"))
   }
+
+  test("vlen STRING attributes resolve through their GCOL (h5py str attrs)") {
+    import java.nio.{ByteBuffer, ByteOrder}
+    // h5py stores str attrs as VLEN strings; `_Unsigned = "true"` rides
+    // one, so dropping the class would silently skip the reinterpretation.
+    // GCOL at "file offset" 2000 holding object 1 = "true"
+    val gcolSize = 16 + 16 + 8 + 16
+    val g = ByteBuffer.allocate(gcolSize).order(ByteOrder.LITTLE_ENDIAN)
+    g.put("GCOL".getBytes).put(1.toByte).put(0.toByte).putShort(0)
+    g.putLong(gcolSize.toLong)
+    g.putShort(1).putShort(1).putInt(0).putLong(4L).put("true".getBytes)
+      .put(new Array[Byte](4))
+    g.putShort(0).putShort(0).putInt(0).putLong(16L)
+    val fileImage = new Array[Byte](2000 + gcolSize)
+    System.arraycopy(g.array(), 0, fileImage, 2000, gcolSize)
+    val stub: Hdf5.ByteSource = (off: Long, len: Int) =>
+      java.util.Arrays.copyOfRange(fileImage, off.toInt, off.toInt + len)
+    // v1 attribute message: header(8) + name(pad 8) + dt(pad 16) + ds(pad 8)
+    // + one 16-byte vlen element (len, GCOL addr, index)
+    val b = ByteBuffer.allocate(8 + 16 + 16 + 8 + 16).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(1.toByte).put(0.toByte)
+    b.putShort(10) // name size incl NUL ("_Unsigned\0")
+    b.putShort(16).putShort(8)
+    b.put("_Unsigned".getBytes).put(0.toByte).put(new Array[Byte](6)) // pad to 16
+    // dt: v1 class 9, vlen type 1 (string), charset bits; size 16; base = 1-byte str
+    b.put(0x19.toByte).put(0x01.toByte).put(0x01.toByte).put(0.toByte).putInt(16)
+    b.put(0x13.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(1)
+    // ds: v1 scalar (rank 0)
+    b.put(1.toByte).put(0.toByte).put(0.toByte).put(new Array[Byte](5))
+    // element: length 4, GCOL addr 2000, object index 1
+    b.putInt(4).putLong(2000L).putInt(1)
+    val parsed = Hdf5.parseAttribute(b.array(), Some(stub))
+    assert(parsed.contains("_Unsigned" -> "true"), s"got: $parsed")
+    // without a source the class is still skipped, not crashed
+    assert(Hdf5.parseAttribute(b.array()).isEmpty)
+  }
 }
