@@ -84,10 +84,24 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
       f""""load_avg_start":$loadAvg%.2f,"contended":$contended,""" +
       f""""warmup_first_s":$warm1%.3f,"warmup_second_s":$warm2%.3f,""" +
-      f""""cold_cache":$coldCacheFinal,"degraded_host":$degradedHost}""")
+      f""""cold_cache":$coldCacheFinal,"degraded_host":$degradedHost}"""
+    println(line)
+    // Also persist the full line to a file: the driver's BENCH_r*.json keeps
+    // only a truncated log TAIL (round 10's artifact lost 42 of 95 per-query
+    // timings), so the per-query record must not depend on log capture.
+    // SPARK_GRAFT_BENCH_OUT overrides; default is a timestamped file under
+    // target/ so consecutive captures never clobber each other.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"target/bench_${System.currentTimeMillis()}.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      println(s"bench json persisted to $outPath")
+    } catch { case e: Throwable => println(s"bench json persist failed: $e") }
     spark.stop()
   }
 }

@@ -82,6 +82,34 @@ object ReferenceFixtures {
     (flags, mesh)
   }
 
+  /** Load the raw UNSTRUCTURED SST fixture (sst_unstructured.zarr:
+    * `to(time, ncells)` in °C, NaN-filled gaps, time = minutes since
+    * 1950-01-01) as a cell-keyed detect field `(time, cell, value)` for
+    * [[UnstructuredIngest.preprocessCells]] — the input of the reference's
+    * mesh preprocessing suite (test_unstructured_preprocessing.py:23–40,
+    * which also NaN-masks one cell; pass it via `maskedCells` — NaN rows
+    * drop here exactly as the reference's `.where` + nan-skipping kernels
+    * exclude them).
+    *
+    * The 2-D `(time, ncells)` array reads through the zarr DSv2's native
+    * cell schema (`t_idx, cell, value`) with the t_idx bound pushed to
+    * chunk pruning — distributed, not a driver materialization. */
+  def loadSstUnstructured(spark: SparkSession, dir: String, maxDays: Int,
+      maskedCells: Seq[Int] = Nil): DataFrame = {
+    import spark.implicits._
+    val (_, timeArr) = ZarrSource.readLocalND(s"$dir/time")
+    val epoch = Timestamp.valueOf("1950-01-01 00:00:00").getTime
+    val timeDf = timeArr.toSeq.take(maxDays).zipWithIndex
+      .map { case (m, i) => (i, new Timestamp(epoch + m.toLong * 60000L)) }
+      .toDF("t_idx", "time")
+    val masked =
+      if (maskedCells.isEmpty) lit(false) else col("cell").isInCollection(maskedCells)
+    spark.read.format("zarr").load(s"$dir/to")
+      .filter(col("t_idx") < maxDays && !isnan(col("value")) && !masked)
+      .join(broadcast(timeDf), "t_idx")
+      .select(col("time"), col("cell"), col("value"))
+  }
+
   /** Load the raw SST fixture (sst_gridded.zarr: `to(time, lat, lon)`,
     * NaN-filled land, time = seconds since 1981-01-01) as a detect-input
     * field `(time, y, x, value)`. `maxDays` bounds the time axis (the full

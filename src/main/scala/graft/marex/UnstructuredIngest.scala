@@ -70,6 +70,43 @@ object UnstructuredIngest {
       vec("mask").map(_ != 0.0))
   }
 
+  /** Cell-keyed DETECT entry: run the full [[Detect.preprocess]] pipeline on
+    * an UNSTRUCTURED `(time, cell, value)` field — the reference's
+    * first-class mesh preprocessing (detect.py:2195–2205 handles the 2-D
+    * `(time, ncells)` case; test_unstructured_preprocessing.py:23–40 drives
+    * every anomaly×extreme combination through it with
+    * `dimensions={"time": "time", "x": "ncells"}`, no `y`).
+    *
+    * The detect kernels are grid-shape-agnostic — pixels are just group
+    * keys — so the mesh rides the gridded machinery as `(y = cell, x = 0)`
+    * and the outputs rename back to `cell`. No kernel pools spatially under
+    * a [[DetectConfig]] (hobday's spatial window is a separate D15
+    * parameter), so the mapping is exact, not an approximation.
+    *
+    * @param windowSpatialHobday must stay 0: the reference REJECTS spatial
+    *   hobday pooling on unstructured grids (detect.py:1362–1380 raises
+    *   ConfigurationError "window_spatial_hobday is not supported for
+    *   unstructured grids") — a cell id is not a spatial coordinate, so a
+    *   ±w cell window would pool arbitrary mesh neighbours. Mirrored here
+    *   as the same named error.
+    * @return (anomaly, thresholds, extremes), each keyed by `cell` (and
+    *   `doy` for hobday thresholds) instead of `(y, x)`. */
+  def preprocessCells(field: DataFrame, cfg: DetectConfig,
+      windowSpatialHobday: Int = 0): (DataFrame, DataFrame, DataFrame) = {
+    if (windowSpatialHobday != 0)
+      throw new ConfigurationError(
+        "window_spatial_hobday is not supported for unstructured grids",
+        "Remove the window_spatial_hobday parameter for unstructured grids " +
+          "(detect.py:1362-1380)")
+    val gridded = field
+      .withColumnRenamed("cell", "y")
+      .withColumn("x", lit(0))
+    val (anom, thr, ext) = Detect.preprocess(gridded, cfg)
+    def cellKeyed(df: DataFrame): DataFrame =
+      df.drop("x").withColumnRenamed("y", "cell")
+    (cellKeyed(anom), cellKeyed(thr), cellKeyed(ext))
+  }
+
   /** Read a `(time, ncells)` extreme-event archive through the SQL source
     * into the tracker's `(time, cell)` flag rows: nonzero cells only, with
     * a daily timestamp axis from `epoch` (the unstructured fixtures carry

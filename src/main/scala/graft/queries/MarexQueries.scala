@@ -1448,9 +1448,14 @@ object MarexQueries extends QueryRegistry {
           .option("shard", "2,5,15").option("v3", "true")
           .option("cols", "sst")
           .mode("overwrite").save(dir)
-        val objs = Option(new java.io.File(dir, "sst/c").listFiles()).toSeq.flatten
-          .flatMap(t => Option(t.listFiles()).toSeq.flatten)
-          .flatMap(y => Option(y.listFiles()).toSeq.flatten).size
+        // count stored shard objects through the STORE's FileSystem (the
+        // gate must behave identically on hdfs/s3a, not just file:)
+        val shardFs = new org.apache.hadoop.fs.Path(dir)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val objIt = shardFs.listFiles(
+          new org.apache.hadoop.fs.Path(dir, "sst/c"), true)
+        var objs = 0
+        while (objIt.hasNext) { if (objIt.next().isFile) objs += 1 }
         require(objs == 4, s"sharded store must hold 4 outer-chunk objects, found $objs")
         s.read.format("zarr").load(dir)
           .filter(!isnan(col("sst")) && col("time_idx") >= 10)
@@ -2185,6 +2190,101 @@ object MarexQueries extends QueryRegistry {
                      count(*) AS n_cells,
                      CAST(sum(q) AS BIGINT) AS sum_scaled
               FROM cells WHERE t_idx BETWEEN 5 AND 25 GROUP BY t_idx"""),
-      "CF-packed CLASSIC netcdf (ERA5-download shape): attr-driven mask_and_scale on the NC3 branch, oracle-exact")
+      "CF-packed CLASSIC netcdf (ERA5-download shape): attr-driven mask_and_scale on the NC3 branch, oracle-exact"),
+
+    // ── mesh DETECT through the cell path (test_unstructured_preprocessing
+    // .py:23–40): a (time, ncells) cube ingests through the 2-D netcdf DSv2
+    // exactly like q87, then runs the REAL cell-keyed detect entry
+    // (UnstructuredIngest.preprocessCells → Detect.preprocess with
+    // y=cell/x=0): fixed-baseline doy climatology + per-cell global-extreme
+    // threshold + flags. Determinism contract: cube values are EXACT scaled
+    // integers (so the climatology is exact-sum/n and anomalies are
+    // bit-identical on both engines) and the threshold runs the HISTOGRAM
+    // quantile (the q13/q61-gated bin-interpolation arithmetic, pure
+    // closed-form on integer counts) rather than a sort-based percentile,
+    // so threshold doubles are bit-identical too. The 30 t_idx re-time to 3
+    // synthetic years × 10 doys so the doy climatology pools across years.
+    QueryDef("q108_mesh_detect",
+      (s, d) => {
+        import graft.sources.NetCDF4Source
+        val nt = 30; val nc = 100
+        val cube = Tables.load(s, d, "events")
+          .groupBy(
+            datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
+            pmod(col("user_id"), lit(nc)).cast("int").as("cell"))
+          .agg(floor(sum(round(col("value") * 100.0, 0).cast("long")).cast("double")
+            / count(lit(1)) + 0.5).cast("double").as("v"))
+        val arr = Array.fill(nt * nc)(Double.NaN)
+        cube.collect().foreach { r =>
+          val t = r.getInt(0); val c = r.getInt(1)
+          if (t >= 0 && t < nt && c >= 0 && c < nc) arr(t * nc + c) = r.getDouble(2)
+        }
+        val path = s"${System.getProperty("java.io.tmpdir")}/graft_q108.nc"
+        NetCDF4Source.writeVars(s, path, Seq(NetCDF4Source.VarSpec(
+          "sst", Seq(nt, nc), arr, chunkDims = Some(Seq(8, nc)))))
+        val field = s.read.format("netcdf").option("var", "sst").load(path)
+          .filter(!isnan(col("value")))
+          .select(
+            to_timestamp(date_add(
+              make_date(lit(2001) + pmod(col("t_idx"), lit(3)), lit(1), lit(1)),
+              expr("CAST(t_idx div 3 AS INT)"))).as("time"),
+            col("cell"), col("value"))
+        val (_, _, ext) = graft.marex.UnstructuredIngest.preprocessCells(field,
+          graft.marex.DetectConfig(methodAnomaly = "fixed_baseline",
+            methodExtreme = "global_extreme", thresholdPercentile = 95,
+            methodPercentile = "approximate", precision = 1.0, maxAnomaly = 500.0))
+        ext.groupBy(col("cell").cast("long").as("cell"))
+          .agg(round(max(col("threshold")) * 10000.0, 0).cast("long").as("thr_e4"),
+            count(when(col("extreme"), 1)).as("n_extreme"),
+            count(lit(1)).as("n_total"))
+      },
+      Some("""WITH cube AS (
+                SELECT CAST(date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS INT) AS t_idx,
+                       CAST(user_id % 100 AS INT) AS cell,
+                       floor(CAST(sum(CAST(round(value * 100.0) AS BIGINT)) AS DOUBLE)
+                         / count(*) + 0.5) AS v
+                FROM events GROUP BY 1, 2),
+              f AS (SELECT cell, t_idx // 3 + 1 AS doy, v
+                    FROM cube WHERE t_idx BETWEEN 0 AND 29),
+              clim AS (SELECT cell, doy, CAST(sum(v) AS DOUBLE) / count(*) AS clim
+                       FROM f GROUP BY 1, 2),
+              anom AS (SELECT f.cell, f.v - clim.clim AS a
+                       FROM f JOIN clim ON clim.cell = f.cell AND clim.doy = f.doy),
+              binned AS (SELECT cell,
+                           CASE WHEN a < 0.0 THEN 0
+                                ELSE least(CAST(floor(a / 1.0) AS INT) + 1, 500)
+                           END AS bin,
+                           count(*) AS cnt
+                         FROM anom GROUP BY 1, 2),
+              cdf AS (SELECT cell, bin, cnt,
+                             CAST(sum(cnt) OVER (PARTITION BY cell ORDER BY bin
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+                               / CAST(sum(cnt) OVER (PARTITION BY cell) AS DOUBLE) AS cdf,
+                             lag(bin) OVER (PARTITION BY cell ORDER BY bin) AS prev_bin,
+                             CAST(sum(cnt) OVER (PARTITION BY cell ORDER BY bin
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS DOUBLE)
+                               / CAST(sum(cnt) OVER (PARTITION BY cell) AS DOUBLE) AS prev_cdf
+                      FROM binned),
+              hit AS (SELECT cell, bin, cdf,
+                             coalesce(prev_cdf, 0.0) AS cdf_prev,
+                             CASE WHEN prev_bin IS NULL OR prev_bin < 1 THEN 0.0
+                                  ELSE CAST(prev_bin AS DOUBLE) - 0.5 END AS c_prev,
+                             CASE WHEN bin >= 1 THEN CAST(bin AS DOUBLE) - 0.5
+                                  ELSE 0.0 END AS c_cur
+                      FROM cdf
+                      WHERE cdf >= 0.95 AND (prev_cdf IS NULL OR prev_cdf < 0.95)),
+              thr AS (SELECT cell,
+                             CASE WHEN bin = 0 THEN 0.0
+                                  ELSE c_prev + (0.95 - cdf_prev) / (cdf - cdf_prev)
+                                         * (c_cur - c_prev)
+                             END AS threshold
+                      FROM hit)
+              SELECT CAST(anom.cell AS BIGINT) AS cell,
+                     CAST(round(max(thr.threshold) * 10000.0) AS BIGINT) AS thr_e4,
+                     count(*) FILTER (WHERE a >= thr.threshold) AS n_extreme,
+                     count(*) AS n_total
+              FROM anom JOIN thr ON thr.cell = anom.cell
+              GROUP BY anom.cell"""),
+      "Mesh DETECT through the cell path (marEx unstructured preprocessing): 2-D ingest + preprocessCells, oracle-exact")
   )
 }
