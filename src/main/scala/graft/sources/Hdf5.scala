@@ -110,6 +110,13 @@ private[graft] object Hdf5 {
   final case class ArrayMemberType(base: NumType, dims: Seq[Int])
       extends DType { def size: Int = base.size * dims.product }
 
+  /** OPAQUE (class 5): `size` uninterpreted bytes per element plus an
+    * ASCII tag describing what they are (`H5Tset_tag`). Cells surface as
+    * raw byte arrays (Spark BINARY) with the tag as column metadata —
+    * the same opaque-bytes-plus-typed-metadata shape as the multimodal
+    * columns. */
+  final case class OpaqueType(size: Int, tag: String) extends DType
+
   final case class Filter(id: Int, clientValues: Seq[Int])
 
   sealed trait Layout
@@ -313,6 +320,20 @@ private[graft] object Hdf5 {
             s"unsupported vlen sequence base datatype $o — numeric and " +
               "string bases only")
         }
+      case 4 => // bitfield: property layout IDENTICAL to fixed-point (bit
+        // offset u16, bit precision u16). The stored bits ARE the value —
+        // surfaces as the unsigned integer of its size (bitfields carry
+        // flag masks; sign extension would corrupt the high bit)
+        (NumType("uint", size, littleEndian), 12)
+      case 5 => // opaque: class bit field bits 0–7 = ASCII tag length
+        // (multiple of 8, NUL-padded); elements are `size` raw bytes
+        val tagLen = bits0
+        require(off + 8 + tagLen <= body.length,
+          s"opaque tag ($tagLen B) overruns the datatype message")
+        var e = off + 8
+        while (e < off + 8 + tagLen && body(e) != 0) e += 1
+        (OpaqueType(size, new String(body, off + 8, e - (off + 8), "UTF-8")),
+          8 + tagLen)
       case 6 => // compound: member count in class bit field bits 0–15
         val nMembers = bits0 | (bits1 << 8)
         var p = off + 8
@@ -417,8 +438,8 @@ private[graft] object Hdf5 {
         }
       case c => throw new IllegalArgumentException(
         s"unsupported datatype class $c (fixed-point, float, string, vlen, " +
-          "compound, reference, enum, array; bitfield/opaque/time stay " +
-          "named errors)")
+          "compound, reference, enum, array, bitfield, opaque; class 2 " +
+          "time stays a named error — dead in practice, no writer emits it)")
     }
   }
 
@@ -1282,6 +1303,9 @@ private[graft] object Hdf5 {
         case ("uint", 1) => (buf.get(i) & 0xff).toDouble
         case ("uint", 2) => (buf.getShort(i * 2) & 0xffff).toDouble
         case ("uint", 4) => (buf.getInt(i * 4) & 0xffffffffL).toDouble
+        case ("uint", 8) =>
+          val l = buf.getLong(i * 8)
+          if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552E19
         case (k, s) => throw new IllegalArgumentException(s"unsupported type $k$s")
       }
       i += 1
@@ -1466,6 +1490,12 @@ private[graft] object Hdf5 {
             i += 1
           }
           m.name -> decodeStrings(cells, st, n, src)
+        case ot: OpaqueType =>
+          // raw bytes per record, uninterpreted (the tag rides the schema)
+          m.name -> Array.tabulate[Array[Byte]](n) { i =>
+            java.util.Arrays.copyOfRange(data,
+              i * ct.size + m.offset, i * ct.size + m.offset + ot.size)
+          }
         case rt: RefType =>
           val cells = new Array[Byte](n * rt.size)
           var i = 0

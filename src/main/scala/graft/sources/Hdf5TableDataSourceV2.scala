@@ -100,6 +100,12 @@ private[sources] object Hdf5TableV2 {
         nullable = false)
     case nc: Hdf5.CompoundType =>
       StructField(m.name, StructType(nc.members.map(fieldOf)), nullable = false)
+    case ot: Hdf5.OpaqueType =>
+      // opaque bytes → BINARY, the H5Tset_tag string as column metadata
+      // (the same opaque-payload-plus-typed-metadata shape as the
+      // multimodal columns)
+      StructField(m.name, BinaryType, nullable = false,
+        new MetadataBuilder().putString("opaque_tag", ot.tag).build())
     case _ => StructField(m.name, StringType, nullable = false)
   }
 }

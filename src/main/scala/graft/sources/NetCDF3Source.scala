@@ -6,10 +6,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** NetCDF-3 (classic format) ingest — the reference's primary entry format:
   * every example opens `xr.open_dataset('*.nc')` (marEx detect.py:409,
-  * docs/examples). Implements the public CDF-1/CDF-2 file layout (the
+  * docs/examples). Implements the public CDF-1/CDF-2/CDF-5 file layout (the
   * NetCDF classic format specification): big-endian header with dim/attr/
   * var lists, fixed variables stored contiguously C-order at `begin`,
   * record variables interleaved per record with a common record stride.
+  * CDF-5 (`CDF\x05`, the PnetCDF 64-bit-data variant common in
+  * parallel-written climate archives) reads natively: INT64 NON_NEGs
+  * throughout the header and the five added data types (ubyte/ushort/uint/
+  * int64/uint64). Writes stay CDF-1; a CDF-5 write request is out of scope
+  * by name (no such entry exists).
   * HDF5-backed NetCDF-4 files are detected and routed to [[NetCDF4Source]]
   * by the [[NetCDFSource]] facade; calling this reader on one directly
   * fails with a clear error.
@@ -52,7 +57,7 @@ object NetCDF3Source {
     lazy val recSize: Long = {
       val recVars = vars.filter(_.isRecord(dims))
       if (recVars.length == 1 &&
-          Seq(NcByte, NcChar, NcShort).contains(recVars.head.ncType))
+          Seq(NcByte, NcChar, NcShort, NcUByte, NcUShort).contains(recVars.head.ncType))
         recVars.head.payloadBytes(dims)
       else recVars.map(v => (v.payloadBytes(dims) + 3) / 4 * 4).sum
     }
@@ -60,19 +65,32 @@ object NetCDF3Source {
 
   private val NcByte = 1; private val NcChar = 2; private val NcShort = 3
   private val NcInt = 4; private val NcFloat = 5; private val NcDouble = 6
+  // CDF-5 (64-bit data) additions, per the public classic-format spec
+  private val NcUByte = 7; private val NcUShort = 8; private val NcUInt = 9
+  private val NcInt64 = 10; private val NcUInt64 = 11
 
   private def typeBytes(t: Int): Int = t match {
-    case NcByte | NcChar => 1
-    case NcShort => 2
-    case NcInt | NcFloat => 4
-    case NcDouble => 8
+    case NcByte | NcChar | NcUByte => 1
+    case NcShort | NcUShort => 2
+    case NcInt | NcFloat | NcUInt => 4
+    case NcDouble | NcInt64 | NcUInt64 => 8
     case other => throw new IllegalArgumentException(s"unknown nc_type $other")
   }
 
-  private final class Reader(buf: ByteBuffer) {
+  /** @param v5 CDF-5 header: every NON_NEG in the grammar (name lengths,
+    *   list nelems, attr counts, dim lengths, dimids, vsize, numrecs) is an
+    *   8-byte INT64; list TAGS stay 4-byte; value padding stays ×4. */
+  private final class Reader(buf: ByteBuffer, v5: Boolean = false) {
     def int(): Int = buf.getInt()
+    /** One NON_NEG from the grammar, bounded to Int (driver-side header
+      * lists; a count past 2^31 fails loudly rather than truncating). */
+    def nonNeg(): Int = {
+      val v = if (v5) buf.getLong() else buf.getInt().toLong
+      require(v >= 0 && v <= Int.MaxValue, s"NON_NEG out of range: $v")
+      v.toInt
+    }
     def name(): String = {
-      val n = int()
+      val n = nonNeg()
       val b = new Array[Byte](n)
       buf.get(b)
       // names are padded to a 4-byte boundary
@@ -86,20 +104,28 @@ object NetCDF3Source {
         case NcChar =>
           val b = new Array[Byte](n); buf.get(b); new String(b, "UTF-8")
         case NcByte => (0 until n).map(_ => buf.get().toDouble)
+        case NcUByte => (0 until n).map(_ => (buf.get() & 0xff).toDouble)
         case NcShort => (0 until n).map(_ => buf.getShort().toDouble)
+        case NcUShort => (0 until n).map(_ => (buf.getShort() & 0xffff).toDouble)
         case NcInt => (0 until n).map(_ => buf.getInt().toDouble)
+        case NcUInt => (0 until n).map(_ => (buf.getInt().toLong & 0xffffffffL).toDouble)
         case NcFloat => (0 until n).map(_ => buf.getFloat().toDouble)
         case NcDouble => (0 until n).map(_ => buf.getDouble().toDouble)
+        case NcInt64 => (0 until n).map(_ => buf.getLong().toDouble)
+        case NcUInt64 => (0 until n).map { _ =>
+          val l = buf.getLong()
+          if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552E19
+        }
       }
       val pad = (4 - (n * bp) % 4) % 4
       buf.position(buf.position() + pad)
       out
     }
     def attrList(): Map[String, Any] = {
-      val tag = int(); val n = int()
+      val tag = int(); val n = nonNeg()
       require(tag == 0x0C || (tag == 0 && n == 0), s"bad attr list tag $tag")
       (0 until n).map { _ =>
-        val nm = name(); val t = int(); val cnt = int()
+        val nm = name(); val t = int(); val cnt = nonNeg()
         nm -> attrValues(t, cnt)
       }.toMap
     }
@@ -119,28 +145,39 @@ object NetCDF3Source {
             "NetCDFSource facade, which dispatches on the file magic")
       throw new IllegalArgumentException(s"$path is not a NetCDF file")
     }
-    val version = buf.get().toInt // 1 = CDF-1 (32-bit offsets), 2 = CDF-2
-    require(version == 1 || version == 2, s"unsupported CDF version $version")
-    val numRecs = buf.getInt()
-    val r = new Reader(buf)
+    // 1 = CDF-1 (32-bit offsets), 2 = CDF-2 (64-bit offsets),
+    // 5 = CDF-5 (64-bit data: every NON_NEG widens to INT64 — the PnetCDF
+    // large-variable variant, real in parallel-written climate archives)
+    val version = buf.get().toInt
+    require(version == 1 || version == 2 || version == 5,
+      s"unsupported CDF version $version")
+    val v5 = version == 5
+    val numRecs = {
+      val n = if (v5) buf.getLong() else buf.getInt().toLong
+      // STREAMING (-1) means "count the records from the file length" —
+      // refused by name rather than guessed
+      require(n >= 0 && n <= Int.MaxValue, s"unsupported numrecs $n (STREAMING?)")
+      n.toInt
+    }
+    val r = new Reader(buf, v5)
     // dim_list
-    val dtag = r.int(); val ndims = r.int()
+    val dtag = r.int(); val ndims = r.nonNeg()
     require(dtag == 0x0A || (dtag == 0 && ndims == 0), s"bad dim list tag $dtag")
-    val dims = (0 until ndims).map(_ => Dim(r.name(), r.int()))
+    val dims = (0 until ndims).map(_ => Dim(r.name(), r.nonNeg()))
     val gatts = r.attrList()
     // var_list
-    val vtag = r.int(); val nvars = r.int()
+    val vtag = r.int(); val nvars = r.nonNeg()
     require(vtag == 0x0B || (vtag == 0 && nvars == 0), s"bad var list tag $vtag")
     val vars = (0 until nvars).map { _ =>
       val nm = r.name()
-      val nd = r.int()
-      val ids = (0 until nd).map(_ => r.int())
+      val nd = r.nonNeg()
+      val ids = (0 until nd).map(_ => r.nonNeg())
       // per-var attrs surface on the Var: the CF packing trio
       // (scale_factor/add_offset/_FillValue) drives the decode — classic
       // archives (ERA5-style downloads) ship i2-packed
       val vattrs = r.attrList()
       val t = r.int()
-      val vsize = r.int().toLong & 0xffffffffL
+      val vsize = if (v5) buf.getLong() else r.int().toLong & 0xffffffffL
       val begin = if (version == 1) r.int().toLong & 0xffffffffL else buf.getLong()
       Var(nm, ids, t, vsize, begin, vattrs)
     }
@@ -170,10 +207,20 @@ object NetCDF3Source {
     while (i < n) {
       out(i) = t match {
         case NcByte => buf.get(i).toDouble
+        case NcUByte => (buf.get(i) & 0xff).toDouble
         case NcShort => buf.getShort(i * 2).toDouble
+        case NcUShort => (buf.getShort(i * 2) & 0xffff).toDouble
         case NcInt => buf.getInt(i * 4).toDouble
+        case NcUInt => (buf.getInt(i * 4).toLong & 0xffffffffL).toDouble
         case NcFloat => buf.getFloat(i * 4).toDouble
         case NcDouble => buf.getDouble(i * 8)
+        // i64 data surfaces as Double like every other branch (the engine's
+        // value column): exact to 2^53, the same envelope as the zarr/HDF5
+        // readers document
+        case NcInt64 => buf.getLong(i * 8).toDouble
+        case NcUInt64 =>
+          val l = buf.getLong(i * 8)
+          if (l >= 0) l.toDouble else l.toDouble + 1.8446744073709552E19
         case NcChar => (raw(i) & 0xff).toDouble
       }
       i += 1

@@ -405,6 +405,12 @@ private[sources] object NetCdfTableV2 {
         case 4 => Hdf5.NumType("int", 4, littleEndian = false)
         case 5 => Hdf5.NumType("float", 4, littleEndian = false)
         case 6 => Hdf5.NumType("float", 8, littleEndian = false)
+        // CDF-5 additions (64-bit-data classic variant)
+        case 7 => Hdf5.NumType("uint", 1, littleEndian = false)
+        case 8 => Hdf5.NumType("uint", 2, littleEndian = false)
+        case 9 => Hdf5.NumType("uint", 4, littleEndian = false)
+        case 10 => Hdf5.NumType("int", 8, littleEndian = false)
+        case 11 => Hdf5.NumType("uint", 8, littleEndian = false)
         case t => throw new IllegalArgumentException(s"unknown nc_type $t")
       }
       val dtype = NetCDF4Source.unsignedOf(dtype0, v.attrs)

@@ -166,12 +166,13 @@ class Hdf5EnumArraySpec extends SparkSpec {
     Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
 
   test("remaining datatype classes stay named errors") {
-    // class 4 (bitfield), v1 header byte 0x14, hand-built message
+    // class 2 (time) — dead in practice (no writer emits it); v1 header
+    // byte 0x12, hand-built message
     val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
-    b.put(0x14.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(2)
-    b.putShort(0).putShort(16)
+    b.put(0x12.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(4)
+    b.putShort(0).putShort(32)
     val e = intercept[IllegalArgumentException](Hdf5.parseDatatype(b.array()))
-    assert(e.getMessage.contains("class 4") && e.getMessage.contains("bitfield"))
+    assert(e.getMessage.contains("class 2") && e.getMessage.contains("time"))
     // enum over a FLOAT base is rejected by name
     val eb = ByteBuffer.allocate(8 + 20 + 8 + 8).order(ByteOrder.LITTLE_ENDIAN)
     eb.put(0x18.toByte).put(1.toByte).put(0.toByte).put(0.toByte).putInt(8)
@@ -181,5 +182,86 @@ class Hdf5EnumArraySpec extends SparkSpec {
     eb.put("x".getBytes).put(0.toByte)
     val e2 = intercept[IllegalArgumentException](Hdf5.parseDatatype(eb.array()))
     assert(e2.getMessage.contains("fixed-point"), e2.getMessage)
+  }
+
+  // ─── classes 4 (bitfield) and 5 (opaque) ──────────────────────────────────
+
+  test("a bitfield datatype parses as its unsigned base integer") {
+    // v1 header byte 0x14; property layout identical to fixed-point
+    val b = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    b.put(0x14.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(2)
+    b.putShort(0).putShort(16)
+    assert(Hdf5.parseDatatype(b.array()) ==
+      Hdf5.NumType("uint", 2, littleEndian = true))
+  }
+
+  test("a compound with bitfield + opaque members parses and decodes") {
+    // hand-built v3 compound (spec grammar, independent of our writer):
+    //   "px" OPAQUE size 4, tag "PNG" (tag field 8 B NUL-padded)
+    //   "fl" BITFIELD u16 LE
+    // record size 6 → v3 member offsets encode in 1 byte
+    val dt = ByteBuffer.allocate(8 + (3 + 1 + 16) + (3 + 1 + 12))
+      .order(ByteOrder.LITTLE_ENDIAN)
+    dt.put(0x36.toByte).put(2.toByte).put(0.toByte).put(0.toByte).putInt(6)
+    dt.put("px".getBytes).put(0.toByte).put(0.toByte) // name + NUL, offset 0
+    dt.put(0x15.toByte).put(8.toByte).put(0.toByte).put(0.toByte).putInt(4)
+    dt.put("PNG".getBytes).put(Array.fill[Byte](5)(0)) // tag, padded to 8
+    dt.put("fl".getBytes).put(0.toByte).put(4.toByte) // name + NUL, offset 4
+    dt.put(0x14.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(2)
+    dt.putShort(0).putShort(16)
+    val ct = Hdf5.parseDatatype(
+      java.util.Arrays.copyOf(dt.array(), dt.position()))
+      .asInstanceOf[Hdf5.CompoundType]
+    assert(ct.members.map(_.name) == Seq("px", "fl"))
+    assert(ct.members(0).dtype == Hdf5.OpaqueType(4, "PNG"))
+    assert(ct.members(1).dtype == Hdf5.NumType("uint", 2, littleEndian = true))
+    // two records: opaque bytes pass through raw; bitfield decodes
+    // unsigned (0xFFFF must NOT sign-extend)
+    val data = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    data.put(Array[Byte](1, 2, 3, 4)).putShort(0xFFFF.toShort)
+    data.put(Array[Byte](9, 8, 7, 6)).putShort(5.toShort)
+    val cols = Hdf5.decodeCompound(data.array(), ct, 2, src(Array.empty)).toMap
+    assert(cols("px").asInstanceOf[Array[Array[Byte]]].map(_.toSeq).toSeq ==
+      Seq(Seq[Byte](1, 2, 3, 4), Seq[Byte](9, 8, 7, 6)))
+    assert(cols("fl").asInstanceOf[Array[Double]].toSeq == Seq(65535.0, 5.0))
+    // hdf5table schema: opaque → BINARY with the tag as metadata
+    val schema = Hdf5TableV2.schemaOf(ct)
+    assert(schema("px").dataType ==
+      org.apache.spark.sql.types.BinaryType)
+    assert(schema("px").metadata.getString("opaque_tag") == "PNG")
+    assert(schema("fl").dataType ==
+      org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("a bitfield member reads end-to-end through format(\"hdf5table\")") {
+    // write a real compound table with an i64 member, then flip that
+    // member's datatype class nibble 0 → 4 in the file: bitfield and
+    // fixed-point have IDENTICAL property layouts, so the patched file is
+    // exactly what a bitfield-writing producer emits
+    import spark.implicits._
+    val path = tmpH5()
+    Seq((1L, 3.5), (250L, 4.5), (65535L, 5.5)).toDF("bits", "v")
+      .write.format("hdf5table").option("var", "t")
+      .mode("overwrite").save(path)
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    // locate the member: the writer emits v1 compound members (name
+    // NUL-padded to ×8 = 8 bytes for "bits", then a 32-byte offset/dim/
+    // perm block), so the member datatype header sits 40 bytes after the
+    // name start (v1 fixed-point header byte = 0x10)
+    val pat = "bits".getBytes :+ 0.toByte
+    var at = -1
+    for (i <- 0 until raw.length - 48 if at < 0)
+      if (pat.indices.forall(j => raw(i + j) == pat(j)) &&
+          (raw(i + 40) & 0xff) == 0x10) at = i + 40
+    assert(at > 0, "member datatype header not found")
+    raw(at) = (raw(at) | 0x04).toByte // class 0 → class 4
+    java.nio.file.Files.write(java.nio.file.Paths.get(path), raw)
+    // drop the Hadoop local-FS checksum sidecar: the patch bypassed it
+    val f = new java.io.File(path)
+    new java.io.File(f.getParentFile, s".${f.getName}.crc").delete()
+    val df = spark.read.format("hdf5table").option("var", "t").load(path)
+    assert(df.orderBy("v").select(col("bits").cast("long"))
+      .collect().map(_.getLong(0)).toSeq == Seq(1L, 250L, 65535L),
+      "bitfield cells must decode as unsigned base integers")
   }
 }

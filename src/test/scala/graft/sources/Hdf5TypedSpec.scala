@@ -255,10 +255,11 @@ class Hdf5TypedSpec extends AnyFunSuite {
   }
 
   test("unsupported datatype classes error with the class named") {
-    // class 8 (enum) lifted in round 10 — class 4 (bitfield) stays named
-    val body = Array[Byte](0x14, 0, 0, 0, 4, 0, 0, 0)
+    // classes 8 (enum, round 10), 4/5 (bitfield/opaque, round 11) lifted —
+    // class 2 (time) stays named (dead in practice, no writer emits it)
+    val body = Array[Byte](0x12, 0, 0, 0, 4, 0, 0, 0, 0, 0, 0, 0)
     val e = intercept[IllegalArgumentException](Hdf5.parseDatatype(body))
-    assert(e.getMessage.contains("class 4"))
+    assert(e.getMessage.contains("class 2"))
     // reference types 0 (object) and 1 (dataset region) both parse;
     // anything else names the type
     val region = Array[Byte](0x17, 0x01, 0, 0, 12, 0, 0, 0)

@@ -135,4 +135,88 @@ class NetCDF3Spec extends SparkSpec {
     assert(sql.filter(col("value") =!=
       col("t_idx") * 10.0 + col("x")).count() == 0)
   }
+
+  // ─── CDF-5 (64-bit data, `CDF\x05`) ───────────────────────────────────────
+  // PnetCDF-written archives are real in climate workflows; the layout is
+  // the public classic spec with every NON_NEG widened to INT64 and five
+  // added data types. The fixture is assembled BYTE-BY-BYTE from the spec
+  // grammar (independent of our own writer, which stays CDF-1), so the
+  // reader is checked against the format, not against itself.
+
+  /** Hand-build a CDF-5 file: dims (time record, y=2, x=3); fixed var
+    * `mask(y,x)` of NC_USHORT with values past the i16 range (unsigned
+    * decode check); record var `sst(time,y,x)` of NC_INT64 with 2 records
+    * and a char attr. Returns the path. */
+  private def buildCdf5(): String = {
+    val bb = java.nio.ByteBuffer.allocate(8192)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    def name(s: String): Unit = {
+      val b = s.getBytes("UTF-8")
+      bb.putLong(b.length.toLong).put(b)
+      (0 until (4 - b.length % 4) % 4).foreach(_ => bb.put(0.toByte))
+    }
+    bb.put("CDF".getBytes).put(5.toByte)
+    bb.putLong(2L) // numrecs (INT64 in CDF-5)
+    bb.putInt(0x0A).putLong(3L) // dim_list
+    name("time"); bb.putLong(0L) // record dim
+    name("y"); bb.putLong(2L)
+    name("x"); bb.putLong(3L)
+    bb.putInt(0).putLong(0L) // global attrs ABSENT (ZERO, ZERO64)
+    bb.putInt(0x0B).putLong(2L) // var_list
+    // var mask(y, x): NC_USHORT, no attrs
+    name("mask")
+    bb.putLong(2L).putLong(1L).putLong(2L) // nelems + dimids, all INT64
+    bb.putInt(0).putLong(0L) // vatts ABSENT
+    bb.putInt(8) // NC_USHORT
+    bb.putLong(12L) // vsize: 2×3×2
+    val maskBeginAt = bb.position(); bb.putLong(0L) // begin, patched below
+    // var sst(time, y, x): NC_INT64, one char attr
+    name("sst")
+    bb.putLong(3L).putLong(0L).putLong(1L).putLong(2L)
+    bb.putInt(0x0C).putLong(1L) // vatt_list, 1 attr
+    name("units"); bb.putInt(2).putLong(1L) // NC_CHAR, count INT64 = 1
+    bb.put('K'.toByte).put(0.toByte).put(0.toByte).put(0.toByte) // pad ×4
+    bb.putInt(10) // NC_INT64
+    bb.putLong(48L) // vsize: 2×3×8 per record
+    val sstBeginAt = bb.position(); bb.putLong(0L)
+    val headerLen = bb.position().toLong
+    bb.putLong(maskBeginAt, headerLen)
+    bb.putLong(sstBeginAt, headerLen + 12L)
+    // data: mask (6 ushorts, two past i16 range), then 2 sst records
+    Seq(1, 40000, 3, 65535, 5, 6).foreach(v => bb.putShort(v.toShort))
+    for (t <- 0 until 2; i <- 0 until 6) bb.putLong(t * 100L + i)
+    val path = tmpNc()
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      java.util.Arrays.copyOf(bb.array(), bb.position()))
+    path
+  }
+
+  test("CDF-5 header parses: INT64 NON_NEGs, added types, version 5") {
+    val path = buildCdf5()
+    val h = NetCDF3Source.readHeader(spark, path)
+    assert(h.version == 5)
+    assert(h.numRecs == 2)
+    assert(h.dims.map(d => (d.name, d.size)) ==
+      Seq(("time", 0), ("y", 2), ("x", 3)))
+    assert(h.vars.map(v => (v.name, v.ncType)) == Seq(("mask", 8), ("sst", 10)))
+    assert(h.vars(1).attrs("units") == "K")
+    assert(h.recSize == 48, s"one i64 record var: recSize ${h.recSize}")
+  }
+
+  test("CDF-5 data reads: uint16 fixed var unsigned, int64 records exact") {
+    val path = buildCdf5()
+    val (mShape, mask) = NetCDF3Source.readLocal(spark, path, "mask")
+    assert(mShape == Seq(2, 3))
+    assert(mask.toSeq == Seq(1.0, 40000.0, 3.0, 65535.0, 5.0, 6.0),
+      "NC_USHORT must decode unsigned, not sign-extended")
+    val ds = NetCDF3Source.read3D(spark, path, "sst")
+    assert(ds.count() == 12)
+    assert(ds.filter(col("value") =!=
+      col("t_idx") * 100.0 + col("y") * 3.0 + col("x")).count() == 0)
+    // and through the DSv2 scan (same header/decode path)
+    val sql = spark.read.format("netcdf").option("var", "sst").load(path)
+    assert(sql.count() == 12)
+    assert(sql.filter(col("value") =!=
+      col("t_idx") * 100.0 + col("y") * 3.0 + col("x")).count() == 0)
+  }
 }
