@@ -173,8 +173,16 @@ object Track {
       return ids
     val areas = ids.join(geom.select("y", "x", "area"), Seq("y", "x"))
       .groupBy("time", "gid").agg(sum("area").as("obj_area"))
-    val threshold: Double = cfg.areaFilterAbsolute.getOrElse(
-      exactQuantile(areas.select("obj_area"), cfg.resolvedQuartile))
+    val threshold: Double = cfg.areaFilterAbsolute.getOrElse {
+      // the reference raises TrackingError here rather than letting an
+      // empty quantile fail obscurely (track.py:1822/:1872)
+      if (areas.isEmpty)
+        throw new TrackingError("No objects found for area-based filtering",
+          "Check if input data contains any extreme events; verify the " +
+            "detection threshold is not too strict",
+          Map("area_filter_quartile" -> cfg.resolvedQuartile.toString))
+      exactQuantile(areas.select("obj_area"), cfg.resolvedQuartile)
+    }
     // reference parity: the structured branch force-drops the first object
     // entry — i.e. the smallest gid — regardless of its area (track.py:1898,
     // `object_ids_keep[0] = -1`; see TrackConfig.dropSmallestObject)
@@ -293,7 +301,7 @@ object Track {
     // the seam slice as of (the state after) round r, timestamped
     def seamAt(r: Int): Option[DataFrame] = seamTraj.map { case (t, df) =>
       val eff = trajRounds.filter(_ <= r).lastOption.getOrElse(
-        throw new IllegalStateException(s"seam trajectory has no state <= round $r"))
+        throw new ProcessingError(s"seam trajectory has no state <= round $r"))
       df.filter(col("round") === eff)
         .select(lit(t).cast("timestamp").as("time"), col("y"), col("x"), col("gid"))
     }
@@ -654,7 +662,7 @@ object Track {
         def field(k: String): Long =
           s""""$k"\\s*:\\s*(\\d+)""".r.findFirstMatchIn(js)
             .map(_.group(1).toLong)
-            .getOrElse(throw new MarexSparkException(s"checkpoint stats missing $k",
+            .getOrElse(throw new TrackingError(s"checkpoint stats missing $k",
               "re-run with checkpointMode=save"))
         val loaded = Map("n_objects_prefiltered" -> field("n_objects_prefiltered"),
           "n_objects_filtered" -> field("n_objects_filtered"))

@@ -63,6 +63,20 @@ object Unstructured {
     * are set True before each erosion so shores are not artificially
     * eroded. Output may contain land cells (exactly like the reference —
     * the mask is applied at labeling time, not here).
+    *
+    * COST NOTE (the densification the land-fill implies): each of the two
+    * erosions first UNIONs `|timesteps| × |land cells|` rows into the
+    * sparse flag set — on a 30%-land mesh that is ~10–20× the flag volume
+    * per erosion at typical extreme densities. This is the reference's own
+    * cost (its execution is dense everywhere, so the trick is free there;
+    * here it re-densifies a sparse frame). Measured at the 10⁷-cell /
+    * 3-day probe (30% land = 9.0M injected rows, 2 hops, local[32]):
+    * fillHoles 78 s with land vs 44 s without — a ~1.8× constant, not a
+    * scale-killer, because the injected rows join/aggregate in the same
+    * shuffles the erosion already pays (PERF.md round 11). If mesh
+    * morphology ever tops a profile, the
+    * per-slice-kernel alternative (broadcast adjacency + local erosion,
+    * the labelPerSlice shape) removes the per-hop shuffles entirely.
     * @param land invalid (land) cell set, as a (cell) DataFrame. */
   def fillHoles(flags: DataFrame, edges: DataFrame, r: Int,
       land: Option[DataFrame] = None): DataFrame = {
@@ -148,8 +162,8 @@ object Unstructured {
       val span = hi - lo
       if (math.abs(span - 360.0) <= 1.0) "degrees"
       else if (math.abs(span - 2 * math.Pi) <= 0.02) "radians"
-      else throw new MarexSparkException(
-        f"cannot auto-detect coordinate units from lon range $span%.3f",
+      else throw new CoordinateError(
+        f"Cannot auto-detect coordinate units from lon range $span%.3f",
         "expected ~360 (degrees) or ~6.283 (radians); pass explicitUnits for regional data")
     }
     CoordSystem(units, lo, hi)

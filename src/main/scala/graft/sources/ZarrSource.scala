@@ -486,6 +486,35 @@ object ZarrSource extends Serializable {
     out
   }
 
+  /** Apply the v3 `transpose` codec (write direction, dual of
+    * [[unTranspose]]): gather each logical C-order cell into its permuted
+    * stored position (`stored = chunk.transpose(order)`). */
+  private[sources] def doTranspose(raw: Array[Byte], chunks: Seq[Int],
+      ord: Seq[Int], bp: Int): Array[Byte] = {
+    val nd = ord.length
+    val storedShape = Array.tabulate(nd)(i => chunks(ord(i)))
+    val n = chunks.product
+    require(raw.length == n * bp,
+      s"chunk holds ${raw.length} bytes, expected ${n * bp}")
+    val out = new Array[Byte](raw.length)
+    val si = new Array[Int](nd)
+    val li = new Array[Int](nd)
+    var s = 0
+    while (s < n) {
+      var rem = s
+      var d = nd - 1
+      while (d >= 0) { si(d) = rem % storedShape(d); rem /= storedShape(d); d -= 1 }
+      d = 0
+      while (d < nd) { li(ord(d)) = si(d); d += 1 }
+      var flat = 0
+      d = 0
+      while (d < nd) { flat = flat * chunks(d) + li(d); d += 1 }
+      System.arraycopy(raw, flat * bp, out, s * bp, bp)
+      s += 1
+    }
+    out
+  }
+
   private def isIntCode(dt: String): Boolean = dt.substring(1) match {
     case "i1" | "i2" | "i4" | "i8" | "u1" | "u2" | "u4" | "b1" => true
     case _ => false
@@ -1000,7 +1029,8 @@ object ZarrSource extends Serializable {
     * store (`file:`, `hdfs:`, `s3a:`) on a real multi-node cluster, exactly
     * like the readers. */
   def write3D(df: DataFrame, dir: String, shape: (Int, Int, Int),
-      chunks: (Int, Int, Int), compressor: Option[String] = None): Unit = {
+      chunks: (Int, Int, Int), compressor: Option[String] = None,
+      delta: Boolean = false): Unit = {
     require(compressor.forall(_ == "blosc"),
       s"unsupported v2 write compressor '${compressor.get}' (supported: blosc)")
     val blosc = compressor.contains("blosc")
@@ -1014,10 +1044,18 @@ object ZarrSource extends Serializable {
     val compJson =
       if (blosc) """{"id": "blosc", "cname": "lz4", "clevel": 5, "shuffle": 1, "blocksize": 0}"""
       else "null"
+    // numcodecs `delta` pre-compression filter (encode dual of
+    // undoV2Filters): chunks store consecutive differences. Decode is a
+    // cumulative sum, so ONE NaN poisons every later cell of its chunk —
+    // the writer therefore refuses chunks with missing cells by name
+    // (numcodecs would silently corrupt them) at flush below.
+    val filterJson =
+      if (delta) """[{"id": "delta", "dtype": "<f8", "astype": "<f8"}]"""
+      else "null"
     val zarray =
       s"""{"zarr_format": 2, "shape": [$nt, $ny, $nx], "chunks": [$ct, $cy, $cx],
           "dtype": "<f8", "compressor": $compJson, "fill_value": "NaN",
-          "order": "C", "filters": null}"""
+          "order": "C", "filters": $filterJson}"""
     putBytes(driverFs, new org.apache.hadoop.fs.Path(dir, ".zarray"), zarray.getBytes)
     // One Tungsten exchange on a linear chunk id + in-partition sort, then
     // raw InternalRow consumption over the chunk runs — the encoder-free
@@ -1047,8 +1085,27 @@ object ZarrSource extends Serializable {
         var buf: ByteBuffer = null
         val written = Seq.newBuilder[String]
         def flush(): Unit = if (buf != null) {
-          val payload = if (blosc) Blosc.compress(buf.array(), typesize = 8)
-            else buf.array()
+          val raw = if (!delta) buf.array() else {
+            // forward delta: d[0] = v[0], d[i] = v[i] − v[i−1]
+            val n = chunkLen
+            val out = ByteBuffer.allocate(n * 8).order(ByteOrder.LITTLE_ENDIAN)
+            var prev = 0.0
+            var i = 0
+            while (i < n) {
+              val v = buf.getDouble(i * 8)
+              if (v.isNaN) throw new IllegalArgumentException(
+                s"delta filter cannot represent missing cells (chunk " +
+                  s"$ci.$cj.$ck has a NaN at flat index $i): the cumulative " +
+                  "decode poisons every later cell — write dense data or " +
+                  "drop the filter")
+              out.putDouble(i * 8, if (i == 0) v else v - prev)
+              prev = v
+              i += 1
+            }
+            out.array()
+          }
+          val payload = if (blosc) Blosc.compress(raw, typesize = 8)
+            else raw
           putBytes(fs, new org.apache.hadoop.fs.Path(dirB, s"$ci.$cj.$ck"), payload)
           written += s"$ci.$cj.$ck"
           buf = null
@@ -1091,7 +1148,8 @@ object ZarrSource extends Serializable {
     *               all-fill inner chunks are elided from the shard. */
   def write3DV3(df: DataFrame, dir: String, shape: (Int, Int, Int),
       chunks: (Int, Int, Int), codecs: Seq[V3Codec] = Seq(ZstdC),
-      innerChunks: Option[(Int, Int, Int)] = None): Unit = {
+      innerChunks: Option[(Int, Int, Int)] = None,
+      transposeOrder: Option[Seq[Int]] = None): Unit = {
     require(!codecs.contains(BloscC), "v3 writer supports gzip/zstd/crc32c chains")
     val (nt, ny, nx) = shape
     val (ct, cy, cx) = chunks
@@ -1099,14 +1157,25 @@ object ZarrSource extends Serializable {
       require(ct % it0 == 0 && cy % iy0 == 0 && cx % ix0 == 0,
         s"inner chunk shape ($it0,$iy0,$ix0) must divide chunk shape $chunks")
     }
+    // v3 `transpose` array→array codec (encode dual of unTranspose):
+    // chunk cells store axis-permuted. Same composition limit as the
+    // reader: transpose inside sharding_indexed is not supported.
+    transposeOrder.foreach { ord =>
+      require(innerChunks.isEmpty, "transpose + sharding_indexed not supported")
+      require(ord.sorted == Seq(0, 1, 2),
+        s"transpose order ${ord.mkString(",")} is not a permutation of 0,1,2")
+    }
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val dirP = new org.apache.hadoop.fs.Path(dir)
     val driverFs = dirP.getFileSystem(conf.value)
     driverFs.mkdirs(dirP)
     def chainJson(cs: Seq[V3Codec]): String = v3ChainJson(cs)
+    val transposeJson = transposeOrder.map(ord =>
+      s"""{"name": "transpose", "configuration": {"order": [${ord.mkString(", ")}]}}, """)
+      .getOrElse("")
     val codecJson = innerChunks match {
-      case None => chainJson(codecs)
+      case None => transposeJson + chainJson(codecs)
       case Some((it0, iy0, ix0)) =>
         s"""{"name": "sharding_indexed", "configuration": {
             "chunk_shape": [$it0, $iy0, $ix0],
@@ -1142,7 +1211,13 @@ object ZarrSource extends Serializable {
           buf.putDouble(idx * 8, v)
         }
         val payload = innerChunks match {
-          case None => encodeChain(buf.array())
+          case None =>
+            val raw = transposeOrder match {
+              case Some(ord) =>
+                doTranspose(buf.array(), Seq(ct, cy, cx), ord, 8)
+              case None => buf.array()
+            }
+            encodeChain(raw)
           case Some((it0, iy0, ix0)) =>
             // slice the outer buffer into inner chunks, elide all-fill ones,
             // concatenate + (offset, nbytes) index + crc32c at the end

@@ -12,9 +12,9 @@ class DetectSpec extends SparkSpec {
   private lazy val sst = SyntheticData.sstGridded(spark, nDays = 365 * 4, ny = 8, nx = 16).cache()
 
   test("DetectConfig rejects a bad methodPercentile eagerly") {
-    val e = intercept[IllegalArgumentException](
+    val e = intercept[ConfigurationError](
       DetectConfig(methodPercentile = "Exact"))
-    assert(e.getMessage.contains("methodPercentile"))
+    assert(e.getMessage.contains("method_percentile"))
     DetectConfig(methodPercentile = "approximate") // valid spellings pass
   }
 

@@ -19,10 +19,10 @@ class TrackSpec extends SparkSpec {
     assert(TrackConfig().resolvedQuartile == 0.5) // neither given → default quartile
     assert(TrackConfig(areaFilterQuartile = 0.25).resolvedQuartile == 0.25)
     assert(TrackConfig(areaFilterAbsolute = Some(10.0)).resolvedQuartile == 0.0)
-    val neg = intercept[IllegalArgumentException](
+    val neg = intercept[ConfigurationError](
       TrackConfig(areaFilterAbsolute = Some(-100.0)))
     assert(neg.getMessage.contains("must be positive"))
-    val both = intercept[IllegalArgumentException](
+    val both = intercept[ConfigurationError](
       TrackConfig(areaFilterQuartile = 0.5, areaFilterAbsolute = Some(1000.0)))
     assert(both.getMessage.contains("Cannot specify both area filtering parameters"))
   }

@@ -74,4 +74,42 @@ class ZarrTransposeSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("permutation"))
   }
+
+  test("write3DV3 transpose encode round-trips through the DSv2 scan") {
+    import spark.implicits._
+    val dir = tmpDir()
+    val in = (for (t <- 0 until 4; y <- 0 until 3; x <- 0 until 5)
+      yield (t, y, x, t * 100.0 + y * 10.0 + x)).toDF("t_idx", "y", "x", "value")
+    ZarrSource.write3DV3(in, dir, shape = (4, 3, 5), chunks = (2, 3, 5),
+      codecs = Seq(ZarrSource.ZstdC), transposeOrder = Some(Seq(2, 0, 1)))
+    // metadata carries the codec and parses back
+    val meta = ZarrSource.readMetaAny(dir, spark.sparkContext.hadoopConfiguration)
+    assert(meta.transpose.contains(Seq(2, 0, 1)))
+    // cells come back in LOGICAL order through the same reader that
+    // handles foreign transpose stores
+    val out = spark.read.format("zarr").load(dir)
+    assert(out.count() == 60)
+    assert(out.filter(col("value") =!=
+      col("t_idx") * 100.0 + col("y") * 10.0 + col("x")).count() == 0,
+      "transpose encode/decode must be the identity on logical cells")
+    // and the stored bytes really ARE permuted: decode one chunk without
+    // the un-transpose and see x-major order
+    val rawEnc = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/c/0/0/0"))
+    val raw = com.github.luben.zstd.Zstd.decompress(rawEnc, 2 * 3 * 5 * 8)
+    val b = java.nio.ByteBuffer.wrap(raw).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // stored shape (x=5, t=2, y=3): stored[0..2] walk y at x=0, t=0
+    assert(b.getDouble(0) == 0.0 && b.getDouble(8) == 10.0 && b.getDouble(16) == 20.0,
+      "stored layout must be axis-permuted, not plain C-order")
+  }
+
+  test("write3DV3 rejects transpose composed with sharding by name") {
+    import spark.implicits._
+    val in = Seq((0, 0, 0, 1.0)).toDF("t_idx", "y", "x", "value")
+    val e = intercept[IllegalArgumentException] {
+      ZarrSource.write3DV3(in, tmpDir(), shape = (2, 2, 2), chunks = (2, 2, 2),
+        innerChunks = Some((1, 2, 2)), transposeOrder = Some(Seq(2, 0, 1)))
+    }
+    assert(e.getMessage.contains("sharding_indexed"))
+  }
 }

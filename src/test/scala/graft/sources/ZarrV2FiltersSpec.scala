@@ -121,4 +121,43 @@ class ZarrV2FiltersSpec extends SparkSpec {
       Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
     assert(msgs(e).exists(_.contains("filter")), s"got: ${msgs(e)}")
   }
+
+  test("write3D delta encode round-trips through the DSv2 scan") {
+    val dir = tmpDir()
+    // DENSE data, chunk-aligned shape: the delta decode is a cumulative
+    // sum, so the writer refuses holes (see the NaN test below)
+    val in = (for (t <- 0 until 4; y <- 0 until 2; x <- 0 until 3)
+      yield (t, y, x, t * 8.0 + y * 4.0 + x * 1.5)).toDF("t_idx", "y", "x", "value")
+    ZarrSource.write3D(in, dir, shape = (4, 2, 3), chunks = (2, 2, 3),
+      compressor = Some("blosc"), delta = true)
+    // metadata declares the filter and parses back
+    val meta = ZarrSource.readMetaAny(dir, spark.sparkContext.hadoopConfiguration)
+    assert(meta.v2Filters == Seq(ZarrSource.DeltaF("<f8", "<f8")))
+    val out = spark.read.format("zarr").load(dir)
+    assert(out.count() == 24)
+    assert(out.filter(col("value") =!=
+      col("t_idx") * 8.0 + col("y") * 4.0 + col("x") * 1.5).count() == 0,
+      "delta encode/decode must be the identity")
+    // and the stored bytes really ARE differences: cell 1 of chunk 0
+    // stores v[1]−v[0] = 1.5, not v[1] = 1.5+0 … pick cell 2: diff 1.5
+    val rawEnc = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/0.0.0"))
+    val raw = Blosc.decompress(rawEnc)
+    val b = ByteBuffer.wrap(raw).order(ByteOrder.LITTLE_ENDIAN)
+    assert(b.getDouble(0) == 0.0 && b.getDouble(8) == 1.5 && b.getDouble(16) == 1.5,
+      "stored cells must be consecutive differences")
+  }
+
+  test("write3D delta refuses chunks with missing cells by name") {
+    val in = (for (t <- 0 until 2; y <- 0 until 2; x <- 0 until 2
+        if !(t == 1 && y == 0 && x == 1))
+      yield (t, y, x, 1.0)).toDF("t_idx", "y", "x", "value")
+    val e = intercept[Exception] {
+      ZarrSource.write3D(in, tmpDir(), shape = (2, 2, 2), chunks = (2, 2, 2),
+        delta = true)
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("missing cells")), s"got: ${msgs(e)}")
+  }
 }
