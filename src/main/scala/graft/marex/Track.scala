@@ -171,15 +171,21 @@ object Track {
     if (cfg.areaFilterAbsolute.isEmpty && cfg.resolvedQuartile == 0.0
         && !cfg.dropSmallestObject)
       return ids
-    val areas = ids.join(geom.select("y", "x", "area"), Seq("y", "x"))
+    val areas0 = ids.join(geom.select("y", "x", "area"), Seq("y", "x"))
       .groupBy("time", "gid").agg(sum("area").as("obj_area"))
+    // the quantile path consumes `areas` three times (empty guard,
+    // quantile, keep filter) — materialize ONCE so the join+agg plan does
+    // not re-execute per consumer; the absolute path reads it once and
+    // skips the checkpoint
+    val areas =
+      if (cfg.areaFilterAbsolute.isEmpty) areas0.localCheckpoint() else areas0
     val threshold: Double = cfg.areaFilterAbsolute.getOrElse {
       // the reference raises TrackingError here rather than letting an
       // empty quantile fail obscurely (track.py:1822/:1872)
       if (areas.isEmpty)
         throw new TrackingError("No objects found for area-based filtering",
-          "Check if input data contains any extreme events; verify the " +
-            "detection threshold is not too strict",
+          "Check if input data contains any extreme events (or, if ids are " +
+            "non-empty, whether their (y, x) keys match the geometry table)",
           Map("area_filter_quartile" -> cfg.resolvedQuartile.toString))
       exactQuantile(areas.select("obj_area"), cfg.resolvedQuartile)
     }

@@ -323,7 +323,11 @@ private[graft] object Hdf5 {
       case 4 => // bitfield: property layout IDENTICAL to fixed-point (bit
         // offset u16, bit precision u16). The stored bits ARE the value —
         // surfaces as the unsigned integer of its size (bitfields carry
-        // flag masks; sign extension would corrupt the high bit)
+        // flag masks; sign extension would corrupt the high bit).
+        // Exotic widths fail HERE with the construct named, not later in
+        // the cell-decode loop as a bare "unsupported type uintN"
+        require(Seq(1, 2, 4, 8).contains(size),
+          s"bitfield datatype of $size bytes — only 1/2/4/8-byte bitfields decode")
         (NumType("uint", size, littleEndian), 12)
       case 5 => // opaque: class bit field bits 0–7 = ASCII tag length
         // (multiple of 8, NUL-padded); elements are `size` raw bytes
@@ -1491,7 +1495,13 @@ private[graft] object Hdf5 {
           }
           m.name -> decodeStrings(cells, st, n, src)
         case ot: OpaqueType =>
-          // raw bytes per record, uninterpreted (the tag rides the schema)
+          // raw bytes per record, uninterpreted (the tag rides the schema).
+          // Bound the UNTRUSTED member layout first: copyOfRange would
+          // silently zero-pad an overrun for the last record — the one
+          // silent-misread shape this layer otherwise rejects by name
+          require(m.offset >= 0 && m.offset + ot.size <= ct.size,
+            s"opaque member ${m.name} at offset ${m.offset} (+${ot.size} B) " +
+              s"overruns the ${ct.size}-byte compound record")
           m.name -> Array.tabulate[Array[Byte]](n) { i =>
             java.util.Arrays.copyOfRange(data,
               i * ct.size + m.offset, i * ct.size + m.offset + ot.size)
@@ -2532,33 +2542,66 @@ private[graft] object Hdf5 {
       org += cn
     }
 
-    // new single-leaf v1 B-tree with every entry, key-ordered. libhdf5
-    // caps v1 B-tree node children at 2*K, and a v0 superblock carries no
+    // new v1 chunk B-tree with every entry, key-ordered. libhdf5 caps v1
+    // B-tree node children at 2*K, and a v0 superblock carries no
     // indexed-storage-K field, so h5py/PyTables — the interop target this
-    // append claims — assume K=32: a leaf beyond 64 entries reads fine
-    // HERE but fails to open there. Cap at their bound, not our u16 one.
-    require(entries.size <= 64,
-      s"appended table holds ${entries.size} chunks — beyond the 64-entry " +
-        "(2×K, K=32 default) single-leaf v1 B-tree libhdf5 accepts; " +
-        "rewrite with larger chunkRows")
-    val btAddr2 = pos
+    // append claims — assume K=32: ≤64 entries regrow the classic single
+    // leaf; past that a LEVEL-1 root over ≤64 leaves (the same two-level
+    // layout `assemble` emits, and the one libhdf5 itself grows into).
     def u16b(v: Int): Array[Byte] =
       ByteBuffer.allocate(2).order(ByteOrder.LITTLE_ENDIAN).putShort(v.toShort).array()
     def u32b(v: Int): Array[Byte] =
       ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v).array()
     def u64b(v: Long): Array[Byte] =
       ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v).array()
-    out.write("TREE".getBytes); out.write(Array[Byte](1, 0))
-    out.write(u16b(entries.size), 0, 2)
-    out.write(u64b(Undef), 0, 8); out.write(u64b(Undef), 0, 8)
-    entries.foreach { case (o, (sz, mask, addr)) =>
+    val groupsA = entries.toSeq.grouped(64).toSeq
+    val nLeavesA = groupsA.length
+    require(nLeavesA <= 64,
+      s"appended table holds ${entries.size} chunks — beyond the " +
+        "4096-entry two-level v1 B-tree this append emits (64×64 at " +
+        "libhdf5's K=32 default); rewrite with larger chunkRows")
+    val btAddr2 = pos
+    val keySizeA = 24 // u32 size + u32 mask + (record dim + pseudo-dim) × u64
+    def nodeSizeA(n: Int): Long = 24L + n * (keySizeA + 8) + keySizeA
+    val leafAddrsA =
+      if (nLeavesA == 1) Seq(btAddr2)
+      else {
+        var a = btAddr2 + nodeSizeA(nLeavesA)
+        groupsA.map { g => val r = a; a += nodeSizeA(g.length); r }
+      }
+    def keyA(o: Long, sz: Int, mask: Int): Unit = {
       out.write(u32b(sz), 0, 4); out.write(u32b(mask), 0, 4)
       out.write(u64b(o), 0, 8); out.write(u64b(0L), 0, 8)
-      out.write(u64b(addr), 0, 8)
     }
-    out.write(u32b(0), 0, 4); out.write(u32b(0), 0, 4)
-    out.write(u64b(nOld + k), 0, 8)
-    out.write(u64b(ct.size.toLong), 0, 8)
+    def endKeyA(): Unit = {
+      out.write(u32b(0), 0, 4); out.write(u32b(0), 0, 4)
+      out.write(u64b(nOld + k), 0, 8)
+      out.write(u64b(ct.size.toLong), 0, 8)
+    }
+    if (nLeavesA > 1) {
+      out.write("TREE".getBytes); out.write(Array[Byte](1, 1))
+      out.write(u16b(nLeavesA), 0, 2)
+      out.write(u64b(Undef), 0, 8); out.write(u64b(Undef), 0, 8)
+      groupsA.zipWithIndex.foreach { case (g, i) =>
+        val (o, (sz, mask, _)) = g.head
+        keyA(o, sz, mask)
+        out.write(u64b(leafAddrsA(i)), 0, 8)
+      }
+      endKeyA()
+    }
+    groupsA.zipWithIndex.foreach { case (g, i) =>
+      require(pos == leafAddrsA(i), s"append B-tree layout drift at leaf $i")
+      out.write("TREE".getBytes); out.write(Array[Byte](1, 0))
+      out.write(u16b(g.length), 0, 2)
+      out.write(u64b(if (i == 0) Undef else leafAddrsA(i - 1)), 0, 8)
+      out.write(u64b(if (i == nLeavesA - 1) Undef else leafAddrsA(i + 1)), 0, 8)
+      g.foreach { case (o, (sz, mask, addr)) =>
+        keyA(o, sz, mask)
+        out.write(u64b(addr), 0, 8)
+      }
+      if (i == nLeavesA - 1) endKeyA()
+      else { val (o, (sz, mask, _)) = groupsA(i + 1).head; keyA(o, sz, mask) }
+    }
 
     // fixed-width in-place patches: dataspace dims[0], layout B-tree
     // address, superblock EOF
@@ -2908,7 +2951,17 @@ private[graft] object Hdf5 {
             case None =>
               val btAddr = cursor
               val keySize = 8 + (v.dims.length + 1) * 8
-              cursor += 24 + chunks.size * (keySize + 8) + keySize
+              def nodeSize(n: Int): Long = 24L + n * (keySize + 8) + keySize
+              // ≤64 chunks fit one leaf (libhdf5's 2×K bound at the v0
+              // superblock's implied K=32); beyond that a LEVEL-1 root
+              // points at ≤64 leaves of ≤64 entries — 4096 chunks max
+              val nLeaves = (chunks.size + 63) / 64
+              if (nLeaves <= 1) cursor += nodeSize(chunks.size)
+              else {
+                cursor += nodeSize(nLeaves)
+                var rest = chunks.size
+                while (rest > 0) { cursor += nodeSize(math.min(64, rest)); rest -= 64 }
+              }
               chunks.foreach { case (_, bytes) => cursor += bytes.length }
               Plan(v, ohAddr, Undef, btAddr, chunks)
             case Some("single") =>
@@ -3208,29 +3261,65 @@ private[graft] object Hdf5 {
       } else v.v4Index match {
         case None =>
           require(pos == p.btAddr)
-          // the same libhdf5 interop bound the APPEND path enforces: a v1
-          // B-tree node holds at most 2*K children, and the v0 superblock
-          // this writer emits carries no indexed-storage-K field, so
-          // h5py/PyTables assume K=32 — a single leaf past 64 entries
-          // reads fine HERE but fails to open there
-          require(p.chunks.size <= 64,
-            s"${v.name}: ${p.chunks.size} chunks exceed the 64-entry " +
-              "(2×K, K=32 default) single-leaf v1 chunk B-tree libhdf5 " +
-              "accepts — use larger chunks (chunkRows/timeChunk)")
           val keySize = 8 + (v.dims.length + 1) * 8
-          var dataAddr = p.btAddr + 24 + p.chunks.size * (keySize + 8) + keySize
-          out.write("TREE".getBytes); out.write(Array[Byte](1, 0)); out.write(u16(p.chunks.size))
-          out.write(u64(Undef)); out.write(u64(Undef))
-          p.chunks.foreach { case (org, bytes) =>
+          def nodeSize(n: Int): Long = 24L + n * (keySize + 8) + keySize
+          // libhdf5 interop bound: a v1 B-tree node holds at most 2×K
+          // entries, and the v0 superblock this writer emits carries no
+          // indexed-storage-K field so h5py/PyTables assume K=32. ≤64
+          // chunks emit the classic single leaf; past that a LEVEL-1 root
+          // points at ≤64 leaves of ≤64 entries each — the layout libhdf5
+          // itself grows into. Past 4096 chunks stays a named error.
+          val groups = p.chunks.grouped(64).toSeq
+          val nLeaves = groups.length
+          require(nLeaves <= 64,
+            s"${v.name}: ${p.chunks.size} chunks exceed the 4096-entry " +
+              "two-level v1 chunk B-tree this writer emits (64×64 at " +
+              "libhdf5's K=32 default) — use larger chunks (chunkRows/timeChunk)")
+          val leafAddrs =
+            if (nLeaves == 1) Seq(p.btAddr)
+            else {
+              var a = p.btAddr + nodeSize(nLeaves)
+              groups.map { g => val r = a; a += nodeSize(g.length); r }
+            }
+          var dataAddr = leafAddrs.last + nodeSize(groups.last.length)
+          val chunkAddrs = p.chunks.map { case (_, bytes) =>
+            val a = dataAddr; dataAddr += bytes.length; a
+          }
+          // a chunk ENTRY key: that chunk's stored size + origin (+ the
+          // trailing 0 pseudo-dim); keys BETWEEN nodes are the right
+          // neighbor's first key, exactly as libhdf5 splits them
+          def writeKey(org: Seq[Long], bytes: Array[Byte]): Unit = {
             out.write(u32(bytes.length)); out.write(u32(0))
             org.foreach(o => out.write(u64(o))); out.write(u64(0))
-            out.write(u64(dataAddr))
-            dataAddr += bytes.length
           }
           // final key: one past the last chunk in every dimension
-          out.write(u32(0)); out.write(u32(0))
-          v.dims.indices.foreach(d => out.write(u64(v.dims(d).toLong)))
-          out.write(u64(v.typed.map(_.elemSize.toLong).getOrElse(8L)))
+          def writeEndKey(): Unit = {
+            out.write(u32(0)); out.write(u32(0))
+            v.dims.indices.foreach(d => out.write(u64(v.dims(d).toLong)))
+            out.write(u64(v.typed.map(_.elemSize.toLong).getOrElse(8L)))
+          }
+          if (nLeaves > 1) {
+            out.write("TREE".getBytes); out.write(Array[Byte](1, 1)); out.write(u16(nLeaves))
+            out.write(u64(Undef)); out.write(u64(Undef))
+            groups.zipWithIndex.foreach { case (g, i) =>
+              writeKey(g.head._1, g.head._2)
+              out.write(u64(leafAddrs(i)))
+            }
+            writeEndKey()
+          }
+          var ci = 0
+          groups.zipWithIndex.foreach { case (g, i) =>
+            require(pos == leafAddrs(i))
+            out.write("TREE".getBytes); out.write(Array[Byte](1, 0)); out.write(u16(g.length))
+            out.write(u64(if (i == 0) Undef else leafAddrs(i - 1)))
+            out.write(u64(if (i == nLeaves - 1) Undef else leafAddrs(i + 1)))
+            g.foreach { case (org, bytes) =>
+              writeKey(org, bytes)
+              out.write(u64(chunkAddrs(ci))); ci += 1
+            }
+            if (i == nLeaves - 1) writeEndKey()
+            else writeKey(groups(i + 1).head._1, groups(i + 1).head._2)
+          }
           p.chunks.foreach { case (_, bytes) => out.write(bytes, 0, bytes.length) }
         case Some("single") | Some("implicit") =>
           require(pos == p.dataAddr)

@@ -412,8 +412,9 @@ object NetCDF4Source {
   /** Append rows onto an existing CHUNKED compound table — the PyTables
     * `append=True` shape ([[Hdf5.appendCompoundTable]]): the record
     * dimension grows, old chunk bytes are never re-encoded, the straddled
-    * edge chunk merges, and a new single-leaf chunk B-tree replaces the
-    * old (which becomes dead space, as libhdf5 leaves on reallocation).
+    * edge chunk merges, and a new chunk B-tree replaces the old (which
+    * becomes dead space, as libhdf5 leaves on reallocation) — a single
+    * leaf up to 64 chunks, a two-level tree up to 64×64 past that.
     * The dataframe's columns are matched BY NAME to the stored members
     * (any order; all must be present). Transport note: an HDF5 file is a
     * single byte stream with interior fixed-width patches, and Hadoop

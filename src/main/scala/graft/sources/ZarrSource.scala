@@ -456,47 +456,20 @@ object ZarrSource extends Serializable {
     else out
   }
 
-  /** Undo the v3 `transpose` codec: stored bytes are the chunk with axes
-    * permuted (`stored = chunk.transpose(order)`, C-order) — scatter each
-    * stored cell back to its logical C-order position. */
-  private def unTranspose(stored: Array[Byte], meta: ZarrMeta,
-      ord: Seq[Int]): Array[Byte] = {
-    val bp = bytesPer(meta.dtype)
-    val nd = ord.length
-    val storedShape = Array.tabulate(nd)(i => meta.chunks(ord(i)))
-    val n = meta.chunks.product
-    require(stored.length == n * bp,
-      s"transposed chunk holds ${stored.length} bytes, expected ${n * bp}")
-    val out = new Array[Byte](stored.length)
-    val si = new Array[Int](nd)
-    val li = new Array[Int](nd)
-    var s = 0
-    while (s < n) {
-      var rem = s
-      var d = nd - 1
-      while (d >= 0) { si(d) = rem % storedShape(d); rem /= storedShape(d); d -= 1 }
-      d = 0
-      while (d < nd) { li(ord(d)) = si(d); d += 1 }
-      var flat = 0
-      d = 0
-      while (d < nd) { flat = flat * meta.chunks(d) + li(d); d += 1 }
-      System.arraycopy(stored, s * bp, out, flat * bp, bp)
-      s += 1
-    }
-    out
-  }
-
-  /** Apply the v3 `transpose` codec (write direction, dual of
-    * [[unTranspose]]): gather each logical C-order cell into its permuted
-    * stored position (`stored = chunk.transpose(order)`). */
-  private[sources] def doTranspose(raw: Array[Byte], chunks: Seq[Int],
-      ord: Seq[Int], bp: Int): Array[Byte] = {
+  /** ONE mixed-radix index walk for both directions of the v3 `transpose`
+    * codec: for each stored C-order flat index `s` (over the permuted
+    * shape), compute the logical flat index `flat` and copy one cell —
+    * stored→logical when decoding (`gather = false`), logical→stored when
+    * encoding (`gather = true`). Keeping a single walk keeps the codec
+    * self-inverse by construction. */
+  private def transposeCopy(src: Array[Byte], chunks: Seq[Int],
+      ord: Seq[Int], bp: Int, gather: Boolean): Array[Byte] = {
     val nd = ord.length
     val storedShape = Array.tabulate(nd)(i => chunks(ord(i)))
     val n = chunks.product
-    require(raw.length == n * bp,
-      s"chunk holds ${raw.length} bytes, expected ${n * bp}")
-    val out = new Array[Byte](raw.length)
+    require(src.length == n * bp,
+      s"transposed chunk holds ${src.length} bytes, expected ${n * bp}")
+    val out = new Array[Byte](src.length)
     val si = new Array[Int](nd)
     val li = new Array[Int](nd)
     var s = 0
@@ -509,11 +482,26 @@ object ZarrSource extends Serializable {
       var flat = 0
       d = 0
       while (d < nd) { flat = flat * chunks(d) + li(d); d += 1 }
-      System.arraycopy(raw, flat * bp, out, s * bp, bp)
+      if (gather) System.arraycopy(src, flat * bp, out, s * bp, bp)
+      else System.arraycopy(src, s * bp, out, flat * bp, bp)
       s += 1
     }
     out
   }
+
+  /** Undo the v3 `transpose` codec: stored bytes are the chunk with axes
+    * permuted (`stored = chunk.transpose(order)`, C-order) — scatter each
+    * stored cell back to its logical C-order position. */
+  private def unTranspose(stored: Array[Byte], meta: ZarrMeta,
+      ord: Seq[Int]): Array[Byte] =
+    transposeCopy(stored, meta.chunks, ord, bytesPer(meta.dtype), gather = false)
+
+  /** Apply the v3 `transpose` codec (write direction, dual of
+    * [[unTranspose]]): gather each logical C-order cell into its permuted
+    * stored position (`stored = chunk.transpose(order)`). */
+  private[sources] def doTranspose(raw: Array[Byte], chunks: Seq[Int],
+      ord: Seq[Int], bp: Int): Array[Byte] =
+    transposeCopy(raw, chunks, ord, bp, gather = true)
 
   private def isIntCode(dt: String): Boolean = dt.substring(1) match {
     case "i1" | "i2" | "i4" | "i8" | "u1" | "u2" | "u4" | "b1" => true
@@ -1036,6 +1024,14 @@ object ZarrSource extends Serializable {
     val blosc = compressor.contains("blosc")
     val (nt, ny, nx) = shape
     val (ct, cy, cx) = chunks
+    // delta needs chunk-aligned shapes: edge chunks pad with NaN fill,
+    // which the cumulative decode cannot represent (see the flush check) —
+    // reject the SHAPE up front with an accurate message rather than
+    // blaming the data at flush time
+    require(!delta || (nt % ct == 0 && ny % cy == 0 && nx % cx == 0),
+      s"delta filter requires chunk-aligned shape: $shape % $chunks != 0 " +
+        "(edge chunks pad with NaN fill, which the cumulative decode " +
+        "cannot represent)")
     val conf = new org.apache.spark.util.SerializableConfiguration(
       df.sparkSession.sparkContext.hadoopConfiguration)
     val dirP = new org.apache.hadoop.fs.Path(dir)

@@ -44,6 +44,51 @@ class IntegrationSpec extends SparkSpec {
     assert(anom.count() == sst.count())
   }
 
+  test("mesh full pipeline: preprocessCells → extremes → UnstructuredTracker") {
+    // the reference's unstructured integration test STOPS after
+    // preprocessing ("Full unstructured tracking is complex and tested
+    // separately", test_integration.py:290–293); here the cell-keyed
+    // detect output feeds the tracker directly — one year of the
+    // reference's own sst_unstructured.zarr, detrend_harmonic +
+    // global_extreme at the reference's percentile 90
+    // (test_integration.py:266–273), then a deterministic ring mesh
+    // (their mock is np.random neighbours)
+    val meshDir = "/root/reference/tests/data/sst_unstructured.zarr"
+    assume(new java.io.File(s"$meshDir/.zgroup").exists())
+    val field = ReferenceFixtures.loadSstUnstructured(spark, meshDir,
+      maxDays = 365, maskedCells = Seq(2))
+    val (_, _, ext) = UnstructuredIngest.preprocessCells(field,
+      DetectConfig(methodAnomaly = "detrend_harmonic",
+        methodExtreme = "global_extreme", thresholdPercentile = 90))
+    val frac = ext.agg(avg(col("extreme").cast("double"))).head().getDouble(0)
+    assert(frac > 0.08 && frac < 0.12, s"extreme fraction $frac !~ 10%")
+
+    val nCells = 405
+    val nbr = Array.ofDim[Int](3, nCells)
+    for (i <- 0 until nCells) {
+      nbr(0)(i) = if (i > 0) i - 1 else -1
+      nbr(1)(i) = if (i < nCells - 1) i + 1 else -1
+      nbr(2)(i) = -1
+    }
+    val mesh = UnstructuredTracker.Mesh(nbr,
+      Array.tabulate(nCells)(i => -90.0 + 180.0 * i / nCells),
+      Array.tabulate(nCells)(i => -180.0 + 360.0 * i / nCells),
+      Array.fill(nCells)(1000.0), Array.fill(nCells)(true))
+    val flags = ext.filter(col("extreme")).select("time", "cell")
+    val res = UnstructuredTracker.track(flags, mesh,
+      TrackConfig(rFill = 0, tFill = 0, areaFilterQuartile = 0.5,
+        allowMerging = true, nnPartitioning = true))
+    val nEvents = res.idField.select("event_id").distinct().count()
+    info(s"mesh events tracked = $nEvents, stats = ${res.stats}")
+    assert(nEvents > 0, "no events tracked from mesh extremes")
+    // every tracked cell id is a real mesh cell and the masked cell
+    // never re-enters through tracking
+    val badCells = res.idField
+      .filter(col("cell") < 0 || col("cell") >= nCells || col("cell") === 2)
+      .count()
+    assert(badCells == 0)
+  }
+
   test("anomaly method matrix: all four methods produce near-zero-mean anomalies") {
     val short = SyntheticData.sstGridded(spark, nDays = 365 * 3, ny = 6, nx = 12).cache()
     for (m <- Seq("fixed_baseline", "detrend_harmonic", "detrend_fixed_baseline")) {

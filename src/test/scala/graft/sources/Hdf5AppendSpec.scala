@@ -176,21 +176,29 @@ class Hdf5AppendSpec extends SparkSpec {
     assert(msgs(e).exists(_.contains("superblock")), s"got: ${msgs(e)}")
   }
 
-  test("an append growing past 64 chunks fails by name (libhdf5 2*K leaf bound)") {
+  test("an append growing past 64 chunks regrows a TWO-LEVEL v1 B-tree (round 11)") {
+    // the single-leaf 64-entry refusal was lifted: past libhdf5's 2*K
+    // per-node bound the regrown tree gains a level-1 root over ≤64-entry
+    // leaves — the layout libhdf5 itself grows into
     val p = tmpFile()
     docs(0, 60).write.format("hdf5table").option("var", "t")
       .option("chunkRows", "1").option("stringSizes", "name:8")
       .mode("overwrite").save(p)
-    val e = intercept[Exception] {
-      docs(60, 70).write.format("hdf5table").option("var", "t")
-        .mode("append").save(p)
-    }
-    assert(msgs(e).exists(m => m.contains("64") && m.contains("chunkRows")),
-      s"got: ${msgs(e)}")
-    // up to the bound still works
-    docs(60, 64).write.format("hdf5table").option("var", "t")
+    docs(60, 70).write.format("hdf5table").option("var", "t")
       .mode("append").save(p)
-    assert(spark.read.format("hdf5table").option("var", "t").load(p)
-      .count() == 64)
+    val got = spark.read.format("hdf5table").option("var", "t").load(p)
+    assert(got.count() == 70)
+    assert(got.select(col("id").cast("long")).orderBy("id")
+      .collect().map(_.getLong(0)).toSeq == (0L until 70L))
+    // the PER-NODE bound survives at the new limit: 4096+ chunks stay a
+    // named error
+    val e = intercept[Exception] {
+      (70 until 4100).grouped(500).foldLeft(()) { (_, batch) =>
+        docs(batch.head, batch.last + 1).write.format("hdf5table")
+          .option("var", "t").mode("append").save(p)
+      }
+    }
+    assert(msgs(e).exists(m => m.contains("4096") && m.contains("chunkRows")),
+      s"got: ${msgs(e)}")
   }
 }

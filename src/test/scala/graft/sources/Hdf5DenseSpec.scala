@@ -194,4 +194,32 @@ class Hdf5DenseSpec extends AnyFunSuite {
     assert(heap.obj(id(o21 + 20, 1)).head == 33)
   }
 
+  test("a >64-chunk dataset writes a TWO-LEVEL v1 chunk B-tree that reads back exactly") {
+    // 6×6×8 at chunk (1,1,1) = 288 chunks = 5 leaves under a level-1 root
+    // (round 11: the single-leaf 64-entry refusal became the two-level
+    // layout libhdf5 itself grows into); values round-trip bit-exactly
+    // through the ordinary multi-level btreeV1Chunks walk
+    val dims = Seq(6, 6, 8)
+    val vals = Array.tabulate(dims.product)(i => i * 0.5 - 100.0)
+    val bytes = Hdf5.assemble(
+      Seq(Hdf5.WriteVar("v", dims, vals, chunkDims = Some(Seq(1, 1, 1)))),
+      denseRoot = true)
+    val s = src(bytes)
+    val (rootOh, _) = Hdf5.readSuperblock(s)
+    val (nm, oh) = Hdf5.listDatasets(s, rootOh).head
+    val ds = Hdf5.readDataset(s, nm, oh)
+    assert(ds.dims == dims.map(_.toLong))
+    val chunks = Hdf5.listChunks(s, ds)
+    assert(chunks.length == 288, s"expected 288 chunk refs, got ${chunks.length}")
+    // sibling-chained leaves: decode every chunk and rebuild the grid
+    val got = new Array[Double](dims.product)
+    chunks.foreach { c =>
+      val v = Hdf5.decode(Hdf5.defilter(s.read(c.addr, c.size),
+        ds.filters, c.filterMask), ds.dtype, 1)(0)
+      val flat = ((c.offsets(0) * dims(1) + c.offsets(1)) * dims(2) + c.offsets(2)).toInt
+      got(flat) = v
+    }
+    assert(got.toSeq == vals.toSeq, "two-level B-tree chunks must round-trip bit-exactly")
+  }
+
 }

@@ -193,6 +193,13 @@ class Hdf5EnumArraySpec extends SparkSpec {
     b.putShort(0).putShort(16)
     assert(Hdf5.parseDatatype(b.array()) ==
       Hdf5.NumType("uint", 2, littleEndian = true))
+    // exotic widths fail AT PARSE with the construct named, not later in
+    // the cell-decode loop
+    val b3 = ByteBuffer.allocate(12).order(ByteOrder.LITTLE_ENDIAN)
+    b3.put(0x14.toByte).put(0.toByte).put(0.toByte).put(0.toByte).putInt(3)
+    b3.putShort(0).putShort(24)
+    val e = intercept[IllegalArgumentException](Hdf5.parseDatatype(b3.array()))
+    assert(e.getMessage.contains("bitfield"), e.getMessage)
   }
 
   test("a compound with bitfield + opaque members parses and decodes") {

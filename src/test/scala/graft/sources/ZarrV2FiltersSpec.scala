@@ -148,6 +148,18 @@ class ZarrV2FiltersSpec extends SparkSpec {
       "stored cells must be consecutive differences")
   }
 
+  test("write3D delta refuses non-chunk-aligned shapes up front") {
+    // edge chunks pad with NaN fill — rejected at the SHAPE with an
+    // accurate message, not at flush time blaming dense data
+    val in = (for (t <- 0 until 5; y <- 0 until 2; x <- 0 until 3)
+      yield (t, y, x, 1.0)).toDF("t_idx", "y", "x", "value")
+    val e = intercept[IllegalArgumentException] {
+      ZarrSource.write3D(in, tmpDir(), shape = (5, 2, 3), chunks = (2, 2, 3),
+        delta = true)
+    }
+    assert(e.getMessage.contains("chunk-aligned"), e.getMessage)
+  }
+
   test("write3D delta refuses chunks with missing cells by name") {
     val in = (for (t <- 0 until 2; y <- 0 until 2; x <- 0 until 2
         if !(t == 1 && y == 0 && x == 1))
