@@ -3269,7 +3269,13 @@ private[graft] object Hdf5 {
           // chunks emit the classic single leaf; past that a LEVEL-1 root
           // points at ≤64 leaves of ≤64 entries each — the layout libhdf5
           // itself grows into. Past 4096 chunks stays a named error.
-          val groups = p.chunks.grouped(64).toSeq
+          // ALL chunks elided (elideDefaultChunks over all-default data)
+          // still emits one valid 0-entry leaf — the empty index readers
+          // resolve to all-fill — matching the nodeSize(0) the planner
+          // reserved
+          val groups =
+            if (p.chunks.isEmpty) Seq(Seq.empty[(Seq[Long], Array[Byte])])
+            else p.chunks.grouped(64).toSeq
           val nLeaves = groups.length
           require(nLeaves <= 64,
             s"${v.name}: ${p.chunks.size} chunks exceed the 4096-entry " +

@@ -467,8 +467,11 @@ object ZarrSource extends Serializable {
     val nd = ord.length
     val storedShape = Array.tabulate(nd)(i => chunks(ord(i)))
     val n = chunks.product
+    // name the input the caller actually passed: the logical chunk when
+    // encoding (gather), the stored permuted chunk when decoding
     require(src.length == n * bp,
-      s"transposed chunk holds ${src.length} bytes, expected ${n * bp}")
+      s"${if (gather) "chunk" else "transposed chunk"} holds " +
+        s"${src.length} bytes, expected ${n * bp}")
     val out = new Array[Byte](src.length)
     val si = new Array[Int](nd)
     val li = new Array[Int](nd)

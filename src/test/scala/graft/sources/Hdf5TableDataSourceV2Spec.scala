@@ -122,6 +122,20 @@ class Hdf5TableDataSourceV2Spec extends SparkSpec {
     assert(got.rdd.getNumPartitions == 3)
   }
 
+  test("ALL chunks elided still writes a valid (empty) chunk index") {
+    // every row all-default → zero chunk entries: the B-tree emits one
+    // 0-entry leaf (round-11 regression pin — the two-level refactor
+    // briefly crashed on groups.last of an empty chunk list)
+    val path = tmpH5()
+    val in = (0 until 10).map(_ => ("", 0.0)).toDF("name", "score")
+    NetCDF4Source.writeCompoundTable(in, path, "stats", chunkRows = Some(5),
+      elideDefaultChunks = true)
+    val got = spark.read.format("hdf5table").option("var", "stats").load(path)
+    assert(got.count() == 10)
+    assert(got.filter(col("name") =!= "" || col("score") =!= 0.0).isEmpty,
+      "an empty chunk index reads back as all-fill")
+  }
+
   test("an elided chunk honors the DEFINED fill-value record") {
     val path = tmpH5()
     val n = 10
