@@ -312,4 +312,91 @@ object Curation {
       .select(col("vec_id"), col("cell").cast("long").as("cell"),
         col("dup_of"), col("dup_of").isNull.as("kept"))
   }
+
+  /** Bloom-prefiltered benchmark decontamination — the scale dual of
+    * [[contamination]]. That variant broadcasts the probe shingles as a hash
+    * join: right for megabyte benchmarks, but a probe set of 10⁹ shingles
+    * (every eval suite + held-out split of a frontier run) no longer fits a
+    * broadcast HASH relation (~100 B/key) while its BLOOM sketch (~10
+    * bits/key) still does.
+    *
+    * Shape: the sketch is built by Spark's native `BloomFilterAggregate`
+    * over `xxhash64(shingle)` (partial-aggregated, merged once — the only
+    * driver-held object is the serialized sketch) and probed by the
+    * codegen'd `BloomFilterMightContain`, so the 100 TB corpus side is
+    * pruned IN THE SCAN PROJECTION, before its only exchange. False
+    * positives are removed by an exact join against the probe shingles —
+    * but that join now moves only Bloom survivors (true hits + fpp·|corpus
+    * shingles|), not the corpus. Output is therefore EXACT; the Bloom is
+    * purely an exchange-volume lever.
+    *
+    * @param docs     corpus (doc_id, text) — the big side
+    * @param probes   probe set (doc_id, text) — benchmarks/eval splits
+    * @param n        shingle width in tokens
+    * @param numBits  sketch size in bits (fpp ≈ 0.6185^(bits/items))
+    * @return contaminated docs only: (doc_id, n_hits, first_hit) with
+    *         n_hits = distinct probe shingles shared.
+    */
+  def contaminationBloom(docs: DataFrame, probes: DataFrame, n: Int = 3,
+      expectedItems: Long = 1L << 16, numBits: Long = 1L << 20): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expr => toExpr}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+
+    val probeSh = Dedup.shingles(probes, n).select(col("shingle")).distinct()
+    val bloomAgg = toCol(new BloomFilterAggregate(
+      toExpr(xxhash64(col("shingle"))), Literal(expectedItems), Literal(numBits))
+      .toAggregateExpression())
+    // driver-held: ONE serialized sketch (numBits/8 bytes), never the keys
+    val bytes = probeSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    val docSh = Dedup.shingles(docs, n)
+    if (bytes == null) {
+      // empty probe set → no contamination possible
+      return docSh.filter(lit(false))
+        .select(col("doc_id").cast("long").as("doc_id"),
+          lit(0L).as("n_hits"), col("shingle").as("first_hit"))
+    }
+    val mightContain = toCol(BloomFilterMightContain(
+      Literal.create(bytes, BinaryType), toExpr(xxhash64(col("shingle")))))
+    docSh.filter(mightContain)
+      .join(probeSh, Seq("shingle")) // exact verify: kills Bloom false positives
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_hits"),
+        min(col("shingle")).as("first_hit"))
+      .select(col("doc_id").cast("long").as("doc_id"),
+        col("n_hits"), col("first_hit"))
+  }
+
+  /** Temperature-scaled domain mixing weights — the standard recipe for
+    * balancing a multi-source corpus (sampling share ∝ (token share)^τ,
+    * e.g. the multilingual sampling rule of Conneau & Lample 2019 and the
+    * domain weights of GPT-3/The Pile): τ = 1 keeps natural proportions,
+    * τ → 0 approaches uniform, in between up-samples the tail.
+    *
+    * Shape: one groupBy over the corpus (map-side combinable counts), then
+    * the |groups|-row frame normalizes against its own 1-row total via a
+    * broadcast cross join — no window over the corpus, no second corpus
+    * scan, no driver collect.
+    *
+    * @return per group: doc/token counts, natural token_share p, mix_weight
+    *         w ∝ p^τ (Σw = 1), and sample_multiplier w/p (the per-doc
+    *         up/down-sampling factor a loader would apply).
+    */
+  def mixtureWeights(docs: DataFrame, groupCol: String = "source",
+      tau: Double = 0.7): DataFrame = {
+    val grouped = docs.groupBy(col(groupCol).as("grp")).agg(
+      count(lit(1)).cast("long").as("n_docs"),
+      sum(size(Dedup.tokens(col("text")))).cast("long").as("n_tokens"))
+    val totals = grouped.agg(
+      sum("n_tokens").cast("double").as("tot_tokens"),
+      sum(pow(col("n_tokens").cast("double"), tau)).as("tot_pow"))
+    grouped.crossJoin(broadcast(totals))
+      .select(col("grp"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot_tokens"), 6).as("token_share"),
+        round(pow(col("n_tokens").cast("double"), tau) / col("tot_pow"), 6)
+          .as("mix_weight"),
+        round(pow(col("n_tokens").cast("double"), tau) / col("tot_pow") /
+          (col("n_tokens") / col("tot_tokens")), 6).as("sample_multiplier"))
+  }
 }

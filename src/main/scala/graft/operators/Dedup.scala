@@ -346,4 +346,49 @@ object Dedup {
       .filter(col("sim") >= minCos)
       .select(col("i"), col("j"), round(col("sim"), 4).as("sim"))
   }
+
+  /** Segment-level exact dedup — remove REPEATED PASSAGES across the corpus
+    * while keeping the documents (the ExactSubstr idea of Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better", on a
+    * tractable unit: fixed-width token segments instead of a suffix array).
+    * Boilerplate headers/footers/licenses recur across millions of pages;
+    * document-level dedup never sees them.
+    *
+    * Rule: a segment occurrence survives iff it is the FIRST occurrence of
+    * that segment in the corpus, ordered by (doc_id, position) — later
+    * copies are dropped and the document re-assembled from its survivors.
+    *
+    * Shape: two shuffles at any corpus size — a window over the segment key
+    * picks first occurrences (one exchange on segment), and the re-assembly
+    * groups by doc_id (second exchange). Segments are cut from the token
+    * array by position arithmetic (`slice`), a pure projection; the
+    * re-assembled text is emitted as an md5 so row width stays O(1).
+    *
+    * @param width segment width in tokens (final short segment kept)
+    * @return per doc: n_segs, n_kept, kept_ppm, kept_md5 (md5 of the
+    *         surviving segments joined by ' '; md5('') if none survive).
+    */
+  def segmentDedup(docs: DataFrame, width: Int = 10): DataFrame = {
+    require(width > 0, "segmentDedup needs width > 0")
+    val base = docs.select(col("doc_id").cast("long").as("doc_id"),
+        tokens(col("text")).as("ts"))
+      .filter(size(col("ts")) > 0)
+    val segs = base
+      .select(col("doc_id"),
+        explode(sequence(lit(0), floor((size(col("ts")) - 1) / lit(width)).cast("int"))).as("i"),
+        col("ts"))
+      .select(col("doc_id"), col("i"),
+        array_join(slice(col("ts"), col("i") * width + 1, lit(width)), " ").as("seg"))
+    val firstWins = Window.partitionBy("seg").orderBy("doc_id", "i")
+    segs.withColumn("rn", row_number().over(firstWins))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).cast("long").as("n_kept"),
+        md5(array_join(transform(
+          sort_array(collect_list(when(col("rn") === 1, struct(col("i"), col("seg"))))),
+          s => s.getField("seg")), " ")).as("kept_md5"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        expr("(n_kept * 1000000L) DIV n_segs").cast("long").as("kept_ppm"),
+        col("kept_md5"))
+  }
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.core.Tables
-import graft.operators.{Curation, Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Clustering, Curation, Dedup, Multimodal, Search, Similarity, TextAnalysis}
 
 /** LLM-training-data pipeline operators over `documents` / `embeddings`:
   * dedup (exact, n-gram Jaccard, MinHash+LSH, SimHash), similarity search
@@ -658,6 +658,131 @@ object PipelineQueries extends QueryRegistry {
                      CAST(coalesce(a6, 0) AS BIGINT) AS h6,
                      CAST(coalesce(a7, 0) AS BIGINT) AS h7
               FROM sized LEFT JOIN agg ON agg.doc_id = sized.doc_id"""),
-      "Real container decode (BMP/WAV/GFV0) → oracle-checked content features")
+      "Real container decode (BMP/WAV/GFV0) → oracle-checked content features"),
+
+    // ── ranking: BM25 keyword retrieval ────────────────────────────────────
+    QueryDef("q109_bm25_topk",
+      (s, d) => Search.bm25TopK(docs(s, d), Seq("data", "merge", "vector"), 20),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+                   base AS (SELECT doc_id, len(ts) AS dl, ts FROM toks WHERE len(ts) > 0),
+                   stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+                   tok AS (SELECT doc_id, dl, unnest(ts) AS term FROM base),
+                   tf AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf
+                          FROM tok WHERE term IN ('data', 'merge', 'vector')
+                          GROUP BY doc_id, dl, term),
+                   df AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+                   sc AS (SELECT doc_id,
+                                 round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                                           * tf * 2.2
+                                           / (tf + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))), 6) AS score,
+                                 CAST(count(*) AS BIGINT) AS n_terms_hit
+                          FROM tf JOIN df USING (term) CROSS JOIN stats GROUP BY doc_id)
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, score, n_terms_hit
+              FROM sc ORDER BY score DESC, doc_id LIMIT 20"""),
+      "Okapi BM25 top-20 for a 3-term query; literal terms, TakeOrdered top-k"),
+
+    // ── decontamination at sketch scale: Bloom prefilter + exact verify ───
+    QueryDef("q110_contamination_bloom",
+      (s, d) => Curation.contaminationBloom(
+        docs(s, d).filter(col("doc_id") % 89 =!= 0),
+        docs(s, d).filter(col("doc_id") % 89 === 0), n = 3),
+      Some(s"""WITH $sqlShingles,
+                   probe AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 89 = 0),
+                   corpus AS (SELECT doc_id, shingle FROM sh WHERE doc_id % 89 != 0),
+                   hit AS (SELECT c.doc_id, c.shingle
+                           FROM corpus c JOIN probe p ON p.shingle = c.shingle)
+              SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     CAST(count(*) AS BIGINT) AS n_hits,
+                     min(shingle) AS first_hit
+              FROM hit GROUP BY doc_id"""),
+      "BloomFilterAggregate/MightContain prefilter, exact-verified (FP-free)"),
+
+    // ── segment-level exact dedup (Lee et al. 2022 ExactSubstr idea) ───────
+    QueryDef("q111_segment_dedup",
+      (s, d) => Dedup.segmentDedup(docs(s, d), 10),
+      Some(s"""WITH toks AS (SELECT doc_id, $sqlToks AS ts FROM documents),
+                   base AS (SELECT doc_id, ts FROM toks WHERE len(ts) > 0),
+                   idx AS (SELECT doc_id, ts,
+                                  unnest(generate_series(0, CAST(floor((len(ts) - 1) / 10.0) AS INT))) AS i
+                           FROM base),
+                   seg AS (SELECT doc_id, i,
+                                  array_to_string(list_slice(ts, i * 10 + 1, i * 10 + 10), ' ') AS seg
+                           FROM idx),
+                   rk AS (SELECT doc_id, i, seg,
+                                 row_number() OVER (PARTITION BY seg ORDER BY doc_id, i) AS rn
+                          FROM seg),
+                   agg AS (SELECT doc_id, count(*) AS n_segs,
+                                  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+                                  md5(coalesce(string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY i), '')) AS kept_md5
+                           FROM rk GROUP BY doc_id)
+              SELECT CAST(doc_id AS BIGINT) AS doc_id, CAST(n_segs AS BIGINT) AS n_segs,
+                     CAST(n_kept AS BIGINT) AS n_kept,
+                     CAST((n_kept * 1000000) // n_segs AS BIGINT) AS kept_ppm,
+                     kept_md5
+              FROM agg"""),
+      "First-occurrence-wins passage dedup on 10-token segments; 2 shuffles"),
+
+    // ── embedding clustering: deterministic Lloyd k-means ──────────────────
+    QueryDef("q112_kmeans",
+      (s, d) => Clustering.kmeansAssign(emb(s, d), k = 8, iters = 3),
+      Some(kmeansOracle(k = 8, iters = 3, dim = 64)),
+      "Pinned-determinism k-means (rounded centroids/distances), 3 Lloyd iters"),
+
+    // ── domain mixing weights (temperature sampling) ───────────────────────
+    QueryDef("q113_mixture_weights",
+      (s, d) => Curation.mixtureWeights(docs(s, d), "source", 0.7),
+      Some(s"""WITH toks AS (SELECT source, $sqlToks AS ts FROM documents),
+                   g AS (SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_docs,
+                                CAST(sum(len(ts)) AS BIGINT) AS n_tokens
+                         FROM toks GROUP BY source),
+                   t AS (SELECT CAST(sum(n_tokens) AS DOUBLE) AS tot_tokens,
+                                sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) AS tot_pow
+                         FROM g)
+              SELECT grp, n_docs, n_tokens,
+                     round(n_tokens / tot_tokens, 6) AS token_share,
+                     round(pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow, 6) AS mix_weight,
+                     round(pow(CAST(n_tokens AS DOUBLE), 0.7) / tot_pow
+                           / (n_tokens / tot_tokens), 6) AS sample_multiplier
+              FROM g CROSS JOIN t"""),
+      "Per-source τ=0.7 temperature mixing weights; one corpus shuffle")
   )
+
+  /** DuckDB oracle for [[graft.operators.Clustering.kmeansAssign]]: the same
+    * pinned-determinism Lloyd loop unrolled into CTEs — per-iteration
+    * round-6 centroids, round-9 distances before the argmin, ties to the
+    * lowest cid — so both engines walk IDENTICAL centroid trajectories. */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         sd AS (SELECT vec_id, emb, list_dot_product(emb, emb) AS self_dot FROM e),
+         dims AS (SELECT unnest(generate_series(1, $dim)) AS dd),
+         c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cid, emb AS ce
+                FROM e ORDER BY vec_id LIMIT $k),
+         c0d AS (SELECT cid, ce, list_dot_product(ce, ce) AS cdot FROM c0)""")
+    for (t <- 1 to iters) {
+      val p = s"c${t - 1}d"
+      sb.append(s""",
+         a$t AS (SELECT vec_id, cid FROM (
+             SELECT s.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                      round(s.self_dot - 2.0 * list_dot_product(s.emb, c.ce) + c.cdot, 9), c.cid) AS rn
+             FROM sd s CROSS JOIN $p c) WHERE rn = 1),
+         m$t AS (SELECT a.cid, d.dd, avg(s.emb[d.dd]) AS mv
+                 FROM a$t a JOIN sd s USING (vec_id) CROSS JOIN dims d GROUP BY a.cid, d.dd),
+         c${t}v AS (SELECT p.cid, d.dd, round(coalesce(m.mv, p.ce[d.dd]), 6) AS cv
+                    FROM $p p CROSS JOIN dims d
+                    LEFT JOIN m$t m ON m.cid = p.cid AND m.dd = d.dd),
+         c$t AS (SELECT cid, list(cv ORDER BY dd) AS ce FROM c${t}v GROUP BY cid),
+         c${t}d AS (SELECT cid, ce, list_dot_product(ce, ce) AS cdot FROM c$t)""")
+    }
+    sb.append(s"""
+        SELECT CAST(vec_id AS BIGINT) AS vec_id, CAST(cid AS BIGINT) AS cluster,
+               round(d2, 6) AS d2
+        FROM (SELECT s.vec_id, c.cid,
+                     round(s.self_dot - 2.0 * list_dot_product(s.emb, c.ce) + c.cdot, 9) AS d2,
+                     row_number() OVER (PARTITION BY s.vec_id ORDER BY
+                       round(s.self_dot - 2.0 * list_dot_product(s.emb, c.ce) + c.cdot, 9), c.cid) AS rn
+              FROM sd s CROSS JOIN c${iters}d c) WHERE rn = 1""")
+    sb.toString
+  }
 }

@@ -225,4 +225,67 @@ class CurationSpec extends SparkSpec {
     assert(out(19L)._2)
     assert((0 until 16).forall(i => out(i.toLong)._2), "originals survive")
   }
+
+  test("contaminationBloom: exact-verified output ≡ the broadcast-join operator") {
+    val corpus = docs.filter(col("doc_id") % 89 =!= 0)
+    val probes = docs.filter(col("doc_id") % 89 === 0)
+    val bloom = Curation.contaminationBloom(corpus, probes, n = 3).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val exact = Curation.contamination(corpus, probes, n = 3)
+      .filter(col("is_contaminated")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getString(5))).toMap
+    assert(bloom == exact,
+      "Bloom prefilter + exact verify must match the exact broadcast join")
+    assert(bloom.nonEmpty, "fixture split produced no contamination to check")
+  }
+
+  test("contaminationBloom: empty probe set → empty result, not a crash") {
+    import spark.implicits._
+    val corpus = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val probes = corpus.filter(col("doc_id") < 0)
+    assert(Curation.contaminationBloom(corpus, probes).collect().isEmpty)
+  }
+
+  test("mixtureWeights: weights sum to 1, τ up-samples the tail") {
+    import spark.implicits._
+    val d = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).zipWithIndex
+      .map { case (src, i) => (i.toLong, "w " * 10, src) }
+      .toDF("doc_id", "text", "source")
+    val out = Curation.mixtureWeights(d, "source", 0.5).collect()
+      .map(r => r.getString(0) -> (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(math.abs(out.values.map(_._2).sum - 1.0) < 1e-5, "Σ mix_weight = 1")
+    // token shares 0.9/0.1; τ=0.5 → weights ∝ 3:1 → 0.75/0.25
+    assert(math.abs(out("big")._2 - 0.75) < 1e-6)
+    assert(math.abs(out("small")._2 - 0.25) < 1e-6)
+    assert(out("small")._3 > 1.0, "tail domain is up-sampled")
+    assert(out("big")._3 < 1.0, "head domain is down-sampled")
+  }
+
+  test("contaminationBloom: plan prunes with might_contain BEFORE the corpus exchange") {
+    import org.apache.spark.sql.execution.FilterExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val exec = Curation.contaminationBloom(docs, docs.limit(5), 3)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.inputPlan // AQE wrapper is a leaf
+        case p => p
+      }
+    val bloomFilters = exec.collect {
+      case f: FilterExec if f.condition.toString.contains("might_contain") => f
+    }
+    assert(bloomFilters.nonEmpty,
+      s"Bloom probe must appear as a Filter in the corpus-side plan:\n$exec")
+    // the whole point is pruning before shuffle bytes are paid: no exchange
+    // may sit UNDER the Bloom filter on the corpus stream
+    assert(bloomFilters.forall(_.find(_.isInstanceOf[ShuffleExchangeLike]).isEmpty),
+      s"might_contain must be scan-side (no Exchange beneath it):\n$exec")
+  }
+
+  test("mixtureWeights: τ=1 keeps natural proportions (multiplier 1)") {
+    import spark.implicits._
+    val d = Seq((1L, "a b c", "x"), (2L, "d e", "y")).toDF("doc_id", "text", "source")
+    val out = Curation.mixtureWeights(d, "source", 1.0).collect()
+      .map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(out.values.forall(m => math.abs(m - 1.0) < 1e-6))
+  }
 }

@@ -147,4 +147,38 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(all), s"LSH emitted non-dup pairs: ${lsh -- all}")
     assert(lsh.nonEmpty, "banded LSH found zero of the near-dup pairs")
   }
+
+  test("segmentDedup: first occurrence wins, later copies dropped, md5 exact") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val tenTok = "a b c d e f g h i j"
+    val docs = Seq(
+      (1L, s"$tenTok k"),   // segs: [a..j], [k] — both first occurrences
+      (2L, tenTok),         // duplicate of doc 1 seg 0 → nothing survives
+      (3L, "k"),            // duplicate of doc 1 seg 1 → nothing survives
+      (4L, "x y")           // unique single short segment
+    ).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, width = 10).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4))))
+      .toMap
+    assert(out(1L) == ((2L, 2L, 1000000L, md5hex(s"$tenTok k"))))
+    assert(out(2L) == ((1L, 0L, 0L, md5hex(""))))
+    assert(out(3L) == ((1L, 0L, 0L, md5hex(""))))
+    assert(out(4L) == ((1L, 1L, 1000000L, md5hex("x y"))))
+  }
+
+  test("segmentDedup: within-doc repeats dedup too; position order preserved") {
+    import spark.implicits._
+    // width 2: doc 1 = [p q] [p q] [r s] → second [p q] dropped
+    val docs = Seq((1L, "p q p q r s")).toDF("doc_id", "text")
+    val out = Dedup.segmentDedup(docs, width = 2).collect()
+    assert(out.length == 1)
+    val r = out(0)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((3L, 2L, 666666L)))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest("p q r s".getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getString(4) == md5, "survivors re-assemble in position order")
+  }
 }
