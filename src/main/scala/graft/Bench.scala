@@ -93,9 +93,11 @@ object Bench {
     // only a truncated log TAIL (round 10's artifact lost 42 of 95 per-query
     // timings), so the per-query record must not depend on log capture.
     // SPARK_GRAFT_BENCH_OUT overrides; default is a timestamped file under
-    // target/ so consecutive captures never clobber each other.
+    // bench/ (git-tracked — target/ captures died with the first clean and
+    // took the round-11 per-query record with them) so consecutive captures
+    // never clobber each other and survive `sbt clean`.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"target/bench_${System.currentTimeMillis()}.json")
+      s"bench/bench_${System.currentTimeMillis()}.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))

@@ -17,15 +17,21 @@ object Search {
 
   /** BM25 top-k retrieval for one keyword query over (doc_id, text).
     *
-    * Scale shape: the query-term set is a LITERAL array (broadcast by
-    * construction), so the exploded token stream is pre-filtered to query
-    * terms BEFORE its only exchange — the per-(doc, term) count aggregation
-    * moves |hits| rows, not |tokens|. Document length and the corpus stats
-    * (N, avgdl) come from the same single scan; the two-scalar stats frame
-    * rides a broadcast cross join (no driver collect), the per-term df
-    * frame (≤ |terms| rows) a broadcast hash join, and the final top-k is a
-    * TakeOrderedAndProject, never a global sort. Two shuffles total at any
-    * corpus size: the tf aggregation and the per-doc score aggregation.
+    * Scale shape: ONE corpus scan. The tokenize+filter projection collapses
+    * each document to (doc_id, dl, query-term hits) — O(|terms|) wide — and
+    * that narrow frame is `localCheckpoint`ed, because three downstream
+    * branches need it (corpus stats, tf, df) and Spark would otherwise
+    * re-scan and RE-TOKENIZE the 100 TB text column once per branch (the
+    * first formulation did exactly that — three parquet scans in the plan).
+    * The query-term set is a LITERAL array (broadcast by construction), so
+    * the exploded token stream is pre-filtered to query terms BEFORE its
+    * only exchange — the per-(doc, term) count aggregation moves |hits|
+    * rows, not |tokens|, and stays map-side combinable (a window over the
+    * term partition would shuffle every hit row to |terms| tasks — the
+    * classic low-cardinality skew trap this groupBy avoids). The two-scalar
+    * stats frame rides a broadcast cross join (no driver collect), the
+    * per-term df frame (≤ |terms| rows) a broadcast hash join, and the
+    * final top-k is a TakeOrderedAndProject, never a global sort.
     *
     * Determinism contract (oracle-portable): scores are `round(x, 6)` and
     * the top-k order is (rounded score DESC, doc_id ASC), so the cut line
@@ -46,6 +52,7 @@ object Search {
         size(toks).cast("long").as("dl"),
         filter(toks, t => array_contains(termsLit, t)).as("hits"))
       .filter(col("dl") > 0)
+      .localCheckpoint()
     val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
       avg(col("dl")).as("avgdl"))
     val tf = base.filter(size(col("hits")) > 0)
