@@ -254,14 +254,17 @@ object Detect {
     val h = (windowDays - 1) / 2
     def spatialFan(df: DataFrame): DataFrame = {
       val w = spatialWindow
-      df.withColumn("dy", explode(sequence(lit(-w), lit(w))))
-        .withColumn("dx", explode(sequence(lit(-w), lit(w))))
-        .withColumn("ty", col("y") + col("dy"))
+      // ONE Generate over the precomputed (dy, dx) offset pairs: two chained
+      // explodes would materialize the intermediate (2w+1)× rows just to
+      // explode them again — the fused fan emits the (2w+1)² rows directly.
+      val offsets = typedlit((-w to w).flatMap(dy => (-w to w).map(dx => (dy, dx))))
+      df.withColumn("o", explode(offsets))
+        .withColumn("ty", col("y") + col("o._1"))
         .withColumn("tx", nxWrap match {
-          case Some(nx) => pmod(col("x") + col("dx"), lit(nx))
-          case None => col("x") + col("dx")
+          case Some(nx) => pmod(col("x") + col("o._2"), lit(nx))
+          case None => col("x") + col("o._2")
         })
-        .drop("y", "x")
+        .drop("y", "x", "o")
         .withColumnRenamed("ty", "y")
         .withColumnRenamed("tx", "x")
     }

@@ -34,19 +34,7 @@ object Dedup {
     *              (skew guard); None keeps all. */
   def shingles(docs: DataFrame, n: Int, idCol: String = "doc_id",
       textCol: String = "text", maxDf: Option[Long] = None): DataFrame = {
-    // Docs shorter than n tokens yield NO shingles: the `when` leaves the
-    // sequence NULL there and explode(NULL) emits zero rows. (An unguarded
-    // sequence(1, size-(n-1)) would step DOWN to [1, 0] when size < n and
-    // slice(ts, 0, n) then throws "array indices start at 1"; the DuckDB
-    // oracle's generate_series(1, 0) is empty, so the guard also restores
-    // semantic agreement.)
-    val ts = docs
-      .select(col(idCol), tokens(col(textCol)).as("ts"))
-      .select(col(idCol), col("ts"),
-        explode(when(size(col("ts")) >= n,
-          sequence(lit(1), size(col("ts")) - (n - 1)))).as("i"))
-      .select(col(idCol), concat_ws(" ", slice(col("ts"), col("i"), lit(n))).as("shingle"))
-      .distinct()
+    val ts = shinglesWithDups(docs, n, idCol, textCol).distinct()
     maxDf match {
       case None => ts
       case Some(df) =>
@@ -56,6 +44,26 @@ object Dedup {
           .select(col(idCol), col("shingle"))
     }
   }
+
+  /** (doc_id, shingle) word n-grams WITH per-doc duplicates — [[shingles]]
+    * without its distinct exchange, for consumers whose downstream aggregate
+    * is already duplicate-insensitive (collect_set, min): they save a full
+    * shuffle of the widest intermediate in the pipeline.
+    *
+    * Docs shorter than n tokens yield NO shingles: the `when` leaves the
+    * sequence NULL there and explode(NULL) emits zero rows. (An unguarded
+    * sequence(1, size-(n-1)) would step DOWN to [1, 0] when size < n and
+    * slice(ts, 0, n) then throws "array indices start at 1"; the DuckDB
+    * oracle's generate_series(1, 0) is empty, so the guard also restores
+    * semantic agreement.) */
+  def shinglesWithDups(docs: DataFrame, n: Int, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), tokens(col(textCol)).as("ts"))
+      .select(col(idCol), col("ts"),
+        explode(when(size(col("ts")) >= n,
+          sequence(lit(1), size(col("ts")) - (n - 1)))).as("i"))
+      .select(col(idCol), concat_ws(" ", slice(col("ts"), col("i"), lit(n))).as("shingle"))
 
   /** Duplicated-span analysis: mark every `w`-token sliding window whose
     * exact text occurs anywhere else in the corpus (earlier in the same doc
@@ -132,9 +140,16 @@ object Dedup {
     * rows — the right shape when the threshold is too low for prefix
     * pruning to bite (see [[jaccardPairs]]). */
   def jaccardPairsDirect(sh: DataFrame, minJaccard: Double): DataFrame = {
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("shingle"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("shingle"))
+    // The shingle table feeds THREE plan branches (sizes, both self-join
+    // sides) whose projections differ, so Spark can neither reuse the
+    // exchange nor dedupe the subtrees: without materialization the corpus
+    // is scanned and re-shingled (tokenize + explode + distinct) once per
+    // branch — at archive scale that triples the dominant stage. One
+    // localCheckpoint pays one narrow (doc_id, shingle) materialization.
+    val shm = sh.localCheckpoint()
+    val sizes = shm.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val a = shm.select(col("doc_id").as("doc_a"), col("shingle"))
+    val b = shm.select(col("doc_id").as("doc_b"), col("shingle"))
     val common = a.join(b, Seq("shingle"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
@@ -174,6 +189,11 @@ object Dedup {
         .as("hs"))
       .select(col("doc_id"), transform(col("hs"), x => x.getField("s")).as("set"),
         size(col("hs")).as("n_sh"))
+      // feeds FOUR differently-projected branches (both prefix self-join
+      // sides, both verification joins) — materialize once or the corpus is
+      // scanned + re-shingled + re-collected per branch (see
+      // jaccardPairsDirect for the same reasoning)
+      .localCheckpoint()
     val prefLen = (col("n_sh").cast("double") - ceil(lit(t) * col("n_sh")) + 1).cast("int")
     val pref = sets.select(col("doc_id"), col("n_sh"),
       explode(slice(col("set"), lit(1), prefLen)).as("shingle"))
@@ -251,16 +271,38 @@ object Dedup {
     * that keeps the pipeline sub-quadratic at corpus scale. */
   def minhashLsh(docs: DataFrame, n: Int, numHashes: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
-    val sh = shingles(docs, n)
-    // ONE shuffle builds the per-doc shingle sets; both the signatures and
-    // the verification intersections derive from it with no further fan-out.
+    require(numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must be a multiple of rowsPerBand ($rowsPerBand): " +
+        "a partial trailing band would silently change candidate recall")
+    // No distinct: every aggregate below (collect_set, min) is duplicate-
+    // insensitive, so the per-doc dedup exchange [[shingles]] pays is pure
+    // overhead here — one shuffle of the widest frame in the pipeline saved.
+    val sh = shinglesWithDups(docs, n)
+    // ONE shuffle builds the per-doc shingle sets AND the numHashes signature
+    // minima in the same aggregate: sig[s] = min md5(s|shingle) over the
+    // doc's distinct shingles, and min over the raw (duplicated) rows is the
+    // identical value. As aggregates the mins are map-side combined (partial min before
+    // the exchange) and codegen'd, where the previous formulation rebuilt
+    // them AFTER the shuffle by scanning each doc's collected set array
+    // numHashes times through nested higher-order functions — HOFs are
+    // CodegenFallback, so that projection ran interpreted per element
+    // (equivalence asserted in DedupSpec).
     // persist (not localCheckpoint): lineage stays intact, so the blocks can
     // be released as soon as the (small) verified-pair output is materialized
     // — no cached state outlives the call in a long-lived session.
-    val sets = sh.groupBy("doc_id").agg(collect_set("shingle").as("set"))
+    val sigCols = (0 until numHashes).map { s =>
+      min(md5(concat(lit(s.toString + "|"), col("shingle")))).as(s"mh$s")
+    }
+    val sets = sh.groupBy("doc_id")
+      .agg(collect_set("shingle").as("set"), sigCols: _*)
       .persist() // reused twice; avoids recomputing the shuffle
+    val numBands = numHashes / rowsPerBand
+    val bandCol = array((0 until numBands).map { b =>
+      concat_ws("|",
+        (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
+    }: _*)
     val cands = lshCandidates(
-      lshBands(minhashSignatureArray(sets, numHashes), numHashes, rowsPerBand))
+      sets.select(col("doc_id"), posexplode(bandCol).as(Seq("band", "sig"))))
     val out = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), "doc_b")

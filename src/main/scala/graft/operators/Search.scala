@@ -59,6 +59,10 @@ object Search {
       .select(col("doc_id"), col("dl"), explode(col("hits")).as("term"))
       .groupBy("doc_id", "term")
       .agg(first("dl").as("dl"), count(lit(1)).cast("double").as("tf"))
+      // feeds two branches (df and the scoring join) whose projections
+      // differ, so without materialization the hit explode + aggregate runs
+      // twice; the frame is ≤ |matching docs|·|terms| rows — tiny
+      .localCheckpoint()
     val df = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     tf.join(broadcast(df), "term")
       .crossJoin(broadcast(stats))

@@ -1278,6 +1278,10 @@ object MarexQueries extends QueryRegistry {
           .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
             / count(lit(1))).as("sst"))
           .filter(col("time_idx").between(0, 30))
+          // feeds two separate write actions (create + append): materialize
+          // the tiny aggregate once instead of re-scanning + re-aggregating
+          // events per action
+          .localCheckpoint()
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q89_za"
         cells.filter(col("time_idx") <= 12).write.format("zarr")
           .option("dims", "time:13,y:10,x:15").option("chunks", "8,5,15")
@@ -1485,7 +1489,7 @@ object MarexQueries extends QueryRegistry {
         // upsert that must leave every cell outside the window — including
         // the straddled chunks' other slices — byte-stable, and never
         // resize. The oracle recomputes the final state from events.
-        def cells0 = Tables.load(s, d, "events")
+        val cells0 = Tables.load(s, d, "events")
           .groupBy(
             datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
             (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y_idx"),
@@ -1493,6 +1497,11 @@ object MarexQueries extends QueryRegistry {
           .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
             / count(lit(1))).as("sst"))
           .filter(col("time_idx").between(0, 30))
+          // feeds two separate write actions (create + region-correct):
+          // materialize the tiny aggregate once instead of re-scanning +
+          // re-aggregating events per action (was a `def` — recompute by
+          // construction)
+          .localCheckpoint()
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q94_zrw"
         cells0.write.format("zarr")
           .option("dims", "time:31,y:10,x:15").option("chunks", "8,5,15")
@@ -1539,13 +1548,17 @@ object MarexQueries extends QueryRegistry {
         // t_idx). The read-back must equal q85's one-shot build — any
         // defect in the numbering continuation, the name-ordered global
         // axis, or the appended block's assembly mismatches the oracle.
-        def cells0 = Tables.load(s, d, "events")
+        val cells0 = Tables.load(s, d, "events")
           .groupBy(
             datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("t_idx"),
             (pmod(col("user_id"), lit(150)) / 15).cast("int").as("y"),
             pmod(col("user_id"), lit(15)).cast("int").as("x"))
           .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
             / count(lit(1))).as("value"))
+          // feeds two separate write actions (create + append): materialize
+          // the tiny aggregate once instead of re-scanning + re-aggregating
+          // events per action (was a `def` — recompute by construction)
+          .localCheckpoint()
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q95_nca"
         cells0.filter(col("t_idx").between(0, 19))
           .write.format("netcdf").option("var", "sst")
@@ -1638,6 +1651,10 @@ object MarexQueries extends QueryRegistry {
           .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
             / count(lit(1))).as("sst"))
           .filter(col("time_idx").between(0, 30))
+          // feeds two separate write actions (create + append): materialize
+          // the tiny aggregate once instead of re-scanning + re-aggregating
+          // events per action
+          .localCheckpoint()
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q97_zac"
         cells.filter(col("time_idx") <= 12).write.format("zarr")
           .option("dims", "time:13,y:10,x:15").option("chunks", "8,5,15")
@@ -1685,6 +1702,10 @@ object MarexQueries extends QueryRegistry {
           .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
             / count(lit(1))).as("sst"))
           .filter(col("time_idx").between(0, 30))
+          // feeds two separate write actions (create + append): materialize
+          // the tiny aggregate once instead of re-scanning + re-aggregating
+          // events per action
+          .localCheckpoint()
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q98_zsa"
         cells.filter(col("time_idx") <= 15).write.format("zarr")
           .option("dims", "time:16,y:10,x:15").option("chunks", "8,10,15")
@@ -1787,12 +1808,17 @@ object MarexQueries extends QueryRegistry {
           .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
             / count(lit(1))).as("sst"))
           .filter(col("time_idx").between(0, 30))
+          // reused by the create (≤12) AND the append (≥13) chunk-write jobs,
+          // each a separate Spark action — materialize the (tiny) aggregate
+          // once instead of re-scanning + re-aggregating events per phase
+          .localCheckpoint()
         val acc = Tables.load(s, d, "events")
           .groupBy(
             datediff(to_date(col("ts")), lit("2024-01-01")).cast("int").as("time_idx"),
             pmod(col("user_id"), lit(5)).cast("int").as("ID_idx"))
           .agg(sum(round(col("value") * 100.0, 0).cast("long")).cast("double").as("acc"))
           .filter(col("time_idx").between(0, 30))
+          .localCheckpoint() // same create/append double-use as `cells`
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q100_zga"
         org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
         val w = new ZarrGroup.GroupWriter(dir)
@@ -1867,6 +1893,10 @@ object MarexQueries extends QueryRegistry {
           .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
             / count(lit(1))).as("mean"))
           .filter(col("time_idx").between(0, 30))
+          // feeds two separate write actions (create + append): materialize
+          // the tiny aggregate once instead of re-scanning + re-aggregating
+          // events per action
+          .localCheckpoint()
           .select(col("time_idx"), col("y_idx"), col("x_idx"),
             (round(col("mean") * 100.0, 0) / 100.0).as("sst"))
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q101_zpa"
@@ -1915,6 +1945,10 @@ object MarexQueries extends QueryRegistry {
           .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
             / count(lit(1))).as("sst"))
           .filter(col("time_idx").between(0, 30))
+          // feeds two separate write actions (create + append): materialize
+          // the tiny aggregate once instead of re-scanning + re-aggregating
+          // events per action
+          .localCheckpoint()
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q102_zi8"
         cells.filter(col("time_idx") <= 12).write.format("zarr")
           .option("dims", "time:13,y:10,x:15").option("chunks", "8,5,15")
@@ -2082,6 +2116,10 @@ object MarexQueries extends QueryRegistry {
           .agg((sum(round(col("value") * 100.0, 0).cast("long")).cast("double") / 100.0
             / count(lit(1))).as("mean"))
           .filter(col("time_idx").between(0, 30))
+          // feeds two separate write actions (create + append): materialize
+          // the tiny aggregate once instead of re-scanning + re-aggregating
+          // events per action
+          .localCheckpoint()
           .select(col("time_idx"), col("y_idx"), col("x_idx"),
             (round(col("mean") * 100.0, 0) / 100.0).as("sst"))
         val dir = s"${System.getProperty("java.io.tmpdir")}/graft_q105_zps"
