@@ -553,6 +553,10 @@ object Track {
     val mapping = gids.select(col("gid")).distinct()
       .join(comp.withColumnRenamed("node", "gid"), Seq("gid"), "left")
       .select(col("gid"), coalesce(col("component"), col("gid")).as("root"))
+      // one row per object; feeds firstT, the event numbering's zipWithIndex
+      // action AND the final field join — materialize instead of re-running
+      // the distinct + component join per consumer
+      .localCheckpoint()
     val firstT = gids.join(mapping, "gid")
       .groupBy("root").agg(min("time").as("t0"), min("gid").as("g0"))
     val eventIds = denseNumber(firstT, Seq("t0", "g0"), "event_id")

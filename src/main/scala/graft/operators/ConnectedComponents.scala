@@ -158,13 +158,18 @@ object ConnectedComponents {
            distributed: DataFrame => DataFrame = labelProp(_, 100)): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val n = edges.limit((driverThreshold + 1).toInt).count()
-    if (n > driverThreshold) distributed(edges)
+    // ONE action probes the size AND collects the small case: the edge list
+    // is usually the output of an expensive join the caller may not have
+    // materialized, and the previous count-then-collect computed it twice.
+    // limit(threshold+1) bounds the driver transfer exactly like the count
+    // probe did; only the rare above-threshold graph pays a second (now
+    // distributed) pass.
+    val taken = edges
+      .select(col("src").cast("long"), col("dst").cast("long"))
+      .limit((driverThreshold + 1).toInt).collect()
+    if (taken.length > driverThreshold) distributed(edges)
     else {
-      val pairs = edges
-        .select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val comp = unionFindLocal(pairs.iterator)
+      val comp = unionFindLocal(taken.iterator.map(r => (r.getLong(0), r.getLong(1))))
       comp.toSeq.toDF("node", "component")
     }
   }
