@@ -74,28 +74,66 @@ object HistogramQuantile {
       width: Double,
       out: String = "approx_quantile"): DataFrame = {
     val gc = groupCols.map(col)
-    val wOrd = Window.partitionBy(gc: _*).orderBy(col("bin"))
-    val wAll = Window.partitionBy(gc: _*)
-    val withCdf = binned
-      .withColumn("cum", sum("cnt").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .withColumn("tot", sum("cnt").over(wAll))
-      .withColumn("cdf", col("cum").cast("double") / col("tot").cast("double"))
-      .withColumn("prev_cdf", lag(col("cdf"), 1).over(wOrd))
-      .withColumn("prev_bin", lag(col("bin"), 1).over(wOrd))
+    // ONE aggregate instead of exchange + global sort + WindowExec: the
+    // per-group histogram is bounded (≤ nBins+1 entries), so the CDF walk is
+    // a per-group array scan, not a window over every (group, bin) row.
+    // The previous formulation sorted the full per-bin row set and ran
+    // three window functions over it — WindowExec is outside whole-stage
+    // codegen and was the single most expensive stage of the hobday
+    // histogram query (8.1 s task CPU of its 17 s total at sf0.1).
+    //
+    // Bit-compatibility with the window form (and with the DuckDB oracle):
+    // the cumulative counts are exact LONG sums scanned in ascending-bin
+    // order (sort_array on unique bins = the window's orderBy), the CDFs
+    // are the same long→double divisions, and the interpolation expression
+    // below is token-identical — so every emitted double matches the old
+    // plan bit-for-bit (q13/q61/q108 oracle gates + DetectSpec lock this).
+    val hist = binned.groupBy(gc: _*)
+      .agg(sum(col("cnt")).cast("long").as("tot"),
+        sort_array(collect_list(struct(
+          col("bin").cast("int").as("bin"),
+          col("cnt").cast("long").as("cnt")))).as("h"))
+
+    // CDF scan over the sorted histogram: find the first bin whose
+    // cdf = cum/tot reaches q, carrying (previous present bin, its cum).
+    // Accumulator: (done, pbin, pcum, sbin, scum, lbin, cum) — sbin/scum
+    // freeze at the crossing; lbin/cum keep running so pbin/pcum are the
+    // state just before it. cdf is monotone, so the first crossing is the
+    // window form's unique `cdf >= q && prev_cdf < q` row.
+    val init = struct(lit(false).as("done"),
+      lit(null).cast("int").as("pbin"), lit(0L).as("pcum"),
+      lit(null).cast("int").as("sbin"), lit(0L).as("scum"),
+      lit(null).cast("int").as("lbin"), lit(0L).as("cum"))
+    val scanned = hist.withColumn("st",
+      aggregate(col("h"), init, (acc, x) => {
+        val newCum = acc.getField("cum") + x.getField("cnt")
+        val crosses = !acc.getField("done") &&
+          newCum.cast("double") / col("tot").cast("double") >= q
+        when(acc.getField("done"), acc).otherwise(
+          when(crosses,
+            struct(lit(true).as("done"),
+              acc.getField("lbin").as("pbin"), acc.getField("cum").as("pcum"),
+              x.getField("bin").as("sbin"), newCum.as("scum"),
+              x.getField("bin").as("lbin"), newCum.as("cum")))
+          .otherwise(
+            struct(lit(false).as("done"),
+              lit(null).cast("int").as("pbin"), lit(0L).as("pcum"),
+              lit(null).cast("int").as("sbin"), lit(0L).as("scum"),
+              x.getField("bin").as("lbin"), newCum.as("cum"))))
+      }))
 
     def center(b: Column): Column =
       when(b >= 1, lit(lo) + (b.cast("double") - lit(0.5)) * lit(width)).otherwise(lit(lo))
 
-    val target = withCdf
-      .filter(col("cdf") >= q && (col("prev_cdf").isNull || col("prev_cdf") < q))
-      .withColumn("cdf_prev", coalesce(col("prev_cdf"), lit(0.0)))
-      .withColumn("c_prev", when(col("prev_bin").isNull, lit(lo)).otherwise(center(col("prev_bin"))))
+    val bin = col("st.sbin")
+    val cdf = col("st.scum").cast("double") / col("tot").cast("double")
+    val cdfPrev = when(col("st.pbin").isNull, lit(0.0))
+      .otherwise(col("st.pcum").cast("double") / col("tot").cast("double"))
+    val cPrev = when(col("st.pbin").isNull, lit(lo)).otherwise(center(col("st.pbin")))
+    scanned
       .withColumn(out,
-        when(col("bin") === 0, lit(lo)).otherwise(
-          col("c_prev") +
-            (lit(q) - col("cdf_prev")) / (col("cdf") - col("cdf_prev")) *
-            (center(col("bin")) - col("c_prev"))))
-
-    target.select(gc :+ col(out): _*)
+        when(bin === 0, lit(lo)).otherwise(
+          cPrev + (lit(q) - cdfPrev) / (cdf - cdfPrev) * (center(bin) - cPrev)))
+      .select(gc :+ col(out): _*)
   }
 }
