@@ -779,7 +779,11 @@ object NetCDFSource {
       .select(((col("t_idx") - pmod(col("t_idx"), lit(blockNt))) / blockNt)
         .cast("int").as("b"),
         col("t_idx"), col("y"), col("x"), col("value"))
-    val nParts = math.max(spark.sessionState.conf.numShufflePartitions, 4 * nBlocks)
+    // 4×blocks keeps the one-dense-array-per-task memory guarantee at any
+    // scale; the session width added nothing but empty tasks when blocks
+    // are few (hash partitioning on `b` can't use more than nBlocks tasks'
+    // worth of data anyway)
+    val nParts = math.max(1, 4 * nBlocks)
     val written = prepared.repartition(nParts, col("b"))
       .queryExecution.toRdd.mapPartitions { it =>
         val arrays = scala.collection.mutable.Map.empty[Int, Array[Double]]

@@ -928,7 +928,14 @@ object ZarrGroup extends Serializable {
       (cidCol.cast("long").as("__cid") +:
         dimNames.indices.map(d => globalIdx(d).as(s"__g$d"))) ++
         valueCols.map(vc => col(vc).cast("double")): _*)
-    val nParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // Scale-adaptive exchange width: never more partitions than chunks —
+    // a 4-chunk create under a 32-partition session otherwise schedules 28
+    // empty tasks per write. Memory per task is one chunk buffer regardless
+    // (sorted partitions flush on cid change), so capping is free; big
+    // arrays still get the full session parallelism.
+    val totalChunks = nChunksPerDim.foldLeft(1L)(_ * _.toLong)
+    val nParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong, totalChunks)).toInt
     val ncB = nChunksPerDim.toArray
     val ndB = nd
     prepared.repartition(nParts, col("__cid")).sortWithinPartitions("__cid")

@@ -1073,7 +1073,10 @@ object ZarrSource extends Serializable {
         col("x").isNotNull && col("x") >= 0 && col("x") < nx)
       .select(cid.as("__cid"), col("t_idx").cast("int"), col("y").cast("int"),
         col("x").cast("int"), col("value").cast("double"))
-    val nParts = math.max(1, spark.sessionState.conf.numShufflePartitions)
+    // never more partitions than chunks (see ZarrGroup.writeChunkJob)
+    val nParts = math.max(1L, math.min(
+      spark.sessionState.conf.numShufflePartitions.toLong,
+      ncT.toLong * ncY * ncX)).toInt
     val chunkLen = ct * cy * cx
     val dirB = dir
     prepared.repartition(nParts, col("__cid")).sortWithinPartitions("__cid")
