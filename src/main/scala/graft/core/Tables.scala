@@ -29,9 +29,22 @@ object Tables {
     spark
   }
 
+  /** Schema-inference cache: `spark.read.parquet(path)` runs a one-task
+    * footer-read JOB per call, and the bench/verify drivers load the same
+    * handful of files hundreds of times — that is a driver round-trip per
+    * table per query for metadata that never changes within a run. Caching
+    * the inferred StructType per path (the role a catalog/metastore plays)
+    * lets every subsequent load plan with `.schema(...)` and zero jobs.
+    * Only schemas are cached — never data or results. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     configure(spark)
-    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    val path = s"$sfDir/$name.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
+    val df = spark.read.schema(schema).parquet(path)
     name match {
       case "events" =>
         // Two generations of the driver data exist: INT64 TIMESTAMP(NANOS)
