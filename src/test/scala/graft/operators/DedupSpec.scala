@@ -181,4 +181,27 @@ class DedupSpec extends SparkSpec {
       .digest("p q r s".getBytes("UTF-8")).map("%02x".format(_)).mkString
     assert(r.getString(4) == md5, "survivors re-assemble in position order")
   }
+
+  test("aggregate-min minhash signatures equal the HOF signature array") {
+    // r11 moved sig[s] = min md5(s|shingle) from a post-shuffle nested-HOF
+    // projection over the collected set into map-side-combined min aggregate
+    // columns over the raw (duplicated) shingle rows; both must agree.
+    val d = docs.limit(200)
+    val sh = Dedup.shinglesWithDups(d, 3)
+    val numHashes = 8
+    val viaAgg = sh.groupBy("doc_id")
+      .agg(collect_set("shingle").as("set"),
+        (0 until numHashes).map(s =>
+          min(md5(concat(lit(s.toString + "|"), col("shingle")))).as(s"mh$s")): _*)
+      .select(col("doc_id").cast("long").as("doc_id"),
+        array((0 until numHashes).map(s => col(s"mh$s")): _*).as("sig"))
+    val viaHof = Dedup.minhashSignatureArray(
+      Dedup.shingles(d, 3).groupBy("doc_id").agg(collect_set("shingle").as("set")),
+      numHashes)
+      .select(col("doc_id").cast("long").as("doc_id"), col("sig"))
+    val a = viaAgg.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val b = viaHof.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(a.keySet == b.keySet)
+    a.foreach { case (id, sig) => assert(sig == b(id), s"doc $id signatures differ") }
+  }
 }

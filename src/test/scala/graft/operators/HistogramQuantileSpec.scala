@@ -42,4 +42,47 @@ class HistogramQuantileSpec extends SparkSpec {
       .collect().head.getAs[Double]("q")
     assert(r == 0.0)
   }
+
+  test("aggregate CDF scan is bit-identical to the window-walk formulation") {
+    // The r11 optimization replaced the Exchange+Sort+Window CDF walk with a
+    // single-aggregate array scan; this pins the two formulations equal
+    // bit-for-bit on randomized per-(group, bin) counts (seeded).
+    import org.apache.spark.sql.expressions.Window
+    val rnd = new scala.util.Random(11)
+    val rows = for {
+      g <- 0 until 40
+      bin <- 0 to 60
+      if rnd.nextDouble() < 0.4 // sparse: exercise absent bins / prev-present
+    } yield (s"g$g", bin, (rnd.nextInt(50) + 1).toLong)
+    import spark.implicits._
+    val binned = rows.toDF("g", "bin", "cnt")
+    val q = 0.9; val lo = 0.0; val width = 0.25
+    val fast = HistogramQuantile.quantileFromCounts(binned, Seq("g"), q, lo, width, "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    // reference: the pre-r11 window formulation, verbatim
+    val wOrd = Window.partitionBy(col("g")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("g"))
+    def center(b: org.apache.spark.sql.Column) =
+      when(b >= 1, lit(lo) + (b.cast("double") - lit(0.5)) * lit(width)).otherwise(lit(lo))
+    val slow = binned
+      .withColumn("cum", sum("cnt").over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("tot", sum("cnt").over(wAll))
+      .withColumn("cdf", col("cum").cast("double") / col("tot").cast("double"))
+      .withColumn("prev_cdf", lag(col("cdf"), 1).over(wOrd))
+      .withColumn("prev_bin", lag(col("bin"), 1).over(wOrd))
+      .filter(col("cdf") >= q && (col("prev_cdf").isNull || col("prev_cdf") < q))
+      .withColumn("cdf_prev", coalesce(col("prev_cdf"), lit(0.0)))
+      .withColumn("c_prev", when(col("prev_bin").isNull, lit(lo)).otherwise(center(col("prev_bin"))))
+      .withColumn("v", when(col("bin") === 0, lit(lo)).otherwise(
+        col("c_prev") + (lit(q) - col("cdf_prev")) / (col("cdf") - col("cdf_prev")) *
+          (center(col("bin")) - col("c_prev"))))
+      .select("g", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(fast.keySet == slow.keySet, s"group sets differ")
+    fast.foreach { case (g, v) =>
+      assert(java.lang.Double.doubleToLongBits(v) ==
+        java.lang.Double.doubleToLongBits(slow(g)),
+        s"group $g: scan=$v window=${slow(g)} not bit-identical")
+    }
+  }
 }
