@@ -29,6 +29,20 @@ object Dedup {
   def tokens(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => t =!= "")
 
+  /** Scale-adaptive parallelism guard for the tokenize/shingle/hash map
+    * side: a corpus that arrives as fewer scan partitions than the session
+    * has cores serializes the per-token md5 work (locally the whole
+    * documents table is one parquet row group → ONE task does all the
+    * hashing). Spread it ONLY when both (a) the optimizer's size estimate
+    * says the shuffle is trivial (< 1 GiB) and (b) the scan really has
+    * fewer partitions than cores — at archive scale the estimate alone
+    * disables this, so no corpus-sized repartition can ever sneak in. */
+  private def spreadSmallScan(docs: DataFrame): DataFrame = {
+    val p = docs.sparkSession.sparkContext.defaultParallelism
+    val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 30)
+    if (small && docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+  }
+
   /** (doc_id, shingle) distinct word n-grams.
     * @param maxDf drop shingles appearing in more than this many documents
     *              (skew guard); None keeps all. */
@@ -277,7 +291,10 @@ object Dedup {
     // No distinct: every aggregate below (collect_set, min) is duplicate-
     // insensitive, so the per-doc dedup exchange [[shingles]] pays is pure
     // overhead here — one shuffle of the widest frame in the pipeline saved.
-    val sh = shinglesWithDups(docs, n)
+    // Without that exchange the 8-hash md5 work runs on the SCAN's
+    // partitioning, so spread a small single-file corpus first (no-op at
+    // archive scale — see spreadSmallScan).
+    val sh = shinglesWithDups(spreadSmallScan(docs), n)
     // ONE shuffle builds the per-doc shingle sets AND the numHashes signature
     // minima in the same aggregate: sig[s] = min md5(s|shingle) over the
     // doc's distinct shingles, and min over the raw (duplicated) rows is the
