@@ -81,29 +81,48 @@ object Bench {
       System.gc()
       name -> dt
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
+    // Two renderings of the SAME measurement (same queries, same values):
+    //  - the PERSISTED file keeps full precision plus the capture-condition
+    //    self-annotation flags (the round's durable record);
+    //  - the PRINTED line is minimized — 3-decimal values, contract fields
+    //    only — and emitted as the very LAST stdout line, because the
+    //    driver parses it from a ~2,000-byte log tail (rounds 10 and 11
+    //    both lost the per-query map to tail truncation of the 3.5 KB
+    //    full-precision line; VERDICT r11 "Next round" item 2). With 101
+    //    query names totalling ~1.7 KB the map cannot mathematically fit a
+    //    2,000-byte window whole, but minimizing + printing last maximizes
+    //    the recoverable suffix and parses whole in any larger window.
+    def fullQs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    def shortQs = results.map { case (k, v) => f""""$k":$v%.3f""" }
+      .mkString("{", ",", "}")
+    val fullLine =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir",""" +
       f""""load_avg_start":$loadAvg%.2f,"contended":$contended,""" +
       f""""warmup_first_s":$warm1%.3f,"warmup_second_s":$warm2%.3f,""" +
       f""""cold_cache":$coldCacheFinal,"degraded_host":$degradedHost}"""
-    println(line)
-    // Also persist the full line to a file: the driver's BENCH_r*.json keeps
-    // only a truncated log TAIL (round 10's artifact lost 42 of 95 per-query
-    // timings), so the per-query record must not depend on log capture.
-    // SPARK_GRAFT_BENCH_OUT overrides; default is a timestamped file under
-    // bench/ (git-tracked — target/ captures died with the first clean and
-    // took the round-11 per-query record with them) so consecutive captures
-    // never clobber each other and survive `sbt clean`.
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$shortQs,"sf":"$sfDir"}"""
+    // Persist the full line to a file FIRST (its info line must precede the
+    // contract line, which the driver tail-parses): the driver's
+    // BENCH_r*.json keeps only a truncated log TAIL (round 10's artifact
+    // lost 42 of 95 per-query timings), so the per-query record must not
+    // depend on log capture. SPARK_GRAFT_BENCH_OUT overrides; default is a
+    // timestamped file under bench/ (git-tracked — target/ captures died
+    // with the first clean and took the round-11 per-query record with
+    // them) so consecutive captures never clobber each other and survive
+    // `sbt clean`.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       s"bench/bench_${System.currentTimeMillis()}.json")
     try {
       val p = java.nio.file.Paths.get(outPath)
       Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-      java.nio.file.Files.write(p, (line + "\n").getBytes("UTF-8"))
+      java.nio.file.Files.write(p, (fullLine + "\n").getBytes("UTF-8"))
       println(s"bench json persisted to $outPath")
     } catch { case e: Throwable => println(s"bench json persist failed: $e") }
     spark.stop()
+    // after spark.stop() so no stray INFO/WARN line can land after it
+    println(line)
   }
 }

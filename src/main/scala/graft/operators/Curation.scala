@@ -340,25 +340,27 @@ object Curation {
   def contaminationBloom(docs: DataFrame, probes: DataFrame, n: Int = 3,
       expectedItems: Long = 1L << 16, numBits: Long = 1L << 20): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge.{column => toCol, expr => toExpr}
-    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal, ScalarSubquery}
     import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-    import org.apache.spark.sql.types.BinaryType
 
     val probeSh = Dedup.shingles(probes, n).select(col("shingle")).distinct()
     val bloomAgg = toCol(new BloomFilterAggregate(
       toExpr(xxhash64(col("shingle"))), Literal(expectedItems), Literal(numBits))
       .toAggregateExpression())
-    // driver-held: ONE serialized sketch (numBits/8 bytes), never the keys
-    val bytes = probeSh.agg(bloomAgg.as("bf")).head().getAs[Array[Byte]](0)
+    // The sketch rides a SCALAR SUBQUERY — the same shape Spark's own
+    // runtime-Bloom-join injection plans (SPARK-32268): it executes once as
+    // a subquery stage and reaches tasks as a runtime value. The previous
+    // formulation collected it with head() and embedded the numBits/8-byte
+    // array as a plan LITERAL: one extra blocking driver action per run and
+    // a 128 KB constant inflating plan text (~530 KB) that is re-compiled
+    // every execution. An EMPTY probe set aggregates to a NULL sketch,
+    // might_contain(NULL) is NULL, and the filter drops every row — the
+    // same zero-row result the old explicit branch returned.
+    val bloomSub = ScalarSubquery(
+      probeSh.agg(bloomAgg.as("bf")).queryExecution.analyzed)
     val docSh = Dedup.shingles(docs, n)
-    if (bytes == null) {
-      // empty probe set → no contamination possible
-      return docSh.filter(lit(false))
-        .select(col("doc_id").cast("long").as("doc_id"),
-          lit(0L).as("n_hits"), col("shingle").as("first_hit"))
-    }
     val mightContain = toCol(BloomFilterMightContain(
-      Literal.create(bytes, BinaryType), toExpr(xxhash64(col("shingle")))))
+      bloomSub, toExpr(xxhash64(col("shingle")))))
     docSh.filter(mightContain)
       .join(probeSh, Seq("shingle")) // exact verify: kills Bloom false positives
       .groupBy("doc_id")

@@ -318,7 +318,11 @@ private[sources] class Hdf5TableScan(path: String, varName: String,
         case f: Hdf5TableFillPartition => f.rows.toLong
       })
     }
-    out.result().toArray
+    val rowsPerPart = ds.layout match {
+      case Hdf5.Chunked(_, chunkDims, _) => chunkDims.head.toLong
+      case _ => 65536L
+    }
+    ChunkBundles.bundle(out.result().toArray, rowsPerPart * ct.size)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -332,6 +336,10 @@ private[sources] class Hdf5TableReaderFactory(path: String,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case BundledPartition(ps) => return ChunkBundles.reader(ps, createReader)
+      case _ =>
+    }
     lazy val src = new NetCDF4Source.HadoopSource(conf.value, path)
     val (data, rows) = partition match {
       case c: Hdf5TableChunkPartition =>

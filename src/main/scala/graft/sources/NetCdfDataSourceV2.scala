@@ -716,7 +716,16 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    keptFiles.flatMap { case (path, m, dsOpt, off) =>
+    // decoded bytes of the largest planned unit across kept files — the
+    // chunk grid (NC4) or the ~256-record batch (NC3/contiguous)
+    val bytesPerChunk = keptFiles.map { case (_, m, dsOpt, _) =>
+      val cells: Long = dsOpt match {
+        case Some(_) => m.chunkDims.map(_.toLong).product
+        case None => math.max(1L, m.nt / 256L) * m.ny * m.nx
+      }
+      cells * m.dtype.size
+    }.foldLeft(1L)(math.max)
+    val parts: Array[InputPartition] = keptFiles.flatMap { case (path, m, dsOpt, off) =>
       val lt0 = math.max(tLo.toLong - off, 0L).toInt // Long: tLo may be MinValue
       val lt1 = math.min(tHi.toLong - off, m.nt - 1L).toInt
       if (lt1 < lt0) Seq.empty
@@ -751,6 +760,7 @@ private[sources] class NetCdfScan(rawInputs: Seq[String], varName: String,
             NcRecordPartition(path, m, off, s, math.min(s + per - 1, lt1)))
       }
     }.toArray
+    ChunkBundles.bundle(parts, bytesPerChunk)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -766,6 +776,10 @@ private[sources] class NetCdfReaderFactory(columns: Array[String],
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case BundledPartition(ps) => return ChunkBundles.reader(ps, createReader)
+      case _ =>
+    }
     def cfOf(m: NcDecodeMeta): Double => Double =
       if (m.scale == 1.0 && m.offset == 0.0 && m.fillRaws.isEmpty) identity
       else (raw: Double) =>

@@ -662,12 +662,14 @@ private[sources] class ZarrScan(path: String, lo: Array[Int], hi: Array[Int],
           }
       }.toMap
 
-    (for {
+    val parts = (for {
       ci <- 0 until nC(0) if keep(0, ci)
       cj <- 0 until nC(1) if keep(1, cj)
       ck <- 0 until nC(2) if keep(2, ck)
     } yield ZarrChunkPartition(ci, cj, ck,
       present.getOrElse((ci, cj, ck), ""))).toArray[InputPartition]
+    ChunkBundles.bundle(parts,
+      chunks3.map(_.toLong).product * ZarrSource.bytesPer(meta.dtype))
   }
 
   private def readDirMeta(spark: org.apache.spark.sql.SparkSession): ZarrSource.ZarrMeta = {
@@ -834,6 +836,10 @@ private[sources] class ZarrReaderFactory(meta: ZarrSource.ZarrMeta,
     conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case BundledPartition(ps) => return ChunkBundles.reader(ps, createReader)
+      case _ =>
+    }
     val part = partition.asInstanceOf[ZarrChunkPartition]
     new PartitionReader[InternalRow] {
       // a 2-D (time, cell) store pads to the 3-axis loop with nx = cx = 1;
@@ -1119,7 +1125,7 @@ private[sources] class ZarrGroupScan(lay: ZarrGroupTableV2.Layout,
   override def planInputPartitions(): Array[InputPartition] = {
     val nChunks = lay.shape.indices.map(d =>
       (lay.shape(d) + lay.chunks(d) - 1) / lay.chunks(d))
-    ZarrGroup.gridIndices(nChunks)
+    val parts = ZarrGroup.gridIndices(nChunks)
       .filter { ci =>
         lay.primaryDims.indices.forall { d =>
           val first = ci(d) * lay.chunks(d)
@@ -1127,6 +1133,11 @@ private[sources] class ZarrGroupScan(lay: ZarrGroupTableV2.Layout,
         }
       }
       .map(ci => ZarrGroupChunkPartition(ci): InputPartition).toArray
+    // decoded bytes per chunk ≈ cells × 8 (doubles) × projected primary vars
+    val nPrimary = math.max(1, required.fieldNames.count(n =>
+      lay.dataVars.contains(n) && lay.isPrimary(n)))
+    ChunkBundles.bundle(parts,
+      lay.chunks.map(_.toLong).product * 8L * nPrimary)
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -1173,6 +1184,10 @@ private[sources] class ZarrGroupReaderFactory(dir: String, shape: Array[Int],
     conf: SerializableConfiguration) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    partition match {
+      case BundledPartition(ps) => return ChunkBundles.reader(ps, createReader)
+      case _ =>
+    }
     val ci = partition.asInstanceOf[ZarrGroupChunkPartition].ci
     new PartitionReader[InternalRow] {
       private val nd = shape.length
