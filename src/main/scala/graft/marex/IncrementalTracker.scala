@@ -206,17 +206,18 @@ object IncrementalTracker {
     val nFinal = if (flush) procTimes.length else procTimes.length - cfg.tFill
     val baseState = state.map(_.copy(held = None))
 
-    val rawAll = ctx.select("time", "y", "x")
+    // boundedCheckpoint: ctx is the PREVIOUS batch's held frame, so a plain
+    // checkpoint of this triple union grows its partition count every
+    // batch (see Plans.boundedCheckpoint)
+    val rawAll = graft.core.Plans.boundedCheckpoint(ctx.select("time", "y", "x")
       .unionByName(pending.select("time", "y", "x"))
-      .unionByName(newFlags.getOrElse(pending.limit(0)).select("time", "y", "x"))
-      .localCheckpoint()
+      .unionByName(newFlags.getOrElse(pending.limit(0)).select("time", "y", "x")))
     def heldFrom(finalTs: Seq[Timestamp], pendTs: Seq[Timestamp]): DataFrame = {
       // keep only the last tFill finalized slices as future gap support
       val keepCtx = finalTs.takeRight(cfg.tFill)
-      rawAll.join(
+      graft.core.Plans.boundedCheckpoint(rawAll.join(
         (keepCtx.map((_, true)) ++ pendTs.map((_, false)))
-          .toDF("time", "finalized"), Seq("time"))
-        .localCheckpoint()
+          .toDF("time", "finalized"), Seq("time")))
     }
 
     if (nFinal <= 0) {

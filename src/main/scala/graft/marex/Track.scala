@@ -659,7 +659,13 @@ object Track {
     // resolve the axis ONCE from the raw flags — later stages (area filter,
     // split/merge reassignment) can drop whole timesteps from the id field,
     // which must not change which timesteps count as consecutive.
-    val axis = Some(timeIndex(flags, timeAxis).select("time").localCheckpoint())
+    // Checkpoint it only when something actually re-reads it (the gap
+    // filler, or split/merge's per-round overlap pairing): in the plain
+    // non-merging run it has exactly ONE consumer (the space-time stitch),
+    // and the eager checkpoint was a pure extra action per track() call.
+    val axisDf = timeIndex(flags, timeAxis).select("time")
+    val axis = Some(
+      if (cfg.tFill > 0 || cfg.allowMerging) axisDf.localCheckpoint() else axisDf)
 
     // Preprocessing (morphology → gap fill → label → area filter), or a
     // checkpoint resume skipping it (reference helper.py:642).
@@ -687,7 +693,12 @@ object Track {
           if (cfg.tFill > 0)
             Raster.fillHoles(fillTimeGaps(f1, cfg.tFill, axis), cfg.rFill / 2, spec, landOpt)
           else f1
-        val labeled = Raster.labelPerSlice(f3.localCheckpoint(), spec)
+        // checkpoint the KERNEL OUTPUT, not its input: globalIds consumes
+        // the labeled field twice (per-slice max + the offset join), so an
+        // unmaterialized label kernel would execute once per consumer —
+        // while the kernel input f3 has exactly this one consumer, so
+        // checkpointing it bought nothing but an extra action.
+        val labeled = Raster.labelPerSlice(f3, spec).localCheckpoint()
         val gids = globalIds(labeled)
         val f = filterSmallObjects(gids, geom, cfg).localCheckpoint()
         if (cfg.checkpointMode == "save") {

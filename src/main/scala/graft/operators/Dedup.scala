@@ -40,7 +40,14 @@ object Dedup {
   private def spreadSmallScan(docs: DataFrame): DataFrame = {
     val p = docs.sparkSession.sparkContext.defaultParallelism
     val small = docs.queryExecution.optimizedPlan.stats.sizeInBytes < (1L << 30)
-    if (small && docs.rdd.getNumPartitions < p) docs.repartition(p) else docs
+    // file count as the parallelism proxy: the old `docs.rdd.getNumPartitions`
+    // probe forced a full physical planning + RDD instantiation of the input
+    // purely for this heuristic (ADVICE r11). A sub-GiB corpus in fewer
+    // files than cores is the single-row-group case this guard exists for;
+    // a big single file is excluded by the stats gate above, and non-file
+    // inputs (inputFiles empty) are spread whenever small — harmless, the
+    // exchange is bounded by the 1 GiB gate.
+    if (small && docs.inputFiles.length < p) docs.repartition(p) else docs
   }
 
   /** (doc_id, shingle) distinct word n-grams.
@@ -318,8 +325,24 @@ object Dedup {
       concat_ws("|",
         (0 until rowsPerBand).map(r => col(s"mh${b * rowsPerBand + r}")): _*)
     }: _*)
-    val cands = lshCandidates(
-      sets.select(col("doc_id"), posexplode(bandCol).as(Seq("band", "sig"))))
+    // Candidate pairs via ONE exchange of the banded rows: group the docs
+    // of each (band, sig) bucket and emit the sorted in-bucket pairs with
+    // two streaming Generates (posexplode + tail slice — no k²-sized array
+    // is ever materialized; the collected bucket itself is bounded by the
+    // near-dup cluster size, the same bound the verify join's fan has).
+    // The previous [[lshCandidates]] self-join shuffled the banded frame
+    // TWICE (both join sides) before the same pair-distinct; result is
+    // identical — all i < j pairs per bucket, deduped across bands
+    // (equivalence pinned in DedupSpec).
+    val cands = sets
+      .select(col("doc_id"), posexplode(bandCol).as(Seq("band", "sig")))
+      .groupBy("band", "sig").agg(collect_set(col("doc_id")).as("ds0"))
+      .filter(size(col("ds0")) > 1)
+      .select(sort_array(col("ds0")).as("ds"))
+      .select(posexplode(col("ds")).as(Seq("i", "doc_a")), col("ds"))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + 2, size(col("ds")))).as("doc_b"))
+      .distinct()
     val out = cands
       .join(sets.select(col("doc_id").as("doc_a"), col("set").as("set_a")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("set").as("set_b")), "doc_b")

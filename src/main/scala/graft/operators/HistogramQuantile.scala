@@ -134,6 +134,11 @@ object HistogramQuantile {
       .withColumn(out,
         when(bin === 0, lit(lo)).otherwise(
           cPrev + (lit(q) - cdfPrev) / (cdf - cdfPrev) * (center(bin) - cPrev)))
+      // degenerate-group parity with the window form it replaced: a group
+      // whose cdf never reaches q (possible only when tot is 0/NaN) emitted
+      // NO row under the old `cdf >= q` window filter; the aggregate scan
+      // would otherwise emit a NaN-quantile row for it (ADVICE r11)
+      .filter(col("st.sbin").isNotNull || col("st.scum") > 0)
       .select(gc :+ col(out): _*)
   }
 }

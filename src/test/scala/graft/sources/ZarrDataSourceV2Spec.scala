@@ -39,7 +39,10 @@ class ZarrDataSourceV2Spec extends SparkSpec {
       yield (t, y, x, t * 100.0 + y + x * 0.01)).toDF("t_idx", "y", "x", "value")
     ZarrSource.write3D(in, dir, shape = (4, 12, 12), chunks = (2, 4, 4))
     val all = spark.read.format("zarr").load(dir)
-    assert(all.rdd.getNumPartitions == 2 * 3 * 3)
+    // r12: small chunks bundle into ~core-count tasks; the CHUNK count —
+    // unwrapped through the bundles — still tracks the grid exactly
+    assert(ChunkBundleSpec.plannedChunks(all) == 2 * 3 * 3)
+    assert(all.rdd.getNumPartitions <= spark.sparkContext.defaultParallelism)
     val win = spark.read.format("zarr").load(dir)
       .filter(col("y").between(4, 7) && col("x") >= 8)
     val plan = win.queryExecution.executedPlan.toString
